@@ -1,0 +1,214 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Section B of SURVEY.md §2 — headline analytics queries (bench set).
+  *
+  * Conventions shared with the DuckDB oracles:
+  *  - Money math goes through decimal(12,2) so sums are exact and
+  *    order-independent (a double sum would differ across engines /
+  *    partitionings in the last ulp); the final aggregate is cast to
+  *    double so output schemas are precision-free.
+  *  - Every result has a total deterministic ORDER BY.
+  */
+object AnalyticsQueries {
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private val one                    = lit(1).cast("decimal(12,2)")
+
+  private def ts(s: String) = lit(s).cast("timestamp")
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "q1_agg",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables(spark, dir).lineitem
+          .filter($"l_shipdate" <= ts("1998-09-02"))
+          .groupBy($"l_returnflag", $"l_linestatus")
+          .agg(
+            sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+            sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+            sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+            sum(dec($"l_extendedprice") * (one - dec($"l_discount")) * (one + dec($"l_tax")))
+              .cast("double").as("sum_charge"),
+            (sum(dec($"l_quantity")).cast("double") / count(lit(1))).as("avg_qty"),
+            (sum(dec($"l_extendedprice")).cast("double") / count(lit(1))).as("avg_price"),
+            count(lit(1)).as("count_order")
+          )
+          .orderBy($"l_returnflag", $"l_linestatus")
+      },
+      Some("""
+        SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) * (CAST(1 AS DECIMAL(12,2)) + CAST(l_tax AS DECIMAL(12,2)))) AS DOUBLE) AS sum_charge,
+               CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+      """.stripMargin.trim)
+    ),
+    QueryDef(
+      "q6_filter",
+      (spark, dir) => {
+        import spark.implicits._
+        // Selective filter + agg: everything must reach the parquet scan as
+        // PushedFilters (asserted in AnalyticsSpec).
+        Tables(spark, dir).lineitem
+          .filter(
+            $"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1997-01-01") &&
+              $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24
+          )
+          .agg(sum(dec($"l_extendedprice") * dec($"l_discount")).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+      """.stripMargin.trim)
+    ),
+    QueryDef(
+      "q3_join",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        // customer is ~1.5% of lineitem rows: broadcast it; orders⨝lineitem
+        // shuffles on orderkey (the natural key at 100 TB too).
+        t.lineitem
+          .filter($"l_shipdate" > ts("1998-03-15"))
+          .join(
+            t.orders.filter($"o_orderdate" < ts("1998-03-15")),
+            $"l_orderkey" === $"o_orderkey"
+          )
+          .join(broadcast(t.customer.filter($"c_mktsegment" === "BUILDING")), $"o_custkey" === $"c_custkey")
+          .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"l_orderkey")
+          .limit(10)
+      },
+      Some("""
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+      """.stripMargin.trim)
+    ),
+    QueryDef(
+      "q5_multijoin",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        // 6-table join; all dims (region/nation/supplier/customer) broadcast,
+        // the only shuffle join is lineitem⨝orders on orderkey.
+        val dims = broadcast(
+          t.supplier
+            .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+            .join(broadcast(t.region.filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
+            .select($"s_suppkey", $"s_nationkey", $"n_name")
+        )
+        t.lineitem
+          .join(t.orders.filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1997-01-01")),
+            $"l_orderkey" === $"o_orderkey")
+          .join(dims, $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(t.customer), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+          .groupBy($"n_name")
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
+          .orderBy($"revenue".desc, $"n_name")
+      },
+      Some("""
+        SELECT n_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+      """.stripMargin.trim)
+    ),
+    QueryDef(
+      "q_topk_window",
+      (spark, dir) => {
+        import spark.implicits._
+        // Top-3 orders by price per customer. Window shuffles once on
+        // o_custkey; at scale this is the standard top-k-per-group plan
+        // (rank + filter pushes the limit into the sort via AQE).
+        val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+        Tables(spark, dir).orders
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" <= 3)
+          .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+          .orderBy($"o_custkey", $"rk")
+      },
+      Some("""
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rk
+        FROM orders
+        QUALIFY rk <= 3
+        ORDER BY o_custkey, rk
+      """.stripMargin.trim)
+    ),
+    QueryDef(
+      "q_events_window",
+      (spark, dir) => {
+        import spark.implicits._
+        // Tumbling 1-hour event-time window (batch shape of the streaming
+        // windowed agg in streaming/StreamPipeline).
+        Tables(spark, dir).events
+          .groupBy(date_trunc("hour", $"ts").as("bucket"), $"event_type")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(dec($"value")).cast("double").as("sum_value")
+          )
+          .orderBy($"bucket", $"event_type")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS bucket, event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY bucket, event_type
+      """.stripMargin.trim)
+    ),
+    QueryDef(
+      "q_events_running",
+      (spark, dir) => {
+        import spark.implicits._
+        // Running per-user cumulative sum in event-time order. Decimal keeps
+        // the prefix sums exact so engines agree bit-for-bit.
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(spark, dir).events
+          .withColumn("running_value", sum(dec($"value")).over(w).cast("double"))
+          .select($"user_id", $"event_id", $"ts", $"running_value")
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, ts,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+        FROM events
+        ORDER BY user_id, ts, event_id
+      """.stripMargin.trim)
+    )
+  )
+}
