@@ -1,6 +1,241 @@
 package graft
 
-/** Section A of SURVEY.md §2 — the arcane-stream-parquet surface. */
+import graft.operators._
+import graft.sources.BlobListingSource
+import graft.streaming.StreamPipeline
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Section A of SURVEY.md §2 — the arcane-stream-parquet surface,
+  * re-expressed Spark-first. Each entry exercises one operator; ORDER BY
+  * clauses are part of the verification contract (deterministic compare),
+  * not the operators themselves.
+  */
 object ReferenceOps {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  private def dec(c: Column): Column = c.cast("decimal(12,2)")
+  private def ts(s: String)          = lit(s).cast("timestamp")
+
+  /** Latest event per user — the canonical upsert input used by several
+    * entries (CDC "current state" of the events stream keyed on user_id).
+    */
+  private def latestEvents(spark: SparkSession, dir: String, from: Option[String] = None, until: Option[String] = None): DataFrame = {
+    val ev0 = Tables(spark, dir).events
+    val ev1 = from.fold(ev0)(f => ev0.filter(col("ts") >= ts(f)))
+    val ev  = until.fold(ev1)(u => ev1.filter(col("ts") < ts(u)))
+    Upsert.latestByKey(ev, Seq("user_id"), Seq("ts", "event_id"))
+  }
+
+  private val latestSql =
+    """SELECT event_id, ts, user_id, event_type, value, props FROM events %s
+      |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "src_parquet_scan",
+      (spark, dir) => {
+        import spark.implicits._
+        // projection + filters all reach the parquet scan (PushedFilters
+        // includes l_quantity even though it is not projected)
+        Tables(spark, dir).lineitem
+          .filter($"l_shipdate" >= ts("2000-01-01") && $"l_quantity" < 10)
+          .select($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+          .orderBy($"l_orderkey", $"l_extendedprice", $"l_shipdate")
+      },
+      Some("""
+        SELECT l_orderkey, l_extendedprice, l_shipdate
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00' AND l_quantity < 10
+        ORDER BY l_orderkey, l_extendedprice, l_shipdate
+      """.trim)
+    ),
+    QueryDef(
+      "field_select_include",
+      (spark, dir) =>
+        FieldSelection(
+          Tables(spark, dir).customer,
+          FieldSelection.Include(Set("c_name", "c_acctbal")),
+          essential = Set("c_custkey")
+        ).orderBy("c_custkey"),
+      Some("SELECT c_custkey, c_name, c_acctbal FROM customer ORDER BY c_custkey")
+    ),
+    QueryDef(
+      "field_select_exclude",
+      (spark, dir) =>
+        FieldSelection(
+          Tables(spark, dir).lineitem,
+          FieldSelection.Exclude(Set("l_tax", "l_returnflag", "l_linestatus"))
+        ).orderBy("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"),
+      Some("""
+        SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_shipdate
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_partkey, l_suppkey
+      """.trim)
+    ),
+    QueryDef(
+      "merge_key",
+      (spark, dir) =>
+        MergeKey.withMergeKey(Tables(spark, dir).lineitem, Seq("l_orderkey", "l_linenumber"))
+          .select("l_orderkey", "l_linenumber", "arcane_merge_key")
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("""
+        SELECT l_orderkey, l_linenumber,
+               md5(concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR))) AS arcane_merge_key
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber
+      """.trim)
+    ),
+    QueryDef(
+      "upsert_latest",
+      (spark, dir) => latestEvents(spark, dir).orderBy("user_id"),
+      Some(latestSql.format("") + "\nORDER BY user_id")
+    ),
+    QueryDef(
+      "merge_into",
+      (spark, dir) => {
+        val target = latestEvents(spark, dir, until = Some("2024-01-20"))
+        val source = latestEvents(spark, dir, from = Some("2024-01-20"))
+        MergeInto.merge(target, source, Seq("user_id")).orderBy("user_id")
+      },
+      Some(s"""
+        WITH tgt AS (${latestSql.format("WHERE ts < TIMESTAMP '2024-01-20 00:00:00'")}),
+             src AS (${latestSql.format("WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'")})
+        SELECT * FROM src
+        UNION ALL
+        SELECT * FROM tgt WHERE user_id NOT IN (SELECT user_id FROM src)
+        ORDER BY user_id
+      """.trim)
+    ),
+    QueryDef(
+      "watermark",
+      (spark, dir) =>
+        Tables(spark, dir).events
+          .groupBy(col("event_type").as("stream_id"))
+          .agg(max(col("ts")).as("watermark_ts"), count(lit(1)).as("n_records"))
+          .orderBy("stream_id"),
+      Some("""
+        SELECT event_type AS stream_id, max(ts) AS watermark_ts, count(*) AS n_records
+        FROM events GROUP BY 1 ORDER BY stream_id
+      """.trim)
+    ),
+    QueryDef(
+      "backfill_overwrite",
+      (spark, dir) => latestEvents(spark, dir, from = Some("2024-01-10")).orderBy("user_id"),
+      Some(latestSql.format("WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'") + "\nORDER BY user_id")
+    ),
+    QueryDef(
+      "backfill_merge",
+      // backfill-as-merge: snapshot(<D) merged with slice(>=D) must equal
+      // the latest-per-key state over the full history — the oracle IS
+      // that equivalence.
+      (spark, dir) => {
+        val target = latestEvents(spark, dir, until = Some("2024-01-10"))
+        val source = latestEvents(spark, dir, from = Some("2024-01-10"))
+        MergeInto.merge(target, source, Seq("user_id")).orderBy("user_id")
+      },
+      Some(latestSql.format("") + "\nORDER BY user_id")
+    ),
+    QueryDef(
+      "schema_migration",
+      (spark, dir) => {
+        import spark.implicits._
+        val orders = Tables(spark, dir).orders
+        val oldDf  = orders.filter($"o_orderdate" < ts("1998-01-01"))
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val newDf = orders.filter($"o_orderdate" >= ts("1998-01-01"))
+          .withColumn("o_year", year($"o_orderdate"))
+        SchemaMigration.migrate(oldDf, newDf).orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(NULL AS TIMESTAMP) AS o_orderdate,
+               CAST(NULL AS VARCHAR) AS o_orderpriority, CAST(NULL AS INT) AS o_year
+        FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus, o_orderdate, o_orderpriority,
+               CAST(year(o_orderdate) AS INT)
+        FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+        ORDER BY o_orderkey
+      """.trim)
+    ),
+    QueryDef(
+      "staging_batches",
+      (spark, dir) => {
+        val keyed = MergeKey.withMergeKey(latestEvents(spark, dir), Seq("user_id"))
+        Staging.batchAccounting(keyed, "arcane_merge_key", maxRows = 25)
+      },
+      Some(s"""
+        WITH latest AS (${latestSql.format("")}),
+             keyed AS (SELECT md5(CAST(user_id AS VARCHAR)) AS k FROM latest),
+             numbered AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS rn FROM keyed)
+        SELECT CAST(rn // 25 AS BIGINT) AS batch_id, count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key
+        FROM numbered GROUP BY 1 ORDER BY batch_id
+      """.trim)
+    ),
+    QueryDef(
+      "throughput_chunks",
+      (spark, dir) =>
+        Throughput.chunkAdvice(
+          Tables(spark, dir).events,
+          groupCol = "event_type",
+          stringCols = Seq("props"),
+          fixedBytesPerRow = 52L,
+          chunkBudgetBytes = 65536L
+        ),
+      Some("""
+        SELECT event_type,
+               count(*) AS n_rows,
+               CAST(sum(strlen(props)) AS BIGINT) AS string_bytes,
+               CAST(sum(strlen(props)) AS BIGINT) // count(*) + 52 AS est_row_bytes,
+               greatest(CAST(1 AS BIGINT), 65536 // (CAST(sum(strlen(props)) AS BIGINT) // count(*) + 52)) AS chunk_rows,
+               CAST(ceil(CAST(count(*) AS DOUBLE) / greatest(CAST(1 AS BIGINT), 65536 // (CAST(sum(strlen(props)) AS BIGINT) // count(*) + 52))) AS BIGINT) AS n_chunks
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim)
+    ),
+    QueryDef(
+      "compaction",
+      (spark, dir) => {
+        import spark.implicits._
+        // fragment events into 64 small files, compact to ~512 KiB files,
+        // then prove the data survived byte-exactly via aggregates
+        val base = java.nio.file.Files.createTempDirectory("graft_compact").toString
+        val ev   = Tables(spark, dir).events
+        ev.repartition(64).write.mode("overwrite").parquet(s"$base/in")
+        val compacted = Maintenance.compact(spark, s"$base/in", s"$base/out", targetFileBytes = 512L * 1024)
+        compacted.agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"user_id").as("n_users"),
+          sum(dec($"value")).cast("double").as("sum_value")
+        )
+      },
+      Some("""
+        SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+      """.trim)
+    ),
+    QueryDef(
+      "stream_pipeline",
+      (spark, dir) => {
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = spark.read.parquet(s"$dir/events.parquet").schema
+        StreamPipeline.windowedCounts(spark, schema, dir, "events.parquet", "stream_pipeline_sink")
+      },
+      Some("""
+        SELECT date_trunc('hour', ts) AS bucket, event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY bucket, event_type
+      """.trim)
+    ),
+    QueryDef(
+      "blob_listing",
+      // filesystem-dependent (mtimes): rows-only check here; semantics
+      // covered by BlobListingSpec
+      (spark, dir) => {
+        import spark.implicits._
+        BlobListingSource.listBlobs(spark, dir).map(b => (b.name, b.sizeBytes)).toDF("name", "size_bytes").orderBy("name")
+      },
+      None
+    )
+  )
 }

@@ -10,11 +10,13 @@ import org.apache.spark.sql.functions._
   * exactly one row per distinct key after streaming many files —
   * /root/reference/src/test/scala/tests/IntegrationTests.scala:176-181).
   *
-  * Spark-first: a single hash aggregation with `max_by(payload, order)`.
-  * This gets map-side partial aggregation (each task keeps one candidate
-  * row per key before the shuffle), so it is ONE shuffle of at most
-  * |distinct keys| rows per task — strictly cheaper at 100 TB than the
-  * window-function formulation (full shuffle of all rows + per-key sort).
+  * Spark-first: a single aggregation with `max_by(payload, order)`. The
+  * struct payload makes Spark pick SortAggregate, but the property that
+  * matters at 100 TB holds and is asserted in PlanSpec: map-side partial
+  * aggregation (each task keeps one candidate row per key before the
+  * shuffle), so the single shuffle carries at most |distinct keys| rows
+  * per task — strictly cheaper than the window-function formulation
+  * (full shuffle of all rows + per-key sort).
   * The `orderCols` tuple must be unique per key for determinism; callers
   * pass (versionCol, uniqueTiebreakCol).
   */

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.operators.{FieldSelection, MergeInto, MergeKey, Upsert}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.StructType
+
+/** The reference pipeline as Structured Streaming: parquet blobs landing
+  * in a source directory are discovered incrementally (the engine's file
+  * source performs the versioned listing), field-filtered, merge-keyed,
+  * deduplicated to latest-per-key within each micro-batch, and MERGE'd
+  * into a parquet target via `foreachBatch` — mirroring the reference's
+  * staging → merge → watermark loop
+  * (/root/reference/src/main/scala/main.scala:85-133).
+  *
+  * Scale notes: `maxFilesPerTrigger` is the reference's throughput
+  * shaping; the per-batch upsert is one hash aggregation; the MERGE anti
+  * join broadcasts the (small) staged batch against the large target via
+  * AQE. Checkpointing gives exactly-once file tracking — the reference's
+  * watermark store.
+  */
+object StreamPipeline {
+
+  final case class Config(
+      sourceDir: String,
+      targetDir: String,
+      checkpointDir: String,
+      primaryKeys: Seq[String],
+      versionCols: Seq[String],
+      fieldRule: FieldSelection.Rule = FieldSelection.All,
+      essentialFields: Set[String] = Set.empty,
+      maxFilesPerTrigger: Option[Int] = None,
+      maxRowsPerFile: Int = 1_000_000
+  )
+
+  /** Run the pipeline over all currently-available blobs (the streaming
+    * equivalent of one change-capture cycle; `Trigger.AvailableNow`
+    * drains the backlog in rate-limited micro-batches then stops).
+    * Returns the number of micro-batches processed.
+    */
+  def runAvailableNow(spark: SparkSession, schema: StructType, cfg: Config): Long = {
+    var batches = 0L
+    val reader  = spark.readStream.schema(schema)
+    val src     = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+      .parquet(cfg.sourceDir)
+
+    val filtered = FieldSelection(src, cfg.fieldRule, cfg.essentialFields ++ cfg.primaryKeys ++ cfg.versionCols)
+    val keyed    = MergeKey.withMergeKey(filtered, cfg.primaryKeys)
+
+    val q = keyed.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val staged = Upsert.latestByKey(batch, Seq(MergeKey.ColumnName), cfg.versionCols)
+        val target = readTarget(spark, cfg.targetDir)
+        val merged = target.fold(staged)(t => MergeInto.merge(t, staged, Seq(MergeKey.ColumnName)))
+        // rewrite via a temp dir: the merge plan reads targetDir, so an
+        // in-place overwrite would race its own scan
+        val tmp = cfg.targetDir + "__staging"
+        merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.maxRowsPerFile.toLong).parquet(tmp)
+        swap(spark, tmp, cfg.targetDir)
+        batches += 1
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+
+  private def readTarget(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val p  = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
+  }
+
+  private def swap(spark: SparkSession, from: String, to: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(to).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(to), true)
+    fs.rename(new org.apache.hadoop.fs.Path(from), new org.apache.hadoop.fs.Path(to))
+  }
+
+  /** Streaming windowed aggregation (hourly counts per event type) over a
+    * bounded source, complete-mode memory sink — used by the
+    * `stream_pipeline` correctness query so the Structured Streaming
+    * engine itself is under the oracle gate.
+    */
+  /** `sourceDir` must be a directory (file-source requirement); `glob`
+    * selects the blobs within it.
+    */
+  def windowedCounts(spark: SparkSession, schema: StructType, sourceDir: String, glob: String, sinkName: String): DataFrame = {
+    val src = spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(sourceDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    val agg = src
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
+      .select(col("w.start").as("bucket"), col("event_type"), col("n"), col("sum_value"))
+    val q = agg.writeStream
+      .format("memory")
+      .queryName(sinkName)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName).orderBy("bucket", "event_type")
+  }
+}

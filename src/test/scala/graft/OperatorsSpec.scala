@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FieldSelection include keeps essential fields and column order") {
+    val df  = Seq((1, "a", 2.0)).toDF("k", "name", "bal")
+    val out = FieldSelection(df, FieldSelection.Include(Set("name")), essential = Set("k"))
+    assert(out.columns.toSeq == Seq("k", "name"))
+  }
+
+  test("FieldSelection exclude never drops essential fields") {
+    val df  = Seq((1, "a", 2.0)).toDF("k", "name", "bal")
+    val out = FieldSelection(df, FieldSelection.Exclude(Set("k", "bal")), essential = Set("k"))
+    assert(out.columns.toSeq == Seq("k", "name"))
+  }
+
+  test("MergeKey is md5 of pipe-joined pk strings") {
+    val df  = Seq((7, 3)).toDF("a", "b")
+    val key = MergeKey.withMergeKey(df, Seq("a", "b")).select("arcane_merge_key").as[String].head()
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("7|3".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(key == expected)
+  }
+
+  test("Upsert keeps exactly the latest row per key with tiebreak") {
+    val df = Seq(
+      (1, 10L, 1, "old"), (1, 20L, 2, "new"),
+      (2, 30L, 5, "tie-lo"), (2, 30L, 6, "tie-hi")
+    ).toDF("k", "version", "tb", "payload")
+    val out = Upsert.latestByKey(df, Seq("k"), Seq("version", "tb"))
+      .orderBy("k").select("k", "payload").as[(Int, String)].collect().toSeq
+    assert(out == Seq((1, "new"), (2, "tie-hi")))
+  }
+
+  test("MergeInto: source wins on match, target survives otherwise, inserts appear") {
+    val target = Seq((1, "t1"), (2, "t2")).toDF("k", "v")
+    val source = Seq((2, "s2"), (3, "s3")).toDF("k", "v")
+    val out = MergeInto.merge(target, source, Seq("k"))
+      .orderBy("k").as[(Int, String)].collect().toSeq
+    assert(out == Seq((1, "t1"), (2, "s2"), (3, "s3")))
+  }
+
+  test("SchemaMigration null-fills old rows and widens types to the new side") {
+    val oldDf = Seq((1, 5)).toDF("k", "x") // x: int
+    val newDf = Seq((2, 7L, "extra")).toDF("k", "x", "y") // x: long now
+    val out   = SchemaMigration.migrate(oldDf, newDf)
+    assert(out.schema("x").dataType == LongType)
+    assert(out.columns.toSeq == Seq("k", "x", "y"))
+    val rows = out.orderBy("k").collect()
+    assert(rows(0).getAs[Any]("y") == null && rows(0).getAs[Long]("x") == 5L)
+    assert(rows(1).getAs[String]("y") == "extra")
+  }
+
+  test("Staging.writeStaged respects maxRowsPerFile") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_staging").toString
+    val df  = spark.range(100).toDF("id")
+    Staging.writeStaged(df.coalesce(1), dir, maxRowsPerFile = 30)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.length == 4) // 30+30+30+10
+    assert(spark.read.parquet(dir).count() == 100)
+  }
+
+  test("Maintenance.compact preserves data and reduces file count") {
+    val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    spark.range(1000).toDF("id").repartition(16).write.parquet(s"$base/in")
+    assert(new java.io.File(s"$base/in").listFiles().count(_.getName.endsWith(".parquet")) == 16)
+    val out = Maintenance.compact(spark, s"$base/in", s"$base/out", targetFileBytes = 512L * 1024 * 1024)
+    assert(out.count() == 1000)
+    assert(new java.io.File(s"$base/out").listFiles().count(_.getName.endsWith(".parquet")) == 1)
+  }
+}

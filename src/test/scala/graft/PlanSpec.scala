@@ -1,0 +1,40 @@
+package graft
+
+/** Plan-shape assertions: the scale guarantees claimed in SURVEY.md §5
+  * must be visible in the physical plan, not just believed.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(name: String): String =
+    Queries.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("src_parquet_scan pushes filters and prunes columns at the scan") {
+    val plan = planOf("src_parquet_scan")
+    assert(plan.contains("PushedFilters: ["), "expected parquet PushedFilters")
+    assert(plan.contains("l_quantity"), "filter col must reach the scan")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), s"unprojected column read: $readSchema")
+  }
+
+  test("q5_multijoin broadcasts every dimension (single shuffle join)") {
+    val plan = planOf("q5_multijoin")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size
+    assert(broadcasts >= 2, s"expected broadcast joins for dims, got $broadcasts")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("upsert_latest partial-aggregates before a single shuffle, no window") {
+    val plan = planOf("upsert_latest")
+    assert(plan.contains("partial_max_by"), "expected map-side partial aggregation")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashExchanges == 1, s"expected exactly 1 hash shuffle, got $hashExchanges")
+    assert(!plan.contains("Window"), "latest-per-key must not use a window function")
+  }
+
+  test("field selection prunes the parquet read schema") {
+    val plan       = planOf("field_select_include")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && !readSchema.contains("c_mktsegment"),
+      s"scan not pruned: $readSchema")
+  }
+}
