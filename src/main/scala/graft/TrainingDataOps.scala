@@ -1,6 +1,187 @@
 package graft
 
-/** Section C of SURVEY.md §2 — training-data pipeline operators. */
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** Section C of SURVEY.md §2 — training-data pipeline operators over the
+  * `documents` and `embeddings` tables.
+  */
 object TrainingDataOps {
-  val defs: Seq[QueryDef] = Seq.empty
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_exact",
+      (spark, dir) =>
+        Dedup.exact(Tables(spark, dir).documents, "doc_id", "text").orderBy("content_hash"),
+      Some("""
+        SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        FROM documents GROUP BY 1 ORDER BY content_hash
+      """.trim)
+    ),
+    QueryDef(
+      "dedup_minhash_lsh",
+      // engine-specific hash family → no SQL oracle; recall vs brute-force
+      // Jaccard asserted in DedupSpec
+      (spark, dir) =>
+        Dedup.minhashNearDups(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("id_a", "id_b"),
+      None
+    ),
+    QueryDef(
+      "dedup_simhash",
+      (spark, dir) =>
+        Dedup.simhashNearDups(Tables(spark, dir).documents, "doc_id", "text", maxHamming = 8)
+          .orderBy("id_a", "id_b"),
+      None
+    ),
+    QueryDef(
+      "dedup_ngram_jaccard",
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables(spark, dir).documents
+        // candidate rule expressible on both engines: same-source pairs
+        val keys = docs.select($"doc_id", $"source")
+        val pairs = keys.as("a").join(keys.as("b"),
+            $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", shingleN = 3)
+          .filter($"jaccard" >= 0.2)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        ), sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s,b.s)) / len(list_distinct(list_concat(a.s,b.s))) AS jaccard
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.s,b.s)) / len(list_distinct(list_concat(a.s,b.s))) >= 0.2
+        ORDER BY id_a, id_b
+      """.trim)
+    ),
+    QueryDef(
+      "dedup_embedding",
+      (spark, dir) =>
+        Similarity.embeddingNearDups(Tables(spark, dir).embeddings, "vec_id", "embedding", threshold = 0.45)
+          .orderBy("id_a", "id_b"),
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, list_cosine_similarity(a.v, b.v) AS cosine
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.45
+        ORDER BY id_a, id_b
+      """.trim)
+    ),
+    QueryDef(
+      "ann_bruteforce",
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.bruteForceTopK(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5
+        ).orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT * FROM e WHERE vec_id < 5),
+             c AS (SELECT * FROM e WHERE vec_id >= 5)
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(p.v, c.v) AS cosine,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS INT) AS rank
+        FROM p, c
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank
+      """.trim)
+    ),
+    QueryDef(
+      "ann_lsh",
+      // hyperplane family is engine-specific → recall vs brute force
+      // asserted in SimilaritySpec
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.lshTopK(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64
+        ).orderBy("probe_id", "rank")
+      },
+      None
+    ),
+    QueryDef(
+      "text_tokens",
+      (spark, dir) =>
+        TextAnalysis.tokenStats(Tables(spark, dir).documents, "doc_id", "text")
+          .withColumn("n_tokens", col("n_tokens").cast("long"))
+          .withColumn("n_unique_tokens", col("n_unique_tokens").cast("long"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS t FROM documents)
+        SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique_tokens,
+               CAST(length(text) AS DOUBLE) / len(t) AS chars_per_token
+        FROM toks ORDER BY doc_id
+      """.trim)
+    ),
+    QueryDef(
+      "text_quality",
+      (spark, dir) =>
+        TextAnalysis.qualityScore(Tables(spark, dir).documents, "doc_id", "text")
+          .withColumn("n_chars", col("n_chars").cast("long"))
+          .withColumn("n_tokens", col("n_tokens").cast("long"))
+          .orderBy("doc_id"),
+      Some("""
+        WITH q AS (
+          SELECT doc_id,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+                 len(list_filter(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)),
+                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], x)))
+                   / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+          FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens, alpha_ratio, digit_ratio, punct_ratio, stopword_ratio,
+               round(alpha_ratio * 0.5
+                     + (1.0 - least(digit_ratio * 5, 1.0)) * 0.2
+                     + (1.0 - least(punct_ratio * 5, 1.0)) * 0.1
+                     + least(stopword_ratio * 5, 1.0) * 0.2, 6) AS quality_score
+        FROM q ORDER BY doc_id
+      """.trim)
+    ),
+    QueryDef(
+      "text_langid",
+      // heuristic profiles are engine-specific → accuracy asserted in
+      // TextAnalysisSpec on handcrafted sentences
+      (spark, dir) =>
+        TextAnalysis.langId(Tables(spark, dir).documents, "doc_id", "text").orderBy("doc_id"),
+      None
+    ),
+    QueryDef(
+      "doc_fingerprint",
+      (spark, dir) =>
+        TextAnalysis.winnowingFingerprints(Tables(spark, dir).documents, "doc_id", "text")
+          .select(col("doc_id"), col("n_fingerprints"))
+          .orderBy("doc_id"),
+      None
+    ),
+    QueryDef(
+      "multimodal_meta",
+      (spark, dir) => {
+        val media = Multimodal.synthesizePayloads(Tables(spark, dir).documents, "doc_id", "text")
+        Multimodal.extractFeatures(spark, media).toDF()
+          .select(col("doc_id"), col("media_type"), col("size_bytes"),
+            round(element_at(col("features"), 1), 6).as("feat0"))
+          .orderBy("doc_id")
+      },
+      None
+    )
+  )
 }

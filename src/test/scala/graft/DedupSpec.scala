@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away today", "s1"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight", "s1"), // near-dup of 1
+    (3L, "completely different content about spark query engines and parquet files", "s1"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away today", "s2")  // exact dup of 1
+  ).toDF("doc_id", "text", "source")
+
+  test("exact dedup groups identical content and keeps the smallest id") {
+    val out = Dedup.exact(docs, "doc_id", "text").orderBy("keep_id")
+      .select("keep_id", "n_copies").as[(Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds near- and exact-dup pairs, not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(pairs.contains((1L, 4L)), "exact-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "false positive on unrelated doc")
+  }
+
+  test("minhash LSH recall equals brute force on the real corpus") {
+    val real = Tables(spark, sfDir).documents
+    // ground truth: same-source brute-force pairs with jaccard >= 0.7
+    val keys = real.select($"doc_id", $"source")
+    val candidates = keys.as("a").join(keys.as("b"),
+        $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+    val truth = Dedup.jaccardForPairs(candidates, real, "doc_id", "text", 3)
+      .filter($"jaccard" >= 0.7).select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val found = Dedup.minhashNearDups(real, "doc_id", "text", threshold = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty, "test corpus should contain planted near-dups")
+    assert(truth.subsetOf(found), s"LSH missed ${truth.diff(found)}")
+  }
+
+  test("simhash fingerprints of near-dups are close, unrelated are far") {
+    val fp = Dedup.withSimhash(docs, "text").select("doc_id", "simhash")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(4L), "identical text must produce identical simhash")
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(fp(1L), fp(2L)) < hamming(fp(1L), fp(3L)),
+      "near-dup must be closer than unrelated doc")
+  }
+
+  test("simhash near-dup join returns the exact-dup pair") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 4L)))
+  }
+}

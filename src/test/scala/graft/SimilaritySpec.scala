@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.Similarity
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine matches a hand-computed value") {
+    val df = Seq((Array(1.0, 0.0, 1.0), Array(1.0, 1.0, 0.0))).toDF("a", "b")
+    val c  = df.select(VectorFunctions.cosine($"a", $"b")).as[Double].head()
+    assert(math.abs(c - 0.5) < 1e-15)
+  }
+
+  test("LSH top-k recall vs brute force is >= 0.8 on the real corpus") {
+    val e = Tables(spark, sfDir).embeddings
+    val probes     = e.filter($"vec_id" < 20)
+    val candidates = e.filter($"vec_id" >= 20)
+    val exact = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(probes, candidates, "vec_id", "embedding", k = 10, dim = 64)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall too low")
+  }
+
+  test("brute-force ranks are contiguous from 1..k per probe") {
+    val e = Tables(spark, sfDir).embeddings
+    val out = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e.filter($"vec_id" >= 3),
+      "vec_id", "embedding", k = 4)
+    val ranks = out.groupBy("probe_id").agg(collect_list("rank").as("r"))
+      .select("r").as[Seq[Int]].collect()
+    assert(ranks.length == 3 && ranks.forall(_.sorted == Seq(1, 2, 3, 4)))
+  }
+}

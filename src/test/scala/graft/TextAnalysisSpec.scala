@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.{Multimodal, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("token stats on a crafted document") {
+    val df  = Seq((1L, "alpha  beta alpha\tgamma")).toDF("doc_id", "text")
+    val row = TextAnalysis.tokenStats(df, "doc_id", "text").head()
+    assert(row.getAs[Int]("n_tokens") == 4)
+    assert(row.getAs[Int]("n_unique_tokens") == 3)
+  }
+
+  test("langId classifies handcrafted sentences") {
+    val df = Seq(
+      (1L, "the cat is in the house and it was good for the family"),
+      (2L, "el gato es un animal que vive en la casa de los abuelos"),
+      (3L, "der hund ist ein tier und das haus ist nicht klein mit den"),
+      (4L, "le chien est un animal dans les maisons et la ville des gens"),
+      (5L, "这是一个中文句子 关于大数据处理 和查询引擎")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.langId(df, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "en", 2L -> "es", 3L -> "de", 4L -> "fr", 5L -> "zh"))
+  }
+
+  test("quality score rewards clean prose and penalizes digit noise") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog in a calm field"),
+      (2L, "x9 3342 998 001 2383 44 9 11 000 993 111 222 3 4")
+    ).toDF("doc_id", "text")
+    val scores = TextAnalysis.qualityScore(df, "doc_id", "text")
+      .select("doc_id", "quality_score").as[(Long, Double)].collect().toMap
+    assert(scores(1L) > scores(2L) + 0.3, s"unexpected scores: $scores")
+  }
+
+  test("winnowing fingerprints overlap heavily for near-dups only") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (3L, "completely different content about spark query engines and parquet files")
+    ).toDF("doc_id", "text")
+    val fps = TextAnalysis.winnowingFingerprints(df, "doc_id", "text")
+      .select("doc_id", "fingerprints").as[(Long, Seq[Long])].collect().toMap
+      .view.mapValues(_.toSet).toMap
+    def overlap(a: Set[Long], b: Set[Long]) = a.intersect(b).size.toDouble / a.union(b).size
+    assert(overlap(fps(1L), fps(2L)) > 0.7)
+    assert(overlap(fps(1L), fps(3L)) < 0.2)
+  }
+
+  test("multimodal feature extraction is deterministic with normalized histograms") {
+    val docs  = Seq((1L, "some payload text"), (2L, "other bytes here")).toDF("doc_id", "text")
+    val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
+    assert(media.schema("payload").dataType.typeName == "binary")
+    val feats = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.length == 2)
+    assert(feats.forall(f => f.features.length == 16 && math.abs(f.features.sum - 1.0) < 1e-9))
+    val again = Multimodal.extractFeatures(spark, media).collect().sortBy(_.doc_id)
+    assert(feats.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+}
