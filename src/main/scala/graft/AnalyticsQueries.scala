@@ -53,7 +53,8 @@ object AnalyticsQueries {
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         GROUP BY l_returnflag, l_linestatus
         ORDER BY l_returnflag, l_linestatus
-      """.stripMargin.trim)
+      """.stripMargin.trim),
+      bench = true
     ),
     QueryDef(
       "q6_filter",
@@ -73,7 +74,8 @@ object AnalyticsQueries {
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
           AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
-      """.stripMargin.trim)
+      """.stripMargin.trim),
+      bench = true
     ),
     QueryDef(
       "q3_join",
@@ -106,7 +108,8 @@ object AnalyticsQueries {
         GROUP BY l_orderkey, o_orderdate, o_orderpriority
         ORDER BY revenue DESC, l_orderkey
         LIMIT 10
-      """.stripMargin.trim)
+      """.stripMargin.trim),
+      bench = true
     ),
     QueryDef(
       "q5_multijoin",
@@ -143,7 +146,8 @@ object AnalyticsQueries {
           AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n_name
         ORDER BY revenue DESC, n_name
-      """.stripMargin.trim)
+      """.stripMargin.trim),
+      bench = true
     ),
     QueryDef(
       "q_topk_window",
@@ -165,7 +169,8 @@ object AnalyticsQueries {
         FROM orders
         QUALIFY rk <= 3
         ORDER BY o_custkey, rk
-      """.stripMargin.trim)
+      """.stripMargin.trim),
+      bench = true
     ),
     QueryDef(
       "q_events_window",
@@ -188,7 +193,8 @@ object AnalyticsQueries {
         FROM events
         GROUP BY 1, 2
         ORDER BY bucket, event_type
-      """.stripMargin.trim)
+      """.stripMargin.trim),
+      bench = true
     ),
     QueryDef(
       "q_events_running",
@@ -208,7 +214,8 @@ object AnalyticsQueries {
                CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
         FROM events
         ORDER BY user_id, ts, event_id
-      """.stripMargin.trim)
+      """.stripMargin.trim),
+      bench = true
     )
   )
 }

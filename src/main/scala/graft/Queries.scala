@@ -10,7 +10,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class QueryDef(
     name: String,
     run: (SparkSession, String) => DataFrame,
-    oracle: Option[String]
+    oracle: Option[String],
+    bench: Boolean = false
 )
 
 object Queries {
@@ -24,4 +25,9 @@ object Queries {
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Headline queries timed by Bench (operators, not verification
+    * artifacts like full-table ordered dumps or file-rewriting demos).
+    */
+  def benchQueries: Seq[QueryDef] = all.filter(_.bench)
 }

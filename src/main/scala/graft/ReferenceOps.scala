@@ -88,7 +88,8 @@ object ReferenceOps {
     QueryDef(
       "upsert_latest",
       (spark, dir) => latestEvents(spark, dir).orderBy("user_id"),
-      Some(latestSql.format("") + "\nORDER BY user_id")
+      Some(latestSql.format("") + "\nORDER BY user_id"),
+      bench = true
     ),
     QueryDef(
       "merge_into",
@@ -104,7 +105,8 @@ object ReferenceOps {
         UNION ALL
         SELECT * FROM tgt WHERE user_id NOT IN (SELECT user_id FROM src)
         ORDER BY user_id
-      """.trim)
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "watermark",
@@ -170,7 +172,8 @@ object ReferenceOps {
              numbered AS (SELECT k, row_number() OVER (ORDER BY k) - 1 AS rn FROM keyed)
         SELECT CAST(rn // 25 AS BIGINT) AS batch_id, count(*) AS n_rows, min(k) AS min_key, max(k) AS max_key
         FROM numbered GROUP BY 1 ORDER BY batch_id
-      """.trim)
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "throughput_chunks",
@@ -190,7 +193,8 @@ object ReferenceOps {
                greatest(CAST(1 AS BIGINT), 65536 // (CAST(sum(strlen(props)) AS BIGINT) // count(*) + 52)) AS chunk_rows,
                CAST(ceil(CAST(count(*) AS DOUBLE) / greatest(CAST(1 AS BIGINT), 65536 // (CAST(sum(strlen(props)) AS BIGINT) // count(*) + 52))) AS BIGINT) AS n_chunks
         FROM events GROUP BY event_type ORDER BY event_type
-      """.trim)
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "compaction",

@@ -16,7 +16,8 @@ object TrainingDataOps {
       Some("""
         SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         FROM documents GROUP BY 1 ORDER BY content_hash
-      """.trim)
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "dedup_minhash_lsh",
@@ -25,14 +26,16 @@ object TrainingDataOps {
       (spark, dir) =>
         Dedup.minhashNearDups(Tables(spark, dir).documents, "doc_id", "text")
           .orderBy("id_a", "id_b"),
-      None
+      None,
+      bench = true
     ),
     QueryDef(
       "dedup_simhash",
       (spark, dir) =>
         Dedup.simhashNearDups(Tables(spark, dir).documents, "doc_id", "text", maxHamming = 8)
           .orderBy("id_a", "id_b"),
-      None
+      None,
+      bench = true
     ),
     QueryDef(
       "dedup_ngram_jaccard",
@@ -98,7 +101,8 @@ object TrainingDataOps {
         FROM p, c
         QUALIFY rank <= 5
         ORDER BY probe_id, rank
-      """.trim)
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "ann_lsh",
@@ -112,7 +116,8 @@ object TrainingDataOps {
           idCol = "vec_id", vecCol = "embedding", k = 5, dim = 64
         ).orderBy("probe_id", "rank")
       },
-      None
+      None,
+      bench = true
     ),
     QueryDef(
       "text_tokens",
@@ -126,7 +131,8 @@ object TrainingDataOps {
         SELECT doc_id, len(t) AS n_tokens, len(list_distinct(t)) AS n_unique_tokens,
                CAST(length(text) AS DOUBLE) / len(t) AS chars_per_token
         FROM toks ORDER BY doc_id
-      """.trim)
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "text_quality",
@@ -154,7 +160,8 @@ object TrainingDataOps {
                      + (1.0 - least(punct_ratio * 5, 1.0)) * 0.1
                      + least(stopword_ratio * 5, 1.0) * 0.2, 6) AS quality_score
         FROM q ORDER BY doc_id
-      """.trim)
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "text_langid",
@@ -162,7 +169,8 @@ object TrainingDataOps {
       // TextAnalysisSpec on handcrafted sentences
       (spark, dir) =>
         TextAnalysis.langId(Tables(spark, dir).documents, "doc_id", "text").orderBy("doc_id"),
-      None
+      None,
+      bench = true
     ),
     QueryDef(
       "doc_fingerprint",
@@ -170,7 +178,8 @@ object TrainingDataOps {
         TextAnalysis.winnowingFingerprints(Tables(spark, dir).documents, "doc_id", "text")
           .select(col("doc_id"), col("n_fingerprints"))
           .orderBy("doc_id"),
-      None
+      None,
+      bench = true
     ),
     QueryDef(
       "multimodal_meta",

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions
+import graft.plans.{GraftExpressions, TextVectorExpressions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -25,32 +26,27 @@ object Dedup {
   }
 
   /** MinHash signature: numPerm independent minima over the shingle-hash
-    * set. Uses xxhash64(permIndex, shingle) as the permutation family —
-    * multiply-free, so it is safe under ANSI overflow semantics.
+    * set, via the native codegen'd MinHashSignature expression
+    * (plans/HashExpressions.scala) — one tight pass per row.
     */
-  def withMinhashSignature(df: DataFrame, textCol: String, shingleN: Int, numPerm: Int): DataFrame = {
-    val sh = TextFunctions.shingleSet(col(textCol), shingleN)
-    df.withColumn("__shingles", sh)
-      .withColumn(
-        "minhash_sig",
-        transform(
-          sequence(lit(0), lit(numPerm - 1)),
-          i => array_min(transform(col("__shingles"), s => xxhash64(i, s)))
-        )
-      )
-  }
+  def withMinhashSignature(df: DataFrame, textCol: String, shingleN: Int, numPerm: Int): DataFrame =
+    df.withColumn(
+      "minhash_sig",
+      GraftExpressions.minhashSignature(TextVectorExpressions.shingleHashes(col(textCol), shingleN), numPerm)
+    )
 
   /** LSH banding: one row per (doc, band) with the band's hash; docs
     * sharing any (band_id, band_hash) bucket become candidate pairs.
+    * Band hashes come from MinHashBands, which computes the signature and
+    * the band mixes in ONE pass — projection collapse cannot re-evaluate
+    * the signature per band.
     */
-  def lshCandidatePairs(signed: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
-    val banded = signed.select(
+  def lshCandidatePairs(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, bands: Int, rowsPerBand: Int): DataFrame = {
+    val banded = docs.select(
       col(idCol).as("__id"),
       posexplode(
-        transform(
-          sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(b, concat_ws(",", slice(col("minhash_sig"), b * rowsPerBand + 1, lit(rowsPerBand))))
-        )
+        GraftExpressions.minhashBands(TextVectorExpressions.shingleHashes(col(textCol), shingleN), bands, rowsPerBand)
       ).as(Seq("band_id", "band_hash"))
     )
     banded.as("a")
@@ -60,9 +56,13 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact word-shingle Jaccard for given pairs (candidates only). */
+  /** Exact word-shingle Jaccard for given pairs (candidates only).
+    * Shingle sets are 64-bit hash sets (one-pass ShingleHashes): set
+    * sizes — and therefore Jaccard values — equal the string-shingle
+    * formulation up to negligible 64-bit collision probability.
+    */
   def jaccardForPairs(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String, shingleN: Int): DataFrame = {
-    val sh = docs.select(col(idCol).as("__id"), TextFunctions.shingleSet(col(textCol), shingleN).as("__sh"))
+    val sh = docs.select(col(idCol).as("__id"), TextVectorExpressions.shingleHashes(col(textCol), shingleN).as("__sh"))
     pairs
       .join(sh.withColumnRenamed("__sh", "__sh_a"), pairs("id_a") === sh("__id")).drop("__id")
       .join(sh.withColumnRenamed("__sh", "__sh_b"), pairs("id_b") === sh("__id")).drop("__id")
@@ -80,31 +80,20 @@ object Dedup {
       shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5
   ): DataFrame = {
     val rowsPerBand = numPerm / bands
-    val signed      = withMinhashSignature(docs, textCol, shingleN, numPerm)
-    val candidates  = lshCandidatePairs(signed, idCol, bands, rowsPerBand)
+    val candidates  = lshCandidatePairs(docs, idCol, textCol, shingleN, bands, rowsPerBand)
     jaccardForPairs(candidates, docs, idCol, textCol, shingleN)
       .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
-    * sign of the vote sum over tokens of (bit j set ? +1 : -1).
-    * Bit arithmetic via SQL expressions (shift amounts are columns).
+    * sign of the vote sum over tokens of (bit j set ? +1 : -1). Native
+    * codegen'd expression — one pass per row.
     */
-  def withSimhash(df: DataFrame, textCol: String): DataFrame = {
-    df.withColumn("__th", transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
-      .withColumn(
-        "simhash",
-        expr(
-          """aggregate(
-            |  transform(sequence(0, 63), j ->
-            |    CASE WHEN aggregate(__th, 0, (acc, h) ->
-            |      acc + CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) > 0
-            |    THEN shiftleft(1L, j) ELSE 0L END),
-            |  0L, (acc, b) -> acc | b)""".stripMargin
-        )
-      )
-      .drop("__th")
-  }
+  def withSimhash(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(
+      "simhash",
+      GraftExpressions.simhash64(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
+    )
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
     * pigeonhole on the four 16-bit chunks — any pair within distance 3

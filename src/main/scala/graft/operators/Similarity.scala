@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
+import graft.plans.TextVectorExpressions
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -42,12 +43,6 @@ object Similarity {
     Seq.fill(tables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
   }
 
-  /** Bucket id of a vector in one table: sign bits against each plane. */
-  private def bucketExpr(vecCol: String, tablePlanes: Seq[Array[Double]]) =
-    tablePlanes.zipWithIndex.map { case (plane, bit) =>
-      val planeCol = array(plane.map(lit).toIndexedSeq: _*)
-      when(dot(col(vecCol), planeCol) > 0d, lit(1 << bit)).otherwise(lit(0))
-    }.reduce(_ + _)
 
   /** Approximate top-k: per table, probes join candidates in the same
     * bucket; results union'd across tables, then ranked per probe.
@@ -60,10 +55,11 @@ object Similarity {
     val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
     val ps = planes(dim, tables, bitsPerTable)
 
+    val planes3d = ps.map(_.toArray).toArray
     val pB = p.select(col("probe_id"), col("__pv"),
-      array(ps.map(tp => bucketExpr("__pv", tp)).toIndexedSeq: _*).as("__pbuckets"))
+      TextVectorExpressions.hyperplaneBuckets(col("__pv"), planes3d).as("__pbuckets"))
     val cB = c.select(col("neighbor_id"), col("__cv"),
-      array(ps.map(tp => bucketExpr("__cv", tp)).toIndexedSeq: _*).as("__cbuckets"))
+      TextVectorExpressions.hyperplaneBuckets(col("__cv"), planes3d).as("__cbuckets"))
 
     // explode per table so each (table, bucket) is a join key
     val pE = pB.select(col("probe_id"), col("__pv"), posexplode(col("__pbuckets")).as(Seq("t", "bucket")))
@@ -71,9 +67,12 @@ object Similarity {
 
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     cE.join(broadcast(pE), Seq("t", "bucket"))
-      .select(col("probe_id"), col("neighbor_id"), col("__pv"), col("__cv"))
-      .distinct() // same pair can collide in several tables
+      // compute cosine per collision, THEN dedupe on the (cheap) id pair —
+      // a distinct over rows carrying both vectors would shuffle 2×dim
+      // doubles per collision
       .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .groupBy(col("probe_id"), col("neighbor_id"))
+      .agg(max(col("cosine")).as("cosine")) // identical across collisions
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("probe_id", "neighbor_id", "cosine", "rank")

@@ -1,0 +1,113 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.Platform
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One-pass text/vector kernels. The HOF formulations of these re-run
+  * the tokenizer once PER SHINGLE (the lambda body contains the split),
+  * making them O(tokens²) interpreted — these are O(tokens) JIT'd.
+  * CodegenFallback is deliberate: the per-row work dominates, so the
+  * lost fusion is noise (measured: shingle hashing 10s → <1s at sf0.1).
+  */
+
+/** Distinct hashes of word n-gram shingles of a text column.
+  * Tokenization replicates `split(trim(text), "\\s+")` (space-only trim,
+  * Java regex split) so set sizes agree with the SQL-level shingle sets.
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(n >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // space-only trim, matching Spark's trim()
+    var from = 0
+    var to   = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    val tokens = ws.split(s.substring(from, to), -1)
+    if (tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
+
+    val th = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val b = tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      th(i) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      i += 1
+    }
+    val m   = tokens.length - n + 1
+    val out = new Array[Long](m)
+    i = 0
+    while (i < m) {
+      var h = -3750763034362895579L // FNV offset basis
+      var j = 0
+      while (j < n) { h = (h ^ th(i + j)) * 1099511628211L; j += 1 }
+      out(i) = h
+      i += 1
+    }
+    // distinct via sort + dedup (the shingle SET is the similarity unit)
+    java.util.Arrays.sort(out)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || out(i) != out(w - 1)) { out(w) = out(i); w += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** LSH bucket ids of a vector in `tables` independent hyperplane tables,
+  * all computed in one pass. `planes(t)(bit)` is a dim-length hyperplane.
+  */
+case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double]]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[ArrayData].toDoubleArray()
+    val out = new Array[Int](planes.length)
+    var t = 0
+    while (t < planes.length) {
+      val table  = planes(t)
+      var bucket = 0
+      var bit    = 0
+      while (bit < table.length) {
+        val plane = table(bit)
+        var d     = 0.0
+        var i     = 0
+        val dim   = math.min(plane.length, vec.length)
+        while (i < dim) { d += plane(i) * vec(i); i += 1 }
+        if (d > 0) bucket |= (1 << bit)
+        bit += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
+object TextVectorExpressions {
+  def shingleHashes(text: Column, n: Int): Column =
+    GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
+
+  def hyperplaneBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
+    GraftShim.column(HyperplaneBuckets(GraftShim.expression(vec), planes))
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to the `private[sql]` Column ↔ Expression converters, the same
+  * pattern public Spark extension libraries use to register custom
+  * Catalyst expressions (cf. Qbeast's DatasetFactory / Spark's own
+  * `sql` package object exposing SparkStrategy).
+  */
+object GraftShim {
+  def column(e: Expression): Column     = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
