@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point registering the graft expressions
+  * as SQL functions, so `spark.sql("SELECT simhash64(...)")` works and
+  * the engine is usable from pure SQL:
+  *
+  * {{{
+  * SparkSession.builder()
+  *   .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+  * }}}
+  *
+  * Functions: `shingle_hashes(text, n)`, `minhash_signature(hashes, k)`,
+  * `minhash_bands(hashes, bands, rowsPerBand)`, `simhash64(hashes)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def intArg(e: Expression, name: String): Int = e.eval() match {
+    case i: Int  => i
+    case l: Long => l.toInt
+    case other   => throw new IllegalArgumentException(s"$name must be an integer literal, got $other")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(
+      (
+        FunctionIdentifier("simhash64"),
+        new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+        (children: Seq[Expression]) => SimHash64(children.head)
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_signature"),
+        new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_signature"),
+        (children: Seq[Expression]) =>
+          MinHashSignature(children.head, intArg(children(1), "numPerm"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("minhash_bands"),
+        new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands"),
+        (children: Seq[Expression]) =>
+          MinHashBands(children.head, intArg(children(1), "bands"), intArg(children(2), "rowsPerBand"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("shingle_hashes"),
+        new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+        (children: Seq[Expression]) =>
+          ShingleHashes(children.head, intArg(children(1), "n"))
+      )
+    )
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("graft functions are callable from SQL via SparkSessionExtensions") {
+    Seq((1L, "the quick brown fox"), (2L, "the quick brown fox")).toDF("id", "text")
+      .createOrReplaceTempView("ext_docs")
+    val rows = spark.sql(
+      """SELECT id,
+        |       simhash64(transform(split(trim(text), '\\s+'), t -> xxhash64(t))) AS sh,
+        |       size(shingle_hashes(text, 2)) AS n_shingles,
+        |       size(minhash_signature(shingle_hashes(text, 2), 16)) AS sig_len,
+        |       size(minhash_bands(shingle_hashes(text, 2), 8, 2)) AS n_bands
+        |FROM ext_docs""".stripMargin
+    ).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("sh") == rows(1).getAs[Long]("sh"), "same text, same simhash")
+    assert(rows(0).getAs[Int]("n_shingles") == 3)
+    assert(rows(0).getAs[Int]("sig_len") == 16)
+    assert(rows(0).getAs[Int]("n_bands") == 8)
+  }
+
+  test("SQL shingle_hashes matches the column-API shingle set size") {
+    import graft.functions.TextFunctions
+    import graft.plans.TextVectorExpressions
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir).documents.limit(100)
+    val mismatches = docs.select(
+      size(TextFunctions.shingleSet(col("text"), 3)).as("sql_size"),
+      size(TextVectorExpressions.shingleHashes(col("text"), 3)).as("native_size")
+    ).filter(col("sql_size") =!= col("native_size")).count()
+    assert(mismatches == 0, "native tokenizer must match split(trim(text),'\\\\s+') semantics")
+  }
+}
