@@ -1,0 +1,22 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Dev tool: dump formatted plans for headline queries. */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dir = "/root/testdata/sf0.01"
+    val out = new java.io.PrintWriter("/tmp/plans.txt")
+    for (q <- Queries.benchQueries) {
+      out.println(s"===== ${q.name} =====")
+      try out.println(q.run(spark, dir).queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      catch { case e: Throwable => out.println(s"ERROR: ${e.getMessage}") }
+    }
+    out.close(); spark.stop()
+  }
+}

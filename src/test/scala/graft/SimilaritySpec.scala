@@ -13,6 +13,17 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(c - 0.5) < 1e-15)
   }
 
+  test("native cosine is bit-identical to the HOF fold on the real corpus") {
+    val e = Tables(spark, sfDir).embeddings.limit(100)
+      .select($"vec_id", VectorFunctions.asDouble($"embedding").as("v"))
+    val pairs = e.as("a").join(e.as("b"), $"a.vec_id" < $"b.vec_id")
+    val diffs = pairs.select(
+      VectorFunctions.cosine($"a.v", $"b.v").as("native"),
+      VectorFunctions.cosineHof($"a.v", $"b.v").as("hof")
+    ).filter($"native" =!= $"hof").count()
+    assert(diffs == 0, "native cosine must match the fold bit-for-bit")
+  }
+
   test("LSH top-k recall vs brute force is >= 0.8 on the real corpus") {
     val e = Tables(spark, sfDir).embeddings
     val probes     = e.filter($"vec_id" < 20)

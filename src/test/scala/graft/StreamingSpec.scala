@@ -26,6 +26,23 @@ class StreamingSpec extends SparkSpec {
     assert(BlobListingSource.nextWatermark(all, 0L) == all.map(_.modifiedMs).max)
   }
 
+  test("maxFilesPerTrigger rate-limits the backlog into multiple micro-batches") {
+    val src    = Files.createTempDirectory("graft_rate_src").toString
+    val target = Files.createTempDirectory("graft_rate_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_rate_ckpt").toString
+    // 4 blobs land before the stream starts
+    for (i <- 1 to 4)
+      Seq((i, 1L, s"v$i")).toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(
+      sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1))
+    val batches = StreamPipeline.runAvailableNow(spark, schema, cfg)
+    assert(batches >= 4, s"expected >= 4 rate-limited micro-batches, got $batches")
+    assert(spark.read.parquet(target).count() == 4)
+  }
+
   test("StreamPipeline upserts arriving blobs into the target (two cycles)") {
     val src    = Files.createTempDirectory("graft_stream_src").toString
     val target = Files.createTempDirectory("graft_stream_tgt").toString + "/t"
@@ -49,5 +66,38 @@ class StreamingSpec extends SparkSpec {
     val rows = spark.read.parquet(target)
       .select("k", "payload").as[(Int, String)].collect().toMap
     assert(rows == Map(1 -> "v1-a", 2 -> "v2-b", 3 -> "v1-c"))
+  }
+
+  test("event-time watermark drops late data in append-mode windowed aggregation") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val input = MemoryStream[(java.sql.Timestamp, Int)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes").as("w"))
+      .agg(sum($"v").as("total"))
+      .select($"w.start".as("bucket"), $"total")
+    val q = agg.writeStream.format("memory").queryName("wm_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    input.addData((t("2024-01-01 00:01:00"), 1), (t("2024-01-01 00:05:00"), 2))
+    q.processAllAvailable()
+    // advance the watermark far past the first window, closing it
+    input.addData((t("2024-01-01 01:00:00"), 5))
+    q.processAllAvailable()
+    // this event is older than the watermark → must be dropped
+    input.addData((t("2024-01-01 00:02:00"), 100))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 02:00:00"), 7))
+    q.processAllAvailable()
+    q.stop()
+
+    val results = spark.table("wm_sink")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(results(t("2024-01-01 00:00:00")) == 3L, s"late row must not count: $results")
   }
 }
