@@ -197,6 +197,39 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_sessionize",
+      (spark, dir) => {
+        import spark.implicits._
+        // gap-based sessionization (30-min inactivity): two windows over
+        // the same (user_id, ts) partitioning — one shuffle total.
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables(spark, dir).events
+          .withColumn("__prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("__is_new",
+            when($"__prev_us".isNull || unix_micros($"ts") - $"__prev_us" > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_seq", sum($"__is_new").over(run))
+          .groupBy($"user_id", $"session_seq")
+          .agg(min($"ts").as("session_start"), max($"ts").as("session_end"), count(lit(1)).as("n_events"))
+          .orderBy($"user_id", $"session_seq")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM x
+        )
+        SELECT user_id, session_seq, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n_events
+        FROM s GROUP BY 1, 2 ORDER BY user_id, session_seq
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_events_running",
       (spark, dir) => {
         import spark.implicits._

@@ -232,6 +232,65 @@ object ReferenceOps {
       """.trim)
     ),
     QueryDef(
+      "analyze_stats",
+      (spark, dir) =>
+        Analyze.columnStats(
+          Tables(spark, dir).orders,
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"),
+          exact = true
+        ).orderBy("column"),
+      Some("""
+        SELECT 'o_orderkey' AS "column", count(o_orderkey) AS n_non_null, count(DISTINCT o_orderkey) AS ndv,
+               CAST(min(o_orderkey) AS VARCHAR) AS min_value, CAST(max(o_orderkey) AS VARCHAR) AS max_value FROM orders
+        UNION ALL
+        SELECT 'o_custkey', count(o_custkey), count(DISTINCT o_custkey),
+               CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus', count(o_orderstatus), count(DISTINCT o_orderstatus),
+               CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR) FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', count(o_totalprice), count(DISTINCT o_totalprice),
+               CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR) FROM orders
+        ORDER BY "column"
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "name_mapping",
+      (spark, dir) =>
+        NameMapping.applyMapping(
+          Tables(spark, dir).orders,
+          Map("o_orderkey" -> "order_id", "o_custkey" -> "customer_id")
+        ).select("order_id", "customer_id", "o_totalprice").orderBy("order_id"),
+      Some("""
+        SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_totalprice
+        FROM orders ORDER BY order_id
+      """.trim)
+    ),
+    QueryDef(
+      "sink_properties",
+      (spark, dir) => {
+        import spark.implicits._
+        // write with sort order + bloom filters (reference's
+        // targetTableProperties), read back, prove data integrity
+        val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+        SinkProperties.write(
+          Tables(spark, dir).events, s"$base/t",
+          SinkProperties.TableProperties(
+            sortedBy = Seq("user_id", "ts"),
+            bloomFilterColumns = Seq("user_id")))
+        spark.read.parquet(s"$base/t").agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"user_id").as("n_users"),
+          sum(dec($"value")).cast("double").as("sum_value"))
+      },
+      Some("""
+        SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_users,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events
+      """.trim)
+    ),
+    QueryDef(
       "blob_listing",
       // filesystem-dependent (mtimes): rows-only check here; semantics
       // covered by BlobListingSpec

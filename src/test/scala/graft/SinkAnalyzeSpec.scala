@@ -1,0 +1,70 @@
+package graft
+
+import graft.operators.{Analyze, NameMapping, SinkProperties}
+import graft.streaming.ChangeCapture
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+class SinkAnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SinkProperties writes real parquet bloom filters and sorted files") {
+    val dir = Files.createTempDirectory("graft_sinkprops").toString + "/t"
+    val df  = Tables(spark, sfDir).events
+    // bloom on the (unique) event_id: parquet adaptively skips blooms for
+    // fully dictionary-encoded low-cardinality columns like user_id
+    SinkProperties.write(df.repartition(2), dir,
+      SinkProperties.TableProperties(sortedBy = Seq("user_id"), bloomFilterColumns = Seq("event_id")))
+
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(files.head.getAbsolutePath), spark.sparkContext.hadoopConfiguration))
+    try {
+      val rowGroup = reader.getFooter.getBlocks.get(0)
+      val userCol = rowGroup.getColumns.asScala.find(_.getPath.toDotString == "event_id").get
+      assert(userCol.getBloomFilterOffset > 0, "bloom filter must be written for event_id")
+      val bloom = reader.getBloomFilterDataReader(rowGroup).readBloomFilter(userCol)
+      assert(bloom != null)
+    } finally reader.close()
+
+    // sortedBy: user_id non-decreasing within each file
+    for (f <- files) {
+      val ids = spark.read.parquet(f.getAbsolutePath).select("user_id").as[Long].collect()
+      assert(ids.sameElements(ids.sorted), s"${f.getName} not sorted by user_id")
+    }
+  }
+
+  test("Analyze.columnStats computes stats for all columns in one pass") {
+    val stats = Analyze.columnStats(Tables(spark, sfDir).orders,
+      Seq("o_orderkey", "o_totalprice"), exact = true)
+    assert(stats.count() == 2)
+    val byCol = stats.collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(byCol("o_orderkey").getAs[Long]("ndv") == byCol("o_orderkey").getAs[Long]("n_non_null"),
+      "orderkey is unique")
+    // the approx (scale) path is a single aggregation: exactly one scan
+    val approx = Analyze.columnStats(Tables(spark, sfDir).orders,
+      Seq("o_orderkey", "o_totalprice"), exact = false)
+    val scans = approx.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"expected one scan, got $scans")
+  }
+
+  test("NameMapping renames only mapped columns") {
+    val df  = Seq((1, "x")).toDF("a", "b")
+    val out = NameMapping.applyMapping(df, Map("a" -> "id"))
+    assert(out.columns.toSeq == Seq("id", "b"))
+  }
+
+  test("ChangeCapture jitter is deterministic, bounded, and non-constant") {
+    val cc1 = new ChangeCapture(intervalMs = 5000, jitterVariance = 0.1, jitterSeed = 7)
+    val cc2 = new ChangeCapture(intervalMs = 5000, jitterVariance = 0.1, jitterSeed = 7)
+    val s1  = cc1.schedule(100)
+    assert(s1 == cc2.schedule(100), "same seed, same schedule")
+    assert(s1.forall(d => d >= 4500 && d <= 5500), "jitter within ±variance")
+    assert(s1.distinct.size > 1, "jitter must vary")
+  }
+}
