@@ -230,6 +230,46 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_salted_agg",
+      (spark, dir) => {
+        import spark.implicits._
+        // skewed-key aggregation via two-phase salting; decimal sums make
+        // the result identical to the plain groupBy the oracle runs
+        graft.operators.Skew.saltedSumCount(
+            Tables(spark, dir).events, "event_type", dec($"value"), saltBuckets = 32)
+          .select($"event_type", $"total".cast("double").as("total"), $"n")
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total, count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_quantiles",
+      (spark, dir) => {
+        import spark.implicits._
+        // exact percentiles for the oracle gate; at 100 TB the same query
+        // ships as approx_percentile (t-digest) — one pass, mergeable
+        Tables(spark, dir).events
+          .groupBy($"event_type")
+          .agg(
+            expr("percentile(value, 0.5)").as("p50"),
+            expr("percentile(value, 0.9)").as("p90"),
+            expr("percentile(value, 0.99)").as("p99"))
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_events_running",
       (spark, dir) => {
         import spark.implicits._

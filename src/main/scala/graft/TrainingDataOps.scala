@@ -135,6 +135,24 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "text_tokens_bpe",
+      (spark, dir) => {
+        // BPE-style pre-tokenization (GPT-2-ish regex, sans contractions):
+        // letter runs, digit runs, punctuation runs, optional leading space
+        val pat = " ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+        Tables(spark, dir).documents
+          .select(col("doc_id"),
+            size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long").as("n_bpe_tokens"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+|\s+')) AS BIGINT) AS n_bpe_tokens
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "text_quality",
       (spark, dir) =>
         TextAnalysis.qualityScore(Tables(spark, dir).documents, "doc_id", "text")
