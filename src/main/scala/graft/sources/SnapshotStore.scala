@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A minimal snapshotted table layout over plain parquet — the engine's
+  * stand-in for the reference's Iceberg target (no Iceberg jars in this
+  * container). Semantics modeled on the Iceberg operations the reference
+  * invokes: snapshot commit, time travel, snapshot expiration
+  * (`targetSnapshotExpirationSettings`) and orphan file removal
+  * (`targetOrphanFilesExpirationSettings`),
+  * /root/reference/stream-spec-yaml-example.yaml:49-61.
+  *
+  * Layout:
+  * {{{
+  *   tableDir/
+  *     data/v<N>/part-*.parquet     one immutable dir per snapshot
+  *     manifests/v<N>.manifest      newline list of relative data paths
+  *     VERSION                      current version number (atomic rename)
+  * }}}
+  *
+  * Writers never mutate old snapshots, so concurrent readers of version
+  * N are unaffected by a commit of N+1 — the same isolation property the
+  * Iceberg target gives the reference. All metadata ops are driver-side
+  * and O(#files); the data itself moves only through executor-side
+  * distributed writes.
+  */
+final class SnapshotStore(spark: SparkSession, tableDir: String) {
+  private val root = new Path(tableDir)
+  private def fs   = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def versionFile    = new Path(root, "VERSION")
+  private def dataDir(v: Long)     = new Path(root, s"data/v$v")
+  private def manifestFile(v: Long) = new Path(root, s"manifests/v$v.manifest")
+
+  def currentVersion(): Option[Long] =
+    if (!fs.exists(versionFile)) None
+    else {
+      val in = fs.open(versionFile)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+
+  /** Commit `df` as the next snapshot; returns the new version. */
+  def commit(df: DataFrame, maxRowsPerFile: Option[Int] = None): Long = {
+    val v = currentVersion().getOrElse(0L) + 1
+    val writer = maxRowsPerFile.foldLeft(df.write.mode("overwrite"))(
+      (w, n) => w.option("maxRecordsPerFile", n.toLong))
+    writer.parquet(dataDir(v).toString)
+
+    val files = fs.listStatus(dataDir(v))
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"data/v$v/${s.getPath.getName}")
+      .sorted
+    fs.mkdirs(new Path(root, "manifests"))
+    writeAtomic(manifestFile(v), files.mkString("\n"))
+    writeAtomic(versionFile, v.toString)
+    v
+  }
+
+  /** Read the current snapshot (None if the table has no commits). */
+  def read(): Option[DataFrame] = currentVersion().map(readVersion)
+
+  /** Time travel: read snapshot `v` as of its commit. */
+  def readVersion(v: Long): DataFrame = {
+    val paths = manifestPaths(v)
+    spark.read.parquet(paths: _*)
+  }
+
+  def versions(): Seq[Long] =
+    if (!fs.exists(new Path(root, "manifests"))) Seq.empty
+    else
+      fs.listStatus(new Path(root, "manifests"))
+        .map(_.getPath.getName)
+        .collect { case n if n.endsWith(".manifest") => n.stripPrefix("v").stripSuffix(".manifest").toLong }
+        .sorted.toSeq
+
+  /** Expire old snapshots, keeping the most recent `keepLast` — the
+    * reference's snapshot expiration. Data dirs of expired versions are
+    * deleted with their manifests.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    val vs      = versions()
+    val expired = vs.dropRight(math.max(keepLast, 1))
+    expired.foreach { v =>
+      fs.delete(dataDir(v), true)
+      fs.delete(manifestFile(v), false)
+    }
+    expired
+  }
+
+  /** Delete data files not referenced by any live manifest — the
+    * reference's orphan file removal. Returns the deleted paths.
+    */
+  def removeOrphanFiles(): Seq[String] = {
+    // qualify both sides: listStatus returns scheme-qualified paths while
+    // manifests store table-relative ones
+    val live = versions().flatMap(v => manifestPaths(v))
+      .map(p => fs.makeQualified(new Path(p)).toString).toSet
+    val dataRoot = new Path(root, "data")
+    if (!fs.exists(dataRoot)) return Seq.empty
+    val all = fs.listStatus(dataRoot).filter(_.isDirectory).flatMap { d =>
+      fs.listStatus(d.getPath).filter(_.isFile).map(_.getPath)
+    }
+    val orphans = all.filterNot(p => live.contains(fs.makeQualified(p).toString))
+    orphans.foreach(p => fs.delete(p, false))
+    // drop now-empty snapshot dirs
+    fs.listStatus(dataRoot).filter(_.isDirectory)
+      .filter(d => fs.listStatus(d.getPath).isEmpty)
+      .foreach(d => fs.delete(d.getPath, false))
+    orphans.map(_.toString).toSeq
+  }
+
+  private def manifestPaths(v: Long): Seq[String] = {
+    val in = fs.open(manifestFile(v))
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    body.linesIterator.filter(_.nonEmpty).map(rel => new Path(root, rel).toString).toSeq
+  }
+
+  private def writeAtomic(path: Path, content: String): Unit = {
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
+  }
+}

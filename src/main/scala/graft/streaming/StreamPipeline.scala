@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.{FieldSelection, MergeInto, MergeKey, Upsert}
+import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -53,30 +54,17 @@ object StreamPipeline {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val staged = Upsert.latestByKey(batch, Seq(MergeKey.ColumnName), cfg.versionCols)
-        val target = readTarget(spark, cfg.targetDir)
-        val merged = target.fold(staged)(t => MergeInto.merge(t, staged, Seq(MergeKey.ColumnName)))
-        // rewrite via a temp dir: the merge plan reads targetDir, so an
-        // in-place overwrite would race its own scan
-        val tmp = cfg.targetDir + "__staging"
-        merged.write.mode("overwrite").option("maxRecordsPerFile", cfg.maxRowsPerFile.toLong).parquet(tmp)
-        swap(spark, tmp, cfg.targetDir)
+        val store  = new SnapshotStore(spark, cfg.targetDir)
+        val merged = store.read().fold(staged)(t => MergeInto.merge(t, staged, Seq(MergeKey.ColumnName)))
+        // snapshot commit: writes a fresh immutable data dir + manifest,
+        // so the merge plan's scan of the previous snapshot never races
+        // its own rewrite, and readers keep snapshot isolation
+        store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile))
         batches += 1
       }
       .start()
     q.awaitTermination()
     batches
-  }
-
-  private def readTarget(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val p  = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(dir)) else None
-  }
-
-  private def swap(spark: SparkSession, from: String, to: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(to).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(to), true)
-    fs.rename(new org.apache.hadoop.fs.Path(from), new org.apache.hadoop.fs.Path(to))
   }
 
   /** Streaming windowed aggregation (hourly counts per event type) over a

@@ -1,6 +1,6 @@
 package graft
 
-import graft.sources.BlobListingSource
+import graft.sources.{BlobListingSource, SnapshotStore}
 import graft.streaming.StreamPipeline
 import java.nio.file.Files
 
@@ -40,7 +40,7 @@ class StreamingSpec extends SparkSpec {
       maxFilesPerTrigger = Some(1))
     val batches = StreamPipeline.runAvailableNow(spark, schema, cfg)
     assert(batches >= 4, s"expected >= 4 rate-limited micro-batches, got $batches")
-    assert(spark.read.parquet(target).count() == 4)
+    assert(new SnapshotStore(spark, target).read().get.count() == 4)
   }
 
   test("StreamPipeline upserts arriving blobs into the target (two cycles)") {
@@ -56,16 +56,19 @@ class StreamingSpec extends SparkSpec {
       sourceDir = src, targetDir = target, checkpointDir = ckpt,
       primaryKeys = Seq("k"), versionCols = Seq("version"))
     StreamPipeline.runAvailableNow(spark, schema, cfg)
-    val after1 = spark.read.parquet(target)
-    assert(after1.count() == 2)
+    val store = new SnapshotStore(spark, target)
+    assert(store.read().get.count() == 2)
 
     // cycle 2: update key 2, insert key 3 — only the new blob is read
     Seq((2, 2L, "v2-b"), (3, 1L, "v1-c")).toDF("k", "version", "payload")
       .coalesce(1).write.mode("append").parquet(src)
     StreamPipeline.runAvailableNow(spark, schema, cfg)
-    val rows = spark.read.parquet(target)
+    val rows = store.read().get
       .select("k", "payload").as[(Int, String)].collect().toMap
     assert(rows == Map(1 -> "v1-a", 2 -> "v2-b", 3 -> "v1-c"))
+    // snapshot history: cycle-1 state is still readable (time travel)
+    val v1 = store.versions().head
+    assert(store.readVersion(v1).count() == 2)
   }
 
   test("event-time watermark drops late data in append-mode windowed aggregation") {
