@@ -230,6 +230,33 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_asof_join",
+      (spark, dir) => {
+        import spark.implicits._
+        // latest event state per user as of two probe instants; events
+        // pre-deduped per (user, ts) so tie behavior is engine-agnostic
+        val ev = graft.operators.Upsert.latestByKey(
+          Tables(spark, dir).events, Seq("user_id", "ts"), Seq("event_id"))
+        val probes = ev.select($"user_id").distinct()
+          .withColumn("pts", explode(array(ts("2024-01-10"), ts("2024-01-20"))))
+        graft.operators.AsOfJoin.backward(
+            probes, ev, partitionCols = Seq("user_id"),
+            leftTimeCol = "pts", rightTimeCol = "ts",
+            payloadCols = Seq("event_id", "ts"))
+          .withColumnRenamed("last_event_id", "last_event_id")
+          .orderBy("user_id", "pts")
+      },
+      Some("""
+        WITH ev AS (SELECT * FROM events QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+             users AS (SELECT DISTINCT user_id FROM events),
+             probes AS (SELECT user_id, unnest([TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20']) AS pts FROM users)
+        SELECT p.user_id, p.pts, e.event_id AS last_event_id, e.ts AS last_ts
+        FROM probes p ASOF LEFT JOIN ev e ON p.user_id = e.user_id AND e.ts <= p.pts
+        ORDER BY p.user_id, p.pts
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_salted_agg",
       (spark, dir) => {
         import spark.implicits._

@@ -65,6 +65,17 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("AsOfJoin.backward attaches the latest prior event, null before history") {
+    val probes = Seq((1, 100L), (1, 5L), (2, 100L)).toDF("k", "pt")
+    val events = Seq((1, 10L, "e10"), (1, 50L, "e50"), (1, 100L, "e100"), (2, 101L, "late")).toDF("k", "et", "name")
+    val out = AsOfJoin.backward(probes, events, Seq("k"), "pt", "et", Seq("name"))
+      .orderBy("k", "pt").collect()
+    // probe (1,5): before any event -> null; (1,100): event at exactly 100 matches (inclusive)
+    assert(out(0).getAs[String]("last_name") == null)
+    assert(out(1).getAs[String]("last_name") == "e100")
+    assert(out(2).getAs[String]("last_name") == null, "event after probe must not match")
+  }
+
   test("Maintenance.compact preserves data and reduces file count") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
     spark.range(1000).toDF("id").repartition(16).write.parquet(s"$base/in")
