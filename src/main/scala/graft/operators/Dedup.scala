@@ -85,6 +85,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Resolve near-dup pairs into survivors: connected components by
+    * iterative min-label propagation (each doc adopts the smallest id
+    * reachable through pair edges), then keep one doc per component.
+    * Near-dup graphs are collections of tiny components, so propagation
+    * converges in O(component diameter) joins — each iteration is one
+    * shuffle over the (small) edge set, never over the corpus.
+    */
+  def resolveSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+
+    var labels = docs.select(col(idCol).as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val propagated = edges.join(labels, edges("dst") === labels("node"))
+        .groupBy(col("src").as("node"))
+        .agg(min(col("label")).as("nbr_label"))
+      val updated = labels.join(propagated, Seq("node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("node"))
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = updated
+      i += 1
+    }
+    // survivor = the doc whose id IS its component label
+    docs.join(labels.filter(col("node") === col("label")).select(col("node").as(idCol)), Seq(idCol))
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
     * sign of the vote sum over tokens of (bit j set ? +1 : -1). Native
     * codegen'd expression — one pass per row.

@@ -78,8 +78,30 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Scale path for near-dup pairs: LSH-bucketed pair generation —
+    * candidate pairs only arise inside (table, bucket) groups, then the
+    * exact cosine filter runs on candidates. Same output contract as
+    * `embeddingNearDups`; recall measured in SimilaritySpec.
+    */
+  def lshNearDupPairs(
+      vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, tables: Int = 16, bitsPerTable: Int = 4
+  ): DataFrame = {
+    val v  = vectors.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    val ps = planes(dim, tables, bitsPerTable).map(_.toArray).toArray
+    val b = v.select(col("__id"), col("__v"),
+      posexplode(TextVectorExpressions.hyperplaneBuckets(col("__v"), ps)).as(Seq("t", "bucket")))
+    b.as("a").join(b.as("b"),
+        col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
+          col("a.__id") < col("b.__id"))
+      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(max(col("cosine")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Exact
-    * (pairwise) variant for oracle checking; the LSH path above is the
+    * (pairwise) variant for oracle checking; `lshNearDupPairs` is the
     * scale route for the same semantics.
     */
   def embeddingNearDups(vectors: DataFrame, idCol: String, vecCol: String, threshold: Double): DataFrame = {

@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.{Bucketing, Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+class BucketingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join on the bucket key plans without a shuffle") {
+    val t = Tables(spark, sfDir)
+    Bucketing.writeBucketed(t.orders, "b_orders", "o_orderkey", buckets = 4)
+    Bucketing.writeBucketed(
+      t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", buckets = 4)
+    val joined = Bucketing.bucketedJoin(spark, "b_orders", "b_lineitem", "o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join must not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
+  test("resolveSurvivors keeps one doc per near-dup component") {
+    val docs  = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    // components: {1,2,3} (chain), {4,5}; survivors = 1 and 4
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.resolveSurvivors(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+  }
+
+  test("LSH embedding near-dup pairs find what the exact scan finds") {
+    val e = Tables(spark, sfDir).embeddings
+    val exact = Similarity.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDupPairs(e, "vec_id", "embedding", threshold = 0.4, dim = 64)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH must not invent pairs (cosine filter is exact)")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall too low for tables=16 bits=4")
+    }
+  }
+}
