@@ -8,6 +8,8 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed join on the bucket key plans without a shuffle") {
     val t = Tables(spark, sfDir)
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
     Bucketing.writeBucketed(t.orders, "b_orders", "o_orderkey", buckets = 4)
     Bucketing.writeBucketed(
       t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem", "o_orderkey", buckets = 4)
