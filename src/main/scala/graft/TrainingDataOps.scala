@@ -105,6 +105,32 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_physical_topk",
+      // same contract as ann_bruteforce, executed through the custom
+      // AnnTopKNode -> AnnTopKStrategy -> AnnTopKExec physical operator
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.topKPhysical(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5
+        ).orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT * FROM e WHERE vec_id < 5),
+             c AS (SELECT * FROM e WHERE vec_id >= 5)
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(p.v, c.v) AS cosine,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS INT) AS rank
+        FROM p, c
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "ann_lsh",
       // hyperplane family is engine-specific → recall vs brute force
       // asserted in SimilaritySpec

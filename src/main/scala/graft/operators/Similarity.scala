@@ -78,6 +78,28 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Whole-operator top-k through the custom AnnTopKNode logical plan
+    * (plans/AnnTopKPlan.scala): bounded per-probe heaps per partition
+    * emit partitions*k candidates, then one tiny shuffle ranks them
+    * globally — no sort of the full pair space. Output matches
+    * `bruteForceTopK` (same ordering contract).
+    */
+  def topKPhysical(probes: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val spark = candidates.sparkSession
+    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .toSeq
+    val child = candidates.select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
+    val partial = org.apache.spark.sql.GraftShim.dataFrame(
+      spark, graft.plans.AnnTopKNode(org.apache.spark.sql.GraftShim.logicalPlan(child), probeRows, k))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    partial
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Scale path for near-dup pairs: LSH-bucketed pair generation —
     * candidate pairs only arise inside (table, bucket) groups, then the
     * exact cosine filter runs on candidates. Same output contract as

@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => AnnTopKStrategy)
     ext.injectFunction(
       (
         FunctionIdentifier("simhash64"),

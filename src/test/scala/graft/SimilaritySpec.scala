@@ -36,6 +36,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
 
+  test("physical AnnTopK operator matches the declarative brute force exactly") {
+    val e = Tables(spark, sfDir).embeddings
+    val probes     = e.filter($"vec_id" < 10)
+    val candidates = e.filter($"vec_id" >= 10)
+    val declarative = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 7)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val physical = Similarity.topKPhysical(probes, candidates, "vec_id", "embedding", k = 7)
+      .select("probe_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(physical == declarative)
+    // the custom node must actually plan through AnnTopKExec
+    val plan = Similarity.topKPhysical(probes, candidates, "vec_id", "embedding", k = 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AnnTopK"), s"expected custom physical operator:\n$plan")
+  }
+
   test("brute-force ranks are contiguous from 1..k per probe") {
     val e = Tables(spark, sfDir).embeddings
     val out = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e.filter($"vec_id" >= 3),
