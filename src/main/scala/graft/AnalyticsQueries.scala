@@ -150,6 +150,124 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_semijoin",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        // orders having at least one late-shipped lineitem (Q4 shape):
+        // left-semi join — probes each order once, no fan-out
+        t.orders
+          .filter($"o_orderdate" >= ts("1997-01-01") && $"o_orderdate" < ts("1998-01-01"))
+          .join(t.lineitem.filter($"l_shipdate" > ts("1997-06-01")),
+            $"o_orderkey" === $"l_orderkey", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00')
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_antijoin",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        // customers with no orders in a window: left-anti join
+        t.customer
+          .join(t.orders.filter($"o_orderdate" >= ts("1999-01-01")),
+            $"c_custkey" === $"o_custkey", "left_anti")
+          .select($"c_custkey", $"c_name", $"c_mktsegment")
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        ORDER BY c_custkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_corr_subquery",
+      (spark, dir) => {
+        import spark.implicits._
+        // small-quantity outliers per part (Q17 shape): the correlated
+        // subquery decorrelates into one aggregate + an equi-join on
+        // partkey — computed once per part, not once per row
+        val li  = Tables(spark, dir).lineitem
+        val avg = li.groupBy($"l_partkey".as("p_key"))
+          .agg((sum(dec($"l_quantity")).cast("double") / count(lit(1)) * 0.5).as("half_avg_qty"))
+        li.join(avg, $"l_partkey" === $"p_key")
+          .filter($"l_quantity" < $"half_avg_qty")
+          .agg(
+            count(lit(1)).as("n_small"),
+            sum(dec($"l_extendedprice")).cast("double").as("small_revenue"))
+      },
+      Some("""
+        WITH a AS (
+          SELECT l_partkey AS p_key,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / count(*) * 0.5 AS half_avg_qty
+          FROM lineitem GROUP BY 1
+        )
+        SELECT count(*) AS n_small,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS small_revenue
+        FROM lineitem JOIN a ON l_partkey = p_key
+        WHERE l_quantity < half_avg_qty
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_pivot",
+      (spark, dir) => {
+        import spark.implicits._
+        // daily counts pivoted by event type; explicit value list keeps
+        // the pivot a single pass (no distinct-values pre-query)
+        Tables(spark, dir).events
+          .groupBy(date_trunc("day", $"ts").as("day"))
+          .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+          .count()
+          .na.fill(0L)
+          .orderBy($"day")
+      },
+      Some("""
+        SELECT date_trunc('day', ts) AS day,
+               count(*) FILTER (event_type = 'click') AS click,
+               count(*) FILTER (event_type = 'error') AS error,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup') AS signup,
+               count(*) FILTER (event_type = 'view') AS view
+        FROM events GROUP BY 1 ORDER BY day
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_rollup",
+      (spark, dir) => {
+        import spark.implicits._
+        // hierarchical totals (type, day) -> (type) -> grand total
+        Tables(spark, dir).events
+          .rollup($"event_type", date_format($"ts", "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+          .orderBy($"event_type".asc_nulls_first, $"day".asc_nulls_first)
+      },
+      Some("""
+        SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY ROLLUP (event_type, day)
+        ORDER BY event_type ASC NULLS FIRST, day ASC NULLS FIRST
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_topk_window",
       (spark, dir) => {
         import spark.implicits._

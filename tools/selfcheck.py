@@ -48,7 +48,13 @@ for name, sql in sorted(oracles.items()):
         pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
         print(f"OK       {name} ({len(s)} rows)")
     except AssertionError as e:
-        print(f"VALUES   {name}: {str(e).splitlines()[-1] if str(e) else e}")
-        fail += 1
+        # dtype-unit differences (datetime64[ns] vs [us]) fail the strict
+        # compare even when values are identical; retry string-exact
+        # (repr round-trips doubles, so this stays value-exact)
+        if s.astype(str).equals(d.astype(str)):
+            print(f"OK~      {name} ({len(s)} rows, string-exact)")
+        else:
+            print(f"VALUES   {name}: {str(e).splitlines()[-1] if str(e) else e}")
+            fail += 1
 print("FAILURES:", fail)
 sys.exit(1 if fail else 0)
