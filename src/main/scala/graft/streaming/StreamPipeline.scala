@@ -35,13 +35,25 @@ object StreamPipeline {
       maxRowsPerFile: Int = 1_000_000
   )
 
+  /** Per-cycle pipeline metrics — the Spark-native form of the
+    * reference's DeclaredMetrics/DataDog counters: collected with the
+    * Observation API on the running plan (no extra pass over the data).
+    */
+  final case class CycleMetrics(batches: Long, rowsStaged: Long, rowsWritten: Long)
+
   /** Run the pipeline over all currently-available blobs (the streaming
     * equivalent of one change-capture cycle; `Trigger.AvailableNow`
     * drains the backlog in rate-limited micro-batches then stops).
     * Returns the number of micro-batches processed.
     */
-  def runAvailableNow(spark: SparkSession, schema: StructType, cfg: Config): Long = {
+  def runAvailableNow(spark: SparkSession, schema: StructType, cfg: Config): Long =
+    runAvailableNowWithMetrics(spark, schema, cfg).batches
+
+  /** As `runAvailableNow`, also reporting observed row counts. */
+  def runAvailableNowWithMetrics(spark: SparkSession, schema: StructType, cfg: Config): CycleMetrics = {
     var batches = 0L
+    var rowsStaged = 0L
+    var rowsWritten = 0L
     val reader  = spark.readStream.schema(schema)
     val src     = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(cfg.sourceDir)
@@ -53,18 +65,24 @@ object StreamPipeline {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        val stagedObs = new org.apache.spark.sql.Observation()
+        val writeObs  = new org.apache.spark.sql.Observation()
         val staged = Upsert.latestByKey(batch, Seq(MergeKey.ColumnName), cfg.versionCols)
+          .observe(stagedObs, count(lit(1)).as("rows"))
         val store  = new SnapshotStore(spark, cfg.targetDir)
         val merged = store.read().fold(staged)(t => MergeInto.merge(t, staged, Seq(MergeKey.ColumnName)))
+          .observe(writeObs, count(lit(1)).as("rows"))
         // snapshot commit: writes a fresh immutable data dir + manifest,
         // so the merge plan's scan of the previous snapshot never races
         // its own rewrite, and readers keep snapshot isolation
         store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile))
         batches += 1
+        rowsStaged += stagedObs.get("rows").asInstanceOf[Long]
+        rowsWritten += writeObs.get("rows").asInstanceOf[Long]
       }
       .start()
     q.awaitTermination()
-    batches
+    CycleMetrics(batches, rowsStaged, rowsWritten)
   }
 
   /** Streaming windowed aggregation (hourly counts per event type) over a

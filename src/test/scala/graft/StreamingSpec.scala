@@ -62,7 +62,9 @@ class StreamingSpec extends SparkSpec {
     // cycle 2: update key 2, insert key 3 — only the new blob is read
     Seq((2, 2L, "v2-b"), (3, 1L, "v1-c")).toDF("k", "version", "payload")
       .coalesce(1).write.mode("append").parquet(src)
-    StreamPipeline.runAvailableNow(spark, schema, cfg)
+    val m = StreamPipeline.runAvailableNowWithMetrics(spark, schema, cfg)
+    assert(m.rowsStaged == 2 && m.rowsWritten == 3,
+      s"observed metrics expected staged=2 written=3, got $m")
     val rows = store.read().get
       .select("k", "payload").as[(Int, String)].collect().toMap
     assert(rows == Map(1 -> "v1-a", 2 -> "v2-b", 3 -> "v1-c"))
