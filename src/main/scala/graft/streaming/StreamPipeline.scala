@@ -85,6 +85,34 @@ object StreamPipeline {
     CycleMetrics(batches, rowsStaged, rowsWritten)
   }
 
+  /** Continuous change-capture: repeated AvailableNow cycles separated by
+    * jittered delays — exactly the reference's poll loop
+    * (`changeCaptureInterval` + jitter). Each cycle drains newly-landed
+    * blobs (checkpoint dedupes files across cycles) and commits one or
+    * more snapshots. Runs `maxCycles` cycles (a production deployment
+    * passes Int.MaxValue and stops via its lifetime service).
+    */
+  def runContinuously(
+      spark: SparkSession,
+      schema: StructType,
+      cfg: Config,
+      cadence: ChangeCapture,
+      maxCycles: Int
+  ): CycleMetrics = {
+    var total = CycleMetrics(0, 0, 0)
+    var cycle = 0
+    while (cycle < maxCycles) {
+      val m = runAvailableNowWithMetrics(spark, schema, cfg)
+      // rowsWritten is a gauge (target size at last commit): keep the
+      // previous value through cycles that found nothing new
+      val written = if (m.batches > 0) m.rowsWritten else total.rowsWritten
+      total = CycleMetrics(total.batches + m.batches, total.rowsStaged + m.rowsStaged, written)
+      cycle += 1
+      if (cycle < maxCycles) Thread.sleep(cadence.nextDelayMs())
+    }
+    total
+  }
+
   /** Streaming windowed aggregation (hourly counts per event type) over a
     * bounded source, complete-mode memory sink — used by the
     * `stream_pipeline` correctness query so the Structured Streaming

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators._
+import graft.streaming.{ChangeCapture, StreamPipeline}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Boundary behavior: empty inputs, degenerate documents, and the
+  * continuous change-capture loop.
+  */
+class EdgeCasesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Upsert/MergeInto handle empty sides") {
+    val data  = Seq((1, 1L, "a")).toDF("k", "v", "p")
+    val empty = data.limit(0)
+    assert(Upsert.latestByKey(empty, Seq("k"), Seq("v")).count() == 0)
+    assert(MergeInto.merge(data, empty, Seq("k")).count() == 1)
+    assert(MergeInto.merge(empty, data, Seq("k")).count() == 1)
+  }
+
+  test("text operators tolerate empty and single-token documents") {
+    val docs = Seq((1L, ""), (2L, "word"), (3L, "   "), (4L, "two tokens here")).toDF("doc_id", "text")
+    // shingle sets smaller than n -> empty arrays, not errors
+    val sh = docs.select(graft.plans.TextVectorExpressions.shingleHashes($"text", 3).as("s"))
+      .select(size($"s")).as[Int].collect().toSeq
+    assert(sh == Seq(0, 0, 0, 1))
+    val fp = Dedup.withSimhash(docs, "text").select("simhash").as[Long].collect()
+    assert(fp.length == 4) // no exceptions on degenerate token arrays
+    val stats = TextAnalysis.tokenStats(docs, "doc_id", "text").collect()
+    assert(stats.length == 4)
+  }
+
+  test("minhash LSH on an empty corpus returns no pairs") {
+    val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashNearDups(docs, "doc_id", "text").count() == 0)
+  }
+
+  test("runContinuously executes multiple jittered change-capture cycles") {
+    val src    = Files.createTempDirectory("graft_cont_src").toString
+    val target = Files.createTempDirectory("graft_cont_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_cont_ckpt").toString
+    Seq((1, 1L, "a")).toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(
+      sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"))
+    val cadence = new ChangeCapture(intervalMs = 1, jitterVariance = 0.1, jitterSeed = 1)
+    val m = StreamPipeline.runContinuously(spark, schema, cfg, cadence, maxCycles = 2)
+    // cycle 2 sees no new files (checkpointed) — rows written stays 1
+    assert(m.rowsWritten == 1)
+    assert(new graft.sources.SnapshotStore(spark, target).read().get.count() == 1)
+  }
+}
