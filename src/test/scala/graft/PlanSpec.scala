@@ -31,6 +31,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "latest-per-key must not use a window function")
   }
 
+  test("semi/anti joins plan as LeftSemi/LeftAnti, never inner + distinct") {
+    val semi = planOf("q_semijoin")
+    assert(semi.contains("LeftSemi"), s"expected LeftSemi join:\n$semi")
+    val anti = planOf("q_antijoin")
+    assert(anti.contains("LeftAnti"), s"expected LeftAnti join:\n$anti")
+    val merge = planOf("merge_into")
+    assert(merge.contains("LeftAnti"), "MERGE emulation must use an anti join")
+  }
+
+  test("pivot is a single scan with no per-value subqueries") {
+    val plan  = planOf("q_pivot")
+    val scans = plan.linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"pivot must scan once, got $scans")
+  }
+
   test("field selection prunes the parquet read schema") {
     val plan       = planOf("field_select_include")
     val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")

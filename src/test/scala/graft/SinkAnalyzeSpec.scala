@@ -59,6 +59,18 @@ class SinkAnalyzeSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "b"))
   }
 
+  test("TokenBucket admits bursts then enforces the steady rate") {
+    var clock = 0L
+    val bucket = new graft.streaming.TokenBucket(ratePerSecond = 10, burst = 5, nowNanos = () => clock)
+    assert((1 to 5).forall(_ => bucket.tryAcquire()), "burst capacity")
+    assert(!bucket.tryAcquire(), "empty after burst")
+    clock += 100_000_000L // 0.1s -> 1 token at 10/s
+    assert(bucket.tryAcquire() && !bucket.tryAcquire())
+    assert(bucket.nanosUntilAvailable(2) == 200_000_000L)
+    clock += 10_000_000_000L // long idle: capped at burst
+    assert((1 to 5).forall(_ => bucket.tryAcquire()) && !bucket.tryAcquire())
+  }
+
   test("ChangeCapture jitter is deterministic, bounded, and non-constant") {
     val cc1 = new ChangeCapture(intervalMs = 5000, jitterVariance = 0.1, jitterSeed = 7)
     val cc2 = new ChangeCapture(intervalMs = 5000, jitterVariance = 0.1, jitterSeed = 7)
