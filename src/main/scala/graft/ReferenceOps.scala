@@ -92,6 +92,30 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "upsert_cdc_lineitem",
+      // the driver data plants duplicate (l_orderkey, l_linenumber) rows
+      // in lineitem — the reference's CDC shape on a fact table. Latest
+      // version per pk wins; ordering over the full remaining column
+      // tuple makes the winner engine-agnostic even among partial dups.
+      (spark, dir) => {
+        val li = Tables(spark, dir).lineitem
+        Upsert.latestByKey(
+          li,
+          keys = Seq("l_orderkey", "l_linenumber"),
+          orderCols = Seq("l_shipdate", "l_extendedprice", "l_partkey", "l_suppkey",
+            "l_quantity", "l_discount", "l_tax", "l_returnflag", "l_linestatus")
+        ).orderBy("l_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT * FROM lineitem
+        QUALIFY row_number() OVER (PARTITION BY l_orderkey, l_linenumber
+          ORDER BY l_shipdate DESC, l_extendedprice DESC, l_partkey DESC, l_suppkey DESC,
+                   l_quantity DESC, l_discount DESC, l_tax DESC, l_returnflag DESC, l_linestatus DESC) = 1
+        ORDER BY l_orderkey, l_linenumber
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "merge_into",
       (spark, dir) => {
         val target = latestEvents(spark, dir, until = Some("2024-01-20"))
