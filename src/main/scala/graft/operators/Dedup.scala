@@ -124,7 +124,7 @@ object Dedup {
   def withSimhash(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(
       "simhash",
-      GraftExpressions.simhash64(transform(TextFunctions.tokens(col(textCol)), t => xxhash64(t)))
+      GraftExpressions.simhash64(TextVectorExpressions.tokenHashes(col(textCol)))
     )
 
   /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):

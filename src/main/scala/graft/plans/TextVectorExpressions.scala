@@ -69,6 +69,37 @@ case class ShingleHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** Non-distinct per-token xxhash64 values (seed 42, bit-identical to
+  * `transform(split(trim(text),"\\s+"), t => xxhash64(t))`) — the
+  * SimHash input, where token multiplicity must be preserved.
+  */
+case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var from = 0
+    var to   = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    val tokens = ws.split(s.substring(from, to), -1)
+    val out    = new Array[Long](tokens.length)
+    var i = 0
+    while (i < tokens.length) {
+      val b = tokens(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out(i) = XXH64.hashUnsafeBytes(b, Platform.BYTE_ARRAY_OFFSET, b.length, 42L)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenHashes =
+    copy(child = newChild)
+}
+
 /** LSH bucket ids of a vector in `tables` independent hyperplane tables,
   * all computed in one pass. `planes(t)(bit)` is a dim-length hyperplane.
   */
@@ -107,6 +138,9 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
 object TextVectorExpressions {
   def shingleHashes(text: Column, n: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
+
+  def tokenHashes(text: Column): Column =
+    GraftShim.column(TokenHashes(GraftShim.expression(text)))
 
   def hyperplaneBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftShim.column(HyperplaneBuckets(GraftShim.expression(vec), planes))
