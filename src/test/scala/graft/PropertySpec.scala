@@ -1,0 +1,87 @@
+package graft
+
+import graft.operators.{MergeInto, SchemaMigration, Upsert}
+import graft.streaming.TokenBucket
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Algebraic invariants of the core operators on ScalaCheck-generated
+  * inputs (seeded sampling — deterministic; no scalatestplus bridge in
+  * this environment). Small cases since each is a Spark round trip, but
+  * adversarial shapes: duplicate keys, empty sides, version ties.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] = {
+    var seed = Seed(42L)
+    (1 to n).flatMap { _ =>
+      val a = gen.apply(Gen.Parameters.default.withSize(12), seed)
+      seed = seed.next
+      a
+    }
+  }
+
+  private val rowsGen: Gen[List[(Int, Int, String)]] =
+    Gen.listOf(for {
+      k <- Gen.choose(0, 5)
+      v <- Gen.choose(0, 4)
+      p <- Gen.alphaStr.map(_.take(4))
+    } yield (k, v, p))
+
+  test("Upsert: one row per key, winner is the max (version, tiebreak) of its key") {
+    for (rows <- samples(rowsGen, 8) if rows.nonEmpty) {
+      val df  = rows.toDF("k", "v", "p")
+      val out = Upsert.latestByKey(df, Seq("k"), Seq("v", "p")).collect()
+      assert(out.length == rows.map(_._1).distinct.length)
+      val inSet = rows.toSet
+      assert(out.forall(r => inSet.contains((r.getInt(0), r.getInt(1), r.getString(2)))))
+      out.foreach { r =>
+        val best = rows.filter(_._1 == r.getInt(0)).map(t => (t._2, t._3)).max
+        assert((r.getInt(1), r.getString(2)) == best)
+      }
+    }
+  }
+
+  test("MergeInto: keys = union, source always wins on overlap") {
+    val pairs = samples(rowsGen, 8).grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+    for ((t, s) <- pairs) {
+      val target = t.distinctBy(_._1).toDF("k", "v", "p")
+      val source = s.distinctBy(_._1).toDF("k", "v", "p")
+      val out    = MergeInto.merge(target, source, Seq("k")).collect()
+      assert(out.map(_.getInt(0)).toSet == t.map(_._1).toSet.union(s.map(_._1).toSet))
+      val sMap = s.distinctBy(_._1).map(r => r._1 -> r).toMap
+      out.foreach { r =>
+        sMap.get(r.getInt(0)).foreach { src =>
+          assert((r.getInt(1), r.getString(2)) == ((src._2, src._3)), "source row must win")
+        }
+      }
+    }
+  }
+
+  test("SchemaMigration: row count preserved, columns are the union") {
+    for ((nOld, nNew) <- samples(Gen.zip(Gen.choose(0, 6), Gen.choose(0, 6)), 6)) {
+      val oldDf = (1 to nOld).map(i => (i, s"o$i")).toDF("k", "a")
+      val newDf = (1 to nNew).map(i => (i, i.toLong, s"n$i")).toDF("k", "b", "c")
+      val out   = SchemaMigration.migrate(oldDf, newDf)
+      assert(out.columns.toSet == Set("k", "a", "b", "c"))
+      assert(out.count() == nOld + nNew)
+    }
+  }
+
+  test("TokenBucket: admissions over any horizon never exceed burst + rate*time") {
+    for (gaps <- samples(Gen.listOfN(30, Gen.choose(0L, 500_000_000L)), 20)) {
+      var clock  = 0L
+      val bucket = new TokenBucket(ratePerSecond = 4, burst = 3, nowNanos = () => clock)
+      var admitted = 0
+      var elapsed  = 0L
+      gaps.foreach { gap =>
+        clock += gap
+        elapsed += gap
+        if (bucket.tryAcquire()) admitted += 1
+      }
+      val bound = 3 + elapsed / 1e9 * 4
+      assert(admitted <= bound + 1e-9, s"admitted $admitted over bound $bound")
+    }
+  }
+}
