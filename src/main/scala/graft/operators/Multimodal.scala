@@ -46,6 +46,31 @@ object Multimodal {
     hist.map(_ / n)
   }
 
+  final case class FrameFeatures(doc_id: Long, n_frames_total: Int, sampled_frames: Array[Int], frame_features: Array[Array[Double]])
+
+  /** Frame sampling for "video" payloads: split the payload into
+    * fixed-size frames, keep every `stride`-th frame, and extract
+    * features per kept frame — the batch shape of a real video pipeline
+    * (decode is the same STUB histogram; the sampling/batching plumbing
+    * is the real part). Iterator-to-iterator on executors.
+    */
+  def sampleFrames(spark: SparkSession, media: DataFrame, frameBytes: Int, stride: Int): Dataset[FrameFeatures] = {
+    import spark.implicits._
+    require(frameBytes > 0 && stride > 0)
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val nFrames = math.max(1, (r.payload.length + frameBytes - 1) / frameBytes)
+        val kept    = (0 until nFrames by stride).toArray
+        val feats = kept.map { f =>
+          val from = f * frameBytes
+          val until = math.min(from + frameBytes, r.payload.length)
+          decodeStub(java.util.Arrays.copyOfRange(r.payload, from, math.max(from + 1, until)))
+        }
+        FrameFeatures(r.doc_id, nFrames, kept, feats)
+      }
+    }
+  }
+
   /** Batch feature extraction on executors; iterator-to-iterator, so a
     * partition never materializes in memory at once.
     */

@@ -50,6 +50,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlap(fps(1L), fps(3L)) < 0.2)
   }
 
+  test("frame sampling keeps every Nth frame with per-frame features") {
+    val docs  = Seq((1L, "x" * 100)).toDF("doc_id", "text")
+    val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
+    val out   = Multimodal.sampleFrames(spark, media, frameBytes = 10, stride = 3).head()
+    assert(out.n_frames_total == 10)
+    assert(out.sampled_frames.toSeq == Seq(0, 3, 6, 9))
+    assert(out.frame_features.length == 4 && out.frame_features.forall(_.length == 16))
+  }
+
   test("multimodal feature extraction is deterministic with normalized histograms") {
     val docs  = Seq((1L, "some payload text"), (2L, "other bytes here")).toDF("doc_id", "text")
     val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
