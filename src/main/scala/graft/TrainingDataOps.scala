@@ -68,6 +68,48 @@ object TrainingDataOps {
       """.trim)
     ),
     QueryDef(
+      "dedup_survivors",
+      // full dedup resolution: same-source brute-force pairs (so the
+      // edge set is deterministic on both engines) -> connected
+      // components -> keep the smallest doc per component
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables(spark, dir).documents
+        val keys = docs.select($"doc_id", $"source")
+        val cand = keys.as("a").join(keys.as("b"),
+            $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
+        val pairs = Dedup.jaccardForPairs(cand, docs, "doc_id", "text", shingleN = 3)
+          .filter($"jaccard" >= 0.5)
+        Dedup.resolveSurvivors(docs, pairs, "doc_id")
+          .select($"doc_id").orderBy($"doc_id")
+      },
+      Some("""
+        WITH RECURSIVE toks AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        ), sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM toks
+        ), edges AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+          WHERE len(list_intersect(a.s,b.s)) / len(list_distinct(list_concat(a.s,b.s))) >= 0.5
+        ), undirected AS (
+          SELECT id_a AS s, id_b AS t FROM edges UNION SELECT id_b, id_a FROM edges
+        ), reach(s, t) AS (
+          SELECT s, t FROM undirected
+          UNION
+          SELECT r.s, u.t FROM reach r JOIN undirected u ON r.t = u.s
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE NOT EXISTS (SELECT 1 FROM reach WHERE reach.s = d.doc_id AND reach.t < d.doc_id)
+        ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "dedup_embedding",
       (spark, dir) =>
         Similarity.embeddingNearDups(Tables(spark, dir).embeddings, "vec_id", "embedding", threshold = 0.45)
