@@ -268,6 +268,45 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_setops",
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val buyers  = t.orders.select($"o_custkey".as("c_custkey"))
+        val all     = t.customer.select($"c_custkey")
+        val active  = all.intersect(buyers)
+        val dormant = all.except(t.orders.filter($"o_orderdate" >= ts("1999-01-01"))
+          .select($"o_custkey".as("c_custkey")))
+        active.agg(count(lit(1)).as("n")).select(lit("intersect").as("op"), $"n")
+          .unionAll(dormant.agg(count(lit(1)).as("n")).select(lit("except").as("op"), $"n"))
+          .orderBy($"op")
+      },
+      Some("""
+        SELECT 'intersect' AS op, count(*) AS n FROM (
+          SELECT c_custkey FROM customer INTERSECT SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT 'except', count(*) FROM (
+          SELECT c_custkey FROM customer EXCEPT
+          SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+        ORDER BY op
+      """.trim)
+    ),
+    QueryDef(
+      "q_cube",
+      (spark, dir) => {
+        import spark.implicits._
+        Tables(spark, dir).events
+          .cube($"event_type", date_format($"ts", "yyyy-MM").as("month"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy($"event_type".asc_nulls_first, $"month".asc_nulls_first)
+      },
+      Some("""
+        SELECT event_type, strftime(ts, '%Y-%m') AS month, count(*) AS n
+        FROM events GROUP BY CUBE (event_type, month)
+        ORDER BY event_type ASC NULLS FIRST, month ASC NULLS FIRST
+      """.trim)
+    ),
+    QueryDef(
       "q_topk_window",
       (spark, dir) => {
         import spark.implicits._
