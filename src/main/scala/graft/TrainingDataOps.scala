@@ -41,14 +41,9 @@ object TrainingDataOps {
       "dedup_ngram_jaccard",
       (spark, dir) => {
         import spark.implicits._
-        val docs = Tables(spark, dir).documents
         // candidate rule expressible on both engines: same-source pairs
-        val keys = docs.select($"doc_id", $"source")
-        val pairs = keys.as("a").join(keys.as("b"),
-            $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-        Dedup.jaccardForPairs(pairs, docs, "doc_id", "text", shingleN = 3)
-          .filter($"jaccard" >= 0.2)
+        Dedup.blockedJaccardPairs(Tables(spark, dir).documents,
+            "doc_id", "text", blockCol = "source", shingleN = 3, threshold = 0.2)
           .orderBy("id_a", "id_b")
       },
       Some("""
@@ -74,13 +69,9 @@ object TrainingDataOps {
       // components -> keep the smallest doc per component
       (spark, dir) => {
         import spark.implicits._
-        val docs = Tables(spark, dir).documents
-        val keys = docs.select($"doc_id", $"source")
-        val cand = keys.as("a").join(keys.as("b"),
-            $"a.source" === $"b.source" && $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"))
-        val pairs = Dedup.jaccardForPairs(cand, docs, "doc_id", "text", shingleN = 3)
-          .filter($"jaccard" >= 0.5)
+        val docs  = Tables(spark, dir).documents
+        val pairs = Dedup.blockedJaccardPairs(docs, "doc_id", "text",
+          blockCol = "source", shingleN = 3, threshold = 0.5)
         Dedup.resolveSurvivors(docs, pairs, "doc_id")
           .select($"doc_id").orderBy($"doc_id")
       },

@@ -67,9 +67,26 @@ object Dedup {
       .join(sh.withColumnRenamed("__sh", "__sh_a"), pairs("id_a") === sh("__id")).drop("__id")
       .join(sh.withColumnRenamed("__sh", "__sh_b"), pairs("id_b") === sh("__id")).drop("__id")
       .withColumn("jaccard",
-        size(array_intersect(col("__sh_a"), col("__sh_b"))) /
-          size(array_distinct(concat(col("__sh_a"), col("__sh_b")))))
+        TextVectorExpressions.sortedJaccard(col("__sh_a"), col("__sh_b")))
       .select("id_a", "id_b", "jaccard")
+  }
+
+  /** All near-dup pairs within a blocking key (e.g. same source):
+    * ONE self-join on the key with shingle sets computed before the
+    * join — the deterministic-candidate-rule variant of the pipeline
+    * (LSH banding replaces the blocking key when none exists).
+    */
+  def blockedJaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      shingleN: Int, threshold: Double
+  ): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+      TextVectorExpressions.shingleHashes(col(textCol), shingleN).as("__sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        TextVectorExpressions.sortedJaccard(col("a.__sh"), col("b.__sh")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** MinHash+LSH near-dup pipeline: candidates from banding, verified
@@ -93,14 +110,22 @@ object Dedup {
     * shuffle over the (small) edge set, never over the corpus.
     */
   def resolveSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
-    // undirected edges, both directions
+    // undirected edges, both directions; materialized once — every
+    // iteration reuses them (and the expensive pair computation behind
+    // them) from cache instead of replaying the lineage
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .distinct()
+      .persist()
 
-    var labels = docs.select(col(idCol).as("node")).distinct()
+    // only nodes that appear in an edge can change labels; isolated docs
+    // are their own survivors and skip the loop entirely
+    var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-    var converged = false
+      .persist()
+    labels.count()
+
+    var converged = labels.isEmpty
     var i = 0
     while (!converged && i < maxIters) {
       val propagated = edges.join(labels, edges("dst") === labels("node"))
@@ -108,13 +133,19 @@ object Dedup {
         .agg(min(col("label")).as("nbr_label"))
       val updated = labels.join(propagated, Seq("node"), "left")
         .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .persist()
+      updated.count() // materialize before dropping the parent cache
       converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("node"))
         .filter(col("label") =!= col("old")).isEmpty
+      labels.unpersist()
       labels = updated
       i += 1
     }
-    // survivor = the doc whose id IS its component label
-    docs.join(labels.filter(col("node") === col("label")).select(col("node").as(idCol)), Seq(idCol))
+    // survivor = isolated doc, or the doc whose id IS its component label
+    val dropped = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
+    val out     = docs.join(dropped, Seq(idCol), "left_anti")
+    edges.unpersist()
+    out
   }
 
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
