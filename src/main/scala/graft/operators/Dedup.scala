@@ -164,11 +164,12 @@ object Dedup {
     * joins, never a cross join.
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    val hashed = withSimhash(docs, textCol).select(col(idCol).as("__id"), col("simhash"))
-    val chunked = hashed.select(
-      col("__id"), col("simhash"),
-      posexplode(expr("transform(sequence(0, 3), c -> (simhash >> (c * 16)) & 65535)"))
-        .as(Seq("chunk_id", "chunk_val"))
+    // fingerprint + chunks from ONE expression evaluation per row
+    val withChunks = docs.select(col(idCol).as("__id"),
+      GraftExpressions.simhashWithChunks(TextVectorExpressions.tokenHashes(col(textCol))).as("__sc"))
+    val chunked = withChunks.select(
+      col("__id"), col("__sc").getItem(0).as("simhash"),
+      posexplode(slice(col("__sc"), 2, 4)).as(Seq("chunk_id", "chunk_val"))
     )
     chunked.as("a")
       .join(chunked.as("b"), col("a.chunk_id") === col("b.chunk_id") &&

@@ -201,6 +201,59 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** SimHash fingerprint + its 16-bit pigeonhole chunks in ONE pass:
+  * returns [simhash, chunk0..chunk3] so projection collapse cannot
+  * re-evaluate the vote loop once per chunk (the simhash analog of
+  * MinHashBands).
+  */
+case class SimHashWithChunks(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private val sim = SimHash64(child)
+
+  override def nullSafeEval(input: Any): Any = {
+    val fp  = sim.nullSafeEval(input).asInstanceOf[Long]
+    val out = new Array[Long](5)
+    out(0) = fp
+    var c = 0
+    while (c < 4) { out(c + 1) = (fp >>> (c * 16)) & 0xffffL; c += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val votes = ctx.freshName("votes")
+      val i     = ctx.freshName("i")
+      val j     = ctx.freshName("j")
+      val h     = ctx.freshName("h")
+      val fp    = ctx.freshName("fp")
+      val out   = ctx.freshName("out")
+      val ch    = ctx.freshName("ch")
+      s"""
+         |int[] $votes = new int[64];
+         |for (int $i = 0; $i < $c.numElements(); $i++) {
+         |  long $h = $c.getLong($i);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $votes[$j]++; else $votes[$j]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 64; $j++) {
+         |  if ($votes[$j] > 0) $fp |= (1L << $j);
+         |}
+         |long[] $out = new long[5];
+         |$out[0] = $fp;
+         |for (int $ch = 0; $ch < 4; $ch++) {
+         |  $out[$ch + 1] = ($fp >>> ($ch * 16)) & 0xffffL;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashWithChunks =
+    copy(child = newChild)
+}
+
 /** Column-API wrappers. */
 object GraftExpressions {
   private def expr(c: Column) = GraftShim.expression(c)
@@ -213,4 +266,7 @@ object GraftExpressions {
 
   def simhash64(tokenHashes: Column): Column =
     GraftShim.column(SimHash64(expr(tokenHashes)))
+
+  def simhashWithChunks(tokenHashes: Column): Column =
+    GraftShim.column(SimHashWithChunks(expr(tokenHashes)))
 }
