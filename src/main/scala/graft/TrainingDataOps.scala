@@ -102,6 +102,21 @@ object TrainingDataOps {
     ),
     QueryDef(
       "dedup_embedding",
+      // primary entry is the LSH-bucketed SCALE path (no all-pairs join
+      // anywhere in the plan); the hyperplane family is engine-specific,
+      // so correctness is recall-gated in BucketingSpec against the exact
+      // variant, which keeps its own oracle below as dedup_embedding_exact
+      (spark, dir) =>
+        Similarity.lshNearDupPairs(Tables(spark, dir).embeddings, "vec_id", "embedding",
+            threshold = 0.45, dim = 64)
+          .orderBy("id_a", "id_b"),
+      None,
+      bench = true
+    ),
+    QueryDef(
+      "dedup_embedding_exact",
+      // all-pairs oracle baseline (O(n²), correctness only — NOT benched
+      // and not the scale route)
       (spark, dir) =>
         Similarity.embeddingNearDups(Tables(spark, dir).embeddings, "vec_id", "embedding", threshold = 0.45)
           .orderBy("id_a", "id_b"),

@@ -82,8 +82,15 @@ object Dedup {
   ): DataFrame = {
     val sh = docs.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
       TextVectorExpressions.shingleHashes(col(textCol), shingleN).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+    // exact size prefilter: J(A,B) >= t implies |A∩B| >= t·|A∪B|, and
+    // |A∩B| <= min(|A|,|B|), |A∪B| >= max(|A|,|B|) — so any qualifying
+    // pair satisfies min >= t·max. Cheap integer predicate evaluated
+    // BEFORE the O(|A|+|B|) merge kernel prunes most of the block².
     sh.as("a").join(sh.as("b"),
         col("a.__blk") === col("b.__blk") && col("a.__id") < col("b.__id"))
+      .filter(least(col("a.__n"), col("b.__n")).cast("double") >=
+        greatest(col("a.__n"), col("b.__n")) * threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         TextVectorExpressions.sortedJaccard(col("a.__sh"), col("b.__sh")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
@@ -106,46 +113,57 @@ object Dedup {
     * iterative min-label propagation (each doc adopts the smallest id
     * reachable through pair edges), then keep one doc per component.
     * Near-dup graphs are collections of tiny components, so propagation
-    * converges in O(component diameter) joins — each iteration is one
-    * shuffle over the (small) edge set, never over the corpus.
+    * converges in O(component diameter) joins over the (small) edge set,
+    * never over the corpus.
+    *
+    * Cost shape (the driver-side loop is the bottleneck at any scale, so
+    * jobs per iteration matter more than bytes):
+    *  - the expensive pair lineage is cut ONCE with an eager
+    *    localCheckpoint — iterations replay nothing;
+    *  - self-loops fold the "keep own label" case into the neighbor
+    *    aggregate, so each iteration is one join + one aggregation
+    *    (vs join + groupBy + left-join repair);
+    *  - labels only ever decrease, so sum(label) is a strictly
+    *    decreasing convergence metric: ONE action per iteration both
+    *    materializes the new labels' cache and decides convergence (no
+    *    separate changed-rows join + isEmpty pass).
     */
   def resolveSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
-    // undirected edges, both directions; materialized once — every
-    // iteration reuses them (and the expensive pair computation behind
-    // them) from cache instead of replaying the lineage
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct()
-      .persist()
+    // materialize the (expensive) pair computation exactly once and
+    // truncate its lineage so no iteration can replay it
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
 
     // only nodes that appear in an edge can change labels; isolated docs
     // are their own survivors and skip the loop entirely
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
-      .persist()
-    labels.count()
+    val nodes = p.select(col("id_a").as("node"))
+      .union(p.select(col("id_b").as("node")))
+      .distinct()
+    // undirected edges both directions, plus self-loops: the neighbor
+    // minimum then already includes the node's own label
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .union(nodes.select(col("node").as("src"), col("node").as("dst")))
 
-    var converged = labels.isEmpty
+    var labels  = nodes.withColumn("label", col("node")).persist()
+    val sumRow  = labels.agg(sum(col("label"))).head()
+    var prevSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    var converged = sumRow.isNullAt(0) // empty edge set: nothing to resolve
     var i = 0
     while (!converged && i < maxIters) {
-      val propagated = edges.join(labels, edges("dst") === labels("node"))
+      val updated = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("node"))
-        .agg(min(col("label")).as("nbr_label"))
-      val updated = labels.join(propagated, Seq("node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .agg(min(col("label")).as("label"))
         .persist()
-      updated.count() // materialize before dropping the parent cache
-      converged = updated.join(labels.withColumnRenamed("label", "old"), Seq("node"))
-        .filter(col("label") =!= col("old")).isEmpty
+      val s = updated.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = updated
+      converged = s == prevSum
+      prevSum = s
       i += 1
     }
     // survivor = isolated doc, or the doc whose id IS its component label
     val dropped = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
-    val out     = docs.join(dropped, Seq(idCol), "left_anti")
-    edges.unpersist()
-    out
+    docs.join(dropped, Seq(idCol), "left_anti")
   }
 
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is the

@@ -111,14 +111,23 @@ object Similarity {
   ): DataFrame = {
     val v  = vectors.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
     val ps = planes(dim, tables, bitsPerTable).map(_.toArray).toArray
-    val b = v.select(col("__id"), col("__v"),
+    // bucket join carries IDS ONLY — a pair colliding in many tables is
+    // deduped (map-side partial distinct on 16-byte rows) BEFORE the
+    // cosine verification, so each candidate pair costs exactly one
+    // cosine instead of one per colliding table. Vectors are attached to
+    // the (much smaller) distinct candidate set afterwards — the same
+    // candidates-then-verify shape as the MinHash pipeline.
+    val b = v.select(col("__id"),
       posexplode(TextVectorExpressions.hyperplaneBuckets(col("__v"), ps)).as(Seq("t", "bucket")))
-    b.as("a").join(b.as("b"),
+    val candidates = b.as("a").join(b.as("b"),
         col("a.t") === col("b.t") && col("a.bucket") === col("b.bucket") &&
           col("a.__id") < col("b.__id"))
-      .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
-      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
-      .agg(max(col("cosine")).as("cosine"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("__id").as("id_a"), col("__v").as("__va")), Seq("id_a"))
+      .join(v.select(col("__id").as("id_b"), col("__v").as("__vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("__va"), col("__vb")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 

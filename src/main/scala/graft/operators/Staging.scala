@@ -21,16 +21,40 @@ object Staging {
 
   /** Deterministic batch accounting: batch id per `maxRows` rows in
     * `orderCol` order, with per-batch stats.
+    *
+    * Two-phase global numbering (the `RDD.zipWithIndex` scheme) instead
+    * of an unpartitioned window: rows are range-partitioned on the key,
+    * numbered locally per partition in parallel, and the per-partition
+    * counts — O(numPartitions) driver-side metadata, not data — become
+    * cumulative offsets broadcast back. Global rank = offset + local
+    * rank, so the batch assignment is identical to a global row_number
+    * while every stage stays parallel.
     */
   def batchAccounting(df: DataFrame, orderCol: String, maxRows: Int): DataFrame = {
-    val w = Window.orderBy(col(orderCol))
-    df.withColumn("rn", row_number().over(w) - 1)
-      .withColumn("batch_id", expr(s"CAST(rn DIV $maxRows AS BIGINT)"))
+    val spark = df.sparkSession
+    // range partition + local numbering, materialized ONCE (the counts
+    // job and the final job would otherwise each replay the input
+    // lineage and the range exchange)
+    val local = df
+      .select(col(orderCol).as("__k"))
+      .repartitionByRange(col("__k"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn", row_number().over(Window.partitionBy("__pid").orderBy("__k")))
+      .localCheckpoint()
+    // per-partition counts -> cumulative offsets (one row per partition)
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) => val off = acc; acc += cnt; (pid, off) }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    local
+      .join(broadcast(offDf), Seq("__pid"))
+      .withColumn("batch_id", expr(s"CAST((__off + __rn - 1) DIV $maxRows AS BIGINT)"))
       .groupBy("batch_id")
       .agg(
         count(lit(1)).as("n_rows"),
-        min(col(orderCol)).as("min_key"),
-        max(col(orderCol)).as("max_key")
+        min(col("__k")).as("min_key"),
+        max(col("__k")).as("max_key")
       )
       .orderBy("batch_id")
   }

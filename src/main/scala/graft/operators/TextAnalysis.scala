@@ -89,23 +89,11 @@ object TextAnalysis {
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash char
     * k-grams, slide a window of w hashes, keep each window's minimum.
     * Near-dup docs share most fingerprints even after local edits.
+    * Native one-pass kernel (plans/TextVectorExpressions.scala) — the
+    * HOF formulation allocates a slice per window.
     */
-  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 4): DataFrame = {
-    val text   = col(textCol)
-    val grams  = transform(
-      sequence(lit(1), greatest(length(text) - (k - 1), lit(0))),
-      i => xxhash64(text.substr(i, lit(k)))
-    )
-    df.withColumn("__g", grams)
-      .withColumn(
-        "fingerprints",
-        array_distinct(
-          transform(
-            sequence(lit(1), greatest(size(col("__g")) - (w - 1), lit(0))),
-            i => array_min(slice(col("__g"), i, lit(w)))
-          )
-        )
-      )
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String, k: Int = 8, w: Int = 4): DataFrame =
+    df.withColumn("fingerprints",
+        graft.plans.TextVectorExpressions.winnowingFingerprints(col(textCol), k, w))
       .select(col(idCol), col("fingerprints"), size(col("fingerprints")).as("n_fingerprints"))
-  }
 }

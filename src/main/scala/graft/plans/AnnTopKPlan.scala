@@ -68,24 +68,36 @@ case class AnnTopKExec(
         while (i < v.length) { s += v(i) * v(i); i += 1 }
         math.sqrt(s)
       }
+      // scratch buffer reused across rows: copying the candidate vector
+      // out of ArrayData once per ROW (not once per probe) also lets the
+      // norm be computed once per row — the probe loop is then a pure
+      // dot product over a primitive array
+      var scratch = new Array[Double](0)
       rows.foreach { row =>
         val id  = row.getLong(0)
         val arr = row.getArray(1)
         val n   = arr.numElements()
+        if (scratch.length < n) scratch = new Array[Double](n)
+        var nc = 0.0
+        var i  = 0
+        while (i < n) {
+          val x = arr.getDouble(i)
+          scratch(i) = x
+          nc += x * x
+          i += 1
+        }
+        val cNorm = math.sqrt(nc)
         var p = 0
         while (p < localProbes.length) {
           val pv  = localProbes(p)._2
           val dim = math.min(n, pv.length)
           var dot = 0.0
-          var nc  = 0.0
-          var i   = 0
-          while (i < dim) {
-            val x = arr.getDouble(i)
-            dot += x * pv(i)
-            nc += x * x
-            i += 1
+          var j   = 0
+          while (j < dim) {
+            dot += scratch(j) * pv(j)
+            j += 1
           }
-          val cos  = dot / (math.sqrt(nc) * pNorm(p))
+          val cos  = dot / (cNorm * pNorm(p))
           val heap = heaps(p)
           if (heap.size < localK) heap.enqueue((cos, id))
           else if (cos > heap.head._1) { heap.dequeue(); heap.enqueue((cos, id)) }

@@ -135,6 +135,72 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) in one pass:
+  * hash char k-grams (xxhash64 of the gram's UTF-8 bytes, seed 42 — the
+  * same value `xxhash64(substr(text,i,k))` yields), slide a window of w
+  * hashes keeping each window's minimum, emit the distinct minima sorted.
+  * The HOF formulation allocates a slice PER WINDOW (O(n·w) interpreted
+  * allocations); this is a single O(n·w) primitive loop with zero
+  * allocation per window.
+  */
+case class WinnowingFingerprintHashes(child: Expression, k: Int, w: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(k >= 1 && w >= 1)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any = {
+    val u     = input.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    // start byte offset of each code point (UTF-8 aware so grams are
+    // character k-grams, matching substr semantics)
+    val nBytes  = bytes.length
+    val offsets = new Array[Int](nBytes + 1)
+    var nChars  = 0
+    var b       = 0
+    while (b < nBytes) {
+      offsets(nChars) = b
+      val c = bytes(b) & 0xff
+      b += (if (c < 0x80) 1 else if (c < 0xe0) 2 else if (c < 0xf0) 3 else 4)
+      nChars += 1
+    }
+    offsets(nChars) = nBytes
+
+    val nGrams = nChars - k + 1
+    if (nGrams <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val hashes = new Array[Long](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      val from = offsets(i)
+      hashes(i) = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET + from, offsets(i + k) - from, 42L)
+      i += 1
+    }
+    val nWin = nGrams - w + 1
+    if (nWin <= 0) return new GenericArrayData(Array.emptyLongArray)
+    val mins = new Array[Long](nWin)
+    i = 0
+    while (i < nWin) {
+      var m = hashes(i)
+      var j = 1
+      while (j < w) { val h = hashes(i + j); if (h < m) m = h; j += 1 }
+      mins(i) = m
+      i += 1
+    }
+    // distinct via sort + dedup (fingerprints are a SET)
+    java.util.Arrays.sort(mins)
+    var wd = 0
+    i = 0
+    while (i < nWin) {
+      if (wd == 0 || mins(i) != mins(wd - 1)) { mins(wd) = mins(i); wd += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(mins, wd))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowingFingerprintHashes =
+    copy(child = newChild)
+}
+
 /** LSH bucket ids of a vector in `tables` independent hyperplane tables,
   * all computed in one pass. `planes(t)(bit)` is a dim-length hyperplane.
   */
@@ -182,4 +248,7 @@ object TextVectorExpressions {
 
   def hyperplaneBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftShim.column(HyperplaneBuckets(GraftShim.expression(vec), planes))
+
+  def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftShim.column(WinnowingFingerprintHashes(GraftShim.expression(text), k, w))
 }
