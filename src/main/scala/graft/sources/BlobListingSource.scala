@@ -22,8 +22,14 @@ object BlobListingSource {
 
   final case class Blob(path: String, name: String, sizeBytes: Long, modifiedMs: Long)
 
-  /** All parquet blobs under `prefix`, sorted by (modifiedMs, name). */
-  def listBlobs(spark: SparkSession, prefix: String): Seq[Blob] = {
+  /** All parquet blobs under `prefix`, sorted by (modifiedMs, name).
+    * `retry` bounds transient listing failures (the reference's source S3
+    * `retryMaxAttempts`/`retryBaseDelay`/`retryMaxDelay`).
+    */
+  def listBlobs(
+      spark: SparkSession, prefix: String,
+      retry: graft.streaming.RetryPolicy = graft.streaming.RetryPolicy.Never
+  ): Seq[Blob] = graft.streaming.Retry.withRetry(retry) {
     val p  = new Path(prefix)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty

@@ -41,8 +41,17 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
       finally in.close()
     }
 
-  /** Commit `df` as the next snapshot; returns the new version. */
-  def commit(df: DataFrame, maxRowsPerFile: Option[Int] = None): Long = {
+  /** Commit `df` as the next snapshot; returns the new version.
+    * `retry` bounds transient commit failures (the reference's merge
+    * client `queryRetryMaxAttempts`/`queryRetryBaseDuration`): a failed
+    * attempt never advanced VERSION, so the re-attempt recomputes the
+    * same version and overwrites the same (incomplete) data dir —
+    * retrying the whole commit is idempotent.
+    */
+  def commit(
+      df: DataFrame, maxRowsPerFile: Option[Int] = None,
+      retry: graft.streaming.RetryPolicy = graft.streaming.RetryPolicy.Never
+  ): Long = graft.streaming.Retry.withRetry(retry) {
     val v = currentVersion().getOrElse(0L) + 1
     val writer = maxRowsPerFile.foldLeft(df.write.mode("overwrite"))(
       (w, n) => w.option("maxRecordsPerFile", n.toLong))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{FieldSelection, MergeInto, MergeKey, Upsert}
+import graft.operators.{FieldSelection, MergeInto, MergeKey, TargetMaintenance, Upsert}
 import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -32,14 +32,31 @@ object StreamPipeline {
       fieldRule: FieldSelection.Rule = FieldSelection.All,
       essentialFields: Set[String] = Set.empty,
       maxFilesPerTrigger: Option[Int] = None,
-      maxRowsPerFile: Int = 1_000_000
+      maxRowsPerFile: Int = 1_000_000,
+      /** the reference's `source.buffering.enabled`
+        * (stream-spec-yaml-example.yaml:101-103): buffer the whole
+        * backlog into ONE micro-batch (one staged upsert + one commit)
+        * instead of rate-limited per-trigger batches — fewer, larger
+        * snapshots when the source bursts. Overrides maxFilesPerTrigger.
+        */
+      sourceBuffering: Boolean = false,
+      /** fire compact/expire/orphans/analyze every N batches (the
+        * reference's `maintenanceSettings.*.batchThreshold`). */
+      maintenance: Option[TargetMaintenance.Settings] = None,
+      /** bound transient snapshot-commit failures (merge-client retry). */
+      commitRetry: RetryPolicy = RetryPolicy.Never
   )
 
   /** Per-cycle pipeline metrics — the Spark-native form of the
     * reference's DeclaredMetrics/DataDog counters: collected with the
     * Observation API on the running plan (no extra pass over the data).
     */
-  final case class CycleMetrics(batches: Long, rowsStaged: Long, rowsWritten: Long)
+  final case class CycleMetrics(batches: Long, rowsStaged: Long, rowsWritten: Long, maintenanceRuns: Long = 0)
+
+  /** Monotonic batch counter carried ACROSS change-capture cycles so the
+    * maintenance threshold counts stream batches, not per-cycle batches.
+    */
+  final class BatchCounter { private var n = 0L; def incrementAndGet(): Long = { n += 1; n }; def get: Long = n }
 
   /** Run the pipeline over all currently-available blobs (the streaming
     * equivalent of one change-capture cycle; `Trigger.AvailableNow`
@@ -49,13 +66,23 @@ object StreamPipeline {
   def runAvailableNow(spark: SparkSession, schema: StructType, cfg: Config): Long =
     runAvailableNowWithMetrics(spark, schema, cfg).batches
 
-  /** As `runAvailableNow`, also reporting observed row counts. */
-  def runAvailableNowWithMetrics(spark: SparkSession, schema: StructType, cfg: Config): CycleMetrics = {
+  /** As `runAvailableNow`, also reporting observed row counts.
+    * `publisher` receives per-cycle counters (statsd-shaped seam);
+    * `batchCounter` persists the batch count across cycles so the
+    * maintenance threshold fires on stream-lifetime batch numbers.
+    */
+  def runAvailableNowWithMetrics(
+      spark: SparkSession, schema: StructType, cfg: Config,
+      publisher: MetricsPublisher = MetricsPublisher.Noop,
+      batchCounter: BatchCounter = new BatchCounter
+  ): CycleMetrics = {
     var batches = 0L
     var rowsStaged = 0L
     var rowsWritten = 0L
+    var maintenanceRuns = 0L
     val reader  = spark.readStream.schema(schema)
-    val src     = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val rateLimit = if (cfg.sourceBuffering) None else cfg.maxFilesPerTrigger
+    val src     = rateLimit.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(cfg.sourceDir)
 
     val filtered = FieldSelection(src, cfg.fieldRule, cfg.essentialFields ++ cfg.primaryKeys ++ cfg.versionCols)
@@ -75,14 +102,24 @@ object StreamPipeline {
         // snapshot commit: writes a fresh immutable data dir + manifest,
         // so the merge plan's scan of the previous snapshot never races
         // its own rewrite, and readers keep snapshot isolation
-        store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile))
+        store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile), retry = cfg.commitRetry)
         batches += 1
         rowsStaged += stagedObs.get("rows").asInstanceOf[Long]
         rowsWritten += writeObs.get("rows").asInstanceOf[Long]
+        // threshold-driven maintenance on the stream-lifetime batch number
+        val n = batchCounter.incrementAndGet()
+        cfg.maintenance.flatMap(s => TargetMaintenance.maybeRun(spark, store, s, n)).foreach { r =>
+          maintenanceRuns += 1
+          publisher.counter("graft.maintenance.runs", 1, Map("at_batch" -> r.atBatch.toString))
+        }
       }
       .start()
     q.awaitTermination()
-    CycleMetrics(batches, rowsStaged, rowsWritten)
+    val m = CycleMetrics(batches, rowsStaged, rowsWritten, maintenanceRuns)
+    publisher.counter("graft.stream.batches", m.batches)
+    publisher.counter("graft.stream.rows_staged", m.rowsStaged)
+    publisher.gauge("graft.stream.rows_written", m.rowsWritten.toDouble)
+    m
   }
 
   /** Continuous change-capture: repeated AvailableNow cycles separated by
@@ -97,18 +134,24 @@ object StreamPipeline {
       schema: StructType,
       cfg: Config,
       cadence: ChangeCapture,
-      maxCycles: Int
+      maxCycles: Int,
+      lifetime: StreamLifetime = StreamLifetime.always,
+      publisher: MetricsPublisher = MetricsPublisher.Noop
   ): CycleMetrics = {
     var total = CycleMetrics(0, 0, 0)
     var cycle = 0
-    while (cycle < maxCycles) {
-      val m = runAvailableNowWithMetrics(spark, schema, cfg)
+    val batchCounter = new BatchCounter // maintenance threshold spans cycles
+    while (cycle < maxCycles && lifetime.isActive) {
+      val m = runAvailableNowWithMetrics(spark, schema, cfg, publisher, batchCounter)
       // rowsWritten is a gauge (target size at last commit): keep the
       // previous value through cycles that found nothing new
       val written = if (m.batches > 0) m.rowsWritten else total.rowsWritten
-      total = CycleMetrics(total.batches + m.batches, total.rowsStaged + m.rowsStaged, written)
+      total = CycleMetrics(total.batches + m.batches, total.rowsStaged + m.rowsStaged, written,
+        total.maintenanceRuns + m.maintenanceRuns)
       cycle += 1
-      if (cycle < maxCycles) Thread.sleep(cadence.nextDelayMs())
+      // interruptible: a SIGTERM (lifetime.stop()) during the poll delay
+      // exits promptly instead of sleeping through it
+      if (cycle < maxCycles && lifetime.isActive) lifetime.interruptibleSleep(cadence.nextDelayMs())
     }
     total
   }

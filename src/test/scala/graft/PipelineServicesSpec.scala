@@ -1,0 +1,201 @@
+package graft
+
+import graft.operators.{Backfill, TargetMaintenance, Upsert}
+import graft.sources.SnapshotStore
+import graft.streaming._
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Pipeline-plumbing services: retry/backoff, graceful lifetime,
+  * metrics publishing, threshold maintenance, sharded backfill + state.
+  */
+class PipelineServicesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- retry / backoff ----
+
+  test("retry recovers from transient failures with exponential backoff") {
+    val delays = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var calls  = 0
+    val out = Retry.withRetry(RetryPolicy(maxAttempts = 5, baseDelayMs = 100, maxDelayMs = 250), sleep = delays += _) {
+      calls += 1
+      if (calls < 4) throw new RuntimeException("transient")
+      42
+    }
+    assert(out == 42 && calls == 4)
+    assert(delays.toSeq == Seq(100, 200, 250)) // doubled, capped at maxDelayMs
+  }
+
+  test("retry gives up after maxAttempts and honors message filters") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry.withRetry(RetryPolicy(maxAttempts = 3), sleep = _ => ()) {
+        calls += 1; throw new RuntimeException("always")
+      }
+    }
+    assert(e.getMessage == "always" && calls == 3)
+
+    // non-matching message contents: fail immediately, no retries
+    var calls2 = 0
+    intercept[RuntimeException] {
+      Retry.withRetry(
+        RetryPolicy(maxAttempts = 3, retryOnMessageContents = Seq("TIMEOUT")),
+        sleep = _ => ()
+      ) { calls2 += 1; throw new RuntimeException("permission denied") }
+    }
+    assert(calls2 == 1)
+  }
+
+  test("snapshot commit retries transient failures idempotently") {
+    val dir   = Files.createTempDirectory("graft_retry_commit").toString + "/t"
+    val store = new SnapshotStore(spark, dir)
+    store.commit(Seq((1, "a")).toDF("k", "v"))
+    // a commit via the retry path lands exactly one new version
+    val v = store.commit(Seq((1, "b")).toDF("k", "v"),
+      retry = RetryPolicy(maxAttempts = 3, baseDelayMs = 1))
+    assert(v == 2L && store.versions() == Seq(1L, 2L))
+    assert(store.read().get.as[(Int, String)].collect().toSeq == Seq((1, "b")))
+  }
+
+  // ---- graceful lifetime ----
+
+  test("lifetime stop() ends runContinuously after the in-flight cycle") {
+    val src    = Files.createTempDirectory("graft_lt_src").toString
+    val target = Files.createTempDirectory("graft_lt_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_lt_ckpt").toString
+    Seq((1, 1L, "a")).toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"))
+
+    val lifetime = new StreamLifetime
+    // SIGTERM arrives during the first poll delay: with an effectively
+    // infinite cycle budget the loop must exit cleanly after the current
+    // cycle instead of polling forever
+    val stopper = new Thread(() => { Thread.sleep(300); lifetime.stop() })
+    stopper.start()
+    val t0 = System.nanoTime()
+    val m = StreamPipeline.runContinuously(spark, schema, cfg,
+      new ChangeCapture(intervalMs = 60000, jitterVariance = 0.0, jitterSeed = 1),
+      maxCycles = Int.MaxValue, lifetime = lifetime)
+    stopper.join()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000
+    assert(m.batches >= 1, s"first cycle should have processed the blob: $m")
+    assert(elapsedMs < 30000, s"stop() must interrupt the 60s poll delay (took ${elapsedMs}ms)")
+    assert(new SnapshotStore(spark, target).read().get.count() == 1)
+  }
+
+  // ---- metrics publishing ----
+
+  test("statsd publisher renders counters and gauges in line protocol") {
+    val rec = new StatsdRecorder
+    rec.counter("graft.stream.batches", 3)
+    rec.gauge("graft.stream.rows_written", 42.0, Map("stream" -> "s1"))
+    assert(rec.lines.toSeq == Seq(
+      "graft.stream.batches:3|c",
+      "graft.stream.rows_written:42.0|g|#stream:s1"))
+  }
+
+  test("pipeline emits per-cycle counters through the publisher seam") {
+    val src    = Files.createTempDirectory("graft_met_src").toString
+    val target = Files.createTempDirectory("graft_met_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_met_ckpt").toString
+    Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"))
+    val rec = new StatsdRecorder
+    StreamPipeline.runAvailableNowWithMetrics(spark, schema, cfg, publisher = rec)
+    assert(rec.lines.contains("graft.stream.batches:1|c"), rec.lines.mkString(","))
+    assert(rec.lines.contains("graft.stream.rows_staged:2|c"), rec.lines.mkString(","))
+    assert(rec.lines.contains("graft.stream.rows_written:2.0|g"), rec.lines.mkString(","))
+  }
+
+  test("source buffering drains the backlog in one micro-batch") {
+    val src    = Files.createTempDirectory("graft_buf_src").toString
+    val target = Files.createTempDirectory("graft_buf_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_buf_ckpt").toString
+    for (i <- 1 to 3)
+      Seq((i, 1L, s"v$i")).toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1), sourceBuffering = true)
+    val m = StreamPipeline.runAvailableNowWithMetrics(spark, schema, cfg)
+    assert(m.batches == 1, s"buffering must override the per-trigger cap: $m")
+    assert(new SnapshotStore(spark, target).read().get.count() == 3)
+  }
+
+  // ---- threshold-driven maintenance ----
+
+  test("maintenance fires every batchThreshold batches and preserves data byte-exactly") {
+    val src    = Files.createTempDirectory("graft_mx_src").toString
+    val target = Files.createTempDirectory("graft_mx_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_mx_ckpt").toString
+    for (i <- 1 to 4)
+      Seq((i, 1L, s"v$i")).toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val rec = new StatsdRecorder
+    val cfg = StreamPipeline.Config(
+      sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1), // 4 blobs -> 4 micro-batches
+      maintenance = Some(TargetMaintenance.Settings(
+        batchThreshold = 2, keepSnapshots = 2, analyzeColumns = Seq("k"))))
+    val m = StreamPipeline.runAvailableNowWithMetrics(spark, schema, cfg, publisher = rec)
+    assert(m.batches == 4, s"expected 4 micro-batches, got $m")
+    // threshold 2 over 4 batches: fired exactly at batch 2 and batch 4
+    assert(m.maintenanceRuns == 2, s"expected 2 maintenance runs, got $m")
+    assert(rec.lines.count(_.startsWith("graft.maintenance.runs:1|c")) == 2)
+    assert(rec.lines.exists(_.contains("at_batch:2")) && rec.lines.exists(_.contains("at_batch:4")))
+
+    val store = new SnapshotStore(spark, target)
+    // expiration kept only the most recent snapshots
+    assert(store.versions().size <= 2, s"snapshots not expired: ${store.versions()}")
+    // data survived the compact/expire/orphan cycle byte-exactly
+    val rows = store.read().get.select("k", "payload").as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "v1", 2 -> "v2", 3 -> "v3", 4 -> "v4"))
+  }
+
+  // ---- sharded backfill + persisted state ----
+
+  test("sharded backfill equals the full recompute and swaps atomically") {
+    val base   = Files.createTempDirectory("graft_bf").toString
+    val events = Tables(spark, sfDir).events.filter($"ts" >= lit("2024-01-10").cast("timestamp"))
+    val store  = new SnapshotStore(spark, s"$base/target")
+    val state  = new Backfill.BackfillStateManager(spark, s"$base/state", "bf-1")
+    val res = Backfill.runSharded(spark, events, Seq("user_id"), Seq("ts", "event_id"),
+      nShards = 4, s"$base/staging", store, state)
+    assert(res.stagedThisRun == Seq(0, 1, 2, 3) && res.skippedResumed.isEmpty)
+
+    val expected = Upsert.latestByKey(events, Seq("user_id"), Seq("ts", "event_id"))
+      .orderBy("user_id").collect().toSeq
+    val actual = store.read().get.orderBy("user_id").collect().toSeq
+    assert(actual == expected, "shard-parallel result must equal the global upsert")
+    assert(state.completedShards().isEmpty, "state must be cleared after the completion swap")
+  }
+
+  test("interrupted backfill resumes from persisted state without re-staging") {
+    val base   = Files.createTempDirectory("graft_bf_resume").toString
+    val events = Tables(spark, sfDir).events.filter($"ts" >= lit("2024-01-10").cast("timestamp"))
+    val state  = new Backfill.BackfillStateManager(spark, s"$base/state", "bf-2")
+
+    // simulate a run that died after staging shards 0 and 1
+    Backfill.stageShard(events, Seq("user_id"), Seq("ts", "event_id"), 4, 0, s"$base/staging")
+    state.markCompleted(0)
+    Backfill.stageShard(events, Seq("user_id"), Seq("ts", "event_id"), 4, 1, s"$base/staging")
+    state.markCompleted(1)
+    assert(state.completedShards() == Set(0, 1))
+
+    val store = new SnapshotStore(spark, s"$base/target")
+    val res = Backfill.runSharded(spark, events, Seq("user_id"), Seq("ts", "event_id"),
+      nShards = 4, s"$base/staging", store, state)
+    assert(res.skippedResumed == Seq(0, 1), s"resume must skip staged shards: $res")
+    assert(res.stagedThisRun == Seq(2, 3), s"resume must stage only the rest: $res")
+
+    val expected = Upsert.latestByKey(events, Seq("user_id"), Seq("ts", "event_id"))
+      .count()
+    assert(store.read().get.count() == expected)
+  }
+}
