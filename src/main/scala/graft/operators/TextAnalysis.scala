@@ -29,21 +29,22 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "at", "by")
 
   /** Quality features + a composite score in [0,1]: high alpha ratio,
-    * low digit/punct noise, reasonable stopword share.
+    * low digit/punct noise, reasonable stopword share. Token + stopword
+    * counts come from the one-pass TokenSetCounts kernel (the HOF
+    * `filter(transform(tokens, lower), contains)` evaluates interpreted
+    * lambdas per token); ratio values are bit-identical.
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text  = col(textCol)
-    val t     = TextFunctions.tokens(text)
-    val lowered = transform(t, x => lower(x))
-    val stopArr = array(Stopwords.map(lit): _*)
-    df.select(
+    val text   = col(textCol)
+    val counts = graft.plans.TextVectorExpressions.tokenSetCounts(text, Seq(Stopwords))
+    df.withColumn("__c", counts).select(
       col(idCol),
       length(text).as("n_chars"),
-      size(t).as("n_tokens"),
+      col("__c").getItem(0).as("n_tokens"),
       classRatio(text, "A-Za-z ").as("alpha_ratio"),
       classRatio(text, "0-9").as("digit_ratio"),
       classRatio(text, ".,;:!?").as("punct_ratio"),
-      (size(filter(lowered, x => array_contains(stopArr, x))).cast("double") / size(t)).as("stopword_ratio")
+      (col("__c").getItem(1).cast("double") / col("__c").getItem(0)).as("stopword_ratio")
     ).withColumn(
       "quality_score",
       round(
@@ -69,13 +70,13 @@ object TextAnalysis {
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "dans")
     )
     val text  = col(textCol)
-    val lowered = transform(TextFunctions.tokens(text), x => lower(x))
     val cjkRatio =
       length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double") / length(text)
 
-    val scored = profiles.foldLeft(df.withColumn("__toks", lowered)) { case (acc, (lang, words)) =>
-      val arr = array(words.map(lit): _*)
-      acc.withColumn(s"__score_$lang", size(filter(col("__toks"), x => array_contains(arr, x))))
+    // all profile hit counts in ONE kernel pass over the tokens
+    val counts = graft.plans.TextVectorExpressions.tokenSetCounts(text, profiles.map(_._2))
+    val scored = profiles.zipWithIndex.foldLeft(df.withColumn("__c", counts)) {
+      case (acc, ((lang, _), i)) => acc.withColumn(s"__score_$lang", col("__c").getItem(i + 1))
     }
     val best = profiles.map { case (lang, _) => (lang, col(s"__score_$lang")) }
       .foldLeft(lit("unknown").as("l") -> lit(-1).as("s")) { case ((bl, bs), (lang, score)) =>

@@ -135,6 +135,54 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Token membership counts in one pass: output(0) = token count,
+  * output(i+1) = number of tokens whose lowercase form is in `sets(i)`.
+  * Tokenization replicates `split(trim(text), "\\s+")` and lowercasing
+  * replicates `lower()` for the ASCII word lists used here, so ratios
+  * derived from these counts are bit-identical to the HOF formulation
+  * (`size(filter(transform(tokens, lower), array_contains(set, _)))`) —
+  * which evaluates an interpreted lambda PER TOKEN PER SET; this is one
+  * primitive pass per row for all sets together.
+  */
+case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private val ws = java.util.regex.Pattern.compile("\\s+")
+  @transient private lazy val lookup: Array[java.util.HashSet[String]] =
+    sets.map { s =>
+      val h = new java.util.HashSet[String]()
+      s.foreach(w => h.add(w.toLowerCase(java.util.Locale.ROOT)))
+      h
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    var from = 0
+    var to   = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    val tokens = ws.split(s.substring(from, to), -1)
+    val out    = new Array[Int](lookup.length + 1)
+    out(0) = tokens.length
+    var i = 0
+    while (i < tokens.length) {
+      val t = tokens(i).toLowerCase(java.util.Locale.ROOT)
+      var j = 0
+      while (j < lookup.length) {
+        if (lookup(j).contains(t)) out(j + 1) += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) in one pass:
   * hash char k-grams (xxhash64 of the gram's UTF-8 bytes, seed 42 — the
   * same value `xxhash64(substr(text,i,k))` yields), slide a window of w
@@ -251,4 +299,7 @@ object TextVectorExpressions {
 
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     GraftShim.column(WinnowingFingerprintHashes(GraftShim.expression(text), k, w))
+
+  def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
+    GraftShim.column(TokenSetCounts(GraftShim.expression(text), sets))
 }
