@@ -128,7 +128,11 @@ object Dedup {
     *    materializes the new labels' cache and decides convergence (no
     *    separate changed-rows join + isEmpty pass).
     */
-  def resolveSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 10): DataFrame = {
+  // maxIters is a runaway backstop, not a tuning knob: convergence is
+  // detected after the first stable iteration, so unused headroom costs
+  // nothing, while a cap below the true component diameter would
+  // silently mislabel deep chains
+  def resolveSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 64): DataFrame = {
     // materialize the (expensive) pair computation exactly once and
     // truncate its lineage so no iteration can replay it
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()

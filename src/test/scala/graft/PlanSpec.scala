@@ -52,4 +52,19 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("c_custkey") && !readSchema.contains("c_mktsegment"),
       s"scan not pruned: $readSchema")
   }
+
+  test("dedup_embedding's primary entry never plans an all-pairs join") {
+    val plan = planOf("dedup_embedding")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "LSH path must not fall back to NLJ")
+    assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join")
+  }
+
+  test("staging batch accounting uses no unpartitioned window") {
+    val exec = Queries.queries("staging_batches")(spark, sfDir).queryExecution.executedPlan
+    val globalWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty,
+      "two-phase numbering must not move the table to a single partition")
+  }
 }
