@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Section C of SURVEY.md §2 — training-data pipeline operators over the
@@ -271,6 +271,97 @@ object TrainingDataOps {
           .select(col("doc_id"), col("n_fingerprints"))
           .orderBy("doc_id"),
       None,
+      bench = true
+    ),
+    QueryDef(
+      "sample_stratified",
+      // deterministic data mixing: per-source keep fractions via md5
+      // hex-prefix thresholds — pure filter, reproducible cross-engine
+      (spark, dir) =>
+        Curation.stratifiedSample(Tables(spark, dir).documents, "doc_id", "source",
+            fractions = Map("src0" -> 0.5, "src1" -> 0.1), defaultFraction = 0.25)
+          .select("doc_id", "source")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, source FROM documents
+        WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+          CASE source WHEN 'src0' THEN '8000' WHEN 'src1' THEN '199a' ELSE '4000' END
+        ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "dedup_keep_best",
+      // quality-aware survivor selection: best quality_score per exact-dup
+      // cluster, smallest doc_id on ties — one hash aggregation
+      (spark, dir) =>
+        Curation.keepBestPerCluster(Tables(spark, dir).documents, "doc_id", "text")
+          .select("doc_id", "content_hash", "quality_score", "n_copies")
+          .orderBy("doc_id"),
+      Some("""
+        WITH q AS (
+          SELECT doc_id,
+                 round(
+                   (CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text)) * 0.5
+                   + (1.0 - least((CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)) * 5, 1.0)) * 0.2
+                   + (1.0 - least((CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text)) * 5, 1.0)) * 0.1
+                   + least((len(list_filter(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)),
+                       x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], x)))
+                       / len(regexp_split_to_array(trim(text), '\s+'))) * 5, 1.0) * 0.2, 6) AS quality_score,
+                 md5(text) AS content_hash
+          FROM documents
+        )
+        SELECT doc_id, content_hash, quality_score,
+               count(*) OVER (PARTITION BY content_hash) AS n_copies
+        FROM q
+        QUALIFY row_number() OVER (PARTITION BY content_hash ORDER BY quality_score DESC, doc_id) = 1
+        ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "decontaminate",
+      // benchmark decontamination: corpus docs sharing any 3-gram shingle
+      // with the benchmark slice (doc_id < 20); benchmark shingles are the
+      // broadcast side, the corpus never shuffles
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables(spark, dir).documents
+        Curation.contaminatedDocs(
+          corpus = docs.filter($"doc_id" >= 20), benchmark = docs.filter($"doc_id" < 20),
+          idCol = "doc_id", textCol = "text", shingleN = 3
+        ).orderBy("doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM toks
+        ), bench AS (
+          SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 20
+        ), corpus AS (
+          SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 20
+        )
+        SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b ON c.g = b.g
+        ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "text_vocab_topk",
+      // vocabulary building: top-k tokens by corpus frequency (explode +
+      // partial-agg count + bounded top-k)
+      (spark, dir) =>
+        Curation.vocabTopK(Tables(spark, dir).documents, "text", k = 100)
+          .orderBy(col("n").desc, col("token")),
+      Some("""
+        SELECT token, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token FROM documents)
+        GROUP BY token ORDER BY n DESC, token LIMIT 100
+      """.trim),
       bench = true
     ),
     QueryDef(

@@ -1,0 +1,98 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import graft.plans.TextVectorExpressions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between ingestion and tokenization: deterministic stratified
+  * sampling (data mixing), quality-aware dedup survivor selection,
+  * benchmark decontamination, and vocabulary statistics.
+  *
+  * Scale rules shared by the family: sampling is a pure scan-side
+  * filter (no shuffle, no RNG state); survivor selection is one hash
+  * aggregation; decontamination broadcasts the (small) benchmark
+  * shingle set against the corpus so the corpus never shuffles.
+  */
+object Curation {
+
+  /** Hex-prefix threshold for a deterministic keep-fraction: a row is
+    * kept iff the first 4 hex chars of md5(id) compare below the
+    * threshold string. md5 is identical across engines, and the
+    * comparison is plain string ordering — so the SAMPLE ITSELF is
+    * reproducible anywhere (unlike RNG-based sampling, which depends on
+    * partitioning), with fraction granularity 1/65536.
+    */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    val v = math.round(fraction * 65536).toInt
+    // fraction 1.0 must exceed every 4-char hex bucket; "g" sorts after
+    // all hex digits while staying a plain-string comparison
+    if (v >= 65536) "g" else f"$v%04x"
+  }
+
+  /** Deterministic stratified sample: per-stratum keep fractions (data
+    * mixing weights), `defaultFraction` for unlisted strata. Pure
+    * filter — pushdown-friendly, shuffle-free, identical at any
+    * parallelism.
+    */
+  def stratifiedSample(
+      df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], defaultFraction: Double
+  ): DataFrame = {
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    val threshold = fractions.foldLeft(lit(hexThreshold(defaultFraction))) {
+      case (acc, (stratum, frac)) => when(col(strataCol) === stratum, lit(hexThreshold(frac))).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
+
+  /** Exact dedup keeping the BEST row per duplicate cluster rather than
+    * the smallest id: one hash aggregation with
+    * `max_by(row, (quality, -id))` — quality decides, smallest id
+    * breaks ties deterministically.
+    */
+  def keepBestPerCluster(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scored = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality_score"))
+    val withKey = docs.join(scored, Seq(idCol))
+      .withColumn("content_hash", md5(col(textCol)))
+    val payload = struct(withKey.columns.map(col).toIndexedSeq: _*)
+    val ord     = struct(col("quality_score"), -col(idCol))
+    withKey.groupBy(col("content_hash"))
+      .agg(max_by(payload, ord).as("__row"), count(lit(1)).as("n_copies"))
+      .select(col("__row.*"), col("n_copies"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs sharing ANY word
+    * n-gram with a benchmark document. The benchmark's distinct shingle
+    * hashes are the (small) broadcast side; the corpus is scanned once,
+    * its exploded shingles semi-joined against the broadcast set — no
+    * shuffle of the corpus, cost O(corpus shingles).
+    */
+  def contaminatedDocs(
+      corpus: DataFrame, benchmark: DataFrame, idCol: String, textCol: String, shingleN: Int
+  ): DataFrame = {
+    val benchShingles = benchmark
+      .select(explode(TextVectorExpressions.shingleHashes(col(textCol), shingleN)).as("__sh"))
+      .distinct()
+    corpus
+      .select(col(idCol), explode(TextVectorExpressions.shingleHashes(col(textCol), shingleN)).as("__sh"))
+      .join(broadcast(benchShingles), Seq("__sh"), "left_semi")
+      .select(col(idCol))
+      .distinct()
+  }
+
+  /** Corpus vocabulary: top-k tokens by document-independent frequency.
+    * Explode + two-phase count aggregation (map-side partial combine on
+    * each task's tokens), then a bounded top-k — the standard
+    * vocabulary-building shape at any corpus size.
+    */
+  def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+}

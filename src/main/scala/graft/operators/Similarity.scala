@@ -84,12 +84,20 @@ object Similarity {
     * globally — no sort of the full pair space. Output matches
     * `bruteForceTopK` (same ordering contract).
     */
-  def topKPhysical(probes: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def topKPhysical(probes: DataFrame, candidates: DataFrame, idCol: String, vecCol: String, k: Int,
+      maxProbes: Int = 16384): DataFrame = {
     val spark = candidates.sparkSession
     val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(maxProbes + 1)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .toSeq
+    // the probe set rides on the driver and is broadcast into every task
+    // BY CONTRACT — enforce the contract instead of OOMing the driver
+    // when a caller passes a non-small probe side
+    require(probeRows.length <= maxProbes,
+      s"topKPhysical probe side exceeds the small-side contract (> $maxProbes rows); " +
+        "use lshTopK or bruteForceTopK for large probe sets")
     val child = candidates.select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
     val partial = org.apache.spark.sql.GraftShim.dataFrame(
       spark, graft.plans.AnnTopKNode(org.apache.spark.sql.GraftShim.logicalPlan(child), probeRows, k))

@@ -1,0 +1,82 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators: deterministic sampling, quality-aware
+  * dedup, decontamination, vocabulary.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stratified sample is deterministic and tracks requested fractions") {
+    val docs = Tables(spark, sfDir).documents
+    val s1 = Curation.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 0.5), defaultFraction = 0.25)
+    val s2 = Curation.stratifiedSample(docs, "doc_id", "source",
+      Map("src0" -> 0.5), defaultFraction = 0.25)
+    // same rows regardless of execution (no RNG state)
+    assert(s1.select("doc_id").collect().toSet == s2.select("doc_id").collect().toSet)
+
+    // fractions hold within md5-uniformity tolerance on the full corpus
+    val n     = docs.count().toDouble
+    val kept  = Curation.stratifiedSample(docs, "doc_id", "source", Map.empty, 0.25).count().toDouble
+    assert(math.abs(kept / n - 0.25) < 0.08, s"expected ~25% kept, got ${kept / n}")
+
+    // fraction 0 keeps nothing, fraction 1 keeps everything
+    assert(Curation.stratifiedSample(docs, "doc_id", "source", Map.empty, 0.0).count() == 0)
+    assert(Curation.stratifiedSample(docs, "doc_id", "source", Map.empty, 1.0).count() == n.toLong)
+  }
+
+  test("stratified sample plans as a pure filter: no shuffle, no RNG") {
+    val plan = Curation.stratifiedSample(Tables(spark, sfDir).documents,
+      "doc_id", "source", Map("src0" -> 0.5), 0.25).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+
+  test("keepBestPerCluster keeps the highest-quality doc, smallest id on ties") {
+    val docs = Seq(
+      (1L, "good clean readable english text with the and of words"),
+      (2L, "good clean readable english text with the and of words"), // exact dup of 1
+      (3L, "1234567890 !!!???")                                       // unique, low quality
+    ).toDF("doc_id", "text")
+    val out = Curation.keepBestPerCluster(docs, "doc_id", "text")
+      .select("doc_id", "n_copies").as[(Long, Long)].collect().toMap
+    assert(out.keySet == Set(1L, 3L), s"one survivor per cluster: $out")
+    assert(out(1L) == 2 && out(3L) == 1)
+  }
+
+  test("decontamination flags exactly the docs sharing shingles with the benchmark") {
+    val bench = Seq((100L, "the secret benchmark question about spark internals")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "something about the secret benchmark question here"), // shares 3-grams
+      (2L, "entirely unrelated words nothing in common at all")
+    ).toDF("doc_id", "text")
+    val hits = Curation.contaminatedDocs(corpus, bench, "doc_id", "text", shingleN = 3)
+      .as[Long].collect().toSet
+    assert(hits == Set(1L), s"expected only doc 1 flagged, got $hits")
+  }
+
+  test("decontamination broadcasts the benchmark side (corpus never shuffles for the join)") {
+    val docs = Tables(spark, sfDir).documents
+    val plan = Curation.contaminatedDocs(
+      docs.filter($"doc_id" >= 20), docs.filter($"doc_id" < 20), "doc_id", "text", 3
+    ).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi join:\n$plan")
+  }
+
+  test("vocabTopK returns the k most frequent tokens with deterministic ties") {
+    val docs = Seq((1L, "a b b c c c"), (2L, "c d d")).toDF("doc_id", "text")
+    val out = Curation.vocabTopK(docs, "text", 3).as[(String, Long)].collect().toSeq
+    assert(out == Seq(("c", 4L), ("b", 2L), ("d", 2L)), s"got $out")
+  }
+
+  test("topKPhysical rejects probe sets over the small-side contract") {
+    val e = Tables(spark, sfDir).embeddings
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Similarity.topKPhysical(e, e, "vec_id", "embedding", k = 3, maxProbes = 10)
+    }
+    assert(ex.getMessage.contains("small-side contract"))
+  }
+}
