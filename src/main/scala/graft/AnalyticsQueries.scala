@@ -473,6 +473,32 @@ object AnalyticsQueries {
         ORDER BY user_id, ts, event_id
       """.stripMargin.trim),
       bench = true
+    ),
+    QueryDef(
+      "q_lead_lag",
+      (spark, dir) => {
+        import spark.implicits._
+        // Neighbor-row analytics (lag/lead + delta) per user in event-time
+        // order: one window sort per partition key, no self-join.
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables(spark, dir).events
+          .select(
+            $"user_id", $"ts", $"event_id", $"value",
+            lag($"value", 1).over(w).as("prev_value"),
+            lead($"value", 1).over(w).as("next_value"))
+          .withColumn("delta", $"value" - $"prev_value")
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        SELECT user_id, ts, event_id, value,
+               lag(value) OVER w AS prev_value,
+               lead(value) OVER w AS next_value,
+               value - lag(value) OVER w AS delta
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, ts, event_id
+      """.stripMargin.trim),
+      bench = true
     )
   )
 }

@@ -32,4 +32,19 @@ object StatefulDedup {
           }
       }
   }
+
+  /** Watermark-bounded streaming dedup: duplicates arriving within the
+    * event-time watermark horizon are dropped with BOUNDED state — the
+    * engine evicts keys once the watermark passes them, so state size is
+    * governed by the lateness bound, not stream length. The right choice
+    * for high-cardinality keys where `firstSeenOnly`'s forever-registry
+    * would grow without bound; the scale default for dedup of an
+    * ingestion stream.
+    */
+  def dedupWithinWatermark(
+      input: org.apache.spark.sql.DataFrame, eventTimeCol: String, keyCols: Seq[String], delay: String
+  ): org.apache.spark.sql.DataFrame =
+    input
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
 }

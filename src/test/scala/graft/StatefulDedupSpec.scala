@@ -26,4 +26,34 @@ class StatefulDedupSpec extends SparkSpec {
     assert(rows.keySet == Set("a", "b", "c"))
     assert(rows("a") == "a1" && rows("c") == "c1", s"first-seen payloads expected: $rows")
   }
+
+  test("dropDuplicatesWithinWatermark dedupes with bounded event-time state") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val df = graft.streaming.StatefulDedup.dedupWithinWatermark(
+      input.toDF().toDF("ts", "k", "payload"), "ts", Seq("k"), delay = "10 minutes")
+    val q = df.writeStream.format("memory").queryName("wm_dedup_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: key a twice within the horizon -> one survivor
+    input.addData((t(0), "a", "a1"), (t(1), "a", "a2"), (t(0), "b", "b1"))
+    q.processAllAvailable()
+    // batch 2: same key within the watermark window is still a duplicate
+    input.addData((t(5), "a", "a3"))
+    q.processAllAvailable()
+    // batch 3: advance event time far past the watermark; 'a' state has
+    // been evicted, so a new 'a' row is NOT deduped against history
+    input.addData((t(50), "c", "c1"))
+    q.processAllAvailable()
+    input.addData((t(55), "a", "a4"))
+    q.processAllAvailable()
+    q.stop()
+
+    val payloads = spark.table("wm_dedup_sink").collect().map(_.getString(2)).toSet
+    assert(payloads.intersect(Set("a1", "a2")).size == 1, s"one survivor in batch 1: $payloads")
+    assert(!payloads.contains("a3"), s"within-watermark duplicate must drop: $payloads")
+    assert(payloads.contains("a4"), s"post-eviction key must pass again (bounded state): $payloads")
+    assert(payloads.contains("b1") && payloads.contains("c1"))
+  }
 }
