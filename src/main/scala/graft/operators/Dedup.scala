@@ -154,10 +154,14 @@ object Dedup {
     var converged = sumRow.isNullAt(0) // empty edge set: nothing to resolve
     var i = 0
     while (!converged && i < maxIters) {
-      val updated = edges.join(labels, edges("dst") === labels("node"))
+      val propagated = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("label"))
-        .persist()
+      // periodic lineage truncation: each iteration's plan nests the
+      // previous one, so without a cut every few rounds, analysis and
+      // planning cost COMPOUND with iteration count (deep components
+      // would exhaust driver memory on the plan tree alone, data aside)
+      val updated = if ((i + 1) % 4 == 0) propagated.localCheckpoint() else propagated.persist()
       val s = updated.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = updated

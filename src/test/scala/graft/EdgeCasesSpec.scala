@@ -31,6 +31,24 @@ class EdgeCasesSpec extends SparkSpec {
     assert(stats.length == 4)
   }
 
+  test("native text kernels handle empty, short, and multi-byte input") {
+    import graft.plans.TextVectorExpressions._
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, ""), (2L, "short"), (3L, "exactly eight chars here to fingerprint"),
+      (4L, "ünïcödé tëxt wíth múltî-byté chäracters répéatéd ünïcödé tëxt")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        winnowingFingerprints(col("text"), 8, 4).as("fp"),
+        tokenSetCounts(col("text"), Seq(Seq("tëxt", "with"))).as("c"))
+      .as[(Long, Seq[Long], Seq[Int])].collect().sortBy(_._1)
+    assert(out(0)._2.isEmpty, "text shorter than k has no fingerprints")
+    assert(out(0)._3 == Seq(1, 0), "empty text splits to one empty token")
+    assert(out(2)._2.nonEmpty)
+    assert(out(3)._2.nonEmpty, "multi-byte text must fingerprint (UTF-8 offsets)")
+    assert(out(3)._3(0) == 8 && out(3)._3(1) == 2, s"unicode token/set counts: ${out(3)._3}")
+  }
+
   test("minhash LSH on an empty corpus returns no pairs") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(docs, "doc_id", "text").count() == 0)

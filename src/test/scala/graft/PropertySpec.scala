@@ -69,6 +69,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("resolveSurvivors: one survivor per connected component on random graphs") {
+    // oracle: plain union-find over the generated edges — independent of
+    // the Spark propagation, and includes deep chains whose diameter
+    // exercises the iteration loop well past typical near-dup clusters
+    val edgesGen: Gen[List[(Long, Long)]] = Gen.listOf(for {
+      a <- Gen.choose(0L, 29L); b <- Gen.choose(0L, 29L) if a != b
+    } yield (math.min(a, b), math.max(a, b)))
+
+    val chain = (0L until 25L).sliding(2).map(s => (s(0), s(1))).toList // diameter 24
+    for (edges <- samples(edgesGen, 8).map(_.distinct) :+ chain) {
+      val parent = Array.tabulate(30)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) => parent(find(a.toInt)) = find(b.toInt) }
+      val expectedSurvivors = (0 until 30).groupBy(find).values.map(_.min.toLong).toSet
+
+      val docs  = (0L until 30L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = graft.operators.Dedup.resolveSurvivors(docs, pairs, "doc_id")
+        .select("doc_id").as[Long].collect().toSet
+      assert(got == expectedSurvivors, s"edges=$edges")
+    }
+  }
+
   test("TokenBucket: admissions over any horizon never exceed burst + rate*time") {
     for (gaps <- samples(Gen.listOfN(30, Gen.choose(0L, 500_000_000L)), 20)) {
       var clock  = 0L
