@@ -194,6 +194,21 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_ivf",
+      // IVF inverted-list index (driver-trained coarse quantizer) —
+      // engine-specific cells → recall vs brute force in SimilaritySpec
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.ivfTopK(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5, nCells = 16, nProbe = 8
+        ).orderBy("probe_id", "rank")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "text_tokens",
       (spark, dir) =>
         TextAnalysis.tokenStats(Tables(spark, dir).documents, "doc_id", "text")

@@ -78,6 +78,41 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** IVF approximate top-k: a coarse quantizer (driver-trained spherical
+    * k-means over a bounded, deterministic sample) partitions the corpus
+    * into nCells inverted lists; each probe searches only its nProbe
+    * nearest cells. Compared pairs shrink by ~nCells/nProbe — and unlike
+    * the data-oblivious hyperplane LSH, the cells ADAPT to the corpus,
+    * which is what makes IVF the standard index for clustered real-world
+    * embedding sets. Training cost is O(sample·nCells·iters) on the
+    * driver (small by contract); assignment is one scan.
+    */
+  def ivfTopK(
+      probes: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, sampleSize: Int = 2048, iters: Int = 5
+  ): DataFrame = {
+    import graft.plans.VectorQuantization
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
+    // deterministic bounded training sample (ordered take, not a random
+    // split, so the index is identical on every run)
+    val sample = c.orderBy("neighbor_id").limit(sampleSize)
+      .select("__cv").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = VectorQuantization.trainCentroids(sample, nCells, iters, seed = 42L)
+
+    val cells  = c.withColumn("cell",
+      element_at(VectorQuantization.centroidCells(col("__cv"), centroids, 1), 1))
+    val probed = p.select(col("probe_id"), col("__pv"),
+      explode(VectorQuantization.centroidCells(col("__pv"), centroids, nProbe)).as("cell"))
+
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    cells.join(broadcast(probed), Seq("cell"))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Whole-operator top-k through the custom AnnTopKNode logical plan
     * (plans/AnnTopKPlan.scala): bounded per-probe heaps per partition
     * emit partitions*k candidates, then one tiny shuffle ranks them

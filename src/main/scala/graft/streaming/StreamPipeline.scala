@@ -156,6 +156,21 @@ object StreamPipeline {
     total
   }
 
+  /** Stream-stream inner join bounded by event time: with watermarks on
+    * both sides and a time-range join condition, the engine evicts each
+    * side's state once the watermark passes the interval, so join-state
+    * memory is governed by the lateness bound + interval width — never
+    * by stream length. The streaming form of the as-of/enrichment joins
+    * the batch layer provides.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      leftTsCol: String, rightTsCol: String,
+      delay: String, condition: org.apache.spark.sql.Column
+  ): DataFrame =
+    left.withWatermark(leftTsCol, delay)
+      .join(right.withWatermark(rightTsCol, delay), condition)
+
   /** Streaming windowed aggregation (hourly counts per event type) over a
     * bounded source, complete-mode memory sink — used by the
     * `stream_pipeline` correctness query so the Structured Streaming

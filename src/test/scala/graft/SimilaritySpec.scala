@@ -36,6 +36,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"LSH recall $recall too low")
   }
 
+  test("IVF top-k recall vs brute force is >= 0.8 and deterministic") {
+    val e = Tables(spark, sfDir).embeddings
+    val probes     = e.filter($"vec_id" < 20)
+    val candidates = e.filter($"vec_id" >= 20)
+    val exact = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def run() = Similarity.ivfTopK(probes, candidates, "vec_id", "embedding", k = 10,
+        nCells = 16, nProbe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = run()
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF recall $recall too low")
+    assert(run() == approx, "seeded training must make the index deterministic")
+  }
+
   test("physical AnnTopK operator matches the declarative brute force exactly") {
     val e = Tables(spark, sfDir).embeddings
     val probes     = e.filter($"vec_id" < 10)

@@ -56,4 +56,31 @@ class StatefulDedupSpec extends SparkSpec {
     assert(payloads.contains("a4"), s"post-eviction key must pass again (bounded state): $payloads")
     assert(payloads.contains("b1") && payloads.contains("c1"))
   }
+
+  test("stream-stream interval join matches only rows inside the event-time bound") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.expr
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val views  = MemoryStream[(java.sql.Timestamp, String, String)]
+    val clicks = MemoryStream[(java.sql.Timestamp, String, String)]
+    val joined = graft.streaming.StreamPipeline.intervalJoin(
+      views.toDF().toDF("v_ts", "v_user", "view_id"),
+      clicks.toDF().toDF("c_ts", "c_user", "click_id"),
+      leftTsCol = "v_ts", rightTsCol = "c_ts", delay = "10 minutes",
+      condition = expr("v_user = c_user AND c_ts BETWEEN v_ts AND v_ts + INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    views.addData((t(0), "u1", "v1"), (t(0), "u2", "v2"))
+    clicks.addData((t(3), "u1", "c1"))   // in window for v1
+    q.processAllAvailable()
+    clicks.addData((t(9), "u2", "c2"))   // OUT of window for v2 (9 > 5 min)
+    clicks.addData((t(4), "u3", "c3"))   // no matching view user
+    q.processAllAvailable()
+    q.stop()
+
+    val pairs = spark.table("ssj_sink").collect()
+      .map(r => (r.getAs[String]("view_id"), r.getAs[String]("click_id"))).toSet
+    assert(pairs == Set(("v1", "c1")), s"only the in-window pair must join: $pairs")
+  }
 }
