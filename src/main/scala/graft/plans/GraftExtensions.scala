@@ -14,7 +14,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   *
   * Functions: `shingle_hashes(text, n)`, `minhash_signature(hashes, k)`,
-  * `minhash_bands(hashes, bands, rowsPerBand)`, `simhash64(hashes)`.
+  * `minhash_bands(hashes, bands, rowsPerBand)`, `simhash64(hashes)`,
+  * `winnowing_fingerprints(text, k, w)`, `sorted_jaccard(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -55,6 +56,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
         (children: Seq[Expression]) =>
           ShingleHashes(children.head, intArg(children(1), "n"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("winnowing_fingerprints"),
+        new ExpressionInfo(classOf[WinnowingFingerprintHashes].getName, "winnowing_fingerprints"),
+        (children: Seq[Expression]) =>
+          WinnowingFingerprintHashes(children.head, intArg(children(1), "k"), intArg(children(2), "w"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("sorted_jaccard"),
+        new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
+        (children: Seq[Expression]) => SortedJaccard(children.head, children(1))
       )
     )
   }

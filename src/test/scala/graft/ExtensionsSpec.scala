@@ -21,6 +21,21 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(0).getAs[Int]("n_bands") == 8)
   }
 
+  test("winnowing_fingerprints and sorted_jaccard are callable from SQL") {
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight")
+    ).toDF("id", "text").createOrReplaceTempView("ext_docs2")
+    val row = spark.sql(
+      """SELECT size(winnowing_fingerprints(a.text, 8, 4)) AS n_fp,
+        |       sorted_jaccard(shingle_hashes(a.text, 3), shingle_hashes(b.text, 3)) AS j
+        |FROM ext_docs2 a JOIN ext_docs2 b ON a.id = 1 AND b.id = 2""".stripMargin
+    ).head()
+    assert(row.getAs[Int]("n_fp") > 0)
+    val j = row.getAs[Double]("j")
+    assert(j > 0.5 && j < 1.0, s"near-dup jaccard expected in (0.5, 1): $j")
+  }
+
   test("SQL shingle_hashes matches the column-API shingle set size") {
     import graft.functions.TextFunctions
     import graft.plans.TextVectorExpressions
