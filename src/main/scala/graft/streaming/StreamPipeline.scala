@@ -23,6 +23,11 @@ import org.apache.spark.sql.types.StructType
   */
 object StreamPipeline {
 
+  /** Target column holding the source blob's version (file modification
+    * time) — the reference's `createdon`.
+    */
+  val SourceVersionColumn = "arcane_created_on"
+
   final case class Config(
       sourceDir: String,
       targetDir: String,
@@ -40,6 +45,14 @@ object StreamPipeline {
         * snapshots when the source bursts. Overrides maxFilesPerTrigger.
         */
       sourceBuffering: Boolean = false,
+      /** persist each row's source blob version (the reference stamps
+        * `createdon` from the blob's createdOn onto every target row,
+        * IntegrationTests.scala:172-174) — Spark-native via the file
+        * source's `_metadata.file_modification_time`, so it costs no
+        * extra I/O and tracks exactly the version the listing used.
+        * The column can then serve as a `versionCols` entry.
+        */
+      includeSourceVersion: Boolean = false,
       /** fire compact/expire/orphans/analyze every N batches (the
         * reference's `maintenanceSettings.*.batchThreshold`). */
       maintenance: Option[TargetMaintenance.Settings] = None,
@@ -82,10 +95,17 @@ object StreamPipeline {
     var maintenanceRuns = 0L
     val reader  = spark.readStream.schema(schema)
     val rateLimit = if (cfg.sourceBuffering) None else cfg.maxFilesPerTrigger
-    val src     = rateLimit.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
+    val src0    = rateLimit.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(cfg.sourceDir)
+    // the blob version column must be projected AT the source (hidden
+    // metadata columns are only reachable there)
+    val src = if (cfg.includeSourceVersion)
+      src0.withColumn(SourceVersionColumn, col("_metadata.file_modification_time"))
+    else src0
 
-    val filtered = FieldSelection(src, cfg.fieldRule, cfg.essentialFields ++ cfg.primaryKeys ++ cfg.versionCols)
+    val essentials = cfg.essentialFields ++ cfg.primaryKeys ++ cfg.versionCols ++
+      (if (cfg.includeSourceVersion) Set(SourceVersionColumn) else Set.empty)
+    val filtered = FieldSelection(src, cfg.fieldRule, essentials)
     val keyed    = MergeKey.withMergeKey(filtered, cfg.primaryKeys)
 
     val q = keyed.writeStream

@@ -127,6 +127,27 @@ class PipelineServicesSpec extends SparkSpec {
     assert(new SnapshotStore(spark, target).read().get.count() == 3)
   }
 
+  test("source version column stamps each target row with its blob's modification time") {
+    val src    = Files.createTempDirectory("graft_ver_src").toString
+    val target = Files.createTempDirectory("graft_ver_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_ver_ckpt").toString
+    Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"), includeSourceVersion = true)
+    StreamPipeline.runAvailableNow(spark, schema, cfg)
+
+    val out = new SnapshotStore(spark, target).read().get
+    assert(out.columns.contains(StreamPipeline.SourceVersionColumn))
+    // the stamped version IS the blob's modification time — the
+    // reference's watermark == latest-source-version invariant
+    val stamped = out.agg(max(col(StreamPipeline.SourceVersionColumn))).head()
+      .getTimestamp(0).getTime
+    val blobMtime = graft.sources.BlobListingSource.listBlobs(spark, src).map(_.modifiedMs).max
+    assert(stamped == blobMtime, s"stamped=$stamped blobMtime=$blobMtime")
+  }
+
   // ---- threshold-driven maintenance ----
 
   test("maintenance fires every batchThreshold batches and preserves data byte-exactly") {
