@@ -23,7 +23,8 @@ object Bench {
     // each query is timed `runs` times in one JVM; the reported time is
     // the min (steady state — what a long-lived cluster actually sees,
     // JIT + code cache warm), with the cold first run reported alongside
-    val runs = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val runs   = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     val results = Queries.benchQueries.map { q =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
@@ -31,7 +32,11 @@ object Bench {
         // (a bare .count() lets EliminateSorts drop top-level ORDER BYs,
         // under-measuring sort-heavy queries)
         try q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case e: Throwable => System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}") }
+        catch {
+          case e: Throwable =>
+            failed += q.name
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
       (q.name, times.min, times.head)
@@ -40,7 +45,10 @@ object Bench {
     val cold  = results.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold}""")
+    // a failed query records a (meaningless, tiny) time — list failures
+    // explicitly so the JSON can never silently pass as an improvement
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"failed":$failedJson}""")
     spark.stop()
   }
 }

@@ -366,6 +366,28 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "pack_sequences",
+      // token-budget sequence sharding in doc order; two-phase weighted
+      // numbering (no global window)
+      (spark, dir) =>
+        Curation.packSequences(Tables(spark, dir).documents, "doc_id", "text", tokenBudget = 2000L),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+          FROM documents
+        ), cum AS (
+          SELECT doc_id, n_tok,
+                 sum(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS c
+          FROM toks
+        )
+        SELECT CAST((c - n_tok) // 2000 AS BIGINT) AS seq_id,
+               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM cum GROUP BY 1 ORDER BY seq_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "text_vocab_topk",
       // vocabulary building: top-k tokens by corpus frequency (explode +
       // partial-agg count + bounded top-k)

@@ -84,6 +84,45 @@ object Curation {
       .distinct()
   }
 
+  /** Sequence packing: shard documents (in id order) into contiguous
+    * token-budget groups — the step between token counting and batch
+    * assembly in a training pipeline. `seq_id = exclusive-prefix-tokens
+    * div budget`, computed with the same two-phase scheme as row-count
+    * staging, but weighted: range partition by id, per-partition
+    * token-cumsums in parallel, per-partition token TOTALS (driver-side
+    * O(partitions) metadata) become broadcast offsets. No global window,
+    * no single-partition stage, identical result at any parallelism.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String, tokenBudget: Long): DataFrame = {
+    val spark = docs.sparkSession
+    val local = docs
+      .select(col(idCol).as("__id"),
+        size(TextFunctions.tokens(col(textCol))).cast("long").as("__tok"))
+      .repartitionByRange(col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cum",
+        sum(col("__tok")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__pid").orderBy("__id")))
+      .localCheckpoint()
+    val totals = local.groupBy("__pid").agg(sum(col("__tok")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val off = acc; acc += t; (pid, off) }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    local
+      .join(broadcast(offDf), Seq("__pid"))
+      // exclusive prefix: tokens BEFORE this doc decide its sequence
+      .withColumn("seq_id", ((col("__off") + col("__cum") - col("__tok")) / tokenBudget).cast("long"))
+      .groupBy("seq_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__tok")).as("n_tokens"),
+        min(col("__id")).as("first_doc"),
+        max(col("__id")).as("last_doc")
+      )
+      .orderBy("seq_id")
+  }
+
   /** Corpus vocabulary: top-k tokens by document-independent frequency.
     * Explode + two-phase count aggregation (map-side partial combine on
     * each task's tokens), then a bounded top-k — the standard

@@ -72,6 +72,22 @@ class CurationSpec extends SparkSpec {
     assert(out == Seq(("c", 4L), ("b", 2L), ("d", 2L)), s"got $out")
   }
 
+  test("packSequences shards by token budget with no unpartitioned window") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j"), (5L, "k l m")
+    ).toDF("doc_id", "text") // token counts: 3,2,4,1,3 — budget 5 → prefix 0,3,5,9,10
+    val out = Curation.packSequences(docs, "doc_id", "text", tokenBudget = 5)
+      .select("seq_id", "n_docs", "n_tokens").as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 2L, 5L), (1L, 2L, 5L), (2L, 1L, 3L)), s"got $out")
+
+    val exec = Curation.packSequences(Tables(spark, sfDir).documents, "doc_id", "text", 2000L)
+      .queryExecution.executedPlan
+    val globalWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "weighted numbering must stay partition-parallel")
+  }
+
   test("topKPhysical rejects probe sets over the small-side contract") {
     val e = Tables(spark, sfDir).embeddings
     val ex = intercept[IllegalArgumentException] {
