@@ -15,7 +15,13 @@ import org.apache.spark.sql.types._
   * 100 TB is a metadata-only rewrite plan.
   */
 object SchemaMigration {
-  def migrate(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+
+  /** Align both frames to the union schema (new side's types win, missing
+    * columns null-filled) WITHOUT combining rows — the building block the
+    * streaming MERGE uses so an evolved batch can merge into an
+    * old-schema target.
+    */
+  def alignPair(oldDf: DataFrame, newDf: DataFrame): (DataFrame, DataFrame) = {
     val newTypes = newDf.schema.map(f => f.name -> f.dataType).toMap
     val oldTypes = oldDf.schema.map(f => f.name -> f.dataType).toMap
     // union schema: old columns first (original order), then new-only columns
@@ -34,6 +40,11 @@ object SchemaMigration {
       }
       df.select(cols: _*)
     }
-    align(oldDf).unionByName(align(newDf))
+    (align(oldDf), align(newDf))
+  }
+
+  def migrate(oldDf: DataFrame, newDf: DataFrame): DataFrame = {
+    val (o, n) = alignPair(oldDf, newDf)
+    o.unionByName(n)
   }
 }

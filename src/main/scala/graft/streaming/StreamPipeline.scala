@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{FieldSelection, MergeInto, MergeKey, TargetMaintenance, Upsert}
+import graft.operators.{FieldSelection, MergeInto, MergeKey, SchemaMigration, TargetMaintenance, Upsert}
 import graft.sources.SnapshotStore
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -117,8 +117,15 @@ object StreamPipeline {
         val staged = Upsert.latestByKey(batch, Seq(MergeKey.ColumnName), cfg.versionCols)
           .observe(stagedObs, count(lit(1)).as("rows"))
         val store  = new SnapshotStore(spark, cfg.targetDir)
-        val merged = store.read().fold(staged)(t => MergeInto.merge(t, staged, Seq(MergeKey.ColumnName)))
-          .observe(writeObs, count(lit(1)).as("rows"))
+        // in-stream schema evolution (the reference's
+        // SchemaMigrationProcessor): align target and batch to the union
+        // schema before the MERGE — a no-op projection when schemas
+        // already agree, null-fill + type-widening when the source
+        // evolved, so the target follows the source across cycles
+        val merged = store.read().fold(staged) { t =>
+          val (tAligned, sAligned) = SchemaMigration.alignPair(t, staged)
+          MergeInto.merge(tAligned, sAligned, Seq(MergeKey.ColumnName))
+        }.observe(writeObs, count(lit(1)).as("rows"))
         // snapshot commit: writes a fresh immutable data dir + manifest,
         // so the merge plan's scan of the previous snapshot never races
         // its own rewrite, and readers keep snapshot isolation

@@ -179,6 +179,36 @@ class PipelineServicesSpec extends SparkSpec {
     assert(rows == Map(1 -> "v1", 2 -> "v2", 3 -> "v3", 4 -> "v4"))
   }
 
+  test("pipeline evolves the target schema when the source grows a column") {
+    val src    = Files.createTempDirectory("graft_evo_src").toString
+    val target = Files.createTempDirectory("graft_evo_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_evo_ckpt").toString
+
+    // cycle 1: two keys, original schema
+    Seq((1, 1L, "a"), (2, 1L, "b")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(s"$src/gen1")
+    val schema1 = spark.read.parquet(s"$src/gen1").schema
+    def cfg(dir: String) = StreamPipeline.Config(sourceDir = dir, targetDir = target,
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"))
+    StreamPipeline.runAvailableNow(spark, schema1, cfg(s"$src/gen1"))
+
+    // cycle 2: source evolved — an extra column appears
+    Seq((2, 2L, "b2", "x2"), (3, 1L, "c", "x3")).toDF("k", "version", "payload", "extra")
+      .coalesce(1).write.mode("append").parquet(s"$src/gen2")
+    val schema2 = spark.read.parquet(s"$src/gen2").schema
+    StreamPipeline.runAvailableNow(spark, schema2,
+      cfg(s"$src/gen2").copy(checkpointDir = ckpt + "_2"))
+
+    val out = new SnapshotStore(spark, target).read().get
+    assert(out.columns.contains("extra"), s"target must gain the new column: ${out.columns.toSeq}")
+    val rows = out.select("k", "payload", "extra")
+      .as[(Int, String, Option[String])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows == Map(
+      1 -> (("a", None)),          // pre-evolution row null-filled
+      2 -> (("b2", Some("x2"))),   // updated by the evolved batch
+      3 -> (("c", Some("x3")))))   // inserted with the new column
+  }
+
   // ---- sharded backfill + persisted state ----
 
   test("sharded backfill equals the full recompute and swaps atomically") {
