@@ -475,6 +475,32 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_grouping_sets",
+      (spark, dir) => {
+        import spark.implicits._
+        // arbitrary grouping-set combinations in ONE pass (the Expand
+        // operator emits one copy per set — no per-set re-scan), distinct
+        // from the hierarchical rollup/cube entries
+        Tables(spark, dir).orders
+          .groupingSets(
+            Seq(Seq($"o_orderstatus"), Seq($"o_orderpriority"), Seq.empty),
+            $"o_orderstatus", $"o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sum(dec($"o_totalprice")).cast("double").as("total_price")
+          )
+          .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+      },
+      Some("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_lead_lag",
       (spark, dir) => {
         import spark.implicits._
