@@ -49,6 +49,21 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out(3)._3(0) == 8 && out(3)._3(1) == 2, s"unicode token/set counts: ${out(3)._3}")
   }
 
+  test("curation operators tolerate empty inputs and degenerate parameters") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.operators.Curation.packSequences(empty, "doc_id", "text", 100).count() == 0)
+    assert(graft.operators.Curation.vocabTopK(empty, "text", 5).count() == 0)
+    assert(graft.operators.Curation.contaminatedDocs(empty, empty, "doc_id", "text", 3).count() == 0)
+    // a single shard degenerates to the plain backfill
+    val base  = java.nio.file.Files.createTempDirectory("graft_bf1").toString
+    val docs  = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c")).toDF("k", "v", "p")
+    val store = new graft.sources.SnapshotStore(spark, s"$base/t")
+    val state = new graft.operators.Backfill.BackfillStateManager(spark, s"$base/s", "one")
+    graft.operators.Backfill.runSharded(spark, docs, Seq("k"), Seq("v"), 1, s"$base/stage", store, state)
+    val out = store.read().get.select("k", "p").as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "b", 2L -> "c"))
+  }
+
   test("minhash LSH on an empty corpus returns no pairs") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(docs, "doc_id", "text").count() == 0)
