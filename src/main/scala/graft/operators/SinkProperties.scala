@@ -17,7 +17,14 @@ object SinkProperties {
   final case class TableProperties(
       sortedBy: Seq[String] = Seq.empty,
       bloomFilterColumns: Seq[String] = Seq.empty,
-      maxRowsPerFile: Option[Int] = None
+      maxRowsPerFile: Option[Int] = None,
+      /** Hive-style partition columns: selective reads prune whole
+        * directories at planning time (`PartitionFilters` in the scan) —
+        * at 100 TB the difference between touching one day and touching
+        * the table. Iceberg's partition spec plays this role for the
+        * reference's target.
+        */
+      partitionedBy: Seq[String] = Seq.empty
   )
 
   def write(df: DataFrame, dir: String, props: TableProperties): Unit = {
@@ -29,6 +36,9 @@ object SinkProperties {
       w.option(s"parquet.bloom.filter.enabled#$c", "true"))
     val writer2 = props.maxRowsPerFile.foldLeft(writer1)((w, n) =>
       w.option("maxRecordsPerFile", n.toLong))
-    writer2.parquet(dir)
+    val writer3 = if (props.partitionedBy.nonEmpty)
+      writer2.partitionBy(props.partitionedBy: _*)
+    else writer2
+    writer3.parquet(dir)
   }
 }

@@ -11,6 +11,23 @@ import scala.jdk.CollectionConverters._
 class SinkAnalyzeSpec extends SparkSpec {
   import spark.implicits._
 
+  test("partitioned sink prunes directories at planning time") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("graft_part").toString + "/t"
+    val df  = Tables(spark, sfDir).events.withColumn("day", to_date(col("ts")))
+    SinkProperties.write(df, dir, SinkProperties.TableProperties(partitionedBy = Seq("day")))
+
+    val dayDirs = new java.io.File(dir).listFiles().filter(_.getName.startsWith("day="))
+    assert(dayDirs.length > 1, "expected multiple hive-style day partitions")
+
+    val oneDay = dayDirs.head.getName.stripPrefix("day=")
+    val q    = spark.read.parquet(dir).filter(col("day") === oneDay)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: ["), s"expected partition filters in scan:\n$plan")
+    assert(!plan.contains("PartitionFilters: []"), "partition filter must not be empty")
+    assert(q.count() == df.filter(col("day") === oneDay).count())
+  }
+
   test("SinkProperties writes real parquet bloom filters and sorted files") {
     val dir = Files.createTempDirectory("graft_sinkprops").toString + "/t"
     val df  = Tables(spark, sfDir).events
