@@ -475,6 +475,96 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q7_volume",
+      (spark, dir) => {
+        import spark.implicits._
+        // nation-pair trade volume (Q7 shape): the fact table joins TWO
+        // different dimension roles (customer's nation via orders,
+        // supplier's nation directly) — all dims broadcast, the only
+        // shuffle is the aggregation's
+        val t = Tables(spark, dir)
+        val custNation = t.customer
+          .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"n_name".as("cust_nation"))
+        val suppNation = t.supplier
+          .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("supp_nation"))
+        t.lineitem
+          .join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
+          .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+          .filter($"supp_nation" =!= $"cust_nation")
+          .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("volume"))
+          .orderBy($"supp_nation", $"cust_nation", $"l_year")
+      },
+      Some("""
+        SELECT n2.n_name AS supp_nation, n1.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS volume
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE n2.n_name <> n1.n_name
+        GROUP BY 1, 2, 3
+        ORDER BY supp_nation, cust_nation, l_year
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q8_market_share",
+      (spark, dir) => {
+        import spark.implicits._
+        // market share (Q8 shape): one supplier nation's revenue share of
+        // a region's PROMO-part orders per year — conditional aggregation
+        // over a 7-table join, every dimension broadcast
+        val t = Tables(spark, dir)
+        val amerCust = t.customer
+          .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+          .join(broadcast(t.region.filter($"r_name" === "AMERICA")), $"n_regionkey" === $"r_regionkey")
+          .select($"c_custkey")
+        val suppNation = t.supplier
+          .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("supp_nation"))
+        val promoParts = t.part.filter($"p_type" === "PROMO").select($"p_partkey")
+        t.lineitem
+          .join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(amerCust), $"o_custkey" === $"c_custkey", "left_semi")
+          .join(broadcast(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+          .withColumn("volume", dec($"l_extendedprice") * (one - dec($"l_discount")))
+          .groupBy(year($"o_orderdate").as("o_year"))
+          .agg((sum(when($"supp_nation" === "NATION_0", $"volume").otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+            / sum($"volume").cast("double")).as("mkt_share"))
+          .orderBy($"o_year")
+      },
+      Some("""
+        WITH base AS (
+          SELECT year(o_orderdate) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2))) AS volume,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE o_custkey IN (
+            SELECT c_custkey FROM customer
+            JOIN nation n1 ON c_nationkey = n1.n_nationkey
+            JOIN region ON n1.n_regionkey = r_regionkey
+            WHERE r_name = 'AMERICA')
+          AND l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+        )
+        SELECT CAST(o_year AS INT) AS o_year,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_0' THEN volume ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+                    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+        FROM base GROUP BY 1 ORDER BY o_year
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_grouping_sets",
       (spark, dir) => {
         import spark.implicits._
