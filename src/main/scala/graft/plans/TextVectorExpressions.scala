@@ -108,9 +108,39 @@ case class TokenHashes(child: Expression) extends UnaryExpression with CodegenFa
   * size(intersect)/size(union).
   */
 case class SortedJaccard(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
   override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  // real codegen (not CodegenFallback): this runs once per candidate
+  // pair in the dedup verify filter, and a fallback here would break the
+  // surrounding stage out of whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n     = ctx.freshName("n")
+      val m     = ctx.freshName("m")
+      val i     = ctx.freshName("i")
+      val j     = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv    = ctx.freshName("xv")
+      val yv    = ctx.freshName("yv")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0, $j = 0, $inter = 0;
+         |while ($i < $n && $j < $m) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = ($n == 0 && $m == 0)
+         |  ? Double.NaN : (double) $inter / (double) ($n + $m - $inter);
+       """.stripMargin
+    })
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
