@@ -402,6 +402,33 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "multimodal_features",
+      // the decode stub (normalized 16-bin byte histogram) is
+      // deterministic and — on this ASCII corpus — expressible in SQL,
+      // so the executor-side mapPartitions decode plumbing itself sits
+      // under the hash gate (long-form output keeps the compare scalar)
+      (spark, dir) => {
+        val media = Multimodal.synthesizePayloads(Tables(spark, dir).documents, "doc_id", "text")
+        Multimodal.extractFeatures(spark, media).toDF()
+          .select(col("doc_id"), posexplode(col("features")).as(Seq("bin", "v")))
+          .select(col("doc_id"), col("bin").cast("int").as("bin"), round(col("v"), 6).as("feature"))
+          .orderBy("doc_id", "bin")
+      },
+      Some("""
+        WITH bins AS (
+          SELECT doc_id, greatest(length(text), 1) AS n,
+                 list_transform(range(1, length(text)+1),
+                   i -> ord(substr(text, CAST(i AS INT), 1)) // 16) AS bs
+          FROM documents
+        )
+        SELECT doc_id, CAST(t.bin AS INT) AS bin,
+               round(len(list_filter(bs, x -> x = t.bin)) / CAST(n AS DOUBLE), 6) AS feature
+        FROM bins, range(0, 16) t(bin)
+        ORDER BY doc_id, bin
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "multimodal_meta",
       (spark, dir) => {
         val media = Multimodal.synthesizePayloads(Tables(spark, dir).documents, "doc_id", "text")
