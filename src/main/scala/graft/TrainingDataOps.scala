@@ -381,7 +381,7 @@ object TrainingDataOps {
           FROM toks
         )
         SELECT CAST((c - n_tok) // 2000 AS BIGINT) AS seq_id,
-               count(*) AS n_docs, sum(n_tok) AS n_tokens,
+               count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM cum GROUP BY 1 ORDER BY seq_id
       """.trim),

@@ -12,8 +12,8 @@ import org.apache.spark.sql.functions._
   * signatures are banded (LSH) so candidate pairs only arise from shared
   * buckets — O(n·bands + candidates) at any scale — and the exact
   * Jaccard check runs on candidates only. SimHash gives a 64-bit
-  * fingerprint whose 16-bit chunks are the pigeonhole buckets for
-  * hamming-distance ≤ 3 search.
+  * fingerprint split into maxHamming+1 chunks, the pigeonhole buckets
+  * for complete hamming-distance ≤ maxHamming search.
   */
 object Dedup {
 
@@ -184,18 +184,22 @@ object Dedup {
       GraftExpressions.simhash64(TextVectorExpressions.tokenHashes(col(textCol)))
     )
 
-  /** SimHash near-dup pairs with hamming distance ≤ maxHamming (≤ 3):
-    * pigeonhole on the four 16-bit chunks — any pair within distance 3
-    * agrees on at least one chunk, so candidates come from chunk-bucket
-    * joins, never a cross join.
+  /** SimHash near-dup pairs with hamming distance ≤ maxHamming:
+    * pigeonhole blocking on maxHamming+1 near-equal bit chunks of the
+    * 64-bit fingerprint — with k+1 chunks, any pair within distance k
+    * has at least one chunk with zero flipped bits, so candidates come
+    * from chunk-bucket joins with COMPLETE recall, never a cross join.
+    * (maxHamming ≤ 63; larger radii leave chunks of < 1 bit.)
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming must be in [0, 63], got $maxHamming")
+    val numChunks = maxHamming + 1
     // fingerprint + chunks from ONE expression evaluation per row
     val withChunks = docs.select(col(idCol).as("__id"),
-      GraftExpressions.simhashWithChunks(TextVectorExpressions.tokenHashes(col(textCol))).as("__sc"))
+      GraftExpressions.simhashWithChunks(TextVectorExpressions.tokenHashes(col(textCol)), numChunks).as("__sc"))
     val chunked = withChunks.select(
       col("__id"), col("__sc").getItem(0).as("simhash"),
-      posexplode(slice(col("__sc"), 2, 4)).as(Seq("chunk_id", "chunk_val"))
+      posexplode(slice(col("__sc"), 2, numChunks)).as(Seq("chunk_id", "chunk_val"))
     )
     chunked.as("a")
       .join(chunked.as("b"), col("a.chunk_id") === col("b.chunk_id") &&

@@ -201,26 +201,50 @@ case class SimHash64(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
-/** SimHash fingerprint + its 16-bit pigeonhole chunks in ONE pass:
-  * returns [simhash, chunk0..chunk3] so projection collapse cannot
+/** SimHash fingerprint + its pigeonhole chunks in ONE pass: returns
+  * [simhash, chunk0..chunk(n-1)] so projection collapse cannot
   * re-evaluate the vote loop once per chunk (the simhash analog of
   * MinHashBands).
+  *
+  * The 64 bits are split into `numChunks` near-equal contiguous chunks
+  * (the first `64 % numChunks` chunks get the extra bit). Pigeonhole:
+  * any pair within hamming distance `numChunks - 1` agrees exactly on
+  * at least one chunk, so chunk-bucket joins are a complete blocking
+  * scheme for that radius. Chunk values are tagged with the chunk index
+  * so buckets from different chunk positions never collide.
   */
-case class SimHashWithChunks(child: Expression) extends UnaryExpression {
+case class SimHashWithChunks(child: Expression, numChunks: Int) extends UnaryExpression {
+  require(numChunks >= 1 && numChunks <= 64, s"numChunks must be in [1, 64], got $numChunks")
+
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private val sim = SimHash64(child)
 
+  // chunk c covers bits [offsets(c), offsets(c) + widths(c))
+  private val widths: Array[Int] = {
+    val base = 64 / numChunks
+    val rem  = 64 % numChunks
+    Array.tabulate(numChunks)(c => if (c < rem) base + 1 else base)
+  }
+  private val offsets: Array[Int] = widths.scanLeft(0)(_ + _).init
+
   override def nullSafeEval(input: Any): Any = {
     val fp  = sim.nullSafeEval(input).asInstanceOf[Long]
-    val out = new Array[Long](5)
+    val out = new Array[Long](numChunks + 1)
     out(0) = fp
     var c = 0
-    while (c < 4) { out(c + 1) = (fp >>> (c * 16)) & 0xffffL; c += 1 }
+    while (c < numChunks) {
+      val mask = if (widths(c) == 64) -1L else (1L << widths(c)) - 1L
+      out(c + 1) = (fp >>> offsets(c)) & mask
+      c += 1
+    }
     new GenericArrayData(out)
   }
 
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val offRef  = ctx.addReferenceObj("simhashChunkOffsets", offsets, "int[]")
+    val maskArr = widths.map(w => if (w == 64) -1L else (1L << w) - 1L)
+    val maskRef = ctx.addReferenceObj("simhashChunkMasks", maskArr, "long[]")
     nullSafeCodeGen(ctx, ev, c => {
       val votes = ctx.freshName("votes")
       val i     = ctx.freshName("i")
@@ -241,14 +265,15 @@ case class SimHashWithChunks(child: Expression) extends UnaryExpression {
          |for (int $j = 0; $j < 64; $j++) {
          |  if ($votes[$j] > 0) $fp |= (1L << $j);
          |}
-         |long[] $out = new long[5];
+         |long[] $out = new long[${numChunks + 1}];
          |$out[0] = $fp;
-         |for (int $ch = 0; $ch < 4; $ch++) {
-         |  $out[$ch + 1] = ($fp >>> ($ch * 16)) & 0xffffL;
+         |for (int $ch = 0; $ch < $numChunks; $ch++) {
+         |  $out[$ch + 1] = ($fp >>> $offRef[$ch]) & $maskRef[$ch];
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
     })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SimHashWithChunks =
     copy(child = newChild)
@@ -267,6 +292,6 @@ object GraftExpressions {
   def simhash64(tokenHashes: Column): Column =
     GraftShim.column(SimHash64(expr(tokenHashes)))
 
-  def simhashWithChunks(tokenHashes: Column): Column =
-    GraftShim.column(SimHashWithChunks(expr(tokenHashes)))
+  def simhashWithChunks(tokenHashes: Column, numChunks: Int): Column =
+    GraftShim.column(SimHashWithChunks(expr(tokenHashes), numChunks))
 }

@@ -56,4 +56,49 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 4L)))
   }
+
+  test("simhash blocking recall is 1.0 vs brute-force hamming at maxHamming=8") {
+    // corpus engineered to land pairs across the whole 0..8 hamming range:
+    // a base doc plus variants with 0..12 substituted tokens — simhash
+    // distances grow with the perturbation count, so the brute-force
+    // truth set contains pairs at the distances (4..8) that the old
+    // 4-chunk blocking silently dropped
+    val base = (0 until 40).map(i => s"tok$i")
+    val variants = (0 to 24).map { k =>
+      val toks = base.zipWithIndex.map { case (t, i) => if (i < k) s"sub${k}_$i" else t }
+      (k.toLong, toks.mkString(" "), "s1")
+    }
+    val corpus = variants.toDF("doc_id", "text", "source")
+
+    val maxHamming = 8
+    // ground truth: all-pairs hamming over the actual fingerprints
+    val fp = Dedup.withSimhash(corpus, "text").select($"doc_id", $"simhash")
+    val truth = fp.as("a").join(fp.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .filter($"hamming" <= maxHamming)
+      .select("id_a", "id_b", "hamming").as[(Long, Long, Int)].collect()
+
+    val truthPairs = truth.map(t => (t._1, t._2)).toSet
+    val distances  = truth.map(_._3).toSet
+    assert(distances.exists(d => d >= 4 && d <= 8),
+      s"corpus must contain pairs at hamming 4..8 to be probative (got $distances)")
+
+    val found = Dedup.simhashNearDups(corpus, "doc_id", "text", maxHamming = maxHamming)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(found == truthPairs,
+      s"blocking must be exhaustive: missed ${truthPairs.diff(found)}, extra ${found.diff(truthPairs)}")
+  }
+
+  test("simhash chunk split covers all 64 bits disjointly for any maxHamming") {
+    // the chunk values must reconstruct the fingerprint: if chunks
+    // overlapped or missed bits, pigeonhole completeness would break
+    for (mh <- Seq(0, 3, 7, 8, 31, 63)) {
+      val n = mh + 1
+      val out = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = mh)
+      assert(out.columns.toSet == Set("id_a", "id_b", "hamming"))
+      val widths = Array.tabulate(n)(c => if (c < 64 % n) 64 / n + 1 else 64 / n)
+      assert(widths.sum == 64, s"chunks for maxHamming=$mh must cover 64 bits")
+    }
+  }
 }
