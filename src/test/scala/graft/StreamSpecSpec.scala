@@ -1,0 +1,152 @@
+package graft
+
+import graft.operators.FieldSelection
+import graft.sources.SnapshotStore
+import graft.streaming.{RetryMode, StreamPipeline, StreamSpec}
+import java.nio.file.Files
+
+/** Spec-driven configuration: the reference deployment is a YAML stream
+  * spec (stream-spec-yaml-example.yaml); these tests prove the same spec
+  * shape drives this engine end-to-end with no Scala required.
+  */
+class StreamSpecSpec extends SparkSpec {
+  import spark.implicits._
+
+  // mirrors the reference example's shape (tagged unions, durations,
+  // sizes, rates, inline empties, quoted scalars, trailing comma)
+  private val specText =
+    """observability:
+      |  metricTags: {}
+      |staging:
+      |  table:
+      |    maxRowsPerFile: 10000
+      |    stagingCatalogName: iceberg
+      |    stagingSchemaName: test
+      |streamMode:
+      |  backfill:
+      |    backfillBehavior: Overwrite
+      |    backfillStartDate: "2026-01-01T00:00:00Z"
+      |  changeCapture:
+      |    changeCaptureInterval: 5 second
+      |    changeCaptureJitterVariance: 0.1
+      |    changeCaptureJitterSeed: 42
+      |sink:
+      |  mergeServiceClient:
+      |    connectionUrl: "jdbc:trino://localhost:8080",
+      |    queryRetryMode:
+      |      onMessageContents: {}
+      |    queryRetryBaseDuration: 100 millisecond
+      |    queryRetryOnMessageContents:
+      |      - TIMEOUT
+      |      - CONNECTION_RESET
+      |    queryRetryScaleFactor: 2.0
+      |    queryRetryMaxAttempts: 3
+      |  targetTableProperties:
+      |    format: PARQUET
+      |    sortedBy: []
+      |    parquetBloomFilterColumns: []
+      |  targetTableFullName: iceberg.test.parquet_test
+      |  maintenanceSettings:
+      |    targetOptimizeSettings:
+      |      batchThreshold: 60
+      |      fileSizeThreshold: 512MB
+      |    targetSnapshotExpirationSettings:
+      |      batchThreshold: 40
+      |      retentionThreshold: 6h
+      |    targetAnalyzeSettings:
+      |      includedColumns: [k, payload]
+      |      batchThreshold: 80
+      |throughput:
+      |  shaperImpl:
+      |    advisedRate: "1000 per 1 second"
+      |    advisedBurst: 1000
+      |    advisedChunkSize: 10
+      |source:
+      |  configuration:
+      |    sourcePath: /data/landing
+      |    tempStoragePath: /tmp
+      |    primaryKeys:
+      |      - k
+      |    useNameMapping: false
+      |  buffering:
+      |    enabled: false
+      |    strategy: {}
+      |  fieldSelectionRule:
+      |    essentialFields: [k]
+      |    rule:
+      |      exclude: [internal_note]
+      |""".stripMargin
+
+  test("scalar grammar: durations, sizes, rates") {
+    assert(StreamSpec.durationMs("5 second") == 5000L)
+    assert(StreamSpec.durationMs("100 millisecond") == 100L)
+    assert(StreamSpec.durationMs("6h") == 6L * 3600 * 1000)
+    assert(StreamSpec.durationMs("3500 second") == 3_500_000L)
+    assert(StreamSpec.sizeBytes("512MB") == 512L * 1024 * 1024)
+    assert(StreamSpec.sizeBytes("2GB") == 2L * 1024 * 1024 * 1024)
+    assert(StreamSpec.sizeBytes("1024") == 1024L)
+    assert(StreamSpec.ratePerSecond("1000 per 1 second") == 1000.0)
+    assert(StreamSpec.ratePerSecond("30 per 1 minute") == 0.5)
+  }
+
+  test("spec parses into the typed configs the reference spec describes") {
+    val spec = StreamSpec.parse(specText)
+
+    val retry = StreamSpec.retryPolicy(spec)
+    assert(retry.maxAttempts == 3 && retry.baseDelayMs == 100L && retry.scaleFactor == 2.0)
+    assert(retry.effectiveMode == RetryMode.OnMessageContents)
+    assert(retry.isRetryable(new RuntimeException("query TIMEOUT while merging")))
+    assert(!retry.isRetryable(new RuntimeException("syntax error")))
+
+    val maint = StreamSpec.maintenanceSettings(spec).get
+    // per-kind thresholds fold with min so nothing fires less often
+    assert(maint.batchThreshold == 40)
+    assert(maint.targetFileBytes == 512L * 1024 * 1024)
+    assert(maint.analyzeColumns == Seq("k", "payload"))
+
+    val (rule, essentials) = StreamSpec.fieldSelection(spec)
+    assert(rule == FieldSelection.Exclude(Set("internal_note")) && essentials == Set("k"))
+
+    assert(StreamSpec.backfillBehavior(spec).contains("Overwrite"))
+    assert(StreamSpec.backfillStartDate(spec).contains("2026-01-01T00:00:00Z"))
+
+    // jittered cadence is seed-deterministic and within ±variance
+    val cadence = StreamSpec.changeCapture(spec)
+    val sched   = cadence.schedule(10)
+    assert(sched.forall(d => d >= 4500 && d <= 5500), s"jitter out of band: $sched")
+    assert(StreamSpec.changeCapture(spec).schedule(10) == sched, "same seed must reproduce the schedule")
+
+    val bucket = StreamSpec.tokenBucket(spec, () => 0L).get
+    assert(bucket.tryAcquire(1000) && !bucket.tryAcquire(1))
+
+    val cfg = StreamSpec.pipelineConfig(spec)
+    assert(cfg.sourceDir == "/data/landing" && cfg.targetDir == "iceberg.test.parquet_test")
+    assert(cfg.primaryKeys == Seq("k") && cfg.maxRowsPerFile == 10000)
+    assert(cfg.maxFilesPerTrigger.contains(10) && !cfg.sourceBuffering)
+    assert(cfg.includeSourceVersion && cfg.versionCols == Seq(StreamPipeline.SourceVersionColumn))
+  }
+
+  test("a spec file drives the streaming pipeline end-to-end") {
+    val src    = Files.createTempDirectory("graft_spec_src").toString
+    val target = Files.createTempDirectory("graft_spec_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_spec_ckpt").toString
+
+    // two blobs for the same key, second one newer — reference upsert
+    // semantics (latest blob version wins, IntegrationTests.scala:176-181)
+    Seq((1, "old"), (2, "keep2")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100) // distinct file mtimes at 1s granularity
+    Seq((1, "new")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+
+    val spec = StreamSpec.parse(specText)
+    val cfg  = StreamSpec.pipelineConfig(spec,
+      sourceDir = Some(src), targetDir = Some(target), checkpointDir = Some(ckpt))
+    val schema = spark.read.parquet(src).schema
+
+    val batches = StreamPipeline.runAvailableNow(spark, schema, cfg)
+    assert(batches >= 1)
+    val rows = new SnapshotStore(spark, target).read().get
+      .select("k", "payload").as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "new", 2 -> "keep2"),
+      s"spec-driven pipeline must keep the latest blob version per key: $rows")
+  }
+}
