@@ -99,6 +99,9 @@ object Backfill {
     val full = spark.read.parquet((0 until nShards).map(i => s"$stagingDir/shard=$i"): _*)
     val v    = target.commit(full)
     state.clear()
+    // staged shards are merge inputs, not a second copy of the target:
+    // dispose them after the swap (the reference's DisposeBatchProcessor)
+    (0 until nShards).foreach(i => Staging.dispose(spark, s"$stagingDir/shard=$i"))
     ShardedResult(staged.result(), skipped.result(), v)
   }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -18,6 +19,19 @@ import org.apache.spark.sql.functions._
 object Staging {
   def writeStaged(df: DataFrame, dir: String, maxRowsPerFile: Int): Unit =
     df.write.mode("overwrite").option("maxRecordsPerFile", maxRowsPerFile.toLong).parquet(dir)
+
+  /** Drop a staged batch once it has been merged — the reference's
+    * `DisposeBatchProcessor` (/root/reference/src/main/scala/main.scala:88)
+    * drops staging tables after each merge cycle so staged data never
+    * accumulates. Returns whether anything was deleted. Callers dispose
+    * only AFTER the target commit materialized, so a crash between merge
+    * and dispose leaves a re-disposable leftover, never data loss.
+    */
+  def dispose(spark: SparkSession, dir: String): Boolean = {
+    val p  = new Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
 
   /** Deterministic batch accounting: batch id per `maxRows` rows in
     * `orderCol` order, with per-batch stats.

@@ -57,7 +57,13 @@ object StreamPipeline {
         * reference's `maintenanceSettings.*.batchThreshold`). */
       maintenance: Option[TargetMaintenance.Settings] = None,
       /** bound transient snapshot-commit failures (merge-client retry). */
-      commitRetry: RetryPolicy = RetryPolicy.Never
+      commitRetry: RetryPolicy = RetryPolicy.Never,
+      /** persist each micro-batch's staged upsert here before the MERGE
+        * (the reference's staging tables, `StagingProcessor`) and dispose
+        * it after the commit (`DisposeBatchProcessor`). None = merge the
+        * in-memory staged plan directly (no extra I/O).
+        */
+      stagingDir: Option[String] = None
   )
 
   /** Per-cycle pipeline metrics — the Spark-native form of the
@@ -111,11 +117,18 @@ object StreamPipeline {
     val q = keyed.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cfg.checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val stagedObs = new org.apache.spark.sql.Observation()
         val writeObs  = new org.apache.spark.sql.Observation()
-        val staged = Upsert.latestByKey(batch, Seq(MergeKey.ColumnName), cfg.versionCols)
+        val stagedPlan = Upsert.latestByKey(batch, Seq(MergeKey.ColumnName), cfg.versionCols)
           .observe(stagedObs, count(lit(1)).as("rows"))
+        // optional on-disk staging: write the staged batch, merge FROM the
+        // staged table (reference StagingProcessor → MergeBatchProcessor)
+        val stagedBatchDir = cfg.stagingDir.map(sd => s"$sd/batch-$batchId")
+        val staged = stagedBatchDir.fold(stagedPlan) { dir =>
+          graft.operators.Staging.writeStaged(stagedPlan, dir, cfg.maxRowsPerFile)
+          spark.read.parquet(dir)
+        }
         val store  = new SnapshotStore(spark, cfg.targetDir)
         // in-stream schema evolution (the reference's
         // SchemaMigrationProcessor): align target and batch to the union
@@ -130,6 +143,9 @@ object StreamPipeline {
         // so the merge plan's scan of the previous snapshot never races
         // its own rewrite, and readers keep snapshot isolation
         store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile), retry = cfg.commitRetry)
+        // the staged batch is merged and committed: dispose it (the
+        // reference's DisposeBatchProcessor runs after each merge cycle)
+        stagedBatchDir.foreach(graft.operators.Staging.dispose(spark, _))
         batches += 1
         rowsStaged += stagedObs.get("rows").asInstanceOf[Long]
         rowsWritten += writeObs.get("rows").asInstanceOf[Long]
@@ -197,6 +213,24 @@ object StreamPipeline {
   ): DataFrame =
     left.withWatermark(leftTsCol, delay)
       .join(right.withWatermark(rightTsCol, delay), condition)
+
+  /** Append-mode windowed aggregation with an event-time watermark: each
+    * tumbling window emits EXACTLY ONCE, when the watermark passes its
+    * end, and rows arriving later than `delay` past the watermark are
+    * dropped — bounded state at any stream length (state per open window
+    * only). This is the production streaming-aggregation shape; the
+    * complete-mode variant below exists for the bounded oracle check.
+    * Returns the streaming plan; callers attach their sink.
+    */
+  def windowedAggregateAppend(
+      src: DataFrame, tsCol: String, windowDuration: String, delay: String,
+      aggs: Seq[org.apache.spark.sql.Column]
+  ): DataFrame =
+    src.withWatermark(tsCol, delay)
+      .groupBy(window(col(tsCol), windowDuration).as("w"))
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("bucket", col("w.start"))
+      .drop("w")
 
   /** Streaming windowed aggregation (hourly counts per event type) over a
     * bounded source, complete-mode memory sink — used by the

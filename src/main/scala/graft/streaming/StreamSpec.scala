@@ -300,7 +300,8 @@ object StreamSpec {
       spec: Mapping,
       sourceDir: Option[String] = None,
       targetDir: Option[String] = None,
-      checkpointDir: Option[String] = None
+      checkpointDir: Option[String] = None,
+      stagingDir: Option[String] = None
   ): StreamPipeline.Config = {
     val (rule, essentials) = fieldSelection(spec)
     val tempStorage = str(spec, "source", "configuration", "tempStoragePath").getOrElse("/tmp")
@@ -321,7 +322,11 @@ object StreamSpec {
       maxRowsPerFile = int(spec, "staging", "table", "maxRowsPerFile").getOrElse(1_000_000),
       sourceBuffering = bool(spec, "source", "buffering", "enabled").getOrElse(false),
       maintenance = maintenanceSettings(spec),
-      commitRetry = retryPolicy(spec)
+      commitRetry = retryPolicy(spec),
+      // the reference always stages batches before the merge; mirror that
+      // whenever the spec carries a staging section
+      stagingDir = stagingDir.orElse(
+        at(spec, "staging", "table").map(_ => s"$tempStorage/graft-staging"))
     )
   }
 }

@@ -209,6 +209,26 @@ class PipelineServicesSpec extends SparkSpec {
       3 -> (("c", Some("x3")))))   // inserted with the new column
   }
 
+  test("staged batches are written during the merge cycle and disposed after each commit") {
+    val src     = Files.createTempDirectory("graft_stg_src").toString
+    val target  = Files.createTempDirectory("graft_stg_tgt").toString + "/t"
+    val ckpt    = Files.createTempDirectory("graft_stg_ckpt").toString
+    val staging = Files.createTempDirectory("graft_stg_stage").toString
+    for (i <- 1 to 3)
+      Seq((i, 1L, s"v$i")).toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1), stagingDir = Some(staging))
+    val m = StreamPipeline.runAvailableNowWithMetrics(spark, schema, cfg)
+    assert(m.batches == 3 && m.rowsStaged == 3, s"unexpected metrics: $m")
+    // target is complete, staging is empty: each batch-<id> dir was
+    // merged from disk and then disposed (DisposeBatchProcessor)
+    assert(new SnapshotStore(spark, target).read().get.count() == 3)
+    val leftovers = Option(new java.io.File(staging).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(leftovers.isEmpty, s"staging dir must be empty post-commit: $leftovers")
+  }
+
   // ---- sharded backfill + persisted state ----
 
   test("sharded backfill equals the full recompute and swaps atomically") {
@@ -225,6 +245,9 @@ class PipelineServicesSpec extends SparkSpec {
     val actual = store.read().get.orderBy("user_id").collect().toSeq
     assert(actual == expected, "shard-parallel result must equal the global upsert")
     assert(state.completedShards().isEmpty, "state must be cleared after the completion swap")
+    // staged shards are disposed after the swap (DisposeBatchProcessor)
+    val leftovers = Option(new java.io.File(s"$base/staging").listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(leftovers.isEmpty, s"staging must be disposed post-swap: $leftovers")
   }
 
   test("interrupted backfill resumes from persisted state without re-staging") {

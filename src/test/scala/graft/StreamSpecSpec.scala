@@ -127,9 +127,10 @@ class StreamSpecSpec extends SparkSpec {
   }
 
   test("a spec file drives the streaming pipeline end-to-end") {
-    val src    = Files.createTempDirectory("graft_spec_src").toString
-    val target = Files.createTempDirectory("graft_spec_tgt").toString + "/t"
-    val ckpt   = Files.createTempDirectory("graft_spec_ckpt").toString
+    val src     = Files.createTempDirectory("graft_spec_src").toString
+    val target  = Files.createTempDirectory("graft_spec_tgt").toString + "/t"
+    val ckpt    = Files.createTempDirectory("graft_spec_ckpt").toString
+    val staging = Files.createTempDirectory("graft_spec_stage").toString
 
     // two blobs for the same key, second one newer — reference upsert
     // semantics (latest blob version wins, IntegrationTests.scala:176-181)
@@ -139,7 +140,9 @@ class StreamSpecSpec extends SparkSpec {
 
     val spec = StreamSpec.parse(specText)
     val cfg  = StreamSpec.pipelineConfig(spec,
-      sourceDir = Some(src), targetDir = Some(target), checkpointDir = Some(ckpt))
+      sourceDir = Some(src), targetDir = Some(target), checkpointDir = Some(ckpt),
+      stagingDir = Some(staging))
+    assert(cfg.stagingDir.contains(staging), "spec with a staging section must stage batches")
     val schema = spark.read.parquet(src).schema
 
     val batches = StreamPipeline.runAvailableNow(spark, schema, cfg)
@@ -148,5 +151,8 @@ class StreamSpecSpec extends SparkSpec {
       .select("k", "payload").as[(Int, String)].collect().toMap
     assert(rows == Map(1 -> "new", 2 -> "keep2"),
       s"spec-driven pipeline must keep the latest blob version per key: $rows")
+    // staged batches were merged from disk and disposed post-commit
+    val leftovers = Option(new java.io.File(staging).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
+    assert(leftovers.isEmpty, s"staging must be disposed after the merge: $leftovers")
   }
 }

@@ -80,11 +80,9 @@ class StreamingSpec extends SparkSpec {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     val input = MemoryStream[(java.sql.Timestamp, Int)]
-    val agg = input.toDF().toDF("ts", "v")
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window($"ts", "10 minutes").as("w"))
-      .agg(sum($"v").as("total"))
-      .select($"w.start".as("bucket"), $"total")
+    val agg = StreamPipeline.windowedAggregateAppend(
+      input.toDF().toDF("ts", "v"), "ts", "10 minutes", "10 minutes",
+      Seq(sum($"v").as("total"))).select($"bucket", $"total")
     val q = agg.writeStream.format("memory").queryName("wm_sink")
       .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
     def t(s: String) = java.sql.Timestamp.valueOf(s)
@@ -101,8 +99,12 @@ class StreamingSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
-    val results = spark.table("wm_sink")
-      .as[(java.sql.Timestamp, Long)].collect().toMap
+    val rows = spark.table("wm_sink")
+      .as[(java.sql.Timestamp, Long)].collect().toSeq
+    // exactly-once emission: no bucket appears twice in the append sink
+    assert(rows.map(_._1).distinct.size == rows.size, s"duplicate window emission: $rows")
+    val results = rows.toMap
     assert(results(t("2024-01-01 00:00:00")) == 3L, s"late row must not count: $results")
+    assert(results(t("2024-01-01 01:00:00")) == 5L, s"closed on-time window must emit: $results")
   }
 }
