@@ -165,19 +165,30 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Token membership counts in one pass: output(0) = token count,
-  * output(i+1) = number of tokens whose lowercase form is in `sets(i)`.
-  * Tokenization replicates `split(trim(text), "\\s+")` and lowercasing
-  * replicates `lower()` for the ASCII word lists used here, so ratios
-  * derived from these counts are bit-identical to the HOF formulation
-  * (`size(filter(transform(tokens, lower), array_contains(set, _)))`) —
-  * which evaluates an interpreted lambda PER TOKEN PER SET; this is one
-  * primitive pass per row for all sets together.
+/** Full text profile in ONE pass over the string — every count the text
+  * analysis family needs, so token stats, quality scoring and language ID
+  * stop re-tokenizing / re-scanning per feature (the old shape evaluated
+  * `split(trim(text))` up to 3× via projection collapse plus 3-4 regexp
+  * passes per row). Output layout (all longs):
+  *
+  *  - 0: token count       — replicates `size(split(trim(text),"\\s+"))`
+  *  - 1: distinct tokens   — replicates `size(array_distinct(...))`
+  *                           (exact string equality, case-sensitive)
+  *  - 2: code points       — replicates `length(text)` (untrimmed)
+  *  - 3: chars in [A-Za-z ]     (the alpha-ratio numerator)
+  *  - 4: chars in [0-9]
+  *  - 5: chars in [.,;:!?]
+  *  - 6: chars in [一-鿿]  (CJK, the zh-detection numerator)
+  *  - 7+i: tokens whose lowercase form is in `sets(i)`
+  *
+  * Ratios derived from these counts are bit-identical to the HOF/regexp
+  * formulations: same integer numerators and denominators, same double
+  * division.
   */
-case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
+case class TextProfile(child: Expression, sets: Seq[Seq[String]])
     extends UnaryExpression with CodegenFallback {
 
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private val ws = java.util.regex.Pattern.compile("\\s+")
   @transient private lazy val lookup: Array[java.util.HashSet[String]] =
@@ -188,20 +199,37 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
     }.toArray
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+    val s   = input.asInstanceOf[UTF8String].toString
+    val out = new Array[Long](7 + lookup.length)
+
+    // char-class counts over the FULL string by code point (length()
+    // and regexp_replace() both operate on code points)
+    var ci = 0
+    while (ci < s.length) {
+      val cp = s.codePointAt(ci)
+      out(2) += 1
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') || cp == ' ') out(3) += 1
+      else if (cp >= '0' && cp <= '9') out(4) += 1
+      else if (cp == '.' || cp == ',' || cp == ';' || cp == ':' || cp == '!' || cp == '?') out(5) += 1
+      else if (cp >= 0x4e00 && cp <= 0x9fff) out(6) += 1
+      ci += Character.charCount(cp)
+    }
+
+    // token counts over the space-trimmed string (split(trim(text)))
     var from = 0
     var to   = s.length
     while (from < to && s.charAt(from) == ' ') from += 1
     while (to > from && s.charAt(to - 1) == ' ') to -= 1
     val tokens = ws.split(s.substring(from, to), -1)
-    val out    = new Array[Int](lookup.length + 1)
-    out(0) = tokens.length
+    out(0) = tokens.length.toLong
+    val seen = new java.util.HashSet[String](math.max(16, tokens.length * 2))
     var i = 0
     while (i < tokens.length) {
+      if (seen.add(tokens(i))) out(1) += 1
       val t = tokens(i).toLowerCase(java.util.Locale.ROOT)
       var j = 0
       while (j < lookup.length) {
-        if (lookup(j).contains(t)) out(j + 1) += 1
+        if (lookup(j).contains(t)) out(7 + j) += 1
         j += 1
       }
       i += 1
@@ -209,7 +237,7 @@ case class TokenSetCounts(child: Expression, sets: Seq[Seq[String]])
     new GenericArrayData(out)
   }
 
-  override protected def withNewChildInternal(newChild: Expression): TokenSetCounts =
+  override protected def withNewChildInternal(newChild: Expression): TextProfile =
     copy(child = newChild)
 }
 
@@ -330,6 +358,6 @@ object TextVectorExpressions {
   def winnowingFingerprints(text: Column, k: Int, w: Int): Column =
     GraftShim.column(WinnowingFingerprintHashes(GraftShim.expression(text), k, w))
 
-  def tokenSetCounts(text: Column, sets: Seq[Seq[String]]): Column =
-    GraftShim.column(TokenSetCounts(GraftShim.expression(text), sets))
+  def textProfile(text: Column, sets: Seq[Seq[String]]): Column =
+    GraftShim.column(TextProfile(GraftShim.expression(text), sets))
 }
