@@ -1,50 +1,53 @@
 package graft.operators
 
-import graft.functions.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data curation: token statistics, quality
-  * scoring, heuristic language ID, and winnowing fingerprints. Built-in
-  * expressions only — the whole family runs inside whole-stage codegen
-  * and scales linearly with input bytes.
+  * scoring, heuristic language ID, and winnowing fingerprints. The
+  * token/char-class counters all come from the one-pass TextProfile
+  * kernel (plans/TextVectorExpressions.scala) — one tokenization + one
+  * code-point scan per row instead of repeated split/regexp passes; the
+  * derived ratios are bit-identical to the split/regexp formulations.
+  *
+  * TextProfile slot layout: 0=n_tokens, 1=n_distinct_tokens,
+  * 2=n_codepoints, 3=[A-Za-z ], 4=[0-9], 5=[.,;:!?], 6=CJK, 7+i=count of
+  * tokens whose lowercase form is in sets(i).
   */
 object TextAnalysis {
 
-  /** Per-document token statistics. */
-  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val t = TextFunctions.tokens(col(textCol))
-    df.select(
-      col(idCol),
-      size(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_unique_tokens"),
-      (length(col(textCol)).cast("double") / size(t)).as("chars_per_token")
-    )
-  }
+  private def profile(text: Column, sets: Seq[Seq[String]] = Nil): Column =
+    graft.plans.TextVectorExpressions.textProfile(text, sets)
 
-  private def classRatio(text: Column, charClass: String): Column =
-    length(regexp_replace(text, s"[^$charClass]", "")).cast("double") / length(text)
+  /** Per-document token statistics — one kernel pass. */
+  def tokenStats(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.withColumn("__c", profile(col(textCol))).select(
+      col(idCol),
+      col("__c").getItem(0).as("n_tokens"),
+      col("__c").getItem(1).as("n_unique_tokens"),
+      (col("__c").getItem(2).cast("double") / col("__c").getItem(0)).as("chars_per_token")
+    )
 
   private val Stopwords = Seq(
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it", "for", "on", "with", "as", "at", "by")
 
   /** Quality features + a composite score in [0,1]: high alpha ratio,
-    * low digit/punct noise, reasonable stopword share. Token + stopword
-    * counts come from the one-pass TokenSetCounts kernel (the HOF
-    * `filter(transform(tokens, lower), contains)` evaluates interpreted
-    * lambdas per token); ratio values are bit-identical.
+    * low digit/punct noise, reasonable stopword share. Every count comes
+    * from the single TextProfile pass; the char-class ratios divide the
+    * kernel's code-point counters exactly as the regexp formulation
+    * divides `length(regexp_replace(...))` by `length(text)`.
     */
   def qualityScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val text   = col(textCol)
-    val counts = graft.plans.TextVectorExpressions.tokenSetCounts(text, Seq(Stopwords))
-    df.withColumn("__c", counts).select(
+    val c = col("__c")
+    def ratio(slot: Int): Column = c.getItem(slot).cast("double") / c.getItem(2)
+    df.withColumn("__c", profile(col(textCol), Seq(Stopwords))).select(
       col(idCol),
-      length(text).as("n_chars"),
-      col("__c").getItem(0).as("n_tokens"),
-      classRatio(text, "A-Za-z ").as("alpha_ratio"),
-      classRatio(text, "0-9").as("digit_ratio"),
-      classRatio(text, ".,;:!?").as("punct_ratio"),
-      (col("__c").getItem(1).cast("double") / col("__c").getItem(0)).as("stopword_ratio")
+      c.getItem(2).as("n_chars"),
+      c.getItem(0).as("n_tokens"),
+      ratio(3).as("alpha_ratio"),
+      ratio(4).as("digit_ratio"),
+      ratio(5).as("punct_ratio"),
+      (c.getItem(7).cast("double") / c.getItem(0)).as("stopword_ratio")
     ).withColumn(
       "quality_score",
       round(
@@ -60,7 +63,8 @@ object TextAnalysis {
   /** Heuristic language ID: CJK character share decides zh; otherwise the
     * highest stopword-profile hit count wins (ties break in profile
     * order). A real system would use fastText/CLD3; the n-gram heuristic
-    * is the reference-free, dependency-free variant.
+    * is the reference-free, dependency-free variant. All profile hit
+    * counts AND the CJK numerator come from one kernel pass.
     */
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val profiles: Seq[(String, Seq[String])] = Seq(
@@ -69,17 +73,13 @@ object TextAnalysis {
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu", "den"),
       "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "des", "que", "dans")
     )
-    val text  = col(textCol)
-    val cjkRatio =
-      length(regexp_replace(text, "[^\\x{4e00}-\\x{9fff}]", "")).cast("double") / length(text)
-
-    // all profile hit counts in ONE kernel pass over the tokens
-    val counts = graft.plans.TextVectorExpressions.tokenSetCounts(text, profiles.map(_._2))
+    val counts   = profile(col(textCol), profiles.map(_._2))
+    val cjkRatio = col("__c").getItem(6).cast("double") / col("__c").getItem(2)
     val scored = profiles.zipWithIndex.foldLeft(df.withColumn("__c", counts)) {
-      case (acc, ((lang, _), i)) => acc.withColumn(s"__score_$lang", col("__c").getItem(i + 1))
+      case (acc, ((lang, _), i)) => acc.withColumn(s"__score_$lang", col("__c").getItem(7 + i))
     }
     val best = profiles.map { case (lang, _) => (lang, col(s"__score_$lang")) }
-      .foldLeft(lit("unknown").as("l") -> lit(-1).as("s")) { case ((bl, bs), (lang, score)) =>
+      .foldLeft(lit("unknown").as("l") -> lit(-1L).as("s")) { case ((bl, bs), (lang, score)) =>
         (when(score > bs, lit(lang)).otherwise(bl), when(score > bs, score).otherwise(bs))
       }
     scored

@@ -40,13 +40,15 @@ class EdgeCasesSpec extends SparkSpec {
     ).toDF("doc_id", "text")
     val out = docs.select(col("doc_id"),
         winnowingFingerprints(col("text"), 8, 4).as("fp"),
-        tokenSetCounts(col("text"), Seq(Seq("tëxt", "with"))).as("c"))
-      .as[(Long, Seq[Long], Seq[Int])].collect().sortBy(_._1)
+        textProfile(col("text"), Seq(Seq("tëxt", "with"))).as("c"))
+      .as[(Long, Seq[Long], Seq[Long])].collect().sortBy(_._1)
     assert(out(0)._2.isEmpty, "text shorter than k has no fingerprints")
-    assert(out(0)._3 == Seq(1, 0), "empty text splits to one empty token")
+    // empty text: one empty token, one distinct token, zero code points,
+    // zero char-class hits, zero set hits
+    assert(out(0)._3 == Seq(1L, 1L, 0L, 0L, 0L, 0L, 0L, 0L), "empty text splits to one empty token")
     assert(out(2)._2.nonEmpty)
     assert(out(3)._2.nonEmpty, "multi-byte text must fingerprint (UTF-8 offsets)")
-    assert(out(3)._3(0) == 8 && out(3)._3(1) == 2, s"unicode token/set counts: ${out(3)._3}")
+    assert(out(3)._3(0) == 8 && out(3)._3(7) == 2, s"unicode token/set counts: ${out(3)._3}")
   }
 
   test("curation operators tolerate empty inputs and degenerate parameters") {

@@ -9,8 +9,8 @@ class TextAnalysisSpec extends SparkSpec {
   test("token stats on a crafted document") {
     val df  = Seq((1L, "alpha  beta alpha\tgamma")).toDF("doc_id", "text")
     val row = TextAnalysis.tokenStats(df, "doc_id", "text").head()
-    assert(row.getAs[Int]("n_tokens") == 4)
-    assert(row.getAs[Int]("n_unique_tokens") == 3)
+    assert(row.getAs[Long]("n_tokens") == 4L)
+    assert(row.getAs[Long]("n_unique_tokens") == 3L)
   }
 
   test("langId classifies handcrafted sentences") {
