@@ -210,8 +210,10 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * (the first `64 % numChunks` chunks get the extra bit). Pigeonhole:
   * any pair within hamming distance `numChunks - 1` agrees exactly on
   * at least one chunk, so chunk-bucket joins are a complete blocking
-  * scheme for that radius. Chunk values are tagged with the chunk index
-  * so buckets from different chunk positions never collide.
+  * scheme for that radius. Chunk values are NOT position-tagged:
+  * disambiguation across chunk positions relies on callers joining on
+  * the chunk index as well as the value (Dedup.simhashNearDups joins
+  * on (chunk_id, chunk_val)).
   */
 case class SimHashWithChunks(child: Expression, numChunks: Int) extends UnaryExpression {
   require(numChunks >= 1 && numChunks <= 64, s"numChunks must be in [1, 64], got $numChunks")

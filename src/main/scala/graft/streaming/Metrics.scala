@@ -48,6 +48,59 @@ final class StatsdPublisher(emit: String => Unit) extends MetricsPublisher {
     emit(StatsdLineFormat.gauge(name, value, tags))
 }
 
+/** Socket transports for the statsd lines — the wire the reference fills
+  * with `DataDog.UdsPublisher` / `statsdUDS`
+  * (/root/reference/src/main/scala/main.scala:60-61,129). Two transports:
+  *
+  *  - `udp(host, port)`: classic statsd — one datagram per line.
+  *  - `uds(path)`: DogStatsD's unix-domain socket — a connected stream
+  *    channel carrying newline-delimited lines (JDK 16+
+  *    `StandardProtocolFamily.UNIX`; no native libs).
+  *
+  * Both are best-effort by design: metrics emission must never take the
+  * stream down, so send failures are swallowed after marking the
+  * publisher dead (statsd semantics — the daemon being away is normal).
+  */
+object StatsdSocket {
+  import java.net.{InetSocketAddress, StandardProtocolFamily, UnixDomainSocketAddress}
+  import java.nio.ByteBuffer
+  import java.nio.channels.{DatagramChannel, SocketChannel}
+  import java.nio.charset.StandardCharsets
+
+  /** A MetricsPublisher writing statsd lines to a socket; close() when
+    * the pipeline shuts down.
+    */
+  final class Emitter private[StatsdSocket] (
+      send: ByteBuffer => Unit, closeChannel: () => Unit
+  ) extends MetricsPublisher with AutoCloseable {
+    @volatile private var dead = false
+    private def emit(line: String): Unit =
+      if (!dead) try send(ByteBuffer.wrap((line + "\n").getBytes(StandardCharsets.UTF_8)))
+      catch { case _: java.io.IOException => dead = true }
+    override def counter(name: String, value: Long, tags: Map[String, String]): Unit =
+      emit(StatsdLineFormat.counter(name, value, tags))
+    override def gauge(name: String, value: Double, tags: Map[String, String]): Unit =
+      emit(StatsdLineFormat.gauge(name, value, tags))
+    override def close(): Unit = try closeChannel() catch { case _: java.io.IOException => () }
+  }
+
+  /** UDP datagram emitter (statsd's default transport). */
+  def udp(host: String, port: Int): Emitter = {
+    val ch = DatagramChannel.open()
+    ch.connect(new InetSocketAddress(host, port))
+    new Emitter(buf => { ch.write(buf); () }, () => ch.close())
+  }
+
+  /** Unix-domain stream emitter (DogStatsD UDS: `unix:///var/run/
+    * datadog/dsd.socket`, newline-delimited lines on one connection).
+    */
+  def uds(path: String): Emitter = {
+    val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+    ch.connect(UnixDomainSocketAddress.of(path))
+    new Emitter(buf => { while (buf.hasRemaining) ch.write(buf) }, () => ch.close())
+  }
+}
+
 /** In-memory statsd sink for tests. */
 final class StatsdRecorder extends MetricsPublisher {
   val lines: ArrayBuffer[String] = ArrayBuffer.empty

@@ -127,7 +127,9 @@ object StreamPipeline {
         val stagedBatchDir = cfg.stagingDir.map(sd => s"$sd/batch-$batchId")
         val staged = stagedBatchDir.fold(stagedPlan) { dir =>
           graft.operators.Staging.writeStaged(stagedPlan, dir, cfg.maxRowsPerFile)
-          spark.read.parquet(dir)
+          // explicit schema: an empty micro-batch stages a directory with
+          // zero part files, which schema inference cannot read back
+          spark.read.schema(stagedPlan.schema).parquet(dir)
         }
         val store  = new SnapshotStore(spark, cfg.targetDir)
         // in-stream schema evolution (the reference's

@@ -329,4 +329,63 @@ object StreamSpec {
         at(spec, "staging", "table").map(_ => s"$tempStorage/graft-staging"))
     )
   }
+
+  // ------------------------------------------------------ env bootstrap
+
+  /** The reference boots from these env vars: the operator serializes the
+    * stream spec into `STREAMCONTEXT__SPEC`
+    * (`ParquetPluginStreamContext.apply` parses it,
+    * models/app/ParquetPluginStreamContext.scala:33-37) and flags backfill
+    * runs with `STREAMCONTEXT__BACKFILL` / `STREAMCONTEXT__BACKFILL_ID`
+    * (IntegrationTests.scala:167-168).
+    */
+  val SpecEnvVar       = "STREAMCONTEXT__SPEC"
+  val BackfillEnvVar   = "STREAMCONTEXT__BACKFILL"
+  val BackfillIdEnvVar = "STREAMCONTEXT__BACKFILL_ID"
+
+  /** Parse the spec carried in `STREAMCONTEXT__SPEC`. `env` is injectable
+    * because the JVM cannot set its own environment in tests.
+    */
+  def fromEnv(env: Map[String, String] = sys.env): Mapping =
+    env.get(SpecEnvVar).map(parse).getOrElse(
+      throw new IllegalArgumentException(s"$SpecEnvVar is not set — cannot bootstrap a stream context"))
+
+  /** Whether this run is a backfill (`STREAMCONTEXT__BACKFILL=true`). */
+  def isBackfill(env: Map[String, String] = sys.env): Boolean =
+    env.get(BackfillEnvVar).exists(_.equalsIgnoreCase("true"))
+
+  def backfillId(env: Map[String, String] = sys.env): Option[String] =
+    env.get(BackfillIdEnvVar)
+
+  // ----------------------------------------------------- object storage
+
+  /** `source.configuration.s3` → Hadoop s3a configuration
+    * (yaml:89-96; the reference's `DefaultS3Reader` consumes the same
+    * block, main.scala:77-78). Credentials are NOT in the spec — s3a's
+    * default provider chain picks up `AWS_ACCESS_KEY_ID` /
+    * `AWS_SECRET_ACCESS_KEY` from the environment exactly as the
+    * reference's S3 SDK client does. Returns an empty map when the spec
+    * has no s3 section (local / hdfs sources need nothing).
+    */
+  def s3HadoopConf(spec: Mapping): Map[String, String] = {
+    at(spec, "source", "configuration", "s3") match {
+      case Some(s3: Mapping) =>
+        Seq(
+          str(s3, "endpoint").map("fs.s3a.endpoint" -> _),
+          str(s3, "region").map("fs.s3a.endpoint.region" -> _),
+          bool(s3, "usePathStyle").map(v => "fs.s3a.path.style.access" -> v.toString),
+          int(s3, "maxResultsPerPage").map(v => "fs.s3a.paging.maximum" -> v.toString),
+          int(s3, "retryMaxAttempts").map(v => "fs.s3a.retry.limit" -> v.toString),
+          str(s3, "retryBaseDelay").map(d => "fs.s3a.retry.interval" -> s"${durationMs(d)}ms")
+        ).flatten.toMap
+      case _ => Map.empty
+    }
+  }
+
+  /** Apply the spec's object-store settings to a session's Hadoop conf so
+    * every FileSystem the engine opens (BlobListingSource listings, the
+    * streaming file source, the snapshot store) sees them.
+    */
+  def applyObjectStoreConf(spark: org.apache.spark.sql.SparkSession, spec: Mapping): Unit =
+    s3HadoopConf(spec).foreach { case (k, v) => spark.sparkContext.hadoopConfiguration.set(k, v) }
 }

@@ -112,6 +112,56 @@ class PipelineServicesSpec extends SparkSpec {
     assert(rec.lines.contains("graft.stream.rows_written:2.0|g"), rec.lines.mkString(","))
   }
 
+  test("statsd UDP emitter delivers wire-format datagrams to a live socket") {
+    val server = new java.net.DatagramSocket(0, java.net.InetAddress.getLoopbackAddress)
+    server.setSoTimeout(5000)
+    val pub = graft.streaming.StatsdSocket.udp("127.0.0.1", server.getLocalPort)
+    try {
+      pub.counter("graft.stream.batches", 3, Map("stream" -> "s1"))
+      pub.gauge("graft.target.rows", 42.5)
+      def recv(): String = {
+        val p = new java.net.DatagramPacket(new Array[Byte](1024), 1024)
+        server.receive(p)
+        new String(p.getData, 0, p.getLength, java.nio.charset.StandardCharsets.UTF_8).trim
+      }
+      assert(recv() == "graft.stream.batches:3|c|#stream:s1")
+      assert(recv() == "graft.target.rows:42.5|g")
+    } finally { pub.close(); server.close() }
+  }
+
+  test("statsd UDS emitter delivers newline-delimited lines over a unix socket") {
+    val sockPath = Files.createTempDirectory("graft_uds").resolve("dsd.socket")
+    val addr     = java.net.UnixDomainSocketAddress.of(sockPath)
+    val server   = java.nio.channels.ServerSocketChannel.open(java.net.StandardProtocolFamily.UNIX)
+    server.bind(addr)
+    val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+    val acceptor = new Thread(() => {
+      val ch  = server.accept()
+      val buf = java.nio.ByteBuffer.allocate(4096)
+      val sb  = new StringBuilder
+      while (ch.read(buf) >= 0 && received.size() < 2) {
+        buf.flip()
+        sb.append(java.nio.charset.StandardCharsets.UTF_8.decode(buf))
+        buf.clear()
+        var idx = sb.indexOf("\n")
+        while (idx >= 0) {
+          received.put(sb.substring(0, idx)); sb.delete(0, idx + 1); idx = sb.indexOf("\n")
+        }
+      }
+      ch.close()
+    }, "uds-acceptor")
+    acceptor.start()
+    val pub = graft.streaming.StatsdSocket.uds(sockPath.toString)
+    try {
+      pub.counter("graft.maintenance.runs", 1, Map("at_batch" -> "60"))
+      pub.gauge("graft.stream.rows_written", 100.0)
+      assert(received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        == "graft.maintenance.runs:1|c|#at_batch:60")
+      assert(received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        == "graft.stream.rows_written:100.0|g")
+    } finally { pub.close(); server.close(); acceptor.join(5000) }
+  }
+
   test("source buffering drains the backlog in one micro-batch") {
     val src    = Files.createTempDirectory("graft_buf_src").toString
     val target = Files.createTempDirectory("graft_buf_tgt").toString + "/t"

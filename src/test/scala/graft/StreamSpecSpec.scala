@@ -155,4 +155,79 @@ class StreamSpecSpec extends SparkSpec {
     val leftovers = Option(new java.io.File(staging).listFiles()).map(_.toSeq).getOrElse(Seq.empty)
     assert(leftovers.isEmpty, s"staging must be disposed after the merge: $leftovers")
   }
+
+  test("STREAMCONTEXT__SPEC env var boots the pipeline end-to-end") {
+    import graft.streaming.StreamRunner
+    val src    = Files.createTempDirectory("graft_env_src").toString
+    val target = Files.createTempDirectory("graft_env_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_env_ckpt").toString
+    Seq((1, "a"), (2, "b")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    // the operator serializes the spec into the env var; env is an
+    // injectable map because the JVM cannot mutate its own environment
+    val env = Map(
+      StreamSpec.SpecEnvVar       -> specText,
+      StreamSpec.BackfillEnvVar   -> "false",
+      StreamSpec.BackfillIdEnvVar -> "bf-123")
+    assert(!StreamSpec.isBackfill(env) && StreamSpec.backfillId(env).contains("bf-123"))
+
+    val m = StreamRunner.boot(spark, schema, env, maxCycles = 1,
+      sourceDir = Some(src), targetDir = Some(target), checkpointDir = Some(ckpt))
+    assert(m.batches >= 1 && m.rowsWritten == 2)
+    assert(new SnapshotStore(spark, target).read().get.count() == 2)
+  }
+
+  test("failures map to the reference's exit codes (stream=2, bootstrap=1)") {
+    import graft.streaming.{StreamFailException, StreamRunner}
+    assert(StreamRunner.exitCodeFor(new StreamFailException("boom")) == 2)
+    assert(StreamRunner.exitCodeFor(new RuntimeException("boom")) == 1)
+
+    val schema = org.apache.spark.sql.types.StructType(Seq())
+    // no STREAMCONTEXT__SPEC → bootstrap failure → exit 1
+    assert(StreamRunner.run(spark, schema, env = Map.empty, maxCycles = 1) == 1)
+    // unparseable spec → bootstrap failure → exit 1
+    assert(StreamRunner.run(spark, schema,
+      env = Map(StreamSpec.SpecEnvVar -> ": not : a : spec :"), maxCycles = 1) == 1)
+
+    // valid spec but the stream itself dies (corrupt blob in the source
+    // prefix) → StreamFailException → exit 2
+    val src    = Files.createTempDirectory("graft_exit_src").toString
+    val target = Files.createTempDirectory("graft_exit_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_exit_ckpt").toString
+    Seq((1, "a")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema2 = spark.read.parquet(src).schema
+    Files.write(java.nio.file.Paths.get(src, "corrupt.parquet"),
+      "this is not parquet".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(StreamRunner.run(spark, schema2, env = Map(StreamSpec.SpecEnvVar -> specText),
+      maxCycles = 1, sourceDir = Some(src), targetDir = Some(target),
+      checkpointDir = Some(ckpt)) == 2)
+  }
+
+  test("s3 source settings map onto Hadoop s3a configuration") {
+    val s3Spec = StreamSpec.parse(
+      """source:
+        |  configuration:
+        |    sourcePath: s3a://landing-bucket/prefix
+        |    tempStoragePath: /tmp
+        |    s3:
+        |      usePathStyle: true
+        |      region: us-east-1
+        |      endpoint: http://localhost:9000
+        |      maxResultsPerPage: 1000
+        |      retryMaxAttempts: 5
+        |      retryBaseDelay: 100 millisecond
+        |      retryMaxDelay: 1 second
+        |""".stripMargin)
+    val conf = StreamSpec.s3HadoopConf(s3Spec)
+    assert(conf == Map(
+      "fs.s3a.endpoint"          -> "http://localhost:9000",
+      "fs.s3a.endpoint.region"   -> "us-east-1",
+      "fs.s3a.path.style.access" -> "true",
+      "fs.s3a.paging.maximum"    -> "1000",
+      "fs.s3a.retry.limit"       -> "5",
+      "fs.s3a.retry.interval"    -> "100ms"))
+    // a spec without an s3 section configures nothing
+    assert(StreamSpec.s3HadoopConf(StreamSpec.parse(specText)).isEmpty)
+  }
 }
