@@ -280,6 +280,37 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "text_repetition",
+      // Gopher-style repetition filters (duplicate word / n-gram
+      // fractions) — the boilerplate/keyword-stuffing removal rules
+      (spark, dir) =>
+        TextAnalysis.repetitionProfile(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), g AS (
+          SELECT doc_id, toks,
+                 list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS g2,
+                 list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS g3
+          FROM t
+        ), f AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_word_frac,
+                 CASE WHEN len(g2) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END AS dup_2gram_frac,
+                 CASE WHEN len(g3) = 0 THEN 0.0
+                      ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END AS dup_3gram_frac
+          FROM g
+        )
+        SELECT doc_id, n_tokens, dup_word_frac, dup_2gram_frac, dup_3gram_frac,
+               (dup_word_frac > 0.3 OR dup_2gram_frac > 0.2 OR dup_3gram_frac > 0.18) AS is_repetitive
+        FROM f ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "doc_fingerprint",
       (spark, dir) =>
         TextAnalysis.winnowingFingerprints(Tables(spark, dir).documents, "doc_id", "text")

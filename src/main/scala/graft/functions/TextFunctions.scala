@@ -12,14 +12,17 @@ object TextFunctions {
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
   /** Word n-gram shingles: ["a b c", "b c d", ...]; empty array when the
-    * document has fewer than n tokens.
+    * document has fewer than n tokens. The short-doc case needs the
+    * explicit `when`: `sequence(1, 0)` generates a DESCENDING [1, 0],
+    * not an empty array, and `slice(t, 0, n)` then throws at runtime.
     */
   def wordShingles(text: Column, n: Int): Column = {
     val t = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(t) - (n - 1), lit(0))),
-      i => concat_ws(" ", slice(t, i, lit(n)))
-    )
+    when(size(t) < n, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", slice(t, i, lit(n)))
+      ))
   }
 
   /** Distinct shingle set (the unit of Jaccard similarity). */

@@ -206,7 +206,10 @@ object Dedup {
         col("a.chunk_val") === col("b.chunk_val") && col("a.__id") < col("b.__id"))
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
         expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
-      .distinct()
+      // verify BEFORE the distinct: the hamming check is a cheap map-side
+      // filter, so only true near-dups reach the dedup shuffle — the
+      // candidate set (quadratic in bucket occupancy) never exchanges
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 }

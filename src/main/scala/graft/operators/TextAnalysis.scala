@@ -87,6 +87,38 @@ object TextAnalysis {
       .select(col(idCol), col("predicted_lang"))
   }
 
+  /** Gopher-style repetition features (Rae et al. 2021, §A1.1: the
+    * "repetitious text" removal rules): duplicate-word fraction and
+    * duplicate n-gram fractions. Heavily repeated boilerplate (SEO spam,
+    * keyword stuffing, template text) scores high and gets filtered
+    * before training. Word counts come from the one-pass TextProfile
+    * kernel; n-gram duplication from the shingle builders shared with
+    * the Jaccard dedup family.
+    *
+    * `is_repetitive` applies Gopher's published thresholds (duplicate
+    * 2-grams > 0.2, duplicate 3-grams > 0.18, plus a 0.3 duplicate-word
+    * bound) — callers wanting different cut-offs filter on the fractions
+    * directly.
+    */
+  def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col("__c")
+    def dupFrac(grams: Column): Column = {
+      val n = size(grams)
+      when(n === 0, lit(0.0))
+        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / n)
+    }
+    df.withColumn("__c", profile(col(textCol))).select(
+      col(idCol),
+      c.getItem(0).as("n_tokens"),
+      (lit(1.0) - c.getItem(1).cast("double") / c.getItem(0)).as("dup_word_frac"),
+      dupFrac(graft.functions.TextFunctions.wordShingles(col(textCol), 2)).as("dup_2gram_frac"),
+      dupFrac(graft.functions.TextFunctions.wordShingles(col(textCol), 3)).as("dup_3gram_frac")
+    ).withColumn(
+      "is_repetitive",
+      col("dup_word_frac") > 0.3 || col("dup_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.18
+    )
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash char
     * k-grams, slide a window of w hashes, keep each window's minimum.
     * Near-dup docs share most fingerprints even after local edits.

@@ -13,6 +13,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(row.getAs[Long]("n_unique_tokens") == 3L)
   }
 
+  test("repetition profile flags boilerplate and tolerates 1-token docs") {
+    val df = Seq(
+      (1L, "buy cheap pills buy cheap pills buy cheap pills buy cheap pills"),
+      (2L, "the quick brown fox jumps over a lazy dog near the river bank"),
+      (3L, "x") // fewer tokens than any shingle width — must not crash
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionProfile(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // 12 tokens, 3 distinct -> dup_word_frac 0.75; 2-grams all repeats of 3
+    assert(out(1L).getAs[Boolean]("is_repetitive"))
+    assert(out(1L).getAs[Double]("dup_word_frac") == 0.75)
+    assert(out(1L).getAs[Double]("dup_2gram_frac") > 0.6)
+    assert(!out(2L).getAs[Boolean]("is_repetitive"))
+    assert(out(3L).getAs[Double]("dup_2gram_frac") == 0.0)
+    assert(out(3L).getAs[Double]("dup_3gram_frac") == 0.0)
+  }
+
+  test("word shingles on docs shorter than the shingle width are empty, not an error") {
+    import graft.functions.TextFunctions
+    val df = Seq((1L, "one"), (2L, "one two"), (3L, "one two three")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextFunctions.wordShingles($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("one two three"))
+  }
+
   test("langId classifies handcrafted sentences") {
     val df = Seq(
       (1L, "the cat is in the house and it was good for the family"),
