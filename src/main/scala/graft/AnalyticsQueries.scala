@@ -414,6 +414,33 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_asof_forward",
+      (spark, dir) => {
+        import spark.implicits._
+        // earliest event state per user AT OR AFTER two probe instants —
+        // the forward direction of q_asof_join (same dedup, same probes)
+        val ev = graft.operators.Upsert.latestByKey(
+          Tables(spark, dir).events, Seq("user_id", "ts"), Seq("event_id"))
+        val probes = ev.select($"user_id").distinct()
+          .withColumn("pts", explode(array(ts("2024-01-10"), ts("2024-01-20"))))
+        graft.operators.AsOfJoin.forward(
+            probes, ev, partitionCols = Seq("user_id"),
+            leftTimeCol = "pts", rightTimeCol = "ts",
+            payloadCols = Seq("event_id", "ts"))
+          .orderBy("user_id", "pts")
+      },
+      Some("""
+        WITH ev AS (SELECT * FROM events QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+             users AS (SELECT DISTINCT user_id FROM events),
+             probes AS (SELECT user_id, unnest([TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20']) AS pts FROM users)
+        SELECT p.user_id, p.pts, e.event_id AS next_event_id, e.ts AS next_ts
+        FROM probes p LEFT JOIN ev e ON p.user_id = e.user_id AND e.ts >= p.pts
+        QUALIFY row_number() OVER (PARTITION BY p.user_id, p.pts ORDER BY e.ts ASC) = 1
+        ORDER BY p.user_id, p.pts
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_salted_agg",
       (spark, dir) => {
         import spark.implicits._

@@ -366,6 +366,24 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "decontaminate_bloom",
+      // sketch-based decontamination: benchmark shingles folded into a
+      // Bloom filter (codegen'd membership, no join) — the result is a
+      // deterministic superset of `decontaminate` (false positives only;
+      // sketch seed/geometry are fixed). Rows-only check by design: the
+      // sketch is engine-specific and not expressible in the oracle.
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables(spark, dir).documents
+        Curation.contaminatedDocsBloom(
+          corpus = docs.filter($"doc_id" >= 20), benchmark = docs.filter($"doc_id" < 20),
+          idCol = "doc_id", textCol = "text", shingleN = 3
+        ).orderBy("doc_id")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "decontaminate",
       // benchmark decontamination: corpus docs sharing any 3-gram shingle
       // with the benchmark slice (doc_id < 20); benchmark shingles are the

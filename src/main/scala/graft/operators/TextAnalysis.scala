@@ -101,22 +101,23 @@ object TextAnalysis {
     * directly.
     */
   def repetitionProfile(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val c = col("__c")
-    def dupFrac(grams: Column): Column = {
-      val n = size(grams)
-      when(n === 0, lit(0.0))
-        .otherwise(lit(1.0) - size(array_distinct(grams)).cast("double") / n)
-    }
-    df.withColumn("__c", profile(col(textCol))).select(
-      col(idCol),
-      c.getItem(0).as("n_tokens"),
-      (lit(1.0) - c.getItem(1).cast("double") / c.getItem(0)).as("dup_word_frac"),
-      dupFrac(graft.functions.TextFunctions.wordShingles(col(textCol), 2)).as("dup_2gram_frac"),
-      dupFrac(graft.functions.TextFunctions.wordShingles(col(textCol), 3)).as("dup_3gram_frac")
-    ).withColumn(
-      "is_repetitive",
-      col("dup_word_frac") > 0.3 || col("dup_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.18
-    )
+    // [cnt1, dist1, cnt2, dist2, cnt3, dist3] in one kernel pass — the
+    // HOF shingle formulation re-evaluates the whole gram pipeline per
+    // reference (measured 36 s vs sub-second at sf0.1)
+    val c = col("__g")
+    def dupFrac(cnt: Column, dist: Column): Column =
+      when(cnt === 0, lit(0.0)).otherwise(lit(1.0) - dist.cast("double") / cnt)
+    df.withColumn("__g", graft.plans.TextVectorExpressions.ngramProfile(col(textCol), Seq(1, 2, 3)))
+      .select(
+        col(idCol),
+        c.getItem(0).as("n_tokens"),
+        (lit(1.0) - c.getItem(1).cast("double") / c.getItem(0)).as("dup_word_frac"),
+        dupFrac(c.getItem(2), c.getItem(3)).as("dup_2gram_frac"),
+        dupFrac(c.getItem(4), c.getItem(5)).as("dup_3gram_frac")
+      ).withColumn(
+        "is_repetitive",
+        col("dup_word_frac") > 0.3 || col("dup_2gram_frac") > 0.2 || col("dup_3gram_frac") > 0.18
+      )
   }
 
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash char

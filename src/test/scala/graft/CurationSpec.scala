@@ -66,6 +66,28 @@ class CurationSpec extends SparkSpec {
       s"expected broadcast semi join:\n$plan")
   }
 
+  test("bloom decontamination is a superset of exact with complete recall and no join") {
+    val docs  = Tables(spark, sfDir).documents
+    val bench = docs.filter($"doc_id" < 20)
+    val corp  = docs.filter($"doc_id" >= 20)
+    val exact = Curation.contaminatedDocs(corp, bench, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    val bloomed = Curation.contaminatedDocsBloom(corp, bench, "doc_id", "text", 3)
+      .as[Long].collect().toSet
+    // one-sided error: every truly contaminated doc MUST be flagged
+    assert(exact.subsetOf(bloomed),
+      s"bloom variant missed contaminated docs: ${exact -- bloomed}")
+    // at 1% fpp on this corpus the over-flagging should be tiny
+    val extras = bloomed -- exact
+    assert(extras.size <= math.max(2, exact.size / 10), s"too many false positives: $extras")
+
+    // the corpus side must be a pure scan+filter: no join in the plan at
+    // all (the sketch replaces the broadcast semi join)
+    val plan = Curation.contaminatedDocsBloom(corp, bench, "doc_id", "text", 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"bloom path must not join:\n$plan")
+  }
+
   test("vocabTopK returns the k most frequent tokens with deterministic ties") {
     val docs = Seq((1L, "a b b c c c"), (2L, "c d d")).toDF("doc_id", "text")
     val out = Curation.vocabTopK(docs, "text", 3).as[(String, Long)].collect().toSeq

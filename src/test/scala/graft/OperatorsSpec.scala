@@ -76,6 +76,27 @@ class OperatorsSpec extends SparkSpec {
     assert(out(2).getAs[String]("last_name") == null, "event after probe must not match")
   }
 
+  test("AsOfJoin.forward attaches the earliest following event; tolerance bounds the gap") {
+    val probes = Seq((1, 100L), (1, 5L), (2, 200L)).toDF("k", "pt")
+    val events = Seq((1, 10L, "e10"), (1, 50L, "e50"), (1, 100L, "e100"), (2, 101L, "late")).toDF("k", "et", "name")
+    val fwd = AsOfJoin.forward(probes, events, Seq("k"), "pt", "et", Seq("name"))
+      .orderBy("k", "pt").collect()
+    // probe (1,5) -> earliest following is e10; (1,100) matches inclusively;
+    // (2,200) has no following event -> null
+    assert(fwd(0).getAs[String]("next_name") == "e10")
+    assert(fwd(1).getAs[String]("next_name") == "e100")
+    assert(fwd(2).getAs[String]("next_name") == null)
+
+    // backward with tolerance 20: probe (1,100) matches e100 (gap 0);
+    // a probe at 75 would reach e50 (gap 25 > 20) -> nulled
+    val probes2 = Seq((1, 75L), (1, 100L)).toDF("k", "pt")
+    val tol = AsOfJoin.backward(probes2, events, Seq("k"), "pt", "et", Seq("name"),
+        tolerance = Some(org.apache.spark.sql.functions.lit(20L)))
+      .orderBy("k", "pt").collect()
+    assert(tol(0).getAs[String]("last_name") == null, "match beyond tolerance must be nulled")
+    assert(tol(1).getAs[String]("last_name") == "e100")
+  }
+
   test("Maintenance.compact preserves data and reduces file count") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
     spark.range(1000).toDF("id").repartition(16).write.parquet(s"$base/in")
