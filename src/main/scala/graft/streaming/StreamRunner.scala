@@ -59,10 +59,74 @@ object StreamRunner {
     val cadence = StreamSpec.changeCapture(spec)
     StreamSpec.applyObjectStoreConf(spark, spec)
     // run phase — failures here are stream failures (exit 2)
-    try StreamPipeline.runContinuously(spark, schema, cfg, cadence, maxCycles, lifetime, publisher)
-    catch {
+    try {
+      if (StreamSpec.isBackfill(env)) runBackfill(spark, schema, spec, env, cfg)
+      else StreamPipeline.runContinuously(spark, schema, cfg, cadence, maxCycles, lifetime, publisher)
+    } catch {
       case f: StreamFailException => throw f
       case t: Throwable           => throw new StreamFailException(s"stream failed: ${t.getMessage}", t)
+    }
+  }
+
+  /** Backfill-mode boot (`STREAMCONTEXT__BACKFILL=true`, the reference's
+    * `streamMode.backfill`): recompute the target from the source blobs
+    * at or after `backfillStartDate` (blob VERSION = modification time,
+    * exactly what the streaming path stamps), honoring the spec's
+    * `backfillBehavior`:
+    *
+    *  - Overwrite — sharded recompute + atomic completion swap
+    *    ([[graft.operators.Backfill.runSharded]]; resumable via the
+    *    persisted shard state keyed by `STREAMCONTEXT__BACKFILL_ID`)
+    *  - Merge — MERGE the backfill slice into the existing target
+    *
+    * Returned metrics: `batches` = shards staged this run (Overwrite) or
+    * 1 (Merge); row counters stay 0 — a backfill is one commit, not a
+    * metered stream.
+    */
+  private def runBackfill(
+      spark: SparkSession,
+      schema: StructType,
+      spec: StreamSpec.Mapping,
+      env: Map[String, String],
+      cfg: StreamPipeline.Config
+  ): StreamPipeline.CycleMetrics = {
+    import graft.operators.{Backfill, FieldSelection, MergeInto, MergeKey, SchemaMigration}
+    import graft.sources.{BlobListingSource, SnapshotStore}
+    import org.apache.spark.sql.functions.col
+
+    val behavior = StreamSpec.backfillBehavior(spec).getOrElse("Overwrite")
+    val fromMs = StreamSpec.backfillStartDate(spec)
+      .map(d => java.time.Instant.parse(d).toEpochMilli)
+    val blobs    = BlobListingSource.listBlobs(spark, cfg.sourceDir, cfg.commitRetry)
+    val selected = fromMs.fold(blobs)(ms => blobs.filter(_.modifiedMs >= ms))
+    if (selected.isEmpty) return StreamPipeline.CycleMetrics(0, 0, 0)
+
+    val src0 = spark.read.schema(schema).parquet(selected.map(_.path): _*)
+    val src = if (cfg.includeSourceVersion)
+      src0.withColumn(StreamPipeline.SourceVersionColumn, col("_metadata.file_modification_time"))
+    else src0
+    val essentials = cfg.essentialFields ++ cfg.primaryKeys ++ cfg.versionCols ++
+      (if (cfg.includeSourceVersion) Set(StreamPipeline.SourceVersionColumn) else Set.empty)
+    val keyed = MergeKey.withMergeKey(FieldSelection(src, cfg.fieldRule, essentials), cfg.primaryKeys)
+
+    val store = new SnapshotStore(spark, cfg.targetDir)
+    behavior match {
+      case "Overwrite" =>
+        val staging = cfg.stagingDir.getOrElse("/tmp/graft-backfill") + "/backfill-staging"
+        val state = new Backfill.BackfillStateManager(spark, s"$staging/state",
+          StreamSpec.backfillId(env).getOrElse("backfill"))
+        val result = Backfill.runSharded(spark, keyed, Seq(MergeKey.ColumnName), cfg.versionCols,
+          nShards = 8, s"$staging/shards", store, state)
+        StreamPipeline.CycleMetrics(result.stagedThisRun.size.toLong, 0, 0)
+      case "Merge" =>
+        val merged = store.read().fold(graft.operators.Upsert.latestByKey(
+            keyed, Seq(MergeKey.ColumnName), cfg.versionCols)) { t =>
+          val slice = graft.operators.Upsert.latestByKey(keyed, Seq(MergeKey.ColumnName), cfg.versionCols)
+          val (tAligned, sAligned) = SchemaMigration.alignPair(t, slice)
+          MergeInto.merge(tAligned, sAligned, Seq(MergeKey.ColumnName))
+        }
+        store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile), retry = cfg.commitRetry)
+        StreamPipeline.CycleMetrics(1, 0, 0)
     }
   }
 

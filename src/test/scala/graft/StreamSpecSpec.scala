@@ -178,6 +178,43 @@ class StreamSpecSpec extends SparkSpec {
     assert(new SnapshotStore(spark, target).read().get.count() == 2)
   }
 
+  test("STREAMCONTEXT__BACKFILL=true boots into backfill mode per the spec's behavior") {
+    import graft.streaming.StreamRunner
+    val src     = Files.createTempDirectory("graft_bf_src").toString
+    val target  = Files.createTempDirectory("graft_bf_tgt").toString + "/t"
+    val staging = Files.createTempDirectory("graft_bf_stage").toString
+
+    // two versions of key 1 (later blob wins), plus key 2
+    Seq((1, "old"), (2, "b")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+    Thread.sleep(1100)
+    Seq((1, "new")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    // Overwrite: sharded recompute + swap (spec's backfillBehavior)
+    val env = Map(
+      StreamSpec.SpecEnvVar       -> specText,
+      StreamSpec.BackfillEnvVar   -> "true",
+      StreamSpec.BackfillIdEnvVar -> "bf-spec-test")
+    val m = StreamRunner.boot(spark, schema, env, sourceDir = Some(src),
+      targetDir = Some(target), stagingDir = Some(staging))
+    assert(m.batches >= 1, "at least one shard must stage")
+    val rows = new SnapshotStore(spark, target).read().get
+      .select("k", "payload").as[(Int, String)].collect().toMap
+    assert(rows == Map(1 -> "new", 2 -> "b"),
+      s"backfill must recompute latest-per-key from blob versions: $rows")
+
+    // Merge behavior: backfill slice merges into the existing target
+    // (new key appears, existing keys survive)
+    Thread.sleep(1100)
+    Seq((3, "c")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+    val mergeEnv = env.updated(StreamSpec.SpecEnvVar, specText.replace("Overwrite", "Merge"))
+    StreamRunner.boot(spark, schema, mergeEnv, sourceDir = Some(src),
+      targetDir = Some(target), stagingDir = Some(staging))
+    val merged = new SnapshotStore(spark, target).read().get
+      .select("k", "payload").as[(Int, String)].collect().toMap
+    assert(merged == Map(1 -> "new", 2 -> "b", 3 -> "c"), s"merge backfill result: $merged")
+  }
+
   test("failures map to the reference's exit codes (stream=2, bootstrap=1)") {
     import graft.streaming.{StreamFailException, StreamRunner}
     assert(StreamRunner.exitCodeFor(new StreamFailException("boom")) == 2)
