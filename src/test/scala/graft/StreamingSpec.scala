@@ -73,6 +73,45 @@ class StreamingSpec extends SparkSpec {
     assert(store.readVersion(v1).count() == 2)
   }
 
+  test("streaming sessionization closes sessions on gap or watermark timeout") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingSessionize
+    import graft.streaming.StreamingSessionize.{Event, Session}
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[Event]
+    val sessions = StreamingSessionize.sessions(
+      spark, input.toDS(), gapMs = 30L * 60 * 1000, watermarkDelay = "10 minutes")
+    val q = sessions.writeStream.format("memory").queryName("sess_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+
+    // two events 4 minutes apart: one open session for user 1
+    input.addData(Event(1L, t("2024-01-01 00:01:00")), Event(1L, t("2024-01-01 00:05:00")))
+    q.processAllAvailable()
+    // an event far past the gap: closes session 1 in-batch AND advances
+    // the watermark beyond session 1's timeout
+    input.addData(Event(1L, t("2024-01-01 02:00:00")))
+    q.processAllAvailable()
+    // push the watermark past session 2's end + gap so the TIMEOUT path
+    // (not a newer event) closes it
+    input.addData(Event(2L, t("2024-01-01 05:00:00")))
+    q.processAllAvailable()
+    input.addData(Event(2L, t("2024-01-01 08:00:00")))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("sess_sink").as[Session].collect()
+      .map(s => (s.userId, s.sessionStart, s.sessionEnd, s.nEvents)).toSet
+    assert(rows.contains((1L, t("2024-01-01 00:01:00"), t("2024-01-01 00:05:00"), 2L)),
+      s"gap-closed session missing: $rows")
+    assert(rows.contains((1L, t("2024-01-01 02:00:00"), t("2024-01-01 02:00:00"), 1L)),
+      s"timeout-closed session missing: $rows")
+    assert(rows.contains((2L, t("2024-01-01 05:00:00"), t("2024-01-01 05:00:00"), 1L)),
+      s"user-2 session missing: $rows")
+  }
+
   test("event-time watermark drops late data in append-mode windowed aggregation") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
