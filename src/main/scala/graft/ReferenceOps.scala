@@ -274,6 +274,17 @@ object ReferenceOps {
       """.trim)
     ),
     QueryDef(
+      "analyze_ndv_sketch",
+      // mergeable-sketch ndv (the 100 TB path of analyze_stats' exact
+      // branch): deterministic estimates, but engine-specific — spec
+      // asserts <5% error vs exact and lossless shard merging
+      (spark, dir) =>
+        Sketches.approxDistinct(Tables(spark, dir).events, Seq("event_type"), "user_id")
+          .orderBy("event_type"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "analyze_stats",
       (spark, dir) =>
         Analyze.columnStats(

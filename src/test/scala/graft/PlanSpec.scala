@@ -59,6 +59,28 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "LSH path must not cross-join")
   }
 
+  test("text kernels evaluate once per row: single pruned scan, one output-sort exchange") {
+    val plan = planOf("text_repetition")
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("doc_id") && readSchema.contains("text") && !readSchema.contains("source"),
+      s"scan not pruned to (doc_id, text): $readSchema")
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges == 1, s"only the deterministic output sort may exchange, got $exchanges:\n$plan")
+    // the kernel must not be inlined per reference by projection collapse
+    val kernels = "ngramprofile".r.findAllIn(plan.toLowerCase).size
+    assert(kernels <= 1, s"NGramProfile must evaluate once per row, found $kernels occurrences")
+  }
+
+  test("as-of joins (both directions) are one window pass, no range cross product") {
+    for (q <- Seq("q_asof_join", "q_asof_forward")) {
+      val plan = planOf(q)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q must not expand a range cross product:\n$plan")
+      val windows = "Window".r.findAllIn(plan).size
+      assert(windows >= 1, s"$q expected the carry-forward window")
+    }
+  }
+
   test("staging batch accounting uses no unpartitioned window") {
     val exec = Queries.queries("staging_batches")(spark, sfDir).queryExecution.executedPlan
     val globalWindows = exec.collect {

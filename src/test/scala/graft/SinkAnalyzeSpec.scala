@@ -28,6 +28,34 @@ class SinkAnalyzeSpec extends SparkSpec {
     assert(q.count() == df.filter(col("day") === oneDay).count())
   }
 
+  test("HLL sketches estimate within error bounds and merge losslessly across shards") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Sketches
+    val ev = Tables(spark, sfDir).events
+
+    val exact = ev.groupBy($"event_type").agg(countDistinct($"user_id").as("ndv"))
+      .as[(String, Long)].collect().toMap
+    val approx = Sketches.approxDistinct(ev, Seq("event_type"), "user_id")
+      .as[(String, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k)
+      assert(math.abs(a - n).toDouble / n < 0.05, s"$k: approx $a vs exact $n drifted > 5%")
+    }
+
+    // re-aggregation: per-(type, day) partials unioned up to type must
+    // agree with the direct sketch (same registers, merged)
+    val partials = Sketches.partialSketches(
+      ev.withColumn("day", to_date($"ts")), Seq("event_type"), Seq("day"), "user_id")
+    assert(partials.count() > exact.size, "expected multiple shards per group")
+    val merged = Sketches.mergeSketches(partials, Seq("event_type"))
+      .as[(String, Long)].collect().toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(merged(k) - n).toDouble / n < 0.05,
+        s"$k: merged ${merged(k)} vs exact $n drifted > 5%")
+    }
+  }
+
   test("SinkProperties writes real parquet bloom filters and sorted files") {
     val dir = Files.createTempDirectory("graft_sinkprops").toString + "/t"
     val df  = Tables(spark, sfDir).events
