@@ -209,6 +209,17 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "doc_clusters",
+      // spherical k-means over embeddings (deterministic sample + seed
+      // -> engine-reproducible clusters); rows-only: centroid geometry
+      // is engine-specific, properties asserted in SimilaritySpec
+      (spark, dir) =>
+        Similarity.kmeansAssign(Tables(spark, dir).embeddings, "vec_id", "embedding", k = 8)
+          .orderBy("vec_id"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "text_tokens",
       (spark, dir) =>
         TextAnalysis.tokenStats(Tables(spark, dir).documents, "doc_id", "text")

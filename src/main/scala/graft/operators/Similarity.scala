@@ -113,6 +113,27 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Spherical k-means corpus clustering — IVF's coarse quantizer
+    * exposed as a first-class operator (mixture balancing, domain
+    * discovery, cluster-stratified sampling over embeddings). Centroids
+    * train on a bounded DETERMINISTIC sample on the driver (ordered
+    * take, fixed seed — identical clusters every run); assignment is
+    * one scan with the codegen-friendly CentroidCells expression, no
+    * join, no shuffle beyond the caller's sink.
+    */
+  def kmeansAssign(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleSize: Int = 2048, iters: Int = 5
+  ): DataFrame = {
+    import graft.plans.VectorQuantization
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+    val sample = v.orderBy(idCol).limit(sampleSize)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    val centroids = VectorQuantization.trainCentroids(sample, k, iters, seed = 42L)
+    v.select(col(idCol),
+      element_at(VectorQuantization.centroidCells(col("__v"), centroids, 1), 1).as("cluster"))
+  }
+
   /** Whole-operator top-k through the custom AnnTopKNode logical plan
     * (plans/AnnTopKPlan.scala): bounded per-probe heaps per partition
     * emit partitions*k candidates, then one tiny shuffle ranks them

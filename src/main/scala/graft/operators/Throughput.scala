@@ -14,6 +14,48 @@ import org.apache.spark.sql.functions._
   * computes the advice deterministically so it is oracle-checkable.
   */
 object Throughput {
+
+  /** The spec's `throughput.shaperImpl.memoryBound` block
+    * (/root/reference/stream-spec-yaml-example.yaml:68-75). The
+    * reference's shaper implementation lives in the external framework;
+    * this is a documented stand-in with the same inputs and shape:
+    * row bytes are estimated from the SCHEMA (strings/objects at the
+    * configured fallback estimates), chunk cost is
+    * `scale * (rowCountWeight + sizeWeight * sizeScaleFactor * rowMB)`
+    * per row (size term in megabytes so the published example weights
+    * produce sane chunk sizes), and the advice is the largest chunk
+    * whose cost stays within `chunkCostMax`.
+    */
+  final case class MemoryBound(
+      fallbackStringBytes: Int = 50,
+      objectBytes: Int = 4096,
+      chunkCostScale: Double = 1.0,
+      chunkCostMax: Double = 10.0,
+      rowCountWeight: Double = 0.05,
+      sizeWeight: Double = 0.05,
+      sizeScaleFactor: Double = 1.0
+  )
+
+  /** Static per-row byte estimate from the schema: fixed-width types at
+    * their native width, strings/objects at the spec's estimates.
+    */
+  def estimateRowBytes(schema: org.apache.spark.sql.types.StructType, mb: MemoryBound): Long = {
+    import org.apache.spark.sql.types._
+    schema.fields.map(_.dataType match {
+      case StringType                                       => mb.fallbackStringBytes.toLong
+      case BinaryType | _: StructType | _: ArrayType | _: MapType => mb.objectBytes.toLong
+      case t                                                => t.defaultSize.toLong
+    }).sum
+  }
+
+  /** Advised rows per chunk under the memory-bound cost model; always
+    * at least 1 so a single wide row still flows.
+    */
+  def memoryBoundChunkRows(schema: org.apache.spark.sql.types.StructType, mb: MemoryBound): Long = {
+    val rowMb      = estimateRowBytes(schema, mb).toDouble / (1024 * 1024)
+    val costPerRow = mb.chunkCostScale * (mb.rowCountWeight + mb.sizeWeight * mb.sizeScaleFactor * rowMb)
+    math.max(1L, (mb.chunkCostMax / costPerRow).toLong)
+  }
   /** Per-group chunk advice. `stringCols` contribute measured byte sizes;
     * `fixedBytesPerRow` covers the fixed-width columns.
     */

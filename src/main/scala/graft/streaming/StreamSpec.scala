@@ -266,6 +266,23 @@ object StreamSpec {
       )
     }
 
+  /** `throughput.shaperImpl.memoryBound` → the memory-bound chunk cost
+    * model (yaml:68-75). None when the spec has no memoryBound block.
+    */
+  def memoryBound(spec: Mapping): Option[graft.operators.Throughput.MemoryBound] =
+    at(spec, "throughput", "shaperImpl", "memoryBound").collect { case m: Mapping =>
+      val d = graft.operators.Throughput.MemoryBound()
+      graft.operators.Throughput.MemoryBound(
+        fallbackStringBytes = int(m, "fallbackStringTypeSizeEstimate").getOrElse(d.fallbackStringBytes),
+        objectBytes = int(m, "objectTypeSizeEstimate").getOrElse(d.objectBytes),
+        chunkCostScale = double(m, "chunkCostScale").getOrElse(d.chunkCostScale),
+        chunkCostMax = double(m, "chunkCostMax").getOrElse(d.chunkCostMax),
+        rowCountWeight = double(m, "tableRowCountWeight").getOrElse(d.rowCountWeight),
+        sizeWeight = double(m, "tableSizeWeight").getOrElse(d.sizeWeight),
+        sizeScaleFactor = double(m, "tableSizeScaleFactor").getOrElse(d.sizeScaleFactor)
+      )
+    }
+
   /** `streamMode.changeCapture` → poll cadence (yaml:27-30). */
   def changeCapture(spec: Mapping): ChangeCapture =
     new ChangeCapture(

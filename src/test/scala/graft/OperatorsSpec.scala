@@ -65,6 +65,21 @@ class OperatorsSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 100)
   }
 
+  test("memory-bound shaper advises fewer rows per chunk for wider schemas") {
+    import org.apache.spark.sql.types._
+    val mb = Throughput.MemoryBound()
+    val narrow = StructType(Seq(StructField("k", LongType), StructField("v", IntegerType)))
+    val wide = StructType(Seq(
+      StructField("k", LongType), StructField("text", StringType),
+      StructField("payload", BinaryType), StructField("tags", ArrayType(StringType))))
+    assert(Throughput.estimateRowBytes(narrow, mb) == 12L)
+    assert(Throughput.estimateRowBytes(wide, mb) == 8L + 50L + 4096L + 4096L)
+    val narrowRows = Throughput.memoryBoundChunkRows(narrow, mb)
+    val wideRows   = Throughput.memoryBoundChunkRows(wide, mb)
+    assert(narrowRows > wideRows && wideRows >= 1,
+      s"advice must shrink with row width: narrow=$narrowRows wide=$wideRows")
+  }
+
   test("AsOfJoin.backward attaches the latest prior event, null before history") {
     val probes = Seq((1, 100L), (1, 5L), (2, 100L)).toDF("k", "pt")
     val events = Seq((1, 10L, "e10"), (1, 50L, "e50"), (1, 100L, "e100"), (2, 101L, "late")).toDF("k", "et", "name")

@@ -66,6 +66,17 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("AnnTopK"), s"expected custom physical operator:\n$plan")
   }
 
+  test("kmeans clustering assigns every vector to its nearest centroid, deterministically") {
+    val e = Tables(spark, sfDir).embeddings
+    def run() = Similarity.kmeansAssign(e, "vec_id", "embedding", k = 8)
+      .as[(Long, Int)].collect().toMap
+    val clusters = run()
+    assert(clusters.size == e.count(), "every vector must be assigned")
+    assert(clusters.values.toSet.subsetOf((0 until 8).toSet), s"cluster ids out of range")
+    assert(clusters.values.toSet.size > 1, "degenerate single-cluster result")
+    assert(run() == clusters, "seeded training must reproduce the same clustering")
+  }
+
   test("brute-force ranks are contiguous from 1..k per probe") {
     val e = Tables(spark, sfDir).embeddings
     val out = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e.filter($"vec_id" >= 3),

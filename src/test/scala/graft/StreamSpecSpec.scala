@@ -58,6 +58,14 @@ class StreamSpecSpec extends SparkSpec {
       |      batchThreshold: 80
       |throughput:
       |  shaperImpl:
+      |    memoryBound:
+      |      fallbackStringTypeSizeEstimate: 50
+      |      objectTypeSizeEstimate: 4096
+      |      chunkCostScale: 1
+      |      chunkCostMax: 10
+      |      tableRowCountWeight: 0.05
+      |      tableSizeWeight: 0.05
+      |      tableSizeScaleFactor: 1
       |    advisedRate: "1000 per 1 second"
       |    advisedBurst: 1000
       |    advisedChunkSize: 10
@@ -118,6 +126,11 @@ class StreamSpecSpec extends SparkSpec {
 
     val bucket = StreamSpec.tokenBucket(spec, () => 0L).get
     assert(bucket.tryAcquire(1000) && !bucket.tryAcquire(1))
+
+    // memory-bound shaper settings parse with the yaml example's values
+    val mb = StreamSpec.memoryBound(spec).get
+    assert(mb.fallbackStringBytes == 50 && mb.objectBytes == 4096)
+    assert(mb.chunkCostMax == 10.0 && mb.rowCountWeight == 0.05)
 
     val cfg = StreamSpec.pipelineConfig(spec)
     assert(cfg.sourceDir == "/data/landing" && cfg.targetDir == "iceberg.test.parquet_test")
