@@ -123,7 +123,10 @@ object Curation {
     * O(partitions) metadata) become broadcast offsets. No global window,
     * no single-partition stage, identical result at any parallelism.
     */
-  def packSequences(docs: DataFrame, idCol: String, textCol: String, tokenBudget: Long): DataFrame = {
+  /** Per-document sequence assignment — the two-phase numbering that
+    * [[packSequences]] aggregates. Returns `(idCol, n_tokens, seq_id)`.
+    */
+  def packAssignments(docs: DataFrame, idCol: String, textCol: String, tokenBudget: Long): DataFrame = {
     val spark = docs.sparkSession
     val local = docs
       .select(col(idCol).as("__id"),
@@ -143,6 +146,12 @@ object Curation {
       .join(broadcast(offDf), Seq("__pid"))
       // exclusive prefix: tokens BEFORE this doc decide its sequence
       .withColumn("seq_id", ((col("__off") + col("__cum") - col("__tok")) / tokenBudget).cast("long"))
+      .select(col("__id").as(idCol), col("__tok").as("n_tokens"), col("seq_id"))
+  }
+
+  def packSequences(docs: DataFrame, idCol: String, textCol: String, tokenBudget: Long): DataFrame = {
+    packAssignments(docs, idCol, textCol, tokenBudget)
+      .select(col(idCol).as("__id"), col("n_tokens").as("__tok"), col("seq_id"))
       .groupBy("seq_id")
       .agg(
         count(lit(1)).as("n_docs"),

@@ -88,6 +88,44 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"bloom path must not join:\n$plan")
   }
 
+  test("curation pipeline composes quality, repetition, dedup, decontamination, packing") {
+    import graft.operators.CurationPipeline
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over a lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over a lazy dog near the river bank today"), // exact dup of 1
+      (3L, "9472 3811 5529 1033 7714 2205 8846 6072"),                             // junk: digits
+      (4L, "buy cheap pills buy cheap pills buy cheap pills buy cheap pills"),      // repetitive
+      (5L, "the secret benchmark question about spark internals is right here"),    // contaminated
+      (6L, "a clean and wholly original document with the usual english words in it")
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "the secret benchmark question about spark internals")).toDF("doc_id", "text")
+
+    val out = CurationPipeline.run(docs, "doc_id", "text",
+      CurationPipeline.Config(
+        minQuality = 0.5,
+        maxDup3GramFrac = 0.3,
+        dedup = CurationPipeline.ExactDedup,
+        decontaminateAgainst = Some(bench),
+        tokenBudget = Some(15L)))
+    val kept = out.select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 6L),
+      s"expected junk/repetitive/dup/contaminated docs removed, got $kept")
+    // packing stage attached a sequence id to every survivor
+    val seqs = out.select($"doc_id", $"seq_id").as[(Long, Long)].collect().toMap
+    assert(seqs.keySet == kept && seqs.values.forall(_ >= 0L))
+
+    // corpus smoke: the full pipeline shrinks but does not empty the
+    // real documents table, and survivors meet the quality floor
+    val corpus = Tables(spark, sfDir).documents
+    val curated = CurationPipeline.run(corpus, "doc_id", "text",
+      CurationPipeline.Config(minQuality = 0.2, dedup = CurationPipeline.ExactDedup))
+    val n = curated.count()
+    assert(n > 0 && n <= corpus.count())
+    val minQ = graft.operators.TextAnalysis.qualityScore(curated, "doc_id", "text")
+      .agg(org.apache.spark.sql.functions.min($"quality_score")).as[Double].head()
+    assert(minQ >= 0.2, s"survivor below the quality floor: $minQ")
+  }
+
   test("vocabTopK returns the k most frequent tokens with deterministic ties") {
     val docs = Seq((1L, "a b b c c c"), (2L, "c d d")).toDF("doc_id", "text")
     val out = Curation.vocabTopK(docs, "text", 3).as[(String, Long)].collect().toSeq
