@@ -92,6 +92,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NGramProfile kernel equals the split/distinct reference on random text") {
+    // texts with repeats, multi-space runs, leading/trailing spaces,
+    // unicode, and sub-width docs — everything the kernel special-cases
+    val textGen: Gen[String] = Gen.listOf(Gen.oneOf(
+      "the", "the", "fox", "über", "1", "a b", " ", "", "日本"
+    )).map(_.mkString(" "))
+    for (text <- samples(textGen, 30)) {
+      val out = Seq((1L, text)).toDF("id", "text")
+        .select(graft.plans.TextVectorExpressions.ngramProfile(
+          org.apache.spark.sql.functions.col("text"), Seq(1, 2, 3)))
+        .as[Seq[Long]].head()
+      // reference: same trim + \s+ split, grams joined by one space
+      val toks = text.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse.split("\\s+", -1).toSeq
+      for ((n, k) <- Seq(1, 2, 3).zipWithIndex) {
+        val grams = if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+        assert(out(2 * k) == grams.length.toLong, s"count n=$n for '$text': $out")
+        assert(out(2 * k + 1) == grams.distinct.length.toLong, s"distinct n=$n for '$text': $out")
+      }
+    }
+  }
+
   test("TokenBucket: admissions over any horizon never exceed burst + rate*time") {
     for (gaps <- samples(Gen.listOfN(30, Gen.choose(0L, 500_000_000L)), 20)) {
       var clock  = 0L
