@@ -162,6 +162,23 @@ class PipelineServicesSpec extends SparkSpec {
     } finally { pub.close(); server.close(); acceptor.join(5000) }
   }
 
+  test("statsd emitters are best-effort: a dead socket never throws into the pipeline") {
+    // UDS peer that accepts then immediately closes
+    val sockPath = Files.createTempDirectory("graft_uds_dead").resolve("dsd.socket")
+    val server = java.nio.channels.ServerSocketChannel.open(java.net.StandardProtocolFamily.UNIX)
+    server.bind(java.net.UnixDomainSocketAddress.of(sockPath))
+    val closer = new Thread(() => server.accept().close(), "uds-closer")
+    closer.start()
+    val pub = graft.streaming.StatsdSocket.uds(sockPath.toString)
+    closer.join(5000)
+    // the peer is gone: emission must degrade to no-ops, not exceptions
+    (1 to 10).foreach(i => pub.counter("graft.stream.batches", i))
+    pub.gauge("graft.target.rows", 1.0)
+    pub.close()
+    pub.counter("after.close", 1) // still silent
+    server.close()
+  }
+
   test("source buffering drains the backlog in one micro-batch") {
     val src    = Files.createTempDirectory("graft_buf_src").toString
     val target = Files.createTempDirectory("graft_buf_tgt").toString + "/t"

@@ -228,6 +228,23 @@ class StreamSpecSpec extends SparkSpec {
     assert(merged == Map(1 -> "new", 2 -> "b", 3 -> "c"), s"merge backfill result: $merged")
   }
 
+  test("backfill honors backfillStartDate: blobs older than the start never recompute") {
+    import graft.streaming.StreamRunner
+    val src    = Files.createTempDirectory("graft_bfsd_src").toString
+    val target = Files.createTempDirectory("graft_bfsd_tgt").toString + "/t"
+    Seq((1, "x")).toDF("k", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    // start date far in the future -> the existing blob is out of scope,
+    // nothing stages, nothing commits
+    val futureSpec = specText.replace("2026-01-01T00:00:00Z", "2030-01-01T00:00:00Z")
+    val m = StreamRunner.boot(spark, schema,
+      Map(StreamSpec.SpecEnvVar -> futureSpec, StreamSpec.BackfillEnvVar -> "true"),
+      sourceDir = Some(src), targetDir = Some(target))
+    assert(m.batches == 0, "no blob at/after the start date may stage")
+    assert(new SnapshotStore(spark, target).read().isEmpty, "no commit may land")
+  }
+
   test("failures map to the reference's exit codes (stream=2, bootstrap=1)") {
     import graft.streaming.{StreamFailException, StreamRunner}
     assert(StreamRunner.exitCodeFor(new StreamFailException("boom")) == 2)
