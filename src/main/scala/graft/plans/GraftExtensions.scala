@@ -73,5 +73,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => SortedJaccard(children.head, children(1))
       )
     )
+    // ngram_profile(text, n1[, n2, ...]) -> [cnt_n1, dist_n1, cnt_n2, ...]
+    ext.injectFunction(
+      (
+        FunctionIdentifier("ngram_profile"),
+        new ExpressionInfo(classOf[NGramProfile].getName, "ngram_profile"),
+        (children: Seq[Expression]) =>
+          NGramProfile(children.head, children.tail.zipWithIndex.map {
+            case (e, i) => intArg(e, s"n($i)")
+          })
+      )
+    )
+    // text_profile(text) -> the 7-slot token/char-class profile (the
+    // stopword-set variant is Scala-only: sets aren't SQL literals)
+    ext.injectFunction(
+      (
+        FunctionIdentifier("text_profile"),
+        new ExpressionInfo(classOf[TextProfile].getName, "text_profile"),
+        (children: Seq[Expression]) => TextProfile(children.head, Seq.empty)
+      )
+    )
   }
 }

@@ -36,6 +36,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(j > 0.5 && j < 1.0, s"near-dup jaccard expected in (0.5, 1): $j")
   }
 
+  test("text_profile and ngram_profile are callable from SQL") {
+    Seq((1L, "the cat and the hat")).toDF("id", "text").createOrReplaceTempView("ext_docs3")
+    val row = spark.sql(
+      """SELECT text_profile(text) AS tp, ngram_profile(text, 1, 2) AS np
+        |FROM ext_docs3""".stripMargin).head()
+    val tp = row.getSeq[Long](0)
+    val np = row.getSeq[Long](1)
+    assert(tp(0) == 5L && tp(1) == 4L, s"token/distinct counts: $tp") // "the" repeats
+    assert(tp(2) == 19L, s"code points: $tp")
+    assert(np == Seq(5L, 4L, 4L, 4L), s"gram counts: $np")
+  }
+
   test("SQL shingle_hashes matches the column-API shingle set size") {
     import graft.functions.TextFunctions
     import graft.plans.TextVectorExpressions
