@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, CurationPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Section C of SURVEY.md §2 — training-data pipeline operators over the
@@ -392,6 +392,66 @@ object TrainingDataOps {
         ).orderBy("doc_id")
       },
       None,
+      bench = true
+    ),
+    QueryDef(
+      "curation_pipeline",
+      // the composed pipeline under the oracle gate: quality floor ->
+      // exact dedup -> exact decontamination (the oracle-able stage
+      // subset; langid/bloom variants stay spec-covered)
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = Tables(spark, dir).documents
+        CurationPipeline.run(docs, "doc_id", "text",
+          CurationPipeline.Config(
+            minQuality = 0.5,
+            dedup = CurationPipeline.ExactDedup,
+            decontaminateAgainst = Some(docs.filter($"doc_id" < 20)),
+            useBloomDecontamination = false))
+          .select($"doc_id").orderBy($"doc_id")
+      },
+      Some("""
+        WITH q AS (
+          SELECT doc_id, text,
+                 CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+                 CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+                 CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+                 len(list_filter(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)),
+                     x -> list_contains(['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by'], x)))
+                   / len(regexp_split_to_array(trim(text), '\s+')) AS stopword_ratio
+          FROM documents
+        ), scored AS (
+          SELECT doc_id, text,
+                 round(alpha_ratio * 0.5
+                       + (1.0 - least(digit_ratio * 5, 1.0)) * 0.2
+                       + (1.0 - least(punct_ratio * 5, 1.0)) * 0.1
+                       + least(stopword_ratio * 5, 1.0) * 0.2, 6) AS quality_score
+          FROM q
+        ), kept1 AS (
+          SELECT doc_id, text FROM scored WHERE quality_score >= 0.5
+        ), kept2 AS (
+          SELECT min(doc_id) AS doc_id FROM kept1 GROUP BY md5(text)
+        ), k2 AS (
+          SELECT k.doc_id, d.text FROM kept2 k JOIN documents d USING (doc_id)
+        ), sh AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM k2) x
+        ), bench AS (
+          SELECT DISTINCT unnest(s) AS g
+          FROM (SELECT doc_id,
+                       list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                          i -> array_to_string(t[i:i+2], ' '))) AS s
+                FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                      FROM documents WHERE doc_id < 20) y) z
+        ), flagged AS (
+          SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(s) AS g FROM sh) cs
+          WHERE g IN (SELECT g FROM bench)
+        )
+        SELECT doc_id FROM k2 WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+        ORDER BY doc_id
+      """.trim),
       bench = true
     ),
     QueryDef(
