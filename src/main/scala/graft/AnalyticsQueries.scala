@@ -387,6 +387,80 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q13_custdist",
+      // TPC-H Q13 shape: order-count distribution over customers — the
+      // LEFT OUTER join + double aggregation pattern (customers with no
+      // orders land in the c_count=0 bucket, not dropped)
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        t.customer.join(t.orders, $"c_custkey" === $"o_custkey", "left")
+          .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+          .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+          .orderBy($"custdist".desc, $"c_count".desc)
+      },
+      Some("""
+        SELECT c_count, count(*) AS custdist FROM (
+          SELECT c_custkey, count(o_orderkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey) c
+        GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q18_large_orders",
+      // TPC-H Q18 shape: large-volume orders — HAVING on a fact
+      // aggregation, then enrichment joins; the having-filter runs
+      // BEFORE the joins so only qualifying orders join
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val big = t.lineitem.groupBy($"l_orderkey")
+          .agg(sum(dec($"l_quantity")).as("total_qty"))
+          .filter($"total_qty" > 300)
+        big.join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .join(t.customer, $"o_custkey" === $"c_custkey")
+          .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+            $"o_totalprice", $"total_qty".cast("double").as("total_qty"))
+          .orderBy($"o_totalprice".desc, $"o_orderdate", $"o_orderkey")
+      },
+      Some("""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+               o_totalprice,
+               CAST(total_qty AS DOUBLE) AS total_qty
+        FROM (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING total_qty > 300) b
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q16_supplier_variety",
+      // TPC-H Q16 shape (partsupp via lineitem): distinct suppliers per
+      // part type/brand — countDistinct after a fact-dim join, with the
+      // dim broadcast
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        t.lineitem.select($"l_partkey", $"l_suppkey").distinct()
+          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+          .groupBy($"p_brand", $"p_type")
+          .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+          .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type")
+      },
+      Some("""
+        SELECT p_brand, p_type, count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_type
+        ORDER BY supplier_cnt DESC, p_brand, p_type
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_asof_join",
       (spark, dir) => {
         import spark.implicits._
