@@ -220,6 +220,20 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "src_jsonl_roundtrip",
+      // JSONL ingestion must be lossless: documents written as JSONL and
+      // read back (explicit schema, FAILFAST) hash-match the parquet
+      // originals the oracle reads
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val tmp  = java.nio.file.Files.createTempDirectory("graft_jsonl").toString + "/docs"
+        graft.sources.Jsonl.write(docs, tmp)
+        graft.sources.Jsonl.read(spark, tmp, docs.schema).orderBy("doc_id")
+      },
+      Some("SELECT * FROM documents ORDER BY doc_id"),
+      bench = true
+    ),
+    QueryDef(
       "text_tokens",
       (spark, dir) =>
         TextAnalysis.tokenStats(Tables(spark, dir).documents, "doc_id", "text")

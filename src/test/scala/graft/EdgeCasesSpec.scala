@@ -66,6 +66,26 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out == Map(1L -> "b", 2L -> "c"))
   }
 
+  test("JSONL ingestion: strict mode fails on malformed lines, permissive quarantines them") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part.jsonl"),
+      "{\"doc_id\": 1, \"text\": \"good line\"}\nthis is not json\n{\"doc_id\": 2, \"text\": \"also good\"}\n"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(StructField("doc_id", LongType), StructField("text", StringType)))
+
+    val strictErr = intercept[Exception] {
+      graft.sources.Jsonl.read(spark, dir, schema, strict = true).collect()
+    }
+    assert(strictErr.getMessage.contains("MALFORMED_RECORD") ||
+      strictErr.toString.contains("FAILFAST") || strictErr.getCause != null,
+      s"strict read must fail on the malformed line: $strictErr")
+
+    val rows = graft.sources.Jsonl.read(spark, dir, schema, strict = false).collect()
+    assert(rows.length == 3, s"permissive keeps all lines: ${rows.toSeq}")
+    assert(rows.count(_.isNullAt(0)) == 1, "the malformed line must surface as a null row")
+  }
+
   test("minhash LSH on an empty corpus returns no pairs") {
     val docs = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(Dedup.minhashNearDups(docs, "doc_id", "text").count() == 0)
