@@ -336,6 +336,28 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "text_rarity",
+      // corpus-relative token rarity (integer-exact CCNet-style quality
+      // proxy): mean corpus token frequency + rare-token fraction
+      (spark, dir) =>
+        TextAnalysis.rarityProfile(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), freq AS (
+          SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), j AS (
+          SELECT t.doc_id, f.c FROM toks t JOIN freq f USING (tok)
+        )
+        SELECT doc_id, count(*) AS n_tokens, sum(c) AS sum_freq,
+               CAST(sum(c) AS DOUBLE) / count(*) AS mean_token_freq,
+               CAST(count(*) FILTER (c <= 2) AS DOUBLE) / count(*) AS rare_token_frac
+        FROM j GROUP BY doc_id ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "doc_fingerprint",
       (spark, dir) =>
         TextAnalysis.winnowingFingerprints(Tables(spark, dir).documents, "doc_id", "text")

@@ -120,6 +120,37 @@ object TextAnalysis {
       )
   }
 
+  /** Corpus-relative token rarity — the CCNet-style language-model
+    * quality proxy in its integer-exact form: per document, the mean
+    * corpus frequency of its tokens and the fraction of tokens that are
+    * corpus-rare (count <= rareThreshold). Gibberish, OCR noise, and
+    * random identifiers score high on rare_token_frac; templated
+    * boilerplate scores very low. Integer sums + exact division keep
+    * the result bit-identical across engines (a float log-prob mean
+    * would be partition-order-dependent).
+    *
+    * Scale shape: one shuffle to build the corpus frequency table, one
+    * token-key join to score (at 100 TB the frequency table is built
+    * once, persisted, and reused across scoring runs).
+    */
+  def rarityProfile(df: DataFrame, idCol: String, textCol: String, rareThreshold: Long = 2L): DataFrame = {
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+    val freq = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    toks.join(freq, Seq("__tok"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("__c")).as("sum_freq"),
+        sum(when(col("__c") <= rareThreshold, 1L).otherwise(0L)).as("n_rare")
+      )
+      .select(
+        col(idCol), col("n_tokens"), col("sum_freq"),
+        (col("sum_freq").cast("double") / col("n_tokens")).as("mean_token_freq"),
+        (col("n_rare").cast("double") / col("n_tokens")).as("rare_token_frac")
+      )
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash char
     * k-grams, slide a window of w hashes, keep each window's minimum.
     * Near-dup docs share most fingerprints even after local edits.

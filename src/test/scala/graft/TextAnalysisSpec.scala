@@ -39,6 +39,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == Seq("one two three"))
   }
 
+  test("rarity profile separates gibberish from common prose") {
+    val df = Seq(
+      (1L, "the the the cat cat sat"),      // all tokens corpus-common
+      (2L, "xqzv bnmp wkrt the cat"),       // 3 of 5 tokens are corpus-unique
+      (3L, "the cat sat"),
+      (4L, "the cat sat")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.rarityProfile(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Double]("rare_token_frac") == 0.6, s"gibberish share: ${out(2L)}")
+    assert(out(1L).getAs[Double]("rare_token_frac") == 0.0)
+    // mean_token_freq: doc 1's tokens are frequent ("the" x6 in corpus)
+    assert(out(1L).getAs[Double]("mean_token_freq") > out(2L).getAs[Double]("mean_token_freq"))
+  }
+
   test("langId classifies handcrafted sentences") {
     val df = Seq(
       (1L, "the cat is in the house and it was good for the family"),
