@@ -358,6 +358,19 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "text_compress_ratio",
+      // deflate compression ratio (model-free redundancy signal) — the
+      // value depends on the JDK's zlib, so rows-only; behavior is
+      // asserted in TextAnalysisSpec (boilerplate << prose < gibberish)
+      (spark, dir) =>
+        Tables(spark, dir).documents
+          .select(col("doc_id"),
+            graft.plans.TextVectorExpressions.deflateRatio(col("text")).as("compress_ratio"))
+          .orderBy("doc_id"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "doc_fingerprint",
       (spark, dir) =>
         TextAnalysis.winnowingFingerprints(Tables(spark, dir).documents, "doc_id", "text")

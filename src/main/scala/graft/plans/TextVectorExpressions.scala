@@ -315,6 +315,37 @@ case class NGramProfile(child: Expression, ns: Seq[Int])
     copy(child = newChild)
 }
 
+/** Deflate compression ratio of the document's UTF-8 bytes —
+  * compressed/raw, in (0, ~1.05]. The classic model-free redundancy
+  * signal (Gopher §A1.1 uses it alongside the repetition rules):
+  * templated boilerplate and repeated spans compress far below natural
+  * prose (~0.4-0.7), while random identifiers/gibberish sit near or
+  * above 1. Level is fixed (6) so the value is deterministic for a
+  * given JDK's zlib. Empty input → 1.0 (nothing to compress).
+  */
+case class DeflateRatio(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def nullSafeEval(input: Any): Any = {
+    val raw = input.asInstanceOf[UTF8String].getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(6, /*nowrap=*/ true)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      var compressed = 0L
+      while (!d.finished()) compressed += d.deflate(buf)
+      compressed.toDouble / raw.length
+    } finally d.end()
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): DeflateRatio =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) in one pass:
   * hash char k-grams (xxhash64 of the gram's UTF-8 bytes, seed 42 — the
   * same value `xxhash64(substr(text,i,k))` yields), slide a window of w
@@ -437,4 +468,7 @@ object TextVectorExpressions {
 
   def ngramProfile(text: Column, ns: Seq[Int]): Column =
     GraftShim.column(NGramProfile(GraftShim.expression(text), ns))
+
+  def deflateRatio(text: Column): Column =
+    GraftShim.column(DeflateRatio(GraftShim.expression(text)))
 }

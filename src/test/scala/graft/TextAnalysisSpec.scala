@@ -39,6 +39,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L) == Seq("one two three"))
   }
 
+  test("deflate ratio orders boilerplate below prose below random text") {
+    import graft.plans.TextVectorExpressions.deflateRatio
+    val boiler = "click here to subscribe " * 40
+    val prose = "the quick brown fox jumps over a lazy dog while the river flows " +
+      "quietly past the old mill and children play in the warm afternoon sun nearby"
+    val noise = scala.util.Random.javaRandomToRandom(new java.util.Random(42))
+      .alphanumeric.take(600).mkString
+    val out = Seq((1L, boiler), (2L, prose), (3L, noise), (4L, ""))
+      .toDF("doc_id", "text")
+      .select($"doc_id", deflateRatio($"text").as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(out(1L) < 0.2, s"boilerplate must compress hard: ${out(1L)}")
+    assert(out(1L) < out(2L) && out(2L) < out(3L), s"ordering violated: $out")
+    assert(out(4L) == 1.0, "empty text is defined as ratio 1.0")
+  }
+
   test("rarity profile separates gibberish from common prose") {
     val df = Seq(
       (1L, "the the the cat cat sat"),      // all tokens corpus-common
