@@ -35,6 +35,12 @@ object CurationPipeline {
       minQuality: Double = 0.0,
       languages: Set[String] = Set.empty, // empty = keep all
       maxDup3GramFrac: Double = 1.0,      // 1.0 = no repetition cut
+      /** deflate-ratio window: docs outside [lo, hi] are dropped
+        * (boilerplate below, gibberish above); None = no cut.
+        */
+      compressRatioBounds: Option[(Double, Double)] = None,
+      /** corpus-relative rare-token ceiling; 1.0 = no cut. */
+      maxRareTokenFrac: Double = 1.0,
       dedup: DedupMode = ExactDedup,
       decontaminateAgainst: Option[DataFrame] = None,
       decontaminateShingleN: Int = 3,
@@ -67,6 +73,17 @@ object CurationPipeline {
       val r = TextAnalysis.repetitionProfile(docs, idCol, textCol)
         .filter(col("dup_3gram_frac") <= cfg.maxDup3GramFrac).select(col(idCol))
       kept = kept.join(r, Seq(idCol), "left_semi")
+    }
+    cfg.compressRatioBounds.foreach { case (lo, hi) =>
+      val cr = graft.plans.TextVectorExpressions.deflateRatio(col(textCol))
+      kept = kept.filter(cr.between(lo, hi))
+    }
+    if (cfg.maxRareTokenFrac < 1.0) {
+      // corpus-relative: frequencies come from the PRE-filter corpus so
+      // the signal is stable regardless of which cheap filters ran first
+      val rare = TextAnalysis.rarityProfile(docs, idCol, textCol)
+        .filter(col("rare_token_frac") <= cfg.maxRareTokenFrac).select(col(idCol))
+      kept = kept.join(rare, Seq(idCol), "left_semi")
     }
 
     // 4: dedup over the filtered survivors only

@@ -104,6 +104,8 @@ class CurationSpec extends SparkSpec {
       CurationPipeline.Config(
         minQuality = 0.5,
         maxDup3GramFrac = 0.3,
+        compressRatioBounds = Some((0.2, 1.2)), // wide: keeps short prose, cuts nothing here
+        maxRareTokenFrac = 1.0,
         dedup = CurationPipeline.ExactDedup,
         decontaminateAgainst = Some(bench),
         tokenBudget = Some(15L)))
