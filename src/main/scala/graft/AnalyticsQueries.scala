@@ -716,6 +716,295 @@ object AnalyticsQueries {
         ORDER BY user_id, ts, event_id
       """.stripMargin.trim),
       bench = true
+    ),
+    QueryDef(
+      "q4_order_priority",
+      // TPC-H Q4 shape: correlated EXISTS — orders in a quarter that had
+      // at least one line shipped after the order date (the reduced
+      // schema has no commit/receipt dates, so "late line" stands in for
+      // "commit < receipt"). The EXISTS compiles to a left-semi join with
+      // a non-equi residual; only the join key + both dates are scanned.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        t.orders
+          .filter($"o_orderdate" >= ts("1996-07-01") && $"o_orderdate" < ts("1996-10-01"))
+          .join(t.lineitem, $"o_orderkey" === $"l_orderkey" && $"l_shipdate" > $"o_orderdate", "left_semi")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("order_count"))
+          .orderBy($"o_orderpriority")
+      },
+      Some("""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q9_nation_revenue",
+      // TPC-H Q9 shape (no partsupp/supplycost in the reduced schema, so
+      // profit reduces to discounted revenue): per supplier-nation,
+      // per-year revenue on parts matching a name token. part and the
+      // supplier→nation dim broadcast; the fact scan prunes on the
+      // semi-joined partkeys.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val greenParts = t.part.filter($"p_name".contains("red")).select($"p_partkey")
+        val suppNation = t.supplier
+          .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"n_name".as("nation"))
+        t.lineitem
+          .join(broadcast(greenParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+          .groupBy($"nation", year($"o_orderdate").as("o_year"))
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_profit"))
+          .orderBy($"nation", $"o_year".desc)
+      },
+      Some("""
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%red%')
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q10_returns",
+      // TPC-H Q10 shape: returned-item reporting — top 20 customers by
+      // lost revenue in a quarter. orders⨝lineitem shuffles on orderkey;
+      // customer enrichment joins AFTER the aggregation (1 row/customer),
+      // nation broadcast.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val lost = t.lineitem.filter($"l_returnflag" === "R")
+          .join(
+            t.orders.filter($"o_orderdate" >= ts("1996-10-01") && $"o_orderdate" < ts("1997-01-01")),
+            $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_custkey")
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
+        lost.join(t.customer, $"o_custkey" === $"c_custkey")
+          .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+          .select($"c_custkey", $"c_name", $"revenue", $"c_acctbal", $"n_name")
+          .orderBy($"revenue".desc, $"c_custkey")
+          .limit(20)
+      },
+      Some("""
+        SELECT c_custkey, c_name,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+               c_acctbal, n_name
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q12_priority_class",
+      // TPC-H Q12 shape (no shipmode column — l_linestatus stands in as
+      // the grouping): high- vs low-priority order counts per line
+      // status for a ship-year. Conditional aggregation: one fact⨝orders
+      // shuffle join, the CASE runs map-side.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val high = $"o_orderpriority" === "1-URGENT" || $"o_orderpriority" === "2-HIGH"
+        t.lineitem
+          .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01"))
+          .join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .groupBy($"l_linestatus")
+          .agg(
+            sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+            sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+          .orderBy($"l_linestatus")
+      },
+      Some("""
+        SELECT l_linestatus,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_linestatus
+        ORDER BY l_linestatus
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q14_promo_share",
+      // TPC-H Q14 shape: promo revenue share for one ship-month —
+      // conditional aggregation over a fact⨝dim join with the dim
+      // broadcast. Division happens once, after exact decimal sums.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        t.lineitem
+          .filter($"l_shipdate" >= ts("1997-03-01") && $"l_shipdate" < ts("1997-04-01"))
+          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+          .withColumn("amount", dec($"l_extendedprice") * (one - dec($"l_discount")))
+          .agg(
+            (lit(100.0) * sum(when($"p_type" === "PROMO", $"amount").otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
+              / sum($"amount").cast("double")).as("promo_revenue"))
+      },
+      Some("""
+        SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+                         ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+               / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q15_top_supplier",
+      // TPC-H Q15 shape: the revenue "view" is a per-supplier aggregate;
+      // the max-revenue scalar comes from a broadcast cross join against
+      // the 1-row aggregate of that same small table (no collect, no
+      // global window sort). Equality compares EXACT decimal sums — a
+      // double total could disagree between engines in the last ulp.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val rev = t.lineitem
+          .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1996-04-01"))
+          .groupBy($"l_suppkey")
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("total_revenue"))
+        rev.crossJoin(broadcast(rev.agg(max($"total_revenue").as("max_revenue"))))
+          .filter($"total_revenue" === $"max_revenue")
+          .join(t.supplier, $"l_suppkey" === $"s_suppkey")
+          .select($"s_suppkey", $"s_name", $"total_revenue".cast("double").as("total_revenue"))
+          .orderBy($"s_suppkey")
+      },
+      Some("""
+        WITH revenue AS (
+          SELECT l_suppkey,
+                 sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s_suppkey
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q17_small_qty",
+      // TPC-H Q17 shape: small-quantity-order revenue — the correlated
+      // "0.2 * avg(l_quantity) per part" subquery becomes a per-part
+      // aggregate joined back to the fact. The comparison is kept in
+      // integers (5 * qty * n < sum_qty ⇔ qty < 0.2 * avg) so no engine
+      // disagrees on boundary rows. Brand filter semi-joins the fact
+      // before any aggregation.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val brandParts = t.part.filter($"p_brand" === "Brand#3").select($"p_partkey")
+        val branded = t.lineitem
+          .join(broadcast(brandParts), $"l_partkey" === $"p_partkey", "left_semi")
+        val perPart = branded.groupBy($"l_partkey")
+          .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
+        branded
+          .join(perPart.withColumnRenamed("l_partkey", "pk"), $"l_partkey" === $"pk")
+          .filter(dec($"l_quantity") * 5 * $"n_lines" < $"sum_qty")
+          .agg((sum(dec($"l_extendedprice")).cast("double") / 7.0).as("avg_yearly"))
+      },
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / 7.0 AS avg_yearly
+        FROM lineitem l
+        JOIN (SELECT l_partkey AS pk,
+                     sum(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
+                     count(*) AS n_lines
+              FROM lineitem
+              WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+              GROUP BY 1) a ON l.l_partkey = a.pk
+        WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#3')
+          AND CAST(l.l_quantity AS DECIMAL(12,2)) * 5 * n_lines < sum_qty
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q19_disjunctive",
+      // TPC-H Q19 shape: OR-of-ANDs across fact and dim columns (brand ×
+      // size × quantity bands; the reduced schema has no container /
+      // shipmode legs). The dim broadcasts; the disjunction evaluates
+      // inside the join's generated code — no union-of-three-scans.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        t.lineitem
+          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+          .filter(
+            ($"p_brand" === "Brand#1" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
+              ($"p_brand" === "Brand#2" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
+              ($"p_brand" === "Brand#3" && $"p_size".between(1, 15) && $"l_quantity".between(20, 30)))
+          .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
+      },
+      Some("""
+        SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+           OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q22_idle_customers",
+      // TPC-H Q22 shape: customers with above-average positive balance
+      // and no orders — scalar aggregate broadcast + anti-join. The
+      // above-average test multiplies through by the count
+      // (bal * n > total ⇔ bal > avg) so both engines compare exact
+      // decimals, not a divided double. (No phone column; the nation key
+      // stands in for the country-code grouping.)
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val avgPos = t.customer.filter($"c_acctbal" > 0.0)
+          .agg(sum(dec($"c_acctbal")).as("total_bal"), count(lit(1)).as("n_pos"))
+        t.customer
+          .crossJoin(broadcast(avgPos))
+          .filter(dec($"c_acctbal") * $"n_pos" > $"total_bal")
+          .join(t.orders, $"c_custkey" === $"o_custkey", "left_anti")
+          .groupBy($"c_nationkey")
+          .agg(count(lit(1)).as("numcust"), sum(dec($"c_acctbal")).cast("double").as("totacctbal"))
+          .orderBy($"c_nationkey")
+      },
+      Some("""
+        SELECT c_nationkey, count(*) AS numcust,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        FROM customer
+        WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+              > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+      """.stripMargin.trim),
+      bench = true
     )
   )
 }

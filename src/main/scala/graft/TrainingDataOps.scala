@@ -607,6 +607,52 @@ object TrainingDataOps {
           .orderBy("doc_id")
       },
       None
+    ),
+    QueryDef(
+      "text_keywords",
+      // per-doc top-3 keywords by linear-idf tf-idf (tf/df — two exact
+      // integer counts, so the IEEE division and hence the ranking is
+      // engine-exact; log-idf would differ in the last ulp)
+      (spark, dir) =>
+        TextAnalysis.keywords(Tables(spark, dir).documents, "doc_id", "text", k = 3)
+          .orderBy("doc_id", "rank"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2
+        ), df AS (
+          SELECT tok, count(*) AS df FROM tf GROUP BY 1
+        )
+        SELECT doc_id, rank, token, tf, df, score FROM (
+          SELECT tf.doc_id, tf.tok AS token, tf.tf, df.df,
+                 CAST(tf.tf AS DOUBLE) / df.df AS score,
+                 row_number() OVER (PARTITION BY tf.doc_id
+                                    ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC, tf.tok) AS rank
+          FROM tf JOIN df USING (tok)) x
+        WHERE rank <= 3 ORDER BY doc_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "length_outliers",
+      // corpus-relative length-band filter: the percentile bounds are a
+      // 1-row aggregate broadcast over a pure filter scan (t-digest
+      // approx_percentile at 100 TB; exact percentile for the gate)
+      (spark, dir) =>
+        Curation.lengthOutliers(Tables(spark, dir).documents, "doc_id", "n_chars",
+            lo = 0.05, hi = 0.95)
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, n_chars, lo_bound, hi_bound
+        FROM documents CROSS JOIN (
+          SELECT quantile_cont(n_chars, 0.05) AS lo_bound,
+                 quantile_cont(n_chars, 0.95) AS hi_bound
+          FROM documents) b
+        WHERE n_chars < lo_bound OR n_chars > hi_bound
+        ORDER BY doc_id
+      """.trim),
+      bench = true
     )
   )
 }

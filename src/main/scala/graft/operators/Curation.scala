@@ -173,4 +173,24 @@ object Curation {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token"))
       .limit(k)
+
+  /** Corpus-relative length-outlier detection: rows whose length column
+    * falls outside the corpus [lo, hi] percentile band (truncated heads,
+    * concatenation blowups, scraper failures). The two quantiles come
+    * from ONE aggregate broadcast back over the corpus — a pure filter
+    * pass, no sort of the data. At 100 TB the same shape ships with
+    * approx_percentile (t-digest, mergeable) in place of the exact
+    * percentile the oracle gate requires.
+    */
+  def lengthOutliers(
+      docs: DataFrame, idCol: String, lenCol: String,
+      lo: Double = 0.05, hi: Double = 0.95
+  ): DataFrame = {
+    val bounds = docs.agg(
+      expr(s"percentile($lenCol, $lo)").as("lo_bound"),
+      expr(s"percentile($lenCol, $hi)").as("hi_bound"))
+    docs.crossJoin(broadcast(bounds))
+      .filter(col(lenCol) < col("lo_bound") || col(lenCol) > col("hi_bound"))
+      .select(col(idCol), col(lenCol), col("lo_bound"), col("hi_bound"))
+  }
 }

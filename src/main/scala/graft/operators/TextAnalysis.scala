@@ -151,6 +151,31 @@ object TextAnalysis {
       )
   }
 
+  /** Per-document keyword extraction by a linear-idf tf-idf score:
+    * score = tf / df (term frequency over corpus document frequency).
+    * The ratio of two exact integer counts divides identically in every
+    * IEEE-754 engine — unlike a log-idf, whose last ulp depends on the
+    * libm — so ranks are engine-exact; ties break on the token string.
+    *
+    * Scale shape: one shuffle on (doc, token) for tf; df is an
+    * aggregation OF tf (vocab-sized, Zipf-small next to the corpus), and
+    * the tf⨝df join is a vocab-key join AQE turns into a broadcast when
+    * df fits. No corpus re-scan, no all-pairs anything.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+    val tf    = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("__tok").asc)
+    tf.join(dfreq, "__tok")
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("__tok").as("token"), col("tf"), col("df"), col("score"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash char
     * k-grams, slide a window of w hashes, keep each window's minimum.
     * Near-dup docs share most fingerprints even after local edits.

@@ -81,6 +81,22 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("TPC-H shapes: correlated exists/not-exists plan as semi/anti joins") {
+    val q4 = planOf("q4_order_priority")
+    assert(q4.contains("LeftSemi"), s"Q4 EXISTS must plan as a semi join:\n$q4")
+    val q22 = planOf("q22_idle_customers")
+    assert(q22.contains("LeftAnti"), s"Q22 NOT EXISTS must plan as an anti join:\n$q22")
+    assert(!q22.contains("CartesianProduct"), "the scalar-aggregate side must broadcast")
+  }
+
+  test("TPC-H dim joins broadcast; no plan degrades to a cartesian product") {
+    for (q <- Seq("q9_nation_revenue", "q10_returns", "q14_promo_share", "q17_small_qty", "q19_disjunctive")) {
+      val plan = planOf(q)
+      assert(plan.contains("BroadcastHashJoin"), s"$q expected broadcast dim join")
+      assert(!plan.contains("CartesianProduct"), s"$q must not cross-join")
+    }
+  }
+
   test("staging batch accounting uses no unpartitioned window") {
     val exec = Queries.queries("staging_batches")(spark, sfDir).queryExecution.executedPlan
     val globalWindows = exec.collect {

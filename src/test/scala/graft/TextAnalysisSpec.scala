@@ -30,6 +30,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).getAs[Double]("dup_3gram_frac") == 0.0)
   }
 
+  test("keyword extraction ranks corpus-distinctive tokens first") {
+    val df = Seq(
+      (1L, "spark spark spark common common"),
+      (2L, "duck duck common common common"),
+      (3L, "common common goose")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.keywords(df, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) -> r.getAs[String]("token")).toMap
+    // "common" appears in every doc (df=3) so the doc-exclusive token wins rank 1
+    assert(out((1L, 1)) == "spark")
+    assert(out((2L, 1)) == "duck")
+    assert(out((3L, 1)) == "goose")
+    assert(out((1L, 2)) == "common")
+  }
+
+  test("length outliers flag only rows outside the percentile band") {
+    val df = (1L to 99L).map(i => (i, 100L)).toDF("doc_id", "n_chars")
+      .union(Seq((100L, 1L), (101L, 100000L)).toDF("doc_id", "n_chars"))
+    val out = graft.operators.Curation.lengthOutliers(df, "doc_id", "n_chars")
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(out == Set(100L, 101L))
+  }
+
   test("word shingles on docs shorter than the shingle width are empty, not an error") {
     import graft.functions.TextFunctions
     val df = Seq((1L, "one"), (2L, "one two"), (3L, "one two three")).toDF("doc_id", "text")
