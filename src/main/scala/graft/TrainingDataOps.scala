@@ -653,6 +653,83 @@ object TrainingDataOps {
         ORDER BY doc_id
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "sample_temperature",
+      // sqrt-temperature domain rebalancing (alpha=0.5): keep fractions
+      // are correctly-rounded sqrt of exact count ratios, the per-row
+      // coin is an md5 prefix — the sampled SET is engine-exact
+      (spark, dir) =>
+        Curation.temperatureSample(Tables(spark, dir).documents, "doc_id", "source", alpha = 0.5)
+          .orderBy("doc_id"),
+      Some("""
+        WITH n AS (SELECT source, count(*) AS n_stratum FROM documents GROUP BY 1),
+        m AS (SELECT min(n_stratum) AS min_n FROM n),
+        f AS (SELECT source, n_stratum, sqrt(CAST(min_n AS DOUBLE) / n_stratum) AS keep_frac
+              FROM n CROSS JOIN m)
+        SELECT doc_id, source, n_stratum, keep_frac
+        FROM documents JOIN f USING (source)
+        WHERE keep_frac >= 1.0
+           OR substring(md5(CAST(doc_id AS VARCHAR)), 1, 4)
+              < printf('%04x', CAST(floor(keep_frac * 65536) AS INT))
+        ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "text_gopher_rules",
+      // Gopher §A1.1 quality rules, integer-exact (thresholds multiplied
+      // through by denominators so no float ratio sits on a boundary)
+      (spark, dir) =>
+        TextAnalysis.gopherRules(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        WITH g AS (
+          SELECT doc_id,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_word_chars,
+                 CAST((length(text) - length(replace(text, '#', '')))
+                      + (length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT) AS n_symbols,
+                 CAST(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                      w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha_words,
+                 CAST(len(list_filter(list_transform(regexp_split_to_array(trim(text), '\s+'), x -> lower(x)),
+                      x -> list_contains(['the','be','to','of','and','that','have','with'], x))) AS BIGINT) AS n_stop_hits
+          FROM documents)
+        SELECT doc_id, n_tokens, n_chars, n_word_chars, n_symbols, n_alpha_words, n_stop_hits,
+               (n_tokens >= 50 AND n_tokens <= 100000) AS words_ok,
+               (n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10) AS word_len_ok,
+               (n_symbols * 10 < n_tokens) AS symbols_ok,
+               (n_alpha_words * 5 >= n_tokens * 4) AS alpha_ok,
+               (n_stop_hits >= 2) AS stopwords_ok,
+               (n_tokens >= 50 AND n_tokens <= 100000
+                AND n_word_chars >= n_tokens * 3 AND n_word_chars <= n_tokens * 10
+                AND n_symbols * 10 < n_tokens
+                AND n_alpha_words * 5 >= n_tokens * 4
+                AND n_stop_hits >= 2) AS passes_gopher
+        FROM g ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "text_scrub",
+      // PII masking: URL → email → digit-run replacement; match counts
+      // from the ORIGINAL text so they don't depend on replacement order
+      (spark, dir) =>
+        TextAnalysis.scrubPii(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                  'https?://[^\s]+', '<URL>', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '[0-9]{7,}', '<NUM>', 'g') AS scrubbed,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_urls,
+               CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
     )
   )
 }

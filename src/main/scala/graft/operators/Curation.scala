@@ -174,6 +174,43 @@ object Curation {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Temperature-based domain rebalancing — the multilingual-LM data
+    * mixing scheme (sqrt/temperature sampling): stratum `s` with share
+    * `p_s` is downsampled to `keep_frac = (min_n / n_s)^(1-alpha)`, so
+    * the smallest stratum keeps everything and dominant strata shrink
+    * toward a flatter mix (alpha=1 keeps the natural mix, alpha=0
+    * equalizes counts). The per-row keep decision reuses the
+    * deterministic md5-prefix coin of [[stratifiedSample]].
+    *
+    * alpha=0.5 routes through `sqrt`, which IEEE requires to be
+    * correctly rounded — the keep fractions (hence the sampled SET) are
+    * engine-exact, where a `pow`-computed fraction could differ in the
+    * last ulp between libms.
+    *
+    * Scale shape: stratum counts are one tiny aggregate broadcast back;
+    * the corpus itself never shuffles — the sample is a pure filter
+    * behind a broadcast join, identical at any parallelism.
+    */
+  def temperatureSample(
+      df: DataFrame, idCol: String, strataCol: String, alpha: Double = 0.5
+  ): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha must be in [0, 1], got $alpha")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_stratum"))
+    val minN   = counts.agg(min(col("n_stratum")).as("__min_n"))
+    val ratio  = col("__min_n").cast("double") / col("n_stratum")
+    val frac   =
+      if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 1.0) lit(1.0)
+      else pow(ratio, 1.0 - alpha)
+    val fracs = counts.crossJoin(broadcast(minN))
+      .select(col(strataCol), col("n_stratum"), frac.as("keep_frac"))
+    val bucket = substring(md5(col(idCol).cast("string")), 1, 4)
+    df.join(broadcast(fracs), Seq(strataCol))
+      .filter(col("keep_frac") >= 1.0 ||
+        bucket < format_string("%04x", floor(col("keep_frac") * 65536).cast("int")))
+      .select(col(idCol), col(strataCol), col("n_stratum"), col("keep_frac"))
+  }
+
   /** Corpus-relative length-outlier detection: rows whose length column
     * falls outside the corpus [lo, hi] percentile band (truncated heads,
     * concatenation blowups, scraper failures). The two quantiles come

@@ -176,6 +176,78 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("__tok").as("token"), col("tf"), col("df"), col("score"))
   }
 
+  private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher document-quality rules (Rae et al. 2021, §A1.1) in their
+    * integer-exact form: every threshold test multiplies through by the
+    * denominator so both engines compare exact integers — no float
+    * ratio sits on a boundary. The published thresholds: 50..100,000
+    * words; mean word length 3..10; symbol-to-word ratio (# and ...)
+    * below 0.1; ≥80% of words contain an alphabetic character; at least
+    * two stopword hits. (The line-shape rules — bullet starts, ellipsis
+    * ends — need line structure the `documents` corpus does not carry
+    * and are omitted.)
+    *
+    * One pruned scan: token/char/stopword counts from the one-pass
+    * TextProfile kernel, symbol counts from two `replace` passes, the
+    * alpha-word count from a single HOF filter over one tokenization.
+    */
+  def gopherRules(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col("__c")
+    val t = col(textCol)
+    // occurrences via length deltas: replace() is exact and cheap in
+    // both engines, unlike a per-symbol regex pass
+    val nHash     = length(t) - length(regexp_replace(t, "#", ""))
+    val nEllipsis = (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3
+    val nAlphaWords =
+      size(filter(graft.functions.TextFunctions.tokens(t), w => w.rlike("[A-Za-z]")))
+    df.withColumn("__c", profile(t, Seq(GopherStopwords)))
+      .select(
+        col(idCol),
+        c.getItem(0).as("n_tokens"),
+        c.getItem(2).as("n_chars"),
+        length(regexp_replace(t, "\\s", "")).cast("long").as("n_word_chars"),
+        (nHash + nEllipsis).cast("long").as("n_symbols"),
+        nAlphaWords.cast("long").as("n_alpha_words"),
+        c.getItem(7).as("n_stop_hits"))
+      .withColumn("words_ok", col("n_tokens") >= 50 && col("n_tokens") <= 100000)
+      // 3 <= mean word length <= 10, multiplied through by n_tokens
+      .withColumn("word_len_ok",
+        col("n_word_chars") >= col("n_tokens") * 3 && col("n_word_chars") <= col("n_tokens") * 10)
+      // symbol-to-word ratio < 0.1 ⇔ 10 * symbols < words
+      .withColumn("symbols_ok", col("n_symbols") * 10 < col("n_tokens"))
+      // >= 80% alpha-bearing words ⇔ 5 * alpha_words >= 4 * words
+      .withColumn("alpha_ok", col("n_alpha_words") * 5 >= col("n_tokens") * 4)
+      .withColumn("stopwords_ok", col("n_stop_hits") >= 2)
+      .withColumn("passes_gopher",
+        col("words_ok") && col("word_len_ok") && col("symbols_ok") &&
+          col("alpha_ok") && col("stopwords_ok"))
+  }
+
+  // URL first (a URL may embed an @), then email, then long digit runs.
+  // The patterns stay inside the RE2 ∩ java.util.regex common dialect:
+  // plain classes and bounded quantifiers, no backreferences/lookaround.
+  private val UrlRe   = "https?://[^\\s]+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val DigitRunRe = "[0-9]{7,}"
+
+  /** PII scrubbing: mask emails, URLs, and long digit runs (phone/account
+    * numbers) with placeholder tokens, and report per-document match
+    * counts. Pure per-row projection — no shuffle, fully parallel, the
+    * counts come from `regexp_count` on the ORIGINAL text so they are
+    * independent of replacement order.
+    */
+  def scrubPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(
+      col(idCol),
+      regexp_replace(regexp_replace(regexp_replace(t,
+        UrlRe, "<URL>"), EmailRe, "<EMAIL>"), DigitRunRe, "<NUM>").as("scrubbed"),
+      regexp_count(t, lit(UrlRe)).cast("long").as("n_urls"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(DigitRunRe)).cast("long").as("n_digit_runs"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash char
     * k-grams, slide a window of w hashes, keep each window's minimum.
     * Near-dup docs share most fingerprints even after local edits.

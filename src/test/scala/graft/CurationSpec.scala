@@ -28,6 +28,23 @@ class CurationSpec extends SparkSpec {
     assert(Curation.stratifiedSample(docs, "doc_id", "source", Map.empty, 1.0).count() == n.toLong)
   }
 
+  test("temperature sampling keeps the smallest stratum whole and flattens the mix") {
+    val docs = ((1L to 800L).map(i => (i, "big")) ++ (801L to 850L).map(i => (i, "small")))
+      .toDF("doc_id", "source")
+    val out = Curation.temperatureSample(docs, "doc_id", "source", alpha = 0.5)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // smallest stratum: keep_frac = 1.0 exactly — every row survives
+    assert(bySrc("small") == 50L)
+    // big stratum: sqrt(50/800) = 0.25 keep fraction, md5-uniform tolerance
+    assert(math.abs(bySrc("big") / 800.0 - 0.25) < 0.08, s"expected ~25% of big, got ${bySrc("big")}")
+    // alpha=1 is the natural mix: nothing dropped
+    assert(Curation.temperatureSample(docs, "doc_id", "source", alpha = 1.0).count() == 850L)
+    // deterministic: same set on re-run
+    val again = Curation.temperatureSample(docs, "doc_id", "source", alpha = 0.5)
+    assert(out.select("doc_id").collect().toSet == again.select("doc_id").collect().toSet)
+  }
+
   test("stratified sample plans as a pure filter: no shuffle, no RNG") {
     val plan = Curation.stratifiedSample(Tables(spark, sfDir).documents,
       "doc_id", "source", Map("src0" -> 0.5), 0.25).queryExecution.executedPlan.toString

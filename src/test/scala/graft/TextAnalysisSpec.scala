@@ -45,6 +45,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((1L, 2)) == "common")
   }
 
+  test("gopher rules pass clean prose and fail short/symbol-heavy/alpha-poor docs") {
+    val prose = (("the quick brown fox jumps over the lazy dog and runs far away " * 5) +
+      "that dogs have fun with many other dogs every single day").trim
+    val df = Seq(
+      (1L, prose),                                    // passes everything
+      (2L, "too short to pass the word count rule"),  // fails words_ok
+      (3L, ("### " * 40 + "the of and that have with be to " * 10).trim), // symbol-heavy
+      (4L, ("1 2 3 4 5 6 7 8 9 0 " * 10).trim)        // alpha-poor, no stopwords
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherRules(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes_gopher"))
+    assert(!out(2L).getAs[Boolean]("words_ok"))
+    assert(!out(3L).getAs[Boolean]("symbols_ok"))
+    assert(!out(4L).getAs[Boolean]("alpha_ok") && !out(4L).getAs[Boolean]("stopwords_ok"))
+  }
+
+  test("pii scrub masks urls, emails, and long digit runs with exact counts") {
+    val df = Seq(
+      (1L, "mail me at jane.doe+spam@example.co.uk or visit https://example.com/a?b=c#d today"),
+      (2L, "account 12345678 and phone 5551234567 but keep 123456 short"),
+      (3L, "nothing sensitive here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.scrubPii(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("scrubbed") == "mail me at <EMAIL> or visit <URL> today")
+    assert(out(1L).getAs[Long]("n_emails") == 1L && out(1L).getAs[Long]("n_urls") == 1L)
+    assert(out(2L).getAs[String]("scrubbed") == "account <NUM> and phone <NUM> but keep 123456 short")
+    assert(out(2L).getAs[Long]("n_digit_runs") == 2L)
+    assert(out(3L).getAs[String]("scrubbed") == "nothing sensitive here")
+    assert(out(3L).getAs[Long]("n_emails") + out(3L).getAs[Long]("n_urls") + out(3L).getAs[Long]("n_digit_runs") == 0L)
+  }
+
   test("length outliers flag only rows outside the percentile band") {
     val df = (1L to 99L).map(i => (i, 100L)).toDF("doc_id", "n_chars")
       .union(Seq((100L, 1L), (101L, 100000L)).toDF("doc_id", "n_chars"))
