@@ -1005,6 +1005,194 @@ object AnalyticsQueries {
         ORDER BY c_nationkey
       """.stripMargin.trim),
       bench = true
+    ),
+    QueryDef(
+      "q2_min_cost_supplier",
+      // TPC-H Q2 shape: minimum-cost supplier per part. The schema has no
+      // partsupp, so the part-supplier relation derives from lineitem
+      // (like q16) with supply_cost = min line price per (part, supplier).
+      // The correlated min subquery is a per-part window min over the
+      // ALREADY region-filtered rows — no second scan, no self-join; every
+      // dim broadcasts. Cost equality compares exact decimals.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val ps = t.lineitem.groupBy($"l_partkey", $"l_suppkey")
+          .agg(min(dec($"l_extendedprice")).as("supply_cost"))
+        val qualified = ps
+          .join(broadcast(t.part.filter($"p_size" <= 15 && $"p_type" === "LARGE")),
+            $"l_partkey" === $"p_partkey")
+          .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+          .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
+          .join(broadcast(t.region.filter($"r_name" === "EUROPE")), $"n_regionkey" === $"r_regionkey")
+        qualified
+          .withColumn("min_cost", min($"supply_cost").over(Window.partitionBy($"p_partkey")))
+          .filter($"supply_cost" === $"min_cost")
+          .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_brand",
+            $"supply_cost".cast("double").as("supply_cost"))
+          .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS supply_cost
+          FROM lineitem GROUP BY 1, 2
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               CAST(supply_cost AS DOUBLE) AS supply_cost
+        FROM ps
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size <= 15 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+        QUALIFY supply_cost = min(supply_cost) OVER (PARTITION BY p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q11_important_parts",
+      // TPC-H Q11 shape: parts holding an outsized share of one nation's
+      // inventory value — group-HAVING against a scalar subquery of the
+      // SAME aggregate. The scalar total is a broadcast cross join of the
+      // 1-row re-aggregate (no collect); the share test multiplies
+      // through (value * 1000 > total ⇔ value > 0.001 * total) so both
+      // engines compare exact decimals, never a divided double.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val natSupp = t.supplier
+          .join(broadcast(t.nation.filter($"n_name" === "NATION_7")), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey")
+        val perPart = t.lineitem
+          .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+          .groupBy($"l_partkey")
+          .agg(sum(dec($"l_extendedprice")).as("part_value"))
+        perPart
+          .crossJoin(broadcast(perPart.agg(sum($"part_value").as("total_value"))))
+          .filter($"part_value" * 1000 > $"total_value")
+          .select($"l_partkey".as("partkey"), $"part_value".cast("double").as("part_value"))
+          .orderBy($"part_value".desc, $"partkey")
+      },
+      Some("""
+        WITH g AS (
+          SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS part_value
+          FROM lineitem
+          WHERE l_suppkey IN (
+            SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_7')
+          GROUP BY 1
+        )
+        SELECT l_partkey AS partkey, CAST(part_value AS DOUBLE) AS part_value
+        FROM g WHERE part_value * 1000 > (SELECT sum(part_value) FROM g)
+        ORDER BY part_value DESC, partkey
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q20_excess_suppliers",
+      // TPC-H Q20 shape: suppliers holding excess stock of targeted
+      // parts — nested IN subqueries with a correlated aggregate
+      // threshold. Both fact aggregations shuffle on l_partkey so their
+      // join is co-partitioned; the part-name filter semi-joins via
+      // broadcast BEFORE the threshold join; the final supplier IN is a
+      // semi join. The threshold multiplies through (2 * supp_qty >
+      // year_qty ⇔ supp_qty > 0.5 * year_qty): exact decimals only.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val targetParts = t.part.filter($"p_name".startsWith("large")).select($"p_partkey")
+        val perSupp = t.lineitem
+          .join(broadcast(targetParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .groupBy($"l_partkey", $"l_suppkey")
+          .agg(sum(dec($"l_quantity")).as("supp_qty"))
+        val perYear = t.lineitem
+          .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01"))
+          .join(broadcast(targetParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .groupBy($"l_partkey")
+          .agg(sum(dec($"l_quantity")).as("year_qty"))
+        val excess = perSupp.join(perYear, Seq("l_partkey"))
+          .filter($"supp_qty" * 2 > $"year_qty")
+          .select($"l_suppkey")
+        t.supplier
+          .join(broadcast(t.nation.filter($"n_name" === "NATION_3")), $"s_nationkey" === $"n_nationkey")
+          .join(excess, $"s_suppkey" === $"l_suppkey", "left_semi")
+          .select($"s_name", $"s_acctbal")
+          .orderBy($"s_name")
+      },
+      Some("""
+        WITH ps AS (
+          SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS supp_qty
+          FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          GROUP BY 1, 2
+        ), yr AS (
+          SELECT l_partkey, sum(CAST(l_quantity AS DECIMAL(12,2))) AS year_qty
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'large%')
+          GROUP BY 1
+        )
+        SELECT s_name, s_acctbal
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_3' AND s_suppkey IN (
+          SELECT l_suppkey FROM ps JOIN yr USING (l_partkey)
+          WHERE supp_qty * 2 > year_qty)
+        ORDER BY s_name
+      """.stripMargin.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q21_waiting_suppliers",
+      // TPC-H Q21 shape: suppliers who were the SOLE late shipper on a
+      // multi-supplier order — the exists/not-exists pair becomes a
+      // left-semi + left-anti self-join on the order key with the
+      // supplier inequality (and lateness bound) in the join condition.
+      // The schema has no commit/receipt dates, so "late" is shipping
+      // more than 90 days after the order date. The nation's suppliers
+      // broadcast-join FIRST so the expensive self-joins see only their
+      // lines; l2/l3 carry 2-3 columns each.
+      (spark, dir) => {
+        import spark.implicits._
+        val t = Tables(spark, dir)
+        val natSupp = t.supplier
+          .join(broadcast(t.nation.filter($"n_name" === "NATION_1")), $"s_nationkey" === $"n_nationkey")
+          .select($"s_suppkey", $"s_name")
+        val late = t.lineitem
+          .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+          .join(t.orders.filter($"o_orderstatus" === "F"), $"l_orderkey" === $"o_orderkey")
+          .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
+        val l2 = t.lineitem.select($"l_orderkey".as("l2_orderkey"), $"l_suppkey".as("l2_suppkey"))
+        val l3 = t.lineitem.select(
+          $"l_orderkey".as("l3_orderkey"), $"l_suppkey".as("l3_suppkey"), $"l_shipdate".as("l3_shipdate"))
+        late
+          .join(l2, $"l_orderkey" === $"l2_orderkey" && $"l_suppkey" =!= $"l2_suppkey", "left_semi")
+          .join(l3,
+            $"l_orderkey" === $"l3_orderkey" && $"l_suppkey" =!= $"l3_suppkey" &&
+              $"l3_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"),
+            "left_anti")
+          .groupBy($"s_name")
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy($"numwait".desc, $"s_name")
+      },
+      Some("""
+        SELECT s_name, count(*) AS numwait
+        FROM lineitem l1
+        JOIN orders ON o_orderkey = l1.l_orderkey
+        JOIN supplier ON s_suppkey = l1.l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE o_orderstatus = 'F' AND n_name = 'NATION_1'
+          AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+      """.stripMargin.trim),
+      bench = true
     )
   )
 }

@@ -90,11 +90,19 @@ class PlanSpec extends SparkSpec {
   }
 
   test("TPC-H dim joins broadcast; no plan degrades to a cartesian product") {
-    for (q <- Seq("q9_nation_revenue", "q10_returns", "q14_promo_share", "q17_small_qty", "q19_disjunctive")) {
+    for (q <- Seq("q9_nation_revenue", "q10_returns", "q14_promo_share", "q17_small_qty",
+        "q19_disjunctive", "q2_min_cost_supplier", "q11_important_parts", "q20_excess_suppliers")) {
       val plan = planOf(q)
       assert(plan.contains("BroadcastHashJoin"), s"$q expected broadcast dim join")
       assert(!plan.contains("CartesianProduct"), s"$q must not cross-join")
     }
+  }
+
+  test("Q21's exists/not-exists pair plans as one semi + one anti self-join") {
+    val plan = planOf("q21_waiting_suppliers")
+    assert(plan.contains("LeftSemi"), s"Q21 EXISTS must plan as a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"Q21 NOT EXISTS must plan as an anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "self-joins must stay keyed on the order key")
   }
 
   test("staging batch accounting uses no unpartitioned window") {
