@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Inherit stdout/stderr directly in forked runs: sbt's logger otherwise
+// prefixes every stdout line with "[info] " (and stderr with "[error] "),
+// which corrupts the one-line JSON contract of Bench/Verify for any
+// harness that greps `^{"metric"` from the output.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

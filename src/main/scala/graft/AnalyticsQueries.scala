@@ -840,8 +840,8 @@ object AnalyticsQueries {
       },
       Some("""
         SELECT l_linestatus,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS low_line_count
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -882,8 +882,11 @@ object AnalyticsQueries {
       // TPC-H Q15 shape: the revenue "view" is a per-supplier aggregate;
       // the max-revenue scalar comes from a broadcast cross join against
       // the 1-row aggregate of that same small table (no collect, no
-      // global window sort). Equality compares EXACT decimal sums — a
-      // double total could disagree between engines in the last ulp.
+      // global window sort). rev is persisted because it is referenced
+      // twice — without the cache the lineitem scan+agg would run twice;
+      // the cached relation is one row per suppkey. Equality compares
+      // EXACT decimal sums — a double total could disagree between
+      // engines in the last ulp.
       (spark, dir) => {
         import spark.implicits._
         val t = Tables(spark, dir)
@@ -891,6 +894,7 @@ object AnalyticsQueries {
           .filter($"l_shipdate" >= ts("1996-01-01") && $"l_shipdate" < ts("1996-04-01"))
           .groupBy($"l_suppkey")
           .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).as("total_revenue"))
+          .persist()
         rev.crossJoin(broadcast(rev.agg(max($"total_revenue").as("max_revenue"))))
           .filter($"total_revenue" === $"max_revenue")
           .join(t.supplier, $"l_suppkey" === $"s_suppkey")
@@ -1054,10 +1058,14 @@ object AnalyticsQueries {
       "q11_important_parts",
       // TPC-H Q11 shape: parts holding an outsized share of one nation's
       // inventory value — group-HAVING against a scalar subquery of the
-      // SAME aggregate. The scalar total is a broadcast cross join of the
-      // 1-row re-aggregate (no collect); the share test multiplies
-      // through (value * 1000 > total ⇔ value > 0.001 * total) so both
-      // engines compare exact decimals, never a divided double.
+      // SAME aggregate. perPart is persisted: it is referenced twice
+      // (once directly, once inside the broadcast 1-row re-aggregate),
+      // and without the cache the fact semi-join + aggregation — the
+      // heaviest scan in the query — would run twice. The cached relation
+      // is the small post-agg table (one row per partkey), not the fact.
+      // The share test multiplies through (value * 1000 > total ⇔
+      // value > 0.001 * total) so both engines compare exact decimals,
+      // never a divided double.
       (spark, dir) => {
         import spark.implicits._
         val t = Tables(spark, dir)
@@ -1068,6 +1076,7 @@ object AnalyticsQueries {
           .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
           .groupBy($"l_partkey")
           .agg(sum(dec($"l_extendedprice")).as("part_value"))
+          .persist()
         perPart
           .crossJoin(broadcast(perPart.agg(sum($"part_value").as("total_value"))))
           .filter($"part_value" * 1000 > $"total_value")
@@ -1093,11 +1102,14 @@ object AnalyticsQueries {
       "q20_excess_suppliers",
       // TPC-H Q20 shape: suppliers holding excess stock of targeted
       // parts — nested IN subqueries with a correlated aggregate
-      // threshold. Both fact aggregations shuffle on l_partkey so their
-      // join is co-partitioned; the part-name filter semi-joins via
-      // broadcast BEFORE the threshold join; the final supplier IN is a
-      // semi join. The threshold multiplies through (2 * supp_qty >
-      // year_qty ⇔ supp_qty > 0.5 * year_qty): exact decimals only.
+      // threshold. perYear shuffles on l_partkey; perSupp aggregates on
+      // the composite (l_partkey, l_suppkey) key, so the threshold join
+      // on l_partkey alone re-exchanges perSupp — cheap, because it
+      // moves post-aggregation rows (one per part×supplier), not the
+      // fact. The part-name filter semi-joins via broadcast BEFORE
+      // either aggregation; the final supplier IN is a semi join. The
+      // threshold multiplies through (2 * supp_qty > year_qty ⇔
+      // supp_qty > 0.5 * year_qty): exact decimals only.
       (spark, dir) => {
         import spark.implicits._
         val t = Tables(spark, dir)

@@ -41,14 +41,23 @@ object Bench {
       }
       (q.name, times.min, times.head)
     }
-    val qs    = results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // two-decimal formatting keeps the final JSON line under ~1.8 KB: the
+    // harness that collects this output stores only the LAST 2000 chars, and
+    // a full-precision line with per-query cold times (~4.5 KB) gets its
+    // `{"metric":...` head truncated away, making the line unparseable
+    def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+    val qs    = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val cold  = results.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
     // a failed query records a (meaningless, tiny) time — list failures
     // explicitly so the JSON can never silently pass as an improvement
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"failed":$failedJson}""")
+    // full-precision detail first (prefixed, so it can't be mistaken for the
+    // metric line), then stop Spark so shutdown logs flush BEFORE the final
+    // compact line — which must be the last stdout of the run
+    println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}""")
     spark.stop()
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_total":${f2(coldTotal)},"failed":$failedJson}""")
   }
 }

@@ -350,7 +350,7 @@ object TrainingDataOps {
         ), j AS (
           SELECT t.doc_id, f.c FROM toks t JOIN freq f USING (tok)
         )
-        SELECT doc_id, count(*) AS n_tokens, sum(c) AS sum_freq,
+        SELECT doc_id, count(*) AS n_tokens, CAST(sum(c) AS BIGINT) AS sum_freq,
                CAST(sum(c) AS DOUBLE) / count(*) AS mean_token_freq,
                CAST(count(*) FILTER (c <= 2) AS DOUBLE) / count(*) AS rare_token_frac
         FROM j GROUP BY doc_id ORDER BY doc_id

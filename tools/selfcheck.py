@@ -44,17 +44,22 @@ for name, sql in sorted(oracles.items()):
         print(f"ROWS     {name}: spark={len(s)} duck={len(d)}")
         fail += 1
         continue
-    try:
-        pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+    # Primary check is STRING-exact: the driver hashes stringified values,
+    # so an int64 Spark column vs a float64 DuckDB column (HUGEINT sums
+    # come back as float64 via pandas) hash-mismatches on the driver even
+    # though a dtype-insensitive numeric compare passes ("6" vs "6.0").
+    if s.astype(str).equals(d.astype(str)):
         print(f"OK       {name} ({len(s)} rows)")
-    except AssertionError as e:
-        # dtype-unit differences (datetime64[ns] vs [us]) fail the strict
-        # compare even when values are identical; retry string-exact
-        # (repr round-trips doubles, so this stays value-exact)
-        if s.astype(str).equals(d.astype(str)):
-            print(f"OK~      {name} ({len(s)} rows, string-exact)")
-        else:
+    else:
+        try:
+            pd.testing.assert_frame_equal(s, d, check_dtype=False, check_exact=True)
+            # values equal but reprs differ -> dtype mismatch the driver
+            # would flag (usually a missing CAST(... AS BIGINT) in the SQL)
+            kinds = [(c, s[c].dtype, d[c].dtype) for c in s_cols
+                     if s[c].dtype.kind != d[c].dtype.kind]
+            print(f"DTYPE    {name}: values equal but reprs differ {kinds}")
+        except AssertionError as e:
             print(f"VALUES   {name}: {str(e).splitlines()[-1] if str(e) else e}")
-            fail += 1
+        fail += 1
 print("FAILURES:", fail)
 sys.exit(1 if fail else 0)
