@@ -599,6 +599,10 @@ object TrainingDataOps {
     ),
     QueryDef(
       "multimodal_meta",
+      // typed metadata (modality tag + byte size) riding alongside the
+      // opaque payload; feat0 pins the decode output too. All three are
+      // deterministic on this ASCII corpus, so the row goes under the
+      // full hash gate (same ord()-histogram trick as multimodal_features)
       (spark, dir) => {
         val media = Multimodal.synthesizePayloads(Tables(spark, dir).documents, "doc_id", "text")
         Multimodal.extractFeatures(spark, media).toDF()
@@ -606,7 +610,89 @@ object TrainingDataOps {
             round(element_at(col("features"), 1), 6).as("feat0"))
           .orderBy("doc_id")
       },
-      None
+      Some("""
+        SELECT doc_id,
+               (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               CAST(strlen(text) AS BIGINT) AS size_bytes,
+               round(len(list_filter(list_transform(range(1, length(text)+1),
+                       i -> ord(substr(text, CAST(i AS INT), 1)) // 16), x -> x = 0))
+                     / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS feat0
+        FROM documents ORDER BY doc_id
+      """.trim)
+    ),
+    QueryDef(
+      "src_csv_roundtrip",
+      // CSV ingestion must be lossless under RFC 4180 quoting: documents
+      // written as CSV and read back (explicit schema, FAILFAST,
+      // multiLine) hash-match the parquet originals the oracle reads
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val tmp  = java.nio.file.Files.createTempDirectory("graft_csv").toString + "/docs"
+        graft.sources.Csv.write(docs, tmp)
+        graft.sources.Csv.read(spark, tmp, docs.schema).orderBy("doc_id")
+      },
+      Some("SELECT * FROM documents ORDER BY doc_id"),
+      bench = true
+    ),
+    QueryDef(
+      "curation_domain_cap",
+      // per-domain cap, best-first — the rank-filter plans as a Partial
+      // WindowGroupLimit (map-side top-k) so a mega-domain never streams
+      // its full row count through one task (Curation.domainTopK)
+      (spark, dir) =>
+        Curation.domainTopK(Tables(spark, dir).documents, "doc_id", "source", "n_chars", k = 50)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, source, n_chars FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 50
+        ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "chunk_documents",
+      // fixed-width training windows (64 tokens, stride 48 → 16-token
+      // overlap): pure narrow transformation, shuffle-free
+      (spark, dir) =>
+        Curation.chunkDocuments(Tables(spark, dir).documents, "doc_id", "text",
+            chunkTokens = 64, strideTokens = 48)
+          .orderBy("doc_id", "chunk_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), s AS (
+          SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 1), 48)) AS start FROM t
+        )
+        SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+               CAST(least(64, len(toks) - start) AS BIGINT) AS n_tokens,
+               array_to_string(toks[CAST(start + 1 AS INT):CAST(start + 64 AS INT)], ' ') AS chunk_text
+        FROM s ORDER BY doc_id, chunk_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "text_classifier",
+      // hashed-linear-classifier inference (fasttext-shaped quality
+      // gate) — md5-derived weights keep it integer-exact cross-engine
+      (spark, dir) =>
+        TextAnalysis.classifierScore(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), w AS (
+          SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(list_sum(list_transform(toks,
+                   tok -> (ord(substr(md5(tok), 1, 1)) + ord(substr(md5(tok), 2, 1))) % 7 - 3)) AS BIGINT) AS score_sum
+          FROM t
+        )
+        SELECT doc_id, n_tokens, score_sum,
+               CAST(score_sum AS DOUBLE) / n_tokens AS score,
+               (CAST(score_sum AS DOUBLE) / n_tokens) >= 0 AS keep
+        FROM w ORDER BY doc_id
+      """.trim),
+      bench = true
     ),
     QueryDef(
       "text_keywords",

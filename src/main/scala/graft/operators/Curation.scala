@@ -3,6 +3,7 @@ package graft.operators
 import graft.functions.TextFunctions
 import graft.plans.TextVectorExpressions
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-curation operators a large-scale training-data pipeline runs
@@ -229,5 +230,56 @@ object Curation {
     docs.crossJoin(broadcast(bounds))
       .filter(col(lenCol) < col("lo_bound") || col(lenCol) > col("hi_bound"))
       .select(col(idCol), col(lenCol), col("lo_bound"), col("hi_bound"))
+  }
+
+  /** Per-domain cap (C4/RefinedWeb-style): keep at most `k` rows per
+    * domain, best-first by `(orderCol DESC, id ASC)` — a total order, so
+    * the kept SET is deterministic and engine-exact.
+    *
+    * Skew is the 100 TB concern here (a crawl is routinely 10-40% one
+    * host), and the declarative rank-filter is already the skew-safe
+    * plan: Catalyst's InferWindowGroupLimit rewrites
+    * `filter(row_number <= k)` into a PARTIAL WindowGroupLimit before
+    * the exchange — every map task forwards at most k rows per domain,
+    * exactly like map-side combine — plus a Final one after, so a
+    * mega-domain contributes ≤ k·mapPartitions rows to its reducer
+    * instead of its full row count. Hand-rolled two-phase salting (rank
+    * within (domain, salt), then re-rank survivors) computes the same
+    * set with one MORE exchange; CurationSpec pins the Partial node so
+    * a regression to the unbounded plan fails the suite.
+    */
+  def domainTopK(
+      docs: DataFrame, idCol: String, domainCol: String, orderCol: String, k: Int
+  ): DataFrame = {
+    require(k > 0)
+    val w = Window.partitionBy(col(domainCol)).orderBy(col(orderCol).desc, col(idCol).asc)
+    docs
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .drop("__r")
+  }
+
+  /** Split documents into fixed-width training windows: token windows of
+    * `chunkTokens`, starting every `strideTokens` (overlap =
+    * chunkTokens - strideTokens), the context-window prep step between
+    * curation and tokenization. Pure narrow transformation — tokenize,
+    * generate starts, explode, slice — no shuffle anywhere, so it scales
+    * with the scan and never moves data.
+    */
+  def chunkDocuments(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, strideTokens: Int
+  ): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens)
+    val toks = TextFunctions.tokens(col(textCol))
+    docs
+      .withColumn("__toks", toks)
+      .withColumn("__start",
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)), lit(strideTokens))))
+      .select(
+        col(idCol),
+        (col("__start") / strideTokens).cast("long").as("chunk_id"),
+        least(lit(chunkTokens), size(col("__toks")) - col("__start")).cast("long").as("n_tokens"),
+        array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ").as("chunk_text"))
   }
 }

@@ -258,4 +258,27 @@ object TextAnalysis {
     df.withColumn("fingerprints",
         graft.plans.TextVectorExpressions.winnowingFingerprints(col(textCol), k, w))
       .select(col(idCol), col("fingerprints"), size(col("fingerprints")).as("n_fingerprints"))
+
+  /** Linear classifier inference over hashed token features — the shape
+    * of a fasttext-style quality/toxicity classifier applied at corpus
+    * scale: score(doc) = mean over tokens of weight(hash(token)). A real
+    * deployment broadcasts a trained weight table; here the weight is
+    * derived from the token's md5 (two hex chars → an integer in
+    * [-3, 3]), which keeps the whole computation integer-exact and
+    * engine-reproducible while exercising the identical plan: a pure
+    * per-row map (tokenize → hash → gather weights → reduce), no
+    * shuffle, no UDF — `transform`/`aggregate` higher-order functions
+    * stay inside codegen. At 100 TB this is exactly scan-bound.
+    */
+  def classifierScore(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    val weights = transform(toks, t =>
+      ((ascii(substring(md5(t), 1, 1)) + ascii(substring(md5(t), 2, 1))) % 7 - 3).cast("long"))
+    df.select(
+        col(idCol),
+        size(toks).cast("long").as("n_tokens"),
+        aggregate(weights, lit(0L), (acc, x) => acc + x).as("score_sum"))
+      .withColumn("score", col("score_sum").cast("double") / col("n_tokens"))
+      .withColumn("keep", col("score") >= 0.0)
+  }
 }

@@ -106,7 +106,8 @@ class PlanSpec extends SparkSpec {
   }
 
   test("staging batch accounting uses no unpartitioned window") {
-    val exec = Queries.queries("staging_batches")(spark, sfDir).queryExecution.executedPlan
+    val exec = physicalPlan(Queries.queries("staging_batches")(spark, sfDir))
+    assert(exec.collect { case p => p }.size > 1, "AQE wrapper must be stripped")
     val globalWindows = exec.collect {
       case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
     }

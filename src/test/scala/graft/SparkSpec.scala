@@ -7,6 +7,16 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Physical plan with the AQE wrapper stripped: `executedPlan` returns
+    * an `AdaptiveSparkPlanExec` LEAF, so a naive `plan.collect` never
+    * sees the real operators and node-type assertions pass vacuously.
+    */
+  def physicalPlan(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.execution.SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
 }
 
 object SparkSpec {
