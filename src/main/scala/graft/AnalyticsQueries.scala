@@ -1205,6 +1205,38 @@ object AnalyticsQueries {
         ORDER BY numwait DESC, s_name
       """.stripMargin.trim),
       bench = true
+    ),
+    QueryDef(
+      "q_range_join",
+      // point-in-interval join with NO equi key: shipments falling in each
+      // probe order's 7-day window. Bucket quantization turns the
+      // nested-loop shape into a hash join (operators.RangeJoin) — the
+      // oracle's BETWEEN join is the semantics, not the plan
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val ivs = t.orders
+          .filter(pmod(col("o_orderkey"), lit(701)) === 0)
+          .select(col("o_orderkey"), col("o_orderdate").as("w_start"),
+            (col("o_orderdate") + expr("INTERVAL 6 DAYS")).as("w_end"))
+        val pts = t.lineitem.select("l_shipdate", "l_quantity")
+        operators.RangeJoin
+          .pointInIntervalTs(pts, "l_shipdate", ivs, "w_start", "w_end",
+            bucketWidthSec = 7L * 24 * 3600)
+          .groupBy("o_orderkey")
+          .agg(count(lit(1)).as("n_pts"),
+            sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o.o_orderkey, count(*) AS n_pts,
+               CAST(sum(CAST(l.l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        FROM orders o JOIN lineitem l
+          ON l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate <= o.o_orderdate + INTERVAL 6 DAY
+        WHERE o.o_orderkey % 701 = 0
+        GROUP BY o.o_orderkey ORDER BY o.o_orderkey
+      """.trim),
+      bench = true
     )
   )
 }

@@ -344,6 +344,125 @@ object ReferenceOps {
       """.trim)
     ),
     QueryDef(
+      "zorder_layout",
+      // two-dimensional clustering for data skipping: the per-bucket
+      // extents returned ARE the footer stats a reader prunes on; the
+      // oracle recomputes the identical bit-interleave, proving the
+      // layout function engine-exact (operators.Layout)
+      (spark, dir) =>
+        Layout.bucketExtents(Tables(spark, dir).lineitem,
+            "l_partkey", "l_suppkey", bits = 12, bucketShift = 12)
+          .orderBy("bucket"),
+      Some(s"""
+        WITH s AS (
+          SELECT min(l_partkey) AS mnx, max(l_partkey) AS mxx,
+                 min(l_suppkey) AS mny, max(l_suppkey) AS mxy
+          FROM lineitem
+        ), g AS (
+          SELECT l_partkey, l_suppkey,
+                 ((l_partkey - mnx) * 4095) // greatest(mxx - mnx, 1) AS gx,
+                 ((l_suppkey - mny) * 4095) // greatest(mxy - mny, 1) AS gy
+          FROM lineitem, s
+        ), z AS (
+          SELECT l_partkey, l_suppkey,
+                 ${Layout.zValueSql("gx", "gy", 12)} AS zv
+          FROM g
+        )
+        SELECT zv >> 12 AS bucket, count(*) AS n,
+               min(l_partkey) AS min_x, max(l_partkey) AS max_x,
+               min(l_suppkey) AS min_y, max(l_suppkey) AS max_y
+        FROM z GROUP BY 1 ORDER BY 1
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "dq_checks",
+      // pre-promotion validation gate: all row-level checks fold into ONE
+      // scan (sum(when) columns); uniqueness is one hash agg; FK orphans
+      // are broadcast anti-joins — the fact table never shuffles
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        DataQuality.gate(
+          t.lineitem,
+          rowLevel = Seq(
+            DataQuality.notNull("l_orderkey"),
+            DataQuality.inRange("l_quantity", 1, 50),
+            DataQuality.inRange("l_discount", 0, 0.1),
+            DataQuality.matches("l_returnflag", "^[ANR]$")),
+          uniqueKeys = Seq("l_orderkey", "l_linenumber"),
+          refs = Seq(
+            ("l_partkey", t.part, "p_partkey"),
+            ("l_suppkey", t.supplier, "s_suppkey"))
+        ).orderBy("check")
+      },
+      Some("""
+        SELECT 'not_null_l_orderkey' AS "check",
+               CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               count(*) AS total FROM lineitem
+        UNION ALL
+        SELECT 'range_l_quantity',
+               CAST(sum(CASE WHEN l_quantity IS NULL OR l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT),
+               count(*) FROM lineitem
+        UNION ALL
+        SELECT 'range_l_discount',
+               CAST(sum(CASE WHEN l_discount IS NULL OR l_discount < 0 OR l_discount > 0.1 THEN 1 ELSE 0 END) AS BIGINT),
+               count(*) FROM lineitem
+        UNION ALL
+        SELECT 'matches_l_returnflag',
+               CAST(sum(CASE WHEN NOT regexp_matches(l_returnflag, '^[ANR]$') THEN 1 ELSE 0 END) AS BIGINT),
+               count(*) FROM lineitem
+        UNION ALL
+        SELECT 'unique_l_orderkey_l_linenumber',
+               CAST(COALESCE(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END), 0) AS BIGINT),
+               CAST(COALESCE(sum(n), 0) AS BIGINT)
+        FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey, l_linenumber)
+        UNION ALL
+        SELECT 'ref_l_partkey_to_p_partkey',
+               (SELECT count(*) FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL),
+               (SELECT count(*) FROM lineitem)
+        UNION ALL
+        SELECT 'ref_l_suppkey_to_s_suppkey',
+               (SELECT count(*) FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey WHERE s.s_suppkey IS NULL),
+               (SELECT count(*) FROM lineitem)
+        ORDER BY "check"
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "agg_incremental",
+      // incremental aggregate maintenance: refresh a materialized per-key
+      // summary from a delta batch WITHOUT rescanning history — merge cost
+      // is O(summary + delta), yet the result is bit-equal to the oracle's
+      // full recompute (additive states, decimal-exact sums)
+      (spark, dir) => {
+        val li      = Tables(spark, dir).lineitem
+        val cutoff  = ts("1996-01-01")
+        val history = li.filter(col("l_shipdate") < cutoff)
+        val delta   = li.filter(col("l_shipdate") >= cutoff)
+        val old     = Incremental.summarize(history, Seq("l_partkey"), Seq("l_quantity", "l_extendedprice"))
+        Incremental.refresh(old, delta, Seq("l_partkey"), Seq("l_quantity", "l_extendedprice"))
+          .select(col("l_partkey"), col("n"),
+            col("sum_l_quantity").cast("double").as("sum_qty"),
+            col("min_l_quantity").cast("double").as("min_qty"),
+            col("max_l_quantity").cast("double").as("max_qty"),
+            col("sum_l_extendedprice").cast("double").as("sum_price"),
+            col("min_l_extendedprice").cast("double").as("min_price"),
+            col("max_l_extendedprice").cast("double").as("max_price"))
+          .orderBy("l_partkey")
+      },
+      Some("""
+        SELECT l_partkey, count(*) AS n,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(min(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+               CAST(max(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+               CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+        FROM lineitem GROUP BY l_partkey ORDER BY l_partkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "blob_listing",
       // filesystem-dependent (mtimes): rows-only check here; semantics
       // covered by BlobListingSpec

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Curation, CurationPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, CurationPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Section C of SURVEY.md §2 — training-data pipeline operators over the
@@ -203,6 +203,21 @@ object TrainingDataOps {
         Similarity.ivfTopK(
           probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
           idCol = "vec_id", vecCol = "embedding", k = 5, nCells = 16, nProbe = 8
+        ).orderBy("probe_id", "rank")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
+      "ann_pq",
+      // product-quantization ANN (codes + ADC shortlist + exact re-rank):
+      // engine-specific codebooks → recall vs brute force in SimilaritySpec
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.pqTopK(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5, m = 4, nCodes = 16, shortlist = 50
         ).orderBy("probe_id", "rank")
       },
       None,
@@ -814,6 +829,66 @@ object TrainingDataOps {
                CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
                CAST(len(regexp_extract_all(text, '[0-9]{7,}')) AS BIGINT) AS n_digit_runs
         FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "bpe_pair_counts",
+      // tokenizer training, pass 1: adjacent symbol-pair counts over the
+      // DISTINCT-WORD table (bounded by vocabulary, not corpus volume) —
+      // the only corpus scan BPE ever makes (operators.Bpe)
+      (spark, dir) =>
+        Bpe.pairCounts(Bpe.initialSymbols(Tables(spark, dir).documents, "text"))
+          .orderBy(col("cnt").desc, col("a"), col("b")).limit(100),
+      Some("""
+        WITH wc AS (
+          SELECT w, count(*) AS f
+          FROM (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents)
+          WHERE len(w) > 0 GROUP BY w
+        )
+        SELECT substr(w, i, 1) AS a, substr(w, i + 1, 1) AS b, CAST(sum(f) AS BIGINT) AS cnt
+        FROM wc, unnest(range(1, length(w))) AS t(i)
+        GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 100
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "bpe_train_merges",
+      // iterative merge induction: engine-specific iteration (1-row argmax
+      // per step) → no SQL oracle; reference-equality vs an in-memory BPE
+      // asserted in BpeSpec
+      (spark, dir) =>
+        Bpe.trainMerges(Tables(spark, dir).documents, "text", k = 8)
+          .orderBy("rank"),
+      None,
+      bench = true
+    ),
+    QueryDef(
+      "src_orc_roundtrip",
+      // ORC interchange must be lossless: documents written as ORC and
+      // read back (explicit schema, native vectorized reader) hash-match
+      // the parquet originals the oracle reads
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val tmp  = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs"
+        graft.sources.Orc.write(docs, tmp)
+        graft.sources.Orc.read(spark, tmp, docs.schema).orderBy("doc_id")
+      },
+      Some("SELECT * FROM documents ORDER BY doc_id"),
+      bench = true
+    ),
+    QueryDef(
+      "shuffle_deterministic",
+      // training-order randomization as a hash sort: reproducible across
+      // runs and engines (same md5), range-partitioned at scale — never a
+      // driver-side permutation
+      (spark, dir) =>
+        Curation.deterministicShuffle(
+            Tables(spark, dir).documents.select("doc_id"), Seq("doc_id"), salt = "epoch0")
+          .limit(500),
+      Some("""
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || 'epoch0') AS shuffle_key
+        FROM documents ORDER BY shuffle_key LIMIT 500
       """.trim),
       bench = true
     )

@@ -1,0 +1,96 @@
+package graft.operators
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed BPE (byte-pair-encoding) vocabulary induction — the
+  * tokenizer-training step of an LLM data pipeline.
+  *
+  * The scale insight: BPE never needs the corpus after the first pass.
+  * One shuffle builds the DISTINCT-WORD frequency table (orders of
+  * magnitude smaller than 100 TB of text: bounded by vocabulary, not
+  * volume), and every merge iteration is an aggregation over that word
+  * table only — symbol-pair counts weighted by word frequency, argmax,
+  * apply merge. Driver traffic is ONE row per iteration (the winning
+  * pair), mirroring the label-propagation convergence pattern; lineage
+  * is truncated every few merges so k iterations don't nest k plans.
+  *
+  * Pair extraction and merge application are codegen'd higher-order
+  * functions (`transform`/`aggregate`) — no UDFs. The merge fold is the
+  * standard greedy left-to-right pass: "aaa" under merge (a,a) →
+  * ["aa","a"], matching reference BPE implementations.
+  */
+object Bpe {
+
+  /** Distinct-word frequency table: the ONLY pass over the corpus. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .where(length(col("w")) > 0)
+      .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Adjacent symbol-pair counts over a (syms: array<string>, f) table. */
+  def pairCounts(words: DataFrame): DataFrame =
+    words.where(size(col("syms")) >= 2)
+      .select(col("f"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), i -> struct(syms[i-1] AS a, syms[i] AS b))")).as("p"))
+      .select(col("p.a"), col("p.b"), col("f"))
+      .groupBy("a", "b").agg(sum("f").as("cnt"))
+
+  /** Greedy left-to-right merge of one pair inside a symbol array:
+    * fold the array, joining when the accumulator's tail is `a` and the
+    * next symbol is `b`. A merged token never re-merges in the same pass
+    * (the fold consumed its `b`), which is exactly reference behavior.
+    */
+  def mergePair(syms: Column, a: Column, b: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, s) =>
+      when(size(acc) > 0 && element_at(acc, -1) === a && s === b,
+        concat(slice(acc, lit(1), size(acc) - 1), array(concat(a, b))))
+        .otherwise(concat(acc, array(s))))
+
+  /** Character-split word table: the BPE starting state. */
+  def initialSymbols(docs: DataFrame, textCol: String): DataFrame =
+    wordCounts(docs, textCol)
+      .withColumn("syms", filter(split(col("w"), ""), s => length(s) > 0))
+
+  /** Learn `k` merges. Ties break on (count desc, a, b) so the vocabulary
+    * is reproducible across runs and cluster sizes. Returns
+    * (rank, a, b, merged, cnt).
+    */
+  def trainMerges(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark  = docs.sparkSession
+    import spark.implicits._
+    var words  = initialSymbols(docs, textCol).select("syms", "f").localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var step   = 1
+    var done   = false
+    while (step <= k && !done) {
+      // 1-row driver round-trip per iteration (the argmax), like the
+      // scalar convergence checks in iterative label propagation
+      val top = pairCounts(words)
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .as[(String, String, Long)].collect()
+      top.headOption match {
+        case None => done = true
+        case Some((a, b, cnt)) =>
+          merges += ((step, a, b, a + b, cnt))
+          words = words.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+          if (step % 4 == 0) words = words.localCheckpoint() // truncate lineage
+          step += 1
+      }
+    }
+    merges.toSeq.toDF("rank", "a", "b", "merged", "cnt")
+  }
+
+  /** Tokenize with a learned merge list: apply merges in rank order to
+    * each word's character split. Corpus-side cost is one narrow pass;
+    * the merge list is a literal in the plan (broadcast-sized).
+    */
+  def applyMerges(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
+    val toks = expr(s"transform(split(trim(${textCol}), '\\\\s+'), w -> filter(split(w, ''), s -> length(s) > 0))")
+    val merged = merges.foldLeft(toks: Column) { case (acc, (a, b)) =>
+      transform(acc, syms => mergePair(syms, lit(a), lit(b)))
+    }
+    docs.withColumn("bpe_tokens", flatten(merged))
+  }
+}

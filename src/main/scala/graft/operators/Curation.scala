@@ -168,6 +168,20 @@ object Curation {
     * each task's tokens), then a bounded top-k — the standard
     * vocabulary-building shape at any corpus size.
     */
+  /** Deterministic global shuffle for training-order randomization.
+    * At 100 TB "shuffle the corpus" cannot be an in-memory permutation;
+    * the scalable form is a sort by a cryptographic hash of the row key:
+    * range-partitioned by sampled hash bounds, each partition sorts
+    * locally, output order is fully reproducible across runs/engines
+    * (same md5 on both sides of the oracle) and statistically
+    * indistinguishable from uniform. Changing `salt` yields an
+    * independent permutation per epoch without touching the data.
+    */
+  def deterministicShuffle(df: DataFrame, keyCols: Seq[String], salt: String): DataFrame = {
+    val key = md5(concat_ws("|", (keyCols.map(col) :+ lit(salt)): _*))
+    df.withColumn("shuffle_key", key).orderBy("shuffle_key")
+  }
+
   def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token")

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality gate — the validation pass a pipeline runs
+  * before promoting a batch (reference analogue: the stream operator
+  * rejects malformed rows before the sink commit; here the checks are
+  * batch-declarative and return a violation summary instead of failing
+  * row-by-row).
+  *
+  * Scale shape: all row-level checks (`notNull`, `inRange`, `matches`,
+  * custom predicates) compile into ONE aggregation pass over the table —
+  * each check is a `sum(when(violated, 1))` column, so a 100 TB table is
+  * scanned once with no shuffle beyond the final single-row combine.
+  * `unique` needs a hash aggregation on the key (one shuffle);
+  * `refIntegrity` is a broadcast anti-join when the referenced dimension
+  * is small (always, for dims) — the fact side never shuffles.
+  */
+object DataQuality {
+
+  /** A row-level check: name + violation predicate. */
+  final case class Check(name: String, violated: Column)
+
+  def notNull(c: String): Check = Check(s"not_null_$c", col(c).isNull)
+
+  def inRange(c: String, lo: Double, hi: Double): Check =
+    Check(s"range_$c", col(c).isNull || col(c) < lo || col(c) > hi)
+
+  def matches(c: String, regex: String): Check =
+    Check(s"matches_$c", !col(c).rlike(regex))
+
+  /** All row-level checks in one scan: summary (check, violations, total). */
+  def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
+    val aggs = checks.map(ch =>
+      sum(when(ch.violated, 1L).otherwise(0L)).as(ch.name))
+    val wide = df.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("_total")): _*)
+    // unpivot the single wide row to (check, violations, total)
+    val pairs = checks.map(ch =>
+      struct(lit(ch.name).as("check"), col(ch.name).as("violations"), col("_total").as("total")))
+    wide.select(explode(array(pairs: _*)).as("r")).select("r.*")
+  }
+
+  /** Duplicate-key summary: one hash aggregation on the key columns. */
+  def uniqueCheck(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .agg(
+        sum(when(col("n") > 1, col("n") - 1).otherwise(0L)).as("violations"),
+        sum(col("n")).as("total"))
+      .select(lit("unique_" + keys.mkString("_")).as("check"),
+        coalesce(col("violations"), lit(0L)).as("violations"),
+        coalesce(col("total"), lit(0L)).as("total"))
+
+  /** Orphan-FK summary: broadcast anti-join against the dimension keys —
+    * the fact side is scanned once and never shuffles.
+    */
+  def refIntegrityCheck(fact: DataFrame, fk: String, dim: DataFrame, pk: String): DataFrame = {
+    val orphans = fact.join(
+      broadcast(dim.select(col(pk)).distinct()), col(fk) === col(pk), "left_anti")
+    orphans.agg(count(lit(1)).as("violations"))
+      .crossJoin(fact.agg(count(lit(1)).as("total")))
+      .select(lit(s"ref_${fk}_to_$pk").as("check"), col("violations"), col("total"))
+  }
+
+  /** Full gate: row checks + uniqueness + referential integrity, one
+    * summary frame. The unions are of single-digit-row summaries —
+    * driver-cheap regardless of input scale.
+    */
+  def gate(fact: DataFrame, rowLevel: Seq[Check], uniqueKeys: Seq[String],
+           refs: Seq[(String, DataFrame, String)]): DataFrame = {
+    val parts =
+      Seq(rowChecks(fact, rowLevel), uniqueCheck(fact, uniqueKeys)) ++
+        refs.map { case (fk, dim, pk) => refIntegrityCheck(fact, fk, dim, pk) }
+    parts.reduce(_.unionByName(_))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout (Z-order clustering) — the file-level
+  * organization that makes min/max data skipping work for MORE THAN ONE
+  * predicate column at once.
+  *
+  * Sorting 100 TB by `l_partkey` gives perfect skipping on partkey
+  * filters and none on suppkey; interleaving the bits of both keys
+  * (Morton/Z-value) gives every file a small extent in BOTH dimensions,
+  * so either predicate prunes ~sqrt-fashion.
+  *
+  * Raw interleave has a well-known failure mode: if one key's domain is
+  * wider (more bits) than the other's, every high z-bit comes from the
+  * wide key and the layout degenerates to a single-key sort. So both
+  * dimensions are first NORMALIZED to a fixed `bits`-bit grid from their
+  * domain bounds — at 100 TB those bounds come from table statistics,
+  * not a scan. All grid math is exact integer arithmetic (verified
+  * bit-equal against DuckDB's `//` floor-division in the oracle), and
+  * the z-value itself is a pure shift/mask/add over built-ins —
+  * whole-stage-codegen'd, no UDF. Layout is `repartitionByRange(z)` +
+  * in-partition sort: one range shuffle, the cost of a plain sort.
+  */
+object Layout {
+
+  /** Scale a column to [0, 2^bits) from precomputed domain bounds.
+    * floor((c-mn)·(2^bits−1) / span) with long intermediates: exact while
+    * (c−mn)·(2^bits−1) < 2^53 (the double-division floor is then exact —
+    * quotients are either exactly representable or ≥ 1/span from an
+    * integer, far beyond one ulp).
+    */
+  def toGrid(c: Column, mn: Column, mx: Column, bits: Int): Column = {
+    val cells = lit((1L << bits) - 1)
+    val span  = greatest(mx.cast("long") - mn.cast("long"), lit(1L))
+    floor((c.cast("long") - mn.cast("long")) * cells / span)
+  }
+
+  /** Morton z-value: interleave the low `bits` bits of two non-negative
+    * integer columns (x gets even bit positions, y odd). Bit positions
+    * are disjoint, so plain addition assembles the word — the same
+    * formula is expressible verbatim in ANSI SQL for the oracle.
+    */
+  def zValue(x: Column, y: Column, bits: Int): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1,31] (two lanes in one long)")
+    val xl = x.cast("long"); val yl = y.cast("long")
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xl, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(yl, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }.reduce(_ + _)
+  }
+
+  /** The same interleave as ANSI SQL text (oracle parity). */
+  def zValueSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
+  /** Normalized z-value over a frame: domain bounds via one tiny
+    * aggregate broadcast-cross-joined onto the rows (a scalar, not a
+    * shuffle; production would read them from table stats instead).
+    */
+  def withZ(df: DataFrame, xCol: String, yCol: String, bits: Int): DataFrame = {
+    val stats = df.agg(
+      min(xCol).cast("long").as("_mnx"), max(xCol).cast("long").as("_mxx"),
+      min(yCol).cast("long").as("_mny"), max(yCol).cast("long").as("_mxy"))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", zValue(
+        toGrid(col(xCol), col("_mnx"), col("_mxx"), bits),
+        toGrid(col(yCol), col("_mny"), col("_mxy"), bits), bits))
+      .drop("_mnx", "_mxx", "_mny", "_mxy")
+  }
+
+  /** Cluster `df` for two-column skipping and write it: range-partition
+    * by z-value (sampled bounds — balanced files even under skew), sort
+    * within partitions so parquet row-group stats are tight, drop the
+    * helper column on disk.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                  numFiles: Int, dir: String): Unit =
+    withZ(df, xCol, yCol, bits)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+      .write.mode("overwrite").parquet(dir)
+
+  /** Per-bucket extent summary (bucket ≈ file): the min/max ranges a
+    * reader would skip on. With `bucketShift = bits`, each bucket keeps
+    * the top bits/2 grid bits of BOTH dimensions → extents ≈
+    * domain / 2^(bits/2) in each. Small output regardless of input size.
+    */
+  def bucketExtents(df: DataFrame, xCol: String, yCol: String, bits: Int,
+                    bucketShift: Int): DataFrame =
+    withZ(df, xCol, yCol, bits)
+      .groupBy(shiftright(col("_z"), bucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(xCol).as("min_x"), max(xCol).as("max_x"),
+        min(yCol).as("min_y"), max(yCol).as("max_y"))
+}

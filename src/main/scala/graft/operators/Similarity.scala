@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.VectorFunctions._
 import graft.plans.TextVectorExpressions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -205,5 +205,99 @@ object Similarity {
       .withColumn("cosine", cosine(col("a.__v"), col("b.__v")))
       .filter(col("cosine") >= threshold)
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("cosine"))
+  }
+
+  /** Product-quantization ANN (spherical PQ variant): the memory-scale
+    * path. The corpus is ENCODED ONCE into m sub-codes (m bytes/vector
+    * vs dim floats — 64× smaller at dim=64/m=4: the index for 100 TB of
+    * embeddings fits where the raw vectors never would); per probe, a
+    * tiny lookup table of sub-centroid dot products turns each candidate
+    * score into m table adds (no per-pair float multiplies). Standard
+    * two-stage search: ADC shortlist over codes, exact cosine re-rank on
+    * the shortlist — fetched by id join, the only time raw vectors are
+    * touched. Sub-codebooks train like IVF: bounded deterministic
+    * sample, fixed seed (plans/VectorQuantization); recall vs brute
+    * force asserted in SimilaritySpec.
+    */
+  def pqTopK(
+      probes: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, m: Int = 8, nCodes: Int = 16, shortlist: Int = 100,
+      sampleSize: Int = 2048, iters: Int = 5, maxProbes: Int = 16384
+  ): DataFrame = {
+    import graft.plans.VectorQuantization
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    // the search contract is COSINE: encode unit vectors so ADC's dot
+    // reconstruction approximates cosine directly (dot on raw vectors
+    // would rank large-norm candidates above nearer ones). Raw vectors
+    // are kept for the exact re-rank.
+    def unit(v: Column): Column = {
+      val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+      transform(v, x => x / greatest(n, lit(1e-12)))
+    }
+    val cn = c.select(col("neighbor_id"), unit(col("__cv")).as("__cvn"))
+
+    // deterministic bounded sample → per-subspace codebooks
+    val sample = cn.orderBy("neighbor_id").limit(sampleSize)
+      .select("__cvn").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "pqTopK needs a non-empty candidate side")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    // L2 codebooks, not spherical: ADC reconstructs dot products from
+    // codewords, so codeword magnitudes carry signal (the spherical
+    // trainer normalizes them away and recall collapses)
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      VectorQuantization.trainCentroidsL2(
+        sample.map(_.slice(j * sub, (j + 1) * sub)), nCodes, iters, seed = 42L + j)
+    }
+
+    // encode: m sub-codes per candidate, one narrow pass — this is the
+    // (tiny) representation a production index would persist
+    val codeCols = (0 until m).map { j =>
+      element_at(VectorQuantization.centroidCellsL2(
+        slice(col("__cvn"), j * sub + 1, sub), codebooks(j), 1), 1)
+    }
+    val encoded = cn.select(col("neighbor_id"), array(codeCols: _*).as("codes"))
+
+    // probe-side ADC tables: table(j)(code) = dot(unit-probe_j, codebook_j(code))
+    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(maxProbes + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(probeRows.length <= maxProbes,
+      s"pqTopK probe side exceeds the small-side contract (> $maxProbes rows)")
+    val tables = probeRows.toSeq.map { case (pid, pvRaw) =>
+      val norm = math.max(math.sqrt(pvRaw.map(x => x * x).sum), 1e-12)
+      val pv   = pvRaw.map(_ / norm)
+      (pid, (0 until m).map { j =>
+        codebooks(j).map { cen =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += pv(j * sub + i) * cen(i); i += 1 }
+          d
+        }.toSeq
+      })
+    }
+    val probeTables = tables.toDF("probe_id", "tables")
+
+    // ADC score: m table lookups per (probe, candidate) — no vector math
+    val adc = aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1))
+    val wAdc = Window.partitionBy(col("probe_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val short = encoded.crossJoin(broadcast(probeTables))
+      .withColumn("adc", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select("probe_id", "neighbor_id")
+
+    // exact re-rank on the shortlist only (vectors fetched by id join)
+    val pv = probeRows.toSeq.map { case (pid, v) => (pid, v.toSeq) }.toDF("probe_id", "__pv")
+    val w  = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(c, Seq("neighbor_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 }

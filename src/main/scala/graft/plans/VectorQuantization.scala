@@ -12,7 +12,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * One pass per row over nCells·dim multiplies; `m = 1` assigns a
   * candidate to its cell, `m = nProbe` selects the cells a probe visits.
   */
-case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: Int)
+case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: Int,
+    l2: Boolean = false)
     extends UnaryExpression with CodegenFallback {
   require(centroids.nonEmpty && m >= 1)
 
@@ -25,6 +26,13 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
       math.max(math.sqrt(s), 1e-12)
     }
 
+  @transient private lazy val centroidSqNorms: Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      s
+    }
+
   override def nullSafeEval(input: Any): Any = {
     val vec  = input.asInstanceOf[ArrayData].toDoubleArray()
     val sims = new Array[Double](centroids.length)
@@ -35,7 +43,9 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
       var dot = 0.0
       var i   = 0
       while (i < dim) { dot += cen(i) * vec(i); i += 1 }
-      sims(c) = dot / centroidNorms(c) // vector norm constant per row: rank-invariant
+      // cosine rank (vector norm constant per row: rank-invariant) or
+      // L2 rank: argmin ||v-c||² = argmax 2·dot − ||c||² (drop ||v||²)
+      sims(c) = if (l2) 2 * dot - centroidSqNorms(c) else dot / centroidNorms(c)
       c += 1
     }
     val mm  = math.min(m, centroids.length)
@@ -64,6 +74,56 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
 object VectorQuantization {
   def centroidCells(vec: Column, centroids: Array[Array[Double]], m: Int): Column =
     GraftShim.column(CentroidCells(GraftShim.expression(vec), centroids, m))
+
+  def centroidCellsL2(vec: Column, centroids: Array[Array[Double]], m: Int): Column =
+    GraftShim.column(CentroidCells(GraftShim.expression(vec), centroids, m, l2 = true))
+
+  /** Standard (L2) Lloyd's k-means over a bounded sample — the PQ
+    * sub-codebook trainer. Unlike the spherical variant, centroids keep
+    * their magnitudes (means, not normalized means): PQ's ADC lookup
+    * reconstructs dot products from codewords, so codeword NORMS carry
+    * signal the spherical quantizer would erase. Deterministic: seeded
+    * init, fixed iteration count; an emptied cluster keeps its previous
+    * centroid.
+    */
+  def trainCentroidsL2(sample: Array[Array[Double]], nCells: Int, iters: Int, seed: Long): Array[Array[Double]] = {
+    require(sample.nonEmpty)
+    val dim = sample.head.length
+    val k   = math.min(nCells, sample.length)
+    val rnd = new scala.util.Random(seed)
+    val centroids = rnd.shuffle(sample.indices.toVector).take(k).map(i => sample(i).clone()).toArray
+
+    var it = 0
+    while (it < iters) {
+      val sums   = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        var best = 0
+        var bestScore = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var dot = 0.0; var sq = 0.0; var i = 0
+          while (i < dim) { dot += centroids(c)(i) * v(i); sq += centroids(c)(i) * centroids(c)(i); i += 1 }
+          val score = 2 * dot - sq // argmin L2 without the per-vector term
+          if (score > bestScore) { best = c; bestScore = score }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var i = 0
+          while (i < dim) { centroids(c)(i) = sums(c)(i) / counts(c); i += 1 }
+        }
+        c += 1
+      }
+      it += 1
+    }
+    centroids
+  }
 
   /** Driver-side spherical k-means (Lloyd's on cosine) over a bounded
     * training sample — the IVF coarse quantizer. Deterministic: seeded

@@ -51,6 +51,50 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == approx, "seeded training must make the index deterministic")
   }
 
+  test("PQ top-k recall >= 0.8 on clustered vectors, deterministic on the real corpus") {
+    // PQ's accuracy premise is that vectors cluster (real embedding
+    // corpora do); the driver's synthetic embeddings are near-uniform —
+    // PQ's worst case — so recall is asserted on planted clusters and
+    // determinism on the real corpus.
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(15)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 15)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val probes     = df.filter($"vec_id" < 15)
+    val candidates = df.filter($"vec_id" >= 15)
+    val exact = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqTopK(probes, candidates, "vec_id", "embedding", k = 10,
+        m = 8, nCodes = 16, shortlist = 30)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"PQ recall $recall too low on clustered data")
+
+    val e = Tables(spark, sfDir).embeddings
+    def run() = Similarity.pqTopK(e.filter($"vec_id" < 20), e.filter($"vec_id" >= 20),
+        "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(run() == run(), "seeded codebooks must make the index deterministic")
+  }
+
+  test("PQ re-rank cosines are exact (no quantization error leaks into scores)") {
+    val e = Tables(spark, sfDir).embeddings
+    val probes     = e.filter($"vec_id" < 5)
+    val candidates = e.filter($"vec_id" >= 5)
+    val exactScores = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 50)
+      .select("probe_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+      .map { case (p, n, c) => (p, n) -> c }.toMap
+    val pq = Similarity.pqTopK(probes, candidates, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id", "cosine").as[(Long, Long, Double)].collect()
+    pq.foreach { case (p, n, c) =>
+      assert(exactScores.get((p, n)).contains(c),
+        s"PQ returned a non-exact cosine for ($p,$n)")
+    }
+  }
+
   test("physical AnnTopK operator matches the declarative brute force exactly") {
     val e = Tables(spark, sfDir).embeddings
     val probes     = e.filter($"vec_id" < 10)
