@@ -51,8 +51,10 @@ object DataQuality {
         coalesce(col("violations"), lit(0L)).as("violations"),
         coalesce(col("total"), lit(0L)).as("total"))
 
-  /** Orphan-FK summary: broadcast anti-join against the dimension keys —
-    * the fact side is scanned once and never shuffles.
+  /** Standalone orphan-FK summary: broadcast anti-join against the
+    * dimension keys. `gate` does NOT use this — it folds FK checks into
+    * the row-check scan instead (see below); this exists for callers
+    * validating a single FK without the full gate.
     */
   def refIntegrityCheck(fact: DataFrame, fk: String, dim: DataFrame, pk: String): DataFrame = {
     val orphans = fact.join(
@@ -62,15 +64,27 @@ object DataQuality {
       .select(lit(s"ref_${fk}_to_$pk").as("check"), col("violations"), col("total"))
   }
 
-  /** Full gate: row checks + uniqueness + referential integrity, one
-    * summary frame. The unions are of single-digit-row summaries —
-    * driver-cheap regardless of input scale.
+  /** Full gate: row checks + referential integrity + uniqueness.
+    *
+    * FK checks become broadcast LEFT joins against the (distinct,
+    * aliased) dimension keys, each contributing an is-null violation
+    * column to the SAME aggregation as the row-level checks — so the
+    * fact table is scanned exactly ONCE for every per-row check, however
+    * many there are. Only uniqueness needs a second pass (its hash
+    * aggregation on the key is irreducible). The union glues two
+    * summary-sized frames — driver-cheap regardless of input scale.
     */
   def gate(fact: DataFrame, rowLevel: Seq[Check], uniqueKeys: Seq[String],
            refs: Seq[(String, DataFrame, String)]): DataFrame = {
-    val parts =
-      Seq(rowChecks(fact, rowLevel), uniqueCheck(fact, uniqueKeys)) ++
-        refs.map { case (fk, dim, pk) => refIntegrityCheck(fact, fk, dim, pk) }
-    parts.reduce(_.unionByName(_))
+    var joined = fact
+    val refChecks = refs.map { case (fk, dim, pk) =>
+      val pkAlias = s"__ref_${fk}_$pk"
+      joined = joined.join(
+        broadcast(dim.select(col(pk).as(pkAlias)).distinct()),
+        col(fk) === col(pkAlias), "left_outer")
+      Check(s"ref_${fk}_to_$pk", col(pkAlias).isNull)
+    }
+    rowChecks(joined, rowLevel ++ refChecks)
+      .unionByName(uniqueCheck(fact, uniqueKeys))
   }
 }

@@ -48,6 +48,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(scans.length == 1, s"expected one scan for all row checks, got ${scans.length}")
   }
 
+  test("full dq gate costs two fact scans (row+FK pass, uniqueness pass), no nested loops") {
+    val t = Tables(spark, sfDir)
+    val plan = physicalPlan(DataQuality.gate(
+      t.lineitem,
+      rowLevel = Seq(DataQuality.notNull("l_orderkey"), DataQuality.inRange("l_quantity", 1, 50)),
+      uniqueKeys = Seq("l_orderkey", "l_linenumber"),
+      refs = Seq(("l_partkey", t.part, "p_partkey"), ("l_suppkey", t.supplier, "s_suppkey"))))
+    val s = plan.toString
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"gate must not plan nested loops:\n$s")
+    val factScans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+        if sc.relation.location.rootPaths.exists(_.toString.contains("lineitem")) => sc
+    }
+    assert(factScans.length == 2, s"expected exactly 2 fact scans, got ${factScans.length}:\n$s")
+  }
+
   test("incremental refresh is bit-equal to full recompute under any split") {
     val li = Tables(spark, sfDir).lineitem
     val keys = Seq("l_returnflag"); val vals = Seq("l_quantity", "l_extendedprice")
