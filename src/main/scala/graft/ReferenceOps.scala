@@ -344,6 +344,47 @@ object ReferenceOps {
       """.trim)
     ),
     QueryDef(
+      "snapshot_diff",
+      // the inverse of MERGE: change stream (added/deleted/changed) from
+      // two plain snapshots — one full-outer hash join on the key, output
+      // proportional to churn (operators.SnapshotDiff). The planted
+      // snapshot pair exercises all three change types deterministically
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders
+        val oldSnap = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 5)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val newSnap = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 7)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") +
+              when(pmod(col("o_orderkey"), lit(7)) === 0, 1000.0).otherwise(0.0)).as("o_totalprice"),
+            col("o_orderstatus"))
+        SnapshotDiff.diff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        WITH old AS (
+          SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderkey % 13 != 5
+        ), neu AS (
+          SELECT o_orderkey,
+                 o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1000.0 ELSE 0.0 END AS o_totalprice,
+                 o_orderstatus
+          FROM orders WHERE o_orderkey % 11 != 7
+        )
+        SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+               o.o_totalprice AS old_o_totalprice, o.o_orderstatus AS old_o_orderstatus,
+               n.o_totalprice AS new_o_totalprice, n.o_orderstatus AS new_o_orderstatus,
+               CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'deleted'
+                    ELSE 'changed' END AS change_type
+        FROM old o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey
+        WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+                   AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                   AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+        ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "zorder_layout",
       // two-dimensional clustering for data skipping: the per-bucket
       // extents returned ARE the footer stats a reader prunes on; the

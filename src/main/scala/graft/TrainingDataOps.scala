@@ -833,6 +833,52 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "corpus_drift",
+      // per-ingest distribution canary: token-share drift between two
+      // corpus slices. Hash-agg per slice (bounded by vocabulary), one
+      // token join, bounded top-k; per-token math is division/subtraction
+      // only, so drift VALUES hash-match the oracle (operators.Drift)
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        operators.Drift.tokenDrift(
+          docs.filter(col("source") < "src5"), docs.filter(col("source") >= "src5"),
+          "text", k = 50)
+      },
+      Some("""
+        WITH ta AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents WHERE source < 'src5'),
+             tb AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+                    FROM documents WHERE source >= 'src5'),
+             ca AS (SELECT token, count(*) AS cnt_a FROM ta WHERE len(token) > 0 GROUP BY 1),
+             cb AS (SELECT token, count(*) AS cnt_b FROM tb WHERE len(token) > 0 GROUP BY 1),
+             na AS (SELECT sum(cnt_a) AS n_a FROM ca),
+             nb AS (SELECT sum(cnt_b) AS n_b FROM cb)
+        SELECT COALESCE(ca.token, cb.token) AS token,
+               COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b,
+               abs(CAST(COALESCE(cnt_a, 0) AS DOUBLE) / n_a
+                   - CAST(COALESCE(cnt_b, 0) AS DOUBLE) / n_b) AS drift
+        FROM ca FULL OUTER JOIN cb ON ca.token = cb.token, na, nb
+        ORDER BY drift DESC, token LIMIT 50
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "dedup_incremental",
+      // delta-vs-history near-dup via the stored band index: history text
+      // is only fetched BY ID for candidates. Hash-family candidates → no
+      // SQL oracle; planted-delta recall asserted in DedupSpec
+      (spark, dir) => {
+        val docs    = Tables(spark, dir).documents
+        val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val delta   = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        Dedup.minhashIncremental(
+            history, Dedup.bandIndex(history, "doc_id", "text"), delta, "doc_id", "text")
+          .orderBy("delta_id", "hist_id")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "bpe_pair_counts",
       // tokenizer training, pass 1: adjacent symbol-pair counts over the
       // DISTINCT-WORD table (bounded by vocabulary, not corpus volume) —

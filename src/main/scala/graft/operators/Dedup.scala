@@ -96,6 +96,53 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** The persisted LSH band index of a corpus: (id, band_id, band_hash).
+    * A production pipeline maintains this table incrementally — it is
+    * the ONLY structure `minhashIncremental` probes, so history text is
+    * never re-read for banding.
+    */
+  def bandIndex(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16): DataFrame =
+    docs.select(
+      col(idCol).as("__id"),
+      posexplode(
+        GraftExpressions.minhashBands(
+          TextVectorExpressions.shingleHashes(col(textCol), shingleN), bands, numPerm / bands)
+      ).as(Seq("band_id", "band_hash")))
+
+  /** Incremental near-dup detection: today's delta batch against the
+    * stored band index of the full corpus — the shape that keeps dedup
+    * viable at 100 TB/day. History is touched twice, both times
+    * selectively: (1) its band INDEX (a compact table, join on
+    * (band_id, band_hash) buckets — only colliding buckets move), and
+    * (2) its text, fetched BY ID for candidate rows only (a join against
+    * the tiny candidate set). The delta is banded in one pass; exact
+    * Jaccard verifies candidates. Output: (delta_id, hist_id, jaccard)
+    * for verified near-dups — the delta rows to drop before appending.
+    */
+  def minhashIncremental(
+      historyDocs: DataFrame, historyIndex: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5
+  ): DataFrame = {
+    val deltaBands = bandIndex(delta, idCol, textCol, shingleN, numPerm, bands)
+    val candidates = deltaBands.as("d")
+      .join(historyIndex.as("h"),
+        col("d.band_id") === col("h.band_id") && col("d.band_hash") === col("h.band_hash"))
+      .select(col("d.__id").as("delta_id"), col("h.__id").as("hist_id"))
+      .distinct()
+    val shD = delta.select(col(idCol).as("delta_id"),
+      TextVectorExpressions.shingleHashes(col(textCol), shingleN).as("__sh_d"))
+    val shH = historyDocs.select(col(idCol).as("hist_id"),
+      TextVectorExpressions.shingleHashes(col(textCol), shingleN).as("__sh_h"))
+    candidates
+      .join(shD, Seq("delta_id"))
+      .join(shH, Seq("hist_id"))
+      .withColumn("jaccard", TextVectorExpressions.sortedJaccard(col("__sh_d"), col("__sh_h")))
+      .filter(col("jaccard") >= threshold)
+      .select("delta_id", "hist_id", "jaccard")
+  }
+
   /** MinHash+LSH near-dup pipeline: candidates from banding, verified
     * with exact Jaccard ≥ threshold.
     */
