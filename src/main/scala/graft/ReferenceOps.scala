@@ -417,6 +417,39 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "zorder_layout3",
+      // k-column Morton clustering (real layouts cluster 3-4 predicate
+      // columns): round-robin bit interleave over three normalized grids
+      (spark, dir) =>
+        Layout.bucketExtentsN(Tables(spark, dir).lineitem,
+            Seq("l_partkey", "l_suppkey", "l_orderkey"), bits = 12, bucketShift = 24)
+          .orderBy("bucket"),
+      Some(s"""
+        WITH s AS (
+          SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+                 min(l_suppkey) AS mn2, max(l_suppkey) AS mx2,
+                 min(l_orderkey) AS mn3, max(l_orderkey) AS mx3
+          FROM lineitem
+        ), g AS (
+          SELECT l_partkey, l_suppkey, l_orderkey,
+                 ((l_partkey - mn1) * 4095) // greatest(mx1 - mn1, 1) AS g1,
+                 ((l_suppkey - mn2) * 4095) // greatest(mx2 - mn2, 1) AS g2,
+                 ((l_orderkey - mn3) * 4095) // greatest(mx3 - mn3, 1) AS g3
+          FROM lineitem, s
+        ), z AS (
+          SELECT l_partkey, l_suppkey, l_orderkey,
+                 ${Layout.zValueNSql(Seq("g1", "g2", "g3"), 12)} AS zv
+          FROM g
+        )
+        SELECT zv >> 24 AS bucket, count(*) AS n,
+               min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+               min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey,
+               min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey
+        FROM z GROUP BY 1 ORDER BY 1
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "dq_checks",
       // pre-promotion validation gate: all row-level checks fold into ONE
       // scan (sum(when) columns); uniqueness is one hash agg; FK orphans

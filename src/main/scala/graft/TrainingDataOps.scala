@@ -910,6 +910,24 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "bpe_encode",
+      // corpus tokenization with the learned vocabulary: the merge list
+      // is a plan literal (broadcast-sized); one narrow corpus pass.
+      // Merges are engine-derived → no SQL oracle; segmentation-partition
+      // property in BpeSpec
+      (spark, dir) => {
+        val docs   = Tables(spark, dir).documents
+        val merges = Bpe.trainMerges(docs, "text", k = 8).orderBy("rank")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.applyMerges(docs.select("doc_id", "text"), "text", merges)
+          .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
+            slice(col("bpe_tokens"), 1, 12).as("head_tokens"))
+          .orderBy("doc_id")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "src_orc_roundtrip",
       // ORC interchange must be lossless: documents written as ORC and
       // read back (explicit schema, native vectorized reader) hash-match

@@ -57,6 +57,47 @@ object Layout {
       s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
     }.mkString(" + ")
 
+  /** k-column Morton interleave: bit `i` of column `j` lands at
+    * position `i·k + j` (round-robin lanes; for k=2 this is exactly
+    * [[zValue]]). Real layouts cluster 3–4 predicate columns; the same
+    * normalize-then-interleave rule applies — every column must first
+    * be gridded to `bits` bits or the widest domain swallows the high
+    * z-bits.
+    */
+  def zValueN(cols: Seq[Column], bits: Int): Column = {
+    val k = cols.size
+    require(k >= 2 && k * bits <= 62, s"need 2+ columns and k*bits <= 62 (got k=$k bits=$bits)")
+    val terms = for { j <- 0 until k; i <- 0 until bits }
+      yield shiftleft(shiftright(cols(j).cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+    terms.reduce(_ + _)
+  }
+
+  /** The k-column interleave as ANSI SQL text (oracle parity). */
+  def zValueNSql(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    (for { j <- cols.indices; i <- 0 until bits }
+      yield s"(((${cols(j)} >> $i) & 1) << ${i * k + j})").mkString(" + ")
+  }
+
+  /** Normalized k-column z-value over a frame (see [[withZ]]). */
+  def withZN(df: DataFrame, colNames: Seq[String], bits: Int): DataFrame = {
+    val aggs = colNames.flatMap(c =>
+      Seq(min(c).cast("long").as(s"_mn_$c"), max(c).cast("long").as(s"_mx_$c")))
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val grids = colNames.map(c => toGrid(col(c), col(s"_mn_$c"), col(s"_mx_$c"), bits))
+    df.crossJoin(broadcast(stats))
+      .withColumn("_z", zValueN(grids, bits))
+      .drop(colNames.flatMap(c => Seq(s"_mn_$c", s"_mx_$c")): _*)
+  }
+
+  /** Per-bucket extent summary over k clustered columns. */
+  def bucketExtentsN(df: DataFrame, colNames: Seq[String], bits: Int,
+                     bucketShift: Int): DataFrame =
+    withZN(df, colNames, bits)
+      .groupBy(shiftright(col("_z"), bucketShift).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        colNames.flatMap(c => Seq(min(c).as(s"min_$c"), max(c).as(s"max_$c"))): _*)
+
   /** Normalized z-value over a frame: domain bounds via one tiny
     * aggregate broadcast-cross-joined onto the rows (a scalar, not a
     * shuffle; production would read them from table stats instead).

@@ -76,6 +76,36 @@ class RangeLayoutSpec extends SparkSpec {
       s"single-key layout should be worse on the second dim ($keySorted vs ${ext._2})")
   }
 
+  test("zValueN matches a reference k-lane interleave and reduces to zValue at k=2") {
+    def refN(vals: Seq[Long], bits: Int): Long =
+      (for { j <- vals.indices; i <- 0 until bits }
+        yield ((vals(j) >> i) & 1L) << (i * vals.size + j)).sum
+    val rows = Seq((3L, 5L, 9L), (0L, 0L, 0L), (4095L, 1L, 2048L))
+    val df   = rows.toDF("a", "b", "c")
+    val got3 = df.select(Layout.zValueN(Seq($"a", $"b", $"c"), 12)).as[Long].collect().toSeq
+    assert(got3 == rows.map { case (a, b, c) => refN(Seq(a, b, c), 12) })
+    val got2 = df.select(Layout.zValueN(Seq($"a", $"b"), 12)).as[Long].collect().toSeq
+    val old2 = df.select(Layout.zValue($"a", $"b", 12)).as[Long].collect().toSeq
+    assert(got2 == old2, "k=2 round-robin must equal the 2-lane interleave")
+  }
+
+  test("3-column z-buckets bound all three dimensions") {
+    val li  = Tables(spark, sfDir).lineitem
+    val cols = Seq("l_partkey", "l_suppkey", "l_orderkey")
+    val dom = li.agg(
+      (max($"l_partkey") - min($"l_partkey")).cast("double"),
+      (max($"l_suppkey") - min($"l_suppkey")).cast("double"),
+      (max($"l_orderkey") - min($"l_orderkey")).cast("double"))
+      .as[(Double, Double, Double)].head()
+    val ext = Layout.bucketExtentsN(li, cols, bits = 12, bucketShift = 24)
+      .agg(avg(($"max_l_partkey" - $"min_l_partkey") / dom._1),
+        avg(($"max_l_suppkey" - $"min_l_suppkey") / dom._2),
+        avg(($"max_l_orderkey" - $"min_l_orderkey") / dom._3))
+      .as[(Double, Double, Double)].head()
+    assert(ext._1 < 0.6 && ext._2 < 0.6 && ext._3 < 0.6,
+      s"3-dim buckets must bound every dim (got $ext)")
+  }
+
   test("zorderWrite produces the requested file count with tight row-group extents") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zorder").toString + "/t"
     Layout.zorderWrite(Tables(spark, sfDir).lineitem, "l_partkey", "l_suppkey",
