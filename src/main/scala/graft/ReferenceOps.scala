@@ -344,6 +344,30 @@ object ReferenceOps {
       """.trim)
     ),
     QueryDef(
+      "q_json_extract",
+      // semi-structured payload path: schema'd from_json (JsonToStructs,
+      // codegen'd — never a schema-inference pass over the corpus) feeding
+      // a plain aggregation
+      (spark, dir) => {
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val sch = StructType(Seq(StructField("k", LongType)))
+        Tables(spark, dir).events
+          .withColumn("k", from_json(col("props"), sch).getField("k"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+            min("k").as("min_k"), max("k").as("max_k"))
+          .orderBy("event_type")
+      },
+      Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+               CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "snapshot_diff",
       // the inverse of MERGE: change stream (added/deleted/changed) from
       // two plain snapshots — one full-outer hash join on the key, output
