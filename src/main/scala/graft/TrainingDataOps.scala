@@ -851,8 +851,8 @@ object TrainingDataOps {
                     FROM documents WHERE source >= 'src5'),
              ca AS (SELECT token, count(*) AS cnt_a FROM ta WHERE len(token) > 0 GROUP BY 1),
              cb AS (SELECT token, count(*) AS cnt_b FROM tb WHERE len(token) > 0 GROUP BY 1),
-             na AS (SELECT sum(cnt_a) AS n_a FROM ca),
-             nb AS (SELECT sum(cnt_b) AS n_b FROM cb)
+             na AS (SELECT greatest(COALESCE(sum(cnt_a), 0), 1) AS n_a FROM ca),
+             nb AS (SELECT greatest(COALESCE(sum(cnt_b), 0), 1) AS n_b FROM cb)
         SELECT COALESCE(ca.token, cb.token) AS token,
                COALESCE(cnt_a, 0) AS cnt_a, COALESCE(cnt_b, 0) AS cnt_b,
                abs(CAST(COALESCE(cnt_a, 0) AS DOUBLE) / n_a

@@ -30,14 +30,18 @@ object DataQuality {
   def matches(c: String, regex: String): Check =
     Check(s"matches_$c", !col(c).rlike(regex))
 
-  /** All row-level checks in one scan: summary (check, violations, total). */
+  /** All row-level checks in one scan: summary (check, violations, total).
+    * `sum` over an empty table is null — coalesced to 0 so an empty batch
+    * reads as "no violations", not as unknown.
+    */
   def rowChecks(df: DataFrame, checks: Seq[Check]): DataFrame = {
     val aggs = checks.map(ch =>
       sum(when(ch.violated, 1L).otherwise(0L)).as(ch.name))
     val wide = df.agg(aggs.head, (aggs.tail :+ count(lit(1)).as("_total")): _*)
     // unpivot the single wide row to (check, violations, total)
     val pairs = checks.map(ch =>
-      struct(lit(ch.name).as("check"), col(ch.name).as("violations"), col("_total").as("total")))
+      struct(lit(ch.name).as("check"),
+        coalesce(col(ch.name), lit(0L)).as("violations"), col("_total").as("total")))
     wide.select(explode(array(pairs: _*)).as("r")).select("r.*")
   }
 

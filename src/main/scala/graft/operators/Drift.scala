@@ -30,8 +30,10 @@ object Drift {
   def tokenDrift(a: DataFrame, b: DataFrame, textCol: String, k: Int): DataFrame = {
     val ca = tokenCounts(a, textCol).withColumnRenamed("cnt", "cnt_a")
     val cb = tokenCounts(b, textCol).withColumnRenamed("cnt", "cnt_b")
-    val na = ca.agg(sum(col("cnt_a")).as("__na"))
-    val nb = cb.agg(sum(col("cnt_b")).as("__nb"))
+    // an empty slice must read as "every token drifted by its full
+    // share", not divide-by-null: clamp the total to ≥ 1 (counts are 0)
+    val na = ca.agg(greatest(coalesce(sum(col("cnt_a")), lit(0L)), lit(1L)).as("__na"))
+    val nb = cb.agg(greatest(coalesce(sum(col("cnt_b")), lit(0L)), lit(1L)).as("__nb"))
     ca.join(cb, Seq("token"), "full_outer")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
       .crossJoin(broadcast(na)).crossJoin(broadcast(nb))

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{FieldSelection, TargetMaintenance}
+import graft.operators.{DataQuality, FieldSelection, TargetMaintenance}
 
 /** Declarative stream-spec loader — the reference is driven entirely by a
   * YAML spec (`/root/reference/stream-spec-yaml-example.yaml`, parsed by
@@ -282,6 +282,32 @@ object StreamSpec {
         sizeScaleFactor = double(m, "tableSizeScaleFactor").getOrElse(d.sizeScaleFactor)
       )
     }
+
+  /** `validation.checks` → in-stream DataQuality rules for the
+    * [[QualityGate]] (rule: notNull | inRange(min,max) | matches(pattern)).
+    * A spec without a validation block runs ungated; an unknown rule is a
+    * spec error, not a silent skip.
+    */
+  def qualityChecks(spec: Mapping): Seq[DataQuality.Check] =
+    at(spec, "validation", "checks") match {
+      case Some(Sequence(items)) => items.collect { case m: Mapping =>
+        val field = str(m, "field").getOrElse(
+          throw new IllegalArgumentException("validation check missing field"))
+        str(m, "rule").getOrElse("notNull") match {
+          case "notNull" => DataQuality.notNull(field)
+          case "inRange" => DataQuality.inRange(field,
+            double(m, "min").getOrElse(Double.NegativeInfinity),
+            double(m, "max").getOrElse(Double.PositiveInfinity))
+          case "matches" => DataQuality.matches(field, str(m, "pattern").getOrElse(".*"))
+          case other     => throw new IllegalArgumentException(s"unknown validation rule: $other")
+        }
+      }
+      case _ => Seq.empty
+    }
+
+  /** `validation.quarantinePath` → where the gate routes failing rows. */
+  def quarantinePath(spec: Mapping): Option[String] =
+    str(spec, "validation", "quarantinePath")
 
   /** `streamMode.changeCapture` → poll cadence (yaml:27-30). */
   def changeCapture(spec: Mapping): ChangeCapture =

@@ -50,6 +50,31 @@ class DriftDiffSpec extends SparkSpec {
     assert(out.head == (("x", 1L, 0L, 0.5)), s"got ${out.head}")
   }
 
+  test("drift against an empty slice reports full shares, not nulls") {
+    val a   = Seq("x y").toDF("text")
+    val b   = a.filter(lit(false))
+    val out = Drift.tokenDrift(a, b, "text", k = 10)
+      .as[(String, Long, Long, Double)].collect().sortBy(_._1)
+    assert(out.toSeq == Seq(("x", 1L, 0L, 0.5), ("y", 1L, 0L, 0.5)))
+  }
+
+  test("dq gate on an empty batch reports zero violations, not nulls") {
+    val empty = Seq((1L, 1.0)).toDF("id", "v").filter(lit(false))
+    val out = graft.operators.DataQuality.rowChecks(empty,
+        Seq(graft.operators.DataQuality.notNull("id")))
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("not_null_id", 0L, 0L)))
+  }
+
+  test("snapshot diff of identical snapshots is empty; against an empty side it is total") {
+    val s = Seq((1L, 1.0), (2L, 2.0)).toDF("k", "v")
+    assert(SnapshotDiff.diff(s, s, Seq("k"), Seq("v")).count() == 0)
+    val empty = s.filter(lit(false))
+    val allAdded = SnapshotDiff.diff(empty, s, Seq("k"), Seq("v"))
+      .select("change_type").distinct().as[String].collect().toSeq
+    assert(allAdded == Seq("added"))
+  }
+
   test("incremental dedup finds planted delta near-dups of history without scanning history text") {
     val history = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),

@@ -42,6 +42,42 @@ class QualityGateSpec extends SparkSpec {
     assert(s.perCheck == Map("range_qty" -> 2L, "matches_flag" -> 2L))
   }
 
+  test("validation checks load from the declarative stream spec and drive the gate") {
+    val spec = graft.streaming.StreamSpec.parse(
+      """validation:
+        |  quarantinePath: /tmp/q
+        |  checks:
+        |    - field: qty
+        |      rule: inRange
+        |      min: 0
+        |      max: 100
+        |    - field: flag
+        |      rule: matches
+        |      pattern: "^[ANR]$"
+        |    - field: id
+        |      rule: notNull
+        |""".stripMargin)
+    val parsed = graft.streaming.StreamSpec.qualityChecks(spec)
+    assert(parsed.map(_.name) == Seq("range_qty", "matches_flag", "not_null_id"))
+    assert(graft.streaming.StreamSpec.quarantinePath(spec).contains("/tmp/q"))
+
+    val base  = Files.createTempDirectory("graft_qgate_spec").toString
+    val batch = Seq((1L, 10.0, "A"), (2L, 500.0, "Z")).toDF("id", "qty", "flag")
+    val s = QualityGate.routeBatch(batch, parsed, s"$base/t", s"$base/q", batchId = 0L)
+    assert(s.total == 2 && s.quarantined == 1)
+    assert(s.perCheck == Map("range_qty" -> 1L, "matches_flag" -> 1L, "not_null_id" -> 0L))
+  }
+
+  test("an unknown validation rule is a spec error, not a silent skip") {
+    val spec = graft.streaming.StreamSpec.parse(
+      """validation:
+        |  checks:
+        |    - field: qty
+        |      rule: frobnicate
+        |""".stripMargin)
+    intercept[IllegalArgumentException](graft.streaming.StreamSpec.qualityChecks(spec))
+  }
+
   test("batch replay with the same epoch id is idempotent (overwrite, not double-append)") {
     val base  = Files.createTempDirectory("graft_qgate_replay").toString
     val batch = Seq((1L, 10.0, "A"), (2L, -5.0, "A")).toDF("id", "qty", "flag")
