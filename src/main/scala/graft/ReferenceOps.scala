@@ -409,6 +409,34 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "cdc_apply",
+      // CDC replay roundtrip: diff two snapshots, apply the change stream
+      // back to the old one — the oracle is LITERALLY the new snapshot
+      // (apply ∘ diff == identity), the strongest correctness statement a
+      // change-feed pair can make
+      (spark, dir) => {
+        val o = Tables(spark, dir).orders
+        val oldSnap = o.filter(pmod(col("o_orderkey"), lit(13)) =!= 5)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val newSnap = o.filter(pmod(col("o_orderkey"), lit(11)) =!= 7)
+          .select(col("o_orderkey"),
+            (col("o_totalprice") +
+              when(pmod(col("o_orderkey"), lit(7)) === 0, 1000.0).otherwise(0.0)).as("o_totalprice"),
+            col("o_orderstatus"))
+        val changes = SnapshotDiff.diff(oldSnap, newSnap, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+        SnapshotDiff.applyChanges(oldSnap, changes, Seq("o_orderkey"), Seq("o_totalprice", "o_orderstatus"))
+          .orderBy("o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey,
+               o_totalprice + CASE WHEN o_orderkey % 7 = 0 THEN 1000.0 ELSE 0.0 END AS o_totalprice,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 11 != 7
+        ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "zorder_layout",
       // two-dimensional clustering for data skipping: the per-bucket
       // extents returned ARE the footer stats a reader prunes on; the

@@ -919,7 +919,7 @@ object TrainingDataOps {
         val docs   = Tables(spark, dir).documents
         val merges = Bpe.trainMerges(docs, "text", k = 8).orderBy("rank")
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
-        Bpe.applyMerges(docs.select("doc_id", "text"), "text", merges)
+        Bpe.applyMerges(docs.select("doc_id", "text"), "doc_id", "text", merges)
           .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
             slice(col("bpe_tokens"), 1, 12).as("head_tokens"))
           .orderBy("doc_id")

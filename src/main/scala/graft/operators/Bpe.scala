@@ -82,15 +82,29 @@ object Bpe {
     merges.toSeq.toDF("rank", "a", "b", "merged", "cnt")
   }
 
-  /** Tokenize with a learned merge list: apply merges in rank order to
-    * each word's character split. Corpus-side cost is one narrow pass;
-    * the merge list is a literal in the plan (broadcast-sized).
+  /** Tokenize with a learned merge list. The merge fold runs over the
+    * DISTINCT word table — vocabulary-bounded, the same economy that
+    * makes training viable — never once per corpus occurrence (the
+    * per-occurrence formulation measured 20s vs ~1s at sf0.1: a word
+    * appearing a million times would pay the fold a million times).
+    * Corpus side: posexplode → hash join on the word → regroup in
+    * position order. Two bounded shuffles, zero per-row symbol folds.
+    * Returns (idCol, bpe_tokens); documents with no tokens are absent.
     */
-  def applyMerges(docs: DataFrame, textCol: String, merges: Seq[(String, String)]): DataFrame = {
-    val toks = expr(s"transform(split(trim(${textCol}), '\\\\s+'), w -> filter(split(w, ''), s -> length(s) > 0))")
-    val merged = merges.foldLeft(toks: Column) { case (acc, (a, b)) =>
-      transform(acc, syms => mergePair(syms, lit(a), lit(b)))
-    }
-    docs.withColumn("bpe_tokens", flatten(merged))
+  def applyMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val toks = docs
+      .select(col(idCol), posexplode(TextFunctions.tokens(col(textCol))).as(Seq("__pos", "__w")))
+      .where(length(col("__w")) > 0)
+    val words = toks.select(col("__w")).distinct()
+      .withColumn("syms", filter(split(col("__w"), ""), s => length(s) > 0))
+    val encoded = merges.foldLeft(words) { case (df, (a, b)) =>
+      df.withColumn("syms", mergePair(col("syms"), lit(a), lit(b)))
+    }.withColumnRenamed("syms", "__wtoks")
+    toks.join(encoded, Seq("__w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("__pos"), col("__wtoks")))),
+        s => s.getField("__wtoks"))).as("bpe_tokens"))
   }
 }

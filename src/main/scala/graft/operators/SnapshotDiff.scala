@@ -40,4 +40,27 @@ object SnapshotDiff {
       .filter(col("change_type") =!= "unchanged")
       .drop("__in_old", "__in_new")
   }
+
+  /** CDC replay — apply a [[diff]]-shaped change stream to a snapshot,
+    * producing the next snapshot: `applyChanges(old, diff(old, new)) ==
+    * new` EXACTLY (the oracle for `cdc_apply` is literally the target
+    * snapshot). One anti-join on the churn-sized drop keys + one union.
+    * No broadcast hint on the anti-join: modest churn broadcasts by
+    * stats/AQE (history never shuffles); churn too large to broadcast
+    * falls back to a shuffled join, which is then genuinely necessary —
+    * either way the apply cost is O(history scan + churn), the property
+    * MERGE has.
+    */
+  def applyChanges(old: DataFrame, changes: DataFrame,
+      keys: Seq[String], compareCols: Seq[String]): DataFrame = {
+    val dropKeys = changes
+      .filter(col("change_type").isin("deleted", "changed"))
+      .select(keys.map(col): _*)
+    val upserts = changes
+      .filter(col("change_type").isin("added", "changed"))
+      .select(keys.map(col) ++ compareCols.map(c => col(s"new_$c").as(c)): _*)
+    old.select(keys.map(col) ++ compareCols.map(col): _*)
+      .join(dropKeys, keys, "left_anti")
+      .unionByName(upserts)
+  }
 }

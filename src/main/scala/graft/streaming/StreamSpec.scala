@@ -80,12 +80,14 @@ object StreamSpec {
     val m = raw"(?i)^([0-9]+(?:\.[0-9]+)?)\s*(B|KB|MB|GB|TB)?$$".r
     s.trim match {
       case m(num, unit) =>
+        // the regex admits only these five units (or none)
         val factor = Option(unit).map(_.toUpperCase) match {
           case None | Some("B") => 1L
           case Some("KB")       => 1L << 10
           case Some("MB")       => 1L << 20
           case Some("GB")       => 1L << 30
           case Some("TB")       => 1L << 40
+          case Some(other)      => throw new IllegalArgumentException(s"unparseable size unit: '$other'")
         }
         math.round(num.toDouble * factor)
       case _ => throw new IllegalArgumentException(s"unparseable size: '$s'")

@@ -56,17 +56,32 @@ class BpeSpec extends SparkSpec {
     assert(out == Seq("aa", "a"), s"got $out")
   }
 
-  test("applyMerges reproduces the trained segmentation") {
-    val docs   = Seq("the the theme", "the them").toDF("text")
+  test("applyMerges reproduces the trained segmentation in document order") {
+    val docs   = Seq((1L, "the the theme"), (2L, "the them")).toDF("id", "text")
     val merges = Bpe.trainMerges(docs, "text", k = 3)
       .orderBy("rank").as[(Int, String, String, String, Long)].collect()
       .map { case (_, a, b, _, _) => (a, b) }.toSeq
-    val toks = Bpe.applyMerges(docs, "text", merges)
-      .select("bpe_tokens").as[Seq[String]].collect()
+    val toks = Bpe.applyMerges(docs, "id", "text", merges)
+      .orderBy("id").select("bpe_tokens").as[Seq[String]].collect()
     // "the" is the dominant word: after 2 merges it is one token
     assert(toks.head.contains("the"))
-    // segmentation is a partition of the original characters
+    // segmentation is a partition of the original characters, in order
     assert(toks.head.mkString == "thethetheme")
+    assert(toks(1).mkString == "thethem")
+  }
+
+  test("applyMerges word-table fold equals the per-occurrence fold") {
+    val docs = Tables(spark, sfDir).documents.limit(30).select($"doc_id", $"text")
+    val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"))
+    val viaWords = Bpe.applyMerges(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").select("bpe_tokens").as[Seq[String]].collect().toSeq
+    // reference: fold every occurrence directly (the slow formulation)
+    val perOcc = docs.withColumn("bpe_tokens",
+        flatten(transform(
+          expr("transform(split(trim(text), '\\\\s+'), w -> filter(split(w, ''), s -> length(s) > 0))"),
+          syms => merges.foldLeft(syms) { case (acc, (a, b)) => Bpe.mergePair(acc, lit(a), lit(b)) })))
+      .orderBy("doc_id").select("bpe_tokens").as[Seq[String]].collect().toSeq
+    assert(viaWords == perOcc)
   }
 
   test("pair counts are invariant to document partitioning") {

@@ -75,6 +75,24 @@ class DriftDiffSpec extends SparkSpec {
     assert(allAdded == Seq("added"))
   }
 
+  test("applyChanges(old, diff(old, new)) == new for an arbitrary snapshot pair") {
+    val o = Tables(spark, sfDir).orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    val oldSnap = o.filter(pmod($"o_orderkey", lit(3)) =!= 0)
+    val newSnap = o.filter(pmod($"o_orderkey", lit(4)) =!= 1)
+      .withColumn("o_totalprice",
+        $"o_totalprice" + when(pmod($"o_orderkey", lit(5)) === 0, 7.0).otherwise(0.0))
+    val keys = Seq("o_orderkey"); val cols = Seq("o_totalprice", "o_orderstatus")
+    val rebuilt = SnapshotDiff.applyChanges(
+      oldSnap, SnapshotDiff.diff(oldSnap, newSnap, keys, cols), keys, cols)
+    assert(rebuilt.orderBy("o_orderkey").collect().toSeq ==
+      newSnap.orderBy("o_orderkey").collect().toSeq)
+    // and an empty change stream is a no-op
+    val noop = SnapshotDiff.applyChanges(
+      oldSnap, SnapshotDiff.diff(oldSnap, oldSnap, keys, cols), keys, cols)
+    assert(noop.orderBy("o_orderkey").collect().toSeq ==
+      oldSnap.orderBy("o_orderkey").collect().toSeq)
+  }
+
   test("incremental dedup finds planted delta near-dups of history without scanning history text") {
     val history = Seq(
       (0L, "the quick brown fox jumps over the lazy dog again and again today"),
