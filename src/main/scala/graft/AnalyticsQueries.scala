@@ -1237,6 +1237,52 @@ object AnalyticsQueries {
         GROUP BY o.o_orderkey ORDER BY o.o_orderkey
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "q_events_hopping",
+      // hopping (sliding) event-time window: 1h length / 15min slide —
+      // every event lands in exactly window/slide = 4 windows. Spark's
+      // window() explodes to the 4 assignments before one hash agg; the
+      // oracle replicates each event across its 4 slide-aligned starts
+      (spark, dir) => {
+        import spark.implicits._
+        Tables(spark, dir).events
+          .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+          .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+          .select($"window.start".as("wstart"), $"event_type", $"n", $"sum_value")
+          .orderBy($"wstart", $"event_type")
+      },
+      Some("""
+        SELECT time_bucket(INTERVAL '15 minutes', ts) - (i * INTERVAL '15 minutes') AS wstart,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events, unnest(range(0, 4)) AS t(i)
+        GROUP BY 1, 2 ORDER BY wstart, event_type
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_sliding_frame",
+      // rows-frame moving aggregate: 4-event moving average per user in
+      // event-time order (decimal sum / count so the value is exact
+      // under any frame evaluation strategy)
+      (spark, dir) => {
+        import spark.implicits._
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id").rowsBetween(-3, 0)
+        Tables(spark, dir).events
+          .select($"user_id", $"ts", $"event_id",
+            (sum(dec($"value")).over(w).cast("double") / count(lit(1)).over(w)).as("mov_avg"))
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        SELECT user_id, ts, event_id,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) / count(*) OVER w AS mov_avg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, ts, event_id
+      """.trim),
+      bench = true
     )
   )
 }
