@@ -409,6 +409,21 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "skew_hotkeys",
+      // skew diagnosis: the hottest keys and their row share — the report
+      // that decides which keys get salted before a job ships (Skew.hotKeys)
+      (spark, dir) =>
+        Skew.hotKeys(Tables(spark, dir).lineitem, "l_suppkey", k = 25),
+      Some("""
+        SELECT l_suppkey, count(*) AS n,
+               CAST(count(*) AS DOUBLE) / total AS share
+        FROM lineitem, (SELECT count(*) AS total FROM lineitem)
+        GROUP BY l_suppkey, total
+        ORDER BY n DESC, l_suppkey LIMIT 25
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "cdc_apply",
       // CDC replay roundtrip: diff two snapshots, apply the change stream
       // back to the old one — the oracle is LITERALLY the new snapshot

@@ -25,4 +25,19 @@ object Skew {
       .groupBy(col(keyCol))
       .agg(sum(col("__psum")).as("total"), sum(col("__pcnt")).as("n"))
   }
+
+  /** Skew DIAGNOSIS: the top-k hottest keys with their row share — the
+    * report that decides which keys need salting (or an AQE skew-join
+    * hint) before a job ships. One hash aggregation (map-side partial,
+    * bounded by key cardinality) + a bounded top-k; the total rides in
+    * as a 1-row broadcast scalar.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val total = df.agg(count(lit(1)).as("__total"))
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("n"), (col("n").cast("double") / col("__total")).as("share"))
+      .orderBy(col("n").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -21,6 +21,7 @@ class PlanAuditSpec extends SparkSpec {
     "q11_important_parts",             // scalar aggregate threshold (value concentration)
     "q22_idle_customers",              // scalar avg account balance
     "length_outliers",                 // 1-row percentile-bounds broadcast
+    "skew_hotkeys",                    // 1-row total-count scalar broadcast
     "sample_temperature",              // 1-row min-stratum scalar broadcast
     // bounded-small-side contracts (require-guarded probe sets, ≤16k rows):
     "ann_bruteforce",                  // broadcast probe set vs corpus — the exact baseline
