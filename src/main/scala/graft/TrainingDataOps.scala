@@ -879,6 +879,27 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_candidate_budget",
+      // blocking-scheme pre-flight: expected candidate-pair fanout of the
+      // LSH band join and the simhash pigeonhole, from ONE aggregation
+      // over bucket sizes — the cheap guard a 100 TB run uses to pick
+      // blocking parameters BEFORE launching the join (ScaleShapeSpec
+      // shows radius-8 simhash crossing the quadratic cliff at 50×).
+      // Bucket sizes are engine-hash-derived → no SQL oracle; exactness
+      // vs the materialized join asserted in ScaleShapeSpec
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        Dedup.lshCandidateBudget(docs, "doc_id", "text")
+          .select(lit("minhash_lsh").as("scheme"), col("candidate_budget"))
+          .unionByName(
+            Dedup.simhashCandidateBudget(docs, "doc_id", "text", maxHamming = 8)
+              .select(lit("simhash_r8").as("scheme"), col("candidate_budget")))
+          .orderBy("scheme")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "bpe_pair_counts",
       // tokenizer training, pass 1: adjacent symbol-pair counts over the
       // DISTINCT-WORD table (bounded by vocabulary, not corpus volume) —
@@ -921,11 +942,37 @@ object TrainingDataOps {
           .collect().map(r => (r.getString(1), r.getString(2))).toSeq
         Bpe.applyMerges(docs.select("doc_id", "text"), "doc_id", "text", merges)
           .select(col("doc_id"), size(col("bpe_tokens")).as("n_bpe_tokens"),
-            slice(col("bpe_tokens"), 1, 12).as("head_tokens"))
+            // stringified: the gate sorts/hashes scalar columns only — a raw
+            // array<string> is unhashable driver-side (round-5 red row)
+            concat_ws(" ", slice(col("bpe_tokens"), 1, 12)).as("head_tokens"))
           .orderBy("doc_id")
       },
       None,
       bench = true
+    ),
+    QueryDef(
+      "bpe_roundtrip",
+      // BPE segmentation is a PARTITION of each word: gluing the tokens
+      // back together must reproduce the whitespace-stripped document
+      // exactly, whatever merge list was learned. That invariant IS
+      // ANSI-SQL-expressible, so the engine-derived tokenization gets a
+      // real DuckDB hash oracle (docs with no tokens drop out of the
+      // groupBy on both sides).
+      (spark, dir) => {
+        val docs   = Tables(spark, dir).documents
+        val merges = Bpe.trainMerges(docs, "text", k = 8).orderBy("rank")
+          .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+        Bpe.applyMerges(docs.select("doc_id", "text"), "doc_id", "text", merges)
+          .select(col("doc_id"), concat_ws("", col("bpe_tokens")).as("glued"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id, regexp_replace(trim(text), '\s+', '', 'g') AS glued
+        FROM documents
+        WHERE regexp_replace(trim(text), '\s+', '', 'g') <> ''
+        ORDER BY doc_id
+      """.trim),
+      bench = false
     ),
     QueryDef(
       "src_orc_roundtrip",
@@ -951,7 +998,9 @@ object TrainingDataOps {
             Tables(spark, dir).documents.select("doc_id"), Seq("doc_id"), salt = "epoch0")
           .limit(500),
       Some("""
-        SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || '|' || 'epoch0') AS shuffle_key
+        SELECT doc_id,
+               md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
+                   CAST(doc_id AS VARCHAR) || '|epoch0') AS shuffle_key
         FROM documents ORDER BY shuffle_key LIMIT 500
       """.trim),
       bench = true

@@ -178,7 +178,17 @@ object Curation {
     * independent permutation per epoch without touching the data.
     */
   def deterministicShuffle(df: DataFrame, keyCols: Seq[String], salt: String): DataFrame = {
-    val key = md5(concat_ws("|", (keyCols.map(col) :+ lit(salt)): _*))
+    // Each key part is LENGTH-PREFIXED (`len:value`) before hashing: a
+    // plain '|' join is ambiguous for string keys containing the
+    // separator (("a|b","c") and ("a","b|c") would collide to one
+    // shuffle_key, breaking the independent-permutation claim). The
+    // prefix-free encoding is a few string built-ins — still codegen'd,
+    // and expressible verbatim in the DuckDB oracle.
+    val parts = keyCols.flatMap { k =>
+      val s = col(k).cast("string")
+      Seq(length(s).cast("string"), lit(":"), s)
+    }
+    val key = md5(concat((parts :+ lit("|" + salt)): _*))
     df.withColumn("shuffle_key", key).orderBy("shuffle_key")
   }
 

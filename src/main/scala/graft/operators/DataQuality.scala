@@ -80,14 +80,18 @@ object DataQuality {
     */
   def gate(fact: DataFrame, rowLevel: Seq[Check], uniqueKeys: Seq[String],
            refs: Seq[(String, DataFrame, String)]): DataFrame = {
-    var joined = fact
-    val refChecks = refs.map { case (fk, dim, pk) =>
-      val pkAlias = s"__ref_${fk}_$pk"
-      joined = joined.join(
-        broadcast(dim.select(col(pk).as(pkAlias)).distinct()),
-        col(fk) === col(pkAlias), "left_outer")
-      Check(s"ref_${fk}_to_$pk", col(pkAlias).isNull)
-    }
+    // strict foldLeft (not map-with-var): evaluation must thread the
+    // joined frame through EVERY ref before rowChecks scans it — a lazy
+    // refs collection would otherwise skip the FK joins entirely
+    val (joined, refChecks) =
+      refs.toList.foldLeft((fact, List.empty[Check])) {
+        case ((f, cs), (fk, dim, pk)) =>
+          val pkAlias = s"__ref_${fk}_$pk"
+          val j = f.join(
+            broadcast(dim.select(col(pk).as(pkAlias)).distinct()),
+            col(fk) === col(pkAlias), "left_outer")
+          (j, cs :+ Check(s"ref_${fk}_to_$pk", col(pkAlias).isNull))
+      }
     rowChecks(joined, rowLevel ++ refChecks)
       .unionByName(uniqueCheck(fact, uniqueKeys))
   }

@@ -4,6 +4,7 @@ import graft.functions.TextFunctions
 import graft.plans.{GraftExpressions, TextVectorExpressions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.MetadataBuilder
 
 /** Document deduplication family.
   *
@@ -104,11 +105,22 @@ object Dedup {
   def bandIndex(docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16): DataFrame =
     docs.select(
-      col(idCol).as("__id"),
-      posexplode(
-        GraftExpressions.minhashBands(
-          TextVectorExpressions.shingleHashes(col(textCol), shingleN), bands, numPerm / bands)
-      ).as(Seq("band_id", "band_hash")))
+        col(idCol).as("__id"),
+        posexplode(
+          GraftExpressions.minhashBands(
+            TextVectorExpressions.shingleHashes(col(textCol), shingleN), bands, numPerm / bands)
+        ).as(Seq("band_id", "band_hash")))
+      // Banding parameters ride in the band_hash column METADATA: Spark
+      // persists field metadata in the parquet footer, so an index read
+      // back months later still declares how it was built, costing zero
+      // bytes per row. minhashIncremental refuses a parameter mismatch —
+      // mismatched banding otherwise yields near-zero collisions, i.e.
+      // SILENT false-negative dedup.
+      .withMetadata("band_hash", new MetadataBuilder()
+        .putLong("shingle_n", shingleN.toLong)
+        .putLong("num_perm", numPerm.toLong)
+        .putLong("bands", bands.toLong)
+        .build())
 
   /** Incremental near-dup detection: today's delta batch against the
     * stored band index of the full corpus — the shape that keeps dedup
@@ -125,6 +137,20 @@ object Dedup {
       idCol: String, textCol: String,
       shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5
   ): DataFrame = {
+    // Fail fast on a parameter mismatch with the persisted index (see
+    // bandIndex): indexes written before metadata stamping are accepted
+    // as-is — the invariant is then on the caller, as documented.
+    val histMeta = historyIndex.schema.find(_.name == "band_hash").map(_.metadata)
+    histMeta.filter(_.contains("shingle_n")).foreach { m =>
+      require(
+        m.getLong("shingle_n") == shingleN.toLong &&
+          m.getLong("num_perm") == numPerm.toLong &&
+          m.getLong("bands") == bands.toLong,
+        s"historyIndex was built with (shingleN=${m.getLong("shingle_n")}, " +
+          s"numPerm=${m.getLong("num_perm")}, bands=${m.getLong("bands")}) " +
+          s"but the delta is banded with ($shingleN, $numPerm, $bands); " +
+          "mismatched banding silently produces near-zero collisions")
+    }
     val deltaBands = bandIndex(delta, idCol, textCol, shingleN, numPerm, bands)
     val candidates = deltaBands.as("d")
       .join(historyIndex.as("h"),
@@ -239,15 +265,7 @@ object Dedup {
     * (maxHamming ≤ 63; larger radii leave chunks of < 1 bit.)
     */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming must be in [0, 63], got $maxHamming")
-    val numChunks = maxHamming + 1
-    // fingerprint + chunks from ONE expression evaluation per row
-    val withChunks = docs.select(col(idCol).as("__id"),
-      GraftExpressions.simhashWithChunks(TextVectorExpressions.tokenHashes(col(textCol)), numChunks).as("__sc"))
-    val chunked = withChunks.select(
-      col("__id"), col("__sc").getItem(0).as("simhash"),
-      posexplode(slice(col("__sc"), 2, numChunks)).as(Seq("chunk_id", "chunk_val"))
-    )
+    val chunked = simhashChunks(docs, idCol, textCol, maxHamming)
     chunked.as("a")
       .join(chunked.as("b"), col("a.chunk_id") === col("b.chunk_id") &&
         col("a.chunk_val") === col("b.chunk_val") && col("a.__id") < col("b.__id"))
@@ -259,4 +277,51 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** (id, simhash, chunk_id, chunk_val) blocking rows shared by the
+    * pair join and the candidate budget.
+    */
+  private[operators] def simhashChunks(
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 63, s"maxHamming must be in [0, 63], got $maxHamming")
+    val numChunks = maxHamming + 1
+    // fingerprint + chunks from ONE expression evaluation per row
+    val withChunks = docs.select(col(idCol).as("__id"),
+      GraftExpressions.simhashWithChunks(TextVectorExpressions.tokenHashes(col(textCol)), numChunks).as("__sc"))
+    withChunks.select(
+      col("__id"), col("__sc").getItem(0).as("simhash"),
+      posexplode(slice(col("__sc"), 2, numChunks)).as(Seq("chunk_id", "chunk_val"))
+    )
+  }
+
+  /** Sum of C(cnt, 2) over blocking buckets — the exact pre-`distinct`
+    * row count the bucket self-join would produce, from ONE aggregation
+    * that never materializes a pair. This is the pre-flight a 100 TB
+    * pipeline runs before committing to a blocking parameterization:
+    * pigeonhole blocking is only sub-quadratic while the bucket space
+    * stays much larger than n (e.g. simhash radius 8 leaves 7-bit
+    * chunks — fine at 5k docs, structurally quadratic at 250k), and
+    * this one cheap scan says which side of that cliff you are on
+    * BEFORE the join is launched. (`cnt·(cnt−1) div 2` in long math:
+    * exact until a single bucket holds > ~4.3e9 rows, at which point
+    * the decision is long since made.)
+    */
+  private def candidateBudget(blocking: DataFrame, bucketCols: Seq[String]): DataFrame =
+    blocking.groupBy(bucketCols.map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .agg(coalesce(sum(expr("cnt * (cnt - 1) div 2")), lit(0L)).as("candidate_budget"))
+
+  /** Candidate budget of the MinHash LSH band join (see candidateBudget). */
+  def lshCandidateBudget(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16): DataFrame =
+    candidateBudget(
+      bandIndex(docs, idCol, textCol, shingleN, numPerm, bands),
+      Seq("band_id", "band_hash"))
+
+  /** Candidate budget of the SimHash pigeonhole join (see candidateBudget). */
+  def simhashCandidateBudget(
+      docs: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame =
+    candidateBudget(
+      simhashChunks(docs, idCol, textCol, maxHamming),
+      Seq("chunk_id", "chunk_val"))
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, GraftShim}
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
 import org.apache.spark.sql.functions._
 
 /** Multi-dimensional data layout (Z-order clustering) — the file-level
@@ -25,16 +26,25 @@ import org.apache.spark.sql.functions._
   */
 object Layout {
 
-  /** Scale a column to [0, 2^bits) from precomputed domain bounds.
-    * floor((c-mn)·(2^bits−1) / span) with long intermediates: exact while
-    * (c−mn)·(2^bits−1) < 2^53 (the double-division floor is then exact —
-    * quotients are either exactly representable or ≥ 1/span from an
-    * integer, far beyond one ulp).
+  /** Scale a column to [0, 2^bits) from precomputed domain bounds:
+    * (c−mn)·(2^bits−1) div span, computed EXACTLY for the full long
+    * domain. The numerator is widened to decimal(38,0) (≤ 2^63·2^31 <
+    * 10^38, always representable) and divided with Catalyst's
+    * `IntegralDivide` — the same integer `//` quotient the DuckDB oracle
+    * computes, with no double rounding step. A plain double-division
+    * floor is only exact while the numerator stays under 2^53; wide
+    * domains (epoch-micros keys span ~2^50 already) silently diverge
+    * from the oracle there, so exactness is not left to a precondition.
+    * Assumes mn ≤ c (domain bounds from table stats); for non-negative
+    * operands the truncating `div` equals floor.
     */
   def toGrid(c: Column, mn: Column, mx: Column, bits: Int): Column = {
-    val cells = lit((1L << bits) - 1)
+    val cells = lit((1L << bits) - 1).cast("decimal(38,0)")
     val span  = greatest(mx.cast("long") - mn.cast("long"), lit(1L))
-    floor((c.cast("long") - mn.cast("long")) * cells / span)
+    val num   = (c.cast("long") - mn.cast("long")).cast("decimal(38,0)") * cells
+    GraftShim.column(IntegralDivide(
+      GraftShim.expression(num),
+      GraftShim.expression(span.cast("decimal(38,0)"))))
   }
 
   /** Morton z-value: interleave the low `bits` bits of two non-negative

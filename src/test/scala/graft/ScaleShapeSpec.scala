@@ -1,0 +1,126 @@
+package graft
+
+import graft.operators.{Bpe, Dedup}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+import org.apache.spark.sql.functions._
+
+/** Scale-SHAPE audit for the structurally riskiest families (near-dup
+  * blocking joins, BPE encode): sf0.1 is 17 MB, so the 100×-safety
+  * claims need evidence under real volume. These tests generate a ~50×
+  * synthetic corpus IN-TEST (spark.range + hash-derived pseudo-words —
+  * no data files, fully deterministic) and assert CANDIDATE-PAIR COUNTS
+  * and PLAN SHAPES, never wall-clock: counts are what actually grow
+  * quadratically when a blocking scheme collapses, and they are exact
+  * and machine-independent.
+  *
+  * Corpus design: every doc gets 20 md5-derived pseudo-words (unique
+  * across the corpus, so chance shingle overlap is ~zero and any
+  * candidate inflation is attributable to the blocking scheme itself);
+  * every 1000th doc is a planted duplicate of its predecessor — exact
+  * (identical text) or near (one appended word, word-shingle Jaccard
+  * 18/19 ≈ 0.95) — giving a known ground-truth pair set for recall.
+  */
+class ScaleShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N            = 250000 // 50× sf0.1's 5 000 documents
+  private val PlantedEvery = 1000
+  private val Planted      = N / PlantedEvery // one planted pair per block
+
+  private def corpus(exactDups: Boolean): DataFrame = {
+    val planted = col("id") % PlantedEvery === 1
+    val gid     = when(planted, col("id") - 1).otherwise(col("id"))
+    val base = concat_ws(" ", transform(sequence(lit(1), lit(20)),
+      i => substring(md5(concat_ws("_", gid, i)), 1, 8)))
+    val text =
+      if (exactDups) base
+      else when(planted, concat(base, lit(" extraword"))).otherwise(base)
+    spark.range(N).select(col("id").as("doc_id"), text.as("text"))
+  }
+
+  private def plantedPairs: DataFrame =
+    spark.range(N).filter(col("id") % PlantedEvery === 1)
+      .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
+
+  test("minhash LSH at 50×: candidate pairs stay O(planted + accidents) with full planted recall") {
+    val docs  = corpus(exactDups = false)
+    val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
+      shingleN = 3, bands = 16, rowsPerBand = 4).persist()
+    try {
+      val total = cands.count()
+      // All-pairs would be C(250k, 2) ≈ 3.1e10. The blocking claim made
+      // concrete: planted dups plus a band-hash-accident allowance —
+      // seven orders of magnitude under quadratic, and a ceiling that a
+      // degenerate banding (constant band_hash, wrong rowsPerBand) blows
+      // through immediately.
+      assert(total <= Planted * 4L + 1000L,
+        s"LSH candidate fanout exploded: $total pairs for $Planted planted dups")
+      val recalled = cands.join(plantedPairs, Seq("id_a", "id_b")).count()
+      // J ≈ 0.947 → P(miss all 16 bands) = (1 − 0.947^4)^16 ≈ 4e-12:
+      // anything below full recall means the banding itself broke
+      assert(recalled == Planted.toLong,
+        s"LSH missed planted near-dups: $recalled of $Planted")
+      // budget cross-check: the one-aggregation pre-flight bounds the
+      // materialized (distinct) candidate set from above
+      val budget = Dedup.lshCandidateBudget(docs, "doc_id", "text")
+        .as[Long].head()
+      assert(total <= budget,
+        s"distinct candidates $total exceed the bucket-pair budget $budget")
+    } finally cands.unpersist()
+  }
+
+  test("simhash pigeonhole at 50×: radius 1 (32-bit chunks) stays bounded, full exact-dup recall") {
+    val docs  = corpus(exactDups = true)
+    // radius 1 → 2 chunks of 32 bits: bucket space 4.3e9 ≫ n, so the
+    // pigeonhole stays sub-quadratic at this n. (Radius 8 does NOT —
+    // see the budget test below; production gates on the budget first.)
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 1).persist()
+    try {
+      val total = pairs.count()
+      assert(total <= Planted * 2L + 1000L,
+        s"simhash verified-pair count exploded: $total for $Planted planted exact dups")
+      val recalled = pairs.join(plantedPairs, Seq("id_a", "id_b")).count()
+      assert(recalled == Planted.toLong,
+        s"simhash missed planted exact dups: $recalled of $Planted (hamming 0 must always collide)")
+    } finally pairs.unpersist()
+  }
+
+  test("candidate budget predicts the radius-8 cliff at 50× without materializing a single pair") {
+    val docs = corpus(exactDups = true)
+    val b1 = Dedup.simhashCandidateBudget(docs, "doc_id", "text", maxHamming = 1).as[Long].head()
+    val b8 = Dedup.simhashCandidateBudget(docs, "doc_id", "text", maxHamming = 8).as[Long].head()
+    // radius 1: planted dups collide in both 32-bit chunks (2 bucket
+    // pairs each) plus a ~C(n,2)·2/2^32 ≈ 15-pair accident expectation
+    assert(b1 >= Planted * 2L && b1 <= Planted * 2L + 5000L,
+      s"radius-1 budget off: $b1 for $Planted planted dups")
+    // radius 8 leaves 7-bit chunks: bucket space 128 ≪ n=250k, so the
+    // SAME corpus is structurally quadratic (~n²/2 · 9/128 ≈ 2e9).
+    // The budget — one aggregation, no join — must expose that cliff,
+    // which is exactly the pre-flight a 100 TB run performs before
+    // choosing blocking parameters.
+    assert(b8 > 100000000L,
+      s"radius-8 budget should expose the quadratic cliff at n=$N, got $b8")
+  }
+
+  test("bpe applyMerges: shuffle count is independent of merge-list length (merges are plan literals)") {
+    val docs = corpus(exactDups = true)
+    def shape(k: Int): (Int, Int) = {
+      val merges = (1 to k).map(i => (s"s$i", s"t$i"))
+      val plan   = physicalPlan(Bpe.applyMerges(docs, "doc_id", "text", merges))
+      val nested = plan.collect {
+        case j: BroadcastNestedLoopJoinExec => j
+        case j: CartesianProductExec        => j
+      }.size
+      (plan.collect { case e: ShuffleExchangeLike => e }.size, nested)
+    }
+    val (ex2, nested2) = shape(2)
+    val (ex8, nested8) = shape(8)
+    assert(nested2 == 0 && nested8 == 0, "applyMerges planned a nested-loop join")
+    // each merge folds into the SAME projection over the distinct-word
+    // table — a per-merge shuffle would make k-merge encoding k passes
+    assert(ex8 == ex2, s"shuffle count grew with merge count: k=2 → $ex2, k=8 → $ex8")
+    assert(ex8 <= 6, s"bpe encode plans $ex8 shuffles; expected the fixed word-table shape")
+  }
+}
