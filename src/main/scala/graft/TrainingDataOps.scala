@@ -900,6 +900,79 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_spans",
+      // C4/RefinedWeb span hygiene: every 5-token span occurring in ≥2
+      // docs is EXCISED (not the docs dropped) and documents reassembled
+      // from surviving tokens — equi-joins + one bounded aggregation,
+      // nothing quadratic. Fully SQL-expressible → hash oracle.
+      (spark, dir) =>
+        Dedup.removeRepeatedSpans(Tables(spark, dir).documents, "doc_id", "text",
+            spanTokens = 5, minDocs = 2)
+          .orderBy("doc_id"),
+      Some("""
+        WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+          FROM base, unnest(range(1, len(ws) + 1)) AS t(i) WHERE ws[i] <> ''
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+        ),
+        hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hotpos AS (
+          SELECT DISTINCT doc_id, gpos + off AS pos
+          FROM grams JOIN hot USING (gram), unnest(range(0, 5)) AS o(off)
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM toks t ANTI JOIN hotpos h ON t.doc_id = h.doc_id AND t.pos = h.pos
+        )
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_tokens_kept
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "split_assign",
+      // deterministic train/val/test manifest: md5 hex-prefix coin vs
+      // cumulative thresholds — mutually exclusive, jointly exhaustive,
+      // shuffle-free, salt-independent per experiment
+      (spark, dir) =>
+        Curation.assignSplits(Tables(spark, dir).documents, "doc_id",
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+          .select("doc_id", "split")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 4) < 'cccd' THEN 'train'
+                    WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "mix_budget",
+      // DoReMi/Pile-style domain-weights manifest: per-source token
+      // totals and the keep-weight min(1, budget/tokens) — one corpus
+      // aggregation producing the dimension-sized table the sampler
+      // broadcasts (stratifiedSample consumes it as fractions)
+      (spark, dir) =>
+        Curation.mixingManifest(Tables(spark, dir).documents, "source", "text",
+            budgetTokens = 1500L)
+          .orderBy("source"),
+      Some("""
+        SELECT source,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               least(1.0, 1500.0 / CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)) AS weight
+        FROM documents GROUP BY source ORDER BY source
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "bpe_pair_counts",
       // tokenizer training, pass 1: adjacent symbol-pair counts over the
       // DISTINCT-WORD table (bounded by vocabulary, not corpus volume) —

@@ -49,6 +49,52 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Deterministic train/val/test split manifest: every row gets a
+    * split label from the same md5 hex-prefix coin as
+    * [[stratifiedSample]], compared against CUMULATIVE fraction
+    * thresholds in declaration order (first match wins, the final split
+    * absorbs the remainder so labels always partition the corpus). A
+    * pure per-row projection — shuffle-free, reproducible across
+    * engines/cluster sizes, and `salt` yields an independent assignment
+    * per experiment without touching the data. Mutually-exclusive,
+    * jointly-exhaustive by construction — the properties a sampling
+    * filter cannot give you when train AND eval must come from one
+    * pass.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    require(splits.nonEmpty, "at least one split required")
+    require(splits.map(_._2).forall(_ > 0.0), "split fractions must be positive")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val coin = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 4)
+    val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.zip(cumulative).init.reverse
+      .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
+        when(coin < lit(hexThreshold(cum)), lit(name)).otherwise(acc)
+      }
+    df.withColumn("split", assigned)
+  }
+
+  /** Token-budget mixing manifest: per-stratum token totals and the
+    * keep-weight `min(1, budget / tokens)` that caps every stratum at
+    * `budgetTokens` for the next sampling pass (the DoReMi/Pile-style
+    * "domain weights" table). ONE aggregation over the corpus — the
+    * manifest is dimension-table-sized and broadcasts into whatever
+    * sampler consumes it ([[stratifiedSample]] takes it as its
+    * fractions map). Weight math stays in one IEEE double division so
+    * the manifest is engine-exact.
+    */
+  def mixingManifest(docs: DataFrame, strataCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, s"budgetTokens must be positive, got $budgetTokens")
+    docs.groupBy(col(strataCol))
+      .agg(
+        sum(size(TextFunctions.tokens(col(textCol)))).as("n_tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("weight", least(lit(1.0), lit(budgetTokens.toDouble) / col("n_tokens")))
+  }
+
   /** Exact dedup keeping the BEST row per duplicate cluster rather than
     * the smallest id: one hash aggregation with
     * `max_by(row, (quality, -id))` — quality decides, smallest id

@@ -51,6 +51,37 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("assignSplits partitions the corpus: exhaustive, deterministic, fraction-tracking, salt-independent") {
+    val df = spark.range(20000).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = Curation.assignSplits(df, "doc_id", splits, salt = "s1")
+    val counts = a.groupBy("split").count().as[(String, Long)].collect().toMap
+    // exhaustive partition: every row labeled with a declared split
+    assert(counts.keySet == Set("train", "val", "test") && counts.values.sum == 20000L)
+    // fraction tracking within the md5-coin's statistical tolerance
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.02)
+    // deterministic: same salt → identical assignment; different salt →
+    // an independent one (some but not all rows move)
+    val b1 = Curation.assignSplits(df, "doc_id", splits, salt = "s1")
+    assert(a.except(b1).count() == 0 && b1.except(a).count() == 0)
+    val b2 = Curation.assignSplits(df, "doc_id", splits, salt = "s2")
+    val moved = a.join(b2, "doc_id")
+      .filter(a("split") =!= b2("split")).count()
+    assert(moved > 1000 && moved < 20000)
+  }
+
+  test("mixingManifest caps every stratum at the token budget, keeps small strata whole") {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten", "big"),
+      (2L, "one two three four five six seven eight nine ten", "big"),
+      (3L, "one two three", "small")
+    ).toDF("doc_id", "text", "source")
+    val m = Curation.mixingManifest(docs, "source", "text", budgetTokens = 10L)
+      .orderBy("source").as[(String, Long, Long, Double)].collect().toSeq
+    assert(m == Seq(("big", 20L, 2L, 0.5), ("small", 3L, 1L, 1.0)))
+  }
+
   test("keepBestPerCluster keeps the highest-quality doc, smallest id on ties") {
     val docs = Seq(
       (1L, "good clean readable english text with the and of words"),

@@ -19,6 +19,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("removeRepeatedSpans excises only cross-doc spans and reassembles in order") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon ending one"),
+      (2L, "prefix two alpha beta gamma delta epsilon"), // shares the 5-token span with 1
+      (3L, "totally unrelated words nothing shared here at all"),
+      (4L, "short doc")                                  // below span length: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(corpus, "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "ending one", 2L),
+      (2L, "prefix two", 2L),
+      (3L, "totally unrelated words nothing shared here at all", 8L),
+      (4L, "short doc", 2L)))
+  }
+
+  test("removeRepeatedSpans drops fully-excised docs; singleton repeats within one doc survive") {
+    val corpus = Seq(
+      (1L, "a b c d e"),            // exactly the hot span: fully excised
+      (2L, "a b c d e"),            // ditto
+      (3L, "x y x y x y x y x y")   // repeats only within itself: minDocs counts DISTINCT docs
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeRepeatedSpans(corpus, "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .orderBy("doc_id")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((3L, "x y x y x y x y x y", 10L)))
+  }
+
   test("minhash LSH finds near- and exact-dup pairs, not unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
