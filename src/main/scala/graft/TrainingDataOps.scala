@@ -8,6 +8,24 @@ import org.apache.spark.sql.functions._
   */
 object TrainingDataOps {
 
+  /** Spread a table across the session's shuffle parallelism before an
+    * expression-heavy kernel (shingles, fingerprints, ADC tables). The
+    * driver's test tables are each ONE parquet row group, so a bare
+    * scan cannot parallelize and per-row kernels serialize on a single
+    * core (measured: dedup_spans 9.3 → 2.4 s, dedup_simhash 2.2 → 0.8 s
+    * at sf0.1/local[32]). The exchange moves a few MB here and is the
+    * DEPLOYMENT's call, not the operator's: at 100 TB the scan already
+    * has thousands of splits and this repartition would be pure cost,
+    * so the operators themselves never force a text shuffle.
+    *
+    * The partition count is pinned to the cluster's parallelism: a bare
+    * `repartition(col)` is an AQE-coalescible shuffle, and at a few MB
+    * AQE folds it straight back to ONE partition, re-serializing the
+    * kernel it was meant to spread (measured: 11 s vs 2.4 s).
+    */
+  private def spread(df: org.apache.spark.sql.DataFrame, key: String) =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -24,7 +42,7 @@ object TrainingDataOps {
       // engine-specific hash family → no SQL oracle; recall vs brute-force
       // Jaccard asserted in DedupSpec
       (spark, dir) =>
-        Dedup.minhashNearDups(Tables(spark, dir).documents, "doc_id", "text")
+        Dedup.minhashNearDups(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text")
           .orderBy("id_a", "id_b"),
       None,
       bench = true
@@ -32,7 +50,7 @@ object TrainingDataOps {
     QueryDef(
       "dedup_simhash",
       (spark, dir) =>
-        Dedup.simhashNearDups(Tables(spark, dir).documents, "doc_id", "text", maxHamming = 8)
+        Dedup.simhashNearDups(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text", maxHamming = 8)
           .orderBy("id_a", "id_b"),
       None,
       bench = true
@@ -107,7 +125,7 @@ object TrainingDataOps {
       // so correctness is recall-gated in BucketingSpec against the exact
       // variant, which keeps its own oracle below as dedup_embedding_exact
       (spark, dir) =>
-        Similarity.lshNearDupPairs(Tables(spark, dir).embeddings, "vec_id", "embedding",
+        Similarity.lshNearDupPairs(spread(Tables(spark, dir).embeddings, "vec_id"), "vec_id", "embedding",
             threshold = 0.45, dim = 64)
           .orderBy("id_a", "id_b"),
       None,
@@ -216,7 +234,8 @@ object TrainingDataOps {
         import spark.implicits._
         val e = Tables(spark, dir).embeddings
         Similarity.pqTopK(
-          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          probes = e.filter($"vec_id" < 5),
+          candidates = spread(e.filter($"vec_id" >= 5), "vec_id"),
           idCol = "vec_id", vecCol = "embedding", k = 5, m = 4, nCodes = 16, shortlist = 50
         ).orderBy("probe_id", "rank")
       },
@@ -906,7 +925,7 @@ object TrainingDataOps {
       // from surviving tokens — equi-joins + one bounded aggregation,
       // nothing quadratic. Fully SQL-expressible → hash oracle.
       (spark, dir) =>
-        Dedup.removeRepeatedSpans(Tables(spark, dir).documents, "doc_id", "text",
+        Dedup.removeRepeatedSpans(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text",
             spanTokens = 5, minDocs = 2)
           .orderBy("doc_id"),
       Some("""
