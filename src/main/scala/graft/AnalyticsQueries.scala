@@ -1239,6 +1239,50 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_range_frame",
+      (spark, dir) => {
+        import spark.implicits._
+        // event-TIME frame (RANGE, not ROWS): each event aggregates its
+        // user's trailing 10 minutes by timestamp, so frame membership is
+        // data-dependent and tie rows (equal ts) are peers on both
+        // engines. Bounds are exact integer µs; decimal keeps sums exact.
+        val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+          .rangeBetween(-600L * 1000000L, 0L)
+        Tables(spark, dir).events
+          .withColumn("trail_10m", sum(dec($"value")).over(w).cast("double"))
+          .select($"user_id", $"event_id", $"ts", $"trail_10m")
+          .orderBy($"user_id", $"ts", $"event_id")
+      },
+      Some("""
+        SELECT user_id, event_id, ts,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 600 SECOND PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_10m
+        FROM events
+        ORDER BY user_id, ts, event_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_histogram",
+      (spark, dir) => {
+        import spark.implicits._
+        // fixed-width histogram: pure map + one aggregation — bin ids
+        // from one IEEE double division are engine-exact, and literal
+        // bounds mean no data-dependent scalar join anywhere
+        Tables(spark, dir).events
+          .groupBy(floor($"value" / 25.0).cast("long").as("bin"))
+          .agg(count(lit(1)).as("n"), sum(dec($"value")).cast("double").as("sum_value"))
+          .orderBy("bin")
+      },
+      Some("""
+        SELECT CAST(floor(value / 25.0) AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY bin ORDER BY bin
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_events_hopping",
       // hopping (sliding) event-time window: 1h length / 15min slide —
       // every event lands in exactly window/slide = 4 windows. Spark's

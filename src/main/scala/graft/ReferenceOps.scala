@@ -285,6 +285,27 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "frequent_items",
+      // DataSketches frequent-items heavy hitters per cohort (Spark 4.1
+      // built-in aggregate — fixed O(maxItemsTracked) state per group).
+      // Run in the NO-EVICTION regime (maxItemsTracked ≥ ndv) where
+      // counts are exact, so a plain GROUP BY is a faithful oracle; the
+      // eviction-regime guarantee and the partials-rollup identity are
+      // SketchTopKSpec properties
+      (spark, dir) =>
+        Sketches.approxTopK(
+            Tables(spark, dir).events.withColumn("cohort", pmod(col("user_id"), lit(4))),
+            Seq("cohort"), "event_type", k = 8, maxItemsTracked = 64)
+          .select(col("cohort"), explode(col("top_items")).as("t"))
+          .select(col("cohort"), col("t.item").as("event_type"), col("t.count").as("n"))
+          .orderBy(col("cohort"), col("n").desc, col("event_type")),
+      Some("""
+        SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2 ORDER BY cohort, n DESC, event_type
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "analyze_stats",
       (spark, dir) =>
         Analyze.columnStats(

@@ -41,4 +41,35 @@ object Sketches {
   def mergeSketches(partials: DataFrame, groupCols: Seq[String], sketchCol: String = "sketch"): DataFrame =
     partials.groupBy(groupCols.map(col): _*)
       .agg(hll_sketch_estimate(hll_union_agg(col(sketchCol))).as("approx_ndv"))
+
+  /** Approximate heavy hitters per group (DataSketches frequent-items,
+    * a Spark 4.1 built-in aggregate): top `k` values of `valueCol` with
+    * estimated counts, fixed O(maxItemsTracked) state per group. When
+    * `maxItemsTracked` ≥ the group's distinct count the sketch never
+    * evicts and counts are EXACT — the regime the oracle-gated query
+    * runs in; below that, counts are lower bounds with error ≤
+    * n/maxItemsTracked (the classic frequent-items guarantee).
+    */
+  def approxTopK(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      k: Int, maxItemsTracked: Int): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(expr(s"approx_top_k($valueCol, $k, $maxItemsTracked)").as("top_items"))
+
+  /** Per-(group, shard) frequent-items sketch — the precomputed partial
+    * (same persist-once/rollup-anywhere pattern as [[partialSketches]]).
+    */
+  def partialTopK(df: DataFrame, groupCols: Seq[String], shardCols: Seq[String],
+      valueCol: String, maxItemsTracked: Int): DataFrame =
+    df.groupBy((groupCols ++ shardCols).map(col): _*)
+      .agg(expr(s"approx_top_k_accumulate($valueCol, $maxItemsTracked)").as("sketch"))
+
+  /** Roll partial frequent-items sketches up to `groupCols` by sketch
+    * combine, then extract the top `k` — no rescan of the corpus.
+    */
+  def mergeTopK(partials: DataFrame, groupCols: Seq[String], k: Int,
+      maxItemsTracked: Int, sketchCol: String = "sketch"): DataFrame =
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(expr(
+        s"approx_top_k_estimate(approx_top_k_combine($sketchCol, $maxItemsTracked), $k)"
+      ).as("top_items"))
 }
