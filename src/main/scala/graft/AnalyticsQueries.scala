@@ -1283,6 +1283,36 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_ts_similarity",
+      // distributed subsequence similarity search (EDBT'19/REPOSE shape):
+      // one window pass extracts length-8 subsequences per user, distance
+      // to the literal pattern is an integer-cents HOF fold (exact, no
+      // accumulation-order drift), top-k is a bounded TakeOrdered
+      (spark, dir) =>
+        graft.operators.TimeSeries.similarTopK(
+          Tables(spark, dir).events,
+          seriesCols = Seq("user_id"), orderCols = Seq("ts", "event_id"),
+          valueCol = "value",
+          pattern = Seq(50.0, 100.0, 150.0, 200.0, 250.0, 300.0, 350.0, 400.0),
+          k = 10),
+      Some("""
+        WITH s AS (
+          SELECT user_id, ts, event_id,
+                 list(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS w
+          FROM events
+        )
+        SELECT user_id, ts, event_id,
+               CAST(list_sum(list_transform(range(1, 9),
+                 i -> (w[i] - [5000,10000,15000,20000,25000,30000,35000,40000][i])
+                    * (w[i] - [5000,10000,15000,20000,25000,30000,35000,40000][i]))) AS BIGINT) AS dist_cents2
+        FROM s WHERE len(w) = 8
+        ORDER BY dist_cents2, user_id, ts, event_id LIMIT 10
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_events_hopping",
       // hopping (sliding) event-time window: 1h length / 15min slide —
       // every event lands in exactly window/slide = 4 windows. Spark's
