@@ -146,4 +146,42 @@ class StreamingSpec extends SparkSpec {
     assert(results(t("2024-01-01 00:00:00")) == 3L, s"late row must not count: $results")
     assert(results(t("2024-01-01 01:00:00")) == 5L, s"closed on-time window must emit: $results")
   }
+
+  test("streaming windowed heavy hitters: approx_top_k aggregates per event-time window") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the sketch is a TypedImperativeAggregate: this pins that it
+    // checkpoints/merges correctly as STREAMING state across batches,
+    // in the exact regime (maxItemsTracked ≥ ndv) so counts are checkable
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val agg = input.toDF().toDF("ts", "item")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "10 minutes"))
+      .agg(expr("approx_top_k(item, 4, 32)").as("top_items"))
+      .select($"window.start".as("bucket"), explode($"top_items").as("t"))
+      .select($"bucket", $"t.item", $"t.count")
+    val q = agg.writeStream.format("memory").queryName("hh_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // two batches land in the SAME window: the sketch state must merge
+    input.addData((t("2024-01-01 00:01:00"), "a"), (t("2024-01-01 00:02:00"), "a"))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 00:03:00"), "a"), (t("2024-01-01 00:04:00"), "b"))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 01:00:00"), "z")) // close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("hh_sink")
+      .as[(java.sql.Timestamp, String, Long)].collect().toSeq
+      .filter(_._1 == t("2024-01-01 00:00:00"))
+    assert(rows.toSet == Set(
+      (t("2024-01-01 00:00:00"), "a", 3L),
+      (t("2024-01-01 00:00:00"), "b", 1L)),
+      s"cross-batch sketch merge produced $rows")
+  }
 }
