@@ -591,6 +591,34 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "join_incremental",
+      // incremental JOIN view maintenance (delta rule, append-only):
+      // yesterday's materialized orders⨝lineitem plus three delta joins
+      // whose broadcast build side is always the day-sized delta — refresh
+      // cost ∝ churn, yet the result is row-identical to the oracle's
+      // full re-join
+      (spark, dir) => {
+        val o      = Tables(spark, dir).orders
+        val l      = Tables(spark, dir).lineitem
+        val oldO   = o.filter(pmod(col("o_orderkey"), lit(7)) =!= 0)
+        val dO     = o.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        val oldL   = l.filter(pmod(col("l_suppkey"), lit(5)) =!= 0)
+        val dL     = l.filter(pmod(col("l_suppkey"), lit(5)) === 0)
+        val onKey  = col("o_orderkey") === col("l_orderkey")
+        val view   = oldO.join(oldL, onKey) // yesterday's materialization
+        Incremental.refreshJoinView(view, oldO, oldL, dO, dL, onKey)
+          .select(col("o_orderkey"), col("l_linenumber"),
+            col("o_totalprice"), col("l_quantity"))
+          .orderBy("o_orderkey", "l_linenumber")
+      },
+      Some("""
+        SELECT o_orderkey, l_linenumber, o_totalprice, l_quantity
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ORDER BY o_orderkey, l_linenumber
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "agg_incremental",
       // incremental aggregate maintenance: refresh a materialized per-key
       // summary from a delta batch WITHOUT rescanning history — merge cost

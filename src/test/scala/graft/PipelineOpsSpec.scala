@@ -79,6 +79,35 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("incremental join view equals the full re-join; delta sides broadcast") {
+    val o  = Tables(spark, sfDir).orders
+    val li = Tables(spark, sfDir).lineitem
+    val onKey = $"o_orderkey" === $"l_orderkey"
+    val cols  = Seq("o_orderkey", "l_linenumber", "o_totalprice", "l_quantity")
+    // (o_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // canonicalize rows fully before comparing
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(cols.map(col): _*).collect().map(_.mkString("|")).sorted.toSeq
+    val full = canon(o.join(li, onKey))
+    for ((mo, ml) <- Seq((2, 3), (7, 5))) {
+      val (oldO, dO) = (o.filter(pmod($"o_orderkey", lit(mo)) =!= 0), o.filter(pmod($"o_orderkey", lit(mo)) === 0))
+      val (oldL, dL) = (li.filter(pmod($"l_suppkey", lit(ml)) =!= 0), li.filter(pmod($"l_suppkey", lit(ml)) === 0))
+      val refreshed = canon(
+        Incremental.refreshJoinView(oldO.join(oldL, onKey), oldO, oldL, dO, dL, onKey))
+      assert(refreshed == full, s"split ($mo,$ml) drifted from full re-join")
+    }
+    // the three delta terms must build-broadcast the DELTA side: no
+    // full-table shuffle appears anywhere in the refresh plan
+    val (oldO, dO) = (o.filter(pmod($"o_orderkey", lit(2)) =!= 0), o.filter(pmod($"o_orderkey", lit(2)) === 0))
+    val (oldL, dL) = (li.filter(pmod($"l_suppkey", lit(3)) =!= 0), li.filter(pmod($"l_suppkey", lit(3)) === 0))
+    val plan = physicalPlan(Incremental.joinDelta(oldO, oldL, dO, dL, onKey))
+    val bhj = plan.collect { case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j }
+    assert(bhj.size == 3, s"all three delta joins must be broadcast hash joins, got ${bhj.size}")
+    assert(plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty, "delta maintenance must not shuffle the stored tables")
+  }
+
   test("deterministic shuffle is a reproducible permutation, distinct per salt") {
     val docs = Tables(spark, sfDir).documents
     val e0a = Curation.deterministicShuffle(docs, Seq("doc_id"), "e0").select("doc_id").as[Long].collect().toSeq
