@@ -113,6 +113,52 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("removeRepeatedSpans: kept tokens are an ordered subsequence; every hot-span position is excised") {
+    import org.apache.spark.sql.functions._
+    // small vocab forces cross-doc span collisions
+    val docGen: Gen[List[String]] = Gen.listOfN(6,
+      Gen.listOfN(9, Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    for (texts <- samples(docGen, 6)) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = graft.operators.Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanTokens = 3, minDocs = 2)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // ground truth: hot 3-grams from the original corpus
+      val grams = texts.zipWithIndex.flatMap { case (t, i) =>
+        t.split(" ").sliding(3).filter(_.size == 3).map(g => (g.mkString(" "), i))
+      }
+      val hot = grams.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keySet
+      for ((t, i) <- texts.zipWithIndex) {
+        val toks = t.split(" ")
+        val covered = toks.indices.filter { p =>
+          (math.max(0, p - 2) to math.min(p, toks.length - 3))
+            .exists(s => hot.contains(toks.slice(s, s + 3).mkString(" ")))
+        }.toSet
+        val expect = toks.indices.filterNot(covered).map(toks)
+        out.get(i.toLong) match {
+          case None      => assert(expect.isEmpty, s"doc $i should keep ${expect.mkString(" ")}")
+          case Some(txt) => assert(txt == expect.mkString(" "),
+            s"doc $i: got '$txt', reference says '${expect.mkString(" ")}'")
+        }
+      }
+    }
+  }
+
+  test("assignSplits: every row gets exactly one declared label for random fraction vectors") {
+    import org.apache.spark.sql.functions._
+    val fracGen: Gen[List[Double]] =
+      Gen.choose(2, 4).flatMap(n => Gen.listOfN(n, Gen.choose(1, 10)))
+        .map { ws => val s = ws.sum.toDouble; ws.map(_ / s) }
+    val df = spark.range(500).toDF("doc_id")
+    for (fracs <- samples(fracGen, 8)) {
+      val names  = fracs.indices.map(i => s"s$i")
+      val splits = names.zip(fracs)
+      val counts = graft.operators.Curation.assignSplits(df, "doc_id", splits, salt = fracs.mkString)
+        .groupBy("split").count().as[(String, Long)].collect().toMap
+      assert(counts.keySet.subsetOf(names.toSet), s"unknown label in $counts")
+      assert(counts.values.sum == 500L, s"labels must partition the corpus: $counts")
+    }
+  }
+
   test("TokenBucket: admissions over any horizon never exceed burst + rate*time") {
     for (gaps <- samples(Gen.listOfN(30, Gen.choose(0L, 500_000_000L)), 20)) {
       var clock  = 0L
