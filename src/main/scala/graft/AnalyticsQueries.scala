@@ -1283,6 +1283,25 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_ntile",
+      (spark, dir) => {
+        import spark.implicits._
+        // ntile is order-sensitive within ties — the unique o_orderkey
+        // tiebreak makes bucket assignment engine-deterministic
+        val w = Window.partitionBy($"o_orderpriority").orderBy($"o_totalprice", $"o_orderkey")
+        Tables(spark, dir).orders
+          .withColumn("quartile", ntile(4).over(w))
+          .select($"o_orderkey", $"o_orderpriority", $"o_totalprice", $"quartile")
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               CAST(ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS INT) AS quartile
+        FROM orders ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_ts_similarity",
       // distributed subsequence similarity search (EDBT'19/REPOSE shape):
       // one window pass extracts length-8 subsequences per user, distance

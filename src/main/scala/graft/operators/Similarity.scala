@@ -113,6 +113,38 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Assignment-only IVF maintenance: cell ids for a DELTA batch against
+    * the index's EXISTING centroids (its persisted metadata) — one
+    * narrow scan of the delta, no training, no touch of the stored
+    * lists. Appending the result to the inverted lists keeps the index
+    * current at O(delta)/day instead of O(corpus) re-index, and because
+    * assignment is a pure per-row function of (vector, centroids),
+    * `lists(old) ∪ assign(delta)` is EXACTLY `lists(old ∪ delta)`
+    * (spec-pinned). Pair with Drift's canary to decide when the
+    * centroids themselves deserve a retrain.
+    */
+  def ivfAssignDelta(delta: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    import graft.plans.VectorQuantization
+    require(centroids.nonEmpty, "centroids are the index metadata; pass the persisted ones")
+    delta.select(col(idCol),
+      element_at(
+        VectorQuantization.centroidCells(asDouble(col(vecCol)), centroids, 1), 1).as("cell"))
+  }
+
+  /** Train IVF's coarse quantizer on a bounded deterministic sample —
+    * exposed so callers can PERSIST the centroids (the index metadata
+    * that [[ivfAssignDelta]] maintains against).
+    */
+  def trainQuantizer(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, sampleSize: Int = 2048, iters: Int = 5): Array[Array[Double]] = {
+    import graft.plans.VectorQuantization
+    val sample = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+      .orderBy(idCol).limit(sampleSize)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    VectorQuantization.trainCentroids(sample, nCells, iters, seed = 42L)
+  }
+
   /** Spherical k-means corpus clustering — IVF's coarse quantizer
     * exposed as a first-class operator (mixture balancing, domain
     * discovery, cluster-stratified sampling over embeddings). Centroids

@@ -121,6 +121,24 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == clusters, "seeded training must reproduce the same clustering")
   }
 
+  test("IVF delta maintenance: assign(old) ∪ assign(delta) == assign(old ∪ delta) on fixed centroids") {
+    val e = Tables(spark, sfDir).embeddings
+    val centroids = Similarity.trainQuantizer(e, "vec_id", "embedding", nCells = 8)
+    val old   = e.filter($"vec_id" % 3 =!= 0)
+    val delta = e.filter($"vec_id" % 3 === 0)
+    val maintained = Similarity.ivfAssignDelta(old, "vec_id", "embedding", centroids)
+      .unionByName(Similarity.ivfAssignDelta(delta, "vec_id", "embedding", centroids))
+      .as[(Long, Int)].collect().toMap
+    val full = Similarity.ivfAssignDelta(e, "vec_id", "embedding", centroids)
+      .as[(Long, Int)].collect().toMap
+    assert(maintained == full, "incremental list maintenance must equal the full assignment")
+    // and the delta pass is narrow: no shuffle, no join — pure scan+project
+    val plan = physicalPlan(Similarity.ivfAssignDelta(delta, "vec_id", "embedding", centroids))
+    assert(plan.collect {
+      case ex: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => ex
+    }.isEmpty, "delta assignment must not shuffle")
+  }
+
   test("brute-force ranks are contiguous from 1..k per probe") {
     val e = Tables(spark, sfDir).embeddings
     val out = Similarity.bruteForceTopK(e.filter($"vec_id" < 3), e.filter($"vec_id" >= 3),
