@@ -992,6 +992,36 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "corpus_report",
+      // per-source corpus health report (the artifact a daily ingest
+      // publishes): volume, token mass, exact dup rate, language spread.
+      // countDistinct here is EXACT for oracle parity (the driver data
+      // is small); at 100 TB the same report swaps in the mergeable HLL
+      // sketches (analyze_ndv_sketch) to avoid the Expand of multiple
+      // exact distincts in one aggregation
+      (spark, dir) => {
+        val d = Tables(spark, dir).documents
+        d.groupBy("source").agg(
+            count(lit(1)).as("n_docs"),
+            sum(size(graft.functions.TextFunctions.tokens(col("text")))).as("n_tokens"),
+            countDistinct(md5(col("text"))).as("n_distinct"),
+            countDistinct(col("lang")).as("n_langs"))
+          .withColumn("dup_rate",
+            lit(1.0) - col("n_distinct").cast("double") / col("n_docs").cast("double"))
+          .orderBy("source")
+      },
+      Some("""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_rate
+        FROM documents GROUP BY source ORDER BY source
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "bpe_pair_counts",
       // tokenizer training, pass 1: adjacent symbol-pair counts over the
       // DISTINCT-WORD table (bounded by vocabulary, not corpus volume) —
