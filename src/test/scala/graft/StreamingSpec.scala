@@ -147,6 +147,45 @@ class StreamingSpec extends SparkSpec {
     assert(results(t("2024-01-01 01:00:00")) == 5L, s"closed on-time window must emit: $results")
   }
 
+  test("streaming join-view maintenance: foreachBatch + delta rule converges to the full join") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Incremental
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // static stored side + initial fact snapshot
+    val dim = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("d_key", "d_name")
+    val a0  = Seq((1L, 10.0), (2L, 20.0)).toDF("f_key", "f_val")
+    val onKey = col("f_key") === col("d_key")
+    val emptyDim = dim.limit(0)
+
+    // the maintained view, refreshed per micro-batch by the delta rule;
+    // localCheckpoint truncates lineage so k batches don't nest k plans
+    var view = a0.join(dim, onKey).localCheckpoint()
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF().toDF("f_key", "f_val").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // dB empty: only the dA⨝B term contributes, stored sides never shuffle
+        view = Incremental.refreshJoinView(view, a0, dim, batch, emptyDim, onKey)
+          .localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    input.addData((3L, 30.0))
+    q.processAllAvailable()
+    input.addData((1L, 11.0), (4L, 40.0)) // 4 has no dim row: inner join drops it
+    q.processAllAvailable()
+    q.stop()
+
+    val got = view.select("f_key", "f_val", "d_name")
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    val full = a0.union(Seq((3L, 30.0), (1L, 11.0), (4L, 40.0)).toDF("f_key", "f_val"))
+      .join(dim, onKey).select("f_key", "f_val", "d_name")
+      .as[(Long, Double, String)].collect().toSeq.sorted
+    assert(got == full, s"maintained view $got != full join $full")
+  }
+
   test("streaming windowed heavy hitters: approx_top_k aggregates per event-time window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
