@@ -954,6 +954,48 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_spans_incremental",
+      // delta-vs-history span hygiene via the PERSISTED span index:
+      // history text is never re-read; cleaning the delta against the
+      // merged index is row-identical to the batch operator's output for
+      // the delta docs, so the oracle is the batch SQL restricted to
+      // delta ids
+      (spark, dir) => {
+        val docs    = spread(Tables(spark, dir).documents, "doc_id")
+        val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val delta   = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        Dedup.removeRepeatedSpansIncremental(
+            Dedup.spanIndex(history, "doc_id", "text", spanTokens = 5),
+            delta, "doc_id", "text", spanTokens = 5, minDocs = 2)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+          FROM base, unnest(range(1, len(ws) + 1)) AS t(i) WHERE ws[i] <> ''
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+        ),
+        hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hotpos AS (
+          SELECT DISTINCT doc_id, gpos + off AS pos
+          FROM grams JOIN hot USING (gram), unnest(range(0, 5)) AS o(off)
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM toks t ANTI JOIN hotpos h ON t.doc_id = h.doc_id AND t.pos = h.pos
+        )
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_tokens_kept
+        FROM kept WHERE doc_id % 2 = 1
+        GROUP BY doc_id ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "split_assign",
       // deterministic train/val/test manifest: md5 hex-prefix coin vs
       // cumulative thresholds — mutually exclusive, jointly exhaustive,

@@ -303,14 +303,57 @@ object Dedup {
     */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 5, minDocs: Int = 2): DataFrame = {
-    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val hot = spanIndex(docs, idCol, textCol, spanTokens)
+      .filter(col("n_docs") >= minDocs)
+      .select("gram")
+    cleanAgainstHot(docs, idCol, textCol, hot, spanTokens)
+  }
+
+  /** Persisted span-frequency index: (gram, n_docs). The structure an
+    * incremental pipeline maintains so that cleaning tomorrow's delta
+    * never re-reads history text (mirror of [[bandIndex]] for spans).
+    * Additive across corpora with DISJOINT doc sets (append-only):
+    * [[mergeSpanIndex]] sums the per-gram doc counts.
+    */
+  def spanIndex(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 5): DataFrame = {
+    require(spanTokens >= 1, s"spanTokens must be >= 1, got $spanTokens")
+    docs.select(col(idCol),
+        posexplode(TextFunctions.wordShingles(col(textCol), spanTokens)).as(Seq("gpos", "gram")))
+      .groupBy("gram")
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  /** Index union for an append-only corpus (doc sets disjoint → doc
+    * counts add): one summary-sized aggregation.
+    */
+  def mergeSpanIndex(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("gram").agg(sum(col("n_docs")).as("n_docs"))
+
+  /** Incremental span hygiene: clean the DELTA batch against the merged
+    * (history ∪ delta) span index — row-identical to what the batch
+    * [[removeRepeatedSpans]] over the full corpus produces for the
+    * delta's docs (the hot set is a pure function of the merged index,
+    * and cleaning is per-doc), at O(delta + index) cost. History text
+    * is never touched.
+    */
+  def removeRepeatedSpansIncremental(historyIndex: DataFrame, delta: DataFrame,
+      idCol: String, textCol: String,
+      spanTokens: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val merged = mergeSpanIndex(historyIndex, spanIndex(delta, idCol, textCol, spanTokens))
+    val hot    = merged.filter(col("n_docs") >= minDocs).select("gram")
+    cleanAgainstHot(delta, idCol, textCol, hot, spanTokens)
+  }
+
+  /** Shared cleaning path: excise every position covered by a hot span
+    * and reassemble (see removeRepeatedSpans for the plan shape).
+    */
+  private def cleanAgainstHot(docs: DataFrame, idCol: String, textCol: String,
+      hot: DataFrame, spanTokens: Int): DataFrame = {
     val grams = docs.select(col(idCol),
       posexplode(TextFunctions.wordShingles(col(textCol), spanTokens)).as(Seq("gpos", "gram")))
-    val hot = grams.groupBy("gram")
-      .agg(countDistinct(col(idCol)).as("__nd"))
-      .filter(col("__nd") >= minDocs)
-      .select("gram")
     // hot span STARTS per doc — a small per-doc array (≤ token count).
     // Everything token-granular stays inside per-row higher-order
     // functions below: no token-level shuffle, no sorted-struct

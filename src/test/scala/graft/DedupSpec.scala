@@ -48,6 +48,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((3L, "x y x y x y x y x y", 10L)))
   }
 
+  test("incremental span cleaning equals batch output for the delta docs") {
+    val corpus = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val history = corpus.filter(col("doc_id") % 2 === 0)
+    val delta   = corpus.filter(col("doc_id") % 2 === 1)
+    val batch = Dedup.removeRepeatedSpans(corpus, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .filter(col("doc_id") % 2 === 1)
+      .orderBy("doc_id").collect().toSeq
+    val incr = Dedup.removeRepeatedSpansIncremental(
+        Dedup.spanIndex(history, "doc_id", "text", spanTokens = 3),
+        delta, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .orderBy("doc_id").collect().toSeq
+    assert(incr == batch, "index-based delta cleaning must match the batch operator")
+  }
+
   test("minhash LSH finds near- and exact-dup pairs, not unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

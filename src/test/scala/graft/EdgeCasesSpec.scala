@@ -66,6 +66,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out == Map(1L -> "b", 2L -> "c"))
   }
 
+  test("round-6 operators tolerate empty, whitespace-only, and sub-span documents") {
+    val docs = Seq((1L, ""), (2L, "word"), (3L, "   "), (4L, "a b c"), (5L, "a b c")).toDF("doc_id", "text")
+    // span dedup: empty/whitespace docs drop out; the identical 3-token
+    // docs excise each other fully; the short doc survives untouched
+    val spans = Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(spans == Seq((2L, "word", 1L)))
+    // incremental path agrees on an empty history index
+    val emptyIdx = Dedup.spanIndex(docs.limit(0), "doc_id", "text", 3)
+    val incr = Dedup.removeRepeatedSpansIncremental(emptyIdx, docs, "doc_id", "text", 3, 2)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(incr == spans)
+    // split manifest labels EVERY row, including degenerate text
+    val splits = graft.operators.Curation.assignSplits(docs, "doc_id", Seq("train" -> 1.0))
+      .select("split").distinct().as[String].collect().toSeq
+    assert(splits == Seq("train"))
+    // mixing manifest never divides by zero (whitespace text still has
+    // one [empty] token under the whitespace-split convention)
+    val mix = graft.operators.Curation.mixingManifest(docs, "doc_id", "text", budgetTokens = 10L)
+    assert(mix.count() == 5 && mix.filter($"weight".isNull || $"weight".isNaN).count() == 0)
+    // subsequences of a series shorter than L: no windows, no error
+    val ts = Seq((1L, 1L, 1.0)).toDF("s", "p", "v")
+    assert(graft.operators.TimeSeries.subsequences(ts, Seq("s"), Seq("p"), "v", 4).count() == 0)
+  }
+
   test("JSONL ingestion: strict mode fails on malformed lines, permissive quarantines them") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_bad").toString
