@@ -26,6 +26,36 @@ object TrainingDataOps {
   private def spread(df: org.apache.spark.sql.DataFrame, key: String) =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
+  /** Shared DuckDB span-cleaning CTE chain (dedup_spans family): the
+    * batch semantics, parameterized by the final row filter — the
+    * incremental variant's oracle IS the batch SQL restricted to the
+    * delta ids (row-identity is what the operator guarantees).
+    */
+  private def spanCleanSql(where: String): String = s"""
+    WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ws FROM documents),
+    toks AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+      FROM base, unnest(range(1, len(ws) + 1)) AS t(i) WHERE ws[i] <> ''
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
+      FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+    ),
+    hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    hotpos AS (
+      SELECT DISTINCT doc_id, gpos + off AS pos
+      FROM grams JOIN hot USING (gram), unnest(range(0, 5)) AS o(off)
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t ANTI JOIN hotpos h ON t.doc_id = h.doc_id AND t.pos = h.pos
+    )
+    SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_tokens_kept
+    FROM kept $where
+    GROUP BY doc_id ORDER BY doc_id
+  """.trim
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_exact",
@@ -928,29 +958,7 @@ object TrainingDataOps {
         Dedup.removeRepeatedSpans(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text",
             spanTokens = 5, minDocs = 2)
           .orderBy("doc_id"),
-      Some("""
-        WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        toks AS (
-          SELECT doc_id, i - 1 AS pos, ws[i] AS tok
-          FROM base, unnest(range(1, len(ws) + 1)) AS t(i) WHERE ws[i] <> ''
-        ),
-        grams AS (
-          SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
-          FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
-        ),
-        hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        hotpos AS (
-          SELECT DISTINCT doc_id, gpos + off AS pos
-          FROM grams JOIN hot USING (gram), unnest(range(0, 5)) AS o(off)
-        ),
-        kept AS (
-          SELECT t.doc_id, t.pos, t.tok
-          FROM toks t ANTI JOIN hotpos h ON t.doc_id = h.doc_id AND t.pos = h.pos
-        )
-        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-               CAST(count(*) AS BIGINT) AS n_tokens_kept
-        FROM kept GROUP BY doc_id ORDER BY doc_id
-      """.trim),
+      Some(spanCleanSql("")),
       bench = true
     ),
     QueryDef(
@@ -969,30 +977,7 @@ object TrainingDataOps {
             delta, "doc_id", "text", spanTokens = 5, minDocs = 2)
           .orderBy("doc_id")
       },
-      Some("""
-        WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
-        toks AS (
-          SELECT doc_id, i - 1 AS pos, ws[i] AS tok
-          FROM base, unnest(range(1, len(ws) + 1)) AS t(i) WHERE ws[i] <> ''
-        ),
-        grams AS (
-          SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
-          FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
-        ),
-        hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-        hotpos AS (
-          SELECT DISTINCT doc_id, gpos + off AS pos
-          FROM grams JOIN hot USING (gram), unnest(range(0, 5)) AS o(off)
-        ),
-        kept AS (
-          SELECT t.doc_id, t.pos, t.tok
-          FROM toks t ANTI JOIN hotpos h ON t.doc_id = h.doc_id AND t.pos = h.pos
-        )
-        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
-               CAST(count(*) AS BIGINT) AS n_tokens_kept
-        FROM kept WHERE doc_id % 2 = 1
-        GROUP BY doc_id ORDER BY doc_id
-      """.trim),
+      Some(spanCleanSql("WHERE doc_id % 2 = 1")),
       bench = true
     ),
     QueryDef(

@@ -364,7 +364,11 @@ object Dedup {
     val t       = filter(TextFunctions.tokens(col(textCol)), s => length(s) > 0)
     val covered = array_distinct(flatten(transform(col("__hot_gpos"),
       g => sequence(g, g + lit(spanTokens - 1)))))
-    val keepIdx = filter(sequence(lit(0), size(col("__t")) - 1),
+    // sequence(0, -1) is DESCENDING [0, -1] in Spark, so guard the
+    // token-less case explicitly or empty docs reach element_at.
+    val keepIdx = filter(
+      when(size(col("__t")) === 0, array().cast("array<int>"))
+        .otherwise(sequence(lit(0), size(col("__t")) - 1)),
       p => !exists(col("__covered"), c => c === p))
     docs.join(hotPerDoc, Seq(idCol), "left")
       .select(col(idCol), col(textCol),
