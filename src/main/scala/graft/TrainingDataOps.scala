@@ -1153,6 +1153,44 @@ object TrainingDataOps {
         FROM documents ORDER BY shuffle_key LIMIT 500
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "sample_exact_k",
+      // exact-count mixing manifest: the 5 smallest-coin docs per source,
+      // salted two-phase top-k (bucket rank then re-rank) so no single
+      // task ever sorts a whole hot source
+      (spark, dir) =>
+        Curation.exactKPerGroup(Tables(spark, dir).documents, "doc_id", "source", k = 5, salt = "r6")
+          .orderBy("source", "rn"),
+      Some("""
+        SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || '|r6'), doc_id) AS rn
+          FROM documents) t
+        WHERE rn <= 5 ORDER BY source, rn
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "source_overlap",
+      // cross-source contamination matrix: distinct shared 5-grams per
+      // source pair; per-gram join fanout bounded by #sources^2
+      (spark, dir) =>
+        Curation.sourceNgramOverlap(spread(Tables(spark, dir).documents, "doc_id"), "source", "text", n = 5)
+          .orderBy("source_a", "source_b"),
+      Some("""
+        WITH sg AS (
+          SELECT DISTINCT source, array_to_string(ws[i:i+4], ' ') AS gram
+          FROM (SELECT source, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents) b,
+               unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(count(*) AS BIGINT) AS n_shared_grams
+        FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim),
+      bench = true
     )
   )
 }

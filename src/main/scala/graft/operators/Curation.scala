@@ -352,4 +352,54 @@ object Curation {
         least(lit(chunkTokens), size(col("__toks")) - col("__start")).cast("long").as("n_tokens"),
         array_join(slice(col("__toks"), col("__start") + 1, lit(chunkTokens)), " ").as("chunk_text"))
   }
+
+  /** Exact-k deterministic sample per group: the k rows of each group
+    * with the smallest md5 coin (id + salt), ranked. Complements
+    * [[stratifiedSample]] (keep-FRACTION, size drifts with the stratum)
+    * when the mixing recipe demands an exact per-source count.
+    *
+    * Two-phase for scale: a single `row_number over (partition by
+    * group)` puts an entire group in one task — a hot source at 100 TB
+    * is a straggler or an OOM. Phase 1 ranks within (group, id-hash
+    * bucket) and keeps k per bucket, so phase 2's per-group input is
+    * ≤ buckets·k rows REGARDLESS of group size. Result is identical to
+    * the one-window form: every global top-k row is also in its own
+    * bucket's top-k, and phase 2 re-ranks survivors in the same total
+    * order (coin, id). Same salt ⇒ same manifest on any engine or
+    * cluster size; a new salt ⇒ an independent resample.
+    */
+  def exactKPerGroup(
+      df: DataFrame, idCol: String, groupCol: String, k: Int,
+      salt: String = "", buckets: Int = 64
+  ): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(buckets > 0, s"buckets must be positive, got $buckets")
+    val coin = md5(concat(col(idCol).cast("string"), lit("|" + salt)))
+    val w1 = Window.partitionBy(col(groupCol), col("__b")).orderBy(col("__coin"), col(idCol))
+    val w2 = Window.partitionBy(col(groupCol)).orderBy(col("__coin"), col(idCol))
+    df.select(col(groupCol), col(idCol))
+      .withColumn("__coin", coin)
+      .withColumn("__b", pmod(hash(col(idCol)), lit(buckets)))
+      .withColumn("__rn1", row_number().over(w1)).where(col("__rn1") <= k)
+      .withColumn("rn", row_number().over(w2).cast("long")).where(col("rn") <= k)
+      .select(col(groupCol), col(idCol), col("rn"))
+  }
+
+  /** Cross-source n-gram overlap matrix: for every source pair, the
+    * number of DISTINCT word n-grams occurring in both — the
+    * contamination/leakage signal between crawl snapshots or vendor
+    * feeds (exact-hash overlap misses near-copies; shared-shingle mass
+    * does not). Distinct (source, gram) first, then an equi-self-join
+    * on the gram: per-gram fanout is bounded by #sources², never by
+    * document count, so the matrix stays cheap at any corpus size.
+    */
+  def sourceNgramOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
+    val sg = df.select(col(srcCol).as("__src"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("__gram"))
+      .distinct()
+    sg.as("a").join(sg.as("b"),
+        col("a.__gram") === col("b.__gram") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared_grams"))
+  }
 }

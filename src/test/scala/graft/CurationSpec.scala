@@ -287,4 +287,59 @@ class CurationSpec extends SparkSpec {
     }
     assert(exchanges.isEmpty, "classifier inference must not shuffle")
   }
+
+  test("exactKPerGroup: bucket-count invariant, exact sizes, matches the one-window form") {
+    val docs = Tables(spark, sfDir).documents
+    val k    = 5
+    val out  = Curation.exactKPerGroup(docs, "doc_id", "source", k, salt = "s")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+
+    // exactly min(k, group size) rows per group, ranks 1..n dense
+    val sizes = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.groupBy(_._1).foreach { case (src, rows) =>
+      assert(rows.length == math.min(k.toLong, sizes(src)).toInt)
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length))
+    }
+
+    // the salted two-phase rewrite changes NO row vs the direct
+    // one-window rank, for any bucket count (incl. the degenerate 1)
+    val oneWindow = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(md5(concat(col("doc_id").cast("string"), lit("|s"))), col("doc_id"))
+      docs.select(col("source"), col("doc_id"))
+        .withColumn("rn", row_number().over(w).cast("long")).where(col("rn") <= k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    assert(out.toSet == oneWindow)
+    val b1 = Curation.exactKPerGroup(docs, "doc_id", "source", k, salt = "s", buckets = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(b1 == oneWindow)
+
+    // a different salt is an independent resample (manifest changes)
+    val resalted = Curation.exactKPerGroup(docs, "doc_id", "source", k, salt = "other")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(resalted != out.map(t => (t._1, t._2)).toSet)
+
+    // scale shape: both ranking windows are PARTITIONED — a hot group
+    // never becomes one task's global sort
+    val windows = physicalPlan(Curation.exactKPerGroup(docs, "doc_id", "source", k)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.length == 2, s"expected the two-phase rank, got ${windows.length} windows")
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned window in exactKPerGroup"))
+  }
+
+  test("sourceNgramOverlap counts distinct shared grams once per pair") {
+    val docs = Seq(
+      (1L, "a b c d e extra words here", "s1"),
+      (2L, "a b c d e and more", "s2"),     // shares gram "a b c d e" with s1
+      (3L, "a b c d e again today", "s2"),  // same gram, same source — counted ONCE
+      (4L, "nothing in common at all", "s3")
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.sourceNgramOverlap(docs, "source", "text", n = 5)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("s1", "s2") -> 1L), s"got $out")
+  }
 }
