@@ -685,6 +685,33 @@ object TrainingDataOps {
       """.trim)
     ),
     QueryDef(
+      "multimodal_framesample",
+      // video frame sampling: split the payload into 64-byte frames,
+      // keep every 4th — the countable surface (frame totals, kept
+      // count, last kept index) goes under the hash gate, pinning the
+      // executor-side sampling arithmetic while the per-frame decode
+      // stays the documented stub
+      (spark, dir) => {
+        val media = Multimodal.synthesizePayloads(Tables(spark, dir).documents, "doc_id", "text")
+          .where(col("media_type") === "video")
+        Multimodal.sampleFrames(spark, media, frameBytes = 64, stride = 4).toDF()
+          .select(col("doc_id"), col("n_frames_total").cast("long").as("n_frames_total"),
+            size(col("sampled_frames")).cast("long").as("n_sampled"),
+            element_at(col("sampled_frames"), -1).cast("long").as("last_frame"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               CAST(n AS BIGINT) AS n_frames_total,
+               CAST((n + 3) // 4 AS BIGINT) AS n_sampled,
+               CAST(4 * ((n + 3) // 4 - 1) AS BIGINT) AS last_frame
+        FROM (SELECT doc_id, greatest(1, (strlen(text) + 63) // 64) AS n
+              FROM documents WHERE doc_id % 3 = 2) t
+        ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "src_csv_roundtrip",
       // CSV ingestion must be lossless under RFC 4180 quoting: documents
       // written as CSV and read back (explicit schema, FAILFAST,
