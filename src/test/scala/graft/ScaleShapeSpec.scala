@@ -123,4 +123,35 @@ class ScaleShapeSpec extends SparkSpec {
     assert(ex8 == ex2, s"shuffle count grew with merge count: k=2 → $ex2, k=8 → $ex8")
     assert(ex8 <= 6, s"bpe encode plans $ex8 shuffles; expected the fixed word-table shape")
   }
+
+  test("source overlap at 50×: join mass equals the C(s,2) gram pre-flight, equi-join only") {
+    // 20 sources striped over the corpus; unique pseudo-words mean the
+    // ONLY cross-source grams are the planted duplicates', and every
+    // planted pair (id-1, id) with id ≡ 1 (mod 1000) lands on sources
+    // (s00, s01) — so the exact expected matrix is ONE cell of
+    // Planted × 16 distinct shared 5-grams (20 words ⇒ 16 shingles).
+    val docs = corpus(exactDups = true)
+      .withColumn("source", format_string("s%02d", col("doc_id") % 20))
+    val overlap = graft.operators.Curation.sourceNgramOverlap(docs, "source", "text", n = 5)
+    val out = overlap.collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    assert(out == Map(("s00", "s01") -> (Planted.toLong * 16)), s"got $out")
+
+    // the matrix's total join mass is exactly the candidate-budget-style
+    // pre-flight — sum over grams of C(#sources containing it, 2) from
+    // one aggregation, no join — so a 100 TB run can price the matrix
+    // BEFORE launching it
+    val budget = docs
+      .select(col("source"), explode(graft.functions.TextFunctions.wordShingles(col("text"), 5)).as("g"))
+      .distinct()
+      .groupBy("g").agg(count(lit(1)).as("s"))
+      .select(sum(col("s") * (col("s") - 1) / 2).cast("long")).head().getLong(0)
+    assert(budget == out.values.sum, s"pre-flight $budget != join mass ${out.values.sum}")
+
+    // and the matrix itself never degrades past equi-joins
+    val bad = physicalPlan(overlap).collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec        => c
+    }
+    assert(bad.isEmpty, "source overlap planned a nested-loop/cartesian join")
+  }
 }
