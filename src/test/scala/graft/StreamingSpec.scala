@@ -186,6 +186,66 @@ class StreamingSpec extends SparkSpec {
     assert(got == full, s"maintained view $got != full join $full")
   }
 
+  test("streaming near-dedup: per-batch band-index maintenance admits first-seen-wins") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.operators.Dedup
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // admitted history; the stream maintains BOTH stores per batch:
+    // docs (fetched by id for candidates only) and the band index (the
+    // only structure probed for banding) — the 100 TB/day ingestion
+    // shape, where rejected rows never pollute either store
+    val hist0 = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    var histDocs  = hist0.localCheckpoint()
+    var histIndex = Dedup.bandIndex(hist0, "doc_id", "text").localCheckpoint()
+    var admitted  = Vector.empty[Long]
+
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.localCheckpoint()
+        val dupIds = Dedup.minhashIncremental(histDocs, histIndex, b, "doc_id", "text",
+            threshold = 0.5)
+          .select("delta_id").distinct().as[Long].collect().toSet
+        val adm = b.filter(!col("doc_id").isin(dupIds.toSeq: _*)).localCheckpoint()
+        admitted = admitted ++ adm.select("doc_id").as[Long].collect().sorted
+        histDocs = histDocs.unionByName(adm).localCheckpoint()
+        histIndex = histIndex.unionByName(Dedup.bandIndex(adm, "doc_id", "text")).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    // batch 1: 10 ≈ doc 1 (one word changed, Jaccard well above 0.5) →
+    // reject; 11 is novel → admit
+    input.addData(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+      (11L, "red orange yellow green blue indigo violet pink brown black"))
+    q.processAllAvailable()
+    // batch 2: 12 ≈ doc 11 — a doc admitted by a PREVIOUS batch, so
+    // detection proves the index maintenance — reject; 13 novel → admit
+    input.addData(
+      (12L, "red orange yellow green blue indigo violet pink brown white"),
+      (13L, "do re mi fa sol la si octave sharp flat"))
+    q.processAllAvailable()
+    q.stop()
+
+    assert(admitted == Vector(11L, 13L), s"admitted $admitted")
+    assert(histDocs.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L, 11L, 13L))
+    // the maintained index is EXACTLY the index a from-scratch rebuild
+    // of the admitted corpus produces — the convergence invariant that
+    // makes the incremental path trustworthy
+    val maintained = histIndex.select("__id", "band_id", "band_hash")
+      .as[(Long, Int, Long)].collect().toSet
+    val rebuilt = Dedup.bandIndex(histDocs, "doc_id", "text")
+      .select("__id", "band_id", "band_hash").as[(Long, Int, Long)].collect().toSet
+    assert(maintained == rebuilt, "maintained band index diverged from a from-scratch rebuild")
+  }
+
   test("streaming windowed heavy hitters: approx_top_k aggregates per event-time window") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.streaming.Trigger
