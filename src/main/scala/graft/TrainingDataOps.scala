@@ -273,6 +273,38 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "semdedup",
+      // SemDeDup cluster-bounded semantic dedup: k-means cells prune the
+      // pair space (O(n·n/k), k scales with the corpus), connected
+      // components keep one survivor per duplicate group. Cells are
+      // engine-derived -> planted-dup recall + determinism in
+      // SimilaritySpec
+      (spark, dir) =>
+        Similarity.semDeDup(spread(Tables(spark, dir).embeddings, "vec_id"),
+            "vec_id", "embedding", threshold = 0.6, k = 8)
+          .orderBy("vec_id"),
+      None,
+      bench = true
+    ),
+    QueryDef(
+      "ann_ivfpq",
+      // FAISS-style IVF+PQ composite (coarse cells × residual ADC codes ×
+      // exact re-rank): engine-specific quantizers → recall/determinism/
+      // plan shape in SimilaritySpec
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.ivfPqTopK(
+          probes = e.filter($"vec_id" < 5),
+          candidates = spread(e.filter($"vec_id" >= 5), "vec_id"),
+          idCol = "vec_id", vecCol = "embedding", k = 5,
+          nCells = 16, nProbe = 8, m = 4, nCodes = 16, shortlist = 50
+        ).orderBy("probe_id", "rank")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "doc_clusters",
       // spherical k-means over embeddings (deterministic sample + seed
       // -> engine-reproducible clusters); rows-only: centroid geometry
@@ -1008,6 +1040,32 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "span_index_forget",
+      // right-to-be-forgotten on the persisted span index: per-gram doc
+      // counts form a GROUP, so deletion merges the deleted docs' own
+      // index NEGATED and drops zeroed grams — O(deleted + index), the
+      // surviving 100 TB corpus is never rescanned. Oracle: rebuild
+      // from the survivors.
+      (spark, dir) => {
+        val docs    = spread(Tables(spark, dir).documents, "doc_id")
+        val full    = Dedup.spanIndex(docs, "doc_id", "text", spanTokens = 5)
+        val deleted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        Dedup.forgetFromSpanIndex(full, deleted, "doc_id", "text", spanTokens = 5)
+          .orderBy("gram")
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                      FROM documents WHERE doc_id % 7 <> 0),
+        grams AS (
+          SELECT doc_id, array_to_string(ws[i:i+4], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+        )
+        SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        FROM grams GROUP BY gram ORDER BY gram
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "split_assign",
       // deterministic train/val/test manifest: md5 hex-prefix coin vs
       // cumulative thresholds — mutually exclusive, jointly exhaustive,
@@ -1160,6 +1218,36 @@ object TrainingDataOps {
         val tmp  = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/docs"
         graft.sources.Orc.write(docs, tmp)
         graft.sources.Orc.read(spark, tmp, docs.schema).orderBy("doc_id")
+      },
+      Some("SELECT * FROM documents ORDER BY doc_id"),
+      bench = true
+    ),
+    QueryDef(
+      "src_avro_roundtrip",
+      // Avro interchange (Kafka-archive / schema-registry feeds) must be
+      // lossless: documents written as Avro and read back (explicit
+      // schema, splittable sync-marked blocks) hash-match the parquet
+      // originals the oracle reads
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val tmp  = java.nio.file.Files.createTempDirectory("graft_avro").toString + "/docs"
+        graft.sources.Avro.write(docs, tmp)
+        graft.sources.Avro.read(spark, tmp, docs.schema).orderBy("doc_id")
+      },
+      Some("SELECT * FROM documents ORDER BY doc_id"),
+      bench = true
+    ),
+    QueryDef(
+      "src_xml_roundtrip",
+      // XML ingestion (arXiv/PubMed/Wikipedia-style dumps) must be
+      // lossless for corpus text: documents written as XML (writer
+      // escapes markup) and read back on the row tag hash-match the
+      // parquet originals
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        val tmp  = java.nio.file.Files.createTempDirectory("graft_xml").toString + "/docs"
+        graft.sources.Xml.write(docs, tmp, rowTag = "doc")
+        graft.sources.Xml.read(spark, tmp, docs.schema, rowTag = "doc").orderBy("doc_id")
       },
       Some("SELECT * FROM documents ORDER BY doc_id"),
       bench = true

@@ -331,6 +331,29 @@ object Dedup {
   def mergeSpanIndex(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy("gram").agg(sum(col("n_docs")).as("n_docs"))
 
+  /** Right-to-be-forgotten for the span index: per-gram doc counts form
+    * a GROUP (ℤ), not just a monoid — deletion is [[mergeSpanIndex]]
+    * with the deleted docs' own index NEGATED, then dropping zeroed
+    * grams. Exact (counts are additive over disjoint doc sets and the
+    * deleted set is a subset of what was indexed), and O(deleted docs +
+    * index): the surviving corpus is never rescanned — the property
+    * that makes deletion affordable when the corpus is 100 TB and the
+    * deletion is a user's handful of documents.
+    */
+  def forgetFromSpanIndex(index: DataFrame, deletedDocs: DataFrame,
+      idCol: String, textCol: String, spanTokens: Int = 5): DataFrame =
+    mergeSpanIndex(index,
+        spanIndex(deletedDocs, idCol, textCol, spanTokens)
+          .select(col("gram"), (-col("n_docs")).as("n_docs")))
+      .filter(col("n_docs") > 0)
+
+  /** Right-to-be-forgotten for the band index: rows are per-doc, so
+    * deletion is one anti-join on the id — no recompute, no rescan.
+    */
+  def forgetFromBandIndex(index: DataFrame, deletedIds: DataFrame, idCol: String): DataFrame =
+    index.join(deletedIds.select(col(idCol).as("__del")),
+      col("__id") === col("__del"), "left_anti")
+
   /** Incremental span hygiene: clean the DELTA batch against the merged
     * (history ∪ delta) span index — row-identical to what the batch
     * [[removeRepeatedSpans]] over the full corpus produces for the

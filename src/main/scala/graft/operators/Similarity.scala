@@ -239,6 +239,198 @@ object Similarity {
       .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"), col("cosine"))
   }
 
+  /** IVF+PQ composite ANN — the production index shape (FAISS IVFADC):
+    * a coarse quantizer restricts each probe to nProbe inverted lists,
+    * and WITHIN the probed lists candidates are scored from m-byte PQ
+    * codes of their RESIDUALS (vector − cell centroid). The two stages
+    * multiply: compared pairs shrink by ~nCells/nProbe (IVF) AND each
+    * comparison costs m table adds on a byte code instead of dim float
+    * multiplies on a raw vector (PQ). Residual encoding is what makes
+    * the composite beat flat PQ — residuals live in a far smaller ball
+    * than the vectors, so the same codebook budget quantizes them with
+    * much less error. Scoring decomposes exactly:
+    * dot(p, c) = dot(p, centroid(cell)) + dot(p, residual)
+    * ≈ per-(probe,cell) broadcast constant + m ADC lookups.
+    * At 100 TB only (id, cell, m bytes) is scanned for the shortlist;
+    * raw vectors are touched just for the id-fetched exact re-rank.
+    * Recall vs brute force and determinism asserted in SimilaritySpec.
+    */
+  /** The persisted metadata of an IVF+PQ index: coarse centroids and the
+    * m per-subspace residual codebooks. Everything [[ivfPqEncode]] needs
+    * to fold a delta batch into the index without retraining.
+    */
+  final case class IvfPqIndex(
+      centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]])
+
+  /** Train an IVF+PQ index's quantizers on a bounded deterministic
+    * sample (fixed seed → identical index every run). The PQ codebooks
+    * train on the sample's RESIDUALS against its own coarse cells.
+    */
+  def trainIvfPq(df: DataFrame, idCol: String, vecCol: String,
+      nCells: Int, m: Int, nCodes: Int,
+      sampleSize: Int = 2048, iters: Int = 5): IvfPqIndex = {
+    import graft.plans.VectorQuantization
+    val sample = df
+      .select(col(idCol).as("__id"), unitCol(asDouble(col(vecCol))).as("__vn"))
+      .orderBy("__id").limit(sampleSize)
+      .select("__vn").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "trainIvfPq needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val centroids = VectorQuantization.trainCentroids(sample, nCells, iters, seed = 42L)
+    val residuals = sample.map { v =>
+      var best = 0; var bestDot = Double.MinValue
+      var ci = 0
+      while (ci < centroids.length) {
+        var d = 0.0; var i = 0
+        while (i < dim) { d += v(i) * centroids(ci)(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = ci }
+        ci += 1
+      }
+      Array.tabulate(dim)(i => v(i) - centroids(best)(i))
+    }
+    val codebooks: Array[Array[Array[Double]]] = Array.tabulate(m) { j =>
+      VectorQuantization.trainCentroidsL2(
+        residuals.map(_.slice(j * sub, (j + 1) * sub)), nCodes, iters, seed = 42L + j)
+    }
+    IvfPqIndex(centroids, codebooks)
+  }
+
+  /** Encode vectors into (id, cell, m residual sub-codes) against a
+    * PERSISTED [[IvfPqIndex]] — the index-maintenance path: encoding is
+    * a pure per-row function of (vector, index metadata), so
+    * `encode(old) ∪ encode(delta)` is EXACTLY `encode(old ∪ delta)`
+    * (spec-pinned) and a day's delta folds into a 100 TB index with one
+    * narrow scan of the delta — no retrain, no touch of stored codes.
+    */
+  def ivfPqEncode(df: DataFrame, idCol: String, vecCol: String, index: IvfPqIndex): DataFrame = {
+    import graft.plans.VectorQuantization
+    val m   = index.codebooks.length
+    val dim = index.centroids.head.length
+    val sub = dim / m
+    val cellCol = element_at(
+      VectorQuantization.centroidCells(col("__vn"), index.centroids, 1), 1)
+    val centLit = typedLit(index.centroids.map(_.toSeq).toSeq)
+    val resid   = zip_with(col("__vn"), element_at(centLit, col("cell") + 1), (a, b) => a - b)
+    val codeCols = (0 until m).map { j =>
+      element_at(VectorQuantization.centroidCellsL2(
+        slice(col("__resid"), j * sub + 1, sub), index.codebooks(j), 1), 1)
+    }
+    df.select(col(idCol), unitCol(asDouble(col(vecCol))).as("__vn"))
+      .withColumn("cell", cellCol).withColumn("__resid", resid)
+      .select(col(idCol), col("cell"), array(codeCols: _*).as("codes"))
+  }
+
+  // cosine contract across the PQ family: search unit vectors (dot on
+  // raw vectors would rank large-norm candidates above nearer ones)
+  private def unitCol(v: Column): Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    transform(v, x => x / greatest(n, lit(1e-12)))
+  }
+
+  def ivfPqTopK(
+      probes: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, m: Int = 8, nCodes: Int = 16,
+      shortlist: Int = 100, sampleSize: Int = 2048, iters: Int = 5, maxProbes: Int = 16384
+  ): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val index = trainIvfPq(candidates, idCol, vecCol, nCells, m, nCodes, sampleSize, iters)
+    val centroids = index.centroids
+    val codebooks = index.codebooks
+    val dim = centroids.head.length
+    val sub = dim / m
+    // the persisted representation: (id, cell, m residual sub-codes)
+    val encoded = ivfPqEncode(candidates, idCol, vecCol, index)
+      .withColumnRenamed(idCol, "neighbor_id")
+
+    // probe side: nProbe cells each; per (probe, cell) the centroid-dot
+    // constant; per probe the m ADC tables over residual codebooks
+    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(maxProbes + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(probeRows.length <= maxProbes,
+      s"ivfPqTopK probe side exceeds the small-side contract (> $maxProbes rows)")
+    val probeSide = probeRows.toSeq.flatMap { case (pid, pvRaw) =>
+      val norm = math.max(math.sqrt(pvRaw.map(x => x * x).sum), 1e-12)
+      val pv   = pvRaw.map(_ / norm)
+      val adcTables = (0 until m).map { j =>
+        codebooks(j).map { cen =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += pv(j * sub + i) * cen(i); i += 1 }
+          d
+        }.toSeq
+      }
+      val byCell = centroids.zipWithIndex.map { case (cen, ci) =>
+        var d = 0.0; var i = 0
+        while (i < dim) { d += pv(i) * cen(i); i += 1 }
+        (ci, d)
+      }.sortBy { case (ci, d) => (-d, ci) }.take(nProbe)
+      byCell.toSeq.map { case (ci, cdot) => (pid, ci, cdot, adcTables) }
+    }
+    val probeTables = probeSide.toDF("probe_id", "cell", "cdot", "tables")
+
+    // equi-join on cell (NOT a cross join): only probed lists are scored
+    val adc = col("cdot") + aggregate(sequence(lit(1), lit(m)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1))
+    val wAdc = Window.partitionBy(col("probe_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val short = encoded.join(broadcast(probeTables), Seq("cell"))
+      .withColumn("adc", adc)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= shortlist)
+      .select("probe_id", "neighbor_id")
+
+    // exact cosine re-rank on the id-fetched shortlist
+    val pv = probeRows.toSeq.map { case (pid, v) => (pid, v.toSeq) }.toDF("probe_id", "__pv")
+    val w  = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    short.join(c, Seq("neighbor_id"))
+      .join(broadcast(pv), Seq("probe_id"))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, arXiv:2303.09540):
+    * cluster-bounded candidate generation over embeddings. The corpus is
+    * k-means-partitioned (same bounded deterministic training as IVF);
+    * near-dup pairs are only sought WITHIN a cluster — the paper's core
+    * observation is that semantic duplicates land in the same cluster, so
+    * the all-pairs O(n²) collapses to O(Σ cell²) ≈ O(n·n/k). k is the
+    * scale knob: it must grow with the corpus (k ≈ n / targetCellSize)
+    * to keep per-cell work bounded — the same contract FAISS imposes on
+    * its IVF index. Pairs above the cosine threshold resolve to one
+    * survivor per connected component via [[Dedup.resolveSurvivors]]
+    * (min-id representative, components never leave their cluster's
+    * candidate set). Complements [[lshNearDupPairs]]: data-adaptive
+    * cells vs data-oblivious hyperplanes — on clustered real-world
+    * embeddings the cells capture near-dups with fewer compared pairs.
+    */
+  def semDeDup(
+      vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      k: Int = 64, sampleSize: Int = 2048, iters: Int = 5
+  ): DataFrame = {
+    import graft.plans.VectorQuantization
+    val v = vectors.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    val sample = v.orderBy("__id").limit(sampleSize)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "semDeDup needs a non-empty corpus")
+    val centroids = VectorQuantization.trainCentroids(sample, k, iters, seed = 42L)
+    val cells = v.withColumn("__cell",
+      element_at(VectorQuantization.centroidCells(col("__v"), centroids, 1), 1))
+    // within-cell pairs only: the equi-join on __cell is the pruning —
+    // cosine is evaluated per colliding pair, never across cells
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.__cell") === col("b.__cell") && col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        cosine(col("a.__v"), col("b.__v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    Dedup.resolveSurvivors(vectors.select(col(idCol)), pairs, idCol)
+  }
+
   /** Product-quantization ANN (spherical PQ variant): the memory-scale
     * path. The corpus is ENCODED ONCE into m sub-codes (m bytes/vector
     * vs dim floats — 64× smaller at dim=64/m=4: the index for 100 TB of

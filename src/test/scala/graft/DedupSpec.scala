@@ -62,6 +62,30 @@ class DedupSpec extends SparkSpec {
     assert(incr == batch, "index-based delta cleaning must match the batch operator")
   }
 
+  test("index deletion equals a from-scratch rebuild of the survivors (both indexes)") {
+    val corpus  = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val deleted = corpus.filter(col("doc_id") % 7 === 0)
+    val kept    = corpus.filter(col("doc_id") % 7 =!= 0)
+
+    // span index: negative-count merge (the GROUP structure of doc
+    // counts) must land exactly on the surviving corpus's own index
+    val forgot = Dedup.forgetFromSpanIndex(
+        Dedup.spanIndex(corpus, "doc_id", "text", spanTokens = 3),
+        deleted, "doc_id", "text", spanTokens = 3)
+      .as[(String, Long)].collect().toSet
+    val rebuilt = Dedup.spanIndex(kept, "doc_id", "text", spanTokens = 3)
+      .as[(String, Long)].collect().toSet
+    assert(forgot == rebuilt, "span-index deletion diverged from the survivor rebuild")
+
+    // band index: per-doc rows, so the anti-join must equal the rebuild
+    val bForgot = Dedup.forgetFromBandIndex(
+        Dedup.bandIndex(corpus, "doc_id", "text"), deleted.select("doc_id"), "doc_id")
+      .as[(Long, Int, Long)].collect().toSet
+    val bRebuilt = Dedup.bandIndex(kept, "doc_id", "text")
+      .as[(Long, Int, Long)].collect().toSet
+    assert(bForgot == bRebuilt, "band-index deletion diverged from the survivor rebuild")
+  }
+
   test("minhash LSH finds near- and exact-dup pairs, not unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

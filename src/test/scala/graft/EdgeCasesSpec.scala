@@ -31,6 +31,28 @@ class EdgeCasesSpec extends SparkSpec {
     assert(stats.length == 4)
   }
 
+  test("Avro and XML roundtrips survive hostile corpus text (markup, quotes, multi-byte)") {
+    // corpus text is arbitrary: markup characters must come back through
+    // the XML writer's escaping, and Avro must be byte-faithful
+    val docs = Seq(
+      (1L, "plain words only"),
+      (2L, "<doc attr=\"x\">markup & entities</doc>"),
+      (3L, "quotes ' \" and ]]> cdata-closer"),
+      (4L, "ünïcödé tëxt & <tags> mixed")
+    ).toDF("doc_id", "text")
+    val avroDir = Files.createTempDirectory("graft_edge_avro").toString + "/d"
+    graft.sources.Avro.write(docs, avroDir)
+    val avroBack = graft.sources.Avro.read(spark, avroDir, docs.schema)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(avroBack == docs.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+
+    val xmlDir = Files.createTempDirectory("graft_edge_xml").toString + "/d"
+    graft.sources.Xml.write(docs, xmlDir, rowTag = "doc")
+    val xmlBack = graft.sources.Xml.read(spark, xmlDir, docs.schema, rowTag = "doc")
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    assert(xmlBack == docs.orderBy("doc_id").as[(Long, String)].collect().toSeq)
+  }
+
   test("native text kernels handle empty, short, and multi-byte input") {
     import graft.plans.TextVectorExpressions._
     import org.apache.spark.sql.functions.col

@@ -80,6 +80,95 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run(), "seeded codebooks must make the index deterministic")
   }
 
+  test("IVF+PQ composite: recall >= 0.8 on clustered vectors, deterministic, equi-join shortlist") {
+    // same planted-cluster corpus as the PQ test (PQ-family accuracy
+    // premise); the composite must not lose recall relative to flat PQ
+    // despite scoring only the probed cells
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(15)(Array.fill(64)(rnd.nextGaussian()))
+    val rows = (0 until 300).map { i =>
+      val c = centers(i % 15)
+      (i.toLong, c.map(x => (x + 0.15 * rnd.nextGaussian()).toFloat).toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+    val probes     = df.filter($"vec_id" < 15)
+    val candidates = df.filter($"vec_id" >= 15)
+    val exact = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfPqTopK(probes, candidates, "vec_id", "embedding", k = 10,
+        nCells = 8, nProbe = 4, m = 8, nCodes = 16, shortlist = 30)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"IVF+PQ recall $recall too low on clustered data")
+
+    val e = Tables(spark, sfDir).embeddings
+    def run() = Similarity.ivfPqTopK(e.filter($"vec_id" < 20), e.filter($"vec_id" >= 20),
+        "vec_id", "embedding", k = 10, nProbe = 8)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(run() == run(), "seeded coarse+PQ training must make the index deterministic")
+
+    // the ADC stage must reach candidates through the cell equi-join —
+    // a composite that degenerates to scoring every candidate per probe
+    // (cross/nested-loop) silently loses the entire IVF pruning at scale
+    val plan = physicalPlan(Similarity.ivfPqTopK(
+      e.filter($"vec_id" < 5), e.filter($"vec_id" >= 5), "vec_id", "embedding", k = 5))
+    val nested = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, "IVF+PQ shortlist must be an equi-join on cell, not a cross product")
+  }
+
+  test("IVF+PQ delta encode: encode(old) ∪ encode(delta) == encode(full), one narrow scan") {
+    val e = Tables(spark, sfDir).embeddings
+    val index = Similarity.trainIvfPq(e, "vec_id", "embedding", nCells = 16, m = 4, nCodes = 16)
+    val old   = e.filter($"vec_id" % 5 =!= 0)
+    val delta = e.filter($"vec_id" % 5 === 0)
+    def enc(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqEncode(df, "vec_id", "embedding", index)
+        .as[(Long, Int, Seq[Int])].collect().toSet
+    assert(enc(old) ++ enc(delta) == enc(e),
+      "encoding against persisted quantizers must be per-row pure (delta-foldable)")
+    // the maintenance path must stay narrow: one scan, no exchange
+    val plan = physicalPlan(Similarity.ivfPqEncode(delta, "vec_id", "embedding", index))
+    val exchanges = plan.collect {
+      case ex: org.apache.spark.sql.execution.exchange.Exchange => ex
+    }
+    assert(exchanges.isEmpty, "ivfPqEncode must be shuffle-free (pure per-row function)")
+  }
+
+  test("SemDeDup drops planted semantic duplicates, keeps singletons, deterministic") {
+    // 20 base vectors; ids 100.. are near-copies (tiny noise) of bases
+    // 0..4 — semantic duplicates that must collapse to the min-id
+    // representative; bases 5..19 have no copy and must all survive
+    val rnd = new scala.util.Random(11)
+    val bases = Array.fill(20)(Array.fill(64)(rnd.nextGaussian()))
+    val dups = (0 until 5).flatMap { b =>
+      (0 until 3).map { j =>
+        (100L + b * 10 + j, bases(b).map(x => (x + 0.01 * rnd.nextGaussian()).toFloat).toSeq)
+      }
+    }
+    val rows = bases.zipWithIndex.toSeq.map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) } ++ dups
+    val df = rows.toDF("vec_id", "embedding")
+    val survivors = Similarity.semDeDup(df, "vec_id", "embedding",
+        threshold = 0.95, k = 8, iters = 8)
+      .as[Long].collect().toSet
+    // every dup group collapses to its base (the min id in the component)
+    (0 until 5).foreach { b =>
+      assert(survivors.contains(b.toLong), s"base $b must be its group's survivor")
+      (0 until 3).foreach { j =>
+        assert(!survivors.contains(100L + b * 10 + j), s"dup of base $b must be dropped")
+      }
+    }
+    // independent vectors are untouched
+    (5 until 20).foreach(b => assert(survivors.contains(b.toLong), s"singleton $b dropped"))
+
+    val e = Tables(spark, sfDir).embeddings
+    def run() = Similarity.semDeDup(e, "vec_id", "embedding", threshold = 0.6, k = 8)
+      .as[Long].collect().toSet
+    assert(run() == run(), "seeded clustering must make semDeDup deterministic")
+  }
+
   test("PQ re-rank cosines are exact (no quantization error leaks into scores)") {
     val e = Tables(spark, sfDir).embeddings
     val probes     = e.filter($"vec_id" < 5)
