@@ -354,6 +354,39 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_retention",
+      (spark, dir) => {
+        import spark.implicits._
+        // weekly cohort retention in ONE user-keyed shuffle: per-user
+        // distinct active weeks via a map-side-combined collect_set
+        // (bounded by the calendar, not by event count), cohort = the
+        // set's minimum — no self-join of events against a cohort
+        // table, no window. The second (tiny) shuffle is the final
+        // (cohort, offset) rollup.
+        Tables(spark, dir).events
+          // DuckDB's date_trunc('week') yields DATE; match the type
+          .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+          .groupBy($"user_id")
+          .agg(sort_array(collect_set($"week")).as("weeks"))
+          .select($"user_id", element_at($"weeks", 1).as("cohort_week"),
+            explode($"weeks").as("week"))
+          .groupBy($"cohort_week",
+            (datediff($"week", $"cohort_week") / 7).cast("int").as("week_offset"))
+          .agg(count(lit(1)).as("n_users"))
+          .orderBy($"cohort_week", $"week_offset")
+      },
+      Some("""
+        WITH wk AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+        c AS (SELECT user_id, min(week) AS cohort_week FROM wk GROUP BY user_id)
+        SELECT c.cohort_week,
+               CAST(date_diff('day', c.cohort_week, wk.week) / 7 AS INT) AS week_offset,
+               CAST(count(DISTINCT wk.user_id) AS BIGINT) AS n_users
+        FROM wk JOIN c ON wk.user_id = c.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_sessionize",
       (spark, dir) => {
         import spark.implicits._

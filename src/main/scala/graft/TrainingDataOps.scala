@@ -86,6 +86,35 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_editdistance",
+      // character-level near-dup pairs (typos/OCR/template drift) via
+      // PassJoin segment blocking — constant per-string key fanout, no
+      // pair space; the ONE near-dup family whose full output is
+      // deterministic on both engines, so it carries a complete oracle
+      // (the oracle brute-forces the restricted slice; the operator
+      // never does)
+      (spark, dir) => {
+        val titles = Tables(spark, dir).documents
+          .filter(col("source").isin("src0", "src1", "src2", "src3"))
+          .select(col("doc_id"), substring(col("text"), 1, 14).as("title"))
+        Dedup.editDistancePairs(spread(titles, "doc_id"), "doc_id", "title", maxDist = 3)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH t AS (
+          SELECT doc_id, substr(text, 1, 14) AS title FROM documents
+          WHERE source IN ('src0','src1','src2','src3')
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(levenshtein(a.title, b.title) AS INT) AS dist
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE abs(length(a.title) - length(b.title)) <= 3
+          AND levenshtein(a.title, b.title) <= 3
+        ORDER BY id_a, id_b
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "dedup_ngram_jaccard",
       (spark, dir) => {
         import spark.implicits._

@@ -247,6 +247,85 @@ object Dedup {
     docs.join(dropped, Seq(idCol), "left_anti")
   }
 
+  /** Edit-distance self-join (PassJoin-family segment blocking, Li et
+    * al., ICDE'11 — public algorithm): all pairs with
+    * levenshtein ≤ maxDist, WITHOUT the O(n²) pair space. Pigeonhole:
+    * split a string into maxDist+1 contiguous segments — at most
+    * maxDist edits touch at most maxDist segments, so any string
+    * within distance maxDist contains at least one segment EXACTLY,
+    * shifted by at most maxDist positions. Each string therefore emits
+    * maxDist+1 segment keys (index role) and a CONSTANT
+    * ≤ (2·maxDist+1)²·(maxDist+1) substring keys (probe role); pairs
+    * arise only from an equi-join on (indexed-length, segment-ordinal,
+    * content) — AQE-splittable, never a cross join — and the banded
+    * Levenshtein verify runs on candidates only. The probe fanout is
+    * independent of corpus size, so the shape holds at 100 TB the way
+    * the LSH band join does.
+    *
+    * Complements the token-level families: MinHash/SimHash see
+    * token-set overlap; this sees CHARACTER-level near-equality
+    * (typos, OCR noise, template drift) with an exact distance
+    * contract — which is also what makes it the one near-dup operator
+    * whose full output sits under the DuckDB hash oracle
+    * (levenshtein is deterministic on both engines).
+    *
+    * Output: (id_a, id_b, dist), id_a < id_b, dist ≤ maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String, maxDist: Int): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    val p = maxDist + 1 // number of segments
+    val base = df.select(col(idCol).as("__id"), col(strCol).as("__s"),
+      length(col(strCol)).as("__len"))
+
+    // index role: the p segments of each string, keyed by (own length,
+    // segment ordinal, segment content)
+    def segStart(i: org.apache.spark.sql.Column, l: org.apache.spark.sql.Column) =
+      floor(i * l / p).cast("int")
+    val idx = base
+      .select(col("__id").as("id_i"), col("__len").as("l"),
+        explode(sequence(lit(0), lit(maxDist))).as("i"), col("__s"))
+      .select(col("id_i"), col("l"), col("i"),
+        col("__s").substr(segStart(col("i"), col("l")) + 1,
+          segStart(col("i") + 1, col("l")) - segStart(col("i"), col("l"))).as("seg"))
+
+    // probe role: for every plausible indexed length l' ∈ [len−d, len+d]
+    // and every segment ordinal, the substrings of this string at the
+    // segment's length within a ±maxDist position window. sequence() is
+    // guarded: Spark yields a DESCENDING range when hi < lo.
+    def boundedSeq(lo: org.apache.spark.sql.Column, hi: org.apache.spark.sql.Column) =
+      when(hi >= lo, sequence(lo, hi)).otherwise(array().cast("array<int>"))
+    val probe = base
+      .select(col("__id").as("id_p"), col("__s"), col("__len"),
+        explode(boundedSeq(greatest(col("__len") - maxDist, lit(0)).cast("int"),
+          (col("__len") + maxDist).cast("int"))).as("l"))
+      .select(col("id_p"), col("__s"), col("__len"), col("l"),
+        explode(sequence(lit(0), lit(maxDist))).as("i"))
+      .withColumn("segLen",
+        segStart(col("i") + 1, col("l")) - segStart(col("i"), col("l")))
+      .withColumn("pos", explode(boundedSeq(
+        greatest(segStart(col("i"), col("l")) - maxDist, lit(0)),
+        least(segStart(col("i"), col("l")) + maxDist, col("__len") - col("segLen")).cast("int"))))
+      .select(col("id_p"), col("l"), col("i"),
+        col("__s").substr(col("pos") + 1, col("segLen")).as("seg"))
+
+    // candidates from the segment equi-join; ids normalized + deduped
+    // BEFORE strings are fetched (16-byte rows through the distinct)
+    val candidates = idx.join(probe, Seq("l", "i", "seg"))
+      .filter(col("id_i") =!= col("id_p"))
+      .select(least(col("id_i"), col("id_p")).as("id_a"),
+        greatest(col("id_i"), col("id_p")).as("id_b"))
+      .distinct()
+
+    // banded verify on candidates only: the 3-arg levenshtein stops at
+    // the threshold (−1 above it) instead of filling the full DP table
+    val sa = base.select(col("__id").as("id_a"), col("__s").as("__sa"))
+    val sb = base.select(col("__id").as("id_b"), col("__s").as("__sb"))
+    candidates.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .withColumn("dist", levenshtein(col("__sa"), col("__sb"), maxDist))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
   /** 64-bit SimHash over token hashes: bit j of the fingerprint is the
     * sign of the vote sum over tokens of (bit j set ? +1 : -1). Native
     * codegen'd expression — one pass per row.

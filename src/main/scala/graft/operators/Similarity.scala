@@ -413,14 +413,7 @@ object Similarity {
       vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
       k: Int = 64, sampleSize: Int = 2048, iters: Int = 5
   ): DataFrame = {
-    import graft.plans.VectorQuantization
-    val v = vectors.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
-    val sample = v.orderBy("__id").limit(sampleSize)
-      .select("__v").collect().map(_.getSeq[Double](0).toArray)
-    require(sample.nonEmpty, "semDeDup needs a non-empty corpus")
-    val centroids = VectorQuantization.trainCentroids(sample, k, iters, seed = 42L)
-    val cells = v.withColumn("__cell",
-      element_at(VectorQuantization.centroidCells(col("__v"), centroids, 1), 1))
+    val cells = semCells(vectors, idCol, vecCol, k, sampleSize, iters)
     // within-cell pairs only: the equi-join on __cell is the pruning —
     // cosine is evaluated per colliding pair, never across cells
     val pairs = cells.as("a").join(cells.as("b"),
@@ -429,6 +422,36 @@ object Similarity {
         cosine(col("a.__v"), col("b.__v")).as("cosine"))
       .filter(col("cosine") >= threshold)
     Dedup.resolveSurvivors(vectors.select(col(idCol)), pairs, idCol)
+  }
+
+  /** Pre-flight for [[semDeDup]]: the exact within-cell pair mass
+    * Σ_cells C(size, 2) from one assignment scan + one aggregation — no
+    * join materialized. This is what a 100 TB run prices BEFORE
+    * launching the dedup: on a roughly uniform corpus the mass is
+    * ≈ n²/(2k), so the returned single-row frame directly validates
+    * whether k has been scaled with the corpus (k ≈ n/targetCellSize)
+    * or the within-cell join would go quadratic.
+    */
+  def semDeDupBudget(
+      vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int = 64, sampleSize: Int = 2048, iters: Int = 5
+  ): DataFrame =
+    semCells(vectors, idCol, vecCol, k, sampleSize, iters)
+      .groupBy(col("__cell")).agg(count(lit(1)).as("c"))
+      .select(sum(col("c") * (col("c") - 1) / 2).cast("long").as("candidate_pairs"))
+
+  // shared assignment so the budget prices EXACTLY the join semDeDup
+  // would run (same seed, same centroids, same cells)
+  private def semCells(vectors: DataFrame, idCol: String, vecCol: String,
+      k: Int, sampleSize: Int, iters: Int): DataFrame = {
+    import graft.plans.VectorQuantization
+    val v = vectors.select(col(idCol).as("__id"), asDouble(col(vecCol)).as("__v"))
+    val sample = v.orderBy("__id").limit(sampleSize)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "semDeDup needs a non-empty corpus")
+    val centroids = VectorQuantization.trainCentroids(sample, k, iters, seed = 42L)
+    v.withColumn("__cell",
+      element_at(VectorQuantization.centroidCells(col("__v"), centroids, 1), 1))
   }
 
   /** Product-quantization ANN (spherical PQ variant): the memory-scale

@@ -86,6 +86,29 @@ class DedupSpec extends SparkSpec {
     assert(bForgot == bRebuilt, "band-index deletion diverged from the survivor rebuild")
   }
 
+  test("edit-distance pairs (segment blocking) match brute force exactly, incl. hand-checked dists") {
+    // full-recall claim on the real corpus: the blocked join must equal
+    // the all-pairs baseline pair-for-pair AND distance-for-distance
+    val titles = Tables(spark, sfDir).documents
+      .select(col("doc_id"), substring(col("text"), 1, 14).as("title"))
+    val blocked = Dedup.editDistancePairs(titles, "doc_id", "title", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val t = titles.select(col("doc_id").as("id"), col("title").as("t"))
+    val brute = t.as("a").join(t.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"), levenshtein(col("a.t"), col("b.t")).as("d"))
+      .filter(col("d") <= 3).as[(Long, Long, Int)].collect().toSet
+    assert(brute.nonEmpty, "corpus should contain near-title pairs at d=3")
+    assert(blocked == brute, "segment blocking lost or invented pairs vs brute force")
+
+    // hand-checked distances, exact dups, and the empty-string edge
+    val toy = Seq((1L, "kitten"), (2L, "sitting"), (3L, "kitten"), (4L, ""), (5L, "a"))
+      .toDF("id", "s")
+    val pairs = Dedup.editDistancePairs(toy, "id", "s", maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 3), (1L, 3L, 0), (2L, 3L, 3), (4L, 5L, 1)),
+      s"hand-checked edit distances wrong: $pairs")
+  }
+
   test("minhash LSH finds near- and exact-dup pairs, not unrelated docs") {
     val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

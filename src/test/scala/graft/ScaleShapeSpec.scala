@@ -104,6 +104,75 @@ class ScaleShapeSpec extends SparkSpec {
       s"radius-8 budget should expose the quadratic cliff at n=$N, got $b8")
   }
 
+  test("semdedup at 10×: budget pre-flight prices the within-cell mass exactly; k is the scale knob") {
+    // 50k hash-derived 64-dim vectors (≈10× sf0.1's embeddings): near-
+    // uniform — SemDeDup's pair-mass worst case — with every 1000th
+    // vector an EXACT copy of its predecessor (identical vectors share
+    // a cell under any assignment, so ground-truth recall is exact).
+    val nVec = 50000
+    val dimV = 64
+    val gid  = when(col("id") % PlantedEvery === 1, col("id") - 1).otherwise(col("id"))
+    val vec = transform(sequence(lit(1), lit(dimV)), i =>
+      conv(substring(md5(concat_ws("_", gid, i)), 1, 15), 16, 10).cast("double") / 5.76e17 - 1.0)
+    val vectors = spark.range(nVec).select(col("id").as("vec_id"), vec.as("embedding"))
+    val planted = spark.range(nVec).filter(col("id") % PlantedEvery === 1)
+      .select((col("id") - 1).as("base"), col("id").as("dup"))
+
+    // the pre-flight is ONE aggregation (no join): at k=256 the mass is
+    // ≈ n²/(2k) ≈ 4.9M — launchable; at k=4 the SAME corpus is ~156× that
+    // (structurally quadratic). A 100 TB run reads this number and scales
+    // k BEFORE materializing anything.
+    val b256 = graft.operators.Similarity.semDeDupBudget(
+      vectors, "vec_id", "embedding", k = 256).as[Long].head()
+    val b4 = graft.operators.Similarity.semDeDupBudget(
+      vectors, "vec_id", "embedding", k = 4).as[Long].head()
+    val quadratic = nVec.toLong * (nVec - 1) / 2
+    assert(b256 < quadratic / 20,
+      s"k=256 budget $b256 not meaningfully below quadratic $quadratic — cells degenerate")
+    assert(b4 > b256 * 10,
+      s"budget must expose the k-scaling law: k=4 → $b4 vs k=256 → $b256")
+
+    // the materialized dedup at k=256: full planted recall (identical
+    // vectors always co-cell), all bases survive, dups all drop — and on
+    // unique vectors in 64-dim, accidental cosine ≥ 0.95 is ~7σ out, so
+    // survivors = n − planted EXACTLY
+    val survivors = graft.operators.Similarity.semDeDup(
+        vectors, "vec_id", "embedding", threshold = 0.95, k = 256)
+      .as[Long].collect().toSet
+    val dups  = planted.select("dup").as[Long].collect()
+    val bases = planted.select("base").as[Long].collect()
+    assert(dups.forall(d => !survivors.contains(d)), "a planted exact dup survived semdedup")
+    assert(bases.forall(survivors.contains), "a base vector was incorrectly dropped")
+    assert(survivors.size == nVec - dups.length,
+      s"accidental near-dup merges at 64-dim: ${nVec - dups.length - survivors.size} extra drops")
+  }
+
+  test("edit-distance blocking at 50×: pairs stay O(planted) with full exact-dup recall") {
+    // titles = first 14 chars of unique md5-derived text → accidental
+    // segment collisions are structurally possible but verified pairs
+    // can only be planted dups (unique pseudo-words); probe fanout is
+    // CONSTANT per string (≤ (2d+1)²(d+1) = 18 keys at d=1), so the
+    // join mass is linear in n — the property that holds at 100 TB
+    val docs   = corpus(exactDups = true)
+    val titles = docs.select(col("doc_id"), substring(col("text"), 1, 14).as("title"))
+    val pairs = Dedup.editDistancePairs(titles, "doc_id", "title", maxDist = 1).persist()
+    try {
+      val total = pairs.count()
+      assert(total <= Planted * 2L + 1000L,
+        s"edit-distance verified pairs exploded: $total for $Planted planted exact dups")
+      val recalled = pairs.join(plantedPairs, Seq("id_a", "id_b")).count()
+      assert(recalled == Planted.toLong,
+        s"segment blocking missed planted exact dups: $recalled of $Planted")
+      // and the pair stage never degrades past equi-joins
+      val bad = physicalPlan(Dedup.editDistancePairs(titles, "doc_id", "title", maxDist = 1))
+        .collect {
+          case j: BroadcastNestedLoopJoinExec => j
+          case c: CartesianProductExec        => c
+        }
+      assert(bad.isEmpty, "edit-distance join planned a nested-loop/cartesian")
+    } finally pairs.unpersist()
+  }
+
   test("bpe applyMerges: shuffle count is independent of merge-list length (merges are plan literals)") {
     val docs = corpus(exactDups = true)
     def shape(k: Int): (Int, Int) = {
