@@ -387,6 +387,34 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_funnel",
+      (spark, dir) =>
+        // ordered signup→view→click→purchase funnel in ONE user-keyed
+        // shuffle (greedy fold ≡ the oracle's min-after-previous chain,
+        // which re-joins the stream once per step); see operators.Funnel
+        operators.Funnel.stepCounts(Tables(spark, dir).events,
+          "user_id", "event_type", "ts",
+          Seq("signup", "view", "click", "purchase")).orderBy("step"),
+      Some("""
+        WITH f AS (SELECT user_id, ts, event_type FROM events
+                   WHERE event_type IN ('signup','view','click','purchase')),
+        s1 AS (SELECT user_id, min(ts) AS t FROM f WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s1 ON f.user_id = s1.user_id
+               WHERE f.event_type = 'view' AND f.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s2 ON f.user_id = s2.user_id
+               WHERE f.event_type = 'click' AND f.ts > s2.t GROUP BY 1),
+        s4 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s3 ON f.user_id = s3.user_id
+               WHERE f.event_type = 'purchase' AND f.ts > s3.t GROUP BY 1)
+        SELECT * FROM (
+          SELECT 1 AS step, 'signup' AS step_name, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+          UNION ALL SELECT 2, 'view', (SELECT count(*) FROM s2)
+          UNION ALL SELECT 3, 'click', (SELECT count(*) FROM s3)
+          UNION ALL SELECT 4, 'purchase', (SELECT count(*) FROM s4)
+        ) ORDER BY step
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_sessionize",
       (spark, dir) => {
         import spark.implicits._

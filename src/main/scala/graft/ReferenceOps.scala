@@ -473,6 +473,71 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "scd2_history",
+      // the warehouse shape downstream of the CDC surface: the event
+      // stream as a type-2 dimension of per-user status — no-op
+      // re-emits collapsed, half-open [valid_from, valid_to) versions,
+      // one is_current row per user. Both windows share the user
+      // partitioning → ONE shuffle (plan-asserted in Scd2Spec)
+      (spark, dir) =>
+        Scd2.buildHistory(
+            Tables(spark, dir).events
+              .select(col("user_id"), col("event_type"), col("ts"), col("event_id")),
+            keys = Seq("user_id"), attrs = Seq("event_type"),
+            tsCol = "ts", orderCols = Seq("event_id"))
+          .orderBy("user_id", "valid_from"),
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), v AS (
+          SELECT user_id, event_type, ts AS valid_from FROM o
+          WHERE prev IS NULL OR prev != event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current
+        FROM v ORDER BY user_id, valid_from
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "scd2_incremental",
+      // the daily dimension refresh: an append-only change delta folds
+      // into the built history touching only current rows — cost
+      // O(delta + closed rows), never O(history). The oracle is the
+      // FULL-log rebuild: incremental ∘ split == rebuild, the same
+      // identity contract cdc_apply carries
+      (spark, dir) => {
+        val events = Tables(spark, dir).events
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val cutoff = lit("2024-01-20").cast("timestamp")
+        Scd2.applyChanges(
+            Scd2.buildHistory(events.filter(col("ts") < cutoff),
+              Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"), keepOrder = true),
+            events.filter(col("ts") >= cutoff),
+            Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
+          .orderBy("user_id", "valid_from")
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), v AS (
+          SELECT user_id, event_type, ts AS valid_from, event_id FROM o
+          WHERE prev IS NULL OR prev != event_type
+        )
+        SELECT user_id, event_type, valid_from,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+               lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
+               event_id
+        FROM v ORDER BY user_id, valid_from
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "zorder_layout",
       // two-dimensional clustering for data skipping: the per-bucket
       // extents returned ARE the footer stats a reader prunes on; the

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Curation, CurationPipeline, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Curation, CurationPipeline, Dedup, Linkage, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Section C of SURVEY.md §2 — training-data pipeline operators over the
@@ -111,6 +111,70 @@ object TrainingDataOps {
         WHERE abs(length(a.title) - length(b.title)) <= 3
           AND levenshtein(a.title, b.title) <= 3
         ORDER BY id_a, id_b
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "linkage_editdistance",
+      // record linkage: the TWO-TABLE counterpart of dedup_editdistance
+      // — link one corpus slice against another by fuzzy key (titles
+      // within 2 edits) through the same segment blocking, so the
+      // |L|×|R| pair space is never materialized; the oracle
+      // brute-forces the restricted slice (length band + levenshtein),
+      // which the operator never does
+      (spark, dir) => {
+        val docs = Tables(spark, dir).documents
+        def side(srcs: Seq[String]) = docs.filter(col("source").isin(srcs: _*))
+          .select(col("doc_id"), substring(col("text"), 1, 12).as("title"))
+        Linkage.editDistanceJoin(
+            spread(side(Seq("src0", "src1")), "doc_id"), "doc_id", "title",
+            spread(side(Seq("src4", "src5")), "doc_id"), "doc_id", "title",
+            maxDist = 2)
+          .orderBy("id_l", "id_r")
+      },
+      Some("""
+        WITH l AS (SELECT doc_id, substr(text, 1, 12) AS title FROM documents
+                   WHERE source IN ('src0','src1')),
+             r AS (SELECT doc_id, substr(text, 1, 12) AS title FROM documents
+                   WHERE source IN ('src4','src5'))
+        SELECT l.doc_id AS id_l, r.doc_id AS id_r,
+               CAST(levenshtein(l.title, r.title) AS INT) AS dist
+        FROM l JOIN r ON abs(length(l.title) - length(r.title)) <= 2
+                     AND levenshtein(l.title, r.title) <= 2
+        ORDER BY id_l, id_r
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "text_ngram_lm",
+      // count-based bigram LM coverage: the corpus is the model (bigrams
+      // seen ≥ 25 times — the knob scales with corpus volume); a doc scores by the fraction of its bigram
+      // occurrences the model covers + their mean model count — the
+      // division-only perplexity proxy (a log-prob would put libm in
+      // the hash)
+      (spark, dir) =>
+        TextAnalysis.ngramLmScore(
+            spread(Tables(spark, dir).documents, "doc_id"),
+            "doc_id", "text", n = 2, minCount = 25L)
+          .orderBy("doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+                   i -> array_to_string(t[i:i+1], ' '))) AS gram
+          FROM toks
+        ), model AS (
+          SELECT gram, count(*) AS c FROM g GROUP BY 1 HAVING count(*) >= 25
+        )
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_ngrams,
+               CAST(count(model.c) AS BIGINT) AS n_covered,
+               CAST(count(model.c) AS DOUBLE) / count(*) AS coverage,
+               CAST(COALESCE(sum(model.c), 0) AS DOUBLE) / count(*) AS mean_model_count
+        FROM g LEFT JOIN model ON g.gram = model.gram
+        GROUP BY g.doc_id ORDER BY g.doc_id
       """.trim),
       bench = true
     ),
@@ -1295,6 +1359,37 @@ object TrainingDataOps {
                md5(CAST(length(CAST(doc_id AS VARCHAR)) AS VARCHAR) || ':' ||
                    CAST(doc_id AS VARCHAR) || '|epoch0') AS shuffle_key
         FROM documents ORDER BY shuffle_key LIMIT 500
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "mix_epochs",
+      // repeat-aware data mixing (the UPSAMPLING half of the recipe:
+      // "src0 × 2.5, src3 × 0.25"): floor(w) full copies + a
+      // deterministic md5-coin partial epoch — projection + explode
+      // over broadcast weights, no shuffle; the oracle replays the
+      // identical coin
+      (spark, dir) =>
+        Curation.epochMix(
+            Tables(spark, dir).documents.select("doc_id", "source"),
+            "doc_id", "source",
+            weights = Map("src0" -> 2.5, "src3" -> 0.25), defaultWeight = 1.0,
+            salt = "mix6")
+          .orderBy("doc_id", "epoch"),
+      Some("""
+        WITH w AS (
+          SELECT doc_id, source,
+                 CASE source WHEN 'src0' THEN 2 WHEN 'src3' THEN 0 ELSE 1 END AS n_full,
+                 CASE source WHEN 'src0' THEN '8000' WHEN 'src3' THEN '4000' ELSE '0000' END AS thresh
+          FROM documents
+        ), e AS (
+          SELECT doc_id, source,
+                 n_full + CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'mix6'), 1, 4) < thresh
+                               THEN 1 ELSE 0 END AS n
+          FROM w
+        )
+        SELECT doc_id, source, CAST(unnest(range(0, n)) AS INT) AS epoch
+        FROM e WHERE n > 0 ORDER BY doc_id, epoch
       """.trim),
       bench = true
     ),

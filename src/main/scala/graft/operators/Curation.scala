@@ -49,6 +49,43 @@ object Curation {
     df.filter(bucket < threshold)
   }
 
+  /** Repeat-aware mixture materialization — the UPSAMPLING half of data
+    * mixing (the published LM data recipes state per-source epoch
+    * counts like "books × 2.5"; [[temperatureSample]] and
+    * [[stratifiedSample]] only go DOWN). A source with weight w
+    * contributes floor(w) full copies (epochs 0..floor(w)−1) plus a
+    * deterministic frac(w)-sample as the final partial epoch, chosen by
+    * the same md5 hex-prefix coin as [[stratifiedSample]] — so the
+    * partial epoch is a fixed, reproducible SUBSET, not a random draw,
+    * and re-runs/engines agree row-for-row.
+    *
+    * Scale shape: a projection + explode over a broadcast weight table —
+    * no shuffle, no driver materialization; output volume is exactly
+    * Σ_s w_s·n_s rows, the number the training run budgeted. The salt
+    * gives an independent partial-epoch selection per experiment.
+    */
+  def epochMix(
+      df: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Double], defaultWeight: Double = 1.0, salt: String = ""
+  ): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0),
+      "mixture weights must be non-negative")
+    val weight = weights.foldLeft(lit(defaultWeight)) {
+      case (acc, (stratum, w)) => when(col(strataCol) === stratum, lit(w)).otherwise(acc)
+    }
+    val full   = floor(weight).cast("int")
+    val bucket = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 4)
+    // hexThreshold in column form: frac(w) ∈ [0,1) always < 1, so the
+    // "g" sentinel is never needed here
+    val thresh = format_string("%04x", round((weight - full) * 65536).cast("int"))
+    val epochs = when(bucket < thresh, full + 1).otherwise(full)
+    // guard: sequence(0, -1) is a DESCENDING two-element range in Spark,
+    // not empty — weight-0 strata must vanish via an empty array
+    df.withColumn("epoch", explode(
+        when(epochs > 0, sequence(lit(0), epochs - 1))
+          .otherwise(array().cast("array<int>"))))
+  }
+
   /** Deterministic train/val/test split manifest: every row gets a
     * split label from the same md5 hex-prefix coin as
     * [[stratifiedSample]], compared against CUMULATIVE fraction

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-funnel analysis: how many users complete step 1, then step 2
+  * strictly after it, then step 3 … — the product-analytics staple over
+  * an event stream. Greedy first-match per step is optimal (matching
+  * the earliest qualifying event for step k never forecloses a later
+  * step, since any completion using a later step-k event is also a
+  * completion using the earliest one), so the result is identical to
+  * the declarative "min ts after previous step" chain the oracle runs.
+  *
+  * Spark-first shape: ONE shuffle of the step-typed events on the user
+  * key. Each user's qualifying events are gathered sorted
+  * (`sort_array(collect_list)` — map-side combined, bounded by that
+  * user's step-typed events only, not the full stream), and a single
+  * `aggregate` fold walks them once, carrying (depth, last-ts): an
+  * event advances the funnel iff it is the next step's type and
+  * strictly later than the previous step's match. The per-user state
+  * is two scalars; the final step histogram is a 4-row rollup. A
+  * window/self-join formulation would shuffle the stream once PER STEP
+  * — this does it once total, which is the difference that matters at
+  * 100 TB.
+  *
+  * Output: (step, step_name, n_users) — users whose funnel depth
+  * reached at least that step, so n_users is non-increasing in step.
+  */
+object Funnel {
+  def stepCounts(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val stepArr = array(steps.map(lit): _*)
+    val depths = events
+      .filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"),
+        struct(col(tsCol).as("ts"), col(typeCol).as("et")).as("__e"))
+      .groupBy(col("__u"))
+      .agg(sort_array(collect_list(col("__e"))).as("__es"))
+      .select(col("__u"),
+        aggregate(
+          col("__es"),
+          // (depth so far, timestamp of the last matched step)
+          struct(lit(0).as("d"), lit(null).cast("timestamp").as("t")),
+          (st, e) => {
+            val advance = st.getField("d") < lit(steps.size) &&
+              e.getField("et") === element_at(stepArr, st.getField("d") + 1) &&
+              (st.getField("t").isNull || e.getField("ts") > st.getField("t"))
+            struct(
+              when(advance, st.getField("d") + 1).otherwise(st.getField("d")).as("d"),
+              when(advance, e.getField("ts")).otherwise(st.getField("t")).as("t"))
+          },
+          st => st.getField("d")
+        ).as("__depth"))
+
+    // tiny rollup: depth histogram → "reached at least step k" counts;
+    // every declared step gets a row (0 when nobody reached it), so the
+    // output shape is the funnel definition, not the data
+    val reached = depths.filter(col("__depth") >= 1)
+      .groupBy(col("__depth")).agg(count(lit(1)).as("__n"))
+      .select(explode(sequence(lit(1), col("__depth"))).as("step"), col("__n"))
+      .groupBy(col("step")).agg(sum(col("__n")).as("n_reached"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    steps.zipWithIndex.map { case (s, i) => (i + 1, s) }.toDF("step", "step_name")
+      .join(reached, Seq("step"), "left")
+      .select(col("step").cast("int").as("step"), col("step_name"),
+        coalesce(col("n_reached"), lit(0L)).cast("long").as("n_users"))
+  }
+}

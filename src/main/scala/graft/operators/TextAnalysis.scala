@@ -176,6 +176,44 @@ object TextAnalysis {
       .select(col(idCol), col("rank"), col("__tok").as("token"), col("tf"), col("df"), col("score"))
   }
 
+  /** Count-based n-gram language-model coverage score: the corpus
+    * itself is the model (n-grams occurring ≥ `minCount` times), and a
+    * document scores by the fraction of its n-gram occurrences the
+    * model covers plus the mean model count of its n-grams — the
+    * KenLM-style "does this text look like the corpus" signal in
+    * DIVISION-ONLY form. A true log-probability perplexity would put
+    * `ln` in the output and engines disagree in the last ulp of libm;
+    * coverage and mean-count are ratios of exact integers, so the
+    * scores hash-match across engines while ranking documents the same
+    * way (low coverage = out-of-distribution / noisy text).
+    *
+    * Scale shape (same as [[rarityProfile]]): one shuffle on the n-gram
+    * for model counts — vocabulary-bounded (Zipf-small next to the
+    * corpus), map-side combined — then one n-gram-keyed join that AQE
+    * broadcasts when the model fits, one per-doc aggregation. The
+    * model can be persisted and reused across daily slices, making the
+    * scoring pass itself join + agg only.
+    */
+  def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 2, minCount: Long = 2L): DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+    val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= minCount)
+    grams.join(model, Seq("__g"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_covered"),
+        sum(coalesce(col("__c"), lit(0L))).as("sum_model_count")
+      )
+      .select(
+        col(idCol), col("n_ngrams"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_ngrams")).as("coverage"),
+        (col("sum_model_count").cast("double") / col("n_ngrams")).as("mean_model_count")
+      )
+  }
+
   private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher document-quality rules (Rae et al. 2021, §A1.1) in their

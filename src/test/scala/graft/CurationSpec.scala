@@ -51,6 +51,40 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
   }
 
+  test("epochMix materializes floor(w) full copies plus a deterministic partial epoch") {
+    val docs = spark.range(2000).select(
+      col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(4))).as("source"))
+    val weights = Map("s0" -> 2.5, "s1" -> 0.25, "s2" -> 0.0)
+    val mix = Curation.epochMix(docs, "doc_id", "source", weights, defaultWeight = 1.0, salt = "t")
+      .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect()
+
+    // uniqueness of (doc, epoch); dropped stratum absent; default = 1 copy
+    assert(mix.length == mix.distinct.length)
+    assert(!mix.exists(_._2 == "s2"), "weight-0 stratum must vanish")
+    val s3 = mix.filter(_._2 == "s3")
+    assert(s3.length == 500 && s3.forall(_._3 == 0), "default weight 1.0 = exactly one epoch-0 copy")
+
+    // w=2.5: every doc at epochs 0 and 1, a strict nonempty subset at 2
+    val s0 = mix.filter(_._2 == "s0")
+    val s0ByEpoch = s0.groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    assert(s0ByEpoch(0).size == 500 && s0ByEpoch(1).size == 500)
+    assert(s0ByEpoch(2).nonEmpty && s0ByEpoch(2).size < 500, "partial epoch must be a strict subset")
+    assert((s0.length.toDouble / 500 - 2.5).abs < 0.15, s"s0 realized weight ${s0.length / 500.0}")
+
+    // w=0.25: single partial epoch near a quarter
+    val s1 = mix.filter(_._2 == "s1")
+    assert(s1.forall(_._3 == 0) && (s1.length.toDouble / 500 - 0.25).abs < 0.1)
+
+    // reproducible row-for-row; a different salt picks a different subset
+    val again = Curation.epochMix(docs, "doc_id", "source", weights, defaultWeight = 1.0, salt = "t")
+      .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect()
+    assert(mix.sorted.toSeq == again.sorted.toSeq)
+    val other = Curation.epochMix(docs, "doc_id", "source", weights, defaultWeight = 1.0, salt = "u")
+      .select("doc_id", "source", "epoch").as[(Long, String, Int)].collect()
+    assert(other.sorted.toSeq != mix.sorted.toSeq, "salt must yield an independent partial epoch")
+  }
+
   test("assignSplits partitions the corpus: exhaustive, deterministic, fraction-tracking, salt-independent") {
     val df = spark.range(20000).toDF("doc_id")
     val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("funnel enforces strict step order; greedy fold matches the hand-traced truth") {
+    val steps = Seq("signup", "view", "purchase")
+    val events = Seq(
+      // user 1 completes all three in order
+      (1L, "signup", ts("2024-01-01 00:00:00")),
+      (1L, "view", ts("2024-01-01 01:00:00")),
+      (1L, "purchase", ts("2024-01-01 02:00:00")),
+      // user 2: purchase BEFORE view — depth stops at view
+      (2L, "signup", ts("2024-01-01 00:00:00")),
+      (2L, "purchase", ts("2024-01-01 00:30:00")),
+      (2L, "view", ts("2024-01-01 01:00:00")),
+      // user 3: view only, never signed up — depth 0, not in output
+      (3L, "view", ts("2024-01-01 00:00:00")),
+      // user 4: same-ts view as the signup — strict > rejects it, the
+      // later view counts
+      (4L, "signup", ts("2024-01-01 00:00:00")),
+      (4L, "view", ts("2024-01-01 00:00:00")),
+      (4L, "view", ts("2024-01-01 00:10:00")),
+      // user 5: greedy trap — earliest view still leaves a purchase
+      (5L, "signup", ts("2024-01-01 00:00:00")),
+      (5L, "view", ts("2024-01-01 00:05:00")),
+      (5L, "purchase", ts("2024-01-01 00:06:00"))
+    ).toDF("user_id", "event_type", "ts")
+
+    val got = Funnel.stepCounts(events, "user_id", "event_type", "ts", steps)
+      .orderBy("step").as[(Int, String, Long)].collect().toList
+    // reached ≥1: users 1,2,4,5; ≥2: 1,2,4,5 (2's view is after signup); ≥3: 1,5
+    assert(got == List((1, "signup", 4L), (2, "view", 4L), (3, "purchase", 2L)),
+      s"funnel counts wrong: $got")
+  }
+
+  test("funnel counts are non-increasing and bounded by distinct step-1 users on the real stream") {
+    val events = Tables(spark, sfDir).events
+    val steps = Seq("signup", "view", "click", "purchase")
+    val got = Funnel.stepCounts(events, "user_id", "event_type", "ts", steps)
+      .orderBy("step").as[(Int, String, Long)].collect().toList
+    assert(got.size == 4, s"all four steps should be reachable at sf0.001: $got")
+    assert(got.map(_._3) == got.map(_._3).sorted.reverse, s"counts must be non-increasing: $got")
+    val signupUsers = events.filter($"event_type" === "signup")
+      .select("user_id").distinct().count()
+    assert(got.head._3 <= signupUsers, "step-1 count exceeds distinct signup users")
+  }
+}

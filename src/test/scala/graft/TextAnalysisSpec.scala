@@ -163,6 +163,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(overlap(fps(1L), fps(3L)) < 0.2)
   }
 
+  test("ngram LM coverage: in-distribution text scores high, out-of-distribution low") {
+    // bigram model from the corpus itself, minCount=2: "the quick fox"
+    // bigrams appear in docs 1..3 (model), doc 4 is noise (every bigram
+    // unique → zero coverage)
+    val df = Seq(
+      (1L, "the quick fox jumps"),
+      (2L, "the quick fox sleeps"),
+      (3L, "the quick fox jumps"),
+      (4L, "zx qv wk pj")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.ngramLmScore(df, "doc_id", "text", n = 2, minCount = 2L)
+      .orderBy("doc_id")
+      .select("doc_id", "n_ngrams", "n_covered", "coverage")
+      .as[(Long, Long, Long, Double)].collect().toList
+    // model bigrams: "the quick"(3) "quick fox"(3) "fox jumps"(2);
+    // doc1: 3/3 covered, doc2: 2/3 ("fox sleeps" count 1), doc4: 0/3
+    assert(got == List((1L, 3L, 3L, 1.0), (2L, 3L, 2L, 2.0 / 3), (3L, 3L, 3L, 1.0), (4L, 3L, 0L, 0.0)),
+      s"coverage wrong: $got")
+    val mean = TextAnalysis.ngramLmScore(df, "doc_id", "text", n = 2, minCount = 2L)
+      .filter($"doc_id" === 1L).select("mean_model_count").as[Double].head()
+    assert(mean == (3.0 + 3.0 + 2.0) / 3, s"mean model count wrong: $mean")
+  }
+
   test("frame sampling keeps every Nth frame with per-frame features") {
     val docs  = Seq((1L, "x" * 100)).toDF("doc_id", "text")
     val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
