@@ -538,6 +538,47 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "scd2_lookup",
+      // the consumption side of SCD2: annotate each purchase with the
+      // user-status version valid AT purchase time. Tiled half-open
+      // versions make the interval join a backward as-of join →
+      // AsOfJoin's one-shuffle union+carry-forward plan, no interval
+      // cross product (the oracle runs the literal BETWEEN join)
+      (spark, dir) => {
+        val events = Tables(spark, dir).events
+          .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        val hist  = Scd2.buildHistory(events,
+          Seq("user_id"), Seq("event_type"), "ts", Seq("event_id"))
+        val facts = events.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        Scd2.lookupAsOf(facts, hist, Seq("user_id"), "ts", Seq("event_type"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("last_event_type").as("status"),
+            col("last_valid_from").as("valid_from"))
+          .orderBy("event_id")
+      },
+      Some("""
+        WITH o AS (
+          SELECT user_id, ts, event_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), v AS (
+          SELECT user_id, event_type, ts AS valid_from FROM o
+          WHERE prev IS NULL OR prev != event_type
+        ), h AS (
+          SELECT user_id, event_type AS status, valid_from,
+                 lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to
+          FROM v
+        )
+        SELECT e.event_id, e.user_id, e.ts, h.status, h.valid_from
+        FROM events e JOIN h ON e.user_id = h.user_id
+          AND e.ts >= h.valid_from AND (h.valid_to IS NULL OR e.ts < h.valid_to)
+        WHERE e.event_type = 'purchase'
+        ORDER BY e.event_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "zorder_layout",
       // two-dimensional clustering for data skipping: the per-bucket
       // extents returned ARE the footer stats a reader prunes on; the

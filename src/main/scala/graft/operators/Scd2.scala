@@ -58,6 +58,28 @@ object Scd2 {
       .select(outCols: _*)
   }
 
+  /** Point-in-time dimension lookup — the CONSUMPTION side of SCD2:
+    * each fact row gets the dimension version valid at its timestamp
+    * (`valid_from <= ts < valid_to`). Because versions tile the
+    * timeline half-open, "the version containing ts" IS "the latest
+    * version with valid_from <= ts", so this delegates to
+    * [[AsOfJoin.backward]]'s union + carry-forward plan: ONE shuffle
+    * on the keys, no interval cross product, no per-key join
+    * duplication — the shape that survives a fact table 1000× the
+    * dimension. Facts before their key's first version keep null
+    * attributes (left semantics). Attributes arrive as
+    * `last_<attr>` / `last_valid_from`, [[AsOfJoin]]'s convention.
+    */
+  def lookupAsOf(
+      facts: DataFrame, history: DataFrame, keys: Seq[String],
+      tsCol: String, attrs: Seq[String]
+  ): DataFrame =
+    AsOfJoin.backward(
+      facts,
+      history.select((keys ++ attrs :+ "valid_from").map(col): _*),
+      partitionCols = keys, leftTimeCol = tsCol, rightTimeCol = "valid_from",
+      payloadCols = attrs :+ "valid_from")
+
   /** Incremental SCD2 maintenance: fold an APPEND-ONLY change delta
     * into an existing history without rebuilding it — the daily
     * dimension refresh. Contract: every delta change is later than its

@@ -78,6 +78,27 @@ class Scd2Spec extends SparkSpec {
     assert(inc == ful, s"incremental fold diverged from rebuild: ${(inc diff ful).take(3)} vs ${(ful diff inc).take(3)}")
   }
 
+  test("scd2 point-in-time lookup attaches the version valid at each fact timestamp") {
+    val changes = Seq(
+      (1L, "A", ts("2024-01-01 00:00:00"), 1L),
+      (1L, "B", ts("2024-01-03 00:00:00"), 2L),
+      (2L, "X", ts("2024-01-02 00:00:00"), 3L)
+    ).toDF("id", "status", "ts", "seq")
+    val hist = Scd2.buildHistory(changes, Seq("id"), Seq("status"), "ts", Seq("seq"))
+    val facts = Seq(
+      (100L, 1L, ts("2024-01-02 00:00:00")), // inside [A, B)
+      (101L, 1L, ts("2024-01-03 00:00:00")), // exactly at B's open: B (half-open)
+      (102L, 1L, ts("2024-06-01 00:00:00")), // current version
+      (103L, 2L, ts("2024-01-01 00:00:00")), // before 2's first version: null
+      (104L, 2L, ts("2024-01-02 00:00:00"))  // exactly at first open: X
+    ).toDF("fact_id", "id", "fts")
+    val got = Scd2.lookupAsOf(facts, hist, Seq("id"), "fts", Seq("status"))
+      .select("fact_id", "last_status").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(100L -> Some("A"), 101L -> Some("B"), 102L -> Some("B"),
+      103L -> None, 104L -> Some("X")), s"point-in-time lookup wrong: $got")
+  }
+
   test("scd2 plans ONE exchange: collapse + interval windows share the key partitioning") {
     val changes = Tables(spark, sfDir).events
       .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
