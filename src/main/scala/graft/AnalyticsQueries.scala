@@ -415,6 +415,121 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_funnel_timing",
+      (spark, dir) => {
+        import spark.implicits._
+        // conversion latency per funnel transition: the stepTimes fold
+        // already carries each user's matched timestamps, so the stats
+        // need no re-join of the stream; sums of µs are exact longs,
+        // avg is the single division
+        val steps   = Seq("signup", "view", "click", "purchase")
+        val stepArr = array(steps.map(lit): _*)
+        operators.Funnel.stepTimes(Tables(spark, dir).events,
+            "user_id", "event_type", "ts", steps)
+          .filter(size($"step_ts") >= 2)
+          .select(explode(transform(sequence(lit(2), size($"step_ts")), s => struct(
+            s.as("step"),
+            (unix_micros(element_at($"step_ts", s)) -
+              unix_micros(element_at($"step_ts", s - 1))).as("d")))).as("x"))
+          .select($"x.step".as("step"), $"x.d".as("d"))
+          .groupBy($"step")
+          .agg(count(lit(1)).as("n_users"), min($"d").as("min_us"), max($"d").as("max_us"),
+            (sum($"d").cast("double") / count(lit(1))).as("avg_us"))
+          .select($"step".cast("int").as("step"), element_at(stepArr, $"step").as("step_name"),
+            $"n_users", $"min_us", $"max_us", $"avg_us")
+          .orderBy("step")
+      },
+      Some("""
+        WITH f AS (SELECT user_id, ts, event_type FROM events
+                   WHERE event_type IN ('signup','view','click','purchase')),
+        s1 AS (SELECT user_id, min(ts) AS t FROM f WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s1 ON f.user_id = s1.user_id
+               WHERE f.event_type = 'view' AND f.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s2 ON f.user_id = s2.user_id
+               WHERE f.event_type = 'click' AND f.ts > s2.t GROUP BY 1),
+        s4 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s3 ON f.user_id = s3.user_id
+               WHERE f.event_type = 'purchase' AND f.ts > s3.t GROUP BY 1),
+        d AS (
+          SELECT 2 AS step, 'view' AS step_name, date_diff('microsecond', s1.t, s2.t) AS d
+          FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+          UNION ALL
+          SELECT 3, 'click', date_diff('microsecond', s2.t, s3.t)
+          FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+          UNION ALL
+          SELECT 4, 'purchase', date_diff('microsecond', s3.t, s4.t)
+          FROM s4 JOIN s3 ON s4.user_id = s3.user_id
+        )
+        SELECT step, step_name, CAST(count(*) AS BIGINT) AS n_users,
+               CAST(min(d) AS BIGINT) AS min_us, CAST(max(d) AS BIGINT) AS max_us,
+               CAST(sum(d) AS DOUBLE) / count(*) AS avg_us
+        FROM d GROUP BY 1, 2 ORDER BY step
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_anomaly",
+      (spark, dir) =>
+        // integer-exact z-score outliers (k = 9/5) over the gap-filled
+        // weekly series: kDen²·(n·x−s)² > kNum²·(n·q−s²) keeps every
+        // term a long — the flagged SET cannot drift in the last ulp
+        operators.TimeSeries.anomalies(Tables(spark, dir).events,
+            "user_id", "ts", kNum = 9L, kDen = 5L, stepDays = 7)
+          .orderBy("user_id", "bucket"),
+      Some("""
+        WITH wk AS (
+          SELECT user_id, date_trunc('week', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2
+        ), spans AS (
+          SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM wk GROUP BY 1
+        ), cal AS (
+          SELECT s.user_id, CAST(unnest(generate_series(s.b0, s.b1, INTERVAL 7 DAY)) AS DATE) AS bucket
+          FROM spans s
+        ), filled AS (
+          SELECT cal.user_id, cal.bucket, COALESCE(wk.n_events, 0) AS n_events
+          FROM cal LEFT JOIN wk ON cal.user_id = wk.user_id AND cal.bucket = wk.bucket
+        ), stats AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n, CAST(sum(n_events) AS BIGINT) AS s,
+                 CAST(sum(n_events*n_events) AS BIGINT) AS q
+          FROM filled GROUP BY 1
+        )
+        SELECT f.user_id, f.bucket, f.n_events,
+               CAST(n*f.n_events - s AS BIGINT) AS dev_num,
+               CAST(n*q - s*s AS BIGINT) AS var_num,
+               n AS n_buckets
+        FROM filled f JOIN stats st ON f.user_id = st.user_id
+        WHERE n >= 4 AND 25*(n*f.n_events - s)*(n*f.n_events - s) > 81*(n*q - s*s)
+        ORDER BY f.user_id, f.bucket
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_gapfill",
+      (spark, dir) =>
+        // calendar resampling: weekly per-user error counts with the
+        // silent weeks materialized as zeros (absence-of-row ≠ zero for
+        // any trend model); event volume is scanned once — the fill
+        // works on calendar-sized frames (operators.TimeSeries.gapFill)
+        operators.TimeSeries.gapFill(
+            Tables(spark, dir).events.filter(col("event_type") === "error"),
+            "user_id", "ts", stepDays = 7)
+          .orderBy("user_id", "bucket"),
+      Some("""
+        WITH wk AS (
+          SELECT user_id, date_trunc('week', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        ), spans AS (
+          SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM wk GROUP BY 1
+        ), cal AS (
+          SELECT s.user_id, CAST(unnest(generate_series(s.b0, s.b1, INTERVAL 7 DAY)) AS DATE) AS bucket
+          FROM spans s
+        )
+        SELECT cal.user_id, cal.bucket, COALESCE(wk.n_events, 0) AS n_events
+        FROM cal LEFT JOIN wk ON cal.user_id = wk.user_id AND cal.bucket = wk.bucket
+        ORDER BY cal.user_id, cal.bucket
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_sessionize",
       (spark, dir) => {
         import spark.implicits._

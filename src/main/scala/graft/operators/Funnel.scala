@@ -27,13 +27,20 @@ import org.apache.spark.sql.functions._
   * reached at least that step, so n_users is non-increasing in step.
   */
 object Funnel {
-  def stepCounts(
+  /** Per-user matched step timestamps: `step_ts[i]` is the time the
+    * user completed step i+1 (array length = funnel depth reached).
+    * The greedy fold walks each user's sorted step-typed events once;
+    * conjunct order matters — `size < steps` guards the `element_at`
+    * into the step list, and the null `last` check guards the strict
+    * ordering test (Spark's And/Or evaluate left-to-right).
+    */
+  def stepTimes(
       events: DataFrame, userCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]
   ): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     val stepArr = array(steps.map(lit): _*)
-    val depths = events
+    events
       .filter(col(typeCol).isin(steps: _*))
       .select(col(userCol).as("__u"),
         struct(col(tsCol).as("ts"), col(typeCol).as("et")).as("__e"))
@@ -42,18 +49,28 @@ object Funnel {
       .select(col("__u"),
         aggregate(
           col("__es"),
-          // (depth so far, timestamp of the last matched step)
-          struct(lit(0).as("d"), lit(null).cast("timestamp").as("t")),
+          // (matched step timestamps so far, timestamp of the last match)
+          struct(array().cast("array<timestamp>").as("a"),
+            lit(null).cast("timestamp").as("t")),
           (st, e) => {
-            val advance = st.getField("d") < lit(steps.size) &&
-              e.getField("et") === element_at(stepArr, st.getField("d") + 1) &&
+            val advance = size(st.getField("a")) < lit(steps.size) &&
+              e.getField("et") === element_at(stepArr, size(st.getField("a")) + 1) &&
               (st.getField("t").isNull || e.getField("ts") > st.getField("t"))
             struct(
-              when(advance, st.getField("d") + 1).otherwise(st.getField("d")).as("d"),
+              when(advance, concat(st.getField("a"), array(e.getField("ts"))))
+                .otherwise(st.getField("a")).as("a"),
               when(advance, e.getField("ts")).otherwise(st.getField("t")).as("t"))
           },
-          st => st.getField("d")
-        ).as("__depth"))
+          st => st.getField("a")
+        ).as("step_ts"))
+  }
+
+  def stepCounts(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    val depths = stepTimes(events, userCol, typeCol, tsCol, steps)
+      .select(col("__u"), size(col("step_ts")).as("__depth"))
 
     // tiny rollup: depth histogram → "reached at least step k" counts;
     // every declared step gets a row (0 when nobody reached it), so the

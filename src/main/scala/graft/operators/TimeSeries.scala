@@ -67,4 +67,65 @@ object TimeSeries {
       .limit(k)
       .select((seriesCols ++ orderCols).map(col) :+ col("dist_cents2"): _*)
   }
+
+  /** Calendar gap-filling (resampling to a regular grid): per-key
+    * bucket counts with the MISSING buckets materialized as explicit
+    * zero rows between each key's first and last active bucket — what
+    * a downstream trend/seasonality/rolling model needs and what a
+    * plain GROUP BY silently omits (absence-of-row ≠ zero).
+    *
+    * Scale shape: the count aggregation is calendar-bounded per key
+    * (map-side combined); spans are an aggregation OF that (one row
+    * per key); the calendar explode is bounded by span length, never
+    * event volume; and the final (key, bucket) left join shuffles
+    * frames that are both calendar-sized. Event volume is touched
+    * exactly once, in the first aggregation.
+    */
+  def gapFill(df: DataFrame, keyCol: String, tsCol: String, stepDays: Int = 7): DataFrame = {
+    require(stepDays > 0, "stepDays must be positive")
+    val bucket =
+      if (stepDays == 7) date_trunc("week", col(tsCol)).cast("date")
+      else to_date(lit("1970-01-01")) + (datediff(col(tsCol).cast("date"),
+        to_date(lit("1970-01-01"))) / stepDays).cast("int") * stepDays
+    val counts = df.select(col(keyCol), bucket.as("bucket"))
+      .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("n_events"))
+    val cal = counts.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("__b0"), max(col("bucket")).as("__b1"))
+      .select(col(keyCol), explode(expr(s"sequence(__b0, __b1, interval $stepDays days)")).as("bucket"))
+    cal.join(counts, Seq(keyCol, "bucket"), "left")
+      .select(col(keyCol), col("bucket"), coalesce(col("n_events"), lit(0L)).as("n_events"))
+  }
+
+  /** Per-key z-score outliers over the gap-filled series, in
+    * INTEGER-EXACT form: with n buckets, sum s and sum-of-squares q
+    * per key, `|x − mean| > k·σ` for rational k = kNum/kDen is
+    * algebraically `kDen²·(n·x − s)² > kNum²·(n·q − s²)` — every term
+    * a long, so the flagged SET is hash-exact on any engine, where a
+    * float mean/stddev pipeline can flip a borderline bucket in the
+    * last ulp. Gap-filling first matters: silent weeks enter the
+    * baseline as real zeros (and can themselves be the anomaly — an
+    * outage IS a zero week).
+    *
+    * Scale shape: one tiny per-key stats aggregate joined back
+    * (broadcastable — one row per key), then a pure filter; the series
+    * is scanned once past [[gapFill]].
+    */
+  def anomalies(
+      df: DataFrame, keyCol: String, tsCol: String,
+      kNum: Long = 2L, kDen: Long = 1L, stepDays: Int = 7, minBuckets: Int = 4
+  ): DataFrame = {
+    require(kNum > 0 && kDen > 0, "threshold must be a positive rational")
+    val filled = gapFill(df, keyCol, tsCol, stepDays)
+    val stats = filled.groupBy(col(keyCol)).agg(
+      count(lit(1)).as("__n"),
+      sum(col("n_events")).as("__s"),
+      sum(col("n_events") * col("n_events")).as("__q"))
+    val dev = col("__n") * col("n_events") - col("__s")          // n·x − s
+    val varNum = col("__n") * col("__q") - col("__s") * col("__s") // n·q − s²
+    filled.join(stats, Seq(keyCol))
+      .filter(col("__n") >= minBuckets &&
+        lit(kDen * kDen) * dev * dev > lit(kNum * kNum) * varNum)
+      .select(col(keyCol), col("bucket"), col("n_events"),
+        dev.as("dev_num"), varNum.as("var_num"), col("__n").as("n_buckets"))
+  }
 }

@@ -42,6 +42,21 @@ class FunnelSpec extends SparkSpec {
       s"funnel counts wrong: $got")
   }
 
+  test("stepTimes returns the matched timestamps of the greedy (= min-after-previous) chain") {
+    val steps = Seq("signup", "view", "purchase")
+    val events = Seq(
+      (1L, "view", ts("2024-01-01 00:30:00")),     // before signup: ignored
+      (1L, "signup", ts("2024-01-01 01:00:00")),
+      (1L, "view", ts("2024-01-01 02:00:00")),     // first qualifying view
+      (1L, "view", ts("2024-01-01 03:00:00")),     // later view: not matched
+      (1L, "purchase", ts("2024-01-01 04:00:00"))
+    ).toDF("user_id", "event_type", "ts")
+    val got = Funnel.stepTimes(events, "user_id", "event_type", "ts", steps)
+      .select("step_ts").as[Seq[Timestamp]].head()
+    assert(got == Seq(ts("2024-01-01 01:00:00"), ts("2024-01-01 02:00:00"),
+      ts("2024-01-01 04:00:00")), s"matched chain wrong: $got")
+  }
+
   test("funnel counts are non-increasing and bounded by distinct step-1 users on the real stream") {
     val events = Tables(spark, sfDir).events
     val steps = Seq("signup", "view", "click", "purchase")

@@ -34,6 +34,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(top == Seq((1L, 6L, 0L), (2L, 4L, 100L)))
   }
 
+  test("gapFill materializes zero rows for silent buckets, spans per key, never pads outside") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    // key 1: active weeks of Jan 1 and Jan 22 → two silent weeks between;
+    // key 2: one active week → no padding at all
+    val df = Seq(
+      (1L, t("2024-01-02 10:00:00")), (1L, t("2024-01-03 11:00:00")),
+      (1L, t("2024-01-24 09:00:00")),
+      (2L, t("2024-02-07 00:00:00"))
+    ).toDF("k", "ts")
+    val got = TimeSeries.gapFill(df, "k", "ts", stepDays = 7)
+      .orderBy("k", "bucket")
+      .as[(Long, java.sql.Date, Long)].collect().toList
+      .map { case (k, d, n) => (k, d.toString, n) }
+    assert(got == List(
+      (1L, "2024-01-01", 2L), (1L, "2024-01-08", 0L),
+      (1L, "2024-01-15", 0L), (1L, "2024-01-22", 1L),
+      (2L, "2024-02-05", 1L)
+    ), s"gap fill wrong: $got")
+  }
+
+  test("anomalies flags the planted spike and the silent-week outage, integer-exact at the boundary") {
+    def week(i: Int, j: Int) = // event j in week i (weeks start Mon 2024-01-01)
+      new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        i * 7L * 86400000L + j * 3600000L)
+    // key 10: 9 events/week for 6 weeks but week 4 SILENT → the zero
+    //   week (from gap-fill) is the outage anomaly: dev²=2025 > 4·405
+    // key 20: 5/week then a 50-spike: dev²=50625 > 4·10125
+    // key 30: exact 2σ boundary (5,5,5,5,50): dev²=32400 == 4·8100 →
+    //   NOT flagged (strict >) — the integer form makes the tie exact
+    val rows =
+      (for (i <- Seq(0, 1, 2, 3, 5); j <- 0 until 9) yield (10L, week(i, j))) ++
+      (for (i <- 0 to 5; j <- 0 until (if (i == 5) 50 else 5)) yield (20L, week(i, j))) ++
+      (for (i <- 0 to 4; j <- 0 until (if (i == 4) 50 else 5)) yield (30L, week(i, j)))
+    val df = rows.toDF("k", "ts")
+    val got = TimeSeries.anomalies(df, "k", "ts", kNum = 2L, kDen = 1L)
+      .select("k", "n_events").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 0L), (20L, 50L)), s"anomaly set wrong: $got")
+  }
+
   test("plan: one series-key shuffle for extraction, bounded TakeOrdered for top-k") {
     val plan = physicalPlan(
       TimeSeries.similarTopK(ts, Seq("series"), Seq("pos"), "value", pattern, k = 2))
