@@ -503,6 +503,42 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_rolling",
+      (spark, dir) =>
+        // 4-week trailing trend + week-over-week delta per user over the
+        // gap-filled series — the zeros are load-bearing (a ROWS frame
+        // over sparse weeks would span gaps and inflate the trend);
+        // exact long sums, the mean is the one division
+        operators.TimeSeries.rollingStats(
+            Tables(spark, dir).events.filter(col("event_type") === "error"),
+            "user_id", "ts", k = 4, stepDays = 7)
+          .orderBy("user_id", "bucket"),
+      Some("""
+        WITH wk AS (
+          SELECT user_id, date_trunc('week', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events
+          FROM events WHERE event_type = 'error' GROUP BY 1, 2
+        ), spans AS (
+          SELECT user_id, min(bucket) AS b0, max(bucket) AS b1 FROM wk GROUP BY 1
+        ), cal AS (
+          SELECT s.user_id, CAST(unnest(generate_series(s.b0, s.b1, INTERVAL 7 DAY)) AS DATE) AS bucket
+          FROM spans s
+        ), filled AS (
+          SELECT cal.user_id, cal.bucket, COALESCE(wk.n_events, 0) AS n_events
+          FROM cal LEFT JOIN wk ON cal.user_id = wk.user_id AND cal.bucket = wk.bucket
+        )
+        SELECT user_id, bucket, n_events,
+               n_events - lag(n_events) OVER w AS delta,
+               CAST(sum(n_events) OVER f AS BIGINT) AS roll_sum,
+               CAST(count(*) OVER f AS BIGINT) AS roll_buckets,
+               CAST(sum(n_events) OVER f AS DOUBLE) / count(*) OVER f AS roll_mean
+        FROM filled
+        WINDOW w AS (PARTITION BY user_id ORDER BY bucket),
+               f AS (PARTITION BY user_id ORDER BY bucket ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        ORDER BY user_id, bucket
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_gapfill",
       (spark, dir) =>
         // calendar resampling: weekly per-user error counts with the

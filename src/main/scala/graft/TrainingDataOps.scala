@@ -1346,6 +1346,31 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "vocab_growth",
+      // Heaps-law vocabulary growth per source: first occurrence =
+      // min(doc_id) per (source, token) — one vocab-bounded agg, then a
+      // per-source window over the doc-count-sized frame (never a
+      // global single-partition sort). Flatlining curve ⇒ the source is
+      // exhausted; that decides epoch mixing
+      (spark, dir) =>
+        Curation.vocabGrowth(Tables(spark, dir).documents, "source", "doc_id", "text")
+          .orderBy("source", "doc_id"),
+      Some("""
+        WITH toks AS (
+          SELECT source, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents
+        ), firsts AS (
+          SELECT source, tok, min(doc_id) AS doc_id FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+        ), per_doc AS (
+          SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_new FROM firsts GROUP BY 1, 2
+        )
+        SELECT source, doc_id, n_new,
+               CAST(sum(n_new) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS vocab_size
+        FROM per_doc ORDER BY source, doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "shuffle_deterministic",
       // training-order randomization as a hash sort: reproducible across
       // runs and engines (same md5), range-partitioned at scale — never a

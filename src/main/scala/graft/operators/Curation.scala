@@ -430,6 +430,36 @@ object Curation {
     * on the gram: per-gram fanout is bounded by #sources², never by
     * document count, so the matrix stays cheap at any corpus size.
     */
+  /** Per-source vocabulary growth curve (the Heaps-law diagnostic): for
+    * each doc position in id order, how many NEVER-SEEN-BEFORE tokens
+    * it contributes and the running vocabulary size. A healthy crawl
+    * grows sublinearly; a curve that keeps climbing linearly means
+    * boilerplate-free novel text (or an id-ordering bug), one that
+    * flatlines early means the source is exhausted/duplicated — the
+    * signal that decides whether another epoch of a source is worth
+    * mixing in.
+    *
+    * Scale shape: "first occurrence" is `min(doc_id) per (source,
+    * token)` — one vocab-bounded aggregation, no sort of the corpus;
+    * the growth curve is a window over the doc-count-sized per-doc
+    * frame, PARTITIONED BY SOURCE (never a global single-partition
+    * window), so each source's curve sorts independently.
+    */
+  def vocabGrowth(df: DataFrame, srcCol: String, idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = df
+      .select(col(srcCol), col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
+      .filter(length(col("__tok")) > 0)
+      .groupBy(col(srcCol), col("__tok"))
+      .agg(min(col(idCol)).as(idCol))
+    val perDoc = firsts.groupBy(col(srcCol), col(idCol))
+      .agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.withColumn("vocab_size", sum(col("n_new")).over(w))
+  }
+
   def sourceNgramOverlap(df: DataFrame, srcCol: String, textCol: String, n: Int): DataFrame = {
     val sg = df.select(col(srcCol).as("__src"),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("__gram"))

@@ -65,6 +65,40 @@ object Funnel {
         ).as("step_ts"))
   }
 
+  /** Skew-safe alternative to [[stepTimes]]: one pass of
+    * filter → per-user `min` → join PER STEP, never a per-user event
+    * list. The fold gathers each user's step events into one task's
+    * row, so a pathologically hot key (a bot with millions of step
+    * events) makes that task the straggler; here every pass is a
+    * map-side-combined `min` aggregation — immune to key skew — at the
+    * cost of scanning the step-typed stream once per step. Greedy
+    * first-match equals the min-after-previous chain (see
+    * [[stepCounts]]), so the two are result-identical
+    * (property-tested); pick by skew profile.
+    */
+  def stepTimesChained(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String]
+  ): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val f = events.filter(col(typeCol).isin(steps: _*))
+      .select(col(userCol).as("__u"), col(typeCol).as("__et"), col(tsCol).as("__ts"))
+    var acc = f.filter(col("__et") === steps.head)
+      .groupBy(col("__u")).agg(min(col("__ts")).as("__t1"))
+    for (i <- 2 to steps.size) {
+      val next = f.filter(col("__et") === steps(i - 1))
+        .join(acc.select(col("__u"), col(s"__t${i - 1}")), Seq("__u"))
+        .filter(col("__ts") > col(s"__t${i - 1}"))
+        .groupBy(col("__u")).agg(min(col("__ts")).as(s"__t$i"))
+      acc = acc.join(next, Seq("__u"), "left")
+    }
+    // t_i is null only if every later t is null too → the non-null
+    // prefix is the matched chain, same shape stepTimes returns
+    acc.select(col("__u"),
+      filter(array((1 to steps.size).map(i => col(s"__t$i")): _*),
+        t => t.isNotNull).as("step_ts"))
+  }
+
   def stepCounts(
       events: DataFrame, userCol: String, typeCol: String, tsCol: String,
       steps: Seq[String]

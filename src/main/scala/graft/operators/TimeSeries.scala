@@ -96,6 +96,30 @@ object TimeSeries {
       .select(col(keyCol), col("bucket"), coalesce(col("n_events"), lit(0L)).as("n_events"))
   }
 
+  /** Rolling trend statistics over the gap-filled series: k-bucket
+    * trailing sum/mean and the bucket-over-bucket delta per key. The
+    * zeros from [[gapFill]] are load-bearing — without them a k-bucket
+    * ROWS frame silently spans a gap and the "trailing 4 weeks" sum is
+    * really 4 ACTIVE weeks, inflating every trend over sparse keys.
+    * Mean = exact-long rolling sum over the in-frame bucket count (one
+    * division); delta is a lag subtraction — no float accumulation
+    * anywhere. One window pass (both frames share the per-key
+    * partitioning and bucket ordering).
+    */
+  def rollingStats(df: DataFrame, keyCol: String, tsCol: String,
+      k: Int = 4, stepDays: Int = 7): DataFrame = {
+    require(k >= 1, "window must span at least one bucket")
+    import org.apache.spark.sql.expressions.Window
+    val order = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val frame = order.rowsBetween(-(k - 1), Window.currentRow)
+    gapFill(df, keyCol, tsCol, stepDays)
+      .withColumn("delta", col("n_events") - lag(col("n_events"), 1).over(order))
+      .withColumn("roll_sum", sum(col("n_events")).over(frame))
+      .withColumn("roll_buckets", count(lit(1)).over(frame))
+      .withColumn("roll_mean",
+        col("roll_sum").cast("double") / col("roll_buckets"))
+  }
+
   /** Per-key z-score outliers over the gap-filled series, in
     * INTEGER-EXACT form: with n buckets, sum s and sum-of-squares q
     * per key, `|x − mean| > k·σ` for rational k = kNum/kDen is

@@ -365,6 +365,21 @@ class CurationSpec extends SparkSpec {
     windows.foreach(w => assert(w.partitionSpec.nonEmpty, "unpartitioned window in exactKPerGroup"))
   }
 
+  test("vocabGrowth counts only never-seen tokens per source, curve is cumulative") {
+    val docs = Seq(
+      (1L, "a", "x y x"),       // 2 new (x, y)
+      (2L, "a", "y z"),         // 1 new (z)
+      (3L, "a", "x y z"),       // 0 new — absent from output
+      (4L, "b", "x q")          // independent source: 2 new
+    ).toDF("doc_id", "source", "text")
+    val got = Curation.vocabGrowth(docs, "source", "doc_id", "text")
+      .orderBy("source", "doc_id")
+      .select("source", "doc_id", "n_new", "vocab_size")
+      .as[(String, Long, Long, Long)].collect().toList
+    assert(got == List(("a", 1L, 2L, 2L), ("a", 2L, 1L, 3L), ("b", 4L, 2L, 2L)),
+      s"growth curve wrong: $got")
+  }
+
   test("sourceNgramOverlap counts distinct shared grams once per pair") {
     val docs = Seq(
       (1L, "a b c d e extra words here", "s1"),

@@ -57,6 +57,19 @@ class FunnelSpec extends SparkSpec {
       ts("2024-01-01 04:00:00")), s"matched chain wrong: $got")
   }
 
+  test("chained (skew-safe) funnel equals the fold on the real stream, user for user") {
+    val events = Tables(spark, sfDir).events
+    val steps = Seq("signup", "view", "click", "purchase")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("__u", "step_ts").as[(Long, Seq[Timestamp])].collect().toMap
+    val fold  = toMap(Funnel.stepTimes(events, "user_id", "event_type", "ts", steps))
+    val chain = toMap(Funnel.stepTimesChained(events, "user_id", "event_type", "ts", steps))
+    // chained omits users with no step-1 event; fold gives them []
+    val foldReached = fold.filter(_._2.nonEmpty)
+    assert(foldReached == chain.filter(_._2.nonEmpty), "fold and chain matched different timestamps")
+    assert(chain.forall { case (u, t) => t.nonEmpty || fold(u).isEmpty })
+  }
+
   test("funnel counts are non-increasing and bounded by distinct step-1 users on the real stream") {
     val events = Tables(spark, sfDir).events
     val steps = Seq("signup", "view", "click", "purchase")

@@ -54,6 +54,25 @@ class TimeSeriesSpec extends SparkSpec {
     ), s"gap fill wrong: $got")
   }
 
+  test("rollingStats: frames include the filled zeros; delta and mean hand-checked") {
+    def week(i: Int, j: Int) =
+      new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
+        i * 7L * 86400000L + j * 3600000L)
+    // weeks 0,1,3 active (counts 2,4,6); week 2 silent → zero row that
+    // MUST enter week 3's trailing frame
+    val rows = for ((i, c) <- Seq((0, 2), (1, 4), (3, 6)); j <- 0 until c) yield (1L, week(i, j))
+    val got = TimeSeries.rollingStats(rows.toDF("k", "ts"), "k", "ts", k = 2)
+      .orderBy("bucket")
+      .select("n_events", "delta", "roll_sum", "roll_buckets", "roll_mean")
+      .as[(Long, Option[Long], Long, Long, Double)].collect().toList
+    assert(got == List(
+      (2L, None, 2L, 1L, 2.0),          // first bucket: no delta, frame of 1
+      (4L, Some(2L), 6L, 2L, 3.0),
+      (0L, Some(-4L), 4L, 2L, 2.0),     // the filled zero week
+      (6L, Some(6L), 6L, 2L, 3.0)       // frame = (0, 6), NOT (4, 6)
+    ), s"rolling stats wrong: $got")
+  }
+
   test("anomalies flags the planted spike and the silent-week outage, integer-exact at the boundary") {
     def week(i: Int, j: Int) = // event j in week i (weeks start Mon 2024-01-01)
       new java.sql.Timestamp(java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime +
