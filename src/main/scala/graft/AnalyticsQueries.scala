@@ -503,6 +503,37 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_rolling_active",
+      (spark, dir) => {
+        import spark.implicits._
+        // WAU + 4-week rolling distinct actives: sliding DISTINCT
+        // counts cannot be windowed, and the naive form is a range
+        // self-join of the activity table; the scalable form explodes
+        // each (user, week) into the ≤4 window-ends it covers — fanout
+        // bounded by the window, applied AFTER the distinct, never to
+        // raw events
+        val wk = Tables(spark, dir).events
+          .select($"user_id", date_trunc("week", $"ts").cast("date").as("week"))
+          .distinct()
+        val wau = wk.groupBy($"week").agg(count(lit(1)).as("wau"))
+        val mau = wk
+          .select($"user_id", explode(expr(
+            "sequence(week, week + interval '21' day, interval '7' day)")).as("week"))
+          .groupBy($"week").agg(count_distinct($"user_id").as("active_4wk"))
+        wau.join(mau, Seq("week")).orderBy("week")
+      },
+      Some("""
+        WITH wk AS (SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events),
+        cal AS (SELECT DISTINCT week FROM wk)
+        SELECT c.week,
+               (SELECT CAST(count(DISTINCT w.user_id) AS BIGINT) FROM wk w WHERE w.week = c.week) AS wau,
+               (SELECT CAST(count(DISTINCT w.user_id) AS BIGINT) FROM wk w
+                WHERE w.week BETWEEN c.week - INTERVAL 21 DAY AND c.week) AS active_4wk
+        FROM cal c ORDER BY c.week
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_rolling",
       (spark, dir) =>
         // 4-week trailing trend + week-over-week delta per user over the

@@ -223,4 +223,38 @@ class ScaleShapeSpec extends SparkSpec {
     }
     assert(bad.isEmpty, "source overlap planned a nested-loop/cartesian join")
   }
+
+  test("funnel under a hot key at 10×: fold and chain agree; the chain never gathers a per-user list") {
+    // 500k step events where ONE bot user owns 200k of them — the skew
+    // profile that makes the fold's collect_list task the straggler.
+    // Interleave types by id so the bot's greedy chain is non-trivial.
+    val nOrganic = 300000
+    val nBot     = 200000
+    val types    = array(lit("signup"), lit("view"), lit("click"), lit("purchase"))
+    val organic = spark.range(nOrganic).select(
+      (col("id") % 10000).as("user_id"),
+      element_at(types, (col("id") % 4 + 1).cast("int")).as("event_type"),
+      timestamp_micros(lit(1700000000000000L) + col("id") * 1000000L).as("ts"))
+    val bot = spark.range(nBot).select(
+      lit(999999L).as("user_id"),
+      element_at(types, (col("id") % 4 + 1).cast("int")).as("event_type"),
+      timestamp_micros(lit(1700000000000500L) + col("id") * 1000000L).as("ts"))
+    val events = organic.unionByName(bot)
+    val steps  = Seq("signup", "view", "click", "purchase")
+
+    val fold  = graft.operators.Funnel.stepTimes(events, "user_id", "event_type", "ts", steps)
+    val chain = graft.operators.Funnel.stepTimesChained(events, "user_id", "event_type", "ts", steps)
+    val f = fold.collect().map(r => r.getLong(0) -> r.getSeq[java.sql.Timestamp](1)).toMap
+    val c = chain.collect().map(r => r.getLong(0) -> r.getSeq[java.sql.Timestamp](1)).toMap
+    assert(f(999999L).size == 4, "bot should complete the funnel")
+    assert(c == f.filter(_._2.nonEmpty), "fold and chain disagree under the hot key")
+
+    // the skew-safety claim is structural: the chained plan contains NO
+    // list-gathering aggregate — its per-step passes are min() aggs
+    chain.count()
+    val gathers = physicalPlan(chain).collect {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(gathers.isEmpty, "chained funnel should never plan an object-hash (collect_list) aggregate")
+  }
 }
