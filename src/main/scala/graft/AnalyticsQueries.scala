@@ -503,6 +503,49 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_funnel_cohort",
+      (spark, dir) => {
+        import spark.implicits._
+        // funnel broken down by signup cohort: the cohort key is
+        // element 1 of the SAME stepTimes fold — no extra pass over the
+        // stream, the breakdown is a relabeling of the fold's output
+        val steps   = Seq("signup", "view", "click", "purchase")
+        val stepArr = array(steps.map(lit): _*)
+        operators.Funnel.stepTimes(Tables(spark, dir).events,
+            "user_id", "event_type", "ts", steps)
+          .filter(size($"step_ts") >= 1)
+          .select(date_trunc("week", element_at($"step_ts", 1)).cast("date").as("cohort_week"),
+            explode(sequence(lit(1), size($"step_ts"))).as("step"))
+          .groupBy($"cohort_week", $"step")
+          .agg(count(lit(1)).as("n_users"))
+          .select($"cohort_week", $"step".cast("int").as("step"),
+            element_at(stepArr, $"step").as("step_name"), $"n_users")
+          .orderBy("cohort_week", "step")
+      },
+      Some("""
+        WITH f AS (SELECT user_id, ts, event_type FROM events
+                   WHERE event_type IN ('signup','view','click','purchase')),
+        s1 AS (SELECT user_id, min(ts) AS t FROM f WHERE event_type = 'signup' GROUP BY 1),
+        s2 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s1 ON f.user_id = s1.user_id
+               WHERE f.event_type = 'view' AND f.ts > s1.t GROUP BY 1),
+        s3 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s2 ON f.user_id = s2.user_id
+               WHERE f.event_type = 'click' AND f.ts > s2.t GROUP BY 1),
+        s4 AS (SELECT f.user_id, min(f.ts) AS t FROM f JOIN s3 ON f.user_id = s3.user_id
+               WHERE f.event_type = 'purchase' AND f.ts > s3.t GROUP BY 1),
+        u AS (
+          SELECT user_id, 1 AS step, 'signup' AS step_name FROM s1
+          UNION ALL SELECT user_id, 2, 'view' FROM s2
+          UNION ALL SELECT user_id, 3, 'click' FROM s3
+          UNION ALL SELECT user_id, 4, 'purchase' FROM s4
+        )
+        SELECT CAST(date_trunc('week', s1.t) AS DATE) AS cohort_week, u.step, u.step_name,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM u JOIN s1 ON u.user_id = s1.user_id
+        GROUP BY 1, 2, 3 ORDER BY cohort_week, step
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_rolling_active",
       (spark, dir) => {
         import spark.implicits._

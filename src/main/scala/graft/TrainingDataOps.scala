@@ -1371,6 +1371,38 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "vocab_growth_incremental",
+      // daily maintenance of the vocabulary index: the new ingest's
+      // firsts fold into the stored index by a min-merge (min is
+      // associative+commutative), corpus never rescanned — the oracle
+      // is the FULL-corpus rebuild, the same identity contract the
+      // other incremental artifacts carry
+      (spark, dir) => {
+        val docs  = Tables(spark, dir).documents
+        val old   = Curation.vocabFirsts(
+          docs.filter(col("doc_id") % 3 =!= 0), "source", "doc_id", "text")
+        val delta = Curation.vocabFirsts(
+          docs.filter(col("doc_id") % 3 === 0), "source", "doc_id", "text")
+        Curation.vocabGrowthFromFirsts(
+            Curation.vocabFirstsMerge(old, delta), "source", "doc_id")
+          .orderBy("source", "doc_id")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT source, doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+          FROM documents
+        ), firsts AS (
+          SELECT source, tok, min(doc_id) AS doc_id FROM toks WHERE len(tok) > 0 GROUP BY 1, 2
+        ), per_doc AS (
+          SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_new FROM firsts GROUP BY 1, 2
+        )
+        SELECT source, doc_id, n_new,
+               CAST(sum(n_new) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS vocab_size
+        FROM per_doc ORDER BY source, doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "shuffle_deterministic",
       // training-order randomization as a hash sort: reproducible across
       // runs and engines (same md5), range-partitioned at scale — never a

@@ -445,14 +445,32 @@ object Curation {
     * frame, PARTITIONED BY SOURCE (never a global single-partition
     * window), so each source's curve sorts independently.
     */
-  def vocabGrowth(df: DataFrame, srcCol: String, idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val firsts = df
-      .select(col(srcCol), col(idCol),
-        explode(TextFunctions.tokens(col(textCol))).as("__tok"))
-      .filter(length(col("__tok")) > 0)
-      .groupBy(col(srcCol), col("__tok"))
+  def vocabGrowth(df: DataFrame, srcCol: String, idCol: String, textCol: String): DataFrame =
+    vocabGrowthFromFirsts(vocabFirsts(df, srcCol, idCol, textCol), srcCol, idCol)
+
+  /** The persistable artifact behind [[vocabGrowth]]: one row per
+    * (source, token) with the id of the first document containing it.
+    * `min` is associative and commutative, so the index is MERGEABLE:
+    * folding a new ingest's firsts into the stored index
+    * ([[vocabFirstsMerge]]) is one vocab-sized aggregation and equals
+    * the from-scratch rebuild exactly — the corpus is never rescanned.
+    */
+  def vocabFirsts(df: DataFrame, srcCol: String, idCol: String, textCol: String): DataFrame =
+    df.select(col(srcCol), col(idCol),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy(col(srcCol), col("token"))
       .agg(min(col(idCol)).as(idCol))
+
+  def vocabFirstsMerge(index: DataFrame, deltaFirsts: DataFrame): DataFrame = {
+    val cols = index.columns
+    index.unionByName(deltaFirsts)
+      .groupBy(cols.dropRight(1).map(col): _*)
+      .agg(min(col(cols.last)).as(cols.last))
+  }
+
+  def vocabGrowthFromFirsts(firsts: DataFrame, srcCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perDoc = firsts.groupBy(col(srcCol), col(idCol))
       .agg(count(lit(1)).as("n_new"))
     val w = Window.partitionBy(col(srcCol)).orderBy(col(idCol))

@@ -92,6 +92,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Set((10L, 0L), (20L, 50L)), s"anomaly set wrong: $got")
   }
 
+  test("rolling actives HLL twin: approx_count_distinct tracks exact on the cover frame") {
+    // the 100 TB path for q_rolling_active swaps count_distinct for the
+    // mergeable HLL sketch on the SAME explode-cover frame; pin that
+    // the swap is drop-in and the estimate lands inside a loose band
+    // (rsd 2% → 10% test bound leaves no flake room)
+    val wk = Tables(spark, sfDir).events
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+      .distinct()
+    val cover = wk.select(col("user_id"), explode(expr(
+      "sequence(week, week + interval '21' day, interval '7' day)")).as("week"))
+    val exact = cover.groupBy(col("week")).agg(count_distinct(col("user_id")).as("x"))
+    val hll   = cover.groupBy(col("week")).agg(approx_count_distinct(col("user_id"), 0.02).as("a"))
+    val rows = exact.join(hll, Seq("week")).select("x", "a").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (x, a) =>
+      assert(math.abs(a - x).toDouble / x < 0.1, s"HLL estimate $a too far from exact $x")
+    }
+  }
+
   test("plan: one series-key shuffle for extraction, bounded TakeOrdered for top-k") {
     val plan = physicalPlan(
       TimeSeries.similarTopK(ts, Seq("series"), Seq("pos"), "value", pattern, k = 2))
