@@ -1346,6 +1346,48 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_tfidf",
+      // sparse lexical retrieval: tf-idf cosine top-5 per probe through
+      // a token inverted join (never doc×doc). Fixed-point weights
+      // (tf·10000 ∕ df integer division) keep dots/norms exact longs —
+      // the cosine is deterministic arithmetic on exact integers, so
+      // the ranking hash-matches where float-order dots would not
+      (spark, dir) =>
+        TextAnalysis.tfidfTopK(
+            spread(Tables(spark, dir).documents, "doc_id"),
+            "doc_id", "text", probeIds = Seq(0L, 7L, 42L), k = 5)
+          .orderBy("probe_id", "rank"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), w AS (
+          SELECT doc_id, tf.tok, (tf * 10000) // df AS w FROM tf JOIN dfreq ON tf.tok = dfreq.tok
+        ), norms AS (
+          SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2 FROM w GROUP BY 1
+        ), dots AS (
+          SELECT p.doc_id AS probe_id, c.doc_id, CAST(sum(p.w * c.w) AS BIGINT) AS dot
+          FROM w p JOIN w c ON p.tok = c.tok AND c.doc_id != p.doc_id
+          WHERE p.doc_id IN (0, 7, 42)
+          GROUP BY 1, 2
+        ), scored AS (
+          SELECT d.probe_id, d.doc_id,
+                 CAST(d.dot AS DOUBLE) / (sqrt(CAST(np.norm2 AS DOUBLE)) * sqrt(CAST(nc.norm2 AS DOUBLE))) AS sim
+          FROM dots d JOIN norms np ON d.probe_id = np.doc_id
+                      JOIN norms nc ON d.doc_id = nc.doc_id
+        )
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id, sim FROM (
+          SELECT probe_id, doc_id, sim,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id ASC) AS rn
+          FROM scored
+        ) WHERE rn <= 5 ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "vocab_growth",
       // Heaps-law vocabulary growth per source: first occurrence =
       // min(doc_id) per (source, token) — one vocab-bounded agg, then a

@@ -214,6 +214,56 @@ object TextAnalysis {
       )
   }
 
+  /** Sparse (lexical) retrieval — the tf-idf counterpart of the dense
+    * ANN family: top-k most similar documents to each probe by cosine
+    * over tf-idf weights, computed through a token INVERTED join (probe
+    * tokens ⨝ corpus postings), never a doc×doc product. Weights are
+    * FIXED-POINT: w = tf·SCALE ∕ df in integer division, so dots and
+    * norms are exact longs and the final cosine is a deterministic
+    * (sqrt, ·, ÷) of exact integers — engines agree bit-for-bit where
+    * a float-accumulated dot depends on summation order.
+    *
+    * Scale shape: tf and df are the [[keywords]] aggregations (one
+    * (doc, token) shuffle + a vocab-sized df); the candidate join keys
+    * on token with fanout bounded by df (stopword-like tokens weigh
+    * ~0 under idf and can be pruned by a df cap upstream); per-pair
+    * cost is one long multiply-add in a hash aggregate. Probes are a
+    * handful of ids — their side broadcasts.
+    */
+  def tfidfTopK(df: DataFrame, idCol: String, textCol: String,
+      probeIds: Seq[Long], k: Int = 5, scale: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+    val tf    = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    // `div`, not `/`: Spark's Divide on integral inputs returns DOUBLE;
+    // the fixed-point contract needs true integer division (positive
+    // operands, so Spark's truncation == DuckDB's floor `//`)
+    val w = tf.join(dfreq, "__tok")
+      .select(col(idCol), col("__tok"),
+        expr(s"__tf * ${scale}L div __df").as("__w"))
+    val norms = w.groupBy(col(idCol))
+      .agg(sum(col("__w") * col("__w")).as("__norm2"))
+
+    val probes = w.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col("__tok"), col("__w").as("__wp"))
+    val dots = probes.join(w.select(col(idCol), col("__tok"), col("__w")), Seq("__tok"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .groupBy(col("probe_id"), col(idCol))
+      .agg(sum(col("__wp") * col("__w")).as("__dot"))
+    val scored = dots
+      .join(norms.select(col(idCol).as("probe_id"), col("__norm2").as("__np")), Seq("probe_id"))
+      .join(norms, Seq(idCol))
+      .withColumn("sim", col("__dot").cast("double") /
+        (sqrt(col("__np").cast("double")) * sqrt(col("__norm2").cast("double"))))
+    val rank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("sim").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
+  }
+
   private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher document-quality rules (Rae et al. 2021, §A1.1) in their

@@ -186,6 +186,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(mean == (3.0 + 3.0 + 2.0) / 3, s"mean model count wrong: $mean")
   }
 
+  test("tfidf retrieval ranks the near-duplicate first and never returns the probe itself") {
+    val df = Seq(
+      (0L, "spark query engine with catalyst optimizer and tungsten"),
+      (1L, "spark query engine with catalyst optimizer and codegen"), // near-dup of 0
+      (2L, "a completely unrelated cooking recipe about bread dough"),
+      (3L, "spark catalyst notes"),                                   // partial overlap
+      (4L, "bread dough proofing and baking times explained")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopK(df, "doc_id", "text", probeIds = Seq(0L), k = 3)
+      .orderBy("rank").select("doc_id", "sim").as[(Long, Double)].collect().toList
+    assert(got.map(_._1).head == 1L, s"near-dup should rank first: $got")
+    assert(!got.map(_._1).contains(0L), "probe must not retrieve itself")
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse && got.head._2 > 0.5,
+      s"similarities must descend from a high near-dup score: $got")
+  }
+
   test("frame sampling keeps every Nth frame with per-frame features") {
     val docs  = Seq((1L, "x" * 100)).toDF("doc_id", "text")
     val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
