@@ -1662,6 +1662,56 @@ object AnalyticsQueries {
         ORDER BY user_id, ts, event_id
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "q_event_transitions",
+      // first-order Markov transition matrix of the event stream: one
+      // user-keyed window pass pairs each event with its successor
+      // (lead), then a |types|²-sized hash aggregate counts edges. At
+      // 100 TB this is ONE shuffle on user_id (the window) — the final
+      // aggregate is vocabulary-bounded and map-side combines to
+      // almost nothing
+      (spark, dir) =>
+        operators.Funnel.transitionMatrix(Tables(spark, dir).events,
+            "user_id", "event_type", "ts", "event_id")
+          .orderBy("from_type", "to_type"),
+      Some("""
+        WITH t AS (
+          SELECT event_type AS from_type,
+                 lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          FROM events
+        )
+        SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "q_attribution",
+      // last-touch revenue attribution: each purchase credits the
+      // user's most recent PRECEDING non-purchase event type (or
+      // 'direct' if none). One user-keyed window carries the last touch
+      // forward (rows-frame last_value ignoreNulls — no per-purchase
+      // re-join of the stream); revenue sums in exact cents so the
+      // aggregate is order-independent
+      (spark, dir) =>
+        operators.Funnel.lastTouchAttribution(Tables(spark, dir).events,
+            "user_id", "event_type", "ts", "event_id", "value", convType = "purchase")
+          .orderBy("channel"),
+      Some("""
+        WITH a AS (
+          SELECT user_id, ts, event_id, event_type, value,
+                 last_value(CASE WHEN event_type != 'purchase' THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+          FROM events
+        )
+        SELECT coalesce(touch, 'direct') AS channel,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+        FROM a WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1
+      """.trim),
+      bench = true
     )
   )
 }

@@ -294,6 +294,32 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_range",
+      // radius search: every candidate within cosine ≥ 0.3 of a probe —
+      // the THRESHOLD contract dup-clustering needs (top-k truncates
+      // arbitrarily; a radius defines membership). Probes broadcast into
+      // the candidate scan: zero shuffles, output ∝ true neighbor mass
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.radiusSearch(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", minCosine = 0.3
+        ).orderBy("probe_id", "neighbor_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT * FROM e WHERE vec_id < 5),
+             c AS (SELECT * FROM e WHERE vec_id >= 5)
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(p.v, c.v) AS cosine
+        FROM p, c
+        WHERE list_cosine_similarity(p.v, c.v) >= 0.3
+        ORDER BY probe_id, neighbor_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "ann_physical_topk",
       // same contract as ann_bruteforce, executed through the custom
       // AnnTopKNode -> AnnTopKStrategy -> AnnTopKExec physical operator
@@ -1383,6 +1409,55 @@ object TrainingDataOps {
           SELECT probe_id, doc_id, sim,
                  row_number() OVER (PARTITION BY probe_id ORDER BY sim DESC, doc_id ASC) AS rn
           FROM scored
+        ) WHERE rn <= 5 ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "search_bm25",
+      // BM25 top-5 per probe through the same token inverted join as
+      // search_tfidf, in fully rational fixed point: tf-saturation
+      // cleared of denominators (k1=6/5, b=3/4), RS-J odds idf without
+      // the log (libm ln differs across runtimes in the last ulp) —
+      // score sums are exact longs, so the ranking hash-matches DuckDB
+      (spark, dir) =>
+        TextAnalysis.bm25TopK(
+            spread(Tables(spark, dir).documents, "doc_id"),
+            "doc_id", "text", probeIds = Seq(0L, 7L, 42L), k = 5)
+          .orderBy("probe_id", "rank"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), scores AS (
+          SELECT q.doc_id AS probe_id, s.doc_id,
+                 CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM tf q
+          JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
+          JOIN idf i ON i.tok = q.tok
+          WHERE q.doc_id IN (0, 7, 42)
+          GROUP BY 1, 2
+        )
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT probe_id, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
         ) WHERE rn <= 5 ORDER BY probe_id, rank
       """.trim),
       bench = true

@@ -120,4 +120,43 @@ object Funnel {
       .select(col("step").cast("int").as("step"), col("step_name"),
         coalesce(col("n_reached"), lit(0L)).cast("long").as("n_users"))
   }
+
+  /** First-order Markov transition matrix of the event stream: counts of
+    * (event → next event) per user in (tsCol, tieCol) order. One
+    * user-keyed window (lead) pairs each event with its successor; the
+    * final aggregate is |types|²-bounded and map-side combines, so at
+    * 100 TB the cost is exactly one shuffle on userCol.
+    */
+  def transitionMatrix(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    events
+      .select(col(userCol), col(typeCol).as("from_type"),
+        lead(col(typeCol), 1).over(w).as("to_type"))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+  }
+
+  /** Last-touch revenue attribution: each `convType` event credits the
+    * user's most recent PRECEDING non-conversion event type, or
+    * 'direct' when none exists. The touch is carried forward by ONE
+    * rows-frame `last_value(ignoreNulls)` window — no per-conversion
+    * re-join of the stream — and revenue sums in exact cents
+    * (round(value·100) as long) so the aggregate is order-independent.
+    */
+  def lastTouchAttribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, tieCol: String, valueCol: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("__touch",
+        last(when(col(typeCol) =!= convType, col(typeCol)), ignoreNulls = true).over(w))
+      .filter(col(typeCol) === convType)
+      .groupBy(coalesce(col("__touch"), lit("direct")).as("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col(valueCol) * 100).cast("long")).as("revenue_cents"))
+  }
 }

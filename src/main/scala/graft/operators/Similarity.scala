@@ -35,6 +35,25 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Radius (range) search: ALL candidates within `minCosine` of each
+    * probe — the dedup/dup-cluster contract, where top-k truncates
+    * arbitrarily but a similarity THRESHOLD defines membership. Same
+    * broadcast scan shape as [[bruteForceTopK]]: candidates stream
+    * once, probes broadcast, the filter runs inside the scan stage —
+    * no shuffle at all, and output size is the true neighbor mass
+    * rather than probes×k. The threshold compare is exact: both
+    * engines evaluate the identical float→double dot in index order.
+    */
+  def radiusSearch(probes: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, minCosine: Double): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    c.crossJoin(broadcast(p))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .filter(col("cosine") >= minCosine)
+      .select("probe_id", "neighbor_id", "cosine")
+  }
+
   /** Deterministic random hyperplanes: `tables` independent signatures of
     * `bitsPerTable` planes each (seeded, so results are reproducible).
     */

@@ -264,6 +264,70 @@ object TextAnalysis {
       .select(col("probe_id"), col("rank"), col(idCol), col("sim"))
   }
 
+  /** BM25 retrieval (Robertson–Spärck Jones, k1=1.2 b=0.75) in the same
+    * fixed-point deterministic form as [[tfidfTopK]]: every per-term
+    * quantity is an exact long, so the ranking hash-matches any engine
+    * that does the same integer arithmetic — no float accumulation
+    * order, no libm `ln` (whose last ulp differs between runtimes).
+    *
+    * Two substitutions make the score rational:
+    *   - avgdl enters as `avgdl_fp = (100·Σdl) div N` (centitokens);
+    *     the tf-saturation term, multiplied through by `10·avgdl_fp`,
+    *     becomes `sat_fp = (22·tf·avgdl_fp·10000) div
+    *     (10·tf·avgdl_fp + 3·avgdl_fp + 900·dl)` — exact longs, the
+    *     classic `tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))` with k1=6/5,
+    *     b=3/4 cleared of denominators.
+    *   - idf uses the RS-J odds ratio without the log:
+    *     `idf_fp = ((2N−2df+1)·1000) div (2df+1)` — strictly positive
+    *     (df ≤ N) and monotone in the true `ln`-idf, so the top-k set
+    *     ranks terms identically for any single-term match and very
+    *     nearly so for sums (the log only compresses the tail).
+    *
+    * score_fp(q,d) = Σ_{t ∈ distinct(q)} idf_fp(t)·sat_fp(d,t), summed
+    * as longs; the reported double is score_fp / 10^7, one exact
+    * division per row. Overflow envelope: idf_fp ≤ 2000·N, sat_fp ≤
+    * 22000, so |q| ≤ 2^63 / (4.4·10^7·N) query terms are safe — at
+    * N = 10^10 docs that is ~2·10^4 distinct probe terms.
+    *
+    * Plan shape: identical to [[tfidfTopK]] — tf/df/dl are one
+    * (doc,token) shuffle plus a vocab-sized aggregate; the corpus stats
+    * row (N, avgdl_fp) broadcasts; the candidate join keys on token
+    * with fanout bounded by df; top-k is a per-probe window over the
+    * matched candidates only.
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+      probeIds: Seq[Long], k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+    val tf = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
+      .select(col("__n"), expr("100L * __t div __n").as("__avgdl_fp"))
+    val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val idf = dfreq.crossJoin(broadcast(stats))
+      .select(col("__tok"),
+        expr("(2L * __n - 2L * __df + 1L) * 1000L div (2L * __df + 1L)").as("__idf_fp"))
+    val sat = tf.join(dl, idCol).crossJoin(broadcast(stats))
+      .select(col(idCol), col("__tok"),
+        expr("22L * __tf * __avgdl_fp * 10000L div " +
+          "(10L * __tf * __avgdl_fp + 3L * __avgdl_fp + 900L * __dl)").as("__sat_fp"))
+    val qterms = tf.filter(col(idCol).isin(probeIds: _*))
+      .select(col(idCol).as("probe_id"), col("__tok"))
+    val scored = qterms
+      .join(sat, Seq("__tok"))
+      .filter(col(idCol) =!= col("probe_id"))
+      .join(idf, Seq("__tok"))
+      .groupBy(col("probe_id"), col(idCol))
+      .agg(sum(col("__idf_fp") * col("__sat_fp")).as("__score_fp"))
+    val rank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__score_fp").desc, col(idCol).asc)
+    scored.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col(idCol),
+        (col("__score_fp").cast("double") / 1.0e7).as("score"))
+  }
+
   private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher document-quality rules (Rae et al. 2021, §A1.1) in their

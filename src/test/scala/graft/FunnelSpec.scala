@@ -81,4 +81,47 @@ class FunnelSpec extends SparkSpec {
       .select("user_id").distinct().count()
     assert(got.head._3 <= signupUsers, "step-1 count exceeds distinct signup users")
   }
+
+  test("transition matrix counts successor pairs per user, never across users") {
+    val events = Seq(
+      (1L, 1L, "a", ts("2024-01-01 00:00:00"), 0.0),
+      (2L, 1L, "b", ts("2024-01-01 01:00:00"), 0.0),
+      (3L, 1L, "b", ts("2024-01-01 02:00:00"), 0.0),
+      (4L, 2L, "a", ts("2024-01-01 00:00:00"), 0.0), // user 2's lone event: no edge
+      (5L, 3L, "b", ts("2024-01-01 00:00:00"), 0.0),
+      (6L, 3L, "a", ts("2024-01-01 01:00:00"), 0.0)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Funnel.transitionMatrix(events, "user_id", "event_type", "ts", "event_id")
+      .orderBy("from_type", "to_type")
+      .as[(String, String, Long)].collect().toList
+    assert(got == List(("a", "b", 1L), ("b", "a", 1L), ("b", "b", 1L)),
+      s"expected a→b, b→a, b→b once each (user 2 contributes nothing): $got")
+    // total edges == total events − one per user with ≥1 event
+    val edges = Funnel.transitionMatrix(
+      Tables(spark, sfDir).events, "user_id", "event_type", "ts", "event_id")
+      .agg(sum("n_transitions")).as[Long].head()
+    val ev    = Tables(spark, sfDir).events
+    assert(edges == ev.count() - ev.select("user_id").distinct().count(),
+      "edge mass must be n_events - n_users on the real stream")
+  }
+
+  test("last-touch attribution credits the preceding non-conversion touch, 'direct' when none") {
+    val events = Seq(
+      // user 1: view → purchase(10.00) → purchase(5.50): both credit 'view'
+      (1L, 1L, "view", ts("2024-01-01 00:00:00"), 0.0),
+      (2L, 1L, "purchase", ts("2024-01-01 01:00:00"), 10.0),
+      (3L, 1L, "purchase", ts("2024-01-01 02:00:00"), 5.5),
+      // user 2: purchase with no prior event → 'direct'
+      (4L, 2L, "purchase", ts("2024-01-01 00:00:00"), 3.0),
+      // user 3: click then view then purchase → the LAST touch (view) wins
+      (5L, 3L, "click", ts("2024-01-01 00:00:00"), 0.0),
+      (6L, 3L, "view", ts("2024-01-01 01:00:00"), 0.0),
+      (7L, 3L, "purchase", ts("2024-01-01 02:00:00"), 2.25)
+    ).toDF("event_id", "user_id", "event_type", "ts", "value")
+    val got = Funnel.lastTouchAttribution(
+        events, "user_id", "event_type", "ts", "event_id", "value", convType = "purchase")
+      .orderBy("channel").as[(String, Long, Long)].collect().toList
+    assert(got == List(("direct", 1L, 300L), ("view", 3L, 1775L)),
+      s"expected direct=1/3.00 and view=3/17.75 in exact cents: $got")
+  }
 }

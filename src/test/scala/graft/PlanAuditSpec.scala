@@ -25,8 +25,10 @@ class PlanAuditSpec extends SparkSpec {
     "sample_temperature",              // 1-row min-stratum scalar broadcast
     // bounded-small-side contracts (require-guarded probe sets, ≤16k rows):
     "ann_bruteforce",                  // broadcast probe set vs corpus — the exact baseline
+    "ann_range",                       // broadcast probe set vs corpus — radius filter in the scan
     "ann_pq",                          // broadcast ADC tables vs encoded corpus
-    "dedup_embedding_exact"            // all-pairs oracle baseline (correctness only, never benched at scale)
+    "dedup_embedding_exact",           // all-pairs oracle baseline (correctness only, never benched at scale)
+    "search_bm25"                      // 1-row corpus-stats (N, avgdl) scalar broadcasts
   )
 
   test("no registered query plans a nested-loop or cartesian join (scalar broadcasts excepted)") {

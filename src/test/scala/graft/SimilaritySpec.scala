@@ -24,6 +24,25 @@ class SimilaritySpec extends SparkSpec {
     assert(diffs == 0, "native cosine must match the fold bit-for-bit")
   }
 
+  test("radius search returns exactly the above-threshold pairs of the exhaustive scan") {
+    val e = Tables(spark, sfDir).embeddings
+    val probes     = e.filter($"vec_id" < 20)
+    val candidates = e.filter($"vec_id" >= 20)
+    val tau = 0.3
+    val got = Similarity.radiusSearch(probes, candidates, "vec_id", "embedding", minCosine = tau)
+    assert(got.filter($"cosine" < tau).count() == 0, "no below-threshold pair may leak")
+    // exhaustive truth: the same cross scan without the filter
+    val p = probes.select($"vec_id".as("pid"), VectorFunctions.asDouble($"embedding").as("pv"))
+    val c = candidates.select($"vec_id".as("cid"), VectorFunctions.asDouble($"embedding").as("cv"))
+    val truth = c.crossJoin(p)
+      .select($"pid", $"cid", VectorFunctions.cosine($"pv", $"cv").as("cos"))
+      .filter($"cos" >= tau)
+      .select($"pid", $"cid").as[(Long, Long)].collect().toSet
+    val gotSet = got.select($"probe_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    assert(gotSet == truth, s"radius set mismatch: missing=${truth -- gotSet} extra=${gotSet -- truth}")
+    assert(gotSet.nonEmpty, "threshold should admit at least one pair on the real corpus")
+  }
+
   test("LSH top-k recall vs brute force is >= 0.8 on the real corpus") {
     val e = Tables(spark, sfDir).embeddings
     val probes     = e.filter($"vec_id" < 20)

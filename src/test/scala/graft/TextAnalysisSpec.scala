@@ -202,6 +202,61 @@ class TextAnalysisSpec extends SparkSpec {
       s"similarities must descend from a high near-dup score: $got")
   }
 
+  test("bm25 ranks the near-duplicate first, never self-retrieves, and saturates tf") {
+    val df = Seq(
+      (0L, "spark query engine with catalyst optimizer and tungsten"),
+      (1L, "spark query engine with catalyst optimizer and codegen"), // near-dup of 0
+      (2L, "a completely unrelated cooking recipe about bread dough"),
+      (3L, "spark catalyst notes"),
+      (4L, "bread dough proofing and baking times explained")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(df, "doc_id", "text", probeIds = Seq(0L), k = 3)
+      .orderBy("rank").select("doc_id", "score").as[(Long, Double)].collect().toList
+    assert(got.map(_._1).head == 1L, s"near-dup should rank first: $got")
+    assert(!got.map(_._1).contains(0L), "probe must not retrieve itself")
+    assert(got.map(_._2) == got.map(_._2).sorted.reverse, s"scores must descend: $got")
+
+    // tf saturation: repeating a matched term inflates the score
+    // sub-linearly — doc 10 (term once) vs doc 11 (term five times)
+    // must score within the k1+1 = 2.2x saturation ceiling, not 5x
+    val sat = Seq(
+      (9L, "needle haystack"),
+      (10L, "needle filler filler filler filler"),
+      (11L, "needle needle needle needle needle")
+    ).toDF("doc_id", "text")
+    val s = TextAnalysis.bm25TopK(sat, "doc_id", "text", probeIds = Seq(9L), k = 2)
+      .select("doc_id", "score").as[(Long, Double)].collect().toMap
+    assert(s(11L) / s(10L) < 2.2, s"tf must saturate below k1+1: $s")
+  }
+
+  test("bm25 fixed point matches an in-memory reference on the real corpus") {
+    val docs = Tables(spark, sfDir).documents.limit(60)
+      .select("doc_id", "text").as[(Long, String)].collect().toList
+    val toks = docs.map { case (id, t) => id -> t.trim.split("\\s+").filter(_.nonEmpty).toList }
+    val tf   = toks.map { case (id, ws) => id -> ws.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dl   = tf.map { case (id, m) => id -> m.values.sum }.toMap
+    val n    = dl.size.toLong
+    val avg  = 100L * dl.values.sum / n
+    val dfq  = tf.flatMap(_._2.keys).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def idfFp(t: String) = (2 * n - 2 * dfq(t) + 1) * 1000L / (2 * dfq(t) + 1)
+    def satFp(f: Long, d: Long) = 22L * f * avg * 10000L / (10L * f * avg + 3L * avg + 900L * d)
+    val probe = tf.head
+    val expected = tf.tail.map { case (id, m) =>
+      // .toList first: keys is a Set, and two terms with EQUAL idf·sat
+      // products would otherwise collapse to one before the sum
+      id -> probe._2.keys.toList.collect {
+        case t if m.contains(t) => idfFp(t) * satFp(m(t), dl(id))
+      }.sum
+    }.filter(_._2 > 0).sortBy { case (id, s) => (-s, id) }.take(5)
+      .zipWithIndex.map { case ((id, s), i) => (i + 1, id, s / 1.0e7) }
+
+    val small = spark.createDataFrame(docs).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(small, "doc_id", "text", probeIds = Seq(probe._1), k = 5)
+      .orderBy("rank").select("rank", "doc_id", "score")
+      .as[(Int, Long, Double)].collect().toList
+    assert(got == expected, s"fixed-point BM25 must match the reference fold:\n$got\n$expected")
+  }
+
   test("frame sampling keeps every Nth frame with per-frame features") {
     val docs  = Seq((1L, "x" * 100)).toDF("doc_id", "text")
     val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
