@@ -330,6 +330,52 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "analyze_corr",
+      // Pearson correlation matrix in ONE scan: moment sums (Σx, Σx²,
+      // Σxy per pair) as exact integer cents — order-independent where
+      // the built-in corr's double accumulation is not — numerator and
+      // variance terms formed in INTEGER space (double-space a·b−c·d is
+      // both cancellation-lossy and FMA-contraction-ambiguous across
+      // engines), then one cast + sqrt/×/÷: all single IEEE ops
+      (spark, dir) =>
+        Analyze.corrMatrix(Tables(spark, dir).lineitem,
+            Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
+          .orderBy("col_x", "col_y"),
+      Some("""
+        WITH c AS (
+          SELECT CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS HUGEINT) AS q,
+                 CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS HUGEINT) AS e,
+                 CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS HUGEINT) AS d,
+                 CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS HUGEINT) AS t
+          FROM lineitem
+        ), s AS (
+          SELECT CAST(count(*) AS HUGEINT) AS n,
+                 sum(q) AS s_q, sum(q*q) AS ss_q,
+                 sum(e) AS s_e, sum(e*e) AS ss_e,
+                 sum(d) AS s_d, sum(d*d) AS ss_d,
+                 sum(t) AS s_t, sum(t*t) AS ss_t,
+                 sum(q*e) AS sp_qe, sum(q*d) AS sp_qd, sum(q*t) AS sp_qt,
+                 sum(e*d) AS sp_ed, sum(e*t) AS sp_et, sum(d*t) AS sp_dt
+          FROM c
+        )
+        SELECT * FROM (
+          SELECT 'l_quantity' AS col_x, 'l_extendedprice' AS col_y,
+                 CAST(n * sp_qe - s_q * s_e AS DOUBLE) / (sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE)) * sqrt(CAST(n * ss_e - s_e * s_e AS DOUBLE))) AS corr FROM s
+          UNION ALL SELECT 'l_quantity', 'l_discount',
+                 CAST(n * sp_qd - s_q * s_d AS DOUBLE) / (sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE)) * sqrt(CAST(n * ss_d - s_d * s_d AS DOUBLE))) FROM s
+          UNION ALL SELECT 'l_quantity', 'l_tax',
+                 CAST(n * sp_qt - s_q * s_t AS DOUBLE) / (sqrt(CAST(n * ss_q - s_q * s_q AS DOUBLE)) * sqrt(CAST(n * ss_t - s_t * s_t AS DOUBLE))) FROM s
+          UNION ALL SELECT 'l_extendedprice', 'l_discount',
+                 CAST(n * sp_ed - s_e * s_d AS DOUBLE) / (sqrt(CAST(n * ss_e - s_e * s_e AS DOUBLE)) * sqrt(CAST(n * ss_d - s_d * s_d AS DOUBLE))) FROM s
+          UNION ALL SELECT 'l_extendedprice', 'l_tax',
+                 CAST(n * sp_et - s_e * s_t AS DOUBLE) / (sqrt(CAST(n * ss_e - s_e * s_e AS DOUBLE)) * sqrt(CAST(n * ss_t - s_t * s_t AS DOUBLE))) FROM s
+          UNION ALL SELECT 'l_discount', 'l_tax',
+                 CAST(n * sp_dt - s_d * s_t AS DOUBLE) / (sqrt(CAST(n * ss_d - s_d * s_d AS DOUBLE)) * sqrt(CAST(n * ss_t - s_t * s_t AS DOUBLE))) FROM s
+        ) ORDER BY col_x, col_y
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "name_mapping",
       (spark, dir) =>
         NameMapping.applyMapping(

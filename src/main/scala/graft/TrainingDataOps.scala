@@ -1060,6 +1060,28 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "text_normalize",
+      // canonical content key: trim → collapse whitespace → lowercase →
+      // Unicode NFC in ONE native char scan (no regex engine; the NFC
+      // walk only runs when the scan saw a non-ASCII char). md5 of the
+      // normalized form is the dedup key that catches case drift,
+      // doubled spaces, and precomposed-vs-decomposed accents that raw
+      // md5(text) misses
+      (spark, dir) =>
+        Tables(spark, dir).documents
+          .select(col("doc_id"),
+            graft.plans.TextVectorExpressions.normalizeText(col("text")).as("norm_text"))
+          .withColumn("content_key", md5(col("norm_text")))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS norm_text,
+               md5(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS content_key
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "corpus_drift",
       // per-ingest distribution canary: token-share drift between two
       // corpus slices. Hash-agg per slice (bounded by vocabulary), one
@@ -1200,6 +1222,78 @@ object TrainingDataOps {
                     WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'v1'), 1, 4) < 'e666' THEN 'val'
                     ELSE 'test' END AS split
         FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "split_group_safe",
+      // leakage-safe split manifest: the coin is keyed on md5(text) —
+      // the exact-dup content hash — so every copy of a duplicated
+      // document flips the SAME coin and train can never hold an exact
+      // copy of a test document. Still a pure projection: group
+      // integrity comes from coin determinism, not a shuffle
+      (spark, dir) =>
+        Curation.assignSplitsByKey(Tables(spark, dir).documents,
+            key = md5(col("text")),
+            Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "v1")
+          .select("doc_id", "split")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CASE WHEN substr(md5(md5(text) || 'v1'), 1, 4) < 'cccd' THEN 'train'
+                    WHEN substr(md5(md5(text) || 'v1'), 1, 4) < 'e666' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "select_budget",
+      // token-budget quality selection (FineWeb-Edu shape): best docs by
+      // integer-exact quality until the budget is spent. Two-phase plan:
+      // band token-mass aggregate (≤1001 rows) + cumulative over the
+      // BAND table; only the one boundary band runs a per-doc running
+      // sum, partitioned by band — never a global-sort window. Proven
+      // row-identical to the oracle's global cumsum prefix
+      (spark, dir) =>
+        Curation.selectByBudget(Tables(spark, dir).documents, "doc_id", "text",
+            budgetTokens = 15000L)
+          .orderBy("doc_id"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id,
+                 CASE WHEN length(text) = 0 THEN CAST(0 AS BIGINT)
+                      ELSE CAST((1000 * length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))) // length(text) AS BIGINT)
+                 END AS quality_fp,
+                 CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+          FROM documents
+        ), o AS (
+          SELECT doc_id, quality_fp, n_tokens,
+                 sum(n_tokens) OVER (ORDER BY quality_fp DESC, doc_id) AS cum
+          FROM d
+        )
+        SELECT doc_id, quality_fp, n_tokens FROM o WHERE cum <= 15000 ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "curriculum_order",
+      // curriculum manifest: quality deciles coarse-to-fine, random
+      // WITHIN each band — band from the integer quality (engine-exact
+      // boundaries), order from the md5 coin (reproducible across runs
+      // and engines); a pure projection + range-partitionable sort
+      (spark, dir) =>
+        Curation.docQualityTokens(Tables(spark, dir).documents, "doc_id", "text")
+          .select(col("doc_id"), expr("quality_fp div 100").as("band"),
+            md5(concat(col("doc_id").cast("string"), lit("|cur6"))).as("shuffle_key"))
+          .orderBy(col("band").desc, col("shuffle_key")),
+      Some("""
+        SELECT doc_id,
+               CAST((CASE WHEN length(text) = 0 THEN 0
+                     ELSE (1000 * length(regexp_replace(text, '[^A-Za-z ]', '', 'g'))) // length(text)
+                     END) // 100 AS BIGINT) AS band,
+               md5(CAST(doc_id AS VARCHAR) || '|cur6') AS shuffle_key
+        FROM documents ORDER BY band DESC, shuffle_key
       """.trim),
       bench = true
     ),

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextFunctions
 import graft.plans.TextVectorExpressions
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -99,12 +99,24 @@ object Curation {
     * pass.
     */
   def assignSplits(df: DataFrame, idCol: String,
+      splits: Seq[(String, Double)], salt: String = ""): DataFrame =
+    assignSplitsByKey(df, col(idCol).cast("string"), splits, salt)
+
+  /** [[assignSplits]] over an arbitrary KEY expression — the leakage-safe
+    * variant: keyed on a content hash (or a dup-cluster id), every copy
+    * of a duplicated document flips the SAME coin and lands in the same
+    * split, so train can never leak an exact copy of a test document.
+    * Still a pure per-row projection: the key is computed inline, no
+    * grouping, no shuffle — group integrity comes from coin determinism,
+    * not from co-locating the group.
+    */
+  def assignSplitsByKey(df: DataFrame, key: Column,
       splits: Seq[(String, Double)], salt: String = ""): DataFrame = {
     require(splits.nonEmpty, "at least one split required")
     require(splits.map(_._2).forall(_ > 0.0), "split fractions must be positive")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
-    val coin = substring(md5(concat(col(idCol).cast("string"), lit(salt))), 1, 4)
+    val coin = substring(md5(concat(key, lit(salt))), 1, 4)
     val cumulative = splits.scanLeft(0.0)(_ + _._2).tail
     val assigned = splits.zip(cumulative).init.reverse
       .foldLeft(lit(splits.last._1)) { case (acc, ((name, _), cum)) =>
@@ -486,5 +498,59 @@ object Curation {
         col("a.__gram") === col("b.__gram") && col("a.__src") < col("b.__src"))
       .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
       .agg(count(lit(1)).as("n_shared_grams"))
+  }
+
+  /** Integer-exact per-doc quality + token mass from ONE TextProfile
+    * pass: quality_fp = (1000·alpha_chars) div n_chars in [0,1000]
+    * (0 for empty text). The integer form is what makes band-based
+    * selection ([[selectByBudget]]) engine-exact: a float score puts
+    * docs ON the selection boundary at the mercy of the last ulp.
+    */
+  def docQualityTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val c = col("__c")
+    docs.withColumn("__c", TextVectorExpressions.textProfile(col(textCol), Nil))
+      .select(col(idCol),
+        when(c.getItem(2) === 0L, 0L)
+          .otherwise(expr("1000L * __c[3] div __c[2]")).as("quality_fp"),
+        c.getItem(0).as("n_tokens"))
+  }
+
+  /** Token-budget quality selection (the FineWeb-Edu shape: keep the
+    * best documents until the token budget is spent). Contract: order
+    * docs by (quality_fp DESC, id ASC) and keep the maximal prefix
+    * whose cumulative token count stays ≤ budget.
+    *
+    * The naive formulation is a running sum over a GLOBAL sort — a
+    * single-partition window that dies at 100 TB. This is the two-phase
+    * equivalent, proven identical row-for-row:
+    *   1. aggregate token mass per quality band (≤1001 rows — the
+    *      integer score IS the band key);
+    *   2. cumulative-sum the BAND table (a window over ≤1001 rows) to
+    *      find each band's exclusive prefix mass;
+    *   3. bands that fit entirely keep all docs with no per-doc work;
+    *      only the ONE boundary band runs a per-doc running sum, and
+    *      that window is PARTITIONED by the band key — never global.
+    */
+  def selectByBudget(docs: DataFrame, idCol: String, textCol: String,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens >= 0, s"budgetTokens must be non-negative, got $budgetTokens")
+    val d = docQualityTokens(docs, idCol, textCol)
+    val bands = d.groupBy(col("quality_fp"))
+      .agg(sum(col("n_tokens")).as("__band_tokens"))
+    val bw = Window.orderBy(col("quality_fp").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val banded = bands.withColumn("__cum_before", coalesce(sum(col("__band_tokens")).over(bw), lit(0L)))
+    val joined = d.join(broadcast(banded), Seq("quality_fp"))
+    val fullyIn = joined.filter(col("__cum_before") + col("__band_tokens") <= budgetTokens)
+    val boundary = joined
+      .filter(col("__cum_before") + col("__band_tokens") > budgetTokens &&
+        col("__cum_before") < budgetTokens)
+    val dw = Window.partitionBy(col("quality_fp")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryIn = boundary
+      .withColumn("__cum", col("__cum_before") + sum(col("n_tokens")).over(dw))
+      .filter(col("__cum") <= budgetTokens)
+    fullyIn.select(col(idCol), col("quality_fp"), col("n_tokens"))
+      .unionAll(boundaryIn.select(col(idCol), col("quality_fp"), col("n_tokens")))
   }
 }

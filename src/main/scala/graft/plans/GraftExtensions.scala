@@ -93,5 +93,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => TextProfile(children.head, Seq.empty)
       )
     )
+    // normalize_text(text) -> trim/ws-collapse/lowercase/NFC canonical form
+    ext.injectFunction(
+      (
+        FunctionIdentifier("normalize_text"),
+        new ExpressionInfo(classOf[NormalizeText].getName, "normalize_text"),
+        (children: Seq[Expression]) => NormalizeText(children.head)
+      )
+    )
   }
 }

@@ -346,6 +346,59 @@ case class DeflateRatio(child: Expression)
     copy(child = newChild)
 }
 
+/** Canonical text normalization for dedup keys and cross-corpus joins:
+  * trim → collapse runs of whitespace to one space → lowercase
+  * (Locale.ROOT) → Unicode NFC. Exact-dup detection keyed on raw bytes
+  * misses the same sentence with "é" precomposed (U+00E9) vs decomposed
+  * (e + U+0301), doubled spaces, or case drift — normalizing first makes
+  * `md5(normalize_text(text))` the canonical content key.
+  *
+  * One pass, no regex engine: whitespace collapse and ASCII lowering run
+  * in a single char scan; `Normalizer.normalize` is invoked only when the
+  * scan saw a non-ASCII char (ASCII is NFC-closed), so the common case
+  * never pays the ICU walk. Contract note: non-ASCII LOWERCASING uses
+  * Java's full case mapping, which can differ from a simple per-codepoint
+  * mapping for a handful of chars (e.g. U+0130); the DuckDB oracle gates
+  * the ASCII corpus, the Unicode edge cases are spec-pinned.
+  */
+case class NormalizeText(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.StringType
+
+  override def nullSafeEval(input: Any): Any = {
+    val s  = input.asInstanceOf[UTF8String].toString
+    val sb = new java.lang.StringBuilder(s.length)
+    var i        = 0
+    var inWs     = false
+    var sawStart = false
+    var ascii    = true
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || Character.isWhitespace(c)) {
+        inWs = true
+      } else {
+        if (inWs && sawStart) sb.append(' ')
+        inWs = false
+        sawStart = true
+        if (c < 128) sb.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        else { ascii = false; sb.append(c) }
+      }
+      i += 1
+    }
+    var out = sb.toString
+    if (!ascii) {
+      out = out.toLowerCase(java.util.Locale.ROOT)
+      if (!java.text.Normalizer.isNormalized(out, java.text.Normalizer.Form.NFC))
+        out = java.text.Normalizer.normalize(out, java.text.Normalizer.Form.NFC)
+    }
+    UTF8String.fromString(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeText =
+    copy(child = newChild)
+}
+
 /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003) in one pass:
   * hash char k-grams (xxhash64 of the gram's UTF-8 bytes, seed 42 — the
   * same value `xxhash64(substr(text,i,k))` yields), slide a window of w
@@ -471,4 +524,7 @@ object TextVectorExpressions {
 
   def deflateRatio(text: Column): Column =
     GraftShim.column(DeflateRatio(GraftShim.expression(text)))
+
+  def normalizeText(text: Column): Column =
+    GraftShim.column(NormalizeText(GraftShim.expression(text)))
 }

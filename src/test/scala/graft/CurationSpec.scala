@@ -105,6 +105,46 @@ class CurationSpec extends SparkSpec {
     assert(moved > 1000 && moved < 20000)
   }
 
+  test("assignSplitsByKey co-assigns exact duplicates: no train/test leakage by construction") {
+    val docs = Seq(
+      (1L, "the same document text"),
+      (2L, "the same document text"),   // exact dup of 1
+      (3L, "a different document"),
+      (4L, "the same document text"),   // another copy
+      (5L, "yet another distinct one")
+    ).toDF("doc_id", "text")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curation.assignSplitsByKey(docs, md5($"text"), splits, salt = "v1")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got(1L) == got(2L) && got(2L) == got(4L),
+      s"all copies of a duplicated document must land in one split: $got")
+    // and on the real corpus: every content-hash group maps to exactly one split
+    val real = Curation.assignSplitsByKey(
+        Tables(spark, sfDir).documents, md5($"text"), splits, salt = "v1")
+      .groupBy(md5($"text").as("k")).agg(countDistinct($"split").as("n"))
+      .filter($"n" > 1).count()
+    assert(real == 0, "a content-hash group straddles splits")
+  }
+
+  test("selectByBudget two-phase plan is row-identical to the global cumsum prefix") {
+    val docs = Tables(spark, sfDir).documents
+    val got = Curation.selectByBudget(docs, "doc_id", "text", budgetTokens = 3000L)
+      .select("doc_id").as[Long].collect().toSet
+    // the naive global formulation (fine at spec scale)
+    val d = Curation.docQualityTokens(docs, "doc_id", "text")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy($"quality_fp".desc, $"doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val truth = d.withColumn("cum", sum($"n_tokens").over(w))
+      .filter($"cum" <= 3000L).select("doc_id").as[Long].collect().toSet
+    assert(got == truth,
+      s"missing=${truth -- got} extra=${got -- truth}")
+    assert(got.nonEmpty, "a 3000-token budget must admit some documents")
+    // budget edges: zero budget selects nothing; infinite budget selects all
+    assert(Curation.selectByBudget(docs, "doc_id", "text", 0L).count() == 0)
+    assert(Curation.selectByBudget(docs, "doc_id", "text", Long.MaxValue / 4).count() == docs.count())
+  }
+
   test("mixingManifest caps every stratum at the token budget, keeps small strata whole") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten", "big"),

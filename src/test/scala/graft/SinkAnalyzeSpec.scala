@@ -98,6 +98,33 @@ class SinkAnalyzeSpec extends SparkSpec {
     assert(scans == 1, s"expected one scan, got $scans")
   }
 
+  test("Analyze.corrMatrix matches built-in corr and runs in one scan") {
+    import org.apache.spark.sql.functions.corr
+    val li = Tables(spark, sfDir).lineitem
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    val m = Analyze.corrMatrix(li, cols)
+    // count scans BEFORE executing: the post-run AQE plan string prints
+    // final + initial plans and would double-count the one FileScan
+    val scans = m.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("FileScan parquet"))
+    assert(scans == 1, s"the moment sums must come from ONE scan, got $scans")
+    val got = m.collect().map(r =>
+      (r.getAs[String]("col_x"), r.getAs[String]("col_y")) -> r.getAs[Double]("corr")).toMap
+    assert(got.size == 3, "3 columns give 3 pairs")
+    for (((x, y), v) <- got) {
+      val ref = li.agg(corr(org.apache.spark.sql.functions.col(x),
+        org.apache.spark.sql.functions.col(y))).as[Double].head()
+      assert(math.abs(v - ref) < 1e-9, s"corr($x,$y): decimal-exact $v vs built-in $ref")
+      assert(v >= -1.0 && v <= 1.0)
+    }
+    // perfectly correlated / anti-correlated sanity pins the sign convention
+    val tiny = Seq((1.0, 2.0, -1.0), (2.0, 4.0, -2.0), (3.0, 6.0, -3.0), (4.0, 8.0, -4.0))
+      .toDF("a", "b", "c")
+    val t = Analyze.corrMatrix(tiny, Seq("a", "b", "c")).collect()
+      .map(r => (r.getAs[String]("col_x"), r.getAs[String]("col_y")) -> r.getAs[Double]("corr")).toMap
+    assert(math.abs(t(("a", "b")) - 1.0) < 1e-12 && math.abs(t(("a", "c")) + 1.0) < 1e-12)
+  }
+
   test("NameMapping renames only mapped columns") {
     val df  = Seq((1, "x")).toDF("a", "b")
     val out = NameMapping.applyMapping(df, Map("a" -> "id"))

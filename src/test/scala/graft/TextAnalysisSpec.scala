@@ -202,6 +202,33 @@ class TextAnalysisSpec extends SparkSpec {
       s"similarities must descend from a high near-dup score: $got")
   }
 
+  test("normalize_text canonicalizes case, whitespace, and Unicode composition") {
+    import graft.plans.TextVectorExpressions.normalizeText
+    val cafeNfd = "Café"   // e + combining acute (decomposed)
+    val cafeNfc = "café"    // precomposed é, lowercased
+    val rows = Seq(
+      (1L, "  Hello   World  "),
+      (2L, "hello world"),
+      (3L, cafeNfd + "  MENU"),
+      (4L, cafeNfc + " menu"),
+      (5L, "tabs\tand\nnewlines\r\ncollapse"),
+      (6L, "")
+    ).toDF("doc_id", "text")
+    val got = rows.select($"doc_id", normalizeText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "hello world" && got(1L) == got(2L),
+      s"case + whitespace drift must canonicalize: '${got(1L)}'")
+    assert(got(3L) == got(4L) && got(3L) == cafeNfc + " menu",
+      s"decomposed and precomposed accents must meet at NFC: '${got(3L)}' vs '${got(4L)}'")
+    assert(got(5L) == "tabs and newlines collapse")
+    assert(got(6L) == "")
+    // the SQL surface agrees with the Column helper
+    rows.createOrReplaceTempView("norm_in")
+    val viaSql = spark.sql("SELECT doc_id, normalize_text(text) AS n FROM norm_in")
+      .as[(Long, String)].collect().toMap
+    assert(viaSql == got)
+  }
+
   test("bm25 ranks the near-duplicate first, never self-retrieves, and saturates tf") {
     val df = Seq(
       (0L, "spark query engine with catalyst optimizer and tungsten"),
