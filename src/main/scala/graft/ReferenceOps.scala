@@ -30,6 +30,29 @@ object ReferenceOps {
     """SELECT event_id, ts, user_id, event_type, value, props FROM events %s
       |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin
 
+  /** Shared oracle for quantile_sketch + quantile_sketch_rollup (both
+    * must agree with it AND each other): the INCLUSIVE-rule quantile in
+    * the exact regime is the ceil(q·n)-th order statistic, computed with
+    * the same double multiply + ceil the sketch library uses. Ties in
+    * c_acctbal are harmless — row_number breaks them arbitrarily but the
+    * VALUE at a given rank is tie-order-independent.
+    */
+  private val quantileOracleSql = """
+    WITH r AS (
+      SELECT c_nationkey, c_acctbal,
+             row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal) AS rn,
+             count(*) OVER (PARTITION BY c_nationkey) AS n
+      FROM customer
+    )
+    SELECT c_nationkey, CAST(max(n) AS BIGINT) AS n,
+           max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) THEN c_acctbal END) AS p25,
+           max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5  * n) AS BIGINT)) THEN c_acctbal END) AS p50,
+           max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.75 * n) AS BIGINT)) THEN c_acctbal END) AS p75,
+           max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9  * n) AS BIGINT)) THEN c_acctbal END) AS p90,
+           max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN c_acctbal END) AS p99
+    FROM r GROUP BY c_nationkey ORDER BY c_nationkey
+  """.trim
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef(
       "src_parquet_scan",
@@ -303,6 +326,51 @@ object ReferenceOps {
         SELECT CAST(user_id % 4 AS BIGINT) AS cohort, event_type, CAST(count(*) AS BIGINT) AS n
         FROM events GROUP BY 1, 2 ORDER BY cohort, n DESC, event_type
       """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "quantile_sketch",
+      // mergeable KLL quantiles per nation (the third sketch family,
+      // completing HLL ndv + frequent-items). Run in the EXACT regime
+      // (group count ≤ k: every value retained, no compaction), where
+      // the INCLUSIVE-rule quantile is the ceil(q·n)-th order
+      // statistic — the same Math.ceil(q·n) the library computes, so a
+      // row_number oracle pins it exactly. The approximate regime's
+      // rank-error bound and the persisted-partials rollup are
+      // QuantileSketchSpec properties
+      (spark, dir) =>
+        Sketches.approxQuantiles(Tables(spark, dir).customer,
+            Seq("c_nationkey"), "c_acctbal", probs = Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 4096)
+          .select(col("c_nationkey"), col("n"),
+            element_at(col("quantiles"), 1).as("p25"),
+            element_at(col("quantiles"), 2).as("p50"),
+            element_at(col("quantiles"), 3).as("p75"),
+            element_at(col("quantiles"), 4).as("p90"),
+            element_at(col("quantiles"), 5).as("p99"))
+          .orderBy("c_nationkey"),
+      Some(quantileOracleSql),
+      bench = true
+    ),
+    QueryDef(
+      "quantile_sketch_rollup",
+      // the persist-partials/rollup path: per-(nation, segment) sketch
+      // bytes UNIONED up to nation — no rescan of customer — must equal
+      // the direct per-nation sketch in the exact regime (union of
+      // uncompacted sketches retains every value). Same oracle
+      (spark, dir) => {
+        val partials = Sketches.partialQuantileSketches(Tables(spark, dir).customer,
+          Seq("c_nationkey"), Seq("c_mktsegment"), "c_acctbal", k = 4096)
+        Sketches.mergeQuantileSketches(partials, Seq("c_nationkey"),
+            probs = Seq(0.25, 0.5, 0.75, 0.9, 0.99), k = 4096)
+          .select(col("c_nationkey"), col("n"),
+            element_at(col("quantiles"), 1).as("p25"),
+            element_at(col("quantiles"), 2).as("p50"),
+            element_at(col("quantiles"), 3).as("p75"),
+            element_at(col("quantiles"), 4).as("p90"),
+            element_at(col("quantiles"), 5).as("p99"))
+          .orderBy("c_nationkey")
+      },
+      Some(quantileOracleSql),
       bench = true
     ),
     QueryDef(

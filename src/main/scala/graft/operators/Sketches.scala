@@ -72,4 +72,42 @@ object Sketches {
       .agg(expr(
         s"approx_top_k_estimate(approx_top_k_combine($sketchCol, $maxItemsTracked), $k)"
       ).as("top_items"))
+
+  import graft.plans.KllExpressions._
+
+  /** Per-group quantiles through a KLL sketch (DataSketches, the
+    * third mergeable-sketch family — see [[graft.plans.KllSketchAgg]]).
+    * One aggregation pass, fixed O(k) state per group; while a group's
+    * count ≤ k the sketch retains every value and the INCLUSIVE-rule
+    * quantiles are EXACT order statistics (the oracle-gated regime);
+    * beyond that, normalized rank error ~1.65% at k=200.
+    */
+  def approxQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      probs: Seq[Double], k: Int = 200): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kllSketchAgg(col(valueCol), k).as("sketch"))
+      .select(groupCols.map(col) ++ Seq(
+        kllN(col("sketch")).as("n"),
+        kllQuantiles(col("sketch"), array(probs.map(lit): _*)).as("quantiles")): _*)
+
+  /** Per-(group, shard) KLL sketch bytes — the persisted partial
+    * (per day / per source / per ingest batch), same pattern as
+    * [[partialSketches]].
+    */
+  def partialQuantileSketches(df: DataFrame, groupCols: Seq[String],
+      shardCols: Seq[String], valueCol: String, k: Int = 200): DataFrame =
+    df.groupBy((groupCols ++ shardCols).map(col): _*)
+      .agg(kllSketchAgg(col(valueCol), k).as("sketch"))
+
+  /** Roll partial KLL sketches up to `groupCols` by sketch union and
+    * extract quantiles — no rescan of the underlying data. Union is
+    * associative + commutative, so day→month→year rollups chain.
+    */
+  def mergeQuantileSketches(partials: DataFrame, groupCols: Seq[String],
+      probs: Seq[Double], k: Int = 200, sketchCol: String = "sketch"): DataFrame =
+    partials.groupBy(groupCols.map(col): _*)
+      .agg(kllUnionAgg(col(sketchCol), k).as("merged"))
+      .select(groupCols.map(col) ++ Seq(
+        kllN(col("merged")).as("n"),
+        kllQuantiles(col("merged"), array(probs.map(lit): _*)).as("quantiles")): _*)
 }

@@ -101,5 +101,39 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => NormalizeText(children.head)
       )
     )
+    // KLL quantile sketch family: kll_sketch_agg(value, k) -> bytes,
+    // kll_union_agg(bytes, k) -> bytes, kll_quantiles(bytes, probs),
+    // kll_n(bytes). Aggregate builders return the AggregateFunction;
+    // the analyzer wraps it in an AggregateExpression.
+    ext.injectFunction(
+      (
+        FunctionIdentifier("kll_sketch_agg"),
+        new ExpressionInfo(classOf[KllSketchAgg].getName, "kll_sketch_agg"),
+        (children: Seq[Expression]) =>
+          KllSketchAgg(children.head, intArg(children(1), "k"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("kll_union_agg"),
+        new ExpressionInfo(classOf[KllUnionAgg].getName, "kll_union_agg"),
+        (children: Seq[Expression]) =>
+          KllUnionAgg(children.head, intArg(children(1), "k"))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("kll_quantiles"),
+        new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
+        (children: Seq[Expression]) => KllQuantiles(children.head, children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("kll_n"),
+        new ExpressionInfo(classOf[KllN].getName, "kll_n"),
+        (children: Seq[Expression]) => KllN(children.head)
+      )
+    )
   }
 }
