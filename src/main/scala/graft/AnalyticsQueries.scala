@@ -1687,6 +1687,30 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "graph_pagerank",
+      // weighted PageRank over the event-type transition graph: the
+      // corpus pass is Funnel.transitionMatrix's ONE user-keyed window
+      // (|types|²-bounded edges); the power iteration then runs in
+      // exact integer fixed-point (S=1e9, truncating divides) on the
+      // driver over the bounded edge table — engine-exact, mirrored by
+      // an unrolled-CTE oracle evaluating the identical expression
+      (spark, dir) =>
+        operators.Graph.pageRank(
+          operators.Funnel.transitionMatrix(Tables(spark, dir).events,
+            "user_id", "event_type", "ts", "event_id"),
+          "from_type", "to_type", "n_transitions", iterations = 6)
+          .orderBy("node"),
+      Some(operators.Graph.pageRankOracleSql(
+        """edges AS (
+          |  SELECT from_type AS src, to_type AS dst, CAST(count(*) AS BIGINT) AS w FROM (
+          |    SELECT event_type AS from_type,
+          |           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+          |    FROM events
+          |  ) WHERE to_type IS NOT NULL GROUP BY 1, 2
+          |)""".stripMargin, iterations = 6)),
+      bench = true
+    ),
+    QueryDef(
       "q_attribution",
       // last-touch revenue attribution: each purchase credits the
       // user's most recent PRECEDING non-purchase event type (or

@@ -786,6 +786,36 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "token_pmi",
+      // collocation mining for tokenizer building: top adjacent pairs by
+      // a PMI-monotone rational score (c_xy·N / (c_x·c_y), margins over
+      // the bigram multiset) — exact long counts, decimal-widened
+      // products, ONE cast + ONE division so no libm log and no ulp
+      // drift. One corpus pass → observed-bigram-bounded counts;
+      // margins broadcast back; top-k is a TakeOrdered
+      (spark, dir) =>
+        Curation.collocations(Tables(spark, dir).documents, "text", minCount = 5L, k = 50),
+      Some("""
+        WITH toks AS (
+          SELECT regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        ), pairs AS (
+          SELECT unnest(t[1:len(t)-1]) AS x, unnest(t[2:len(t)]) AS y
+          FROM toks WHERE len(t) >= 2
+        ), counts AS (
+          SELECT x, y, CAST(count(*) AS BIGINT) AS c_xy FROM pairs GROUP BY x, y
+        ), cx AS (SELECT x, CAST(sum(c_xy) AS BIGINT) AS c_x FROM counts GROUP BY x),
+        cy AS (SELECT y, CAST(sum(c_xy) AS BIGINT) AS c_y FROM counts GROUP BY y),
+        tot AS (SELECT CAST(sum(c_xy) AS HUGEINT) AS n_total FROM counts)
+        SELECT x, y, c_xy, c_x, c_y,
+               CAST(CAST(c_xy AS HUGEINT) * n_total AS DOUBLE)
+                 / CAST(CAST(c_x AS HUGEINT) * CAST(c_y AS HUGEINT) AS DOUBLE) AS pmi_ratio
+        FROM counts JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+        WHERE c_xy >= 5
+        ORDER BY pmi_ratio DESC, x, y LIMIT 50
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "multimodal_features",
       // the decode stub (normalized 16-bin byte histogram) is
       // deterministic and — on this ASCII corpus — expressible in SQL,

@@ -287,6 +287,49 @@ object Curation {
     df.withColumn("shuffle_key", key).orderBy("shuffle_key")
   }
 
+  /** Collocation (phrase) mining: top-k adjacent token pairs ranked by
+    * a PMI-proportional score — the tokenizer-building step that finds
+    * "new york"-style units worth fusing before BPE training.
+    *
+    * score(x,y) = c(xy)·N / (c(x)·c(y)) with all margins taken over the
+    * bigram multiset (c(x)=Σ_y c(xy), N=Σ c(xy)) — monotone in PMI
+    * (log of it), so the ranking is identical without ever calling a
+    * libm log (which differs across runtimes in the last ulp). Counts
+    * are exact longs; the products widen through decimal(38,0) (c·N
+    * overflows int64 past ~10¹² tokens) and take ONE correctly-rounded
+    * cast each before the single IEEE division — engine-exact, same
+    * discipline as Analyze.corrMatrix.
+    *
+    * Shape: one corpus pass explodes adjacent pairs (map-side combine
+    * into the observed-bigram-bounded count table); margins are two
+    * vocabulary-bounded aggregations broadcast back; top-k is a
+    * TakeOrdered. No shuffle carries more than the bigram vocabulary.
+    */
+  def collocations(docs: DataFrame, textCol: String, minCount: Long, k: Int): DataFrame = {
+    val pairs = docs
+      .select(TextFunctions.tokens(col(textCol)).as("__t"))
+      .filter(size(col("__t")) >= 2)
+      .select(explode(expr(
+        "zip_with(slice(__t, 1, size(__t)-1), slice(__t, 2, size(__t)-1), " +
+          "(a, b) -> named_struct('x', a, 'y', b))")).as("p"))
+      .select(col("p.x").as("x"), col("p.y").as("y"))
+    val counts = pairs.groupBy("x", "y").agg(count(lit(1)).as("c_xy"))
+    val cx  = counts.groupBy("x").agg(sum("c_xy").as("c_x"))
+    val cy  = counts.groupBy("y").agg(sum("c_xy").as("c_y"))
+    val tot = counts.agg(sum("c_xy").as("__n_total"))
+    def d38(c: Column) = c.cast("decimal(38,0)")
+    counts.filter(col("c_xy") >= minCount)
+      .join(broadcast(cx), Seq("x"))
+      .join(broadcast(cy), Seq("y"))
+      .crossJoin(broadcast(tot))
+      .withColumn("pmi_ratio",
+        (d38(col("c_xy")) * d38(col("__n_total"))).cast("double") /
+          (d38(col("c_x")) * d38(col("c_y"))).cast("double"))
+      .select("x", "y", "c_xy", "c_x", "c_y", "pmi_ratio")
+      .orderBy(col("pmi_ratio").desc, col("x"), col("y"))
+      .limit(k)
+  }
+
   def vocabTopK(docs: DataFrame, textCol: String, k: Int): DataFrame =
     docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy("token")

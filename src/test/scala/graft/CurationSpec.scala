@@ -145,6 +145,26 @@ class CurationSpec extends SparkSpec {
     assert(Curation.selectByBudget(docs, "doc_id", "text", Long.MaxValue / 4).count() == docs.count())
   }
 
+  test("collocations surface a planted phrase above frequent-but-independent pairs") {
+    // "san francisco" always co-occurs (perfect collocation); "the cat" /
+    // "the dog" share a promiscuous left token, diluting their PMI
+    val docs = (
+      (1 to 30).map(i => (i.toLong, "san francisco is foggy today number " + (i % 7))) ++
+      (31 to 60).map(i => (i.toLong, "the cat sat on mat number " + (i % 7))) ++
+      (61 to 90).map(i => (i.toLong, "the dog ran in park number " + (i % 7)))
+    ).toDF("doc_id", "text")
+    val scored = Curation.collocations(docs, "text", minCount = 5L, k = 100)
+      .select("x", "y", "pmi_ratio").as[(String, String, Double)].collect()
+      .map { case (x, y, s) => (x, y) -> s }.toMap
+    assert(scored(("san", "francisco")) > scored(("the", "cat")) &&
+      scored(("san", "francisco")) > scored(("the", "dog")),
+      s"the exclusive pair must out-score pairs sharing the promiscuous 'the': $scored")
+    // minCount floor: a pair seen fewer than minCount times never appears
+    val rare = Curation.collocations(docs, "text", minCount = 31L, k = 100)
+      .select("x", "y").as[(String, String)].collect()
+    assert(!rare.contains(("san", "francisco")), "count-30 pair must fall under a 31 floor")
+  }
+
   test("mixingManifest caps every stratum at the token budget, keeps small strata whole") {
     val docs = Seq(
       (1L, "one two three four five six seven eight nine ten", "big"),
