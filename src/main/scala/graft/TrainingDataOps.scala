@@ -435,6 +435,20 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "kmeans_lloyd",
+      // FULL-corpus distributed Lloyd's (one scan per iteration:
+      // broadcast CentroidCells assignment + element-wise VectorSumAgg
+      // centroid update, exchange bounded at k·dim); rows-only:
+      // float centroid geometry is engine-specific, recovery/objective/
+      // equivalence properties asserted in SimilaritySpec
+      (spark, dir) =>
+        Similarity.kmeansLloyd(Tables(spark, dir).embeddings, "vec_id", "embedding",
+            k = 8, iters = 4)._1
+          .orderBy("vec_id"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "src_jsonl_roundtrip",
       // JSONL ingestion must be lossless: documents written as JSONL and
       // read back (explicit schema, FAILFAST) hash-match the parquet

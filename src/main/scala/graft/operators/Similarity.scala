@@ -185,6 +185,63 @@ object Similarity {
       element_at(VectorQuantization.centroidCells(col("__v"), centroids, 1), 1).as("cluster"))
   }
 
+  /** FULL-corpus spherical Lloyd's — the 100 TB complement to
+    * [[kmeansAssign]]'s bounded-sample trainer. Sample training is the
+    * right default for an ANN coarse quantizer, but mixture balancing /
+    * domain discovery want centroids that saw EVERY vector: a sample
+    * under-represents small domains exactly when they matter.
+    *
+    * Each iteration is ONE scan: assignment is the broadcast
+    * CentroidCells expression (no join), the centroid update folds
+    * through [[graft.plans.VectorSumAgg]] — element-wise partial
+    * aggregation, so the exchange carries O(k·dim) per partition, never
+    * a posexplode's dim-multiplied rows. Driver state is k centroids
+    * (collect of ≤ k rows per iteration, bounded by contract). Init is
+    * a deterministic ordered take; empty cells keep their previous
+    * centroid (the standard Lloyd's dead-cell rule). Same
+    * mean-then-normalize update and strict first-wins tie-break as the
+    * driver trainer — on separated data the two converge to the same
+    * clustering (spec-pinned); floats differ only in partial-sum order.
+    */
+  def kmeansLloyd(
+      df: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int = 5
+  ): (DataFrame, Array[Array[Double]]) = {
+    import graft.plans.{VectorAggregates, VectorQuantization}
+    require(k >= 1 && k <= 65536, s"k must be in [1, 65536], got $k")
+    val v = df.select(col(idCol), asDouble(col(vecCol)).as("__v"))
+
+    def normalize(a: Array[Double]): Array[Double] = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * a(i); i += 1 }
+      val n = math.max(math.sqrt(s), 1e-12)
+      a.map(_ / n)
+    }
+    var centroids = v.orderBy(idCol).limit(k)
+      .select("__v").collect().map(r => normalize(r.getSeq[Double](0).toArray))
+    require(centroids.nonEmpty, "kmeansLloyd needs at least one vector")
+
+    for (_ <- 1 to iters) {
+      val stats = v
+        .select(element_at(VectorQuantization.centroidCells(col("__v"), centroids, 1), 1)
+          .as("cell"), col("__v"))
+        .groupBy("cell")
+        .agg(VectorAggregates.vectorSum(col("__v")).as("s"), count(lit(1)).as("n"))
+        .collect() // <= k rows by construction
+        .map(r => r.getInt(0) -> (r.getSeq[Double](1).toArray, r.getLong(2)))
+        .toMap
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        stats.get(c) match {
+          case Some((s, n)) => normalize(s.map(_ / n))
+          case None         => old // dead cell: keep previous centroid
+        }
+      }
+    }
+    val assigned = v.select(col(idCol),
+      element_at(VectorQuantization.centroidCells(col("__v"), centroids, 1), 1).as("cluster"))
+    (assigned, centroids)
+  }
+
   /** Whole-operator top-k through the custom AnnTopKNode logical plan
     * (plans/AnnTopKPlan.scala): bounded per-probe heaps per partition
     * emit partitions*k candidates, then one tiny shuffle ranks them

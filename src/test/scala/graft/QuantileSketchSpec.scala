@@ -101,6 +101,36 @@ class QuantileSketchSpec extends SparkSpec {
     assert(viaUnion == viaCol.view.mapValues(_._2).toMap)
   }
 
+  test("streaming: per-micro-batch KLL partials accumulate and the union converges to the batch answer") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the persisted-partial pattern under ingestion: each micro-batch
+    // contributes ONE sketch row per group; any later reader unions.
+    // localCheckpoint truncates lineage so k batches don't nest k plans
+    var partials = Seq.empty[(Int, Array[Byte])].toDF("g", "sketch").localCheckpoint()
+    val input = MemoryStream[(Int, Double)]
+    val q = input.toDF().toDF("g", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val p = batch.groupBy("g").agg(kllSketchAgg(col("v"), 1024).as("sketch"))
+        partials = partials.unionByName(p).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val all = (1 to 300).map(i => (i % 3, (i * 37 % 101).toDouble))
+    all.grouped(100).foreach { chunk => input.addData(chunk); q.processAllAvailable() }
+    q.stop()
+
+    val rolled = Sketches.mergeQuantileSketches(partials, Seq("g"), Seq(0.25, 0.5, 0.9), k = 1024)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    val direct = Sketches.approxQuantiles(all.toDF("g", "v"), Seq("g"), "v",
+        Seq(0.25, 0.5, 0.9), k = 1024)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(rolled == direct,
+      s"union over streamed partials must equal the one-shot batch sketch: $rolled vs $direct")
+  }
+
   test("nulls are skipped; an all-null group yields null quantiles but a sketch row") {
     val df = Seq(
       (1, Some(10.0)), (1, None), (1, Some(20.0)), (2, None), (2, None)

@@ -229,6 +229,62 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == clusters, "seeded training must reproduce the same clustering")
   }
 
+  test("distributed Lloyd's recovers planted clusters exactly and improves the spherical objective") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // 3 well-separated direction clusters in 8-d, 60 vectors each, with
+    // small deterministic jitter
+    val rows = for {
+      c <- 0 until 3
+      i <- 0 until 60
+    } yield {
+      val base = Array.fill(8)(0.05)
+      base(c * 2) = 1.0
+      base((i % 4) + 4) += 0.02 * ((i % 5) + 1) // jitter, same for all clusters
+      Row((c * 60 + i).toLong, base.toSeq)
+    }
+    val schema = StructType(Seq(StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(DoubleType))))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 4), schema)
+
+    val (assigned, centroids) = Similarity.kmeansLloyd(df, "vec_id", "embedding", k = 3, iters = 6)
+    val got = assigned.as[(Long, Int)].collect().toMap
+    assert(got.size == 180)
+    // all members of a planted cluster land together, clusters distinct
+    val byPlanted = got.groupBy { case (id, _) => id / 60 }.map { case (p, m) => p -> m.values.toSet }
+    assert(byPlanted.values.forall(_.size == 1), s"planted clusters split: $byPlanted")
+    assert(byPlanted.values.flatten.toSet.size == 3, s"planted clusters merged: $byPlanted")
+
+    // objective (mean cosine to own centroid) must beat the 0-iteration init
+    def objective(cs: Array[Array[Double]]): Double = {
+      val data = df.select("vec_id", "embedding").as[(Long, Seq[Double])].collect()
+      data.map { case (_, v) =>
+        cs.map(c => c.zip(v).map { case (a, b) => a * b }.sum /
+          math.sqrt(v.map(x => x * x).sum)).max
+      }.sum / data.length
+    }
+    val (_, init) = Similarity.kmeansLloyd(df, "vec_id", "embedding", k = 3, iters = 0)
+    assert(objective(centroids) > objective(init) - 1e-12,
+      s"Lloyd's must not worsen the objective: ${objective(centroids)} vs init ${objective(init)}")
+
+    // determinism: same input, same clustering, bit-identical centroids
+    val (again, cAgain) = Similarity.kmeansLloyd(df, "vec_id", "embedding", k = 3, iters = 6)
+    assert(again.as[(Long, Int)].collect().toMap == got)
+    assert(cAgain.map(_.toSeq) sameElements centroids.map(_.toSeq))
+  }
+
+  test("distributed Lloyd's iteration plans as scan + bounded aggregate: no join, no posexplode") {
+    val e = Tables(spark, sfDir).embeddings
+    val (assigned, _) = Similarity.kmeansLloyd(e, "vec_id", "embedding", k = 4, iters = 2)
+    assert(assigned.count() == e.count())
+    // the assignment pass itself is narrow: scan + project only
+    val plan = physicalPlan(assigned)
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }.isEmpty, "assignment must not join")
+    assert(!plan.toString.contains("Generate"), "no posexplode in the vector path")
+  }
+
   test("IVF delta maintenance: assign(old) ∪ assign(delta) == assign(old ∪ delta) on fixed centroids") {
     val e = Tables(spark, sfDir).embeddings
     val centroids = Similarity.trainQuantizer(e, "vec_id", "embedding", nCells = 8)
