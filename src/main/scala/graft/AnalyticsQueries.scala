@@ -818,6 +818,54 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_salted_auto",
+      (spark, dir) => {
+        import spark.implicits._
+        // the salt DECISION automated by a frequent-items sketch
+        // pre-pass (fixed O(maxTracked) state, no per-key exchange):
+        // only sketch-flagged hot keys fan out over salt buckets, cold
+        // keys keep one partial group. Exact either way — the sketch
+        // moves work, never the answer, so the plain-GROUP BY oracle
+        // holds bit-for-bit
+        graft.operators.Skew.autoSaltedSumCount(
+            Tables(spark, dir).events, "event_type", dec($"value"),
+            threshold = 0.05, saltBuckets = 32)
+          .select($"event_type", $"total".cast("double").as("total"), $"n")
+          .orderBy($"event_type")
+      },
+      Some("""
+        SELECT event_type, CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total, count(*) AS n
+        FROM events GROUP BY event_type ORDER BY event_type
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "bloom_join_prune",
+      // pre-shuffle join pruning: a bloom over the selective dimension
+      // slice filters the fact side BEFORE its exchange (scan-local
+      // codegen'd predicate); false positives die in the join, so the
+      // result is exactly the plain inner join the oracle runs
+      (spark, dir) => {
+        import spark.implicits._
+        val dim = Tables(spark, dir).customer
+          .filter($"c_mktsegment" === "BUILDING")
+          .select($"c_custkey", $"c_mktsegment")
+        graft.operators.JoinPrune.bloomPrunedJoin(
+            Tables(spark, dir).orders, dim, "o_custkey", "c_custkey",
+            expectedKeys = 100000L, fpp = 0.01)
+          .select($"o_orderkey", $"o_custkey", $"c_mktsegment", dec($"o_totalprice").cast("double").as("o_totalprice"))
+          .orderBy($"o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, c_mktsegment,
+               CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS DOUBLE) AS o_totalprice
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_quantiles",
       (spark, dir) => {
         import spark.implicits._

@@ -374,6 +374,30 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "range_splits",
+      // equi-depth range-partition boundaries from ONE KLL pass (what
+      // repartitionByRange row-samples for, but mergeable: tomorrow's
+      // layout boundaries can roll up from yesterday's persisted shard
+      // sketches). numParts=8 is a power of two, so every i/8·n rank is
+      // exact double arithmetic in both engines; exact regime (n ≤ k)
+      (spark, dir) =>
+        Sketches.rangeSplitPoints(Tables(spark, dir).customer, "c_acctbal",
+            numParts = 8, k = 32768)
+          .orderBy("part"),
+      Some("""
+        WITH r AS (
+          SELECT c_acctbal, row_number() OVER (ORDER BY c_acctbal) AS rn,
+                 count(*) OVER () AS n
+          FROM customer
+        ), p AS (SELECT unnest(range(1, 8)) AS part)
+        SELECT CAST(p.part AS INT) AS part,
+               max(CASE WHEN r.rn = GREATEST(1, CAST(CEIL((p.part / 8.0) * r.n) AS BIGINT))
+                        THEN r.c_acctbal END) AS split_at
+        FROM p CROSS JOIN r GROUP BY p.part ORDER BY part
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "analyze_stats",
       (spark, dir) =>
         Analyze.columnStats(

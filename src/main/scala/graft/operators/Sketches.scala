@@ -110,4 +110,22 @@ object Sketches {
       .select(groupCols.map(col) ++ Seq(
         kllN(col("merged")).as("n"),
         kllQuantiles(col("merged"), array(probs.map(lit): _*)).as("quantiles")): _*)
+
+  /** Equi-depth range-partition boundaries from ONE KLL pass: the
+    * numParts−1 split points at ranks i/numParts — what
+    * `repartitionByRange` estimates with a row sample, derived instead
+    * from a mergeable sketch, so boundaries for TOMORROW's layout job
+    * can come from unioning yesterday's persisted per-shard sketches
+    * without a corpus scan. Exact order statistics while n ≤ k (the
+    * oracle-gated regime); rank error ≤ the sketch bound beyond —
+    * either way each emitted boundary is a REAL value from the column
+    * domain. Output: (part 1..numParts−1, split_at).
+    */
+  def rangeSplitPoints(df: DataFrame, valueCol: String, numParts: Int, k: Int = 32768): DataFrame = {
+    require(numParts >= 2, s"numParts must be >= 2, got $numParts")
+    val probs = (1 until numParts).map(_.toDouble / numParts)
+    df.agg(kllSketchAgg(col(valueCol), k).as("sketch"))
+      .select(posexplode(kllQuantiles(col("sketch"), array(probs.map(lit): _*))).as(Seq("i", "split_at")))
+      .select((col("i") + 1).as("part"), col("split_at"))
+  }
 }

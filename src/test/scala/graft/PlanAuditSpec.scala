@@ -23,6 +23,7 @@ class PlanAuditSpec extends SparkSpec {
     "length_outliers",                 // 1-row percentile-bounds broadcast
     "skew_hotkeys",                    // 1-row total-count scalar broadcast
     "sample_temperature",              // 1-row min-stratum scalar broadcast
+    "token_pmi",                       // 1-row bigram-total scalar broadcast
     // bounded-small-side contracts (require-guarded probe sets, ≤16k rows):
     "ann_bruteforce",                  // broadcast probe set vs corpus — the exact baseline
     "ann_range",                       // broadcast probe set vs corpus — radius filter in the scan
