@@ -329,6 +329,20 @@ object ReferenceOps {
       bench = true
     ),
     QueryDef(
+      "join_cardinality",
+      // join pre-flight from two HLL sketches: distinct keys per side /
+      // union / intersection (inclusion–exclusion) — sizes the shuffle
+      // WITHOUT joining or shuffling either table. Estimates are
+      // engine-specific -> rows-only; <5% error vs exact and the
+      // 3x-compounded intersection bound are SketchTopKSpec properties
+      (spark, dir) =>
+        Sketches.joinKeyOverlap(
+          Tables(spark, dir).orders, "o_custkey",
+          Tables(spark, dir).customer, "c_custkey"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "quantile_sketch",
       // mergeable KLL quantiles per nation (the third sketch family,
       // completing HLL ndv + frequent-items). Run in the EXACT regime

@@ -294,6 +294,35 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "mine_hard_negatives",
+      // contrastive-training negatives: per probe the k MOST similar
+      // candidates UNDER the near-dup ceiling (semi-hard negatives —
+      // random is too easy, duplicates are false negatives). Broadcast
+      // probes at spec scale; behind LSH/IVF blocking at corpus scale
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.hardNegatives(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5, dupCeiling = 0.8
+        ).orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT * FROM e WHERE vec_id < 5),
+             c AS (SELECT * FROM e WHERE vec_id >= 5)
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(p.v, c.v) AS cosine,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS INT) AS rank
+        FROM p, c
+        WHERE list_cosine_similarity(p.v, c.v) < 0.8 AND p.vec_id <> c.vec_id
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "ann_range",
       // radius search: every candidate within cosine ≥ 0.3 of a probe —
       // the THRESHOLD contract dup-clustering needs (top-k truncates

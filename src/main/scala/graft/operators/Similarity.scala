@@ -54,6 +54,31 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive/embedding training: per probe,
+    * the k MOST similar candidates that are NOT near-duplicates — the
+    * `dupCeiling` cut removes positives/duplicates, the descending rank
+    * keeps the hardest of what remains (semi-hard negatives, the regime
+    * that actually moves a contrastive loss; random negatives are too
+    * easy, duplicates are false negatives). Same broadcast-probe scan
+    * shape as [[bruteForceTopK]] at spec scale; at corpus scale the
+    * candidate generation slots behind the same LSH/IVF blocking as the
+    * ANN family (candidates = bucket join output instead of the corpus).
+    */
+  def hardNegatives(
+      probes: DataFrame, candidates: DataFrame, idCol: String, vecCol: String,
+      k: Int, dupCeiling: Double
+  ): DataFrame = {
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .filter(col("cosine") < dupCeiling && col("probe_id") =!= col("neighbor_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Deterministic random hyperplanes: `tables` independent signatures of
     * `bitsPerTable` planes each (seeded, so results are reproducible).
     */

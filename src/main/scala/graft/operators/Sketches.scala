@@ -111,6 +111,29 @@ object Sketches {
         kllN(col("merged")).as("n"),
         kllQuantiles(col("merged"), array(probs.map(lit): _*)).as("quantiles")): _*)
 
+  /** Join-key overlap diagnostics from two HLL sketches — the
+    * pre-flight a planner (or an engineer sizing a shuffle) wants
+    * before joining two 100 TB tables: distinct keys on each side, in
+    * the union, and (by inclusion–exclusion) in the INTERSECTION, i.e.
+    * how many keys will actually match. Each side is one aggregation to
+    * ~KB of sketch state; no join, no shuffle of either table. Estimate
+    * error compounds across the subtraction (≈3× the single-sketch
+    * bound in the worst case — spec-asserted), which is the right
+    * trade: the answer sizes a plan, it doesn't need to BE the plan.
+    */
+  def joinKeyOverlap(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      lgK: Int = 12): DataFrame = {
+    val sa = a.agg(hll_sketch_agg(col(aKey), lit(lgK)).as("sk_a"))
+    val sb = b.agg(hll_sketch_agg(col(bKey), lit(lgK)).as("sk_b"))
+    sa.crossJoin(broadcast(sb))
+      .select(
+        hll_sketch_estimate(col("sk_a")).as("ndv_a"),
+        hll_sketch_estimate(col("sk_b")).as("ndv_b"),
+        hll_sketch_estimate(hll_union(col("sk_a"), col("sk_b"))).as("ndv_union"))
+      .withColumn("ndv_intersect",
+        greatest(col("ndv_a") + col("ndv_b") - col("ndv_union"), lit(0L)))
+  }
+
   /** Equi-depth range-partition boundaries from ONE KLL pass: the
     * numParts−1 split points at ranks i/numParts — what
     * `repartitionByRange` estimates with a row sample, derived instead

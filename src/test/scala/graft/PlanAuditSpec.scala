@@ -26,10 +26,12 @@ class PlanAuditSpec extends SparkSpec {
     "token_pmi",                       // 1-row bigram-total scalar broadcast
     // bounded-small-side contracts (require-guarded probe sets, ≤16k rows):
     "ann_bruteforce",                  // broadcast probe set vs corpus — the exact baseline
+    "mine_hard_negatives",             // broadcast probe set vs corpus — sub-ceiling top-k
     "ann_range",                       // broadcast probe set vs corpus — radius filter in the scan
     "ann_pq",                          // broadcast ADC tables vs encoded corpus
     "dedup_embedding_exact",           // all-pairs oracle baseline (correctness only, never benched at scale)
-    "search_bm25"                      // 1-row corpus-stats (N, avgdl) scalar broadcasts
+    "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts
+    "join_cardinality"                 // two 1-row sketch scalars crossed
   )
 
   test("no registered query plans a nested-loop or cartesian join (scalar broadcasts excepted)") {

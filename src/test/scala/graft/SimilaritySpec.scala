@@ -229,6 +229,26 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == clusters, "seeded training must reproduce the same clustering")
   }
 
+  test("hard negatives: hardest below the dup ceiling, no self-pairs, agrees with filtered brute force") {
+    val e = Tables(spark, sfDir).embeddings
+    val probes = e.filter($"vec_id" < 5); val cands = e.filter($"vec_id" >= 5)
+    val hard = Similarity.hardNegatives(probes, cands, "vec_id", "embedding", k = 5, dupCeiling = 0.8)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(hard.nonEmpty)
+    assert(hard.forall(_._3 < 0.8), "nothing at or above the dup ceiling may surface")
+    assert(hard.forall(r => r._1 != r._2), "no self-negatives")
+    // equivalent to brute-force ranking restricted to the sub-ceiling set
+    val brute = Similarity.bruteForceTopK(probes, cands, "vec_id", "embedding", k = 1000)
+      .filter($"cosine" < 0.8)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"probe_id")
+          .orderBy($"cosine".desc, $"neighbor_id")))
+      .filter($"rank" <= 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(hard.map(r => (r._1, r._2)).toSet == brute)
+  }
+
   test("distributed Lloyd's recovers planted clusters exactly and improves the spherical objective") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

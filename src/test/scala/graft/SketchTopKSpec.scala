@@ -58,4 +58,31 @@ class SketchTopKSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
     assert(rolled == direct)
   }
+
+  test("joinKeyOverlap estimates each side within 5% and the intersection within the compounded bound") {
+    val orders = Tables(spark, sfDir).orders
+    val cust   = Tables(spark, sfDir).customer
+    val row = Sketches.joinKeyOverlap(orders, "o_custkey", cust, "c_custkey").head()
+    val (ndvA, ndvB, ndvU, ndvI) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    val exactA = orders.select("o_custkey").distinct().count()
+    val exactB = cust.select("c_custkey").distinct().count()
+    val exactI = orders.select(col("o_custkey").as("k")).distinct()
+      .join(cust.select(col("c_custkey").as("k")).distinct(), "k").count()
+    val exactU = exactA + exactB - exactI
+    def within(est: Long, exact: Long, tol: Double) =
+      math.abs(est - exact) <= math.max(1, tol * exact)
+    assert(within(ndvA, exactA, 0.05), s"ndv_a $ndvA vs $exactA")
+    assert(within(ndvB, exactB, 0.05), s"ndv_b $ndvB vs $exactB")
+    assert(within(ndvU, exactU, 0.05), s"ndv_union $ndvU vs $exactU")
+    // intersection inherits up to 3 single-sketch errors via a+b-union
+    assert(math.abs(ndvI - exactI) <= math.max(3, 0.15 * exactI),
+      s"ndv_intersect $ndvI vs $exactI exceeds the compounded bound")
+    // no join in the plan: two aggregations + a 1-row scalar cross
+    val plan = physicalPlan(Sketches.joinKeyOverlap(orders, "o_custkey", cust, "c_custkey"))
+    assert(plan.collect {
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec  => j
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec     => j
+    }.isEmpty, "the overlap estimate must not shuffle-join the tables")
+  }
 }
