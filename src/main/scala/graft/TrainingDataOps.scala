@@ -909,6 +909,32 @@ object TrainingDataOps {
       """.trim)
     ),
     QueryDef(
+      "multimodal_dedup",
+      // multimodal ∘ dedup composition: exact BINARY dedup of media
+      // payloads by content digest — the true first pass of any media
+      // dedup stack (byte-identical copies dominate crawl dupes; only
+      // survivors go on to perceptual hashing). One hash shuffle on the
+      // digest, same shape as dedup_exact but keyed on payload BYTES
+      (spark, dir) => {
+        val media = Multimodal.synthesizePayloads(Tables(spark, dir).documents, "doc_id", "text")
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_key"))
+        media.withColumn("content_key", md5(col("payload")))
+          .select(col("doc_id"), col("media_type"), col("content_key"),
+            min(col("doc_id")).over(w).as("canonical_id"),
+            count(lit(1)).over(w).as("n_copies"))
+          .orderBy("doc_id")
+      },
+      Some("""
+        SELECT doc_id,
+               (['image','audio','video'])[CAST(doc_id % 3 + 1 AS INT)] AS media_type,
+               md5(text) AS content_key,
+               min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+               count(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "multimodal_framesample",
       // video frame sampling: split the payload into 64-byte frames,
       // keep every 4th — the countable surface (frame totals, kept

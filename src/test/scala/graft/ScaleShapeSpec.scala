@@ -257,4 +257,36 @@ class ScaleShapeSpec extends SparkSpec {
     }
     assert(gathers.isEmpty, "chained funnel should never plan an object-hash (collect_list) aggregate")
   }
+
+  test("KLL at 50×: sketch state stays O(k) under heavy compaction and rollup holds the rank bound") {
+    import graft.operators.Sketches
+    // 250k skewed values (hash-spread, deterministic), 50 shards
+    val k = 200
+    val vals = spark.range(250000).select(
+      (col("id") % 50).as("shard"),
+      (xxhash64(col("id")) % 100000).cast("double").as("v"))
+    val partials = Sketches.partialQuantileSketches(vals, Seq.empty, Seq("shard"), "v", k = k)
+      .select(octet_length(col("sketch")).as("bytes"))
+      .agg(max("bytes"), sum("bytes")).head()
+    // KLL state is O(k log(n/k)) items: 5k values/shard at k=200 must
+    // stay in the low KBs per sketch — the persisted-partial cost model
+    assert(partials.getInt(0) < 16 * 1024,
+      s"a single shard sketch blew past the O(k) state bound: ${partials.getInt(0)} bytes")
+
+    val rolled = Sketches.mergeQuantileSketches(
+        Sketches.partialQuantileSketches(vals, Seq.empty, Seq("shard"), "v", k = k),
+        Seq.empty, probs = Seq(0.1, 0.5, 0.9, 0.99), k = k)
+      .select("quantiles").head().getSeq[Double](0)
+    val eps    = org.apache.datasketches.kll.KllSketch.getNormalizedRankError(k, false)
+    val sorted = vals.select("v").as[Double].collect().sorted
+    val n      = sorted.length
+    for ((p, est) <- Seq(0.1, 0.5, 0.9, 0.99).zip(rolled)) {
+      val below    = sorted.count(_ <= est).toDouble / n
+      val strictly = sorted.count(_ < est).toDouble / n
+      // the union of 50 compacted sketches must still honor ~the single
+      // sketch bound (allow 2x for merge degradation)
+      assert(strictly - 2 * eps <= p && p <= below + 2 * eps,
+        s"rolled-up p=$p est=$est rank in [$strictly, $below] exceeds 2*eps=${2 * eps}")
+    }
+  }
 }
