@@ -23,6 +23,11 @@ class InventorySpec extends SparkSpec {
     row.findAllMatchIn(s2).map(m => m.group(1) -> m.group(2).trim).toMap
   }
 
+  test("registry names are unique (a duplicate QueryDef silently shadows in the queries Map)") {
+    val dups = Queries.all.map(_.name).groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate QueryDef names: ${dups.toSeq.sorted}")
+  }
+
   test("every registered query has a SURVEY §2 inventory row") {
     val missing = Queries.all.map(_.name).filterNot(surveyRows.contains)
     assert(missing.isEmpty, s"registered queries missing from SURVEY §2: $missing")

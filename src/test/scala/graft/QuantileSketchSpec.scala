@@ -131,6 +131,43 @@ class QuantileSketchSpec extends SparkSpec {
       s"union over streamed partials must equal the one-shot batch sketch: $rolled vs $direct")
   }
 
+  test("streaming windowed quantiles: KLL aggregates as checkpointed state per event-time window") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // pins that the custom TypedImperativeAggregate serializes/merges
+    // correctly as STREAMING state across micro-batches; exact regime
+    // (n ≤ k) so the closed window's quantiles are checkable values
+    val input = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes"))
+      .agg(kllSketchAgg(col("v"), 256).as("sk"))
+      .select(col("window.start").as("bucket"), kllN(col("sk")).as("n"),
+        kllQuantiles(col("sk"), array(lit(0.5), lit(1.0))).as("q"))
+    val q = agg.writeStream.format("memory").queryName("kll_sink")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+
+    // two batches land in the SAME window: sketch state must merge
+    input.addData((t("2024-01-01 00:01:00"), 10.0), (t("2024-01-01 00:02:00"), 20.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 00:03:00"), 30.0), (t("2024-01-01 00:04:00"), 40.0))
+    q.processAllAvailable()
+    input.addData((t("2024-01-01 01:00:00"), 99.0)) // close the window
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("kll_sink")
+      .as[(java.sql.Timestamp, Long, Seq[Double])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val (n, qs) = rows(t("2024-01-01 00:00:00"))
+    assert(n == 4L, s"all four rows of the window must reach one sketch: $rows")
+    assert(qs == Seq(20.0, 40.0), // ceil(0.5*4)=2nd of {10,20,30,40}; max
+      s"closed-window quantiles wrong: $qs")
+  }
+
   test("nulls are skipped; an all-null group yields null quantiles but a sketch row") {
     val df = Seq(
       (1, Some(10.0)), (1, None), (1, Some(20.0)), (2, None), (2, None)
