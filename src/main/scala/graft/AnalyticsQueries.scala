@@ -1636,6 +1636,34 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_percent_rank",
+      (spark, dir) => {
+        import spark.implicits._
+        // relative-position windows: percent_rank ((rank−1)/(n−1)) and
+        // cume_dist (rank_with_ties/n) are small exact rationals — one
+        // IEEE division each, identical across engines; first_value pins
+        // the frame semantics. Unique (acctbal, custkey) tiebreak makes
+        // every value engine-deterministic; key-partitioned, never global
+        val w = Window.partitionBy($"c_nationkey").orderBy($"c_acctbal", $"c_custkey")
+        Tables(spark, dir).customer
+          .select($"c_custkey", $"c_nationkey", $"c_acctbal",
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"),
+            first_value($"c_custkey").over(w).as("poorest"))
+          .orderBy($"c_custkey")
+      },
+      Some("""
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               first_value(c_custkey) OVER w AS poorest
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+        ORDER BY c_custkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_ts_similarity",
       // distributed subsequence similarity search (EDBT'19/REPOSE shape):
       // one window pass extracts length-8 subsequences per user, distance
