@@ -24,8 +24,13 @@ object Bench {
     // the min (steady state — what a long-lived cluster actually sees,
     // JIT + code cache warm), with the cold first run reported alongside
     val runs   = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt)
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=substring times a subset in
+    // isolation (the driver never sets it, so its runs are unaffected)
+    val only   = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    val results = Queries.benchQueries.map { q =>
+    val results = Queries.benchQueries
+      .filter(q => only.forall(q.name.contains))
+      .map { q =>
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         // noop-format write: materializes every row INCLUDING final sorts

@@ -68,6 +68,28 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_normalized",
+      // exact dedup keyed on the CANONICAL form: md5(normalize_text(t))
+      // catches case drift, doubled spaces, and decomposed accents that
+      // md5(t) misses — same one-shuffle shape as dedup_exact, strictly
+      // more clusters merged (n_norm_clusters <= n_raw_clusters). The
+      // oracle mirrors the normalization with DuckDB built-ins
+      (spark, dir) =>
+        Tables(spark, dir).documents
+          .groupBy(md5(graft.plans.TextVectorExpressions.normalizeText(col("text")))
+            .as("content_key"))
+          .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"),
+            countDistinct(md5(col("text"))).as("n_raw_variants"))
+          .orderBy("content_key"),
+      Some("""
+        SELECT md5(nfc_normalize(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))) AS content_key,
+               min(doc_id) AS keep_id, count(*) AS n_copies,
+               count(DISTINCT md5(text)) AS n_raw_variants
+        FROM documents GROUP BY 1 ORDER BY content_key
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "dedup_minhash_lsh",
       // engine-specific hash family → no SQL oracle; recall vs brute-force
       // Jaccard asserted in DedupSpec

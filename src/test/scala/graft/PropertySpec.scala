@@ -113,6 +113,31 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("NormalizeText: idempotent, NFC-closed, and insensitive to case/whitespace/composition noise") {
+    val wordGen: Gen[String] = Gen.oneOf(
+      "The", "FOX", "über", "Café", "café", // decomposed é
+      "日本", "a", "", "  ", "\t", "mixedCASE")
+    val textGen: Gen[String] = Gen.listOf(wordGen).map(_.mkString(" "))
+    def norm(t: String): String =
+      Seq((1L, t)).toDF("id", "t")
+        .select(graft.plans.TextVectorExpressions.normalizeText(org.apache.spark.sql.functions.col("t")))
+        .as[String].head()
+    for (text <- samples(textGen, 30)) {
+      val once = norm(text)
+      assert(norm(once) == once, s"not idempotent on '$text': '$once' -> '${norm(once)}'")
+      assert(java.text.Normalizer.isNormalized(once, java.text.Normalizer.Form.NFC),
+        s"output not NFC for '$text'")
+      assert(once == once.toLowerCase(java.util.Locale.ROOT), s"case survives for '$text'")
+      assert(!once.contains("  ") && once == once.trim, s"whitespace survives for '$text'")
+      // noise injection: extra spaces + uppercase must not change the key
+      val noisy = "  " + text.toUpperCase(java.util.Locale.ROOT).replace(" ", "   ") + " "
+      // (upper-then-normalize equals normalize for case-roundtrip-safe
+      // corpora; the generator avoids one-way case chars like ß/İ)
+      assert(norm(noisy) == norm(text.toUpperCase(java.util.Locale.ROOT)),
+        s"whitespace noise changed the key for '$text'")
+    }
+  }
+
   test("removeRepeatedSpans: kept tokens are an ordered subsequence; every hot-span position is excised") {
     import org.apache.spark.sql.functions._
     // small vocab forces cross-doc span collisions
