@@ -90,6 +90,37 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "corpus_quantiles",
+      // per-source document-length distribution (the corpus-health twin
+      // of corpus_report): KLL sketch per source — exact order
+      // statistics in the n≤k regime, and the same persisted partials
+      // roll up per-day shards at 100 TB with no rescan
+      (spark, dir) =>
+        graft.operators.Sketches.approxQuantiles(Tables(spark, dir).documents,
+            Seq("source"), "n_chars", probs = Seq(0.25, 0.5, 0.9, 0.99), k = 4096)
+          .select(col("source"), col("n"),
+            element_at(col("quantiles"), 1).as("p25"),
+            element_at(col("quantiles"), 2).as("p50"),
+            element_at(col("quantiles"), 3).as("p90"),
+            element_at(col("quantiles"), 4).as("p99"))
+          .orderBy("source"),
+      Some("""
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents
+        )
+        SELECT source, CAST(max(n) AS BIGINT) AS n,
+               CAST(max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.25 * n) AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p25,
+               CAST(max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.5  * n) AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p50,
+               CAST(max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.9  * n) AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p90,
+               CAST(max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.99 * n) AS BIGINT)) THEN n_chars END) AS DOUBLE) AS p99
+        FROM r GROUP BY source ORDER BY source
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "dedup_minhash_lsh",
       // engine-specific hash family → no SQL oracle; recall vs brute-force
       // Jaccard asserted in DedupSpec

@@ -258,6 +258,34 @@ class ScaleShapeSpec extends SparkSpec {
     assert(gathers.isEmpty, "chained funnel should never plan an object-hash (collect_list) aggregate")
   }
 
+  test("collocations at 50×: margins broadcast, shuffle bounded by observed bigrams, scalar total stays 1-row") {
+    val docs = corpus(exactDups = true)
+    val q = graft.operators.Curation.collocations(docs, "text", minCount = 5L, k = 50)
+    q.count()
+    val plan = physicalPlan(q)
+    // both margin joins broadcast (vocab-bounded sides never shuffle the
+    // count table), and no join degrades to a nested loop over rows
+    val hashJoins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    assert(hashJoins.size >= 2, s"margins must broadcast-join:\n$plan")
+    val shuffled = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(shuffled.isEmpty, "no margin join may shuffle the bigram table")
+    val nested = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(nested.size <= 1, "only the 1-row total scalar may nested-loop")
+    // the corpus' unique pseudo-words mean observed bigrams ≈ 19·N — the
+    // aggregate the shuffle carries is linear, never bigram-vocab²
+    val observed = docs
+      .select(explode(expr(
+        "zip_with(slice(split(trim(text), '\\\\s+'), 1, size(split(trim(text), '\\\\s+'))-1), " +
+        "slice(split(trim(text), '\\\\s+'), 2, size(split(trim(text), '\\\\s+'))-1), (a, b) -> (a, b))")).as("p"))
+      .distinct().count()
+    assert(observed <= 20L * N, s"observed bigrams $observed exceed the linear bound")
+  }
+
   test("KLL at 50×: sketch state stays O(k) under heavy compaction and rollup holds the rank bound") {
     import graft.operators.Sketches
     // 250k skewed values (hash-spread, deterministic), 50 shards
