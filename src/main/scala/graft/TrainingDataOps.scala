@@ -347,6 +347,38 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "emb_quantize",
+      // int8 embedding quantization (4× memory for ANN candidate
+      // storage): per-vector max-abs scale, code = floor(x·127/s + 0.5)
+      // — floor instead of round() because round's half-rule differs
+      // across engines while floor(+0.5) is one IEEE add + floor in
+      // both. Long-form output keeps the gate scalar (bpe_encode lesson)
+      (spark, dir) =>
+        Tables(spark, dir).embeddings
+          .select(col("vec_id"),
+            expr("aggregate(embedding, CAST(0.0 AS DOUBLE), (m, x) -> greatest(m, abs(CAST(x AS DOUBLE))))").as("scale"),
+            col("embedding"))
+          .select(col("vec_id"), col("scale"),
+            posexplode(expr(
+              "transform(embedding, x -> CASE WHEN scale = 0.0 THEN 0L ELSE CAST(floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5) AS LONG) END)"))
+              .as(Seq("i", "code")))
+          .select(col("vec_id"), col("i").cast("long").as("i"), col("code"))
+          .orderBy("vec_id", "i"),
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS s
+          FROM embeddings
+        )
+        SELECT vec_id, CAST(unnest(range(0, len(v))) AS BIGINT) AS i,
+               unnest(list_transform(v, x -> CAST(CASE WHEN s = 0 THEN 0
+                    ELSE floor(x * 127.0 / s + 0.5) END AS BIGINT))) AS code
+        FROM e
+        ORDER BY vec_id, i
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "mine_hard_negatives",
       // contrastive-training negatives: per probe the k MOST similar
       // candidates UNDER the near-dup ceiling (semi-hard negatives —
