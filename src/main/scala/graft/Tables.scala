@@ -19,16 +19,21 @@ final class Tables(spark: SparkSession, sfDir: String) {
   def part: DataFrame       = t("part")
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark cannot decode
-    * natively. Read it as raw int64 nanos and truncate to microseconds —
-    * exactly what DuckDB does when it reads TIMESTAMP_NS (verified:
-    * truncation, not rounding), so both engines agree bit-for-bit.
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) parquet across testdata generations, so branch on
+    * the loaded dtype rather than assuming one encoding:
+    *  - NANOS: Spark cannot decode it natively; read as raw int64 nanos
+    *    (nanosAsLong) and truncate to microseconds — exactly what DuckDB
+    *    does for TIMESTAMP_NS (truncation, not rounding), so both engines
+    *    agree bit-for-bit.
+    *  - MICROS (isAdjustedToUTC=false → TIMESTAMP_NTZ): cast to
+    *    TimestampType. The session timezone is pinned UTC
+    *    (GraftSession), so the cast is a wall-clock identity and the
+    *    downstream column type matches the nanos path.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = t("events")
-    // integer DIV: a double division would lose precision above 2^53 ns
-    raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    Tables.normalizeEventsTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -36,4 +41,20 @@ final class Tables(spark: SparkSession, sfDir: String) {
 
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
+
+  /** Normalize the `ts` column of an events frame (batch or streaming) to
+    * TimestampType regardless of which parquet encoding the data shipped
+    * with — see [[Tables.events]] for the per-encoding rationale. Works
+    * on any DataFrame whose schema is already resolved (for streaming
+    * readers, pass the reader's declared schema through this same
+    * branch).
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame =
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV: double division would lose precision above 2^53 ns
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    }
 }

@@ -19,7 +19,17 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A thrown query must not silently vanish from the correctness
+        // board (round 6: 45 rows absent looked like "not registered").
+        // Leave a loud marker both on stderr and on disk so the driver —
+        // and any human diffing outDir — sees the failure by name.
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+        val errDir = Paths.get(s"$outDir/$name")
+        try {
+          Files.createDirectories(errDir)
+          Files.writeString(errDir.resolve("_ERROR.txt"),
+            s"$name\n${e.toString}\n")
+        } catch { case _: Throwable => () }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -243,8 +243,8 @@ object StreamPipeline {
     * selects the blobs within it.
     */
   def windowedCounts(spark: SparkSession, schema: StructType, sourceDir: String, glob: String, sinkName: String): DataFrame = {
-    val src = spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(sourceDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000L")))
+    val src = graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(sourceDir))
     val agg = src
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("value").cast("decimal(12,2)")).cast("double").as("sum_value"))
