@@ -383,10 +383,37 @@ object Dedup {
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
       spanTokens: Int = 5, minDocs: Int = 2): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    val hot = spanIndex(docs, idCol, textCol, spanTokens)
-      .filter(col("n_docs") >= minDocs)
-      .select("gram")
-    cleanAgainstHot(docs, idCol, textCol, hot, spanTokens)
+    cleanAgainstHot(docs, idCol, textCol,
+      hotSpans(docs, idCol, textCol, spanTokens, minDocs), spanTokens)
+  }
+
+  /** Hot-span detection without the full index: the threshold test
+    * "occurs in >= minDocs distinct docs" goes through the saturating
+    * [[graft.plans.CappedDistinct.distinctAtLeast]] aggregate — ONE
+    * exchange with O(minDocs) state per gram, vs countDistinct's two
+    * exchanges over every distinct (gram, doc) pair. In a dense corpus
+    * (tiny vocabulary, every span repeated — the regime where span
+    * hygiene does the most work) that halves the shuffled gram mass and
+    * caps boilerplate-gram state at minDocs ids regardless of how many
+    * million documents carry the span. Falls back to the exact
+    * [[spanIndex]] filter for non-integral id columns.
+    */
+  private def hotSpans(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int, minDocs: Int): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    docs.schema(idCol).dataType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        docs.select(col(idCol).cast("long").as("__id"),
+            explode(TextFunctions.wordShingles(col(textCol), spanTokens)).as("gram"))
+          .groupBy("gram")
+          .agg(graft.plans.CappedDistinct.distinctAtLeast(col("__id"), minDocs).as("__hot"))
+          .filter(col("__hot"))
+          .select("gram")
+      case _ =>
+        spanIndex(docs, idCol, textCol, spanTokens)
+          .filter(col("n_docs") >= minDocs)
+          .select("gram")
+    }
   }
 
   /** Persisted span-frequency index: (gram, n_docs). The structure an
