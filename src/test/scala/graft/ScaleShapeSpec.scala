@@ -44,6 +44,44 @@ class ScaleShapeSpec extends SparkSpec {
     spark.range(N).filter(col("id") % PlantedEvery === 1)
       .select((col("id") - 1).as("id_a"), col("id").as("id_b"))
 
+  test("span hygiene in the dense-vocab regime: hot detection is one exchange with O(minDocs) state") {
+    // The regenerated documents corpus has a ~31-word vocabulary, so
+    // 5-gram spans repeat heavily — the regime where span hygiene does
+    // real work and where countDistinct's per-(gram, doc) shuffle is
+    // pure waste. Reproduce that shape at 20× scale: 100k docs over a
+    // 31-word vocabulary, 20 tokens each.
+    val vocabWord = (i: org.apache.spark.sql.Column) =>
+      substring(md5(pmod(i, lit(31)).cast("string")), 1, 6)
+    val dense = spark.range(100000).select(col("id").as("doc_id"),
+      concat_ws(" ", transform(sequence(lit(1), lit(20)),
+        j => vocabWord(hash(col("id"), j).cast("long")))).as("text"))
+
+    val cleaned = Dedup.removeRepeatedSpans(dense, "doc_id", "text", spanTokens = 5, minDocs = 2)
+
+    // Plan shape: the hot-span subtree aggregates with the saturating
+    // distinct_at_least (ObjectHashAggregate), never the two-exchange
+    // countDistinct expansion, and the whole clean plan stays free of
+    // nested-loop/cartesian joins.
+    val plan = physicalPlan(cleaned)
+    assert(plan.toString.toLowerCase.contains("distinctatleastagg"),
+      "hot-span detection must use the saturating aggregate")
+    assert(!plan.toString.toLowerCase.contains("count(distinct"),
+      "countDistinct two-phase expansion leaked back into span hygiene")
+    assert(plan.collect {
+      case j: BroadcastNestedLoopJoinExec => j
+      case c: CartesianProductExec        => c
+    }.isEmpty, "span hygiene planned a non-equi join")
+
+    // Semantics under density: results identical to the exact-index
+    // path (a string-id clone of the corpus forces the fallback).
+    val fallback = Dedup.removeRepeatedSpans(
+        dense.withColumn("doc_id", col("doc_id").cast("string")),
+        "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    assert(cleaned.except(fallback).isEmpty && fallback.except(cleaned).isEmpty,
+      "saturating hot set diverged from the exact span-index hot set")
+  }
+
   test("minhash LSH at 50×: candidate pairs stay O(planted + accidents) with full planted recall") {
     val docs  = corpus(exactDups = false)
     val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
