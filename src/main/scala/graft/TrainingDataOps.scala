@@ -1882,6 +1882,56 @@ object TrainingDataOps {
         GROUP BY 1, 2 ORDER BY 1, 2
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "dsir_weights",
+      // DSIR-style target-likeness weights (arXiv:2302.03169): hashed
+      // bigram buckets via the engine-portable md5-prefix hash; target
+      // model = docs with doc_id % 10 = 0, pool = all documents. Score
+      // is the count-weighted mean of add-one-smoothed target/pool odds
+      // in long fixed-point (libm-free; see Curation.dsirWeights).
+      (spark, dir) => {
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        Curation.dsirWeights(docs, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(dsirSql + "\nORDER BY doc_id"),
+      bench = true
+    ),
+    QueryDef(
+      "dsir_select",
+      // the selection step: top-100 pool docs by importance weight,
+      // doc-id tiebreak — a TakeOrderedAndProject, never a global sort
+      (spark, dir) => {
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        Curation.dsirSelect(docs, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
+            "doc_id", "text", k = 100)
+      },
+      Some(dsirSql + "\nORDER BY dsir_score DESC, doc_id LIMIT 100"),
+      bench = true
     )
   )
+
+  /** Shared DuckDB side of the DSIR pair — identical integer fixed-point
+    * term math and a single final double division, so the score hashes
+    * bit-for-bit (see Curation.dsirWeights for the arithmetic contract).
+    */
+  private def dsirSql: String = """
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+    g AS (
+      SELECT doc_id, substr(md5(array_to_string(t[i:i+1], ' ')), 1, 3) AS b
+      FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
+    ),
+    tmodel AS (SELECT b, count(*) AS tc FROM g WHERE doc_id % 10 = 0 GROUP BY b),
+    rmodel AS (SELECT b, count(*) AS rc FROM g GROUP BY b),
+    docf AS (SELECT doc_id, b, count(*) AS c FROM g GROUP BY doc_id, b)
+    SELECT d.doc_id,
+           CAST(sum(d.c) AS BIGINT) AS n_feats,
+           CAST(sum((d.c * (COALESCE(t.tc, 0) + 1) * CAST(1000000000 AS BIGINT))
+                    // (COALESCE(r.rc, 0) + 1)) AS DOUBLE)
+             / CAST(sum(d.c) * CAST(1000000000 AS BIGINT) AS DOUBLE) AS dsir_score
+    FROM docf d LEFT JOIN tmodel t USING (b) LEFT JOIN rmodel r USING (b)
+    GROUP BY d.doc_id
+  """.trim
 }

@@ -596,4 +596,73 @@ object Curation {
     fullyIn.select(col(idCol), col("quality_fp"), col("n_tokens"))
       .unionAll(boundaryIn.select(col(idCol), col("quality_fp"), col("n_tokens")))
   }
+
+  /** DSIR-style importance weights over hashed bigram features (Xie et
+    * al., "Data Selection for Language Models via Importance
+    * Resampling", arXiv:2302.03169): score each pool document by how
+    * much its hashed-n-gram profile looks like the TARGET corpus
+    * relative to the POOL distribution, then select by weight.
+    *
+    * Feature space: bigrams hashed to 16^hexChars buckets via an
+    * md5-hex prefix — the same engine-portable hash the split/sample
+    * family uses, so the bucketing (and therefore the score) is
+    * bit-reproducible in any engine with md5. Per-feature odds are
+    * (target_count+1)/(pool_count+1) — add-one smoothing exactly as in
+    * the paper's bag-of-hashed-ngrams model.
+    *
+    * Arithmetic: the paper's log-importance-weight would put libm in
+    * the result (engines disagree in the last ulp — see text_ngram_lm);
+    * instead the score is the count-weighted MEAN of the per-feature
+    * odds (arithmetic instead of geometric mean — same "looks like the
+    * target" ordering signal, division-free until the end). Each term
+    * is integer fixed-point: (c·(tc+1)·SCALE) div (rc+1) in long math —
+    * exact in every engine; one correctly-rounded double division at
+    * the end. Long headroom: a term needs c·(tc+1)·1e9 < 2^63, i.e.
+    * doc-level bucket count × (target bucket count+1) < 9.2e9 — at a
+    * 4096-bucket space that holds until the TARGET corpus alone carries
+    * ~10^9 bigrams per bucket; widen SCALE down or the math to decimal
+    * past that.
+    *
+    * Scale shape: both models are ≤ 16^hexChars rows (bounded by
+    * construction — broadcast), the pool is touched by one explode +
+    * one (doc, bucket) aggregation, and no join ever shuffles the
+    * corpus. Documents with < 2 tokens have no bigrams and drop out.
+    */
+  def dsirWeights(pool: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      hexChars: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    require(hexChars >= 1 && hexChars <= 8, s"hexChars must be in [1, 8], got $hexChars")
+    require(scale >= 1L, s"scale must be >= 1, got $scale")
+    def buckets(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+          explode(TextFunctions.wordShingles(col(textCol), 2)).as("__gram"))
+        .select(col(idCol), substring(md5(col("__gram")), 1, hexChars).as("__b"))
+    val tModel = buckets(target).groupBy("__b").agg(count(lit(1)).as("__tc"))
+    val rModel = buckets(pool).groupBy("__b").agg(count(lit(1)).as("__rc"))
+    buckets(pool).groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(tModel), Seq("__b"), "left")
+      .join(broadcast(rModel), Seq("__b"), "left")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c")).as("n_feats"),
+        sum(expr(s"(__c * (coalesce(__tc, 0L) + 1L) * ${scale}L) div (coalesce(__rc, 0L) + 1L)"))
+          .as("__fp"))
+      .select(col(idCol), col("n_feats"),
+        (col("__fp").cast("double") / (col("n_feats") * lit(scale)).cast("double"))
+          .as("dsir_score"))
+  }
+
+  /** Deterministic importance SELECTION on [[dsirWeights]]: the k
+    * highest-scoring pool documents, doc-id tiebreak. A global top-k is
+    * a TakeOrderedAndProject (per-partition heaps + one k-row driver
+    * merge), never a full sort — the standard way to take the selected
+    * slice at any corpus size. (The paper resamples with Gumbel noise;
+    * a deterministic top-k keeps the manifest reproducible, which
+    * matters more in a production curation pipeline.)
+    */
+  def dsirSelect(pool: DataFrame, target: DataFrame, idCol: String, textCol: String,
+      k: Int, hexChars: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    dsirWeights(pool, target, idCol, textCol, hexChars)
+      .orderBy(col("dsir_score").desc, col(idCol))
+      .limit(k)
+  }
 }
