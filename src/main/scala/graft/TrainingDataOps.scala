@@ -1391,6 +1391,57 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_reweight",
+      // SoftDeDup-style soft dedup: every exact copy stays, weighted
+      // 1/n_copies so each distinct content contributes one unit of
+      // expected training mass — one window pass on the content hash
+      (spark, dir) =>
+        Dedup.duplicationWeights(Tables(spark, dir).documents, "doc_id", "text")
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id, md5(text) AS content_hash,
+               CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS n_copies,
+               CAST(1 AS DOUBLE) / CAST(count(*) OVER (PARTITION BY md5(text)) AS DOUBLE)
+                 AS sample_weight
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "span_dup_fraction",
+      // duplicated-content fraction per doc (the drop-or-weight policy's
+      // input): share of token positions covered by a cross-doc hot
+      // span — the span machinery measuring instead of excising
+      (spark, dir) =>
+        Dedup.spanDupFraction(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text",
+            spanTokens = 5, minDocs = 2)
+          .orderBy("doc_id"),
+      Some("""
+        WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+          FROM base, unnest(range(1, len(ws) + 1)) AS t(i) WHERE ws[i] <> ''
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+        ),
+        hot AS (SELECT gram FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+        hotpos AS (
+          SELECT DISTINCT doc_id, gpos + off AS pos
+          FROM grams JOIN hot USING (gram), unnest(range(0, 5)) AS o(off)
+        ),
+        nt AS (SELECT doc_id, count(*) AS n_tokens FROM toks GROUP BY doc_id),
+        nd AS (SELECT doc_id, count(*) AS n_dup FROM hotpos GROUP BY doc_id)
+        SELECT nt.doc_id, CAST(nt.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup_tokens,
+               CAST(COALESCE(nd.n_dup, 0) AS DOUBLE) / CAST(nt.n_tokens AS DOUBLE)
+                 AS dup_fraction
+        FROM nt LEFT JOIN nd USING (doc_id) ORDER BY nt.doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "split_assign",
       // deterministic train/val/test manifest: md5 hex-prefix coin vs
       // cumulative thresholds — mutually exclusive, jointly exhaustive,

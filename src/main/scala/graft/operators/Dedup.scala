@@ -512,6 +512,54 @@ object Dedup {
         size(col("__keep")).cast("long").as("n_tokens_kept"))
   }
 
+  /** SoftDeDup-style duplication reweighting: instead of DROPPING exact
+    * duplicates, every copy stays in the corpus with sampling weight
+    * 1/n_copies, so each distinct content contributes one unit of
+    * expected training mass however many times it was crawled (soft
+    * dedup as data reweighting — the gentler alternative when duplicate
+    * count itself is signal). One window pass over the content hash —
+    * a single equi-shuffle, no join, no driver state.
+    */
+  def duplicationWeights(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("content_hash"))
+    docs.select(col(idCol), md5(col(textCol)).as("content_hash"))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .select(col(idCol), col("content_hash"), col("n_copies"),
+        (lit(1).cast("double") / col("n_copies").cast("double")).as("sample_weight"))
+  }
+
+  /** Cross-doc duplicated-content fraction — the corpus-quality signal
+    * behind "fraction of content in duplicated spans" filters: per
+    * document, the share of token positions covered by a
+    * spanTokens-token span occurring in >= minDocs distinct documents.
+    * Same hot-span machinery as [[removeRepeatedSpans]], but measuring
+    * instead of excising — the cheaper response when the policy is
+    * drop-or-weight rather than clean-and-reassemble. Token-less docs
+    * drop out; docs with no hot coverage report 0.0.
+    */
+  def spanDupFraction(docs: DataFrame, idCol: String, textCol: String,
+      spanTokens: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val hot = hotSpans(docs, idCol, textCol, spanTokens, minDocs)
+    val grams = docs.select(col(idCol),
+      posexplode(TextFunctions.wordShingles(col(textCol), spanTokens)).as(Seq("gpos", "gram")))
+    val hotPerDoc = grams.join(hot, Seq("gram"))
+      .groupBy(col(idCol)).agg(collect_set(col("gpos")).as("__hot_gpos"))
+    val covered = array_distinct(flatten(transform(col("__hot_gpos"),
+      g => sequence(g, g + lit(spanTokens - 1)))))
+    docs.join(hotPerDoc, Seq(idCol), "left")
+      .select(col(idCol), col(textCol),
+        coalesce(col("__hot_gpos"), array().cast("array<int>")).as("__hot_gpos"))
+      .withColumn("__t", filter(TextFunctions.tokens(col(textCol)), s => length(s) > 0))
+      .where(size(col("__t")) > 0)
+      .withColumn("__covered", covered)
+      .select(col(idCol),
+        size(col("__t")).cast("long").as("n_tokens"),
+        size(col("__covered")).cast("long").as("n_dup_tokens"),
+        (size(col("__covered")).cast("double") / size(col("__t")).cast("double"))
+          .as("dup_fraction"))
+  }
+
   /** (id, simhash, chunk_id, chunk_val) blocking rows shared by the
     * pair join and the candidate budget.
     */

@@ -48,6 +48,35 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((3L, "x y x y x y x y x y", 10L)))
   }
 
+  test("spanDupFraction: fully-duplicated docs score 1.0, untouched docs 0.0") {
+    val corpus = Seq(
+      (1L, "a b c d e"),                    // exactly the hot span: fraction 1.0
+      (2L, "a b c d e"),
+      (3L, "u v w x y z unrelated tokens"), // no hot span: 0.0
+      (4L, "pre a b c d e post")            // 5 of 7 positions covered
+    ).toDF("doc_id", "text")
+    val out = Dedup.spanDupFraction(corpus, "doc_id", "text", spanTokens = 5, minDocs = 2)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, 5L, 1.0), (2L, 5L, 5L, 1.0),
+      (3L, 8L, 0L, 0.0), (4L, 7L, 5L, 5.0 / 7.0)))
+  }
+
+  test("duplicationWeights: weights within a copy group sum to one; uniques weigh 1.0") {
+    val corpus = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "unique text")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicationWeights(corpus, "doc_id", "text")
+    val perGroup = out.groupBy("content_hash")
+      .agg(sum("sample_weight").as("mass"), count(lit(1)).as("n"))
+      .as[(String, Double, Long)].collect().toSeq
+    assert(perGroup.forall { case (_, mass, _) => math.abs(mass - 1.0) < 1e-12 })
+    val unique = out.filter(col("doc_id") === 4L)
+      .select("n_copies", "sample_weight").as[(Long, Double)].head()
+    assert(unique == ((1L, 1.0)))
+  }
+
   test("incremental span cleaning equals batch output for the delta docs") {
     val corpus = Tables(spark, sfDir).documents.select("doc_id", "text")
     val history = corpus.filter(col("doc_id") % 2 === 0)
