@@ -1947,7 +1947,7 @@ object TrainingDataOps {
             "doc_id", "text")
           .orderBy("doc_id")
       },
-      Some(dsirSql + "\nORDER BY doc_id"),
+      Some(dsirSql("") + "\nORDER BY doc_id"),
       bench = true
     ),
     QueryDef(
@@ -1959,17 +1959,39 @@ object TrainingDataOps {
         Curation.dsirSelect(docs, docs.filter(pmod(col("doc_id"), lit(10)) === 0),
             "doc_id", "text", k = 100)
       },
-      Some(dsirSql + "\nORDER BY dsir_score DESC, doc_id LIMIT 100"),
+      Some(dsirSql("") + "\nORDER BY dsir_score DESC, doc_id LIMIT 100"),
+      bench = true
+    ),
+    QueryDef(
+      "dsir_incremental",
+      // delta-vs-history DSIR via PERSISTED bucket models: history text
+      // is never re-read — the delta is scored against (stored pool
+      // model + its own counts), row-identical to the batch operator
+      // over the full pool restricted to delta ids (the oracle)
+      (spark, dir) => {
+        val docs    = spread(Tables(spark, dir).documents, "doc_id")
+        val history = docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+        val delta   = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+        val target  = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        Curation.dsirWeightsIncremental(
+            Curation.dsirModel(history, "text"), Curation.dsirModel(target, "text"),
+            delta, "doc_id", "text")
+          .orderBy("doc_id")
+      },
+      Some(dsirSql("WHERE d.doc_id % 2 = 1") + "\nORDER BY doc_id"),
       bench = true
     )
   )
 
-  /** Shared DuckDB side of the DSIR pair — identical integer fixed-point
-    * term math and a single final double division, so the score hashes
-    * bit-for-bit (see Curation.dsirWeights for the arithmetic contract).
+  /** Shared DuckDB side of the DSIR family — identical integer
+    * fixed-point term math and a single final double division, so the
+    * score hashes bit-for-bit (see Curation.dsirWeights for the
+    * arithmetic contract). `where` restricts the SCORED docs (the
+    * incremental variant's oracle IS the batch SQL restricted to delta
+    * ids); the models always span the full pool/target.
     */
-  private def dsirSql: String = """
-    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents),
+  private def dsirSql(where: String): String = s"""
+    WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents),
     g AS (
       SELECT doc_id, substr(md5(array_to_string(t[i:i+1], ' ')), 1, 3) AS b
       FROM toks, unnest(range(1, greatest(len(t) - 1, 0) + 1)) AS u(i)
@@ -1983,6 +2005,7 @@ object TrainingDataOps {
                     // (COALESCE(r.rc, 0) + 1)) AS DOUBLE)
              / CAST(sum(d.c) * CAST(1000000000 AS BIGINT) AS DOUBLE) AS dsir_score
     FROM docf d LEFT JOIN tmodel t USING (b) LEFT JOIN rmodel r USING (b)
+    $where
     GROUP BY d.doc_id
   """.trim
 }

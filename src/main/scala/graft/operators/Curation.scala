@@ -629,18 +629,50 @@ object Curation {
     * corpus. Documents with < 2 tokens have no bigrams and drop out.
     */
   def dsirWeights(pool: DataFrame, target: DataFrame, idCol: String, textCol: String,
-      hexChars: Int = 3, scale: Long = 1000000000L): DataFrame = {
+      hexChars: Int = 3, scale: Long = 1000000000L): DataFrame =
+    // batch == incremental with an empty history model: the merge then
+    // contributes exactly the pool's own bucket counts
+    dsirWeightsIncremental(dsirModel(pool.limit(0), textCol, hexChars),
+      dsirModel(target, textCol, hexChars), pool, idCol, textCol, hexChars, scale)
+
+  /** Persisted DSIR bucket model: (bucket, n) hashed-bigram counts for a
+    * corpus — the structure an incremental pipeline stores so tomorrow's
+    * delta is scored without rescanning 100 TB of history. Bounded by
+    * the bucket space (16^hexChars rows) and additive across disjoint
+    * corpora: [[mergeDsirModel]] sums per-bucket counts.
+    */
+  def dsirModel(docs: DataFrame, textCol: String, hexChars: Int = 3): DataFrame = {
     require(hexChars >= 1 && hexChars <= 8, s"hexChars must be in [1, 8], got $hexChars")
+    docs.select(explode(TextFunctions.wordShingles(col(textCol), 2)).as("__gram"))
+      .select(substring(md5(col("__gram")), 1, hexChars).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+  }
+
+  /** Model union for an append-only corpus: one bucket-bounded
+    * aggregation (counts add over disjoint doc sets).
+    */
+  def mergeDsirModel(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy("bucket").agg(sum(col("n")).as("n"))
+
+  /** Incremental DSIR: score only the DELTA batch against PERSISTED
+    * bucket models — the pool model merged with the delta's own counts
+    * (so the distribution is exactly what a batch run over
+    * history ∪ delta would see), the target model as stored. Row-
+    * identical to [[dsirWeights]] over the full pool restricted to the
+    * delta's ids, at O(delta + bucket space) cost: history text is
+    * never touched. Same arithmetic contract as the batch operator.
+    */
+  def dsirWeightsIncremental(poolModel: DataFrame, targetModel: DataFrame,
+      delta: DataFrame, idCol: String, textCol: String,
+      hexChars: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(scale >= 1L, s"scale must be >= 1, got $scale")
-    def buckets(df: DataFrame): DataFrame =
-      df.select(col(idCol),
-          explode(TextFunctions.wordShingles(col(textCol), 2)).as("__gram"))
-        .select(col(idCol), substring(md5(col("__gram")), 1, hexChars).as("__b"))
-    val tModel = buckets(target).groupBy("__b").agg(count(lit(1)).as("__tc"))
-    val rModel = buckets(pool).groupBy("__b").agg(count(lit(1)).as("__rc"))
-    buckets(pool).groupBy(col(idCol), col("__b")).agg(count(lit(1)).as("__c"))
-      .join(broadcast(tModel), Seq("__b"), "left")
-      .join(broadcast(rModel), Seq("__b"), "left")
+    val merged = mergeDsirModel(poolModel, dsirModel(delta, textCol, hexChars))
+    delta.select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), 2)).as("__gram"))
+      .select(col(idCol), substring(md5(col("__gram")), 1, hexChars).as("bucket"))
+      .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(targetModel.select(col("bucket"), col("n").as("__tc"))), Seq("bucket"), "left")
+      .join(broadcast(merged.select(col("bucket"), col("n").as("__rc"))), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_feats"),
         sum(expr(s"(__c * (coalesce(__tc, 0L) + 1L) * ${scale}L) div (coalesce(__rc, 0L) + 1L)"))

@@ -52,6 +52,18 @@ class DsirSpec extends SparkSpec {
     }.isEmpty, "a model join fell back to a corpus shuffle")
   }
 
+  test("incremental scoring against persisted models equals batch restricted to the delta") {
+    val history = docs.filter(col("doc_id") % 2 === 0)
+    val delta   = docs.filter(col("doc_id") % 2 === 1)
+    val inc = Curation.dsirWeightsIncremental(
+      Curation.dsirModel(history, "text"), Curation.dsirModel(target, "text"),
+      delta, "doc_id", "text")
+    val batch = Curation.dsirWeights(docs, target, "doc_id", "text")
+      .filter(col("doc_id") % 2 === 1)
+    assert(inc.except(batch).isEmpty && batch.except(inc).isEmpty,
+      "incremental DSIR diverged from batch restricted to delta ids")
+  }
+
   test("fixed-point term math matches a direct reference computation") {
     // tiny corpus, hand-checkable: recompute the score in Scala doubles
     // from first principles and compare exactly (same integer terms)
