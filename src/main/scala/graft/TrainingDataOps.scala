@@ -878,6 +878,47 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "decontaminate_spans",
+      // span-level decontamination: REDACT every benchmark 5-gram from
+      // the corpus instead of dropping contaminated docs — the
+      // benchmark's distinct grams are the (bounded, broadcastable) hot
+      // set driving the same excise-and-reassemble plan as dedup_spans
+      (spark, dir) => {
+        import spark.implicits._
+        val docs   = spread(Tables(spark, dir).documents, "doc_id")
+        val bench  = docs.filter($"doc_id" < 20)
+          .select(explode(graft.functions.TextFunctions.wordShingles($"text", 5)).as("gram"))
+        Dedup.exciseSpans(docs.filter($"doc_id" >= 20), "doc_id", "text", bench, spanTokens = 5)
+          .orderBy("doc_id")
+      },
+      Some("""
+        WITH base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        toks AS (
+          SELECT doc_id, i - 1 AS pos, ws[i] AS tok
+          FROM base, unnest(range(1, len(ws) + 1)) AS t(i)
+          WHERE ws[i] <> '' AND doc_id >= 20
+        ),
+        grams AS (
+          SELECT doc_id, i - 1 AS gpos, array_to_string(ws[i:i+4], ' ') AS gram
+          FROM base, unnest(range(1, greatest(len(ws) - 4, 0) + 1)) AS t(i)
+        ),
+        hot AS (SELECT DISTINCT gram FROM grams WHERE doc_id < 20),
+        hotpos AS (
+          SELECT DISTINCT g.doc_id, g.gpos + off AS pos
+          FROM grams g JOIN hot USING (gram), unnest(range(0, 5)) AS o(off)
+          WHERE g.doc_id >= 20
+        ),
+        kept AS (
+          SELECT t.doc_id, t.pos, t.tok
+          FROM toks t ANTI JOIN hotpos h ON t.doc_id = h.doc_id AND t.pos = h.pos
+        )
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+               CAST(count(*) AS BIGINT) AS n_tokens_kept
+        FROM kept GROUP BY doc_id ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "pack_sequences",
       // token-budget sequence sharding in doc order; two-phase weighted
       // numbering (no global window)

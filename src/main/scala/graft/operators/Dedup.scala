@@ -512,6 +512,22 @@ object Dedup {
         size(col("__keep")).cast("long").as("n_tokens_kept"))
   }
 
+  /** Span REDACTION against an EXTERNAL span set — benchmark
+    * decontamination at span granularity: every occurrence of any gram
+    * in `spans` (a `gram` column of spanTokens-token space-joined word
+    * grams, e.g. a benchmark's shingles) is excised and the documents
+    * reassembled, the contamination response when dropping whole
+    * documents wastes the 99% of their content that is clean. Same
+    * plan shape as [[removeRepeatedSpans]] minus the hot-detection
+    * aggregation; docs whose every token is excised drop out.
+    */
+  def exciseSpans(docs: DataFrame, idCol: String, textCol: String,
+      spans: DataFrame, spanTokens: Int): DataFrame = {
+    require(spans.columns.contains("gram"),
+      s"spans must carry a 'gram' column, has ${spans.columns.mkString(",")}")
+    cleanAgainstHot(docs, idCol, textCol, spans.select("gram").distinct(), spanTokens)
+  }
+
   /** SoftDeDup-style duplication reweighting: instead of DROPPING exact
     * duplicates, every copy stays in the corpus with sampling weight
     * 1/n_copies, so each distinct content contributes one unit of

@@ -48,6 +48,20 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((3L, "x y x y x y x y x y", 10L)))
   }
 
+  test("exciseSpans redacts external grams only; clean docs pass through, covered docs drop") {
+    val corpus = Seq(
+      (1L, "leaked bench span here now plus own words"),
+      (2L, "completely clean document text"),
+      (3L, "leaked bench span here now")              // nothing but the leak
+    ).toDF("doc_id", "text")
+    val bench = Seq("leaked bench span here now").toDF("gram")
+    val out = Dedup.exciseSpans(corpus, "doc_id", "text", bench, spanTokens = 5)
+      .orderBy("doc_id").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "plus own words", 3L),
+      (2L, "completely clean document text", 4L)))
+  }
+
   test("spanDupFraction: fully-duplicated docs score 1.0, untouched docs 0.0") {
     val corpus = Seq(
       (1L, "a b c d e"),                    // exactly the hot span: fraction 1.0
