@@ -673,6 +673,47 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_concurrency",
+      (spark, dir) => {
+        import spark.implicits._
+        // peak simultaneously-active sessions per day: the sessionize
+        // plan feeds the distributed sweep-line (±1 boundary points,
+        // two-phase global running sum — see TimeSeries.peakConcurrency)
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val sessions = Tables(spark, dir).events
+          .withColumn("__prev_us", lag(unix_micros($"ts"), 1).over(w))
+          .withColumn("__is_new",
+            when($"__prev_us".isNull || unix_micros($"ts") - $"__prev_us" > 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_seq", sum($"__is_new").over(run))
+          .groupBy($"user_id", $"session_seq")
+          .agg(min($"ts").as("session_start"), max($"ts").as("session_end"))
+        graft.operators.TimeSeries.peakConcurrency(sessions, "session_start", "session_end")
+          .orderBy("day")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ), s AS (
+          SELECT user_id, ts,
+                 CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+          FROM x
+        ), sess AS (
+          SELECT user_id, session_seq, min(ts) AS st, max(ts) AS en FROM s GROUP BY 1, 2
+        ), pts AS (
+          SELECT st AS ts, 1 AS d FROM sess UNION ALL SELECT en AS ts, -1 AS d FROM sess
+        ), run AS (
+          SELECT ts, d, sum(d) OVER (ORDER BY ts, d DESC) AS live FROM pts
+        )
+        SELECT date_trunc('day', ts) AS day, CAST(max(live) AS BIGINT) AS peak_concurrency
+        FROM run GROUP BY 1 ORDER BY day
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q13_custdist",
       // TPC-H Q13 shape: order-count distribution over customers — the
       // LEFT OUTER join + double aggregation pattern (customers with no

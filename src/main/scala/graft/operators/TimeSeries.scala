@@ -152,4 +152,40 @@ object TimeSeries {
       .select(col(keyCol), col("bucket"), col("n_events"),
         dev.as("dev_num"), varNum.as("var_num"), col("__n").as("n_buckets"))
   }
+
+  /** Peak concurrency per day — the sweep-line classic (max sessions
+    * simultaneously active), distributed: intervals become ±1 boundary
+    * points; a GLOBAL running sum over (ts, +1 before −1) is the live
+    * count at every boundary; the per-day max of that count is the
+    * answer. Ends are INCLUSIVE: sessions touching at a timestamp
+    * count as concurrent (the +1-first tie order implements exactly
+    * that), and a day's peak is attributed to the day the peak occurs.
+    *
+    * The global running sum is NOT an unpartitioned window: boundary
+    * points range-partition by ts, each partition cumsums locally, and
+    * partition prefix offsets come from one O(#partitions) driver
+    * fold — the same two-phase prefix plan as sequence packing
+    * (packAssignments). Equal-ts points never split across partitions
+    * (range boundaries are key values), so tie order is respected.
+    */
+  def peakConcurrency(intervals: DataFrame, startCol: String, endCol: String): DataFrame = {
+    val spark = intervals.sparkSession
+    val points = intervals.select(col(startCol).as("__ts"), lit(1L).as("__d"))
+      .unionAll(intervals.select(col(endCol).as("__ts"), lit(-1L).as("__d")))
+    val local = points
+      .repartitionByRange(col("__ts"))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__cum", sum(col("__d")).over(
+        Window.partitionBy("__pid").orderBy(col("__ts"), col("__d").desc)))
+      .localCheckpoint()
+    val totals = local.groupBy("__pid").agg(sum(col("__d")).as("__t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = totals.map { case (pid, t) => val off = acc; acc += t; (pid, off) }.toSeq
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    local.join(broadcast(offDf), Seq("__pid"))
+      .withColumn("__live", col("__off") + col("__cum"))
+      .groupBy(date_trunc("day", col("__ts")).as("day"))
+      .agg(max(col("__live")).as("peak_concurrency"))
+  }
 }

@@ -119,4 +119,26 @@ class TimeSeriesSpec extends SparkSpec {
     assert(plan.collect { case t: TakeOrderedAndProjectExec => t }.nonEmpty,
       "top-k must plan as TakeOrderedAndProject, not a global sort")
   }
+
+  test("peakConcurrency: inclusive ends, touching sessions concurrent, cross-day peaks attributed correctly") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val intervals = Seq(
+      // day 1: [10:00, 11:00], [10:30, 12:00], [11:00, 11:10] → 3 live at 11:00
+      (ts("2024-03-01 10:00:00"), ts("2024-03-01 11:00:00")),
+      (ts("2024-03-01 10:30:00"), ts("2024-03-01 12:00:00")),
+      (ts("2024-03-01 11:00:00"), ts("2024-03-01 11:10:00")),
+      // one session spanning midnight into day 2, overlapping another
+      (ts("2024-03-01 23:00:00"), ts("2024-03-02 01:00:00")),
+      (ts("2024-03-02 00:30:00"), ts("2024-03-02 02:00:00"))
+    ).toDF("st", "en")
+    val got = TimeSeries.peakConcurrency(intervals, "st", "en")
+      .orderBy("day").as[(java.sql.Timestamp, Long)].collect().toSeq
+    // day 1 peak: 3 (at 11:00 the ending and starting sessions overlap
+    // inclusively); day 2 peak: 2 (00:30–01:00, only boundary points in
+    // day 2 count toward its max — the carried-over live count appears
+    // at the 00:30 start point)
+    assert(got == Seq(
+      (ts("2024-03-01 00:00:00"), 3L),
+      (ts("2024-03-02 00:00:00"), 2L)), s"got $got")
+  }
 }
