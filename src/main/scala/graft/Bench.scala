@@ -51,18 +51,25 @@ object Bench {
     // a full-precision line with per-query cold times (~4.5 KB) gets its
     // `{"metric":...` head truncated away, making the line unparseable
     def f2(v: Double): String = String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-    val qs    = results.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
+    // the registry outgrew the 2000-char tail the collecting harness
+    // keeps (round 6: a 3.6 KB line lost its '{"metric"' head and parsed
+    // as nothing), so the compact line carries only the SLOWEST queries
+    // — the ones a perf review reads — plus n_queries for context; the
+    // full per-query map stays on the bench-detail line and in
+    // BENCH_LOCAL.json
+    val slowest = results.sortBy(-_._2).take(40)
+    val qs    = slowest.map { case (k, v, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val cold  = results.map { case (k, _, c) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val coldTotal = results.map(_._3).sum
     // a failed query records a (meaningless, tiny) time — list failures
     // explicitly so the JSON can never silently pass as an improvement
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.take(20).map("\"" + _ + "\"").mkString("[", ",", "]")
     // full-precision detail first (prefixed, so it can't be mistaken for the
     // metric line), then stop Spark so shutdown logs flush BEFORE the final
     // compact line — which must be the last stdout of the run
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")}}""")
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"cold_total":${f2(coldTotal)},"failed":$failedJson}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"cold_total":${f2(coldTotal)},"failed":$failedJson,"n_failed":${failed.size}}""")
   }
 }

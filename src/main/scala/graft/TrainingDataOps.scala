@@ -347,6 +347,56 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "emb_binarize",
+      // sign-binarized embedding codes (32× compression): two positive
+      // 32-bit halves in long math — bit 63's signed overflow differs
+      // across engines, two halves don't
+      (spark, dir) =>
+        Similarity.binarize(Tables(spark, dir).embeddings, "vec_id", "embedding")
+          .orderBy("vec_id"),
+      Some("""
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(0, 32),
+                    i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+               CAST(list_sum(list_transform(range(0, 32),
+                    i -> CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w2
+        FROM embeddings ORDER BY vec_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "ann_hamming",
+      // Hamming top-k over the binary codes: per-pair cost is two
+      // XOR+popcount words instead of a 64-term float dot — the
+      // billion-scale candidate sweep, exact re-rank on the shortlist
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.hammingTopK(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5
+        ).orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(range(0, 32),
+                      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+                 CAST(list_sum(list_transform(range(0, 32),
+                      i -> CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w2
+          FROM embeddings
+        ), p AS (SELECT * FROM e WHERE vec_id < 5), c AS (SELECT * FROM e WHERE vec_id >= 5)
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               CAST(bit_count(xor(p.w1, c.w1)) + bit_count(xor(p.w2, c.w2)) AS BIGINT) AS hamming,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY bit_count(xor(p.w1, c.w1)) + bit_count(xor(p.w2, c.w2)), c.vec_id) AS INT) AS rank
+        FROM p, c
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "emb_quantize",
       // int8 embedding quantization (4× memory for ANN candidate
       // storage): per-vector max-abs scale, code = floor(x·127/s + 0.5)

@@ -35,6 +35,43 @@ object Similarity {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Sign-binarized embedding codes — the 32×-compression ANN variant
+    * beside int8 quantization and PQ: bit i of the code is 1 iff
+    * dimension i is strictly positive, packed as TWO 32-bit halves in
+    * long math (a single 64-bit word would need bit 63, whose
+    * signed-overflow behavior differs across engines; two positive
+    * halves are engine-exact). 64-dim contract — the first 64
+    * dimensions are coded. Hamming distance between codes approximates
+    * angular distance (Charikar's hyperplane LSH with axis-aligned
+    * planes); the scale story is the usual one: codes are 16 bytes/row,
+    * so a billion-vector candidate sweep is a scan over 16 GB, and the
+    * exact re-rank runs on the shortlist only.
+    */
+  def binarize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    def half(off: Int) = expr(
+      s"aggregate(transform(sequence(0, 31), i -> IF(CAST(element_at($vecCol, i + ${off + 1}) AS DOUBLE) > 0.0D, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
+    emb.select(col(idCol), half(0).as("w1"), half(32).as("w2"))
+  }
+
+  /** Exact top-k by Hamming distance over [[binarize]] codes — same
+    * broadcast probe scan as [[bruteForceTopK]], but the per-pair work
+    * is two XOR+popcount words instead of a 64-term float dot.
+    */
+  def hammingTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int): DataFrame = {
+    val p = binarize(probes, idCol, vecCol)
+      .select(col(idCol).as("probe_id"), col("w1").as("__p1"), col("w2").as("__p2"))
+    val c = binarize(candidates, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("w1").as("__c1"), col("w2").as("__c2"))
+    val dist = expr("CAST(bit_count(__p1 ^ __c1) + bit_count(__p2 ^ __c2) AS BIGINT)")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("hamming"), col("neighbor_id"))
+    c.crossJoin(broadcast(p))
+      .withColumn("hamming", dist)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "hamming", "rank")
+  }
+
   /** Radius (range) search: ALL candidates within `minCosine` of each
     * probe — the dedup/dup-cluster contract, where top-k truncates
     * arbitrarily but a similarity THRESHOLD defines membership. Same
