@@ -72,6 +72,32 @@ object Similarity {
       .select("probe_id", "neighbor_id", "hamming", "rank")
   }
 
+  /** The two-stage retrieval the binary codes exist for: a Hamming
+    * shortlist of `shortlist` candidates per probe (16-byte codes — the
+    * only thing the full corpus sweep touches), then EXACT cosine
+    * re-rank of the shortlist alone against the full vectors, fetched
+    * by id through an equi-join. Output contract matches
+    * [[bruteForceTopK]] (probe_id, neighbor_id, cosine, rank) so the
+    * two are drop-in interchangeable; recall vs the exact baseline is
+    * the shortlist-depth knob.
+    */
+  def hammingRerankTopK(probes: DataFrame, candidates: DataFrame, idCol: String,
+      vecCol: String, k: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= k, s"shortlist ($shortlist) must be >= k ($k)")
+    val short = hammingTopK(probes, candidates, idCol, vecCol, shortlist)
+      .select(col("probe_id"), col("neighbor_id"))
+    val p = probes.select(col(idCol).as("probe_id"), asDouble(col(vecCol)).as("__pv"))
+    val c = candidates.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("__cv"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    short
+      .join(c, Seq("neighbor_id"))
+      .join(broadcast(p), Seq("probe_id"))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Radius (range) search: ALL candidates within `minCosine` of each
     * probe — the dedup/dup-cluster contract, where top-k truncates
     * arbitrarily but a similarity THRESHOLD defines membership. Same
