@@ -673,6 +673,39 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_session_window",
+      (spark, dir) => {
+        import spark.implicits._
+        // the NATIVE session-window operator (vs q_sessionize's manual
+        // lag/cumsum): one aggregation, merge handled by the engine.
+        // Boundary semantics differ from the manual form: a gap of
+        // EXACTLY 30 min starts a new session here (window end is
+        // exclusive), and session_end = last event + gap by definition
+        Tables(spark, dir).events
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", $"w.start".as("session_start"), $"w.end".as("session_end"), $"n_events")
+          .orderBy($"user_id", $"session_start")
+      },
+      Some("""
+        WITH x AS (
+          SELECT user_id, ts,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+          SELECT user_id, ts,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS seq
+          FROM x
+        )
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n_events
+        FROM s GROUP BY user_id, seq ORDER BY user_id, session_start
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_concurrency",
       (spark, dir) => {
         import spark.implicits._
