@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, size}
 import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Pins the driver-generated testdata contract so environment drift fails
@@ -45,5 +46,32 @@ class TestDataContractSpec extends SparkSpec {
     val cols = Tables(spark, sfDir).events.columns.toSet
     for (c <- Seq("ts", "user_id", "event_type"))
       assert(cols.contains(c), s"events missing column $c (has $cols)")
+  }
+
+  test("documents carries the columns the training-data registry depends on") {
+    for ((sf, dir) <- sfDirs) {
+      val cols = Tables(spark, dir).documents.columns.toSet
+      for (c <- Seq("doc_id", "text", "source"))
+        assert(cols.contains(c), s"$sf documents missing column $c (has $cols)")
+    }
+  }
+
+  test("embeddings are 64-dim float arrays (the binarize/PQ/IVF contract)") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    for ((sf, dir) <- sfDirs) {
+      val emb = Tables(spark, dir).embeddings
+      val cols = emb.columns.toSet
+      for (c <- Seq("vec_id", "embedding"))
+        assert(cols.contains(c), s"$sf embeddings missing column $c (has $cols)")
+      assert(emb.schema("embedding").dataType match {
+        case ArrayType(FloatType, _) => true
+        case _                       => false
+      }, s"$sf embedding must be array<float>, got ${emb.schema("embedding").dataType}")
+      // emb_binarize codes the first 64 dims; ann/PQ cells assume a
+      // fixed dim — drift here must fail by name, not as recall decay
+      val dims = emb.select(size(col("embedding")).as("d")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      assert(dims == Seq(64), s"$sf embedding dims must be uniformly 64, got $dims")
+    }
   }
 }
