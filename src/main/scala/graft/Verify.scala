@@ -4,6 +4,27 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** Dump one query result as parquet; on ANY failure leave a loud
+    * `_ERROR.txt` marker in the query's result dir. A thrown query must
+    * not silently vanish from the correctness board (round 6: 45 rows
+    * absent looked like "not registered") — the marker makes the
+    * driver's read fail BY NAME and gives a human diffing outDir the
+    * stack head.
+    */
+  private[graft] def dumpOne(spark: SparkSession, sfDir: String, outDir: String,
+      name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Unit = {
+    try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+      .parquet(s"$outDir/$name")
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
+      try {
+        val errDir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(errDir)
+        Files.writeString(errDir.resolve("_ERROR.txt"), s"$name\n${e.toString}\n")
+      } catch { case _: Throwable => () }
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val (sfDir, outDir) = (args(0), args(1))
     // optional third arg: only dump queries whose name contains it (dev
@@ -15,23 +36,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(name.contains) }
-      .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        // A thrown query must not silently vanish from the correctness
-        // board (round 6: 45 rows absent looked like "not registered").
-        // Leave a loud marker both on stderr and on disk so the driver —
-        // and any human diffing outDir — sees the failure by name.
-        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
-        val errDir = Paths.get(s"$outDir/$name")
-        try {
-          Files.createDirectories(errDir)
-          Files.writeString(errDir.resolve("_ERROR.txt"),
-            s"$name\n${e.toString}\n")
-        } catch { case _: Throwable => () }
-      }
-    }
+      .foreach { case (name, fn) => dumpOne(spark, sfDir, outDir, name, fn) }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
