@@ -331,4 +331,38 @@ class SimilaritySpec extends SparkSpec {
       .select("r").as[Seq[Int]].collect()
     assert(ranks.length == 3 && ranks.forall(_.sorted == Seq(1, 2, 3, 4)))
   }
+
+  test("binarize packs exactly the strictly-positive dims; codes match a bit-level reference") {
+    val e = Tables(spark, sfDir).embeddings.limit(50)
+    val got = Similarity.binarize(e, "vec_id", "embedding")
+      .orderBy("vec_id").as[(Long, Long, Long)].collect().toSeq
+    val want = e.orderBy("vec_id").select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect().toSeq.map { case (id, v) =>
+        var w1 = 0L; var w2 = 0L
+        for (i <- 0 until 32) {
+          if (v(i) > 0f) w1 |= (1L << i)
+          if (v(i + 32) > 0f) w2 |= (1L << i)
+        }
+        (id, w1, w2)
+      }
+    assert(got == want)
+    // halves are positive by construction (bit 31 is the top bit used)
+    assert(got.forall { case (_, w1, w2) => w1 >= 0L && w2 >= 0L })
+  }
+
+  test("hammingTopK distance equals popcount of the code XOR; known tiny case") {
+    // dims 0..63 constructed so codes differ in exactly 3 known bits
+    def vec(flip: Set[Int]): Seq[Float] =
+      (0 until 64).map(i => if (flip.contains(i)) -1.0f else 1.0f)
+    val df = Seq(
+      (0L, vec(Set.empty)),          // probe: all bits set
+      (10L, vec(Set(1, 40, 63))),    // hamming 3
+      (11L, vec(Set(5))),            // hamming 1
+      (12L, vec((0 until 64).toSet)) // hamming 64
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.hammingTopK(df.filter($"vec_id" === 0), df.filter($"vec_id" > 0),
+        "vec_id", "embedding", k = 3)
+      .orderBy("rank").as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((0L, 11L, 1L, 1), (0L, 10L, 3L, 2), (0L, 12L, 64L, 3)))
+  }
 }
