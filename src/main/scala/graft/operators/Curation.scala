@@ -664,15 +664,28 @@ object Curation {
     */
   def dsirWeightsIncremental(poolModel: DataFrame, targetModel: DataFrame,
       delta: DataFrame, idCol: String, textCol: String,
+      hexChars: Int = 3, scale: Long = 1000000000L): DataFrame =
+    dsirScoreAgainst(mergeDsirModel(poolModel, dsirModel(delta, textCol, hexChars)),
+      targetModel, delta, idCol, textCol, hexChars, scale)
+
+  /** Score docs against FIXED models — no delta merge. This is the
+    * streaming-GATE form: models are trained offline and every
+    * micro-batch scores against the same distribution, so a document's
+    * score does not depend on which batch it arrived in. (The
+    * incremental BATCH operator above does merge the delta's counts,
+    * because there the contract is row-identity with a full batch run
+    * over history ∪ delta.)
+    */
+  def dsirScoreAgainst(poolModel: DataFrame, targetModel: DataFrame,
+      docs: DataFrame, idCol: String, textCol: String,
       hexChars: Int = 3, scale: Long = 1000000000L): DataFrame = {
     require(scale >= 1L, s"scale must be >= 1, got $scale")
-    val merged = mergeDsirModel(poolModel, dsirModel(delta, textCol, hexChars))
-    delta.select(col(idCol),
+    docs.select(col(idCol),
         explode(TextFunctions.wordShingles(col(textCol), 2)).as("__gram"))
       .select(col(idCol), substring(md5(col("__gram")), 1, hexChars).as("bucket"))
       .groupBy(col(idCol), col("bucket")).agg(count(lit(1)).as("__c"))
       .join(broadcast(targetModel.select(col("bucket"), col("n").as("__tc"))), Seq("bucket"), "left")
-      .join(broadcast(merged.select(col("bucket"), col("n").as("__rc"))), Seq("bucket"), "left")
+      .join(broadcast(poolModel.select(col("bucket"), col("n").as("__rc"))), Seq("bucket"), "left")
       .groupBy(col(idCol))
       .agg(sum(col("__c")).as("n_feats"),
         sum(expr(s"(__c * (coalesce(__tc, 0L) + 1L) * ${scale}L) div (coalesce(__rc, 0L) + 1L)"))
