@@ -67,6 +67,29 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
     v
   }
 
+  /** Optimistic-concurrency commit — the table-format semantic behind
+    * Iceberg's commit protocol: the caller states the version it BASED
+    * its write on (`None` = expects an empty table); if another writer
+    * has advanced the table since, the commit is refused with a
+    * [[SnapshotStore.CommitConflictException]] BEFORE any data is
+    * staged, and the caller re-reads + re-derives + retries. Plain
+    * [[commit]] keeps last-writer-wins semantics for single-writer
+    * streams; concurrent writers (compaction beside ingestion, two
+    * backfill shards racing) use this. The check is
+    * check-then-stage-then-flip: a lost race after the check can still
+    * slip through on a filesystem without atomic compare-and-swap —
+    * exactly Iceberg's exposure without a locking catalog, which is why
+    * production deployments put a catalog in front; single-writer
+    * correctness and conflict DETECTION are what this layer guarantees.
+    */
+  def commitIf(df: DataFrame, expectedVersion: Option[Long],
+      maxRowsPerFile: Option[Int] = None): Long = {
+    val cur = currentVersion()
+    if (cur != expectedVersion)
+      throw new SnapshotStore.CommitConflictException(expectedVersion, cur)
+    commit(df, maxRowsPerFile)
+  }
+
   /** Read the current snapshot (None if the table has no commits). */
   def read(): Option[DataFrame] = currentVersion().map(readVersion)
 
@@ -133,4 +156,14 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
     fs.delete(path, false)
     fs.rename(tmp, path)
   }
+}
+
+object SnapshotStore {
+  /** The table advanced since the caller's base version — re-read,
+    * re-derive, retry (the optimistic-concurrency contract).
+    */
+  final class CommitConflictException(expected: Option[Long], actual: Option[Long])
+    extends RuntimeException(
+      s"commit conflict: expected version ${expected.getOrElse("none")}, " +
+        s"table is at ${actual.getOrElse("none")}")
 }

@@ -45,4 +45,30 @@ class SnapshotStoreSpec extends SparkSpec {
     assert(!orphan.exists())
     assert(store.read().get.count() == 1, "live data untouched")
   }
+
+  test("commitIf detects concurrent advancement; retry from the fresh version succeeds") {
+    import spark.implicits._
+    val store = new SnapshotStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_snap_occ").toString)
+    // first writer: empty-table expectation holds
+    val v1 = store.commitIf(Seq((1, "a")).toDF("k", "v"), expectedVersion = None)
+    assert(v1 == 1L)
+    // second writer based on v1 wins the race...
+    val v2 = store.commitIf(Seq((2, "b")).toDF("k", "v"), expectedVersion = Some(v1))
+    assert(v2 == 2L)
+    // ...so a third writer still based on v1 must be refused, data unstaged
+    val ex = intercept[SnapshotStore.CommitConflictException] {
+      store.commitIf(Seq((3, "c")).toDF("k", "v"), expectedVersion = Some(v1))
+    }
+    assert(ex.getMessage.contains("expected version 1") && ex.getMessage.contains("at 2"))
+    assert(store.versions() == Seq(1L, 2L), "refused commit must stage nothing")
+    // re-read + retry from the fresh version succeeds
+    val v3 = store.commitIf(Seq((3, "c")).toDF("k", "v"),
+      expectedVersion = store.currentVersion())
+    assert(v3 == 3L && store.read().get.count() == 1)
+    // stale empty-table expectation also conflicts
+    intercept[SnapshotStore.CommitConflictException] {
+      store.commitIf(Seq((4, "d")).toDF("k", "v"), expectedVersion = None)
+    }
+  }
 }
