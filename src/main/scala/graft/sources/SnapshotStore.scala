@@ -83,11 +83,12 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
     * correctness and conflict DETECTION are what this layer guarantees.
     */
   def commitIf(df: DataFrame, expectedVersion: Option[Long],
-      maxRowsPerFile: Option[Int] = None): Long = {
+      maxRowsPerFile: Option[Int] = None,
+      retry: graft.streaming.RetryPolicy = graft.streaming.RetryPolicy.Never): Long = {
     val cur = currentVersion()
     if (cur != expectedVersion)
       throw new SnapshotStore.CommitConflictException(expectedVersion, cur)
-    commit(df, maxRowsPerFile)
+    commit(df, maxRowsPerFile, retry)
   }
 
   /** Read the current snapshot (None if the table has no commits). */

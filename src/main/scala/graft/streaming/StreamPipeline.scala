@@ -63,7 +63,17 @@ object StreamPipeline {
         * it after the commit (`DisposeBatchProcessor`). None = merge the
         * in-memory staged plan directly (no extra I/O).
         */
-      stagingDir: Option[String] = None
+      stagingDir: Option[String] = None,
+      /** commit each batch with optimistic-concurrency detection
+        * ([[graft.sources.SnapshotStore.commitIf]]): the merge's base
+        * version is pinned when the batch reads the target, and an
+        * out-of-band writer advancing the table mid-batch (a manual
+        * backfill, a second stream on the same target) fails the batch
+        * with a typed conflict instead of silently reverting their
+        * commit — last-writer-wins becomes fail-fast. The checkpoint
+        * replays the batch on restart against a fresh base.
+        */
+      detectConflicts: Boolean = false
   )
 
   /** Per-cycle pipeline metrics — the Spark-native form of the
@@ -132,19 +142,26 @@ object StreamPipeline {
           spark.read.schema(stagedPlan.schema).parquet(dir)
         }
         val store  = new SnapshotStore(spark, cfg.targetDir)
+        // pin the merge's base version HERE so conflict detection
+        // compares against exactly the snapshot this merge read
+        val baseVersion = store.currentVersion()
         // in-stream schema evolution (the reference's
         // SchemaMigrationProcessor): align target and batch to the union
         // schema before the MERGE — a no-op projection when schemas
         // already agree, null-fill + type-widening when the source
         // evolved, so the target follows the source across cycles
-        val merged = store.read().fold(staged) { t =>
+        val merged = baseVersion.map(store.readVersion).fold(staged) { t =>
           val (tAligned, sAligned) = SchemaMigration.alignPair(t, staged)
           MergeInto.merge(tAligned, sAligned, Seq(MergeKey.ColumnName))
         }.observe(writeObs, count(lit(1)).as("rows"))
         // snapshot commit: writes a fresh immutable data dir + manifest,
         // so the merge plan's scan of the previous snapshot never races
         // its own rewrite, and readers keep snapshot isolation
-        store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile), retry = cfg.commitRetry)
+        if (cfg.detectConflicts)
+          store.commitIf(merged, baseVersion,
+            maxRowsPerFile = Some(cfg.maxRowsPerFile), retry = cfg.commitRetry)
+        else
+          store.commit(merged, maxRowsPerFile = Some(cfg.maxRowsPerFile), retry = cfg.commitRetry)
         // the staged batch is merged and committed: dispose it (the
         // reference's DisposeBatchProcessor runs after each merge cycle)
         stagedBatchDir.foreach(graft.operators.Staging.dispose(spark, _))

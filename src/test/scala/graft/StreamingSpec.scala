@@ -3,6 +3,7 @@ package graft
 import graft.sources.{BlobListingSource, SnapshotStore}
 import graft.streaming.StreamPipeline
 import java.nio.file.Files
+import org.apache.spark.sql.functions.col
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -317,5 +318,41 @@ class StreamingSpec extends SparkSpec {
       (t("2024-01-01 00:00:00"), "a", 3L),
       (t("2024-01-01 00:00:00"), "b", 1L)),
       s"cross-batch sketch merge produced $rows")
+  }
+
+  test("detectConflicts: an out-of-band commit BETWEEN cycles is merged, not clobbered") {
+    val src    = Files.createTempDirectory("graft_occ_src").toString
+    val target = Files.createTempDirectory("graft_occ_tgt").toString + "/t"
+    val ckpt   = Files.createTempDirectory("graft_occ_ckpt").toString
+
+    Seq((1, 1L, "stream-a")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    val cfg = StreamPipeline.Config(
+      sourceDir = src, targetDir = target, checkpointDir = ckpt,
+      primaryKeys = Seq("k"), versionCols = Seq("version"),
+      detectConflicts = true)
+    StreamPipeline.runAvailableNow(spark, schema, cfg)
+    val store = new SnapshotStore(spark, target)
+    val v1 = store.currentVersion().get
+
+    // an out-of-band writer (manual backfill) advances the table with a
+    // row the stream has never seen — the merge-key column included,
+    // since the stream merges on it
+    val external = Seq((99, 1L, "backfill")).toDF("k", "version", "payload")
+      .withColumn(graft.operators.MergeKey.ColumnName,
+        graft.operators.MergeKey.keyExpr(Seq(col("k"))))
+    val base = store.read().get
+    store.commitIf(base.unionByName(external), Some(v1))
+
+    // cycle 2: the stream's base is the EXTERNAL version, so their row
+    // survives the merge and no conflict fires
+    Seq((2, 1L, "stream-b")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    StreamPipeline.runAvailableNow(spark, schema, cfg)
+    val payloads = store.read().get.select("k", "payload")
+      .as[(Int, String)].collect().toMap
+    assert(payloads == Map(1 -> "stream-a", 2 -> "stream-b", 99 -> "backfill"),
+      s"external commit must survive the next stream cycle: $payloads")
   }
 }
