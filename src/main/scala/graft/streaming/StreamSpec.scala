@@ -368,6 +368,9 @@ object StreamSpec {
       sourceBuffering = bool(spec, "source", "buffering", "enabled").getOrElse(false),
       maintenance = maintenanceSettings(spec),
       commitRetry = retryPolicy(spec),
+      // sink.optimisticConcurrency: true → per-batch commits detect
+      // out-of-band writers (fail-fast instead of last-writer-wins)
+      detectConflicts = bool(spec, "sink", "optimisticConcurrency").getOrElse(false),
       // the reference always stages batches before the merge; mirror that
       // whenever the spec carries a staging section
       stagingDir = stagingDir.orElse(

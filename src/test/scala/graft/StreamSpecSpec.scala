@@ -137,6 +137,17 @@ class StreamSpecSpec extends SparkSpec {
     assert(cfg.primaryKeys == Seq("k") && cfg.maxRowsPerFile == 10000)
     assert(cfg.maxFilesPerTrigger.contains(10) && !cfg.sourceBuffering)
     assert(cfg.includeSourceVersion && cfg.versionCols == Seq(StreamPipeline.SourceVersionColumn))
+    assert(!cfg.detectConflicts, "optimistic concurrency is opt-in")
+    val occ = StreamSpec.pipelineConfig(StreamSpec.parse(
+      """source:
+        |  configuration:
+        |    sourcePath: /data/landing
+        |    primaryKeys: [k]
+        |sink:
+        |  targetTableFullName: t
+        |  optimisticConcurrency: true
+        |""".stripMargin))
+    assert(occ.detectConflicts, "sink.optimisticConcurrency must map to detectConflicts")
   }
 
   test("a spec file drives the streaming pipeline end-to-end") {
