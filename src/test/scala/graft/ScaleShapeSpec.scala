@@ -82,6 +82,31 @@ class ScaleShapeSpec extends SparkSpec {
       "saturating hot set diverged from the exact span-index hot set")
   }
 
+  test("DSIR at 50×: models stay bucket-bounded, corpus never shuffles into a join, selection is TakeOrdered") {
+    val pool   = corpus(exactDups = true)
+    val target = pool.filter(col("doc_id") % 100 === 0)
+
+    // model size is bounded by the bucket space (16^3), NOT the corpus
+    val modelRows = graft.operators.Curation.dsirModel(pool, "text").count()
+    assert(modelRows <= 4096, s"model must stay bucket-bounded, got $modelRows rows")
+
+    val plan = physicalPlan(graft.operators.Curation.dsirWeights(pool, target, "doc_id", "text"))
+    val bcastJoins = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcastJoins.size == 2, s"both model joins must broadcast, got ${bcastJoins.size}")
+    assert(plan.collect {
+      case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec    => s
+      case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => s
+    }.isEmpty, "a model join shuffled the 250k-doc corpus")
+
+    val selPlan = physicalPlan(
+      graft.operators.Curation.dsirSelect(pool, target, "doc_id", "text", k = 100))
+    assert(selPlan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "selection must plan as TakeOrderedAndProject, not a global sort")
+  }
+
   test("minhash LSH at 50×: candidate pairs stay O(planted + accidents) with full planted recall") {
     val docs  = corpus(exactDups = false)
     val cands = Dedup.lshCandidatePairs(docs, "doc_id", "text",
