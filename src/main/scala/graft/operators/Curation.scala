@@ -597,6 +597,110 @@ object Curation {
       .unionAll(boundaryIn.select(col(idCol), col("quality_fp"), col("n_tokens")))
   }
 
+  /** Histogram-based sequence packing (the padding-efficiency packer of
+    * arXiv:2107.02027, best-fit-decreasing over the LENGTH HISTOGRAM):
+    * where [[packAssignments]] shards docs in arrival order (simple, one
+    * boundary doc per pack crosses the budget), this packs docs of
+    * mixed lengths into fixed-budget packs minimizing padding — the
+    * form LLM pretraining actually wants, because every pack pads to
+    * the model's sequence length and padding is wasted compute.
+    *
+    * Scale contract: the driver only ever sees the length HISTOGRAM
+    * (≤ budget rows) and the derived pack STRATEGIES (distinct
+    * length-multiset compositions with multiplicities) — never a
+    * per-doc or per-pack structure. Concrete doc→pack assignment is
+    * distributed: docs rank within their length (one window), and a
+    * broadcast (length, strategy) table maps rank → pack id by pure
+    * integer arithmetic. Deterministic at any parallelism.
+    *
+    * Docs longer than the budget each get a pack of their own (flagged
+    * by `oversize`); empty docs count one token (their empty-string
+    * token) — callers filter first if they want them gone.
+    */
+  def packHistogram(docs: DataFrame, idCol: String, textCol: String,
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 1 && tokenBudget <= 65536,
+      s"tokenBudget must be in [1, 65536] (driver state is O(budget)), got $tokenBudget")
+    val spark = docs.sparkSession
+    val lengths = docs.select(col(idCol),
+      greatest(size(TextFunctions.tokens(col(textCol))), lit(1)).cast("long").as("__len"))
+
+    // 1. bounded histogram to the driver (oversize handled separately)
+    val hist = lengths.filter(col("__len") <= tokenBudget)
+      .groupBy("__len").agg(count(lit(1)).as("__c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
+
+    // 2. best-fit-decreasing over capacity buckets; identical pack
+    //    compositions merge into one STRATEGY with a multiplicity
+    final case class OpenBucket(var remaining: Long, comp: scala.collection.mutable.ArrayBuffer[(Long, Long)], var m: Long)
+    val open = scala.collection.mutable.ArrayBuffer.empty[OpenBucket]
+    for ((len, total) <- hist) {
+      var left = total
+      while (left > 0) {
+        // smallest remaining capacity that still fits = best fit;
+        // earliest-created wins ties for determinism
+        val fit = open.filter(_.remaining >= len)
+          .sortBy(b => (b.remaining, open.indexOf(b))).headOption
+        fit match {
+          case Some(b) =>
+            val take = math.min(left, b.m)
+            if (take == b.m) {
+              b.comp += ((len, 1L)); b.remaining -= len
+            } else {
+              // split the bucket: `take` instances receive this doc
+              b.m -= take
+              val nb = OpenBucket(b.remaining - len,
+                b.comp.clone() += ((len, 1L)), take)
+              open += nb
+            }
+            left -= take
+          case None =>
+            open += OpenBucket(tokenBudget - len,
+              scala.collection.mutable.ArrayBuffer((len, 1L)), left)
+            left = 0
+        }
+      }
+    }
+    // strategies in creation order; per strategy: docs-of-length-L per
+    // instance (k) and instance multiplicity (m)
+    val strategies = open.toSeq
+    val packBase = strategies.scanLeft(0L)(_ + _.m)
+
+    // 3. broadcast (len, strategy) slot-range table: for each length,
+    //    cumulative rank ranges across strategies in order
+    val slotRows = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+    val cumByLen = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for ((s, si) <- strategies.zipWithIndex) {
+      val perInstance = s.comp.groupBy(_._1).map { case (l, xs) => l -> xs.map(_._2).sum }
+      for ((l, k) <- perInstance.toSeq.sortBy(_._1)) {
+        val start = cumByLen(l)
+        slotRows += ((l, start, start + s.m * k, k, packBase(si)))
+        cumByLen(l) = start + s.m * k
+      }
+    }
+    import spark.implicits._
+    val slots = slotRows.toSeq.toDF("__len", "__lo", "__hi", "__k", "__base")
+
+    val w = Window.partitionBy(col("__len")).orderBy(col(idCol))
+    val ranked = lengths.filter(col("__len") <= tokenBudget)
+      .withColumn("__r", row_number().over(w).cast("long") - 1L)
+    val packed = ranked.join(broadcast(slots),
+        ranked("__len") === slots("__len") &&
+          col("__r") >= col("__lo") && col("__r") < col("__hi"))
+      .select(col(idCol), ranked("__len").as("n_tokens"),
+        (col("__base") + expr("(__r - __lo) div __k")).cast("long").as("pack_id"),
+        lit(false).as("oversize"))
+
+    // oversize docs: one pack each, ids after all strategy packs
+    val totalPacks = packBase.last
+    val ow = Window.orderBy(col(idCol))
+    val oversize = lengths.filter(col("__len") > tokenBudget)
+      .withColumn("__r", row_number().over(ow).cast("long") - 1L)
+      .select(col(idCol), col("__len").as("n_tokens"),
+        (lit(totalPacks) + col("__r")).as("pack_id"), lit(true).as("oversize"))
+    packed.unionByName(oversize)
+  }
+
   /** DSIR-style importance weights over hashed bigram features (Xie et
     * al., "Data Selection for Language Models via Importance
     * Resampling", arXiv:2302.03169): score each pool document by how

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.functions._
+
+/** Histogram packing: exact assignment, budget respected, FFD-grade
+  * pack counts, determinism at any parallelism, oversize isolation.
+  */
+class PackHistogramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def mkDocs(lens: Seq[Int]) =
+    lens.zipWithIndex.map { case (l, i) =>
+      (i.toLong, Seq.fill(l)("w").mkString(" "))
+    }.toDF("doc_id", "text")
+
+  test("every doc packed exactly once; in-budget packs never exceed the budget") {
+    val docs = mkDocs(Seq(100, 80, 60, 50, 50, 40, 30, 20, 10, 10, 5, 250))
+    val out = Curation.packHistogram(docs, "doc_id", "text", tokenBudget = 100).cache()
+    assert(out.count() == 12 && out.select("doc_id").distinct().count() == 12)
+    val packTotals = out.filter(!col("oversize"))
+      .groupBy("pack_id").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(packTotals.forall(_ <= 100), s"pack over budget: ${packTotals.toSeq}")
+    // the 250-token doc is alone in its own flagged pack
+    val over = out.filter(col("oversize")).select("n_tokens").as[Long].collect().toSeq
+    assert(over == Seq(250))
+  }
+
+  test("pack count is FFD-grade on the real corpus (11/9 OPT + 2) and beats naive one-per-doc") {
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val budget = 200L
+    val out = Curation.packHistogram(docs, "doc_id", "text", budget).cache()
+    val inBudget = out.filter(!col("oversize"))
+    val nPacks = inBudget.select("pack_id").distinct().count()
+    val total  = inBudget.agg(sum("n_tokens")).as[Long].head()
+    val opt    = (total + budget - 1) / budget // bin-packing lower bound
+    assert(nPacks <= (11 * opt) / 9 + 2,
+      s"FFD bound violated: $nPacks packs vs OPT >= $opt")
+    val totals = inBudget.groupBy("pack_id").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(totals.forall(_ <= budget))
+  }
+
+  test("assignment is deterministic across partitionings") {
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "text").limit(200)
+    def run(parts: Int) =
+      Curation.packHistogram(docs.repartition(parts), "doc_id", "text", 150L)
+        .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
+    assert(run(1) == run(7), "pack assignment must not depend on partitioning")
+  }
+}
