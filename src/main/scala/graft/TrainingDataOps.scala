@@ -2070,6 +2070,20 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "pack_histogram",
+      // padding-minimal packing summary: per-pack doc/token counts and
+      // padding waste. Engine-specific strategy assignment → rows-only
+      // (the FFD bound and exactness are ScalaTest-pinned)
+      (spark, dir) =>
+        Curation.packHistogram(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text",
+            tokenBudget = 200L)
+          .groupBy("pack_id", "oversize")
+          .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+          .orderBy("pack_id"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "dsir_weights",
       // DSIR-style target-likeness weights (arXiv:2302.03169): hashed
       // bigram buckets via the engine-portable md5-prefix hash; target
