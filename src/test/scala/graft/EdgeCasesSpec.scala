@@ -153,4 +153,46 @@ class EdgeCasesSpec extends SparkSpec {
     assert(m.rowsWritten == 1)
     assert(new graft.sources.SnapshotStore(spark, target).read().get.count() == 1)
   }
+
+  test("round-7 operators tolerate empty and degenerate inputs") {
+    import graft.operators.{Curation, Dedup, Similarity, TimeSeries}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val one   = Seq((1L, "just a few words here")).toDF("doc_id", "text")
+
+    // DSIR: empty target → every bucket smooths to (0+1); scores still defined
+    val wEmptyTarget = Curation.dsirWeights(one, empty, "doc_id", "text")
+    assert(wEmptyTarget.count() == 1 && wEmptyTarget.filter(col("dsir_score").isNull).count() == 0)
+    // DSIR: empty pool → empty result, no throw
+    assert(Curation.dsirWeights(empty, one, "doc_id", "text").count() == 0)
+    // dsirSelect k larger than the pool
+    assert(Curation.dsirSelect(one, one, "doc_id", "text", k = 50).count() == 1)
+
+    // soft dedup on empty input
+    assert(Dedup.duplicationWeights(empty, "doc_id", "text").count() == 0)
+    // span fraction: single doc has no cross-doc spans → all 0.0
+    val f = Dedup.spanDupFraction(one, "doc_id", "text")
+      .select("dup_fraction").as[Double].collect().toSeq
+    assert(f == Seq(0.0))
+    // excise with an empty span set is the identity (modulo reassembly)
+    val ex = Dedup.exciseSpans(one, "doc_id", "text",
+      Seq.empty[String].toDF("gram"), spanTokens = 5)
+    assert(ex.select("clean_text").as[String].head() == "just a few words here")
+
+    // hamming on a single-vector corpus
+    val v = Seq((0L, (0 until 64).map(_.toFloat / 64)), (1L, (0 until 64).map(i => -i.toFloat / 64)))
+      .toDF("vec_id", "embedding")
+    assert(Similarity.hammingTopK(v.filter($"vec_id" === 0), v.filter($"vec_id" === 1),
+      "vec_id", "embedding", k = 5).count() == 1)
+
+    // packing: empty corpus and an all-oversize corpus
+    assert(Curation.packHistogram(empty, "doc_id", "text", 100L).count() == 0)
+    val big = Seq((1L, Seq.fill(300)("w").mkString(" "))).toDF("doc_id", "text")
+    val packedBig = Curation.packHistogram(big, "doc_id", "text", 100L)
+      .select("oversize").as[Boolean].collect().toSeq
+    assert(packedBig == Seq(true))
+
+    // sweep-line on an empty interval set
+    val noIntervals = Seq.empty[(java.sql.Timestamp, java.sql.Timestamp)].toDF("st", "en")
+    assert(TimeSeries.peakConcurrency(noIntervals, "st", "en").count() == 0)
+  }
 }
