@@ -673,6 +673,30 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_dow_seasonality",
+      (spark, dir) => {
+        import spark.implicits._
+        // weekly seasonality profile: events per (day-of-week, hour)
+        // cell with value stats — one hash aggregation over derived
+        // calendar keys (the partition-pruning dimensions a 100 TB
+        // event store would bucket by). Spark dayofweek is 1=Sunday;
+        // normalized to 0=Sunday to match DuckDB's dow extract
+        Tables(spark, dir).events
+          .groupBy((dayofweek($"ts") - lit(1)).as("dow"), hour($"ts").as("hh"))
+          .agg(count(lit(1)).as("n"),
+            sum($"value".cast("decimal(12,2)")).cast("double").as("sum_value"))
+          .orderBy("dow", "hh")
+      },
+      Some("""
+        SELECT CAST(extract(dow FROM ts) AS INT) AS dow,
+               CAST(extract(hour FROM ts) AS INT) AS hh,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+        FROM events GROUP BY 1, 2 ORDER BY dow, hh
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_session_window",
       (spark, dir) => {
         import spark.implicits._
