@@ -199,4 +199,58 @@ class PropertySpec extends SparkSpec {
       assert(admitted <= bound + 1e-9, s"admitted $admitted over bound $bound")
     }
   }
+
+  private val corpusGen: Gen[List[String]] =
+    Gen.listOf(Gen.nonEmptyListOf(
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps")).map(_.take(12).mkString(" ")))
+
+  test("duplicationWeights: weight mass per content group is exactly 1 on random corpora") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    for (texts <- samples(corpusGen, 12) if texts.nonEmpty) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val mass = Dedup.duplicationWeights(docs, "doc_id", "text")
+        .groupBy("content_hash").agg(sum("sample_weight").as("m"))
+        .select("m").as[Double].collect()
+      assert(mass.forall(m => math.abs(m - 1.0) < 1e-9), s"mass drift: ${mass.toSeq}")
+      assert(mass.length == texts.distinct.size)
+    }
+  }
+
+  test("spanDupFraction stays in [0,1] and agrees with removeRepeatedSpans' kept counts") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions._
+    for (texts <- samples(corpusGen, 8) if texts.size >= 2) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val frac = Dedup.spanDupFraction(docs, "doc_id", "text", spanTokens = 3, minDocs = 2)
+      val rows = frac.select("doc_id", "n_tokens", "n_dup_tokens", "dup_fraction")
+        .as[(Long, Long, Long, Double)].collect()
+      assert(rows.forall { case (_, n, d, f) =>
+        d >= 0 && d <= n && math.abs(f - d.toDouble / n) < 1e-12 })
+      // consistency: tokens kept by excision == n_tokens - n_dup_tokens (per doc)
+      val kept = Dedup.removeRepeatedSpans(docs, "doc_id", "text", spanTokens = 3, minDocs = 2)
+        .select("doc_id", "n_tokens_kept").as[(Long, Long)].collect().toMap
+      assert(rows.forall { case (id, n, d, _) => kept.getOrElse(id, 0L) == n - d },
+        s"excision/measurement disagree: $rows vs $kept")
+    }
+  }
+
+  test("packHistogram conserves tokens and docs for random corpora and budgets") {
+    import graft.operators.Curation
+    import org.apache.spark.sql.functions._
+    for ((texts, budget) <- samples(corpusGen, 8).zip(Seq(5L, 9L, 17L, 33L, 7L, 12L, 20L, 50L))
+         if texts.nonEmpty) {
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val out = Curation.packHistogram(docs, "doc_id", "text", budget).cache()
+      assert(out.count() == texts.size, "every doc packed exactly once")
+      val totalIn = docs.select(size(split(col("text"), " ")).cast("long"))
+        .as[Long].collect().sum
+      val totalOut = out.agg(sum("n_tokens")).as[Long].head()
+      assert(totalOut == totalIn, s"token mass changed: $totalIn -> $totalOut")
+      val overBudget = out.filter(!col("oversize"))
+        .groupBy("pack_id").agg(sum("n_tokens").as("t"))
+        .filter(col("t") > budget).count()
+      assert(overBudget == 0, "an in-budget pack exceeded the budget")
+    }
+  }
 }
