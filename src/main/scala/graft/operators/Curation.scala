@@ -631,31 +631,39 @@ object Curation {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(-_._1)
 
     // 2. best-fit-decreasing over capacity buckets; identical pack
-    //    compositions merge into one STRATEGY with a multiplicity
-    final case class OpenBucket(var remaining: Long, comp: scala.collection.mutable.ArrayBuffer[(Long, Long)], var m: Long)
-    val open = scala.collection.mutable.ArrayBuffer.empty[OpenBucket]
+    //    compositions merge into one STRATEGY with a multiplicity.
+    //    Open buckets live in a TreeMap keyed by (remaining, creationId):
+    //    best fit = first key >= (len, MIN) — smallest remaining that
+    //    still fits, earliest-created on ties — O(log n) per placement
+    //    instead of the previous O(n) scan+sort (which also aliased
+    //    structurally-equal buckets through indexOf).
+    final case class OpenBucket(id: Long, var remaining: Long,
+        comp: scala.collection.mutable.ArrayBuffer[(Long, Long)], var m: Long)
+    val open    = scala.collection.mutable.TreeMap.empty[(Long, Long), OpenBucket]
+    val created = scala.collection.mutable.ArrayBuffer.empty[OpenBucket]
+    var nextId  = 0L
+    def newBucket(remaining: Long, comp: scala.collection.mutable.ArrayBuffer[(Long, Long)], m: Long): OpenBucket = {
+      val b = OpenBucket(nextId, remaining, comp, m); nextId += 1
+      open((b.remaining, b.id)) = b; created += b; b
+    }
     for ((len, total) <- hist) {
       var left = total
       while (left > 0) {
-        // smallest remaining capacity that still fits = best fit;
-        // earliest-created wins ties for determinism
-        val fit = open.filter(_.remaining >= len)
-          .sortBy(b => (b.remaining, open.indexOf(b))).headOption
-        fit match {
-          case Some(b) =>
+        open.iteratorFrom((len, Long.MinValue)).buffered.headOption match {
+          case Some((key, b)) =>
             val take = math.min(left, b.m)
             if (take == b.m) {
+              open.remove(key)
               b.comp += ((len, 1L)); b.remaining -= len
+              open((b.remaining, b.id)) = b
             } else {
               // split the bucket: `take` instances receive this doc
-              b.m -= take
-              val nb = OpenBucket(b.remaining - len,
-                b.comp.clone() += ((len, 1L)), take)
-              open += nb
+              b.m -= take // remaining unchanged — key stays valid
+              newBucket(b.remaining - len, b.comp.clone() += ((len, 1L)), take)
             }
             left -= take
           case None =>
-            open += OpenBucket(tokenBudget - len,
+            newBucket(tokenBudget - len,
               scala.collection.mutable.ArrayBuffer((len, 1L)), left)
             left = 0
         }
@@ -663,7 +671,7 @@ object Curation {
     }
     // strategies in creation order; per strategy: docs-of-length-L per
     // instance (k) and instance multiplicity (m)
-    val strategies = open.toSeq
+    val strategies = created.toSeq
     val packBase = strategies.scanLeft(0L)(_ + _.m)
 
     // 3. broadcast (len, strategy) slot-range table: for each length,

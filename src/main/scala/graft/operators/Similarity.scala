@@ -48,9 +48,19 @@ object Similarity {
     * exact re-rank runs on the shortlist only.
     */
   def binarize(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
-    def half(off: Int) = expr(
-      s"aggregate(transform(sequence(0, 31), i -> IF(CAST(element_at($vecCol, i + ${off + 1}) AS DOUBLE) > 0.0D, shiftleft(1L, i), 0L)), 0L, (a, x) -> a + x)")
-    emb.select(col(idCol), half(0).as("w1"), half(32).as("w2"))
+    // DSL-built (no SQL-string splicing: arbitrary column names are
+    // safe, and the bit value folds via a·2+x over descending dims —
+    // no variable-shift builtin needed). Short vectors fail loudly via
+    // raise_error instead of silently coding missing dims as 0.
+    val vec = col(vecCol)
+    def half(off: Int): Column = aggregate(
+      transform(sequence(lit(31), lit(0), lit(-1)),
+        i => when(element_at(vec, (i + lit(off + 1)).cast("int")).cast("double") > lit(0.0d), lit(1L))
+          .otherwise(lit(0L))),
+      lit(0L), (a, x) => a * lit(2L) + x)
+    def guarded(c: Column): Column = when(size(vec) >= 64, c).otherwise(raise_error(
+      concat(lit(s"binarize: column '$vecCol' needs >= 64 dims, got "), size(vec).cast("string"))))
+    emb.select(col(idCol), guarded(half(0)).as("w1"), guarded(half(32)).as("w2"))
   }
 
   /** Exact top-k by Hamming distance over [[binarize]] codes — same

@@ -162,28 +162,30 @@ object TimeSeries {
     * that), and a day's peak is attributed to the day the peak occurs.
     *
     * The global running sum is NOT an unpartitioned window: boundary
-    * points range-partition by ts, each partition cumsums locally, and
-    * partition prefix offsets come from one O(#partitions) driver
-    * fold — the same two-phase prefix plan as sequence packing
-    * (packAssignments). Equal-ts points never split across partitions
-    * (range boundaries are key values), so tie order is respected.
+    * points partition by a DETERMINISTIC range key (the hour bucket of
+    * ts — recomputable on task retry or executor loss, unlike
+    * spark_partition_id, and needing no lineage checkpoint), each
+    * bucket cumsums locally, and bucket prefix offsets come from one
+    * window over the tiny per-bucket totals frame (one row per hour —
+    * ~90k rows per decade, a single-partition sort that never touches
+    * the data scale). Equal-ts points share an hour bucket by
+    * construction, so tie order is respected. Intervals with a null
+    * start or end carry no sweep information and are filtered up front
+    * (they previously produced a null day row whose ordering is
+    * engine-dependent).
     */
   def peakConcurrency(intervals: DataFrame, startCol: String, endCol: String): DataFrame = {
-    val spark = intervals.sparkSession
-    val points = intervals.select(col(startCol).as("__ts"), lit(1L).as("__d"))
-      .unionAll(intervals.select(col(endCol).as("__ts"), lit(-1L).as("__d")))
-    val local = points
-      .repartitionByRange(col("__ts"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__cum", sum(col("__d")).over(
-        Window.partitionBy("__pid").orderBy(col("__ts"), col("__d").desc)))
-      .localCheckpoint()
-    val totals = local.groupBy("__pid").agg(sum(col("__d")).as("__t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = totals.map { case (pid, t) => val off = acc; acc += t; (pid, off) }.toSeq
-    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
-    local.join(broadcast(offDf), Seq("__pid"))
+    val live = intervals.filter(col(startCol).isNotNull && col(endCol).isNotNull)
+    val points = live.select(col(startCol).as("__ts"), lit(1L).as("__d"))
+      .unionAll(live.select(col(endCol).as("__ts"), lit(-1L).as("__d")))
+      .withColumn("__bucket", date_trunc("hour", col("__ts")))
+    val cum = points.withColumn("__cum", sum(col("__d")).over(
+      Window.partitionBy("__bucket").orderBy(col("__ts"), col("__d").desc)))
+    val wOff = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = points.groupBy("__bucket").agg(sum(col("__d")).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(wOff), lit(0L)))
+      .select("__bucket", "__off")
+    cum.join(broadcast(offsets), Seq("__bucket"))
       .withColumn("__live", col("__off") + col("__cum"))
       .groupBy(date_trunc("day", col("__ts")).as("day"))
       .agg(max(col("__live")).as("peak_concurrency"))

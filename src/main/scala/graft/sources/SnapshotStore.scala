@@ -51,20 +51,41 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
   def commit(
       df: DataFrame, maxRowsPerFile: Option[Int] = None,
       retry: graft.streaming.RetryPolicy = graft.streaming.RetryPolicy.Never
-  ): Long = graft.streaming.Retry.withRetry(retry) {
-    val v = currentVersion().getOrElse(0L) + 1
-    val writer = maxRowsPerFile.foldLeft(df.write.mode("overwrite"))(
-      (w, n) => w.option("maxRecordsPerFile", n.toLong))
-    writer.parquet(dataDir(v).toString)
+  ): Long = commitChecked(df, maxRowsPerFile, retry, expected = None)
 
-    val files = fs.listStatus(dataDir(v))
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"data/v$v/${s.getPath.getName}")
-      .sorted
-    fs.mkdirs(new Path(root, "manifests"))
-    writeAtomic(manifestFile(v), files.mkString("\n"))
-    writeAtomic(versionFile, v.toString)
-    v
+  /** Shared commit body. `expected = Some(exp)` enables OCC: the
+    * expectation is re-validated both at attempt start (cheap fail
+    * before staging) and again IMMEDIATELY before the manifest/pointer
+    * flip — shrinking the unguarded race window from the full
+    * (possibly long) distributed data write down to the two atomic
+    * renames. A conflict under a retrying policy re-fails the attempt
+    * at the pre-stage check, so retries never re-stage data.
+    */
+  private def commitChecked(
+      df: DataFrame, maxRowsPerFile: Option[Int],
+      retry: graft.streaming.RetryPolicy, expected: Option[Option[Long]]
+  ): Long = {
+    def occCheck(): Unit = expected.foreach { exp =>
+      val cur = currentVersion()
+      if (cur != exp) throw new SnapshotStore.CommitConflictException(exp, cur)
+    }
+    graft.streaming.Retry.withRetry(retry) {
+      occCheck()
+      val v = currentVersion().getOrElse(0L) + 1
+      val writer = maxRowsPerFile.foldLeft(df.write.mode("overwrite"))(
+        (w, n) => w.option("maxRecordsPerFile", n.toLong))
+      writer.parquet(dataDir(v).toString)
+
+      val files = fs.listStatus(dataDir(v))
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"data/v$v/${s.getPath.getName}")
+        .sorted
+      fs.mkdirs(new Path(root, "manifests"))
+      occCheck() // re-validate at the flip, not just before staging
+      writeAtomic(manifestFile(v), files.mkString("\n"))
+      writeAtomic(versionFile, v.toString)
+      v
+    }
   }
 
   /** Optimistic-concurrency commit — the table-format semantic behind
@@ -75,21 +96,20 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
     * staged, and the caller re-reads + re-derives + retries. Plain
     * [[commit]] keeps last-writer-wins semantics for single-writer
     * streams; concurrent writers (compaction beside ingestion, two
-    * backfill shards racing) use this. The check is
-    * check-then-stage-then-flip: a lost race after the check can still
-    * slip through on a filesystem without atomic compare-and-swap —
-    * exactly Iceberg's exposure without a locking catalog, which is why
-    * production deployments put a catalog in front; single-writer
-    * correctness and conflict DETECTION are what this layer guarantees.
+    * backfill shards racing) use this. The expectation is validated
+    * twice: before staging (cheap fail) and again immediately before
+    * the manifest/pointer flip, so the unguarded window is just the two
+    * atomic renames — not the full data write. A race inside that final
+    * sliver can still slip through on a filesystem without atomic
+    * compare-and-swap — exactly Iceberg's exposure without a locking
+    * catalog, which is why production deployments put a catalog in
+    * front; single-writer correctness and conflict DETECTION are what
+    * this layer guarantees.
     */
   def commitIf(df: DataFrame, expectedVersion: Option[Long],
       maxRowsPerFile: Option[Int] = None,
-      retry: graft.streaming.RetryPolicy = graft.streaming.RetryPolicy.Never): Long = {
-    val cur = currentVersion()
-    if (cur != expectedVersion)
-      throw new SnapshotStore.CommitConflictException(expectedVersion, cur)
-    commit(df, maxRowsPerFile, retry)
-  }
+      retry: graft.streaming.RetryPolicy = graft.streaming.RetryPolicy.Never): Long =
+    commitChecked(df, maxRowsPerFile, retry, Some(expectedVersion))
 
   /** Read the current snapshot (None if the table has no commits). */
   def read(): Option[DataFrame] = currentVersion().map(readVersion)
