@@ -441,6 +441,58 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_asym_rerank",
+      // asymmetric two-stage retrieval at the DEFAULT operating point
+      // (shortlist 50): probes stay float, only candidates binarize —
+      // stage-1 score is dot(probe, sign(code)) in engine-exact
+      // fixed-point, recovering the recall symmetric Hamming leaks
+      // (recall@5 ≥ 0.9 at the same depth; pinned in SimilaritySpec)
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        Similarity.asymmetricRerankTopK(
+          probes = e.filter($"vec_id" < 5), candidates = e.filter($"vec_id" >= 5),
+          idCol = "vec_id", vecCol = "embedding", k = 5
+        ).orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH e AS (
+          SELECT vec_id, embedding::DOUBLE[] AS v,
+                 CAST(list_sum(list_transform(range(0, 32),
+                      i -> CASE WHEN embedding[i + 1] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w1,
+                 CAST(list_sum(list_transform(range(0, 32),
+                      i -> CASE WHEN embedding[i + 33] > 0 THEN (1::BIGINT << i) ELSE 0::BIGINT END)) AS BIGINT) AS w2
+          FROM embeddings
+        ), p AS (
+          SELECT vec_id, v,
+                 list_transform(v, x -> CAST(floor(x * 1048576.0 + 0.5) AS BIGINT)) AS pq
+          FROM e WHERE vec_id < 5
+        ), c AS (SELECT * FROM e WHERE vec_id >= 5),
+        short AS (
+          SELECT probe_id, neighbor_id FROM (
+            SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY p.vec_id ORDER BY
+                     CAST(list_sum(list_transform(range(0, 64),
+                       i -> CASE WHEN (CASE WHEN i < 32 THEN c.w1 & (1::BIGINT << i)
+                                       ELSE c.w2 & (1::BIGINT << (i - 32)) END) != 0
+                            THEN p.pq[i + 1] ELSE -p.pq[i + 1] END)) AS BIGINT) DESC,
+                     c.vec_id) AS srank
+            FROM p, c) s
+          WHERE srank <= 50
+        )
+        SELECT s.probe_id, s.neighbor_id,
+               list_cosine_similarity(p.v, c.v) AS cosine,
+               CAST(row_number() OVER (PARTITION BY s.probe_id
+                    ORDER BY list_cosine_similarity(p.v, c.v) DESC, s.neighbor_id) AS INT) AS rank
+        FROM short s
+        JOIN p ON p.vec_id = s.probe_id
+        JOIN c ON c.vec_id = s.neighbor_id
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "emb_quantize",
       // int8 embedding quantization (4× memory for ANN candidate
       // storage): per-vector max-abs scale, code = floor(x·127/s + 0.5)

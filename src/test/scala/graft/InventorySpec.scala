@@ -42,6 +42,28 @@ class InventorySpec extends SparkSpec {
       s"SURVEY §2 rows neither registered nor ScalaTest-annotated: ${unaccounted.keys.toSeq.sorted}")
   }
 
+  test("§8 prose counts equal the mechanical §2/registry counts (prose can't drift)") {
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s8 = text.substring(text.indexOf("## §8"))
+    val m = """(\d+) §2 rows \((\d+) registered queries \+\s*(\d+) spec-only""".r
+      .findFirstMatchIn(s8)
+      .getOrElse(fail("§8 must state 'N §2 rows (N registered queries + N spec-only'"))
+    val oracleM = """(\d+) with DuckDB oracles""".r.findFirstMatchIn(s8)
+      .getOrElse(fail("§8 must state 'N with DuckDB oracles'"))
+    val registered = Queries.all.map(_.name).toSet
+    val specOnly   = surveyRows.keySet -- registered
+    assert(m.group(1).toInt == surveyRows.size,
+      s"§8 says ${m.group(1)} §2 rows, table has ${surveyRows.size}")
+    assert(m.group(2).toInt == registered.size,
+      s"§8 says ${m.group(2)} registered, registry has ${registered.size}")
+    assert(m.group(3).toInt == specOnly.size,
+      s"§8 says ${m.group(3)} spec-only, table has ${specOnly.size}")
+    val nOracles = Queries.all.count(_.oracle.isDefined)
+    assert(oracleM.group(1).toInt == nOracles,
+      s"§8 says ${oracleM.group(1)} oracles, registry has $nOracles")
+  }
+
   test("§2 oracle annotations match the registry (SQL rows declare oracles, rows-only rows don't)") {
     val oracles = Queries.all.map(q => q.name -> q.oracle.isDefined).toMap
     val wrong = surveyRows.collect {

@@ -30,6 +30,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_range",                       // broadcast probe set vs corpus — radius filter in the scan
     "ann_hamming",                     // broadcast probe codes vs corpus — two-word popcount sweep
     "ann_hamming_rerank",              // same broadcast code sweep feeding the equi-join re-rank
+    "ann_asym_rerank",                 // broadcast fixed-point probe vectors vs corpus codes
     "ann_pq",                          // broadcast ADC tables vs encoded corpus
     "dedup_embedding_exact",           // all-pairs oracle baseline (correctness only, never benched at scale)
     "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts

@@ -350,6 +350,27 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall { case (_, w1, w2) => w1 >= 0L && w2 >= 0L })
   }
 
+  test("asymmetric rerank recall@5 >= 0.8 at DEFAULT parameters, and beats symmetric Hamming") {
+    // the default operating point is the advertised one — this pins it
+    // (VERDICT r7 #4: symmetric Hamming measured 0.72 at the same depth)
+    val e = Tables(spark, sfDir).embeddings
+    val probes     = e.filter($"vec_id" < 20)
+    val candidates = e.filter($"vec_id" >= 20)
+    val exact = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val asym = Similarity.asymmetricRerankTopK(probes, candidates, "vec_id", "embedding", k = 5)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val sym = Similarity.hammingRerankTopK(probes, candidates, "vec_id", "embedding",
+        k = 5, shortlist = 50)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val asymRecall = exact.intersect(asym).size.toDouble / exact.size
+    val symRecall  = exact.intersect(sym).size.toDouble / exact.size
+    info(f"recall@5 at shortlist 50: asymmetric $asymRecall%.3f, symmetric Hamming $symRecall%.3f")
+    assert(asymRecall >= 0.8, s"asymmetric recall@5 $asymRecall < 0.8 at default shortlist")
+    assert(asymRecall >= symRecall,
+      s"asymmetric ($asymRecall) must not lose to symmetric Hamming ($symRecall) at equal depth")
+  }
+
   test("hammingTopK distance equals popcount of the code XOR; known tiny case") {
     // dims 0..63 constructed so codes differ in exactly 3 known bits
     def vec(flip: Set[Int]): Seq[Float] =
