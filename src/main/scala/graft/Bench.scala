@@ -30,11 +30,13 @@ object Bench {
     // reported alongside so environmental noise is visible in the
     // artifact itself.
     val runs   = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt)
-    // dev loop: SPARK_GRAFT_BENCH_ONLY=substring times a subset in
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=sub1,sub2,... times the subset of
+    // queries matching ANY of the comma-separated substrings in
     // isolation (the driver never sets it, so its runs are unaffected)
     val only    = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
     val failed  = scala.collection.mutable.LinkedHashSet.empty[String]
-    val board   = Queries.benchQueries.filter(q => only.forall(q.name.contains))
+    val board   = Queries.benchQueries.filter(q => only.forall(_.exists(q.name.contains)))
     val samples = Array.fill(board.size)(scala.collection.mutable.ArrayBuffer.empty[Double])
     for (pass <- 1 to runs; (q, qi) <- board.zipWithIndex if !failed.contains(q.name)) {
       val t0 = System.nanoTime()

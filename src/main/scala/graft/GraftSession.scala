@@ -17,4 +17,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // static conf: the default 100-entry whole-stage-codegen class
+      // cache thrashes when a workload cycles through >100 distinct
+      // plans (the 175-query bench board re-pays Janino compilation
+      // every pass); a long-lived cluster wants all its plans warm
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
 }
