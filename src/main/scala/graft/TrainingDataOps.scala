@@ -1910,6 +1910,7 @@ object TrainingDataOps {
           SELECT doc_id, tf.tok, (tf * 10000) // df AS w FROM tf JOIN dfreq ON tf.tok = dfreq.tok
         ), norms AS (
           SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2 FROM w GROUP BY 1
+          HAVING CAST(sum(w * w) AS BIGINT) > 0
         ), dots AS (
           SELECT p.doc_id AS probe_id, c.doc_id, CAST(sum(p.w * c.w) AS BIGINT) AS dot
           FROM w p JOIN w c ON p.tok = c.tok AND c.doc_id != p.doc_id

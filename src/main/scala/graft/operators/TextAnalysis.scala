@@ -243,8 +243,14 @@ object TextAnalysis {
     val w = tf.join(dfreq, "__tok")
       .select(col(idCol), col("__tok"),
         expr(s"__tf * ${scale}L div __df").as("__w"))
+    // docs whose EVERY token weight truncates to zero (tf·scale < df
+    // for all their tokens — pure-stopword docs at large N) have no
+    // cosine direction; defining them out keeps the division total.
+    // idf-zero truncation is the fixed-point stopword prune: weights
+    // scale as tf/df, and df > tf·scale means idf-negligible anyway.
     val norms = w.groupBy(col(idCol))
       .agg(sum(col("__w") * col("__w")).as("__norm2"))
+      .filter(col("__norm2") > 0)
 
     val probes = w.filter(col(idCol).isin(probeIds: _*))
       .select(col(idCol).as("probe_id"), col("__tok"), col("__w").as("__wp"))
