@@ -1,0 +1,179 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import scala.jdk.CollectionConverters._
+
+/** Filesystem-backed Spark catalog for Graft-format tables — the
+  * jar-free stand-in for the Iceberg catalog the reference writes
+  * through (/root/reference/src/main/scala/main.scala:34-40). Register
+  * with:
+  * {{{
+  *   spark.sql.catalog.graft           = graft.catalog.GraftCatalog
+  *   spark.sql.catalog.graft.warehouse = /path/to/warehouse
+  * }}}
+  * then `CREATE TABLE graft.db.t ...`, `INSERT INTO`, `MERGE INTO`,
+  * `UPDATE`, `DELETE FROM`, and `VERSION AS OF` time travel all run as
+  * plain Spark SQL.
+  *
+  * Layout: `warehouse/<ns...>/<table>/` where a table directory is any
+  * directory holding a `VERSION` pointer. All catalog operations are
+  * driver-side metadata ops, O(#files) at worst.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: Path = _
+  private def conf = new Configuration()
+  private def fs = warehouse.getFileSystem(conf)
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val wh = Option(options.get("warehouse")).getOrElse(
+      sys.error(s"catalog $name requires option 'warehouse'"))
+    warehouse = new Path(wh)
+    fs.mkdirs(warehouse)
+  }
+
+  override def name(): String = catalogName
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(warehouse)((p, s) => new Path(p, s))
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace()), ident.name())
+  private def isTableDir(p: Path): Boolean = fs.exists(new Path(p, "VERSION"))
+
+  // ---- tables ----
+
+  override def listTables(ns: Array[String]): Array[Identifier] = {
+    val dir = nsPath(ns)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(dir).filter(s => s.isDirectory && isTableDir(s.getPath))
+      .map(s => Identifier.of(ns, s.getPath.getName))
+  }
+
+  override def tableExists(ident: Identifier): Boolean = isTableDir(tablePath(ident))
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), tablePath(ident).toString)
+  }
+
+  /** `VERSION AS OF <v>` time travel. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val io = new GraftManifestIO(tablePath(ident), conf)
+    val v = version.toLong
+    if (!io.versions().contains(v))
+      throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), tablePath(ident).toString, pinned = Some(v))
+  }
+
+  /** `TIMESTAMP AS OF` time travel: latest snapshot committed at or
+    * before the given micros timestamp (commit wall-clock is stamped
+    * into each manifest's properties).
+    */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val io = new GraftManifestIO(tablePath(ident), conf)
+    val atOrBefore = io.versions().filter { v =>
+      io.readSnapshot(v).properties.get(GraftManifestIO.CommittedAtMs)
+        .forall(_.toLong * 1000L <= timestampMicros)
+    }
+    if (atOrBefore.isEmpty) throw new NoSuchTableException(ident)
+    new GraftTable(fullName(ident), tablePath(ident).toString, pinned = Some(atOrBefore.max))
+  }
+
+  override def createTable(
+      ident: Identifier, schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    if (partitions.nonEmpty) throw new UnsupportedOperationException(
+      "graft tables are unpartitioned (layout control via zorder/range ops)")
+    val io = new GraftManifestIO(tablePath(ident), conf)
+    io.commit("create") { _ => (schema, properties.asScala.toMap, Nil) }
+    new GraftTable(fullName(ident), tablePath(ident).toString)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val io = new GraftManifestIO(tablePath(ident), conf)
+    io.commit("alter") { base =>
+      val cur = base.getOrElse(sys.error("alter of uncommitted table"))
+      var schema = cur.schema
+      var props = cur.properties
+      changes.foreach {
+        case add: TableChange.AddColumn =>
+          require(add.fieldNames().length == 1, "graft supports top-level columns only")
+          schema = StructType(schema.fields :+
+            StructField(add.fieldNames()(0), add.dataType(), nullable = true))
+        case del: TableChange.DeleteColumn =>
+          require(del.fieldNames().length == 1, "graft supports top-level columns only")
+          schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
+        case set: TableChange.SetProperty => props += (set.property() -> set.value())
+        case rm: TableChange.RemoveProperty => props -= rm.property()
+        case other => throw new UnsupportedOperationException(s"graft alter: $other")
+      }
+      (schema, props, cur.files)
+    }
+    new GraftTable(fullName(ident), tablePath(ident).toString)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    if (!tableExists(from)) throw new NoSuchTableException(from)
+    if (tableExists(to)) throw new TableAlreadyExistsException(to)
+    fs.mkdirs(nsPath(to.namespace()))
+    if (!fs.rename(tablePath(from), tablePath(to)))
+      sys.error(s"rename $from -> $to failed")
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+
+  // ---- namespaces ----
+
+  override def listNamespaces(): Array[Array[String]] = listNamespaces(Array.empty)
+
+  override def listNamespaces(ns: Array[String]): Array[Array[String]] = {
+    val dir = nsPath(ns)
+    if (!fs.exists(dir)) throw new NoSuchNamespaceException(ns)
+    fs.listStatus(dir).filter(s => s.isDirectory && !isTableDir(s.getPath))
+      .map(s => ns :+ s.getPath.getName)
+  }
+
+  override def namespaceExists(ns: Array[String]): Boolean =
+    ns.isEmpty || (fs.exists(nsPath(ns)) && !isTableDir(nsPath(ns)))
+
+  override def loadNamespaceMetadata(ns: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(ns: Array[String], metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(ns) && ns.nonEmpty) throw new NamespaceAlreadyExistsException(ns)
+    fs.mkdirs(nsPath(ns))
+  }
+
+  override def alterNamespace(ns: Array[String], changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(ns: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(ns)) throw new NoSuchNamespaceException(ns)
+    if (!cascade && (listTables(ns).nonEmpty || listNamespaces(ns).nonEmpty))
+      throw new org.apache.spark.sql.catalyst.analysis.NonEmptyNamespaceException(ns)
+    fs.delete(nsPath(ns), true)
+  }
+}
+
+object GraftCatalog

@@ -1,0 +1,230 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Per-column file statistics used for scan-time file skipping and
+  * metadata-only pruning. `min`/`max` are stored as strings in the
+  * column's INTERNAL domain (dates = epoch days, timestamps = epoch
+  * micros, decimals = plain BigDecimal string) so comparison at prune
+  * time is a typed parse + compare, never a lexicographic accident.
+  * Absent stats (`None`) mean "unknown" and always pass the pruner —
+  * long strings (>64 chars), binary, and array columns drop their
+  * stats rather than store unbounded values, the same truncation
+  * discipline Iceberg applies to its file metrics.
+  */
+final case class ColStats(min: Option[String], max: Option[String], nulls: Long)
+
+/** One immutable data file of a Graft table snapshot.
+  * `path` is table-relative (`data/part-*.parquet`).
+  */
+final case class FileEntry(
+    path: String,
+    rows: Long,
+    bytes: Long,
+    stats: Map[String, ColStats])
+
+/** One table snapshot: the complete file list plus the schema under
+  * which it was committed. Snapshots are immutable; a commit writes
+  * manifest v(N+1) and atomically flips `VERSION` — the Iceberg
+  * snapshot model (reference merges into Iceberg via Trino:
+  * /root/reference/src/main/scala/main.scala:34-40,121-126) realized
+  * over plain parquet + JSON manifests so it runs with zero external
+  * jars.
+  */
+final case class GraftSnapshot(
+    version: Long,
+    parent: Option[Long],
+    operation: String,
+    schema: StructType,
+    properties: Map[String, String],
+    files: Seq[FileEntry])
+
+/** Thrown when an optimistic commit loses the race: the caller
+  * re-reads the table state, re-derives its change, and retries.
+  */
+final class GraftCommitConflict(msg: String) extends RuntimeException(msg)
+
+/** Manifest IO for one table directory.
+  *
+  * Layout:
+  * {{{
+  *   tableDir/
+  *     VERSION               current version (atomic rename flip)
+  *     manifests/v<N>.json   snapshot manifest (schema + file list + stats)
+  *     data/part-*.parquet   immutable data files, shared across snapshots
+  * }}}
+  *
+  * Commit protocol (same OCC discipline as [[graft.sources.SnapshotStore]]):
+  * the mutation function is applied to the CURRENT snapshot inside a
+  * bounded retry loop; the expectation is re-validated immediately
+  * before the pointer flip, so the unguarded window is one atomic
+  * rename — conflict DETECTION is guaranteed, compare-and-swap is as
+  * atomic as the filesystem's rename (Iceberg's exact exposure without
+  * a locking catalog).
+  */
+final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
+  private def fs = tableDir.getFileSystem(conf)
+  private def versionFile = new Path(tableDir, "VERSION")
+  private def manifestFile(v: Long) = new Path(tableDir, s"manifests/v$v.json")
+
+  def exists(): Boolean = fs.exists(versionFile)
+
+  def currentVersion(): Option[Long] =
+    if (!fs.exists(versionFile)) None
+    else {
+      val in = fs.open(versionFile)
+      try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
+      finally in.close()
+    }
+
+  def readSnapshot(v: Long): GraftSnapshot = {
+    val in = fs.open(manifestFile(v))
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    GraftManifestIO.fromJson(body)
+  }
+
+  def currentSnapshot(): Option[GraftSnapshot] = currentVersion().map(readSnapshot)
+
+  def versions(): Seq[Long] = {
+    val dir = new Path(tableDir, "manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted.toSeq
+  }
+
+  /** Optimistically commit `mutate(current)` as the next snapshot.
+    * `mutate` returns the new snapshot CONTENT (version/parent are
+    * assigned here) or throws [[GraftCommitConflict]] itself if its
+    * preconditions no longer hold (e.g. a replaced file vanished).
+    * Retries `maxAttempts` times on conflict, re-reading the table
+    * state each attempt — safe because data files are already staged
+    * and immutable; only the manifest is re-derived.
+    */
+  def commit(operation: String, maxAttempts: Int = 5)(
+      mutate: Option[GraftSnapshot] => (StructType, Map[String, String], Seq[FileEntry])): GraftSnapshot = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentSnapshot()
+      val (schema, props, files) = mutate(base)
+      val next = GraftSnapshot(
+        version = base.map(_.version).getOrElse(0L) + 1,
+        parent = base.map(_.version),
+        operation = operation,
+        schema = schema,
+        // stamp commit wall-clock for TIMESTAMP AS OF travel
+        properties = props + (GraftManifestIO.CommittedAtMs -> System.currentTimeMillis().toString),
+        files = files)
+      // re-validate the expectation at the flip, not just before derive
+      if (currentVersion() == base.map(_.version)) {
+        fs.mkdirs(new Path(tableDir, "manifests"))
+        writeAtomic(manifestFile(next.version), GraftManifestIO.toJson(next))
+        writeAtomic(versionFile, next.version.toString)
+        return next
+      } else if (attempt >= maxAttempts) {
+        throw new GraftCommitConflict(
+          s"commit of '$operation' lost the version race $maxAttempts times at $tableDir")
+      }
+    }
+    sys.error("unreachable")
+  }
+
+  def dataDir: Path = new Path(tableDir, "data")
+
+  def drop(): Boolean = fs.delete(tableDir, true)
+
+  /** Delete data files not referenced by any live manifest (orphans
+    * from aborted writes); returns deleted table-relative paths.
+    */
+  def removeOrphans(): Seq[String] = {
+    val live = versions().flatMap(v => readSnapshot(v).files.map(_.path)).toSet
+    if (!fs.exists(dataDir)) return Seq.empty
+    val all = fs.listStatus(dataDir).filter(_.isFile).map(_.getPath)
+    val orphans = all.filter(p => !live.contains(s"data/${p.getName}"))
+    orphans.foreach(p => fs.delete(p, false))
+    orphans.map(p => s"data/${p.getName}").toSeq
+  }
+
+  /** Expire all snapshots but the most recent `keepLast`, then drop
+    * any data file only they referenced.
+    */
+  def expireSnapshots(keepLast: Int): Seq[Long] = {
+    val expired = versions().dropRight(math.max(keepLast, 1))
+    expired.foreach(v => fs.delete(manifestFile(v), false))
+    removeOrphans()
+    expired
+  }
+
+  private def writeAtomic(path: Path, content: String): Unit = {
+    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    fs.delete(path, false)
+    fs.rename(tmp, path)
+  }
+}
+
+object GraftManifestIO {
+  /** Snapshot property: commit wall-clock millis (set by [[GraftManifestIO.commit]]). */
+  val CommittedAtMs = "graft.committed-at-ms"
+
+  def toJson(s: GraftSnapshot): String = {
+    val files = JArray(s.files.map { f =>
+      JObject(List(
+        "path" -> JString(f.path),
+        "rows" -> JLong(f.rows),
+        "bytes" -> JLong(f.bytes),
+        "stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, st) =>
+          c -> JObject(List(
+            "min" -> st.min.map(JString(_): JValue).getOrElse(JNull),
+            "max" -> st.max.map(JString(_): JValue).getOrElse(JNull),
+            "nulls" -> JLong(st.nulls)))
+        })))
+    }.toList)
+    val root = JObject(List(
+      "version" -> JLong(s.version),
+      "parent" -> s.parent.map(JLong(_): JValue).getOrElse(JNull),
+      "operation" -> JString(s.operation),
+      "schema" -> JsonMethods.parse(s.schema.json),
+      "properties" -> JObject(s.properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
+      "files" -> files))
+    JsonMethods.pretty(JsonMethods.render(root))
+  }
+
+  def fromJson(body: String): GraftSnapshot = {
+    val j = JsonMethods.parse(body)
+    def str(v: JValue): Option[String] = v match { case JString(s) => Some(s); case _ => None }
+    def long(v: JValue): Long = v match {
+      case JLong(n) => n; case JInt(n) => n.toLong; case JDecimal(n) => n.toLong
+      case other => sys.error(s"expected number, got $other")
+    }
+    val files = (j \ "files") match {
+      case JArray(fs) => fs.map { f =>
+        val stats = (f \ "stats") match {
+          case JObject(cols) => cols.map { case (c, st) =>
+            c -> ColStats(str(st \ "min"), str(st \ "max"), long(st \ "nulls"))
+          }.toMap
+          case _ => Map.empty[String, ColStats]
+        }
+        FileEntry(str(f \ "path").get, long(f \ "rows"), long(f \ "bytes"), stats)
+      }
+      case _ => Nil
+    }
+    GraftSnapshot(
+      version = long(j \ "version"),
+      parent = (j \ "parent") match { case JNull | JNothing => None; case v => Some(long(v)) },
+      operation = str(j \ "operation").getOrElse(""),
+      schema = DataType.fromJson(JsonMethods.compact(JsonMethods.render(j \ "schema"))).asInstanceOf[StructType],
+      properties = (j \ "properties") match {
+        case JObject(ps) => ps.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      },
+      files = files)
+  }
+}

@@ -1,0 +1,359 @@
+package graft.catalog
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** A Graft-format table: Spark DSv2 `Table` with batch read, batch
+  * write (append / truncate / overwrite), metadata columns, and
+  * group-based (copy-on-write) row-level operations — so ANSI
+  * `MERGE INTO`, `UPDATE`, and `DELETE` SQL run against it through
+  * Spark's own `RewriteMergeIntoTable` / `RewriteUpdateTable` /
+  * `RewriteDeleteFromTable` analyzer rules. This supplies, in-repo and
+  * jar-free, the table-format MERGE semantics the reference delegates
+  * to Iceberg via Trino (/root/reference/src/main/scala/main.scala:34-40,
+  * 121-126: `IcebergS3CatalogWriter`, `JdbcMergeServiceClient`).
+  *
+  * Scale design:
+  *  - reads plan one partition per data file (a production build would
+  *    split by row group) with manifest min/max file skipping
+  *    ([[StatsPruner]]) and column-pruned parquet projection;
+  *  - copy-on-write MERGE/UPDATE/DELETE rewrites ONLY the files that
+  *    contain matching rows: the COW scan implements
+  *    `SupportsRuntimeV2Filtering` on the `_file` metadata column, so
+  *    Spark's runtime group filtering narrows the rewrite to affected
+  *    files via a dynamic `IN` subquery — on a 100 TB table a MERGE
+  *    touching one day rewrites that day's files, not the table;
+  *  - commits are optimistic against the manifest version with
+  *    validation that no concurrently-committed writer replaced the
+  *    same files ([[GraftManifestIO.commit]]).
+  *
+  * Reads are pinned to the snapshot current at `loadTable` time, so a
+  * query sees one consistent version end-to-end (time travel loads a
+  * specific version the same way).
+  */
+final class GraftTable(
+    tableName: String,
+    val tableDir: String,
+    pinned: Option[Long] = None)
+  extends Table with SupportsRead with SupportsWrite
+  with SupportsRowLevelOperations with SupportsMetadataColumns {
+
+  @transient lazy val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+  @transient lazy val snapshot: Option[GraftSnapshot] =
+    pinned.map(io.readSnapshot).orElse(io.currentSnapshot())
+
+  override def name(): String = tableName
+  override def schema(): StructType = snapshot.map(_.schema).getOrElse(new StructType())
+  override def properties(): util.Map[String, String] =
+    snapshot.map(_.properties).getOrElse(Map.empty[String, String]).asJava
+  override def version(): String = snapshot.map(_.version.toString).orNull
+
+  override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
+    TableCapability.BATCH_READ,
+    TableCapability.BATCH_WRITE,
+    TableCapability.TRUNCATE,
+    TableCapability.OVERWRITE_BY_FILTER)
+
+  override def metadataColumns(): Array[MetadataColumn] = Array(GraftTable.FileColumn)
+
+  def liveFiles(): Seq[FileEntry] = snapshot.map(_.files).getOrElse(Nil)
+  def absolutePath(e: FileEntry): String = new Path(new Path(tableDir), e.path).toString
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(this)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(this, info)
+
+  override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(this, info.command)
+}
+
+object GraftTable {
+  /** `_file` metadata column: absolute path of the data file a row
+    * came from — the COW group identity (Iceberg exposes the same).
+    */
+  object FileColumn extends MetadataColumn {
+    override def name: String = "_file"
+    override def dataType: StringType.type = StringType
+    override def isNullable: Boolean = false
+  }
+}
+
+/** Regular read path: column pruning reaches the parquet projection,
+  * pushed filters drive manifest min/max file skipping (and are
+  * reported as residual, so Spark still evaluates them row-wise —
+  * skipping is I/O-only, never load-bearing for correctness).
+  */
+final class GraftScanBuilder(table: GraftTable)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var requested: StructType = table.schema()
+  private var skipping: Array[Filter] = Array.empty
+
+  override def pruneColumns(s: StructType): Unit = requested = s
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    skipping = filters
+    filters // all residual: file skipping only, Spark re-evaluates rows
+  }
+  override def pushedFilters(): Array[Filter] = skipping
+
+  override def build(): Scan = {
+    val schema = table.schema()
+    val kept = table.liveFiles().filter(e => skipping.forall(f => StatsPruner.mayMatch(f, e, schema)))
+    new GraftScan(kept.map(e => (table.absolutePath(e), e)), requested)
+  }
+}
+
+final class GraftScan(files: Seq[(String, FileEntry)], requested: StructType)
+  extends Scan with Batch {
+  override def readSchema(): StructType = requested
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftScan[files=${files.size}, columns=${requested.fieldNames.mkString(",")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (abs, _) => GraftInputPartition(abs) }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(requested, requested.fieldNames.indexOf("_file"))
+}
+
+final case class GraftInputPartition(absPath: String) extends InputPartition
+
+final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int)
+  extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val gp = p.asInstanceOf[GraftInputPartition]
+    val reader = new GraftParquetIO.FileReader(
+      new Path(gp.absPath), requested, new Configuration(), fileColOrdinal)
+    new PartitionReader[InternalRow] {
+      private var row: InternalRow = _
+      override def next(): Boolean = { row = reader.next(); row != null }
+      override def get(): InternalRow = row
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** How a batch write's commit folds its new files into the manifest. */
+sealed trait GraftCommitMode
+object GraftCommitMode {
+  case object Append extends GraftCommitMode
+  case object Truncate extends GraftCommitMode
+  /** Copy-on-write group replacement: drop exactly `replaced()` (the
+    * files the row-level scan planned), add the rewritten files.
+    */
+  final case class ReplaceFiles(replaced: () => Seq[String]) extends GraftCommitMode
+}
+
+final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate {
+  private var mode: GraftCommitMode = GraftCommitMode.Append
+  override def truncate(): WriteBuilder = { mode = GraftCommitMode.Truncate; this }
+  override def build(): Write =
+    new GraftWrite(table.tableDir, info.schema(), mode, operation = mode match {
+      case GraftCommitMode.Truncate => "overwrite"
+      case _ => "append"
+    })
+}
+
+final class GraftWrite(
+    tableDir: String, writeSchema: StructType, mode: GraftCommitMode, operation: String)
+  extends Write with BatchWrite {
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"GraftWrite[$operation]"
+
+  override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
+    GraftDataWriterFactory(tableDir, writeSchema, java.util.UUID.randomUUID().toString)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val entries = messages.collect { case GraftCommitMessage(Some(e)) => e }.toSeq
+    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    io.commit(operation) { base =>
+      val schema = base.map(_.schema).getOrElse(writeSchema)
+      val props = base.map(_.properties).getOrElse(Map.empty)
+      val files = mode match {
+        case GraftCommitMode.Append => base.map(_.files).getOrElse(Nil) ++ entries
+        case GraftCommitMode.Truncate => entries
+        case GraftCommitMode.ReplaceFiles(replaced) =>
+          val gone = replaced().toSet
+          val live = base.map(_.files).getOrElse(Nil)
+          val missing = gone -- live.map(_.path).toSet
+          if (missing.nonEmpty)
+            throw new GraftCommitConflict(
+              s"row-level $operation conflicts: concurrently replaced file(s) ${missing.mkString(", ")}")
+          live.filterNot(f => gone.contains(f.path)) ++ entries
+      }
+      (schema, props, files)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(tableDir).getFileSystem(new Configuration())
+    messages.foreach {
+      case GraftCommitMessage(Some(e)) =>
+        try fs.delete(new Path(new Path(tableDir), e.path), false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+  }
+}
+
+final case class GraftCommitMessage(entry: Option[FileEntry]) extends WriterCommitMessage
+
+final case class GraftDataWriterFactory(tableDir: String, schema: StructType, writeId: String)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId.parquet")
+}
+
+/** One parquet file per non-empty task; empty tasks commit no file. */
+final class GraftDataWriter(tableDir: String, schema: StructType, fileName: String)
+  extends DataWriter[InternalRow] {
+  private var writer: GraftParquetIO.FileWriter = _
+  private def ensure(): GraftParquetIO.FileWriter = {
+    if (writer == null)
+      writer = new GraftParquetIO.FileWriter(
+        new Path(new Path(tableDir), s"data/$fileName"), schema, new Configuration())
+    writer
+  }
+  override def write(row: InternalRow): Unit = ensure().write(row)
+  override def commit(): WriterCommitMessage =
+    GraftCommitMessage(if (writer == null) None else Some(writer.finish(s"data/$fileName")))
+  override def abort(): Unit = if (writer != null) writer.abort()
+  override def close(): Unit = ()
+}
+
+/** Group-based (copy-on-write) row-level operation. One instance
+  * coordinates the scan and the write of a single MERGE/UPDATE/DELETE:
+  * the write's commit replaces exactly the files the (runtime-
+  * filtered) scan planned. Without runtime filtering the scan plans
+  * the full load-time snapshot and the operation degrades to a
+  * whole-table rewrite — correct, just not pruned.
+  */
+final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  private val builtScans = mutable.ArrayBuffer.empty[GraftCowScan]
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftRowLevelOperation[$cmd]"
+
+  /** `_file` must flow through the row-level plan: it is both the
+    * group identity for runtime filtering and what the commit uses to
+    * know which files to drop.
+    */
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      // The COW scan must return COMPLETE rows of every group it keeps
+      // (unchanged rows are carried over by the rewrite plan), so only
+      // honor projection — Spark asks for all data columns + _file.
+      private var requested: StructType = new StructType(
+        table.schema().fields :+ org.apache.spark.sql.types.StructField(
+          "_file", StringType, nullable = false))
+      override def pruneColumns(s: StructType): Unit = requested = s
+      override def build(): Scan = {
+        val s = new GraftCowScan(table.liveFiles().map(e => (table.absolutePath(e), e)), requested)
+        builtScans.synchronized { builtScans += s }
+        s
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new GraftWrite(
+        table.tableDir, info.schema(),
+        GraftCommitMode.ReplaceFiles(() => replacedFiles()),
+        operation = cmd.toString.toLowerCase)
+    }
+
+  /** Files the operation's scan actually planned: a runtime-filtered
+    * scan narrows to affected groups; otherwise the full load-time
+    * snapshot is rewritten.
+    */
+  private def replacedFiles(): Seq[String] = builtScans.synchronized {
+    builtScans.find(_.wasFiltered).orElse(builtScans.headOption)
+      .map(_.plannedEntries.map(_._2.path))
+      .getOrElse(table.liveFiles().map(_.path))
+  }
+}
+
+/** COW scan: a [[GraftScan]] that can additionally be narrowed at
+  * runtime by Spark's row-level group filtering (a dynamic
+  * `_file IN (...)` predicate produced from the matching-rows
+  * subquery).
+  */
+final class GraftCowScan(initial: Seq[(String, FileEntry)], requested: StructType)
+  extends Scan with Batch with SupportsRuntimeV2Filtering {
+
+  @volatile private var files: Seq[(String, FileEntry)] = initial
+  @volatile private[catalog] var wasFiltered: Boolean = false
+  private[catalog] def plannedEntries: Seq[(String, FileEntry)] = files
+
+  override def readSchema(): StructType = requested
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftCowScan[files=${files.size}${if (wasFiltered) ", runtime-group-filtered" else ""}]"
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column("_file"))
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val allowed = predicates.flatMap(GraftCowScan.inValues).flatten.toSet
+    if (allowed.nonEmpty || predicates.exists(p => GraftCowScan.inValues(p).exists(_.isEmpty))) {
+      files = files.filter { case (abs, _) => allowed.contains(abs) }
+      wasFiltered = true
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    files.map { case (abs, _) => GraftInputPartition(abs) }.toArray
+  override def createReaderFactory(): PartitionReaderFactory =
+    GraftReaderFactory(requested, requested.fieldNames.indexOf("_file"))
+}
+
+object GraftCowScan {
+  /** Extract the string values of an `IN`/`=` predicate over `_file`;
+    * None = unrecognized shape (ignore the predicate, keep all files).
+    * An empty Some means a recognized predicate with zero values —
+    * nothing matched, all groups filter out.
+    */
+  private[catalog] def inValues(p: Predicate): Option[Seq[String]] = {
+    val overFile = p.children().exists {
+      case r: NamedReference => r.fieldNames().sameElements(Array("_file"))
+      case _ => false
+    }
+    if (!overFile) return None
+    p.name() match {
+      case "IN" | "=" =>
+        Some(p.children().toSeq.collect {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] if l.dataType() == StringType =>
+            l.value() match {
+              case v: UTF8String => v.toString
+              case v: String => v
+              case other => String.valueOf(other)
+            }
+        })
+      case _ => None
+    }
+  }
+}
