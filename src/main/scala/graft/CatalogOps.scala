@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Registered queries driving the Graft table format end-to-end
+  * through Spark SQL — the engine's answer to the reference's Iceberg
+  * MERGE target (/root/reference/src/main/scala/main.scala:34-40,
+  * 121-126): a real catalog table is created, mutated with ANSI
+  * `MERGE INTO` / `UPDATE` / `DELETE` (group-based copy-on-write via
+  * [[graft.catalog.GraftTable]]), and the final table state is
+  * compared hash-exact against a DuckDB oracle that computes the same
+  * mutation relationally.
+  *
+  * Each invocation works in a fresh table under a per-JVM temp
+  * warehouse, so re-runs (verify + multi-pass bench in one JVM) never
+  * collide; the result DataFrame stays readable because tables are
+  * never dropped mid-flight.
+  */
+object CatalogOps {
+
+  private lazy val warehouse =
+    java.nio.file.Files.createTempDirectory("graft_catalog_ops").toString
+
+  private val nextId = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Register the ops catalog on this session (idempotent) and return
+    * a fresh fully-qualified table name.
+    */
+  private def freshTable(spark: SparkSession): String = {
+    spark.conf.set("spark.sql.catalog.graftops", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.graftops.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftops.db")
+    s"graftops.db.t${nextId.incrementAndGet()}"
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "catalog_merge_into",
+      (spark, dir) => {
+        val tbl = freshTable(spark)
+        // target: 3/4 of orders; source: every even order with repriced
+        // totals — so MERGE exercises matched-update, not-matched-insert,
+        // and untouched-carryover in one statement
+        Tables(spark, dir).orders
+          .where("o_orderkey % 4 <> 0")
+          .selectExpr(
+            "o_orderkey", "o_custkey",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice",
+            "o_orderstatus AS status")
+          .writeTo(tbl).create()
+        Tables(spark, dir).orders
+          .where("o_orderkey % 2 = 0")
+          .selectExpr(
+            "o_orderkey", "o_custkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice",
+            "'X' AS status")
+          .createOrReplaceTempView("catalog_merge_src")
+        spark.sql(s"""
+          MERGE INTO $tbl t USING catalog_merge_src s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET t.totalprice = s.totalprice, t.status = s.status
+          WHEN NOT MATCHED THEN INSERT *""")
+        // exact decimal math inside the table; DOUBLE only at the final
+        // projection (driver-compare convention for money columns)
+        spark.sql(s"""SELECT o_orderkey, o_custkey,
+          CAST(totalprice AS DOUBLE) AS totalprice, status
+          FROM $tbl ORDER BY o_orderkey""")
+      },
+      Some("""
+        WITH tgt AS (
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+                 o_orderstatus AS status
+          FROM orders WHERE o_orderkey % 4 <> 0),
+        src AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice,
+                 'X' AS status
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+               CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.totalprice ELSE t.totalprice END AS DOUBLE) AS totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.status ELSE t.status END AS status
+        FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "catalog_update_delete",
+      (spark, dir) => {
+        val tbl = freshTable(spark)
+        Tables(spark, dir).customer
+          .selectExpr(
+            "c_custkey", "CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal", "c_mktsegment")
+          .writeTo(tbl).create()
+        spark.sql(s"UPDATE $tbl SET acctbal = acctbal + 100 WHERE c_mktsegment = 'BUILDING'")
+        spark.sql(s"DELETE FROM $tbl WHERE acctbal < 0")
+        spark.sql(s"""SELECT c_custkey, CAST(acctbal AS DOUBLE) AS acctbal, c_mktsegment
+          FROM $tbl ORDER BY c_custkey""")
+      },
+      Some("""
+        WITH updated AS (
+          SELECT c_custkey,
+                 CASE WHEN c_mktsegment = 'BUILDING'
+                      THEN CAST(c_acctbal AS DECIMAL(12,2)) + 100
+                      ELSE CAST(c_acctbal AS DECIMAL(12,2)) END AS acctbal,
+                 c_mktsegment
+          FROM customer)
+        SELECT c_custkey, CAST(CAST(acctbal AS DECIMAL(12,2)) AS DOUBLE) AS acctbal, c_mktsegment
+        FROM updated WHERE acctbal >= 0
+        ORDER BY c_custkey
+      """.trim)
+    ),
+    QueryDef(
+      "catalog_time_travel",
+      (spark, dir) => {
+        val tbl = freshTable(spark)
+        val nat = Tables(spark, dir).nation
+          .selectExpr("n_nationkey", "n_name", "n_regionkey")
+        nat.where("n_nationkey % 3 = 0").writeTo(tbl).create() // v1 (create+data)
+        nat.where("n_nationkey % 3 = 1").writeTo(tbl).append() // v2
+        nat.where("n_nationkey % 3 = 2").writeTo(tbl).append() // v3
+        // CTAS is two commits (create=v1, data=v2), so VERSION AS OF 2
+        // sees exactly the first batch; the head read sees all rows
+        spark.sql(s"""
+          SELECT n_nationkey, n_name, n_regionkey, 'v2' AS snap
+          FROM $tbl VERSION AS OF 2
+          UNION ALL
+          SELECT n_nationkey, n_name, n_regionkey, 'head' AS snap FROM $tbl
+          ORDER BY snap, n_nationkey""")
+      },
+      Some("""
+        SELECT n_nationkey, n_name, n_regionkey, 'v2' AS snap
+        FROM nation WHERE n_nationkey % 3 = 0
+        UNION ALL
+        SELECT n_nationkey, n_name, n_regionkey, 'head' AS snap FROM nation
+        ORDER BY snap, n_nationkey
+      """.trim)
+    ),
+    QueryDef(
+      "catalog_compact",
+      (spark, dir) => {
+        // many small files in, few consolidated files out, content
+        // byte-identical — Iceberg's rewrite_data_files over the Graft
+        // format. File-count assertions live in GraftCatalogSpec; the
+        // oracle gates content invariance.
+        val tbl = freshTable(spark)
+        Tables(spark, dir).orders
+          .selectExpr("o_orderkey", "o_custkey", "o_orderstatus")
+          .repartition(12)
+          .writeTo(tbl).create()
+        val tableDir = s"$warehouse/db/${tbl.split('.').last}"
+        graft.catalog.GraftMaintenance.compact(spark, tableDir, smallBytes = 1L << 30)
+        spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus FROM $tbl ORDER BY o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey
+      """.trim)
+    )
+  )
+}

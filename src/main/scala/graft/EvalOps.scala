@@ -1,0 +1,212 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classifier-evaluation and robust-statistics operators for the
+  * training-data pipeline: quality-classifier calibration (grouped
+  * ROC-AUC), annotation aggregation (majority vote), and outlier
+  * handling (winsorization, median/MAD) — the measurement side of the
+  * curation stack (selection/budget live in Curation.scala).
+  *
+  * All four follow the engine's exact-math gate discipline: integer /
+  * fixed-point arithmetic end-to-end with at most ONE floating
+  * division at the final projection, so results hash-match DuckDB
+  * bit-for-bit. Everything is a grouped aggregation or a window over
+  * group partitions — one shuffle each, no driver-side state, scales
+  * with #groups, not #rows.
+  */
+object EvalOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "classifier_eval",
+      (spark, dir) => {
+        // grouped ROC-AUC via the Mann-Whitney rank statistic with
+        // average-rank tie handling, computed on DISTINCT-score
+        // aggregates: AUC = (2*Rpos - npos*(npos+1)) / (2*npos*nneg)
+        // where 2*Rpos = sum over score groups of pos*(2*below+cnt+1).
+        // Integer until the single final division.
+        val docs = Tables(spark, dir).documents.selectExpr(
+          "source",
+          "CAST(n_chars % 997 AS BIGINT) AS score", // deterministic score proxy
+          "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos")
+        val byScore = docs.groupBy("source", "score")
+          .agg(count(lit(1)).as("cnt"), sum("pos").as("pos"))
+        val w = Window.partitionBy("source").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        byScore
+          .withColumn("below", coalesce(sum("cnt").over(w), lit(0L)))
+          .groupBy("source")
+          .agg(
+            sum(col("pos") * (col("below") * 2 + col("cnt") + 1)).as("r2"),
+            sum("pos").as("npos"),
+            sum(col("cnt") - col("pos")).as("nneg"))
+          .selectExpr(
+            "source", "CAST(npos AS BIGINT) AS npos", "CAST(nneg AS BIGINT) AS nneg",
+            """CASE WHEN npos > 0 AND nneg > 0
+               THEN CAST(r2 - npos * (npos + 1) AS DOUBLE) / CAST(2 * npos * nneg AS DOUBLE)
+               END AS auc""")
+          .orderBy("source")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT source, CAST(n_chars % 997 AS BIGINT) AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM documents),
+        by_score AS (
+          SELECT source, score, count(*) AS cnt, sum(pos) AS pos
+          FROM scored GROUP BY source, score),
+        ranked AS (
+          SELECT source, score, cnt, pos,
+                 coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+          FROM by_score)
+        SELECT source,
+               CAST(sum(pos) AS BIGINT) AS npos,
+               CAST(sum(cnt - pos) AS BIGINT) AS nneg,
+               CASE WHEN sum(pos) > 0 AND sum(cnt - pos) > 0
+                 THEN CAST(sum(pos * (below * 2 + cnt + 1)) - sum(pos) * (sum(pos) + 1) AS DOUBLE)
+                      / CAST(2 * sum(pos) * sum(cnt - pos) AS DOUBLE)
+               END AS auc
+        FROM ranked GROUP BY source ORDER BY source
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "winsorize",
+      (spark, dir) => {
+        // per-group clamp at the exact p05/p95 order statistics
+        // (ceil-rank definition, deterministic tiebreak) — outlier
+        // taming before length-based selection. Bounds come from one
+        // windowed pass; the clamp re-joins them broadcast.
+        val docs = Tables(spark, dir).documents
+        val n = Window.partitionBy("source")
+        val rn = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+        val ranked = docs
+          .withColumn("rn", row_number().over(rn))
+          .withColumn("n", count(lit(1)).over(n))
+        val bounds = ranked.groupBy("source").agg(
+          max("n").as("n"),
+          max(when(col("rn") === greatest(lit(1L), ceil(col("n") * 0.05).cast("long")), col("n_chars"))).as("lo"),
+          max(when(col("rn") === greatest(lit(1L), ceil(col("n") * 0.95).cast("long")), col("n_chars"))).as("hi"))
+        docs.join(broadcast(bounds), "source")
+          .groupBy("source")
+          .agg(
+            max("n").cast("long").as("n"),
+            max("lo").cast("long").as("lo"),
+            max("hi").cast("long").as("hi"),
+            sum(least(greatest(col("n_chars"), col("lo")), col("hi"))).cast("long").as("sum_clamped"))
+          .orderBy("source")
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, n_chars,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents),
+        b AS (
+          SELECT source, max(n) AS n,
+                 max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.05 * n) AS BIGINT)) THEN n_chars END) AS lo,
+                 max(CASE WHEN rn = GREATEST(1, CAST(CEIL(0.95 * n) AS BIGINT)) THEN n_chars END) AS hi
+          FROM r GROUP BY source)
+        SELECT d.source,
+               CAST(max(b.n) AS BIGINT) AS n,
+               CAST(max(b.lo) AS BIGINT) AS lo,
+               CAST(max(b.hi) AS BIGINT) AS hi,
+               CAST(sum(LEAST(GREATEST(d.n_chars, b.lo), b.hi)) AS BIGINT) AS sum_clamped
+        FROM documents d JOIN b ON d.source = b.source
+        GROUP BY d.source ORDER BY d.source
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "robust_stats",
+      (spark, dir) => {
+        // exact lower-median + MAD per group (order statistic at
+        // floor((n+1)/2) with deterministic tiebreak) — robust center/
+        // spread for documents, immune to the heavy length tail.
+        val docs = Tables(spark, dir).documents
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String, out: String) = {
+          val rn = Window.partitionBy("source").orderBy(valueCol, "doc_id")
+          val n = Window.partitionBy("source")
+          df.withColumn("rn", row_number().over(rn))
+            .withColumn("n", count(lit(1)).over(n))
+            .groupBy("source")
+            .agg(
+              max("n").as("n"),
+              max(when(col("rn") === floor((col("n") + 1) / lit(2.0)).cast("long"), col(valueCol))).as(out))
+        }
+        val med = lowerMedian(docs, "n_chars", "median")
+        val dev = docs.join(broadcast(med.select("source", "median")), "source")
+          .withColumn("dev", abs(col("n_chars") - col("median")))
+        lowerMedian(dev, "dev", "mad")
+          .join(med.select("source", "median"), "source")
+          .selectExpr("source", "CAST(n AS BIGINT) AS n",
+            "CAST(median AS BIGINT) AS median", "CAST(mad AS BIGINT) AS mad")
+          .orderBy("source")
+      },
+      Some("""
+        WITH r AS (
+          SELECT source, n_chars, doc_id,
+                 row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM documents),
+        med AS (
+          SELECT source, max(n) AS n,
+                 max(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT) THEN n_chars END) AS median
+          FROM r GROUP BY source),
+        dev AS (
+          SELECT d.source, ABS(d.n_chars - m.median) AS dev, d.doc_id
+          FROM documents d JOIN med m ON d.source = m.source),
+        r2 AS (
+          SELECT source, dev,
+                 row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY source) AS n
+          FROM dev),
+        mad AS (
+          SELECT source, max(CASE WHEN rn = CAST(FLOOR((n + 1) / 2.0) AS BIGINT) THEN dev END) AS mad
+          FROM r2 GROUP BY source)
+        SELECT m.source, CAST(m.n AS BIGINT) AS n,
+               CAST(m.median AS BIGINT) AS median, CAST(a.mad AS BIGINT) AS mad
+        FROM med m JOIN mad a ON m.source = a.source
+        ORDER BY m.source
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "label_vote",
+      (spark, dir) => {
+        // annotation aggregation: 5 synthetic annotators per item vote
+        // with their embedding label; majority wins, ties break to the
+        // smallest label (deterministic). One count shuffle + one
+        // window over items.
+        val votes = Tables(spark, dir).embeddings
+          .selectExpr("CAST(FLOOR(vec_id / 5.0) AS BIGINT) AS item", "label")
+        val c = votes.groupBy("item", "label").agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy("item").orderBy(col("cnt").desc, col("label").asc)
+        val t = Window.partitionBy("item")
+        c.withColumn("rk", row_number().over(w))
+          .withColumn("total", sum("cnt").over(t))
+          .where(col("rk") === 1)
+          .selectExpr("item", "CAST(label AS INT) AS winner",
+            "CAST(cnt AS BIGINT) AS votes_won", "CAST(total AS BIGINT) AS votes_total")
+          .orderBy("item")
+      },
+      Some("""
+        WITH votes AS (
+          SELECT CAST(FLOOR(vec_id / 5.0) AS BIGINT) AS item, label FROM embeddings),
+        c AS (SELECT item, label, count(*) AS cnt FROM votes GROUP BY item, label),
+        w AS (
+          SELECT item, label, cnt,
+                 row_number() OVER (PARTITION BY item ORDER BY cnt DESC, label ASC) AS rk,
+                 sum(cnt) OVER (PARTITION BY item) AS total
+          FROM c)
+        SELECT item, CAST(label AS INT) AS winner,
+               CAST(cnt AS BIGINT) AS votes_won, CAST(total AS BIGINT) AS votes_total
+        FROM w WHERE rk = 1 ORDER BY item
+      """.trim),
+      bench = true
+    )
+  )
+}

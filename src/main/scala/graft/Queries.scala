@@ -18,7 +18,8 @@ object Queries {
 
   /** All registered queries, in registration order. Sections append here. */
   def all: Seq[QueryDef] =
-    AnalyticsQueries.defs ++ ReferenceOps.defs ++ TrainingDataOps.defs
+    AnalyticsQueries.defs ++ ReferenceOps.defs ++ TrainingDataOps.defs ++
+      CatalogOps.defs ++ EvalOps.defs
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.catalog.{GraftManifestIO, GraftParquetIO}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** Structured-Streaming sink into a Graft-format table: the engine's
+  * version of the reference's core loop — a stream whose micro-batches
+  * land in a snapshotted table format (reference main.scala:34-40
+  * merges each batch into Iceberg via Trino).
+  *
+  * Exactly-once TABLE CONTENTS over at-least-once batch delivery: the
+  * highest committed batchId is stamped into the snapshot properties,
+  * and a replayed batch (restart after a crash between the table
+  * commit and the checkpoint advance — foreachBatch's documented
+  * at-least-once window) is detected and skipped. The guard is checked
+  * both before staging (cheap skip) and inside the OCC commit (a
+  * replay racing a concurrent writer still cannot double-append).
+  */
+object GraftStreamSink {
+
+  val BatchIdProp = "graft.stream.batch-id"
+
+  /** foreachBatch handler: `stream.writeStream.foreachBatch(
+    * GraftStreamSink.idempotentAppend(tableDir) _)`.
+    */
+  def idempotentAppend(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    def alreadyCommitted: Boolean =
+      io.currentSnapshot().exists(_.properties.get(BatchIdProp).exists(_.toLong >= batchId))
+    if (alreadyCommitted) return
+
+    val schema = batch.schema
+    val writeId = java.util.UUID.randomUUID().toString
+    val entries = batch.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val rel = s"data/part-stream-$writeId-$batchId-$pid.parquet"
+        val w = new GraftParquetIO.FileWriter(
+          new Path(new Path(tableDir), rel), schema, new Configuration())
+        rows.foreach(w.write)
+        Iterator.single(w.finish(rel))
+      }
+    }.collect().toSeq
+
+    try io.commit("stream-append") { base =>
+      if (base.exists(_.properties.get(BatchIdProp).exists(_.toLong >= batchId)))
+        throw new ReplayedBatch // detected inside the commit window
+      val props = base.map(_.properties).getOrElse(Map.empty) + (BatchIdProp -> batchId.toString)
+      (base.map(_.schema).getOrElse(schema), props, base.map(_.files).getOrElse(Nil) ++ entries)
+    } catch {
+      case _: ReplayedBatch =>
+        // no snapshot written; drop the redundantly staged files
+        val fs = new Path(tableDir).getFileSystem(new Configuration())
+        entries.foreach(e =>
+          try fs.delete(new Path(new Path(tableDir), e.path), false)
+          catch { case _: Throwable => () })
+    }
+  }
+
+  private final class ReplayedBatch extends RuntimeException
+}

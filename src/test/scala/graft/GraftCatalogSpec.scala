@@ -182,6 +182,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT k FROM $cat.db.gc").head.getInt(0) == 2)
   }
 
+  test("compaction consolidates small files, preserves content, conflicts safely") {
+    spark.sql(s"CREATE TABLE $cat.db.compact (k BIGINT, v STRING)")
+    spark.range(0, 1000).selectExpr("id AS k", "concat('v', id) AS v")
+      .repartition(8).writeTo(s"$cat.db.compact").append()
+    val io = manifestIO("compact")
+    assert(io.currentSnapshot().get.files.size == 8)
+    val (before, after) = graft.catalog.GraftMaintenance.compact(
+      spark, s"$warehouse/db/compact", smallBytes = 1L << 30)
+    assert(before == 8 && after == 1, s"expected 8 -> 1 files, got $before -> $after")
+    assert(io.currentSnapshot().get.operation == "compact")
+    assert(spark.sql(s"SELECT count(*), count(DISTINCT k) FROM $cat.db.compact").head()
+      == Row(1000L, 1000L))
+    // stats survive the rewrite: point queries still prune to files=0
+    val none = spark.sql(s"SELECT v FROM $cat.db.compact WHERE k = 999999")
+    assert(none.count() == 0 && physicalPlan(none).toString.contains("GraftScan[files=0"))
+  }
+
+  test("streaming sink: idempotent micro-batch append into a Graft table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql(s"CREATE TABLE $cat.db.sink (v BIGINT)")
+    val tableDir = s"$warehouse/db/sink"
+
+    val input = MemoryStream[Long]
+    val q = input.toDS().toDF("v").writeStream
+      .foreachBatch(graft.streaming.GraftStreamSink.idempotentAppend(tableDir) _)
+      .start()
+    try {
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      input.addData(4L, 5L); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.sink").head.getLong(0) == 15L)
+
+    val io = manifestIO("sink")
+    val committedBatch = io.currentSnapshot().get
+      .properties(graft.streaming.GraftStreamSink.BatchIdProp).toLong
+    val versionBefore = io.currentVersion().get
+    // replay the last batch (foreachBatch's at-least-once window): the
+    // sink must detect the stale batchId and leave the table unchanged
+    graft.streaming.GraftStreamSink.idempotentAppend(tableDir)(
+      spark.range(100, 110).toDF("v"), committedBatch)
+    assert(io.currentVersion().get == versionBefore, "replayed batch must not commit")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.sink").head.getLong(0) == 15L)
+    // the pre-staging guard skipped the replay before writing anything,
+    // so the table has no orphans either
+    assert(io.removeOrphans().isEmpty)
+    // a genuinely new batch still lands
+    graft.streaming.GraftStreamSink.idempotentAppend(tableDir)(
+      spark.range(10, 12).toDF("v"), committedBatch + 1)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.sink").head.getLong(0) == 36L)
+  }
+
   test("catalog surface: list, rename, drop, timestamp travel") {
     spark.sql(s"CREATE TABLE $cat.db.c1 (k INT)")
     spark.sql(s"INSERT INTO $cat.db.c1 VALUES (5)")
