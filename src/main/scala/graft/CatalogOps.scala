@@ -137,6 +137,31 @@ object CatalogOps {
       """.trim)
     ),
     QueryDef(
+      "catalog_partitioned",
+      (spark, dir) => {
+        // identity-partitioned table: the write's clustered distribution
+        // lands one file per event_type, so the partition-scoped query
+        // scans exactly one file (plan-asserted in GraftCatalogSpec)
+        val tbl = freshTable(spark)
+        spark.sql(s"""CREATE TABLE $tbl (event_id BIGINT, user_id BIGINT,
+          event_type STRING, value DOUBLE) PARTITIONED BY (event_type)""")
+        Tables(spark, dir).events
+          .selectExpr("event_id", "user_id", "event_type", "value")
+          .writeTo(tbl).append()
+        spark.sql(s"""
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+          FROM $tbl WHERE event_type = 'purchase'
+          GROUP BY user_id ORDER BY user_id""")
+      },
+      Some("""
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id ORDER BY user_id
+      """.trim)
+    ),
+    QueryDef(
       "catalog_compact",
       (spark, dir) => {
         // many small files in, few consolidated files out, content

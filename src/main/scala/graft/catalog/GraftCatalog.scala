@@ -96,10 +96,22 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       ident: Identifier, schema: StructType, partitions: Array[Transform],
       properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    if (partitions.nonEmpty) throw new UnsupportedOperationException(
-      "graft tables are unpartitioned (layout control via zorder/range ops)")
+    // identity partitioning only: writers split files per partition
+    // value (clustered write distribution), scans prune exactly via the
+    // per-file min==max stats. Time/bucket transforms: derive a column.
+    val partCols = partitions.map { t =>
+      if (t.name() != "identity" || t.references().length != 1 ||
+          t.references()(0).fieldNames().length != 1)
+        throw new UnsupportedOperationException(
+          s"graft tables support identity partitioning only, got $t")
+      val col = t.references()(0).fieldNames()(0)
+      require(schema.fieldNames.contains(col), s"unknown partition column $col")
+      col
+    }
+    val props = properties.asScala.toMap ++
+      (if (partCols.nonEmpty) Map(GraftTable.PartitionColsProp -> partCols.mkString(",")) else Map.empty)
     val io = new GraftManifestIO(tablePath(ident), conf)
-    io.commit("create") { _ => (schema, properties.asScala.toMap, Nil) }
+    io.commit("create") { _ => (schema, props, Nil) }
     new GraftTable(fullName(ident), tablePath(ident).toString)
   }
 

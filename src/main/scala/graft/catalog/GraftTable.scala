@@ -69,6 +69,15 @@ final class GraftTable(
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER)
 
+  /** Identity partition columns (empty = unpartitioned). */
+  def partitionCols: Seq[String] =
+    snapshot.flatMap(_.properties.get(GraftTable.PartitionColsProp))
+      .map(_.split(',').toSeq.filter(_.nonEmpty)).getOrElse(Nil)
+
+  override def partitioning(): Array[org.apache.spark.sql.connector.expressions.Transform] =
+    partitionCols.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
+
   override def metadataColumns(): Array[MetadataColumn] = Array(GraftTable.FileColumn)
 
   def liveFiles(): Seq[FileEntry] = snapshot.map(_.files).getOrElse(Nil)
@@ -85,6 +94,9 @@ final class GraftTable(
 }
 
 object GraftTable {
+  /** Snapshot property holding the identity partition column list. */
+  val PartitionColsProp = "graft.partition-cols"
+
   /** `_file` metadata column: absolute path of the data file a row
     * came from — the COW group identity (Iceberg exposes the same).
     */
@@ -169,21 +181,40 @@ final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     new GraftWrite(table.tableDir, info.schema(), mode, operation = mode match {
       case GraftCommitMode.Truncate => "overwrite"
       case _ => "append"
-    })
+    }, partitionCols = table.partitionCols, maxRowsPerFile = GraftWrite.maxRows(table))
 }
 
 final class GraftWrite(
-    tableDir: String, writeSchema: StructType, mode: GraftCommitMode, operation: String)
-  extends Write with BatchWrite {
+    tableDir: String, writeSchema: StructType, mode: GraftCommitMode, operation: String,
+    partitionCols: Seq[String] = Nil, maxRowsPerFile: Long = Long.MaxValue)
+  extends Write with BatchWrite with RequiresDistributionAndOrdering {
 
   override def toBatch: BatchWrite = this
   override def description(): String = s"GraftWrite[$operation]"
 
+  /** Partitioned tables cluster rows by the partition columns before
+    * the write, so each partition value lands in one task → one file
+    * (Spark shuffles only when partitionCols is non-empty).
+    */
+  override def requiredDistribution(): org.apache.spark.sql.connector.distributions.Distribution =
+    if (partitionCols.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions.unspecified()
+    else
+      org.apache.spark.sql.connector.distributions.Distributions.clustered(
+        partitionCols.map(c =>
+          org.apache.spark.sql.connector.expressions.Expressions.column(c)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray)
+  override def requiredOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    Array.empty
+  override def distributionStrictlyRequired(): Boolean = false
+
   override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
-    GraftDataWriterFactory(tableDir, writeSchema, java.util.UUID.randomUUID().toString)
+    GraftDataWriterFactory(tableDir, writeSchema, java.util.UUID.randomUUID().toString,
+      partitionCols.map(c => writeSchema.fieldNames.indexOf(c)).filter(_ >= 0),
+      maxRowsPerFile)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val entries = messages.collect { case GraftCommitMessage(Some(e)) => e }.toSeq
+    val entries = messages.collect { case GraftCommitMessage(es) => es }.flatten.toSeq
     val io = new GraftManifestIO(new Path(tableDir), new Configuration())
     io.commit(operation) { base =>
       val schema = base.map(_.schema).getOrElse(writeSchema)
@@ -207,36 +238,84 @@ final class GraftWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(tableDir).getFileSystem(new Configuration())
     messages.foreach {
-      case GraftCommitMessage(Some(e)) =>
+      case GraftCommitMessage(es) => es.foreach(e =>
         try fs.delete(new Path(new Path(tableDir), e.path), false)
-        catch { case _: Throwable => () }
+        catch { case _: Throwable => () })
       case _ => ()
     }
   }
 }
 
-final case class GraftCommitMessage(entry: Option[FileEntry]) extends WriterCommitMessage
+object GraftWrite {
+  /** Table property bounding rows per data file (file rolling). */
+  val MaxRowsProp = "graft.write.max-rows-per-file"
 
-final case class GraftDataWriterFactory(tableDir: String, schema: StructType, writeId: String)
-  extends DataWriterFactory {
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new GraftDataWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId.parquet")
+  def maxRows(table: GraftTable): Long =
+    table.snapshot.flatMap(_.properties.get(MaxRowsProp)).map(_.toLong)
+      .getOrElse(Long.MaxValue)
 }
 
-/** One parquet file per non-empty task; empty tasks commit no file. */
-final class GraftDataWriter(tableDir: String, schema: StructType, fileName: String)
+final case class GraftCommitMessage(entries: Seq[FileEntry]) extends WriterCommitMessage
+
+final case class GraftDataWriterFactory(
+    tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
+    maxRowsPerFile: Long = Long.MaxValue)
+  extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
+      partitionOrdinals, maxRowsPerFile)
+}
+
+/** One parquet file per non-empty task — or, for partitioned tables,
+  * one per partition value seen by the task (the clustered write
+  * distribution sends each value to one task, so the normal case is
+  * still one file per value table-wide). Open-writer count is bounded
+  * to 1024 per task as a misconfiguration guard.
+  */
+final class GraftDataWriter(
+    tableDir: String, schema: StructType, filePrefix: String, partitionOrdinals: Seq[Int],
+    maxRowsPerFile: Long = Long.MaxValue)
   extends DataWriter[InternalRow] {
-  private var writer: GraftParquetIO.FileWriter = _
-  private def ensure(): GraftParquetIO.FileWriter = {
-    if (writer == null)
-      writer = new GraftParquetIO.FileWriter(
-        new Path(new Path(tableDir), s"data/$fileName"), schema, new Configuration())
-    writer
+
+  private val open = scala.collection.mutable.LinkedHashMap.empty[String, (String, GraftParquetIO.FileWriter)]
+  private val finished = scala.collection.mutable.ArrayBuffer.empty[FileEntry]
+  private var fileSeq = 0
+
+  private def writerFor(row: InternalRow): GraftParquetIO.FileWriter = {
+    val key =
+      if (partitionOrdinals.isEmpty) ""
+      else partitionOrdinals.map(i =>
+        if (row.isNullAt(i)) "null"
+        else String.valueOf(row.get(i, schema.fields(i).dataType))).mkString(" ")
+    val (rel, w) = open.getOrElseUpdate(key, newWriter())
+    if (w.rows >= maxRowsPerFile) {
+      // roll: a hot partition value (or unpartitioned firehose) splits
+      // into bounded files instead of one unbounded one
+      finished += w.finish(rel)
+      val fresh = newWriter()
+      open.update(key, fresh)
+      fresh._2
+    } else w
   }
-  override def write(row: InternalRow): Unit = ensure().write(row)
+
+  private def newWriter(): (String, GraftParquetIO.FileWriter) = {
+    require(open.size < 1024,
+      s"more than 1024 partition values in one write task — repartition by $partitionOrdinals")
+    val rel = s"data/$filePrefix-$fileSeq.parquet"
+    fileSeq += 1
+    (rel, new GraftParquetIO.FileWriter(new Path(new Path(tableDir), rel), schema, new Configuration()))
+  }
+
+  override def write(row: InternalRow): Unit = writerFor(row).write(row)
   override def commit(): WriterCommitMessage =
-    GraftCommitMessage(if (writer == null) None else Some(writer.finish(s"data/$fileName")))
-  override def abort(): Unit = if (writer != null) writer.abort()
+    GraftCommitMessage(finished.toSeq ++ open.values.map { case (rel, w) => w.finish(rel) }.toSeq)
+  override def abort(): Unit = {
+    open.values.foreach(_._2.abort())
+    val fs = new Path(tableDir).getFileSystem(new Configuration())
+    finished.foreach(e =>
+      try fs.delete(new Path(new Path(tableDir), e.path), false)
+      catch { case _: Throwable => () })
+  }
   override def close(): Unit = ()
 }
 
@@ -283,7 +362,9 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Com
       override def build(): Write = new GraftWrite(
         table.tableDir, info.schema(),
         GraftCommitMode.ReplaceFiles(() => replacedFiles()),
-        operation = cmd.toString.toLowerCase)
+        operation = cmd.toString.toLowerCase,
+        partitionCols = table.partitionCols,
+        maxRowsPerFile = GraftWrite.maxRows(table))
     }
 
   /** Files the operation's scan actually planned: a runtime-filtered

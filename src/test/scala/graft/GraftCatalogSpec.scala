@@ -50,6 +50,18 @@ class GraftCatalogSpec extends SparkSpec {
     assert((0 until 12).forall(rows(2).isNullAt))
   }
 
+  test("array columns preserve null elements and empty arrays") {
+    spark.sql(s"CREATE TABLE $cat.db.arrs (id INT, a ARRAY<FLOAT>, s ARRAY<STRING>)")
+    spark.sql(s"""INSERT INTO $cat.db.arrs VALUES
+      (1, array(1.0f, CAST(NULL AS FLOAT), 3.0f), array('x', NULL)),
+      (2, array(), array()), (3, NULL, NULL)""")
+    val rows = spark.sql(s"SELECT * FROM $cat.db.arrs ORDER BY id").collect()
+    assert(rows(0).getSeq[java.lang.Float](1) == Seq(1.0f, null, 3.0f))
+    assert(rows(0).getSeq[String](2) == Seq("x", null))
+    assert(rows(1).getSeq[Float](1).isEmpty && rows(1).getSeq[String](2).isEmpty)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
+  }
+
   test("manifest min/max stats skip files at scan time; filters stay residual") {
     spark.sql(s"CREATE TABLE $cat.db.skip (k BIGINT, v STRING)")
     // two inserts -> two files with disjoint key ranges
@@ -180,6 +192,48 @@ class GraftCatalogSpec extends SparkSpec {
     io.expireSnapshots(keepLast = 1)
     assert(io.versions().size == 1)
     assert(spark.sql(s"SELECT k FROM $cat.db.gc").head.getInt(0) == 2)
+  }
+
+  test("identity-partitioned table: clustered write, one file per value, exact pruning") {
+    spark.sql(s"""CREATE TABLE $cat.db.part (k BIGINT, seg STRING)
+      PARTITIONED BY (seg)""")
+    // unclustered input: the write's required distribution shuffles by
+    // seg, so each of the 3 values lands in exactly one task -> one file
+    spark.range(0, 300)
+      .selectExpr("id AS k", "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS seg")
+      .repartition(4) // deliberately mis-partitioned
+      .writeTo(s"$cat.db.part").append()
+    val files = manifestIO("part").currentSnapshot().get.files
+    assert(files.size == 3, s"expected one file per partition value, got ${files.map(_.path)}")
+    // every file holds exactly one seg value (min == max)
+    files.foreach(f => assert(f.stats("seg").min == f.stats("seg").max))
+    val q = spark.sql(s"SELECT count(*) FROM $cat.db.part WHERE seg = 'b'")
+    assert(q.head.getLong(0) == 100)
+    assert(physicalPlan(q).toString.contains("GraftScan[files=1"))
+    // MERGE into one partition leaves the other partitions' files alone
+    spark.range(0, 5).selectExpr("id * 3 + 1 AS k").createOrReplaceTempView("part_src")
+    spark.sql(s"""MERGE INTO $cat.db.part t USING part_src s ON t.k = s.k AND t.seg = 'b'
+      WHEN MATCHED THEN UPDATE SET t.seg = t.seg""")
+    val after = manifestIO("part").currentSnapshot().get.files.map(_.path).toSet
+    val untouched = files.filter(f => f.stats("seg").min.get != "b")
+    untouched.foreach(f => assert(after.contains(f.path), s"${f.path} should survive"))
+  }
+
+  test("max-rows-per-file property rolls hot partitions into bounded files") {
+    spark.sql(s"""CREATE TABLE $cat.db.roll (k BIGINT, seg STRING)
+      PARTITIONED BY (seg)
+      TBLPROPERTIES ('graft.write.max-rows-per-file' = '100')""")
+    // one hot value ('a': 350 rows) and one cold ('b': 50)
+    spark.range(0, 400)
+      .selectExpr("id AS k", "CASE WHEN id < 350 THEN 'a' ELSE 'b' END AS seg")
+      .writeTo(s"$cat.db.roll").append()
+    val files = manifestIO("roll").currentSnapshot().get.files
+    val aFiles = files.filter(_.stats("seg").min.contains("a"))
+    val bFiles = files.filter(_.stats("seg").min.contains("b"))
+    assert(aFiles.size == 4 && aFiles.map(_.rows).sum == 350 && aFiles.forall(_.rows <= 100),
+      s"hot partition should roll at 100 rows: ${aFiles.map(_.rows)}")
+    assert(bFiles.size == 1 && bFiles.head.rows == 50)
+    assert(spark.sql(s"SELECT count(DISTINCT k) FROM $cat.db.roll").head.getLong(0) == 400)
   }
 
   test("compaction consolidates small files, preserves content, conflicts safely") {
