@@ -137,6 +137,59 @@ object CatalogOps {
       """.trim)
     ),
     QueryDef(
+      "catalog_merge_mor",
+      (spark, dir) => {
+        // same merge semantics as catalog_merge_into but on a
+        // merge-on-read table: matched updates become position-delete +
+        // insert deltas (no data file rewritten — spec-pinned), and the
+        // scan applies the deletes. The oracle is the same relational
+        // merge, so MOR read correctness is hash-gated.
+        val tbl = freshTable(spark)
+        spark.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT,
+          totalprice DECIMAL(12,2), status STRING)
+          TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+        Tables(spark, dir).orders
+          .where("o_orderkey % 4 <> 0")
+          .selectExpr(
+            "o_orderkey", "o_custkey",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice",
+            "o_orderstatus AS status")
+          .writeTo(tbl).append()
+        Tables(spark, dir).orders
+          .where("o_orderkey % 2 = 0")
+          .selectExpr(
+            "o_orderkey", "o_custkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice",
+            "'X' AS status")
+          .createOrReplaceTempView("catalog_mor_src")
+        spark.sql(s"""
+          MERGE INTO $tbl t USING catalog_mor_src s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET t.totalprice = s.totalprice, t.status = s.status
+          WHEN NOT MATCHED THEN INSERT *""")
+        spark.sql(s"""SELECT o_orderkey, o_custkey,
+          CAST(totalprice AS DOUBLE) AS totalprice, status
+          FROM $tbl ORDER BY o_orderkey""")
+      },
+      Some("""
+        WITH tgt AS (
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+                 o_orderstatus AS status
+          FROM orders WHERE o_orderkey % 4 <> 0),
+        src AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice,
+                 'X' AS status
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+               CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.totalprice ELSE t.totalprice END AS DOUBLE) AS totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.status ELSE t.status END AS status
+        FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "catalog_partitioned",
       (spark, dir) => {
         // identity-partitioned table: the write's clustered distribution

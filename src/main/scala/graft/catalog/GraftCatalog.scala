@@ -111,7 +111,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
     val props = properties.asScala.toMap ++
       (if (partCols.nonEmpty) Map(GraftTable.PartitionColsProp -> partCols.mkString(",")) else Map.empty)
     val io = new GraftManifestIO(tablePath(ident), conf)
-    io.commit("create") { _ => (schema, props, Nil) }
+    io.commit("create") { _ => GraftManifestIO.Content(schema, props, Nil) }
     new GraftTable(fullName(ident), tablePath(ident).toString)
   }
 
@@ -134,7 +134,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
         case rm: TableChange.RemoveProperty => props -= rm.property()
         case other => throw new UnsupportedOperationException(s"graft alter: $other")
       }
-      (schema, props, cur.files)
+      GraftManifestIO.Content(schema, props, cur.files, cur.deletes)
     }
     new GraftTable(fullName(ident), tablePath(ident).toString)
   }

@@ -1,0 +1,197 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merge-on-read row-level operations for Graft tables (Iceberg v2
+  * position-delete semantics): instead of rewriting whole files
+  * (copy-on-write), a MERGE/UPDATE/DELETE writes
+  *  - position deletes `(file, pos)` for removed/replaced rows, and
+  *  - new data files for inserted/updated rows,
+  * and readers apply the deletes at scan time. Right trade at 100 TB
+  * when matched keys are SCATTERED across files: a COW merge would
+  * rewrite nearly every file, a delta merge writes O(changes).
+  * The cost moves to reads (delete application) until
+  * [[GraftMaintenance.compact]] folds deletes back into data files.
+  *
+  * Spark drives this through `SupportsDelta`: the rewrite plan tags
+  * each row with an operation and projects the row id `(_file, _pos)`;
+  * updates arrive as delete+insert (`representUpdateAsDeleteAndInsert`).
+  */
+final class GraftDeltaOperation(table: GraftTable, cmd: RowLevelOperation.Command)
+  extends RowLevelOperation with SupportsDelta {
+
+  override def command(): RowLevelOperation.Command = cmd
+  override def description(): String = s"GraftDeltaOperation[$cmd]"
+
+  override def rowId(): Array[NamedReference] =
+    Array(Expressions.column("_file"), Expressions.column("_pos"))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  /** The delta read is the table's ordinary delete-aware scan — filters
+    * may prune files/rows freely because only changed rows are written.
+    */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(table)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): DeltaWriteBuilder =
+    new DeltaWriteBuilder {
+      override def build(): DeltaWrite =
+        new GraftDeltaWrite(table, info, s"${cmd.toString.toLowerCase}-delta")
+    }
+}
+
+final class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo, operation: String)
+  extends DeltaWrite with DeltaBatchWrite {
+
+  override def toBatch: DeltaBatchWrite = this
+  override def description(): String = "GraftDeltaWrite"
+
+  override def createBatchWriterFactory(i: PhysicalWriteInfo): DeltaWriterFactory = {
+    val rowIdSchema = info.rowIdSchema().orElseThrow(() =>
+      new IllegalStateException("delta write without a rowId schema"))
+    GraftDeltaWriterFactory(
+      table.tableDir, info.schema(), java.util.UUID.randomUUID().toString,
+      table.partitionCols.map(c => info.schema().fieldNames.indexOf(c)).filter(_ >= 0),
+      GraftWrite.maxRows(table),
+      fileIdOrdinal = rowIdSchema.fieldNames.indexOf("_file"),
+      posIdOrdinal = rowIdSchema.fieldNames.indexOf("_pos"))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val (dataEntries, deleteEntries) = messages.collect {
+      case m: GraftDeltaCommitMessage => (m.data, m.deletes)
+    }.unzip match { case (d, x) => (d.flatten.toSeq, x.flatten.toSeq) }
+
+    val io = new GraftManifestIO(new Path(table.tableDir), new Configuration())
+    io.commit(operation) { base =>
+      val cur = base.getOrElse(throw new GraftCommitConflict("delta write against a dropped table"))
+      val live = cur.files.map(_.path).toSet
+      val missing = deleteEntries.flatMap(_.targets).toSet -- live
+      if (missing.nonEmpty)
+        throw new GraftCommitConflict(
+          s"delta commit conflicts: deletes target concurrently removed file(s) ${missing.mkString(", ")}")
+      GraftManifestIO.Content(
+        cur.schema, cur.properties,
+        cur.files ++ dataEntries,
+        cur.deletes ++ deleteEntries)
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(table.tableDir).getFileSystem(new Configuration())
+    messages.collect { case m: GraftDeltaCommitMessage =>
+      (m.data.map(_.path) ++ m.deletes.map(_.path)).foreach(rel =>
+        try fs.delete(new Path(new Path(table.tableDir), rel), false)
+        catch { case _: Throwable => () })
+    }
+  }
+}
+
+final case class GraftDeltaCommitMessage(data: Seq[FileEntry], deletes: Seq[DeleteEntry])
+  extends WriterCommitMessage
+
+final case class GraftDeltaWriterFactory(
+    tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
+    maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int)
+  extends DeltaWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
+    new GraftDeltaWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
+      partitionOrdinals, maxRowsPerFile, fileIdOrdinal, posIdOrdinal)
+}
+
+/** Inserts go through the ordinary rolling data writer; deletes stream
+  * into one position-delete parquet file per task.
+  */
+final class GraftDeltaWriter(
+    tableDir: String, schema: StructType, filePrefix: String, partitionOrdinals: Seq[Int],
+    maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int)
+  extends DeltaWriter[InternalRow] {
+
+  private val inserts =
+    new GraftDataWriter(tableDir, schema, filePrefix, partitionOrdinals, maxRowsPerFile)
+  private var delWriter: GraftParquetIO.FileWriter = _
+  private val delRel = s"deletes/$filePrefix-del.parquet"
+  private val delTargets = scala.collection.mutable.LinkedHashSet.empty[String]
+  private var delRows = 0L
+  private val tableAbs = new Path(tableDir).toString
+
+  override def insert(row: InternalRow): Unit = inserts.write(row)
+
+  override def delete(meta: InternalRow, id: InternalRow): Unit = {
+    val abs = id.getUTF8String(fileIdOrdinal).toString
+    val pos = id.getLong(posIdOrdinal)
+    // _file is the reader's absolute path; deletes store table-relative
+    val rel =
+      if (abs.startsWith(tableAbs + "/")) abs.substring(tableAbs.length + 1)
+      else abs
+    delTargets += rel
+    if (delWriter == null)
+      delWriter = new GraftParquetIO.FileWriter(
+        new Path(new Path(tableDir), delRel), GraftDeletes.Schema, new Configuration())
+    val r = new GenericInternalRow(2)
+    r.update(0, UTF8String.fromString(rel))
+    r.update(1, pos)
+    delWriter.write(r)
+    delRows += 1
+  }
+
+  override def update(meta: InternalRow, id: InternalRow, row: InternalRow): Unit = {
+    // unreachable with representUpdateAsDeleteAndInsert = true; keep the
+    // semantic anyway
+    delete(meta, id); insert(row)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val dataMsg = inserts.commit().asInstanceOf[GraftCommitMessage]
+    val dels =
+      if (delWriter == null) Nil
+      else {
+        delWriter.finish(delRel) // stats don't matter for delete files
+        Seq(DeleteEntry(delRel, delRows, delTargets.toSeq))
+      }
+    GraftDeltaCommitMessage(dataMsg.entries, dels)
+  }
+
+  override def abort(): Unit = {
+    inserts.abort()
+    if (delWriter != null) delWriter.abort()
+  }
+  override def close(): Unit = ()
+}
+
+/** Position-delete codec shared by writers, readers, and compaction. */
+object GraftDeletes {
+  /** `(file, pos)` — `file` is a table-relative data path. */
+  val Schema: StructType = StructType(Seq(
+    StructField("file", StringType, nullable = false),
+    StructField("pos", LongType, nullable = false)))
+
+  /** Load the sorted deleted positions of `targetRel` from the given
+    * delete files (executor-side, O(applicable deletes)).
+    */
+  def positionsFor(deleteFiles: Seq[String], targetRel: String, conf: Configuration): Array[Long] = {
+    if (deleteFiles.isEmpty) return Array.emptyLongArray
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    deleteFiles.foreach { df =>
+      val r = new GraftParquetIO.FileReader(new Path(df), Schema, conf)
+      try {
+        var row = r.next()
+        while (row != null) {
+          if (row.getUTF8String(0).toString == targetRel) buf += row.getLong(1)
+          row = r.next()
+        }
+      } finally r.close()
+    }
+    buf.distinct.sorted.toArray
+  }
+}

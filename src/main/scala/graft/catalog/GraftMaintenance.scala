@@ -35,7 +35,26 @@ object GraftMaintenance {
     val schema = base.schema
     val absPaths = small.map(f => new Path(new Path(tableDir), f.path).toString)
     val nOut = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
-    val df = spark.read.schema(schema).parquet(absPaths: _*).coalesce(nOut)
+    val smallSet = small.map(_.path).toSet
+    val applicableDeletes = base.deletes.filter(_.targets.exists(smallSet.contains))
+    val raw = spark.read.schema(schema).parquet(absPaths: _*)
+    // merge-on-read inputs: fold their position deletes into the
+    // rewrite via an anti-join on (relative path, row index) — the
+    // native parquet source supplies both through _metadata
+    val clean =
+      if (applicableDeletes.isEmpty) raw
+      else {
+        import org.apache.spark.sql.functions._
+        val delDf = spark.read.schema(GraftDeletes.Schema)
+          .parquet(applicableDeletes.map(d => new Path(new Path(tableDir), d.path).toString): _*)
+        raw
+          .withColumn("__rel", regexp_extract(col("_metadata.file_path"), "(data/[^/]*)$", 1))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(delDf.withColumnRenamed("file", "__rel").withColumnRenamed("pos", "__pos"),
+            Seq("__rel", "__pos"), "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    val df = clean.coalesce(nOut)
 
     val compactId = java.util.UUID.randomUUID().toString
     val dirStr = tableDir
@@ -59,8 +78,14 @@ object GraftMaintenance {
       if (missing.nonEmpty)
         throw new GraftCommitConflict(
           s"compaction conflicts: input file(s) replaced concurrently: ${missing.mkString(", ")}")
-      (cur.map(_.schema).getOrElse(schema), cur.map(_.properties).getOrElse(Map.empty),
-        live.filterNot(f => replaced.contains(f.path)) ++ newEntries)
+      // the rewrite applied the inputs' position deletes, so they fold
+      // away; deletes also covering surviving files keep those targets
+      val remainingDeletes = cur.map(_.deletes).getOrElse(Nil)
+        .map(d => d.copy(targets = d.targets.filterNot(replaced.contains)))
+        .filter(_.targets.nonEmpty)
+      GraftManifestIO.Content(
+        cur.map(_.schema).getOrElse(schema), cur.map(_.properties).getOrElse(Map.empty),
+        live.filterNot(f => replaced.contains(f.path)) ++ newEntries, remainingDeletes)
     }
     (base.files.size, base.files.size - small.size + newEntries.size)
   }

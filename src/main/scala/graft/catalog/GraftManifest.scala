@@ -27,6 +27,13 @@ final case class FileEntry(
     bytes: Long,
     stats: Map[String, ColStats])
 
+/** A position-delete file (merge-on-read): standard parquet with
+  * schema `(file STRING, pos BIGINT)` marking rows of data files as
+  * deleted — Iceberg v2's position-delete shape. `targets` lists the
+  * data files it covers so readers load only applicable deletes.
+  */
+final case class DeleteEntry(path: String, rows: Long, targets: Seq[String])
+
 /** One table snapshot: the complete file list plus the schema under
   * which it was committed. Snapshots are immutable; a commit writes
   * manifest v(N+1) and atomically flips `VERSION` — the Iceberg
@@ -41,7 +48,12 @@ final case class GraftSnapshot(
     operation: String,
     schema: StructType,
     properties: Map[String, String],
-    files: Seq[FileEntry])
+    files: Seq[FileEntry],
+    deletes: Seq[DeleteEntry] = Nil) {
+  /** Delete files applicable to one data file. */
+  def deletesFor(dataPath: String): Seq[DeleteEntry] =
+    deletes.filter(_.targets.contains(dataPath))
+}
 
 /** Thrown when an optimistic commit loses the race: the caller
   * re-reads the table state, re-derives its change, and retries.
@@ -107,20 +119,21 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     * and immutable; only the manifest is re-derived.
     */
   def commit(operation: String, maxAttempts: Int = 5)(
-      mutate: Option[GraftSnapshot] => (StructType, Map[String, String], Seq[FileEntry])): GraftSnapshot = {
+      mutate: Option[GraftSnapshot] => GraftManifestIO.Content): GraftSnapshot = {
     var attempt = 0
     while (true) {
       attempt += 1
       val base = currentSnapshot()
-      val (schema, props, files) = mutate(base)
+      val c = mutate(base)
       val next = GraftSnapshot(
         version = base.map(_.version).getOrElse(0L) + 1,
         parent = base.map(_.version),
         operation = operation,
-        schema = schema,
+        schema = c.schema,
         // stamp commit wall-clock for TIMESTAMP AS OF travel
-        properties = props + (GraftManifestIO.CommittedAtMs -> System.currentTimeMillis().toString),
-        files = files)
+        properties = c.properties + (GraftManifestIO.CommittedAtMs -> System.currentTimeMillis().toString),
+        files = c.files,
+        deletes = c.deletes)
       // re-validate the expectation at the flip, not just before derive
       if (currentVersion() == base.map(_.version)) {
         fs.mkdirs(new Path(tableDir, "manifests"))
@@ -143,12 +156,20 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     * from aborted writes); returns deleted table-relative paths.
     */
   def removeOrphans(): Seq[String] = {
-    val live = versions().flatMap(v => readSnapshot(v).files.map(_.path)).toSet
-    if (!fs.exists(dataDir)) return Seq.empty
-    val all = fs.listStatus(dataDir).filter(_.isFile).map(_.getPath)
-    val orphans = all.filter(p => !live.contains(s"data/${p.getName}"))
-    orphans.foreach(p => fs.delete(p, false))
-    orphans.map(p => s"data/${p.getName}").toSeq
+    val live = versions().flatMap { v =>
+      val s = readSnapshot(v)
+      s.files.map(_.path) ++ s.deletes.map(_.path)
+    }.toSet
+    val dirs = Seq(("data", dataDir), ("deletes", new Path(tableDir, "deletes")))
+    dirs.flatMap { case (prefix, dir) =>
+      if (!fs.exists(dir)) Nil
+      else {
+        val orphans = fs.listStatus(dir).filter(_.isFile).map(_.getPath)
+          .filter(p => !live.contains(s"$prefix/${p.getName}"))
+        orphans.foreach(p => fs.delete(p, false))
+        orphans.map(p => s"$prefix/${p.getName}").toSeq
+      }
+    }
   }
 
   /** Expire all snapshots but the most recent `keepLast`, then drop
@@ -171,6 +192,15 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
 }
 
 object GraftManifestIO {
+  /** What a commit's mutate function returns: the next snapshot's
+    * content (version/parent/operation/timestamp assigned by commit).
+    */
+  final case class Content(
+      schema: StructType,
+      properties: Map[String, String],
+      files: Seq[FileEntry],
+      deletes: Seq[DeleteEntry] = Nil)
+
   /** Snapshot property: commit wall-clock millis (set by [[GraftManifestIO.commit]]). */
   val CommittedAtMs = "graft.committed-at-ms"
 
@@ -187,13 +217,20 @@ object GraftManifestIO {
             "nulls" -> JLong(st.nulls)))
         })))
     }.toList)
+    val deletes = JArray(s.deletes.map { d =>
+      JObject(List(
+        "path" -> JString(d.path),
+        "rows" -> JLong(d.rows),
+        "targets" -> JArray(d.targets.map(JString(_): JValue).toList)))
+    }.toList)
     val root = JObject(List(
       "version" -> JLong(s.version),
       "parent" -> s.parent.map(JLong(_): JValue).getOrElse(JNull),
       "operation" -> JString(s.operation),
       "schema" -> JsonMethods.parse(s.schema.json),
       "properties" -> JObject(s.properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
-      "files" -> files))
+      "files" -> files,
+      "deletes" -> deletes))
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
@@ -216,6 +253,16 @@ object GraftManifestIO {
       }
       case _ => Nil
     }
+    val deletes = (j \ "deletes") match {
+      case JArray(ds) => ds.map { d =>
+        val targets = (d \ "targets") match {
+          case JArray(ts) => ts.collect { case JString(t) => t }
+          case _ => Nil
+        }
+        DeleteEntry(str(d \ "path").get, long(d \ "rows"), targets)
+      }
+      case _ => Nil
+    }
     GraftSnapshot(
       version = long(j \ "version"),
       parent = (j \ "parent") match { case JNull | JNothing => None; case v => Some(long(v)) },
@@ -225,6 +272,7 @@ object GraftManifestIO {
         case JObject(ps) => ps.collect { case (k, JString(v)) => k -> v }.toMap
         case _ => Map.empty
       },
-      files = files)
+      files = files,
+      deletes = deletes)
   }
 }

@@ -205,17 +205,22 @@ object GraftParquetIO {
   /** Streaming reader over one data file, projecting `requested`
     * columns. Columns absent from the FILE schema (added later by
     * schema evolution) read as null — name-based reconciliation, the
-    * Iceberg rule. `filePath` values feed the `_file` metadata column.
+    * Iceberg rule. `filePath` values feed the `_file` metadata column;
+    * `posColOrdinal` feeds `_pos` (physical row index — positions
+    * advance over deleted rows too). `deletedPositions` (sorted) are
+    * skipped: the merge-on-read path applying position deletes.
     */
   final class FileReader(
       fsPath: Path, requested: StructType, conf: Configuration,
-      fileColOrdinal: Int = -1) {
+      fileColOrdinal: Int = -1, posColOrdinal: Int = -1,
+      deletedPositions: Array[Long] = Array.emptyLongArray) {
 
     private val fileSchema: MessageType = {
       val rd = ParquetFileReader.open(HadoopInputFile.fromPath(fsPath, conf))
       try rd.getFooter.getFileMetaData.getSchema finally rd.close()
     }
-    private val dataFields = requested.fields.zipWithIndex.filter(_._2 != fileColOrdinal)
+    private val dataFields = requested.fields.zipWithIndex
+      .filter { case (_, i) => i != fileColOrdinal && i != posColOrdinal }
     // projection = requested data columns present in the file, in requested order
     private val present = dataFields.filter { case (f, _) => fileSchema.containsField(f.name) }
     private val projection: MessageType = {
@@ -236,24 +241,32 @@ object GraftParquetIO {
       ParquetReader.builder(new GroupReadSupport(), fsPath).withConf(readConf).build()
 
     private val fileName = UTF8String.fromString(fsPath.toString)
+    private var pos = -1L
 
-    /** Next row or null at end-of-file. */
+    /** Next live row or null at end-of-file (deleted positions skip). */
     def next(): InternalRow = {
-      val g = reader.read()
-      if (g == null) return null
-      val out = new GenericInternalRow(requested.length)
-      var i = 0
-      while (i < requested.length) {
-        if (i == fileColOrdinal) out.update(i, fileName)
-        else {
-          val gi = groupIdx(i)
-          if (gi >= 0 && g.getFieldRepetitionCount(gi) > 0)
-            out.update(i, readValue(g, gi, requested.fields(i).dataType))
-          // else leave null
+      while (true) {
+        val g = reader.read()
+        if (g == null) return null
+        pos += 1
+        if (deletedPositions.isEmpty || java.util.Arrays.binarySearch(deletedPositions, pos) < 0) {
+          val out = new GenericInternalRow(requested.length)
+          var i = 0
+          while (i < requested.length) {
+            if (i == fileColOrdinal) out.update(i, fileName)
+            else if (i == posColOrdinal) out.update(i, pos)
+            else {
+              val gi = groupIdx(i)
+              if (gi >= 0 && g.getFieldRepetitionCount(gi) > 0)
+                out.update(i, readValue(g, gi, requested.fields(i).dataType))
+              // else leave null
+            }
+            i += 1
+          }
+          return out
         }
-        i += 1
       }
-      out
+      null // unreachable
     }
 
     private def readValue(g: Group, gi: Int, dt: DataType): Any = dt match {

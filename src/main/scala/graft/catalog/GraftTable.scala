@@ -78,10 +78,27 @@ final class GraftTable(
     partitionCols.map(c =>
       org.apache.spark.sql.connector.expressions.Expressions.identity(c)).toArray
 
-  override def metadataColumns(): Array[MetadataColumn] = Array(GraftTable.FileColumn)
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(GraftTable.FileColumn, GraftTable.PosColumn)
 
   def liveFiles(): Seq[FileEntry] = snapshot.map(_.files).getOrElse(Nil)
   def absolutePath(e: FileEntry): String = new Path(new Path(tableDir), e.path).toString
+  def absolutePath(rel: String): String = new Path(new Path(tableDir), rel).toString
+
+  /** Row-level operation mode: copy-on-write (default) rewrites
+    * affected files; merge-on-read writes position deletes + inserts
+    * and applies them at scan time (`graft.merge.mode` property).
+    */
+  def mergeOnRead: Boolean =
+    snapshot.flatMap(_.properties.get(GraftTable.MergeModeProp)).contains("merge-on-read")
+
+  /** (absolute data path, entry, absolute delete-file paths) for scans. */
+  def scanFiles(): Seq[(String, FileEntry, Seq[String])] = {
+    val snap = snapshot
+    snap.map(_.files).getOrElse(Nil).map { e =>
+      (absolutePath(e), e, snap.get.deletesFor(e.path).map(d => absolutePath(d.path)))
+    }
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(this)
@@ -90,12 +107,17 @@ final class GraftTable(
     new GraftWriteBuilder(this, info)
 
   override def newRowLevelOperationBuilder(info: RowLevelOperationInfo): RowLevelOperationBuilder =
-    () => new GraftRowLevelOperation(this, info.command)
+    () =>
+      if (mergeOnRead) new GraftDeltaOperation(this, info.command)
+      else new GraftRowLevelOperation(this, info.command)
 }
 
 object GraftTable {
   /** Snapshot property holding the identity partition column list. */
   val PartitionColsProp = "graft.partition-cols"
+
+  /** Snapshot property selecting copy-on-write vs merge-on-read. */
+  val MergeModeProp = "graft.merge.mode"
 
   /** `_file` metadata column: absolute path of the data file a row
     * came from — the COW group identity (Iceberg exposes the same).
@@ -103,6 +125,17 @@ object GraftTable {
   object FileColumn extends MetadataColumn {
     override def name: String = "_file"
     override def dataType: StringType.type = StringType
+    override def isNullable: Boolean = false
+  }
+
+  /** `_pos` metadata column: physical row index within the data file —
+    * together with `_file` it is the merge-on-read row id (Iceberg v2
+    * position-delete identity).
+    */
+  object PosColumn extends MetadataColumn {
+    override def name: String = "_pos"
+    override def dataType: org.apache.spark.sql.types.LongType.type =
+      org.apache.spark.sql.types.LongType
     override def isNullable: Boolean = false
   }
 }
@@ -128,31 +161,37 @@ final class GraftScanBuilder(table: GraftTable)
 
   override def build(): Scan = {
     val schema = table.schema()
-    val kept = table.liveFiles().filter(e => skipping.forall(f => StatsPruner.mayMatch(f, e, schema)))
-    new GraftScan(kept.map(e => (table.absolutePath(e), e)), requested)
+    val kept = table.scanFiles().filter { case (_, e, _) =>
+      skipping.forall(f => StatsPruner.mayMatch(f, e, schema)) }
+    new GraftScan(kept, requested)
   }
 }
 
-final class GraftScan(files: Seq[(String, FileEntry)], requested: StructType)
+final class GraftScan(files: Seq[(String, FileEntry, Seq[String])], requested: StructType)
   extends Scan with Batch {
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan[files=${files.size}, columns=${requested.fieldNames.mkString(",")}]"
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (abs, _) => GraftInputPartition(abs) }.toArray
+    files.map { case (abs, e, dels) => GraftInputPartition(abs, e.path, dels) }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(requested, requested.fieldNames.indexOf("_file"))
+    GraftReaderFactory(requested,
+      requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"))
 }
 
-final case class GraftInputPartition(absPath: String) extends InputPartition
+final case class GraftInputPartition(absPath: String, relPath: String, deleteFiles: Seq[String])
+  extends InputPartition
 
-final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int)
+final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int, posColOrdinal: Int)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
+    val conf = new Configuration()
+    // executor-side: load the position deletes applicable to this file
+    val deleted = GraftDeletes.positionsFor(gp.deleteFiles, gp.relPath, conf)
     val reader = new GraftParquetIO.FileReader(
-      new Path(gp.absPath), requested, new Configuration(), fileColOrdinal)
+      new Path(gp.absPath), requested, conf, fileColOrdinal, posColOrdinal, deleted)
     new PartitionReader[InternalRow] {
       private var row: InternalRow = _
       override def next(): Boolean = { row = reader.next(); row != null }
@@ -219,9 +258,14 @@ final class GraftWrite(
     io.commit(operation) { base =>
       val schema = base.map(_.schema).getOrElse(writeSchema)
       val props = base.map(_.properties).getOrElse(Map.empty)
-      val files = mode match {
-        case GraftCommitMode.Append => base.map(_.files).getOrElse(Nil) ++ entries
-        case GraftCommitMode.Truncate => entries
+      mode match {
+        case GraftCommitMode.Append =>
+          // appended files carry no deletes; existing deletes stay valid
+          GraftManifestIO.Content(schema, props,
+            base.map(_.files).getOrElse(Nil) ++ entries,
+            base.map(_.deletes).getOrElse(Nil))
+        case GraftCommitMode.Truncate =>
+          GraftManifestIO.Content(schema, props, entries, Nil)
         case GraftCommitMode.ReplaceFiles(replaced) =>
           val gone = replaced().toSet
           val live = base.map(_.files).getOrElse(Nil)
@@ -229,9 +273,15 @@ final class GraftWrite(
           if (missing.nonEmpty)
             throw new GraftCommitConflict(
               s"row-level $operation conflicts: concurrently replaced file(s) ${missing.mkString(", ")}")
-          live.filterNot(f => gone.contains(f.path)) ++ entries
+          // rewritten groups were read through their deletes, so those
+          // deletes are now folded in; deletes covering ONLY replaced
+          // files drop, others narrow their target list
+          val remainingDeletes = base.map(_.deletes).getOrElse(Nil)
+            .map(d => d.copy(targets = d.targets.filterNot(gone.contains)))
+            .filter(_.targets.nonEmpty)
+          GraftManifestIO.Content(schema, props,
+            live.filterNot(f => gone.contains(f.path)) ++ entries, remainingDeletes)
       }
-      (schema, props, files)
     }
   }
 
@@ -351,7 +401,7 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Com
           "_file", StringType, nullable = false))
       override def pruneColumns(s: StructType): Unit = requested = s
       override def build(): Scan = {
-        val s = new GraftCowScan(table.liveFiles().map(e => (table.absolutePath(e), e)), requested)
+        val s = new GraftCowScan(table.scanFiles(), requested)
         builtScans.synchronized { builtScans += s }
         s
       }
@@ -383,12 +433,12 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Com
   * `_file IN (...)` predicate produced from the matching-rows
   * subquery).
   */
-final class GraftCowScan(initial: Seq[(String, FileEntry)], requested: StructType)
+final class GraftCowScan(initial: Seq[(String, FileEntry, Seq[String])], requested: StructType)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
-  @volatile private var files: Seq[(String, FileEntry)] = initial
+  @volatile private var files: Seq[(String, FileEntry, Seq[String])] = initial
   @volatile private[catalog] var wasFiltered: Boolean = false
-  private[catalog] def plannedEntries: Seq[(String, FileEntry)] = files
+  private[catalog] def plannedEntries: Seq[(String, FileEntry, Seq[String])] = files
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
@@ -401,15 +451,16 @@ final class GraftCowScan(initial: Seq[(String, FileEntry)], requested: StructTyp
   override def filter(predicates: Array[Predicate]): Unit = {
     val allowed = predicates.flatMap(GraftCowScan.inValues).flatten.toSet
     if (allowed.nonEmpty || predicates.exists(p => GraftCowScan.inValues(p).exists(_.isEmpty))) {
-      files = files.filter { case (abs, _) => allowed.contains(abs) }
+      files = files.filter { case (abs, _, _) => allowed.contains(abs) }
       wasFiltered = true
     }
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (abs, _) => GraftInputPartition(abs) }.toArray
+    files.map { case (abs, e, dels) => GraftInputPartition(abs, e.path, dels) }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    GraftReaderFactory(requested, requested.fieldNames.indexOf("_file"))
+    GraftReaderFactory(requested,
+      requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"))
 }
 
 object GraftCowScan {

@@ -48,7 +48,9 @@ object GraftStreamSink {
       if (base.exists(_.properties.get(BatchIdProp).exists(_.toLong >= batchId)))
         throw new ReplayedBatch // detected inside the commit window
       val props = base.map(_.properties).getOrElse(Map.empty) + (BatchIdProp -> batchId.toString)
-      (base.map(_.schema).getOrElse(schema), props, base.map(_.files).getOrElse(Nil) ++ entries)
+      graft.catalog.GraftManifestIO.Content(
+        base.map(_.schema).getOrElse(schema), props,
+        base.map(_.files).getOrElse(Nil) ++ entries, base.map(_.deletes).getOrElse(Nil))
     } catch {
       case _: ReplayedBatch =>
         // no snapshot written; drop the redundantly staged files

@@ -127,6 +127,57 @@ class GraftCatalogSpec extends SparkSpec {
     assert(manifestIO("upd").currentSnapshot().get.operation == "delete")
   }
 
+  test("merge-on-read: DELETE writes position deletes, no data file rewritten") {
+    spark.sql(s"""CREATE TABLE $cat.db.mor (id BIGINT, v STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    spark.sql(s"INSERT INTO $cat.db.mor SELECT id, concat('v', id) FROM range(0, 100)")
+    val before = manifestIO("mor").currentSnapshot().get
+    spark.sql(s"DELETE FROM $cat.db.mor WHERE id % 10 = 3")
+    val snap = manifestIO("mor").currentSnapshot().get
+    assert(snap.operation == "delete-delta")
+    assert(snap.files.map(_.path) == before.files.map(_.path),
+      "MOR delete must not rewrite data files")
+    assert(snap.deletes.nonEmpty && snap.deletes.map(_.rows).sum == 10)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mor").head.getLong(0) == 90)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mor WHERE id % 10 = 3").head.getLong(0) == 0)
+  }
+
+  test("merge-on-read: MERGE is delete+insert deltas; compaction folds them") {
+    spark.sql(s"""CREATE TABLE $cat.db.mor2 (id BIGINT, v STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    spark.sql(s"INSERT INTO $cat.db.mor2 SELECT id, concat('v', id) FROM range(0, 100)")
+    val before = manifestIO("mor2").currentSnapshot().get
+
+    spark.range(0, 5).selectExpr("id", "concat('UPD', id) AS v")
+      .union(spark.range(900, 903).selectExpr("id", "concat('NEW', id) AS v"))
+      .createOrReplaceTempView("mor_src")
+    spark.sql(s"""MERGE INTO $cat.db.mor2 t USING mor_src s ON t.id = s.id
+      WHEN MATCHED THEN UPDATE SET t.v = s.v
+      WHEN NOT MATCHED THEN INSERT *""")
+
+    val snap = manifestIO("mor2").currentSnapshot().get
+    assert(snap.operation == "merge-delta")
+    // original data files all survive; updates landed as delete+insert
+    before.files.map(_.path).foreach(p => assert(snap.files.map(_.path).contains(p)))
+    assert(snap.deletes.map(_.rows).sum == 5)
+    val expect = (0L until 5L).map(i => s"UPD$i") ++ (5L until 100L).map(i => s"v$i") ++
+      (900L until 903L).map(i => s"NEW$i")
+    val got = spark.sql(s"SELECT v FROM $cat.db.mor2 ORDER BY id").collect().map(_.getString(0)).toSeq
+    assert(got == expect)
+
+    // compaction folds the deletes into rewritten files
+    val (nb, na) = graft.catalog.GraftMaintenance.compact(
+      spark, s"$warehouse/db/mor2", smallBytes = 1L << 30)
+    assert(na < nb)
+    val after = manifestIO("mor2").currentSnapshot().get
+    assert(after.deletes.isEmpty, "compaction must fold position deletes away")
+    assert(spark.sql(s"SELECT v FROM $cat.db.mor2 ORDER BY id").collect().map(_.getString(0)).toSeq
+      == expect)
+    // and the rolled-up delete files become orphans once expired
+    manifestIO("mor2").expireSnapshots(keepLast = 1)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.mor2").head.getLong(0) == 103)
+  }
+
   test("snapshot isolation and time travel") {
     spark.sql(s"CREATE TABLE $cat.db.tt (k INT, v STRING)")
     spark.sql(s"INSERT INTO $cat.db.tt VALUES (1, 'first')")
@@ -171,7 +222,7 @@ class GraftCatalogSpec extends SparkSpec {
         // simulate a racing writer that removed the file this commit replaces
         if (cur.files.exists(_.path == victim))
           throw new GraftCommitConflict(s"concurrently replaced $victim")
-        (cur.schema, cur.properties, cur.files)
+        GraftManifestIO.Content(cur.schema, cur.properties, cur.files, cur.deletes)
       }
     }
   }
