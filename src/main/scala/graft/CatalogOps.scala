@@ -137,6 +137,60 @@ object CatalogOps {
       """.trim)
     ),
     QueryDef(
+      "catalog_changes",
+      (spark, dir) => {
+        // change-data feed across a MERGE commit: net row changes only
+        // (carried-over COW rows cancel via EXCEPT ALL), reading only
+        // manifest-diff-changed files
+        val tbl = freshTable(spark)
+        Tables(spark, dir).orders
+          .where("o_orderkey % 4 <> 0")
+          .selectExpr("o_orderkey",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice",
+            "o_orderstatus AS status")
+          .writeTo(tbl).create() // v1 create + v2 data
+        Tables(spark, dir).orders
+          .where("o_orderkey % 2 = 0")
+          .selectExpr("o_orderkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice",
+            "'X' AS status")
+          .createOrReplaceTempView("catalog_chg_src")
+        spark.sql(s"""
+          MERGE INTO $tbl t USING catalog_chg_src s ON t.o_orderkey = s.o_orderkey
+          WHEN MATCHED THEN UPDATE SET t.totalprice = s.totalprice, t.status = s.status
+          WHEN NOT MATCHED THEN INSERT *""") // v3
+        val tableDir = s"$warehouse/db/${tbl.split('.').last}"
+        graft.catalog.GraftChanges.between(spark, tableDir, 2L, 3L)
+          .selectExpr("o_orderkey", "CAST(totalprice AS DOUBLE) AS totalprice",
+            "status", "_change_type")
+          .orderBy("_change_type", "o_orderkey")
+      },
+      Some("""
+        WITH tgt AS (
+          SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+                 o_orderstatus AS status
+          FROM orders WHERE o_orderkey % 4 <> 0),
+        src AS (
+          SELECT o_orderkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice,
+                 'X' AS status
+          FROM orders WHERE o_orderkey % 2 = 0),
+        merged AS (
+          SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.totalprice ELSE t.totalprice END AS totalprice,
+                 CASE WHEN s.o_orderkey IS NOT NULL THEN s.status ELSE t.status END AS status
+          FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey),
+        ins AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM tgt),
+        del AS (SELECT * FROM tgt EXCEPT ALL SELECT * FROM merged)
+        SELECT o_orderkey, CAST(totalprice AS DOUBLE) AS totalprice, status,
+               'insert' AS _change_type FROM ins
+        UNION ALL
+        SELECT o_orderkey, CAST(totalprice AS DOUBLE) AS totalprice, status,
+               'delete' AS _change_type FROM del
+        ORDER BY _change_type, o_orderkey
+      """.trim)
+    ),
+    QueryDef(
       "catalog_merge_mor",
       (spark, dir) => {
         // same merge semantics as catalog_merge_into but on a
