@@ -269,6 +269,25 @@ object CatalogOps {
       """.trim)
     ),
     QueryDef(
+      "catalog_zorder",
+      (spark, dir) => {
+        // z-order re-clustering of a whole table: content invariant
+        // (this oracle), file-pruning win plan-asserted in the spec
+        val tbl = freshTable(spark)
+        Tables(spark, dir).orders
+          .selectExpr("o_orderkey", "o_custkey", "o_orderstatus")
+          .repartition(8)
+          .writeTo(tbl).create()
+        val tableDir = s"$warehouse/db/${tbl.split('.').last}"
+        graft.catalog.GraftMaintenance.zorder(
+          spark, tableDir, "o_orderkey", "o_custkey", bits = 16, targetFiles = 8)
+        spark.sql(s"SELECT o_orderkey, o_custkey, o_orderstatus FROM $tbl ORDER BY o_orderkey")
+      },
+      Some("""
+        SELECT o_orderkey, o_custkey, o_orderstatus FROM orders ORDER BY o_orderkey
+      """.trim)
+    ),
+    QueryDef(
       "catalog_compact",
       (spark, dir) => {
         // many small files in, few consolidated files out, content

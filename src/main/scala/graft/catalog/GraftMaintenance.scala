@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Table-maintenance procedures for Graft tables — the engine-side
   * equivalents of the Iceberg procedures the reference schedules
@@ -33,51 +33,100 @@ object GraftMaintenance {
     if (small.size < 2) return (base.files.size, base.files.size)
 
     val schema = base.schema
-    val absPaths = small.map(f => new Path(new Path(tableDir), f.path).toString)
     val nOut = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val smallSet = small.map(_.path).toSet
     val applicableDeletes = base.deletes.filter(_.targets.exists(smallSet.contains))
-    val raw = spark.read.schema(schema).parquet(absPaths: _*)
-    // merge-on-read inputs: fold their position deletes into the
-    // rewrite via an anti-join on (relative path, row index) — the
-    // native parquet source supplies both through _metadata
-    val clean =
-      if (applicableDeletes.isEmpty) raw
-      else {
-        import org.apache.spark.sql.functions._
-        val delDf = spark.read.schema(GraftDeletes.Schema)
-          .parquet(applicableDeletes.map(d => new Path(new Path(tableDir), d.path).toString): _*)
-        raw
-          .withColumn("__rel", regexp_extract(col("_metadata.file_path"), "(data/[^/]*)$", 1))
-          .withColumn("__pos", col("_metadata.row_index"))
-          .join(delDf.withColumnRenamed("file", "__rel").withColumnRenamed("pos", "__pos"),
-            Seq("__rel", "__pos"), "left_anti")
-          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-      }
-    val df = clean.coalesce(nOut)
+    val df = readThroughDeletes(spark, tableDir, base.schema, small, applicableDeletes)
+      .coalesce(nOut)
 
-    val compactId = java.util.UUID.randomUUID().toString
+    val newEntries = writeEntries(df, tableDir, schema, "compact")
+    replaceCommit(io, "compact", schema, small.map(_.path).toSet, newEntries)
+    (base.files.size, base.files.size - small.size + newEntries.size)
+  }
+
+  /** Re-cluster the WHOLE table in z-order over two numeric columns —
+    * Iceberg's rewrite_data_files(strategy => 'sort', z-order) over the
+    * Graft format. Range-partitioned by z-value into `targetFiles`
+    * files and sorted within each, so the manifest min/max stats become
+    * tight boxes and 2-D predicates prune most files
+    * ([[graft.operators.Layout]] supplies the interleave math). Applies
+    * and folds any position deletes; commits as one OCC replace of the
+    * full file set. Returns (filesBefore, filesAfter).
+    */
+  def zorder(
+      spark: SparkSession, tableDir: String, xCol: String, yCol: String,
+      bits: Int = 16, targetFiles: Int = 8): (Int, Int) = {
+    import org.apache.spark.sql.functions.col
+    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    val base = io.currentSnapshot().getOrElse(return (0, 0))
+    if (base.files.isEmpty) return (0, 0)
+    val schema = base.schema
+    val clustered = graft.operators.Layout
+      .withZ(readThroughDeletes(spark, tableDir, schema, base.files, base.deletes),
+        xCol, yCol, bits)
+      .repartitionByRange(targetFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    val newEntries = writeEntries(clustered, tableDir, schema, "zorder")
+    replaceCommit(io, "zorder", schema, base.files.map(_.path).toSet, newEntries)
+    (base.files.size, newEntries.size)
+  }
+
+  /** Read `files` as one DataFrame with their position deletes applied
+    * via a `_metadata.row_index` anti-join (native parquet source —
+    * Graft data files are standard parquet).
+    */
+  private[catalog] def readThroughDeletes(
+      spark: SparkSession, tableDir: String, schema: org.apache.spark.sql.types.StructType,
+      files: Seq[FileEntry], deletes: Seq[DeleteEntry]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = spark.read.schema(schema)
+      .parquet(files.map(f => new Path(new Path(tableDir), f.path).toString): _*)
+    if (deletes.isEmpty) raw
+    else {
+      val delDf = spark.read.schema(GraftDeletes.Schema)
+        .parquet(deletes.map(d => new Path(new Path(tableDir), d.path).toString): _*)
+      raw
+        .withColumn("__rel", regexp_extract(col("_metadata.file_path"), "(data/[^/]*)$", 1))
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(delDf.withColumnRenamed("file", "__rel").withColumnRenamed("pos", "__pos"),
+          Seq("__rel", "__pos"), "left_anti")
+        .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+    }
+  }
+
+  /** Executor-side rewrite through the format's own writer (exact
+    * manifest stats), one file per non-empty partition of `df`.
+    */
+  private def writeEntries(
+      df: DataFrame, tableDir: String, schema: org.apache.spark.sql.types.StructType,
+      tag: String): Seq[FileEntry] = {
+    val id = java.util.UUID.randomUUID().toString
     val dirStr = tableDir
-    // executor-side rewrite through the format's own writer so the new
-    // files carry exact manifest stats
-    val newEntries = df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
-        val rel = s"data/part-compact-$compactId-$pid.parquet"
+        val rel = s"data/part-$tag-$id-$pid.parquet"
         val w = new GraftParquetIO.FileWriter(
           new Path(new Path(dirStr), rel), schema, new Configuration())
         rows.foreach(w.write)
         Iterator.single(w.finish(rel))
       }
-    }.collect().toSeq // O(#output files) driver-side, bounded by nOut
+    }.collect().toSeq // O(#output files) driver-side
+  }
 
-    val replaced = small.map(_.path).toSet
-    io.commit("compact") { cur =>
+  /** OCC replace of `replaced` by `newEntries`, folding/narrowing
+    * delete entries for the replaced files.
+    */
+  private def replaceCommit(
+      io: GraftManifestIO, operation: String, schema: org.apache.spark.sql.types.StructType,
+      replaced: Set[String], newEntries: Seq[FileEntry]): Unit = {
+    io.commit(operation) { cur =>
       val live = cur.map(_.files).getOrElse(Nil)
       val missing = replaced -- live.map(_.path).toSet
       if (missing.nonEmpty)
         throw new GraftCommitConflict(
-          s"compaction conflicts: input file(s) replaced concurrently: ${missing.mkString(", ")}")
+          s"$operation conflicts: input file(s) replaced concurrently: ${missing.mkString(", ")}")
       // the rewrite applied the inputs' position deletes, so they fold
       // away; deletes also covering surviving files keep those targets
       val remainingDeletes = cur.map(_.deletes).getOrElse(Nil)
@@ -87,6 +136,6 @@ object GraftMaintenance {
         cur.map(_.schema).getOrElse(schema), cur.map(_.properties).getOrElse(Map.empty),
         live.filterNot(f => replaced.contains(f.path)) ++ newEntries, remainingDeletes)
     }
-    (base.files.size, base.files.size - small.size + newEntries.size)
+    ()
   }
 }

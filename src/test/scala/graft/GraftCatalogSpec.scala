@@ -340,6 +340,29 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(v) FROM $cat.db.sink").head.getLong(0) == 36L)
   }
 
+  test("z-order rewrite tightens file stats so 2-D predicates prune") {
+    spark.sql(s"CREATE TABLE $cat.db.zord (x BIGINT, y BIGINT, v STRING)")
+    // random-ish scatter: every file spans the whole (x, y) domain
+    spark.range(0, 4096)
+      .selectExpr("(id * 1103515245 + 12345) % 4096 AS x",
+        "(id * 69069 + 1) % 4096 AS y", "concat('v', id) AS v")
+      .repartition(8)
+      .writeTo(s"$cat.db.zord").append()
+    def filesScanned(): Int = {
+      val q = spark.sql(s"SELECT v FROM $cat.db.zord WHERE x BETWEEN 100 AND 300 AND y BETWEEN 100 AND 300")
+      val m = "GraftScan\\[files=(\\d+)".r.findFirstMatchIn(physicalPlan(q).toString)
+      m.get.group(1).toInt
+    }
+    assert(filesScanned() == 8, "scattered layout: every file may match")
+    val (before, after) = graft.catalog.GraftMaintenance.zorder(
+      spark, s"$warehouse/db/zord", "x", "y", bits = 16, targetFiles = 8)
+    assert(before == 8 && after == 8)
+    assert(manifestIO("zord").currentSnapshot().get.operation == "zorder")
+    val pruned = filesScanned()
+    assert(pruned <= 3, s"z-ordered layout should prune the small box to <=3 files, scanned $pruned")
+    assert(spark.sql(s"SELECT count(DISTINCT v) FROM $cat.db.zord").head.getLong(0) == 4096)
+  }
+
   test("catalog surface: list, rename, drop, timestamp travel") {
     spark.sql(s"CREATE TABLE $cat.db.c1 (k INT)")
     spark.sql(s"INSERT INTO $cat.db.c1 VALUES (5)")
