@@ -269,6 +269,30 @@ object CatalogOps {
       """.trim)
     ),
     QueryDef(
+      "catalog_meta_agg",
+      (spark, dir) => {
+        // metadata-only aggregates: answered from manifest stats without
+        // reading data files (plan-asserted in GraftCatalogSpec); the
+        // oracle checks the VALUES against a real scan in DuckDB
+        val tbl = freshTable(spark)
+        Tables(spark, dir).lineitem
+          .selectExpr("l_orderkey", "l_quantity", "l_returnflag")
+          .writeTo(tbl).create()
+        spark.sql(s"""SELECT count(*) AS n, count(l_returnflag) AS n_flag,
+          CAST(min(l_orderkey) AS BIGINT) AS min_key,
+          CAST(max(l_orderkey) AS BIGINT) AS max_key,
+          min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+          FROM $tbl""")
+      },
+      Some("""
+        SELECT CAST(count(*) AS BIGINT) AS n, CAST(count(l_returnflag) AS BIGINT) AS n_flag,
+               CAST(min(l_orderkey) AS BIGINT) AS min_key,
+               CAST(max(l_orderkey) AS BIGINT) AS max_key,
+               min(l_returnflag) AS min_flag, max(l_returnflag) AS max_flag
+        FROM lineitem
+      """.trim)
+    ),
+    QueryDef(
       "catalog_zorder",
       (spark, dir) => {
         // z-order re-clustering of a whole table: content invariant

@@ -92,6 +92,12 @@ final class GraftTable(
   def mergeOnRead: Boolean =
     snapshot.flatMap(_.properties.get(GraftTable.MergeModeProp)).contains("merge-on-read")
 
+  /** Partition columns with their types, for key-grouped planning. */
+  def partitionColTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = {
+    val sch = schema()
+    partitionCols.flatMap(c => sch.fields.find(_.name == c).map(f => (c, f.dataType)))
+  }
+
   /** (absolute data path, entry, absolute delete-file paths) for scans. */
   def scanFiles(): Seq[(String, FileEntry, Seq[String])] = {
     val snap = snapshot
@@ -146,10 +152,12 @@ object GraftTable {
   * skipping is I/O-only, never load-bearing for correctness).
   */
 final class GraftScanBuilder(table: GraftTable)
-  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+  with SupportsPushDownAggregates {
 
   private var requested: StructType = table.schema()
   private var skipping: Array[Filter] = Array.empty
+  private var aggValues: Option[Seq[Any]] = None
 
   override def pruneColumns(s: StructType): Unit = requested = s
 
@@ -159,44 +167,163 @@ final class GraftScanBuilder(table: GraftTable)
   }
   override def pushedFilters(): Array[Filter] = skipping
 
-  override def build(): Scan = {
-    val schema = table.schema()
-    val kept = table.scanFiles().filter { case (_, e, _) =>
-      skipping.forall(f => StatsPruner.mayMatch(f, e, schema)) }
-    new GraftScan(kept, requested)
+  /** Metadata-only aggregates: count(*)/count(col)/min/max answered
+    * from manifest stats, no data read. Refused under any filter,
+    * group-by, delete, or missing stat ([[GraftMetadataAgg]]).
+    */
+  override def pushAggregation(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (skipping.nonEmpty) return false // aggregate is over filtered rows
+    aggValues = table.snapshot.flatMap(GraftMetadataAgg.tryCompute(_, agg))
+    // the scan must report the pushed-aggregate output schema
+    if (aggValues.isDefined) requested = GraftMetadataAgg.outputSchema(agg, table.schema())
+    aggValues.isDefined
+  }
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    pushAggregation(agg)
+  }
+
+  override def build(): Scan = aggValues match {
+    case Some(vals) =>
+      // Spark pruned `requested` to the aggregate output schema
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals.toArray)
+      new GraftLocalAggScan(requested, Array[InternalRow](row))
+    case None =>
+      val schema = table.schema()
+      val kept = table.scanFiles().filter { case (_, e, _) =>
+        skipping.forall(f => StatsPruner.mayMatch(f, e, schema)) }
+      new GraftScan(kept, requested, table.partitionColTypes)
   }
 }
 
-final class GraftScan(files: Seq[(String, FileEntry, Seq[String])], requested: StructType)
-  extends Scan with Batch {
+/** Driver-side scan returning the metadata-aggregate row. */
+final class GraftLocalAggScan(schema: StructType, override val rows: Array[InternalRow])
+  extends LocalScan {
+  override def readSchema(): StructType = schema
+  override def description(): String = "GraftLocalAggScan[metadata-only]"
+}
+
+final class GraftScan(
+    files: Seq[(String, FileEntry, Seq[String])], requested: StructType,
+    partitionColTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+  extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan[files=${files.size}, columns=${requested.fieldNames.mkString(",")}]"
-  override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (abs, e, dels) => GraftInputPartition(abs, e.path, dels) }.toArray
+
+  /** Exact row/byte totals from the manifest (deleted rows subtracted
+    * as an upper-bound estimate) — lets Catalyst's CBO auto-broadcast
+    * small Graft tables.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    // physical rows; position deletes make this a slight overestimate,
+    // which is the safe direction for broadcast decisions
+    private val rows = files.map(_._2.rows).sum
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(files.map(_._2.bytes).sum)
+  }
+
+  /** One key per identity-partition value when every file pins a single
+    * value (min == max in its stats): enables Spark's storage-
+    * partitioned joins (spark.sql.sources.v2.bucketing.enabled) —
+    * co-partitioned Graft tables join WITHOUT a shuffle.
+    */
+  private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[(String, FileEntry, Seq[String])])]] = {
+    if (partitionColTypes.isEmpty) None
+    else {
+      val keyed = files.map { f =>
+        val key = partitionColTypes.map { case (c, dt) =>
+          f._2.stats.get(c) match {
+            case Some(st) if st.nulls == f._2.rows => Some(null)
+            case Some(st) if st.min.isDefined && st.min == st.max && st.nulls == 0 =>
+              GraftMetadataAgg.internalValue(st.min.get, dt)
+            case _ => None
+          }
+        }
+        if (key.exists(_.isEmpty)) None else Some((key.map(_.get), f))
+      }
+      if (keyed.exists(_.isEmpty)) None
+      else Some(keyed.flatten.groupBy(_._1).toSeq
+        .sortBy(_._1.map(String.valueOf).mkString("\u0000"))
+        .map { case (k, fs) => (k, fs.map(_._2)) })
+    }
+  }
+
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    keyedGroups match {
+      case Some(groups) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          partitionColTypes.map(c =>
+            org.apache.spark.sql.connector.expressions.Expressions.identity(c._1)
+              : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(files.size)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = keyedGroups match {
+    case Some(groups) =>
+      groups.map { case (key, fs) =>
+        GraftInputPartition(
+          fs.map(f => (f._1, f._2.path, f._3)),
+          Some(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(key.toArray)))
+          : InputPartition
+      }.toArray
+    case None =>
+      files.map { case (abs, e, dels) =>
+        GraftInputPartition(Seq((abs, e.path, dels)), None): InputPartition
+      }.toArray
+  }
+
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(requested,
       requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"))
 }
 
-final case class GraftInputPartition(absPath: String, relPath: String, deleteFiles: Seq[String])
-  extends InputPartition
+/** One or more data files (same partition value when grouped) +
+  * their delete files; `key` present only under key-grouped planning.
+  */
+final case class GraftInputPartition(
+    chunks: Seq[(String, String, Seq[String])],
+    key: Option[InternalRow])
+  extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow = key.orNull
+}
 
 final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int, posColOrdinal: Int)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
     val conf = new Configuration()
-    // executor-side: load the position deletes applicable to this file
-    val deleted = GraftDeletes.positionsFor(gp.deleteFiles, gp.relPath, conf)
-    val reader = new GraftParquetIO.FileReader(
-      new Path(gp.absPath), requested, conf, fileColOrdinal, posColOrdinal, deleted)
     new PartitionReader[InternalRow] {
+      private val it = gp.chunks.iterator
+      private var reader: GraftParquetIO.FileReader = _
       private var row: InternalRow = _
-      override def next(): Boolean = { row = reader.next(); row != null }
+      private def openNext(): Boolean = {
+        if (reader != null) { reader.close(); reader = null }
+        if (!it.hasNext) return false
+        val (abs, rel, dels) = it.next()
+        // executor-side: load the position deletes applicable to this file
+        val deleted = GraftDeletes.positionsFor(dels, rel, conf)
+        reader = new GraftParquetIO.FileReader(
+          new Path(abs), requested, conf, fileColOrdinal, posColOrdinal, deleted)
+        true
+      }
+      override def next(): Boolean = {
+        while (true) {
+          if (reader == null && !openNext()) return false
+          row = reader.next()
+          if (row != null) return true
+          if (reader != null) { reader.close(); reader = null }
+          if (!it.hasNext) return false
+        }
+        false
+      }
       override def get(): InternalRow = row
-      override def close(): Unit = reader.close()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }
@@ -457,7 +584,8 @@ final class GraftCowScan(initial: Seq[(String, FileEntry, Seq[String])], request
   }
 
   override def planInputPartitions(): Array[InputPartition] =
-    files.map { case (abs, e, dels) => GraftInputPartition(abs, e.path, dels) }.toArray
+    files.map { case (abs, e, dels) =>
+      GraftInputPartition(Seq((abs, e.path, dels)), None): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(requested,
       requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"))

@@ -363,6 +363,77 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(DISTINCT v) FROM $cat.db.zord").head.getLong(0) == 4096)
   }
 
+  test("metadata-only aggregates answer from the manifest, fall back when unsafe") {
+    spark.sql(s"CREATE TABLE $cat.db.agg (k BIGINT, s STRING)")
+    spark.sql(s"INSERT INTO $cat.db.agg SELECT id, concat('s', id) FROM range(0, 500)")
+    spark.sql(s"INSERT INTO $cat.db.agg VALUES (NULL, 'nullk')")
+    val q = spark.sql(s"SELECT count(*) AS n, count(k) AS nk, min(k) AS mn, max(k) AS mx FROM $cat.db.agg")
+    assert(q.collect().toSeq == Seq(Row(501L, 500L, 0L, 499L)))
+    val plan = physicalPlan(q).toString
+    assert(plan.contains("GraftLocalAggScan") || plan.contains("LocalTableScan"),
+      s"expected metadata-only scan, got:\n$plan")
+    assert(!plan.contains("GraftScan["), "no data file may be read")
+
+    // a filter refuses the fast path but stays correct
+    val qf = spark.sql(s"SELECT count(*) FROM $cat.db.agg WHERE k >= 250")
+    assert(qf.head.getLong(0) == 250)
+    assert(physicalPlan(qf).toString.contains("GraftScan["))
+
+    // position deletes refuse the fast path (stats no longer exact)
+    spark.sql(s"""CREATE TABLE $cat.db.aggmor (k BIGINT)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    spark.sql(s"INSERT INTO $cat.db.aggmor SELECT id FROM range(0, 100)")
+    spark.sql(s"DELETE FROM $cat.db.aggmor WHERE k < 10")
+    val qm = spark.sql(s"SELECT count(*) AS n, min(k) AS mn FROM $cat.db.aggmor")
+    assert(qm.collect().toSeq == Seq(Row(90L, 10L)))
+    assert(physicalPlan(qm).toString.contains("GraftScan["),
+      "deletes must force a real scan")
+  }
+
+  test("manifest statistics drive automatic broadcast of small tables") {
+    spark.sql(s"CREATE TABLE $cat.db.smalldim (k BIGINT, name STRING)")
+    spark.sql(s"INSERT INTO $cat.db.smalldim SELECT id, concat('n', id) FROM range(0, 50)")
+    val big = spark.range(0, 100000).selectExpr("id % 50 AS k", "id AS v")
+    val j = big.join(spark.table(s"$cat.db.smalldim"), "k")
+    assert(physicalPlan(j).toString.contains("BroadcastHashJoin"),
+      s"50-row graft table should broadcast:\n${physicalPlan(j)}")
+    assert(j.count() == 100000)
+  }
+
+  test("storage-partitioned join: co-partitioned tables join without a shuffle") {
+    for (t <- Seq("spj_a", "spj_b")) {
+      spark.sql(s"CREATE TABLE $cat.db.$t (seg STRING, v BIGINT) PARTITIONED BY (seg)")
+      spark.sql(s"""INSERT INTO $cat.db.$t
+        SELECT CASE id % 4 WHEN 0 THEN 'a' WHEN 1 THEN 'b' WHEN 2 THEN 'c' ELSE 'd' END, id
+        FROM range(0, ${if (t == "spj_a") 400 else 800})""")
+    }
+    withBucketing {
+      val j = spark.sql(s"""
+        SELECT a.seg, count(*) AS n FROM $cat.db.spj_a a JOIN $cat.db.spj_b b ON a.seg = b.seg
+        GROUP BY a.seg ORDER BY a.seg""")
+      val rows = j.collect()
+      assert(rows.map(_.getLong(1)).toSeq == Seq.fill(4)(20000L))
+      val plan = physicalPlan(j).toString
+      val joinSection = plan.split("HashAggregate").last // below the agg
+      assert(!joinSection.contains("Exchange hashpartitioning"),
+        s"co-partitioned join must not shuffle the join inputs:\n$plan")
+    }
+  }
+
+  private def withBucketing[A](body: => A): A = {
+    val keys = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.requireAllClusterKeysForCoPartition" -> "false",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = keys.map { case (k, _) => k -> spark.conf.getOption(k) }
+    keys.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("catalog surface: list, rename, drop, timestamp travel") {
     spark.sql(s"CREATE TABLE $cat.db.c1 (k INT)")
     spark.sql(s"INSERT INTO $cat.db.c1 VALUES (5)")
