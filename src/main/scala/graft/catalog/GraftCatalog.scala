@@ -28,7 +28,7 @@ import scala.jdk.CollectionConverters._
   * directory holding a `VERSION` pointer. All catalog operations are
   * driver-side metadata ops, O(#files) at worst.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces with ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: Path = _
@@ -152,6 +152,16 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def fullName(ident: Identifier): String =
     (catalogName +: (ident.namespace() :+ ident.name())).mkString(".")
+
+  // ---- procedures: CALL <catalog>.system.<proc>(...) ----
+
+  override def listProcedures(ns: Array[String]): Array[Identifier] =
+    if (ns.sameElements(Array(GraftProcedures.Namespace))) GraftProcedures.list()
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier): org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(warehouse, ident).getOrElse(
+      throw new RuntimeException(s"unknown procedure $ident (see ${GraftProcedures.list().mkString(", ")})"))
 
   // ---- namespaces ----
 

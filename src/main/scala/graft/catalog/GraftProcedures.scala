@@ -1,0 +1,109 @@
+package graft.catalog
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.Identifier
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import java.util.Collections
+
+/** `CALL graft.system.<proc>(...)` maintenance procedures — the SQL
+  * surface Iceberg exposes for rewrite_data_files / expire_snapshots /
+  * remove_orphan_files (the reference schedules exactly those against
+  * its target, stream-spec-yaml-example.yaml:49-61), implemented over
+  * Spark 4's ProcedureCatalog API. Each returns a one-row result scan
+  * summarizing what it did.
+  */
+object GraftProcedures {
+
+  val Namespace = "system"
+
+  def list(): Array[Identifier] =
+    Array("compact", "zorder", "expire_snapshots", "remove_orphans")
+      .map(Identifier.of(Array(Namespace), _))
+
+  def load(warehouse: Path, ident: Identifier): Option[UnboundProcedure] = {
+    if (!ident.namespace().sameElements(Array(Namespace))) return None
+    def tableDir(rel: String): String =
+      rel.split('.').foldLeft(warehouse)((p, s) => new Path(p, s)).toString
+    ident.name() match {
+      case "compact" => Some(proc("compact",
+        "rewrite small data files into consolidated ones (position deletes folded)",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("small_bytes", LongType).defaultValue("33554432").build(),
+          ProcedureParameter.in("target_bytes", LongType).defaultValue("134217728").build()),
+        StructType(Seq(StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
+        { (spark, in) =>
+          val (b, a) = GraftMaintenance.compact(
+            spark, tableDir(in.getUTF8String(0).toString), in.getLong(1), in.getLong(2))
+          new GenericInternalRow(Array[Any](b, a))
+        }))
+      case "zorder" => Some(proc("zorder",
+        "re-cluster the table in z-order over two numeric columns",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("x_col", StringType).build(),
+          ProcedureParameter.in("y_col", StringType).build(),
+          ProcedureParameter.in("bits", IntegerType).defaultValue("16").build(),
+          ProcedureParameter.in("target_files", IntegerType).defaultValue("8").build()),
+        StructType(Seq(StructField("files_before", IntegerType), StructField("files_after", IntegerType))),
+        { (spark, in) =>
+          val (b, a) = GraftMaintenance.zorder(
+            spark, tableDir(in.getUTF8String(0).toString),
+            in.getUTF8String(1).toString, in.getUTF8String(2).toString,
+            in.getInt(3), in.getInt(4))
+          new GenericInternalRow(Array[Any](b, a))
+        }))
+      case "expire_snapshots" => Some(proc("expire_snapshots",
+        "drop all but the most recent keep_last snapshots and sweep their files",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("keep_last", IntegerType).defaultValue("1").build()),
+        StructType(Seq(StructField("expired_versions", IntegerType))),
+        { (_, in) =>
+          val io = new GraftManifestIO(
+            new Path(tableDir(in.getUTF8String(0).toString)), new Configuration())
+          new GenericInternalRow(Array[Any](io.expireSnapshots(in.getInt(1)).size))
+        }))
+      case "remove_orphans" => Some(proc("remove_orphans",
+        "delete data/delete files referenced by no live snapshot",
+        Seq(ProcedureParameter.in("table", StringType).build()),
+        StructType(Seq(StructField("removed", IntegerType))),
+        { (_, in) =>
+          val io = new GraftManifestIO(
+            new Path(tableDir(in.getUTF8String(0).toString)), new Configuration())
+          new GenericInternalRow(Array[Any](io.removeOrphans().size))
+        }))
+      case _ => None
+    }
+  }
+
+  private def proc(
+      procName: String, desc: String, params: Seq[ProcedureParameter],
+      outSchema: StructType, body: (SparkSession, InternalRow) => InternalRow): UnboundProcedure =
+    new UnboundProcedure {
+      override def name(): String = procName
+      override def description(): String = desc
+      override def bind(inputType: StructType): BoundProcedure = new BoundProcedure {
+        override def name(): String = procName
+        override def description(): String = desc
+        override def parameters(): Array[ProcedureParameter] = params.toArray
+        override def isDeterministic: Boolean = false
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val row = body(SparkSession.active, input)
+          Collections.singletonList(new LocalScan {
+            override def rows(): Array[InternalRow] = Array(row)
+            override def readSchema(): StructType = outSchema
+            override def description(): String = s"graft.system.$procName result"
+          }: Scan).iterator()
+        }
+      }
+    }
+}

@@ -434,6 +434,20 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("CALL procedures: compact, zorder, expire_snapshots, remove_orphans") {
+    spark.sql(s"CREATE TABLE $cat.db.proc (k BIGINT, v BIGINT)")
+    spark.range(0, 1000).selectExpr("id AS k", "id * 7 AS v")
+      .repartition(6).writeTo(s"$cat.db.proc").append()
+    val r = spark.sql(s"CALL $cat.system.compact('db.proc')").collect()
+    assert(r.toSeq == Seq(Row(6, 1)))
+    val z = spark.sql(s"CALL $cat.system.zorder('db.proc', 'k', 'v', 8, 4)").collect()
+    assert(z.toSeq == Seq(Row(1, 4)))
+    val e = spark.sql(s"CALL $cat.system.expire_snapshots('db.proc', 1)").head.getInt(0)
+    assert(e >= 3) // create + insert + compact at least
+    assert(spark.sql(s"CALL $cat.system.remove_orphans('db.proc')").head.getInt(0) == 0)
+    assert(spark.sql(s"SELECT count(DISTINCT k) FROM $cat.db.proc").head.getLong(0) == 1000)
+  }
+
   test("catalog surface: list, rename, drop, timestamp travel") {
     spark.sql(s"CREATE TABLE $cat.db.c1 (k INT)")
     spark.sql(s"INSERT INTO $cat.db.c1 VALUES (5)")
