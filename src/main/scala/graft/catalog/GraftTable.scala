@@ -66,6 +66,7 @@ final class GraftTable(
   override def capabilities(): util.Set[TableCapability] = util.EnumSet.of(
     TableCapability.BATCH_READ,
     TableCapability.BATCH_WRITE,
+    TableCapability.MICRO_BATCH_READ,
     TableCapability.TRUNCATE,
     TableCapability.OVERWRITE_BY_FILTER)
 
@@ -107,7 +108,7 @@ final class GraftTable(
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(this)
+    new GraftScanBuilder(this, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(this, info)
@@ -151,7 +152,9 @@ object GraftTable {
   * reported as residual, so Spark still evaluates them row-wise —
   * skipping is I/O-only, never load-bearing for correctness).
   */
-final class GraftScanBuilder(table: GraftTable)
+final class GraftScanBuilder(
+    table: GraftTable,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters
   with SupportsPushDownAggregates {
 
@@ -192,7 +195,8 @@ final class GraftScanBuilder(table: GraftTable)
       val schema = table.schema()
       val kept = table.scanFiles().filter { case (_, e, _) =>
         skipping.forall(f => StatsPruner.mayMatch(f, e, schema)) }
-      new GraftScan(kept, requested, table.partitionColTypes)
+      new GraftScan(kept, requested, table.partitionColTypes,
+        streaming = Some((table.tableDir, options.getBoolean("ignoreChanges", false))))
   }
 }
 
@@ -205,11 +209,22 @@ final class GraftLocalAggScan(schema: StructType, override val rows: Array[Inter
 
 final class GraftScan(
     files: Seq[(String, FileEntry, Seq[String])], requested: StructType,
-    partitionColTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil)
+    partitionColTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+    streaming: Option[(String, Boolean)] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
+
+  /** readStream.table(...): micro-batches of files added per snapshot
+    * version ([[GraftMicroBatchStream]]).
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    val (dir, ignoreChanges) = streaming.getOrElse(
+      throw new UnsupportedOperationException("this scan cannot stream"))
+    new GraftMicroBatchStream(dir, requested, ignoreChanges)
+  }
   override def description(): String =
     s"GraftScan[files=${files.size}, columns=${requested.fieldNames.mkString(",")}]"
 

@@ -434,6 +434,43 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("streaming source: readStream.table delivers append batches exactly once") {
+    import org.apache.spark.sql.streaming.Trigger
+    spark.sql(s"CREATE TABLE $cat.db.src (v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.src VALUES (1), (2)") // pre-stream data
+    val q = spark.readStream.table(s"$cat.db.src")
+      .writeStream.format("memory").queryName("graft_src_sink")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(v) FROM graft_src_sink").head.getLong(0) == 3,
+        "existing rows stream as the first batch")
+      spark.sql(s"INSERT INTO $cat.db.src VALUES (10), (20)")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT sum(v) FROM graft_src_sink").head.getLong(0) == 33)
+      spark.sql(s"INSERT INTO $cat.db.src VALUES (100)")
+      q.processAllAvailable()
+      assert(spark.sql("SELECT count(*) FROM graft_src_sink").head.getLong(0) == 5)
+      // a row-level rewrite poisons the stream without ignoreChanges
+      spark.sql(s"UPDATE $cat.db.src SET v = 0 WHERE v = 1")
+      val err = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(err.getMessage.contains("non-append") ||
+        Option(err.getCause).exists(_.getMessage.contains("non-append")))
+    } finally q.stop()
+
+    // ignoreChanges streams the rewrite's added files (at-least-once)
+    val q2 = spark.readStream.option("ignoreChanges", "true").table(s"$cat.db.src")
+      .writeStream.format("memory").queryName("graft_src_sink2")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      q2.processAllAvailable()
+      // full current state as first batch: {0, 2, 10, 20, 100}
+      assert(spark.sql("SELECT sum(v) FROM graft_src_sink2").head.getLong(0) == 132)
+    } finally q2.stop()
+  }
+
   test("CALL procedures: compact, zorder, expire_snapshots, remove_orphans") {
     spark.sql(s"CREATE TABLE $cat.db.proc (k BIGINT, v BIGINT)")
     spark.range(0, 1000).selectExpr("id AS k", "id * 7 AS v")
