@@ -247,7 +247,14 @@ final class GraftScan(
     * co-partitioned Graft tables join WITHOUT a shuffle.
     */
   private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[(String, FileEntry, Seq[String])])]] = {
-    if (partitionColTypes.isEmpty) None
+    // grouping trades read parallelism (one split per partition VALUE)
+    // for shuffle-free joins — only worth it when the session opted
+    // into storage-partitioned joins
+    val spjEnabled =
+      try org.apache.spark.sql.internal.SQLConf.get
+        .getConfString("spark.sql.sources.v2.bucketing.enabled", "false").toBoolean
+      catch { case _: Throwable => false }
+    if (partitionColTypes.isEmpty || !spjEnabled) None
     else {
       val keyed = files.map { f =>
         val key = partitionColTypes.map { case (c, dt) =>
