@@ -65,18 +65,21 @@ final class GraftCommitConflict(msg: String) extends RuntimeException(msg)
   * Layout:
   * {{{
   *   tableDir/
-  *     VERSION               current version (atomic rename flip)
-  *     manifests/v<N>.json   snapshot manifest (schema + file list + stats)
+  *     VERSION               advisory current-version cache
+  *     manifests/v<N>.json   snapshot manifest (exclusive-create claimed)
   *     data/part-*.parquet   immutable data files, shared across snapshots
+  *     deletes/*.parquet     merge-on-read position-delete files
   * }}}
   *
-  * Commit protocol (same OCC discipline as [[graft.sources.SnapshotStore]]):
-  * the mutation function is applied to the CURRENT snapshot inside a
-  * bounded retry loop; the expectation is re-validated immediately
-  * before the pointer flip, so the unguarded window is one atomic
-  * rename — conflict DETECTION is guaranteed, compare-and-swap is as
-  * atomic as the filesystem's rename (Iceberg's exact exposure without
-  * a locking catalog).
+  * Commit protocol: the mutation function is applied to the CURRENT
+  * snapshot inside a bounded retry loop, and the new version is
+  * CLAIMED by atomically creating its manifest file exclusively
+  * (O_EXCL locally, create-no-overwrite on HDFS-likes) — exactly one
+  * racing writer wins each version, losers re-derive and retry, so
+  * concurrent appends are lost-update-free (8-thread stress test in
+  * GraftCatalogSpec). The VERSION file is an advisory cache; the
+  * manifest listing is authoritative. Object stores without atomic
+  * create-exclusive need a locking catalog in front, as with Iceberg.
   */
 final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
   private def fs = tableDir.getFileSystem(conf)
@@ -85,18 +88,31 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
 
   def exists(): Boolean = fs.exists(versionFile)
 
-  def currentVersion(): Option[Long] =
+  /** The manifest listing is authoritative (manifest files are claimed
+    * by atomic exclusive create, so max(version) is exact even under
+    * racing writers); the VERSION pointer is an advisory cache.
+    */
+  def currentVersion(): Option[Long] = versions().lastOption.orElse {
     if (!fs.exists(versionFile)) None
     else {
       val in = fs.open(versionFile)
       try Some(new String(in.readAllBytes(), "UTF-8").trim.toLong)
       finally in.close()
     }
+  }
 
   def readSnapshot(v: Long): GraftSnapshot = {
-    val in = fs.open(manifestFile(v))
-    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    GraftManifestIO.fromJson(body)
+    // a manifest becomes visible at exclusive create, microseconds
+    // before its bytes land — retry the (local-FS) sliver
+    var last: Throwable = null
+    for (_ <- 1 to 5) {
+      try {
+        val in = fs.open(manifestFile(v))
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        return GraftManifestIO.fromJson(body)
+      } catch { case t: Throwable => last = t; Thread.sleep(10) }
+    }
+    throw last
   }
 
   def currentSnapshot(): Option[GraftSnapshot] = currentVersion().map(readSnapshot)
@@ -114,9 +130,17 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     * `mutate` returns the new snapshot CONTENT (version/parent are
     * assigned here) or throws [[GraftCommitConflict]] itself if its
     * preconditions no longer hold (e.g. a replaced file vanished).
-    * Retries `maxAttempts` times on conflict, re-reading the table
-    * state each attempt — safe because data files are already staged
-    * and immutable; only the manifest is re-derived.
+    *
+    * The version claim is an ATOMIC EXCLUSIVE CREATE of the manifest
+    * file (O_EXCL on the local FS, create-no-overwrite on HDFS-likes):
+    * exactly one of any number of racing writers wins a version; the
+    * losers re-read the fresh snapshot, re-derive, and retry up to
+    * `maxAttempts` — so concurrent appends are genuinely
+    * lost-update-free, not just conflict-detected (stress-proven with
+    * 8 racing threads in GraftCatalogSpec). Data files are staged
+    * before and immutable, so retries re-derive only the manifest.
+    * Object stores without atomic create-exclusive need a locking
+    * catalog in front, exactly as Iceberg requires.
     */
   def commit(operation: String, maxAttempts: Int = 5)(
       mutate: Option[GraftSnapshot] => GraftManifestIO.Content): GraftSnapshot = {
@@ -134,11 +158,35 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
         properties = c.properties + (GraftManifestIO.CommittedAtMs -> System.currentTimeMillis().toString),
         files = c.files,
         deletes = c.deletes)
-      // re-validate the expectation at the flip, not just before derive
-      if (currentVersion() == base.map(_.version)) {
-        fs.mkdirs(new Path(tableDir, "manifests"))
-        writeAtomic(manifestFile(next.version), GraftManifestIO.toJson(next))
-        writeAtomic(versionFile, next.version.toString)
+      fs.mkdirs(new Path(tableDir, "manifests"))
+      val bytes = GraftManifestIO.toJson(next).getBytes("UTF-8")
+      val target = manifestFile(next.version)
+      val won =
+        if (fs.getScheme == "file") {
+          // Hadoop's RawLocalFileSystem.create(overwrite=false) is
+          // check-then-create (TOCTOU); java.nio CREATE_NEW is O_EXCL —
+          // a true atomic claim on the local FS
+          try {
+            val nio = java.nio.file.Paths.get(target.toUri.getPath)
+            val ch = java.nio.file.Files.newByteChannel(nio,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        } else {
+          try {
+            val out = fs.create(target, false) // atomic on HDFS-likes
+            try out.write(bytes) finally out.close()
+            true
+          } catch {
+            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+            case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.toLowerCase.contains("exist") => false
+          }
+        }
+      if (won) {
+        writeAtomic(versionFile, next.version.toString) // advisory cache
         return next
       } else if (attempt >= maxAttempts) {
         throw new GraftCommitConflict(
@@ -183,7 +231,9 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
   }
 
   private def writeAtomic(path: Path, content: String): Unit = {
-    val tmp = new Path(path.getParent, path.getName + ".tmp")
+    // unique tmp per writer: racing writers must never share a staging path
+    val tmp = new Path(path.getParent,
+      path.getName + "." + java.util.UUID.randomUUID().toString.take(8) + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes("UTF-8")) finally out.close()
     fs.delete(path, false)

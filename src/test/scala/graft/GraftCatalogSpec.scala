@@ -211,6 +211,35 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.toSeq == Seq(Row(1, null), Row(2, "with-note")))
   }
 
+  test("real concurrent appenders all land through the OCC retry loop") {
+    spark.sql(s"CREATE TABLE $cat.db.race (w INT, i INT)")
+    val io = manifestIO("race")
+    // 8 writers x 5 manifest commits each, racing on the VERSION flip:
+    // every commit must land (bounded retries re-derive from the fresh
+    // snapshot), no file lost, no version skipped
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    try {
+      val tasks = (0 until 8).map { w =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            try (0 until 5).foreach { i =>
+              io.commit(s"append", maxAttempts = 200) { base =>
+                val cur = base.get
+                val entry = graft.catalog.FileEntry(s"data/race-$w-$i.parquet", 1L, 1L, Map.empty)
+                GraftManifestIO.Content(cur.schema, cur.properties, cur.files :+ entry, cur.deletes)
+              }
+            } catch { case t: Throwable => errors.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    assert(errors.isEmpty, s"concurrent commits failed: ${errors.peek()}")
+    val snap = io.currentSnapshot().get
+    assert(snap.version == 41L, s"create + 40 commits, got v${snap.version}")
+    assert(snap.files.size == 40 && snap.files.map(_.path).distinct.size == 40)
+  }
+
   test("concurrent replace of the same file is a detected conflict") {
     spark.sql(s"CREATE TABLE $cat.db.occ (k INT)")
     spark.sql(s"INSERT INTO $cat.db.occ VALUES (1)")
