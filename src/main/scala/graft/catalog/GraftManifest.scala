@@ -68,7 +68,7 @@ final class GraftCommitConflict(msg: String) extends RuntimeException(msg)
   *     VERSION               advisory current-version cache
   *     manifests/v<N>.json   snapshot manifest (exclusive-create claimed)
   *     data/part-*.parquet   immutable data files, shared across snapshots
-  *     deletes/*.parquet     merge-on-read position-delete files
+  *     deletes/<f>.parquet   merge-on-read position-delete files
   * }}}
   *
   * Commit protocol: the mutation function is applied to the CURRENT
