@@ -175,6 +175,88 @@ object EvalOps {
       bench = true
     ),
     QueryDef(
+      "calibration_bins",
+      (spark, dir) => {
+        // classifier calibration curve: decile bins of the score vs the
+        // observed positive rate per bin — integer counts, one division
+        // at the projection. One groupBy shuffle, output = 10 rows/group.
+        Tables(spark, dir).documents
+          .selectExpr(
+            "source",
+            "CAST(FLOOR((n_chars % 997) * 10.0 / 997) AS BIGINT) AS bin",
+            "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos")
+          .groupBy("source", "bin")
+          .agg(count(lit(1)).as("n"), sum("pos").as("pos"))
+          .selectExpr("source", "bin", "CAST(n AS BIGINT) AS n", "CAST(pos AS BIGINT) AS pos",
+            "CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) AS rate")
+          .orderBy("source", "bin")
+      },
+      Some("""
+        SELECT source, CAST(FLOOR((n_chars % 997) * 10.0 / 997) AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS rate
+        FROM documents
+        GROUP BY source, CAST(FLOOR((n_chars % 997) * 10.0 / 997) AS BIGINT)
+        ORDER BY source, bin
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "ks_statistic",
+      (spark, dir) => {
+        // exact Kolmogorov-Smirnov separation between the positive and
+        // negative score distributions per group: running integer
+        // cumulative counts over distinct scores, D = max |cumPos*nNeg -
+        // cumNeg*nPos|, ONE division at the end — bit-exact vs DuckDB.
+        val scored = Tables(spark, dir).documents.selectExpr(
+          "source", "CAST(n_chars % 997 AS BIGINT) AS score",
+          "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos")
+        val by = scored.groupBy("source", "score")
+          .agg(sum("pos").as("p"), sum(expr("1 - pos")).as("q"))
+        val w = Window.partitionBy("source").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val t = Window.partitionBy("source")
+        by
+          .withColumn("cp", sum("p").over(w))
+          .withColumn("cq", sum("q").over(w))
+          .withColumn("np", sum("p").over(t))
+          .withColumn("nq", sum("q").over(t))
+          .groupBy("source")
+          .agg(
+            max(abs(col("cp") * col("nq") - col("cq") * col("np"))).as("dnum"),
+            max("np").as("npos"), max("nq").as("nneg"))
+          .selectExpr("source", "CAST(npos AS BIGINT) AS npos", "CAST(nneg AS BIGINT) AS nneg",
+            """CASE WHEN npos > 0 AND nneg > 0
+               THEN CAST(dnum AS DOUBLE) / CAST(npos * nneg AS DOUBLE) END AS ks""")
+          .orderBy("source")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT source, CAST(n_chars % 997 AS BIGINT) AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM documents),
+        by_score AS (
+          SELECT source, score, sum(pos) AS p, sum(1 - pos) AS q
+          FROM scored GROUP BY source, score),
+        cums AS (
+          SELECT source,
+                 sum(p) OVER (PARTITION BY source ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp,
+                 sum(q) OVER (PARTITION BY source ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cq,
+                 sum(p) OVER (PARTITION BY source) AS np,
+                 sum(q) OVER (PARTITION BY source) AS nq
+          FROM by_score)
+        SELECT source, CAST(max(np) AS BIGINT) AS npos, CAST(max(nq) AS BIGINT) AS nneg,
+               CASE WHEN max(np) > 0 AND max(nq) > 0
+                 THEN CAST(max(ABS(cp * nq - cq * np)) AS DOUBLE) / CAST(max(np) * max(nq) AS DOUBLE)
+               END AS ks
+        FROM cums GROUP BY source ORDER BY source
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "label_vote",
       (spark, dir) => {
         // annotation aggregation: 5 synthetic annotators per item vote
