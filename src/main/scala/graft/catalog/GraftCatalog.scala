@@ -32,7 +32,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
 
   private var catalogName: String = _
   private var warehouse: Path = _
-  private def conf = new Configuration()
+  private def conf = GraftConf.hadoop
   private def fs = warehouse.getFileSystem(conf)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {

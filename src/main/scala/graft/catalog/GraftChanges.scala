@@ -24,7 +24,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object GraftChanges {
 
   def between(spark: SparkSession, tableDir: String, fromVersion: Long, toVersion: Long): DataFrame = {
-    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
     val from = io.readSnapshot(fromVersion)
     val to = io.readSnapshot(toVersion)
     require(from.schema == to.schema,

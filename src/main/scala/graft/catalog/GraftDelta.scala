@@ -64,7 +64,8 @@ final class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo, operation
       table.partitionCols.map(c => info.schema().fieldNames.indexOf(c)).filter(_ >= 0),
       GraftWrite.maxRows(table),
       fileIdOrdinal = rowIdSchema.fieldNames.indexOf("_file"),
-      posIdOrdinal = rowIdSchema.fieldNames.indexOf("_pos"))
+      posIdOrdinal = rowIdSchema.fieldNames.indexOf("_pos"),
+      serConf = GraftConf.serializable)
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -72,7 +73,7 @@ final class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo, operation
       case m: GraftDeltaCommitMessage => (m.data, m.deletes)
     }.unzip match { case (d, x) => (d.flatten.toSeq, x.flatten.toSeq) }
 
-    val io = new GraftManifestIO(new Path(table.tableDir), new Configuration())
+    val io = new GraftManifestIO(new Path(table.tableDir), GraftConf.hadoop)
     io.commit(operation) { base =>
       val cur = base.getOrElse(throw new GraftCommitConflict("delta write against a dropped table"))
       val live = cur.files.map(_.path).toSet
@@ -88,7 +89,7 @@ final class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo, operation
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(table.tableDir).getFileSystem(new Configuration())
+    val fs = new Path(table.tableDir).getFileSystem(GraftConf.hadoop)
     messages.collect { case m: GraftDeltaCommitMessage =>
       (m.data.map(_.path) ++ m.deletes.map(_.path)).foreach(rel =>
         try fs.delete(new Path(new Path(table.tableDir), rel), false)
@@ -102,11 +103,12 @@ final case class GraftDeltaCommitMessage(data: Seq[FileEntry], deletes: Seq[Dele
 
 final case class GraftDeltaWriterFactory(
     tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
-    maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int)
+    maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int,
+    serConf: org.apache.spark.util.SerializableConfiguration = GraftConf.serializable)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
-      partitionOrdinals, maxRowsPerFile, fileIdOrdinal, posIdOrdinal)
+      partitionOrdinals, maxRowsPerFile, fileIdOrdinal, posIdOrdinal, serConf.value)
 }
 
 /** Inserts go through the ordinary rolling data writer; deletes stream
@@ -114,11 +116,12 @@ final case class GraftDeltaWriterFactory(
   */
 final class GraftDeltaWriter(
     tableDir: String, schema: StructType, filePrefix: String, partitionOrdinals: Seq[Int],
-    maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int)
+    maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int,
+    conf: Configuration = new Configuration())
   extends DeltaWriter[InternalRow] {
 
   private val inserts =
-    new GraftDataWriter(tableDir, schema, filePrefix, partitionOrdinals, maxRowsPerFile)
+    new GraftDataWriter(tableDir, schema, filePrefix, partitionOrdinals, maxRowsPerFile, conf)
   private var delWriter: GraftParquetIO.FileWriter = _
   private val delRel = s"deletes/$filePrefix-del.parquet"
   private val delTargets = scala.collection.mutable.LinkedHashSet.empty[String]
@@ -137,7 +140,7 @@ final class GraftDeltaWriter(
     delTargets += rel
     if (delWriter == null)
       delWriter = new GraftParquetIO.FileWriter(
-        new Path(new Path(tableDir), delRel), GraftDeletes.Schema, new Configuration())
+        new Path(new Path(tableDir), delRel), GraftDeletes.Schema, conf)
     val r = new GenericInternalRow(2)
     r.update(0, UTF8String.fromString(rel))
     r.update(1, pos)

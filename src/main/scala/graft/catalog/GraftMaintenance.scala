@@ -27,7 +27,7 @@ object GraftMaintenance {
   def compact(
       spark: SparkSession, tableDir: String,
       smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): (Int, Int) = {
-    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
     val base = io.currentSnapshot().getOrElse(return (0, 0))
     val small = base.files.filter(_.bytes < smallBytes)
     if (small.size < 2) return (base.files.size, base.files.size)
@@ -57,7 +57,7 @@ object GraftMaintenance {
       spark: SparkSession, tableDir: String, xCol: String, yCol: String,
       bits: Int = 16, targetFiles: Int = 8): (Int, Int) = {
     import org.apache.spark.sql.functions.col
-    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
     val base = io.currentSnapshot().getOrElse(return (0, 0))
     if (base.files.isEmpty) return (0, 0)
     val schema = base.schema
@@ -103,12 +103,13 @@ object GraftMaintenance {
       tag: String): Seq[FileEntry] = {
     val id = java.util.UUID.randomUUID().toString
     val dirStr = tableDir
+    val serConf = GraftConf.serializable
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val rel = s"data/part-$tag-$id-$pid.parquet"
         val w = new GraftParquetIO.FileWriter(
-          new Path(new Path(dirStr), rel), schema, new Configuration())
+          new Path(new Path(dirStr), rel), schema, serConf.value)
         rows.foreach(w.write)
         Iterator.single(w.finish(rel))
       }

@@ -69,7 +69,7 @@ object GraftProcedures {
         StructType(Seq(StructField("expired_versions", IntegerType))),
         { (_, in) =>
           val io = new GraftManifestIO(
-            new Path(tableDir(in.getUTF8String(0).toString)), new Configuration())
+            new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
           new GenericInternalRow(Array[Any](io.expireSnapshots(in.getInt(1)).size))
         }))
       case "remove_orphans" => Some(proc("remove_orphans",
@@ -78,7 +78,7 @@ object GraftProcedures {
         StructType(Seq(StructField("removed", IntegerType))),
         { (_, in) =>
           val io = new GraftManifestIO(
-            new Path(tableDir(in.getUTF8String(0).toString)), new Configuration())
+            new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
           new GenericInternalRow(Array[Any](io.removeOrphans().size))
         }))
       case _ => None

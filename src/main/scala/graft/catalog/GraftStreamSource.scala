@@ -29,7 +29,7 @@ final class GraftMicroBatchStream(
     tableDir: String, schema: StructType, ignoreChanges: Boolean)
   extends MicroBatchStream {
 
-  private def io = new GraftManifestIO(new Path(tableDir), new Configuration())
+  private def io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
 
   override def initialOffset(): Offset = GraftStreamOffset(0L)
 
@@ -74,7 +74,8 @@ final class GraftMicroBatchStream(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(schema,
-      schema.fieldNames.indexOf("_file"), schema.fieldNames.indexOf("_pos"))
+      schema.fieldNames.indexOf("_file"), schema.fieldNames.indexOf("_pos"),
+      GraftConf.serializable)
 
   override def commit(end: Offset): Unit = () // offsets live in the checkpoint
   override def stop(): Unit = ()

@@ -53,7 +53,7 @@ final class GraftTable(
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
-  @transient lazy val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+  @transient lazy val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
   @transient lazy val snapshot: Option[GraftSnapshot] =
     pinned.map(io.readSnapshot).orElse(io.currentSnapshot())
 
@@ -302,7 +302,8 @@ final class GraftScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(requested,
-      requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"))
+      requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"),
+      GraftConf.serializable)
 }
 
 /** One or more data files (same partition value when grouped) +
@@ -315,11 +316,12 @@ final case class GraftInputPartition(
   override def partitionKey(): InternalRow = key.orNull
 }
 
-final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int, posColOrdinal: Int)
+final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int, posColOrdinal: Int,
+    serConf: org.apache.spark.util.SerializableConfiguration)
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
-    val conf = new Configuration()
+    val conf = serConf.value
     new PartitionReader[InternalRow] {
       private val it = gp.chunks.iterator
       private var reader: GraftParquetIO.FileReader = _
@@ -399,11 +401,11 @@ final class GraftWrite(
   override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
     GraftDataWriterFactory(tableDir, writeSchema, java.util.UUID.randomUUID().toString,
       partitionCols.map(c => writeSchema.fieldNames.indexOf(c)).filter(_ >= 0),
-      maxRowsPerFile)
+      maxRowsPerFile, GraftConf.serializable)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case GraftCommitMessage(es) => es }.flatten.toSeq
-    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
     io.commit(operation) { base =>
       val schema = base.map(_.schema).getOrElse(writeSchema)
       val props = base.map(_.properties).getOrElse(Map.empty)
@@ -435,7 +437,7 @@ final class GraftWrite(
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
-    val fs = new Path(tableDir).getFileSystem(new Configuration())
+    val fs = new Path(tableDir).getFileSystem(GraftConf.hadoop)
     messages.foreach {
       case GraftCommitMessage(es) => es.foreach(e =>
         try fs.delete(new Path(new Path(tableDir), e.path), false)
@@ -458,11 +460,12 @@ final case class GraftCommitMessage(entries: Seq[FileEntry]) extends WriterCommi
 
 final case class GraftDataWriterFactory(
     tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
-    maxRowsPerFile: Long = Long.MaxValue)
+    maxRowsPerFile: Long = Long.MaxValue,
+    serConf: org.apache.spark.util.SerializableConfiguration = GraftConf.serializable)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
-      partitionOrdinals, maxRowsPerFile)
+      partitionOrdinals, maxRowsPerFile, serConf.value)
 }
 
 /** One parquet file per non-empty task — or, for partitioned tables,
@@ -473,7 +476,8 @@ final case class GraftDataWriterFactory(
   */
 final class GraftDataWriter(
     tableDir: String, schema: StructType, filePrefix: String, partitionOrdinals: Seq[Int],
-    maxRowsPerFile: Long = Long.MaxValue)
+    maxRowsPerFile: Long = Long.MaxValue,
+    conf: Configuration = new Configuration())
   extends DataWriter[InternalRow] {
 
   private val open = scala.collection.mutable.LinkedHashMap.empty[String, (String, GraftParquetIO.FileWriter)]
@@ -502,7 +506,7 @@ final class GraftDataWriter(
       s"more than 1024 partition values in one write task — repartition by $partitionOrdinals")
     val rel = s"data/$filePrefix-$fileSeq.parquet"
     fileSeq += 1
-    (rel, new GraftParquetIO.FileWriter(new Path(new Path(tableDir), rel), schema, new Configuration()))
+    (rel, new GraftParquetIO.FileWriter(new Path(new Path(tableDir), rel), schema, conf))
   }
 
   override def write(row: InternalRow): Unit = writerFor(row).write(row)
@@ -510,7 +514,7 @@ final class GraftDataWriter(
     GraftCommitMessage(finished.toSeq ++ open.values.map { case (rel, w) => w.finish(rel) }.toSeq)
   override def abort(): Unit = {
     open.values.foreach(_._2.abort())
-    val fs = new Path(tableDir).getFileSystem(new Configuration())
+    val fs = new Path(tableDir).getFileSystem(conf)
     finished.foreach(e =>
       try fs.delete(new Path(new Path(tableDir), e.path), false)
       catch { case _: Throwable => () })
@@ -610,7 +614,8 @@ final class GraftCowScan(initial: Seq[(String, FileEntry, Seq[String])], request
       GraftInputPartition(Seq((abs, e.path, dels)), None): InputPartition }.toArray
   override def createReaderFactory(): PartitionReaderFactory =
     GraftReaderFactory(requested,
-      requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"))
+      requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"),
+      GraftConf.serializable)
 }
 
 object GraftCowScan {

@@ -26,19 +26,20 @@ object GraftStreamSink {
     * GraftStreamSink.idempotentAppend(tableDir) _)`.
     */
   def idempotentAppend(tableDir: String)(batch: DataFrame, batchId: Long): Unit = {
-    val io = new GraftManifestIO(new Path(tableDir), new Configuration())
+    val io = new GraftManifestIO(new Path(tableDir), graft.catalog.GraftConf.hadoop)
     def alreadyCommitted: Boolean =
       io.currentSnapshot().exists(_.properties.get(BatchIdProp).exists(_.toLong >= batchId))
     if (alreadyCommitted) return
 
     val schema = batch.schema
     val writeId = java.util.UUID.randomUUID().toString
+    val serConf = graft.catalog.GraftConf.serializable
     val entries = batch.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val rel = s"data/part-stream-$writeId-$batchId-$pid.parquet"
         val w = new GraftParquetIO.FileWriter(
-          new Path(new Path(tableDir), rel), schema, new Configuration())
+          new Path(new Path(tableDir), rel), schema, serConf.value)
         rows.foreach(w.write)
         Iterator.single(w.finish(rel))
       }
@@ -54,7 +55,7 @@ object GraftStreamSink {
     } catch {
       case _: ReplayedBatch =>
         // no snapshot written; drop the redundantly staged files
-        val fs = new Path(tableDir).getFileSystem(new Configuration())
+        val fs = new Path(tableDir).getFileSystem(graft.catalog.GraftConf.hadoop)
         entries.foreach(e =>
           try fs.delete(new Path(new Path(tableDir), e.path), false)
           catch { case _: Throwable => () })
