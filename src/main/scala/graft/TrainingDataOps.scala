@@ -1980,6 +1980,75 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_hybrid_rrf",
+      // the RAG-stack retrieval shape: BM25 top-20 (inverted token
+      // join) and embedding-cosine top-20 (broadcast probe sweep) fused
+      // by reciprocal-rank fusion in integer fixed point
+      // (Σ 1000000 div (60 + rank)) — rank fusion over two engine-exact
+      // rankings is itself engine-exact, so the hybrid list hash-matches
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        TextAnalysis.hybridRrfTopK(
+            spread(t.documents, "doc_id"), t.embeddings,
+            "doc_id", "text", "vec_id", "embedding",
+            probeIds = Seq(0L, 7L, 42L), depth = 20, k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), scores AS (
+          SELECT q.doc_id AS probe_id, s.doc_id,
+                 CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM tf q
+          JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
+          JOIN idf i ON i.tok = q.tok
+          WHERE q.doc_id IN (0, 7, 42)
+          GROUP BY 1, 2
+        ), lex AS (
+          SELECT probe_id, doc_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+          FROM scores QUALIFY lex_rank <= 20
+        ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), den AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS den_rank
+          FROM (SELECT * FROM e WHERE vec_id IN (0, 7, 42)) p,
+               (SELECT * FROM e WHERE vec_id NOT IN (0, 7, 42)) c
+          QUALIFY den_rank <= 20
+        ), fused AS (
+          SELECT COALESCE(l.probe_id, d.probe_id) AS probe_id,
+                 COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                 COALESCE(1000000 // (60 + l.lex_rank), 0)
+                   + COALESCE(1000000 // (60 + d.den_rank), 0) AS rrf_fp
+          FROM lex l FULL OUTER JOIN den d
+            ON l.probe_id = d.probe_id AND l.doc_id = d.doc_id
+        )
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp FROM (
+          SELECT probe_id, doc_id, rrf_fp,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY rrf_fp DESC, doc_id ASC) AS rn
+          FROM fused
+        ) WHERE rn <= 5 ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "vocab_growth",
       // Heaps-law vocabulary growth per source: first occurrence =
       // min(doc_id) per (source, token) — one vocab-bounded agg, then a

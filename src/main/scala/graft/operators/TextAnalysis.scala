@@ -334,6 +334,56 @@ object TextAnalysis {
         (col("__score_fp").cast("double") / 1.0e7).as("score"))
   }
 
+  /** Hybrid lexical+dense retrieval with reciprocal-rank fusion — the
+    * standard RAG-stack shape (Cormack et al. 2009: RRF outperforms any
+    * individual ranker; every production search stack fuses BM25 with an
+    * embedding index this way). Two independent top-`depth` lists per
+    * probe — [[bm25TopK]] over the text inverted index and
+    * [[graft.operators.Similarity.bruteForceTopK]] over the embedding
+    * table — fused by `Σ 1_000_000 div (rrfK + rank)`: integer division
+    * on integer ranks, so the fused ordering is engine-exact (the usual
+    * `Σ 1/(k+r)` floats are one `CAST(x AS DOUBLE)/1e6` away).
+    *
+    * The dense side covers only ids present in `emb` (a dense index over
+    * a corpus subset is the normal deployment); docs outside it compete
+    * on their lexical score alone — RRF handles partial lists by
+    * construction.
+    *
+    * Scale: both branch plans are the bounded shapes documented on their
+    * operators (inverted token join / broadcast probe sweep); the fusion
+    * itself joins two ≤ |probes|·depth row lists — negligible. At 100 TB
+    * the dense branch swaps to the IVF/PQ shortlist family; the fusion
+    * is unchanged.
+    */
+  def hybridRrfTopK(docs: DataFrame, emb: DataFrame, idCol: String, textCol: String,
+      embIdCol: String, vecCol: String, probeIds: Seq[Long],
+      depth: Int = 20, k: Int = 5, rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25TopK(docs, idCol, textCol, probeIds, k = depth)
+      .select(col("probe_id"), col(idCol).as("__id"), col("rank").as("__lex_rank"))
+    val den = graft.operators.Similarity.bruteForceTopK(
+        probes = emb.filter(col(embIdCol).isin(probeIds: _*)),
+        candidates = emb.filter(!col(embIdCol).isin(probeIds: _*)),
+        idCol = embIdCol, vecCol = vecCol, k = depth)
+      .select(col("probe_id"), col("neighbor_id").as("__id"), col("rank").as("__den_rank"))
+    val fused = lex.join(den, Seq("probe_id", "__id"), "full_outer")
+      .select(col("probe_id"), col("__id"),
+        (coalesce(lit(1000000L).cast("long") divAsLong (lit(rrfK) + col("__lex_rank")), lit(0L)) +
+         coalesce(lit(1000000L).cast("long") divAsLong (lit(rrfK) + col("__den_rank")), lit(0L)))
+          .as("rrf_fp"))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("rrf_fp").desc, col("__id").asc)
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("probe_id"), col("rank"), col("__id").as(idCol), col("rrf_fp"))
+  }
+
+  /** `a div b` on Columns (Spark's integer division) without SQL-string
+    * splicing of column names.
+    */
+  private implicit final class DivOps(private val a: Column) {
+    def divAsLong(b: Column): Column = (a / b).cast("long") // floor for positive operands
+  }
+
   private val GopherStopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher document-quality rules (Rae et al. 2021, §A1.1) in their

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_pq",                          // broadcast ADC tables vs encoded corpus
     "dedup_embedding_exact",           // all-pairs oracle baseline (correctness only, never benched at scale)
     "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts
+    "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
 

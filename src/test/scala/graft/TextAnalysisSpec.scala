@@ -284,6 +284,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == expected, s"fixed-point BM25 must match the reference fold:\n$got\n$expected")
   }
 
+  test("hybrid RRF: consensus beats single-list winners, partial lists still compete") {
+    // doc 1 is the lexical near-dup of the probe; doc 2 is the dense
+    // nearest neighbor; doc 3 is #2 on BOTH lists. RRF's whole point:
+    // 2/(60+2) > 1/(60+1), so the consensus doc must win the fusion.
+    val docs = Seq(
+      (0L, "spark query engine with catalyst optimizer and tungsten"),
+      (1L, "spark query engine with catalyst optimizer and codegen"),
+      (2L, "a completely unrelated cooking recipe about bread dough"),
+      (3L, "spark catalyst engine notes and tungsten internals")
+    ).toDF("doc_id", "text")
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.99f, 0.1f, 0.0f)),  // dense #1
+      (3L, Array(0.9f, 0.3f, 0.0f))    // dense #2
+      // doc 1 has no embedding: lexical-only candidate
+    ).toDF("vec_id", "embedding")
+    val got = TextAnalysis.hybridRrfTopK(docs, emb, "doc_id", "text", "vec_id", "embedding",
+        probeIds = Seq(0L), depth = 3, k = 3)
+      .orderBy("rank").select("doc_id", "rrf_fp").as[(Long, Long)].collect().toList
+
+    assert(got.map(_._1).head == 3L, s"two-list consensus must out-fuse single-list #1s: $got")
+    assert(!got.map(_._1).contains(0L), "probe must not retrieve itself")
+    assert(got.map(_._1).toSet == Set(1L, 2L, 3L), s"partial-list docs must still compete: $got")
+    // fixed-point fusion is exact integer math: doc 3 = lex#2 + den#2
+    val expected3 = 1000000L / 62 + 1000000L / 62
+    assert(got.toMap.apply(3L) == expected3, s"rrf_fp must be exact: $got")
+  }
+
   test("frame sampling keeps every Nth frame with per-frame features") {
     val docs  = Seq((1L, "x" * 100)).toDF("doc_id", "text")
     val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
