@@ -257,6 +257,36 @@ object TrainingDataOps {
       """.trim)
     ),
     QueryDef(
+      "dedup_containment",
+      // asymmetric subset-duplication: C(A->B) = |sh(A) ∩ sh(B)| /
+      // |sh(A)| catches a short doc quoted inside a long one, which
+      // symmetric Jaccard under-scores (union dominated by the
+      // container). Ordered pairs, both directions may qualify.
+      (spark, dir) => {
+        import spark.implicits._
+        Dedup.containmentPairs(Tables(spark, dir).documents,
+            "doc_id", "text", blockCol = "source", shingleN = 3, threshold = 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+        ), sh AS (
+          SELECT doc_id, source,
+                 list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s,b.s)) / len(a.s) AS containment
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id != b.doc_id
+        WHERE len(a.s) > 0
+          AND len(list_intersect(a.s,b.s)) / len(a.s) >= 0.4
+        ORDER BY id_a, id_b
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "dedup_survivors",
       // full dedup resolution: same-source brute-force pairs (so the
       // edge set is deterministic on both engines) -> connected

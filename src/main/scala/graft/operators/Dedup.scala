@@ -97,6 +97,38 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Asymmetric n-gram CONTAINMENT pairs: C(A→B) = |sh(A) ∩ sh(B)| /
+    * |sh(A)| ≥ threshold. Jaccard structurally under-scores a short doc
+    * quoted inside a much longer one (the union is dominated by the
+    * container), so subset-duplication — quotes, concatenated shards,
+    * boilerplate wrapping — needs this direction-aware score (the
+    * standard companion to resemblance since Broder 1997).
+    *
+    * Same candidate discipline as [[blockedJaccardPairs]]: block join,
+    * then the exact size prefilter C ≥ t ⇒ |B| ≥ t·|A| (the
+    * intersection can't exceed |B|) prunes BEFORE the O(|A|+|B|) merge
+    * kernel. Emits ordered pairs (id_a contained-in id_b); a near-exact
+    * dup qualifies in both directions by design. At 100 TB the block
+    * column is the MinHash band (the [[bandIndex]] family) instead of a
+    * metadata column — the scoring stage is unchanged.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      shingleN: Int, threshold: Double
+  ): DataFrame = {
+    val sh = docs.select(col(idCol).as("__id"), col(blockCol).as("__blk"),
+      TextVectorExpressions.shingleHashes(col(textCol), shingleN).as("__sh"))
+      .withColumn("__n", size(col("__sh")))
+    sh.as("a").join(sh.as("b"),
+        col("a.__blk") === col("b.__blk") && col("a.__id") =!= col("b.__id"))
+      .filter(col("a.__n") > 0 &&
+        col("b.__n").cast("double") >= col("a.__n").cast("double") * threshold)
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        (TextVectorExpressions.sortedIntersect(col("a.__sh"), col("b.__sh")).cast("double") /
+          col("a.__n").cast("double")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** The persisted LSH band index of a corpus: (id, band_id, band_hash).
     * A production pipeline maintains this table incrementally — it is
     * the ONLY structure `minhashIncremental` probes, so history text is

@@ -165,6 +165,67 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection CARDINALITY of two SORTED distinct long arrays (the
+  * ShingleHashes output contract) by the same linear merge as
+  * [[SortedJaccard]]. Returned as a long so callers pick their own
+  * normalization — |∩|/|A| is asymmetric CONTAINMENT (is A quoted
+  * inside B?), which symmetric Jaccard structurally under-scores when
+  * the container is much larger than the contained doc.
+  */
+case class SortedIntersect(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode
+  ): org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n     = ctx.freshName("n")
+      val m     = ctx.freshName("m")
+      val i     = ctx.freshName("i")
+      val j     = ctx.freshName("j")
+      val inter = ctx.freshName("inter")
+      val xv    = ctx.freshName("xv")
+      val yv    = ctx.freshName("yv")
+      s"""
+         |final int $n = $a.numElements();
+         |final int $m = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $inter = 0L;
+         |while ($i < $n && $j < $m) {
+         |  final long $xv = $a.getLong($i);
+         |  final long $yv = $b.getLong($j);
+         |  if ($xv == $yv) { $inter++; $i++; $j++; }
+         |  else if ($xv < $yv) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $inter;
+       """.stripMargin
+    })
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val m = y.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    while (i < n && j < m) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    inter
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): SortedIntersect =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Full text profile in ONE pass over the string — every count the text
   * analysis family needs, so token stats, quality scoring and language ID
   * stop re-tokenizing / re-scanning per feature (the old shape evaluated
@@ -509,6 +570,9 @@ object TextVectorExpressions {
 
   def sortedJaccard(a: Column, b: Column): Column =
     GraftShim.column(SortedJaccard(GraftShim.expression(a), GraftShim.expression(b)))
+
+  def sortedIntersect(a: Column, b: Column): Column =
+    GraftShim.column(SortedIntersect(GraftShim.expression(a), GraftShim.expression(b)))
 
   def hyperplaneBuckets(vec: Column, planes: Array[Array[Array[Double]]]): Column =
     GraftShim.column(HyperplaneBuckets(GraftShim.expression(vec), planes))

@@ -19,6 +19,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("containment is asymmetric: a quote inside a long doc scores forward, not backward") {
+    val quote = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq(
+      (1L, quote, "s1"), // fully contained in 2
+      (2L, s"a very long article begins here $quote and then continues with lots of " +
+           "unrelated prose about spark engines parquet files and shuffle exchanges", "s1"),
+      (3L, "entirely different content on bread dough proofing and oven timings", "s1")
+    ).toDF("doc_id", "text", "source")
+
+    val pairs = Dedup.containmentPairs(corpus, "doc_id", "text",
+        blockCol = "source", shingleN = 3, threshold = 0.9)
+      .select("id_a", "id_b", "containment").as[(Long, Long, Double)].collect().toList
+
+    assert(pairs.map(p => (p._1, p._2)) == List((1L, 2L)),
+      s"only quote→container must qualify: $pairs")
+    assert(pairs.head._3 == 1.0, s"full containment must score exactly 1.0: $pairs")
+
+    // symmetric Jaccard misses the same pair at any comparable bar: the
+    // container's extra shingles dominate the union
+    val jac = Dedup.blockedJaccardPairs(corpus, "doc_id", "text",
+        blockCol = "source", shingleN = 3, threshold = 0.5)
+      .collect()
+    assert(jac.isEmpty, "jaccard at 0.5 must NOT see the quote/container pair")
+  }
+
   test("removeRepeatedSpans excises only cross-doc spans and reassembles in order") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon ending one"),
