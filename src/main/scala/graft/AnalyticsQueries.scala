@@ -899,6 +899,47 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_asof_nearest",
+      (spark, dir) => {
+        import spark.implicits._
+        // closest event in EITHER direction per probe (pandas
+        // direction="nearest"); equidistant ties resolve backward.
+        // ONE shuffle: both direction carries are sorted window passes
+        // over the same exchange, not a self-join of two as-of results
+        val ev = graft.operators.Upsert.latestByKey(
+          Tables(spark, dir).events, Seq("user_id", "ts"), Seq("event_id"))
+        val probes = ev.select($"user_id").distinct()
+          .withColumn("pts", explode(array(ts("2024-01-10"), ts("2024-01-20"))))
+        graft.operators.AsOfJoin.nearest(
+            probes, ev, partitionCols = Seq("user_id"),
+            leftTimeCol = "pts", rightTimeCol = "ts",
+            payloadCols = Seq("event_id", "ts"))
+          .orderBy("user_id", "pts")
+      },
+      Some("""
+        WITH ev AS (SELECT * FROM events QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1),
+             users AS (SELECT DISTINCT user_id FROM events),
+             probes AS (SELECT user_id, unnest([TIMESTAMP '2024-01-10', TIMESTAMP '2024-01-20']) AS pts FROM users),
+             back AS (
+               SELECT p.user_id, p.pts, e.event_id AS b_id, e.ts AS b_ts
+               FROM probes p ASOF LEFT JOIN ev e ON p.user_id = e.user_id AND e.ts <= p.pts
+             ),
+             fwd AS (
+               SELECT p.user_id, p.pts, e.event_id AS f_id, e.ts AS f_ts
+               FROM probes p LEFT JOIN ev e ON p.user_id = e.user_id AND e.ts >= p.pts
+               QUALIFY row_number() OVER (PARTITION BY p.user_id, p.pts ORDER BY e.ts ASC) = 1
+             )
+        SELECT b.user_id, b.pts,
+               CASE WHEN b_ts IS NULL THEN f_id WHEN f_ts IS NULL THEN b_id
+                    WHEN (b.pts - b_ts) <= (f_ts - b.pts) THEN b_id ELSE f_id END AS near_event_id,
+               CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
+                    WHEN (b.pts - b_ts) <= (f_ts - b.pts) THEN b_ts ELSE f_ts END AS near_ts
+        FROM back b JOIN fwd f ON b.user_id = f.user_id AND b.pts = f.pts
+        ORDER BY b.user_id, b.pts
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q_salted_agg",
       (spark, dir) => {
         import spark.implicits._

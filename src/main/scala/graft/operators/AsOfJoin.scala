@@ -62,6 +62,59 @@ object AsOfJoin {
     joinAsOf(left, right, partitionCols, leftTimeCol, rightTimeCol, payloadCols,
       tolerance, forwardDir = true, prefix = "next_")
 
+  /** Closest event in EITHER direction (pandas direction="nearest");
+    * ties — probe equidistant from its latest-preceding and
+    * earliest-following events — resolve backward (the state that was
+    * already in effect). Payloads emitted as `near_<name>`; `tolerance`
+    * bounds the absolute gap.
+    *
+    * Still ONE shuffle: both directions are windows over the same
+    * partition keys, so the plan is a single exchange with two in-place
+    * sorted passes (asc for the backward carry, desc for the forward) —
+    * NOT a self-join of two as-of results, which would shuffle three
+    * times.
+    */
+  def nearest(
+      left: DataFrame,
+      right: DataFrame,
+      partitionCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      payloadCols: Seq[String],
+      tolerance: Option[Column] = None
+  ): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val (union, tag, t, eventT) =
+      tagAndUnion(left, right, partitionCols, leftTimeCol, rightTimeCol, payloadCols)
+
+    def w(ord: Column) = Window
+      .partitionBy(partitionCols.map(col): _*)
+      .orderBy(ord, col(tag))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wBack = w(col(t).asc)
+    val wFwd  = w(col(t).desc)
+
+    val carryCols = payloadCols :+ eventT
+    val carried = carryCols.foldLeft(union) { (df, c) =>
+      df.withColumn(s"__b_$c", last(col(c), ignoreNulls = true).over(wBack))
+        .withColumn(s"__f_$c", last(col(c), ignoreNulls = true).over(wFwd))
+    }
+    val backGap = col(t) - col(s"__b_$eventT")
+    val fwdGap  = col(s"__f_$eventT") - col(t)
+    val backOk = col(s"__b_$eventT").isNotNull &&
+      tolerance.map(backGap <= _).getOrElse(lit(true))
+    val fwdOk = col(s"__f_$eventT").isNotNull &&
+      tolerance.map(fwdGap <= _).getOrElse(lit(true))
+    val pickBack = backOk && (!fwdOk || backGap <= fwdGap)
+    carried
+      .filter(col(tag) === 1)
+      .select((leftCols.map(col) ++
+        payloadCols.map(c =>
+          when(pickBack, col(s"__b_$c"))
+            .when(fwdOk, col(s"__f_$c"))
+            .otherwise(lit(null)).as(s"near_$c"))): _*)
+  }
+
   private def joinAsOf(
       left: DataFrame,
       right: DataFrame,
@@ -74,23 +127,8 @@ object AsOfJoin {
       prefix: String
   ): DataFrame = {
     val leftCols = left.columns.toSeq
-    val tag      = "__is_probe"
-    val t        = "__t"
-    val eventT   = "__event_t"
-
-    val probes = left
-      .withColumn(tag, lit(1))
-      .withColumn(t, col(leftTimeCol))
-    val events = right
-      .withColumn(tag, lit(0))
-      .withColumn(t, col(rightTimeCol))
-      .withColumn(eventT, col(rightTimeCol)) // null on probes post-union
-
-    // align schemas: union of both column sets, null-filled
-    val union = SchemaMigration.migrate(
-      events.select((partitionCols ++ payloadCols :+ eventT :+ tag :+ t).map(col): _*),
-      probes.select((leftCols :+ tag :+ t).map(col).toIndexedSeq: _*)
-    )
+    val (union, tag, t, eventT) =
+      tagAndUnion(left, right, partitionCols, leftTimeCol, rightTimeCol, payloadCols)
 
     // backward: scan time ascending, carry the latest preceding event.
     // forward: scan time DESCENDING, so "last event seen" is the
@@ -119,5 +157,37 @@ object AsOfJoin {
       .filter(col(tag) === 1)
       .select((leftCols.map(col) ++
         payloadCols.map(c => when(gapOk, col(s"$prefix$c")).otherwise(lit(null)).as(s"$prefix$c"))): _*)
+  }
+
+  /** Tag probes/events and union them schema-aligned; returns the union
+    * and the (tag, time, eventTime) helper column names.
+    */
+  private def tagAndUnion(
+      left: DataFrame,
+      right: DataFrame,
+      partitionCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      payloadCols: Seq[String]
+  ): (DataFrame, String, String, String) = {
+    val leftCols = left.columns.toSeq
+    val tag      = "__is_probe"
+    val t        = "__t"
+    val eventT   = "__event_t"
+
+    val probes = left
+      .withColumn(tag, lit(1))
+      .withColumn(t, col(leftTimeCol))
+    val events = right
+      .withColumn(tag, lit(0))
+      .withColumn(t, col(rightTimeCol))
+      .withColumn(eventT, col(rightTimeCol)) // null on probes post-union
+
+    // align schemas: union of both column sets, null-filled
+    val union = SchemaMigration.migrate(
+      events.select((partitionCols ++ payloadCols :+ eventT :+ tag :+ t).map(col): _*),
+      probes.select((leftCols :+ tag :+ t).map(col).toIndexedSeq: _*)
+    )
+    (union, tag, t, eventT)
   }
 }

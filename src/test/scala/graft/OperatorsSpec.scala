@@ -112,6 +112,35 @@ class OperatorsSpec extends SparkSpec {
     assert(tol(1).getAs[String]("last_name") == "e100")
   }
 
+  test("AsOfJoin.nearest picks the closer direction, resolves ties backward, in one shuffle") {
+    val events = Seq((1, 10L, "e10"), (1, 50L, "e50"), (1, 100L, "e100")).toDF("k", "et", "name")
+    // 5: only forward exists; 95: e100 (gap 5) beats e50 (45); 60: e50
+    // (10) beats e100 (40); 75: EQUIDISTANT -> backward e50; 200: only
+    // backward exists
+    val probes = Seq((1, 5L), (1, 60L), (1, 75L), (1, 95L), (1, 200L)).toDF("k", "pt")
+    val out = AsOfJoin.nearest(probes, events, Seq("k"), "pt", "et", Seq("name"))
+      .orderBy("k", "pt").collect()
+    assert(out.map(_.getAs[String]("near_name")).toSeq ==
+      Seq("e10", "e50", "e50", "e100", "e100"))
+
+    // tolerance bounds BOTH directions: probe 75 is 25 from either -> null
+    val tol = AsOfJoin.nearest(probes, events, Seq("k"), "pt", "et", Seq("name"),
+        tolerance = Some(org.apache.spark.sql.functions.lit(20L)))
+      .orderBy("k", "pt").collect()
+    assert(tol.map(_.getAs[String]("near_name")).toSeq ==
+      Seq("e10", "e50", null, "e100", null))
+
+    // plan shape: one exchange (plus AQE reads), never a join of two
+    // as-of passes
+    val plan = physicalPlan(AsOfJoin.nearest(probes, events, Seq("k"), "pt", "et", Seq("name")))
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(exchanges.size == 1, s"nearest must shuffle once, got ${exchanges.size}")
+    val joins = plan.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.isEmpty, "nearest must not plan any join")
+  }
+
   test("Maintenance.compact preserves data and reduces file count") {
     val base = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
     spark.range(1000).toDF("id").repartition(16).write.parquet(s"$base/in")
