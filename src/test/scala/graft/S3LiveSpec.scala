@@ -131,6 +131,18 @@ class S3LiveSpec extends SparkSpec {
 
     assert(fs.delete(new Path(p, "moved"), true))
     assert(!fs.exists(new Path(p, "moved")))
+
+    // key encoding: names with spaces, '+', '%', '=', unicode must
+    // round-trip through the percent-encoded URL path (partition dirs
+    // like p=1 and Spark temp names hit '=' and '%' routinely)
+    val odd = new Path(p, "enc dir/p=1/sp ace+plus %pct ünï.bin")
+    val wo = fs.create(odd, true); wo.write("odd".getBytes("UTF-8")); wo.close()
+    assert(fs.getFileStatus(odd).getLen == 3)
+    val ro = fs.open(odd); val ob = new Array[Byte](3); ro.readFully(ob); ro.close()
+    assert(new String(ob, "UTF-8") == "odd")
+    assert(fs.listStatus(new Path(p, "enc dir/p=1")).map(_.getPath.getName).toSeq ==
+      Seq("sp ace+plus %pct ünï.bin"))
+    assert(fs.delete(new Path(p, "enc dir"), true))
   }
 
   test("watermark blob listing over a live prefix") {
