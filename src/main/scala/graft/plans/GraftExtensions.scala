@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Functions: `shingle_hashes(text, n)`, `minhash_signature(hashes, k)`,
   * `minhash_bands(hashes, bands, rowsPerBand)`, `simhash64(hashes)`,
-  * `winnowing_fingerprints(text, k, w)`, `sorted_jaccard(a, b)`.
+  * `winnowing_fingerprints(text, k, w)`, `sorted_jaccard(a, b)`,
+  * `sorted_intersect(a, b)`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -71,6 +72,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         FunctionIdentifier("sorted_jaccard"),
         new ExpressionInfo(classOf[SortedJaccard].getName, "sorted_jaccard"),
         (children: Seq[Expression]) => SortedJaccard(children.head, children(1))
+      )
+    )
+    ext.injectFunction(
+      (
+        FunctionIdentifier("sorted_intersect"),
+        new ExpressionInfo(classOf[SortedIntersect].getName, "sorted_intersect"),
+        (children: Seq[Expression]) => SortedIntersect(children.head, children(1))
       )
     )
     // ngram_profile(text, n1[, n2, ...]) -> [cnt_n1, dist_n1, cnt_n2, ...]

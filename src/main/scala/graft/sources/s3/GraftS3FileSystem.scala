@@ -55,6 +55,7 @@ class GraftS3FileSystem extends FileSystem {
   private var bucket: String     = _
   private var endpoint: String   = _
   private var accessKey: String  = _
+  private var multipartThreshold: Long = _
   private var workingDir: Path   = _
 
   override def initialize(name: URI, conf: Configuration): Unit = {
@@ -67,6 +68,10 @@ class GraftS3FileSystem extends FileSystem {
     require(endpoint.nonEmpty, "fs.s3x.endpoint must be set (e.g. http://127.0.0.1:5000)")
     endpoint = endpoint.stripSuffix("/")
     accessKey = conf.getTrimmed("fs.s3x.access.key", "graft-test")
+    // S3 rejects non-final parts under 5 MB (EntityTooSmall), so the
+    // part size — and with it the threshold — is floored there
+    multipartThreshold = math.max(
+      conf.getLong("fs.s3x.multipart.threshold", 64L * 1024 * 1024), 5L * 1024 * 1024)
     workingDir = new Path(s"s3x://$bucket/")
   }
 
@@ -327,19 +332,98 @@ class GraftS3FileSystem extends FileSystem {
       out.close()
       try {
         val len = NioFiles.size(tmp)
-        val hdrs = ArrayBuffer[(String, String)]("Content-Type" -> "application/octet-stream")
-        if (exclusive) hdrs += ("If-None-Match" -> "*")
-        val c = connect("PUT", key, headers = hdrs.toSeq)
-        c.setDoOutput(true)
-        c.setFixedLengthStreamingMode(len)
-        val os = c.getOutputStream
-        try NioFiles.copy(tmp, os) finally os.close()
-        val code = c.getResponseCode
-        drainAndClose(c); c.disconnect()
-        if (code == 412 && exclusive)
-          throw new FileAlreadyExistsException(s"s3x://$bucket/$key already exists (conditional PUT)")
-        if (code != 200) throw new IOException(s"PUT $key failed: HTTP $code")
+        // exclusive creates are always manifests/markers (small); the
+        // conditional-PUT atomicity contract only exists on simple PUT
+        if (len >= multipartThreshold && !exclusive) multipartUpload(key, tmp, len)
+        else simplePut(key, tmp, len, exclusive)
       } finally NioFiles.deleteIfExists(tmp)
+    }
+  }
+
+  private def simplePut(key: String, tmp: NioPath, len: Long, exclusive: Boolean): Unit = {
+    val hdrs = ArrayBuffer[(String, String)]("Content-Type" -> "application/octet-stream")
+    if (exclusive) hdrs += ("If-None-Match" -> "*")
+    val c = connect("PUT", key, headers = hdrs.toSeq)
+    c.setDoOutput(true)
+    c.setFixedLengthStreamingMode(len)
+    val os = c.getOutputStream
+    try NioFiles.copy(tmp, os) finally os.close()
+    val code = c.getResponseCode
+    drainAndClose(c); c.disconnect()
+    if (code == 412 && exclusive)
+      throw new FileAlreadyExistsException(s"s3x://$bucket/$key already exists (conditional PUT)")
+    if (code != 200) throw new IOException(s"PUT $key failed: HTTP $code")
+  }
+
+  /** Standard S3 multipart upload (create → N part PUTs → complete with
+    * the ETag manifest); parts are `multipartThreshold`-sized slices of
+    * the spill file. This is what keeps task outputs above the
+    * single-PUT comfort zone (and, on real S3, above the hard 5 GB
+    * single-PUT limit) streamable without buffering more than one part.
+    */
+  private def multipartUpload(key: String, tmp: NioPath, len: Long): Unit = {
+    def post(query: String, body: Array[Byte]): String = {
+      // explicit content type: the JDK defaults POST bodies to
+      // x-www-form-urlencoded, which S3 servers parse as a FORM —
+      // the raw XML body then reads back empty
+      val c = connect("POST", key, query, headers = Seq("Content-Type" -> "application/xml"))
+      c.setDoOutput(true)
+      c.setFixedLengthStreamingMode(body.length.toLong)
+      val os = c.getOutputStream
+      try os.write(body) finally os.close()
+      val code = c.getResponseCode
+      val resp = readBody(c); c.disconnect()
+      if (code != 200) throw new IOException(s"multipart POST $key?$query failed: HTTP $code $resp")
+      resp
+    }
+    val initXml = post("uploads", Array.emptyByteArray)
+    val uploadId = "<UploadId>(.*?)</UploadId>".r.findFirstMatchIn(initXml)
+      .map(_.group(1)).getOrElse(throw new IOException(s"no UploadId in $initXml"))
+    try {
+      val etags = ArrayBuffer.empty[String]
+      val in = NioFiles.newInputStream(tmp)
+      try {
+        val partBuf = new Array[Byte](multipartThreshold.toInt)
+        var partNum = 1
+        var done = false
+        while (!done) {
+          var filled = 0
+          var r = 0
+          while (filled < partBuf.length && { r = in.read(partBuf, filled, partBuf.length - filled); r >= 0 })
+            filled += r
+          if (r < 0) done = true
+          if (filled > 0) {
+            val c = connect("PUT", key, s"partNumber=$partNum&uploadId=${encodeQ(uploadId)}")
+            c.setDoOutput(true)
+            c.setFixedLengthStreamingMode(filled.toLong)
+            val os = c.getOutputStream
+            try os.write(partBuf, 0, filled) finally os.close()
+            val code = c.getResponseCode
+            val etag = Option(c.getHeaderField("ETag")).getOrElse("")
+            drainAndClose(c); c.disconnect()
+            if (code != 200) throw new IOException(s"part $partNum of $key failed: HTTP $code")
+            etags += etag
+            partNum += 1
+          }
+        }
+      } finally in.close()
+      val completeXml =
+        "<CompleteMultipartUpload>" +
+          etags.zipWithIndex.map { case (e, i) =>
+            s"<Part><PartNumber>${i + 1}</PartNumber><ETag>$e</ETag></Part>"
+          }.mkString +
+        "</CompleteMultipartUpload>"
+      val resp = post(s"uploadId=${encodeQ(uploadId)}", completeXml.getBytes(StandardCharsets.UTF_8))
+      // AWS responds <CompleteMultipartUploadResult>, some S3-compatibles
+      // say ...Response; an <Error> body can arrive under HTTP 200 too
+      if (!resp.contains("CompleteMultipartUpload") || resp.contains("<Error>"))
+        throw new IOException(s"multipart complete of $key unexpected response: $resp")
+    } catch {
+      case e: Throwable =>
+        // abort the upload so the store doesn't accrue orphaned parts
+        try { val c = connect("DELETE", key, s"uploadId=${encodeQ(uploadId)}")
+          c.getResponseCode; drainAndClose(c); c.disconnect() } catch { case _: IOException => () }
+        throw e
     }
   }
 

@@ -29,6 +29,30 @@ class PropertySpec extends SparkSpec {
       p <- Gen.alphaStr.map(_.take(4))
     } yield (k, v, p))
 
+  test("SortedIntersect/SortedJaccard agree with set algebra on random sorted arrays") {
+    import graft.plans.TextVectorExpressions
+    import org.apache.spark.sql.functions.col
+    val arrGen = Gen.listOf(Gen.choose(0L, 40L)).map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(arrGen, arrGen), 60)
+    val df = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        TextVectorExpressions.sortedIntersect(col("a"), col("b")).as("inter"),
+        TextVectorExpressions.sortedJaccard(col("a"), col("b")).as("jac"))
+    df.collect().foreach { r =>
+      val a = r.getSeq[Long](0).toSet
+      val b = r.getSeq[Long](1).toSet
+      val inter = r.getLong(2)
+      assert(inter == (a & b).size.toLong, s"intersect mismatch on $a / $b")
+      val jac = r.getDouble(3)
+      if (a.isEmpty && b.isEmpty) assert(jac.isNaN)
+      else {
+        // the kernel's own identity: |∩| / (n + m - |∩|) as one double division
+        assert(jac == inter.toDouble / (a.size + b.size - inter).toDouble,
+          s"jaccard must equal inter/union on $a / $b")
+      }
+    }
+  }
+
   test("Upsert: one row per key, winner is the max (version, tiebreak) of its key") {
     for (rows <- samples(rowsGen, 8) if rows.nonEmpty) {
       val df  = rows.toDF("k", "v", "p")

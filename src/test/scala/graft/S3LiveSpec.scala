@@ -145,6 +145,34 @@ class S3LiveSpec extends SparkSpec {
     assert(fs.delete(new Path(p, "enc dir"), true))
   }
 
+  test("multipart upload: large objects stream in parts and read back byte-identical") {
+    gate()
+    val ep = MotoS3.endpoint.get
+    val mpuBucket = "graft-mpu"
+    val code = MotoS3.http("PUT", s"$ep/$mpuBucket")
+    assert(code == 200 || code == 409, s"bucket create: HTTP $code")
+    val conf = spark.sparkContext.hadoopConfiguration
+    // set BEFORE this bucket's FileSystem instance is first created (the
+    // instance is cached per scheme+authority with init-time settings);
+    // 5 MB is the S3 minimum part size — the floor the FS enforces
+    val partSize = 5 * 1024 * 1024
+    conf.setLong("fs.s3x.multipart.threshold", partSize.toLong)
+    val p = new Path(s"s3x://$mpuBucket/mpu/big.bin")
+    val fs = p.getFileSystem(conf)
+    val data = new Array[Byte](2 * partSize + 123456) // 2 full parts + a tail part
+    new scala.util.Random(7).nextBytes(data)
+    val out = fs.create(p, true); out.write(data); out.close()
+    assert(fs.getFileStatus(p).getLen == data.length.toLong)
+    val in = fs.open(p)
+    val back = new Array[Byte](data.length); in.readFully(back)
+    assert(java.util.Arrays.equals(back, data), "full read must be byte-identical")
+    // ranged read across a part boundary
+    in.seek(partSize - 10)
+    val window = new Array[Byte](20); in.readFully(window); in.close()
+    assert(window.toSeq == data.slice(partSize - 10, partSize + 10).toSeq,
+      "seek across the part boundary must see contiguous bytes")
+  }
+
   test("watermark blob listing over a live prefix") {
     val prefix = gate()
     Seq((1, "a"), (2, "b")).toDF("k", "payload").coalesce(1)
