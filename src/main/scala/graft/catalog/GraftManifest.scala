@@ -196,6 +196,23 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     sys.error("unreachable")
   }
 
+  /** Roll the table back to `version` by committing a NEW snapshot with
+    * that version's exact content (Iceberg `rollback_to_snapshot`
+    * semantics): history is preserved — the bad snapshots stay
+    * time-travelable until expired — and the rollback itself goes
+    * through the OCC loop like any other commit, so it composes with
+    * concurrent writers instead of clobbering them.
+    */
+  def rollbackTo(version: Long): GraftSnapshot = {
+    require(versions().contains(version),
+      s"cannot roll back to v$version: not a live snapshot at $tableDir")
+    val target = readSnapshot(version)
+    commit(s"rollback-to-v$version") { _ =>
+      GraftManifestIO.Content(target.schema,
+        target.properties - GraftManifestIO.CommittedAtMs, target.files, target.deletes)
+    }
+  }
+
   def dataDir: Path = new Path(tableDir, "data")
 
   def drop(): Boolean = fs.delete(tableDir, true)

@@ -25,7 +25,7 @@ object GraftProcedures {
   val Namespace = "system"
 
   def list(): Array[Identifier] =
-    Array("compact", "zorder", "expire_snapshots", "remove_orphans")
+    Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback")
       .map(Identifier.of(Array(Namespace), _))
 
   def load(warehouse: Path, ident: Identifier): Option[UnboundProcedure] = {
@@ -71,6 +71,18 @@ object GraftProcedures {
           val io = new GraftManifestIO(
             new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
           new GenericInternalRow(Array[Any](io.expireSnapshots(in.getInt(1)).size))
+        }))
+      case "rollback" => Some(proc("rollback",
+        "roll the table back to an earlier snapshot (a new commit; history stays travelable)",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("restored_version", LongType), StructField("new_version", LongType))),
+        { (_, in) =>
+          val io = new GraftManifestIO(
+            new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
+          val snap = io.rollbackTo(in.getLong(1))
+          new GenericInternalRow(Array[Any](in.getLong(1), snap.version))
         }))
       case "remove_orphans" => Some(proc("remove_orphans",
         "delete data/delete files referenced by no live snapshot",

@@ -514,6 +514,28 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(DISTINCT k) FROM $cat.db.proc").head.getLong(0) == 1000)
   }
 
+  test("CALL rollback restores an earlier snapshot as a new commit; history stays travelable") {
+    spark.sql(s"CREATE TABLE $cat.db.rb (k INT, v STRING)")      // v1
+    spark.sql(s"INSERT INTO $cat.db.rb VALUES (1, 'a')")          // v2
+    spark.sql(s"INSERT INTO $cat.db.rb VALUES (2, 'b')")          // v3
+    spark.sql(s"UPDATE $cat.db.rb SET v = 'X' WHERE k = 1")       // v4
+    val r = spark.sql(s"CALL $cat.system.rollback('db.rb', 2)").head
+    assert(r.getLong(0) == 2L && r.getLong(1) == 5L, s"expected (2, 5), got $r")
+    // head now equals v2's content...
+    assert(spark.sql(s"SELECT * FROM $cat.db.rb ORDER BY k").collect().toSeq ==
+      Seq(Row(1, "a")))
+    // ...and the rolled-over snapshots remain time-travelable (Iceberg
+    // rollback_to_snapshot semantics: rollback is a commit, not an erasure)
+    assert(spark.sql(s"SELECT v FROM $cat.db.rb VERSION AS OF 4 WHERE k = 1").head.getString(0) == "X")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.rb VERSION AS OF 3").head.getLong(0) == 2L)
+    // rolling back to a non-live version is a loud error
+    intercept[Exception] { spark.sql(s"CALL $cat.system.rollback('db.rb', 99)").collect() }
+    // data files of the restored snapshot survive a subsequent orphan sweep
+    assert(spark.sql(s"CALL $cat.system.remove_orphans('db.rb')").head.getInt(0) == 0)
+    assert(spark.sql(s"SELECT * FROM $cat.db.rb ORDER BY k").collect().toSeq ==
+      Seq(Row(1, "a")))
+  }
+
   test("catalog surface: list, rename, drop, timestamp travel") {
     spark.sql(s"CREATE TABLE $cat.db.c1 (k INT)")
     spark.sql(s"INSERT INTO $cat.db.c1 VALUES (5)")
