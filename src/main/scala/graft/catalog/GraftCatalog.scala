@@ -130,6 +130,26 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames().length == 1, "graft supports top-level columns only")
           schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
+        case rn: TableChange.RenameColumn =>
+          require(rn.fieldNames().length == 1, "graft supports top-level columns only")
+          val oldName = rn.fieldNames()(0)
+          require(!props.get(GraftTable.PartitionColsProp).exists(_.split(",").contains(oldName)),
+            s"cannot rename partition column $oldName")
+          require(schema.fieldNames.contains(oldName), s"no such column: $oldName")
+          require(!schema.fieldNames.contains(rn.newName()), s"column exists: ${rn.newName()}")
+          // name-based format: the new field records its former names so
+          // readers resolve data files written BEFORE the rename
+          schema = StructType(schema.fields.map { f =>
+            if (f.name != oldName) f
+            else {
+              val prior = GraftParquetIO.formerNames(f)
+              val md = new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata)
+                .putStringArray(GraftParquetIO.FormerNamesKey, (oldName +: prior).distinct.toArray)
+                .build()
+              f.copy(name = rn.newName(), metadata = md)
+            }
+          })
         case set: TableChange.SetProperty => props += (set.property() -> set.value())
         case rm: TableChange.RemoveProperty => props -= rm.property()
         case other => throw new UnsupportedOperationException(s"graft alter: $other")

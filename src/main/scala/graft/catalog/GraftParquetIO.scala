@@ -33,6 +33,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object GraftParquetIO {
 
+  /** Field-metadata key listing a column's FORMER names (`ALTER TABLE
+    * ... RENAME COLUMN` support in a name-mapped format): readers
+    * resolve a requested column against data files written before the
+    * rename by falling back through this list, newest first — the same
+    * reconciliation Iceberg gets from field IDs and external parquet
+    * gets from a name-mapping table (ReferenceOps `name_mapping`).
+    */
+  val FormerNamesKey = "graft.former-names"
+
+  def formerNames(f: StructField): Seq[String] =
+    if (f.metadata.contains(FormerNamesKey)) f.metadata.getStringArray(FormerNamesKey).toSeq
+    else Nil
+
   def toMessageType(schema: StructType, name: String = "graft"): MessageType = {
     val b = Types.buildMessage()
     schema.fields.foreach(f => b.addField(toParquetField(f.name, f.dataType)))
@@ -221,12 +234,16 @@ object GraftParquetIO {
     }
     private val dataFields = requested.fields.zipWithIndex
       .filter { case (_, i) => i != fileColOrdinal && i != posColOrdinal }
-    // projection = requested data columns present in the file, in requested order
-    private val present = dataFields.filter { case (f, _) => fileSchema.containsField(f.name) }
+    // projection = requested data columns present in the file (under the
+    // current OR a former name — RENAME COLUMN reconciliation), in
+    // requested order; absent columns null-fill
+    private val present: Array[(StructField, String)] = dataFields.flatMap { case (f, _) =>
+      (f.name +: formerNames(f)).find(fileSchema.containsField).map(n => (f, n))
+    }
     private val projection: MessageType = {
       val b = Types.buildMessage()
-      present.foreach { case (f, _) =>
-        b.addField((fileSchema: org.apache.parquet.schema.GroupType).getType(f.name)) }
+      present.foreach { case (_, n) =>
+        b.addField((fileSchema: org.apache.parquet.schema.GroupType).getType(n)) }
       b.named(fileSchema.getName)
     }
     // group field index for each requested ordinal; -1 -> null-fill

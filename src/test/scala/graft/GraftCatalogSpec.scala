@@ -211,6 +211,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(rows.toSeq == Seq(Row(1, null), Row(2, "with-note")))
   }
 
+  test("RENAME COLUMN: pre-rename data files resolve under the new name") {
+    spark.sql(s"CREATE TABLE $cat.db.ren (k INT, note STRING)")
+    spark.sql(s"INSERT INTO $cat.db.ren VALUES (1, 'before')")
+    spark.sql(s"ALTER TABLE $cat.db.ren RENAME COLUMN note TO comment")
+    spark.sql(s"INSERT INTO $cat.db.ren VALUES (2, 'after')")
+    assert(spark.sql(s"SELECT k, comment FROM $cat.db.ren ORDER BY k").collect().toSeq ==
+      Seq(Row(1, "before"), Row(2, "after")),
+      "old files must resolve through the former-name chain")
+    // second rename: the chain keeps every historical name resolvable
+    spark.sql(s"ALTER TABLE $cat.db.ren RENAME COLUMN comment TO remark")
+    spark.sql(s"INSERT INTO $cat.db.ren VALUES (3, 'newest')")
+    assert(spark.sql(s"SELECT remark FROM $cat.db.ren ORDER BY k").collect().map(_.getString(0)).toSeq ==
+      Seq("before", "after", "newest"))
+    // predicates and aggregates over the renamed column stay correct
+    // (stats keyed by old names fall back to a real scan — sound)
+    assert(spark.sql(s"SELECT k FROM $cat.db.ren WHERE remark = 'before'").head.getInt(0) == 1)
+    assert(spark.sql(s"SELECT count(remark) FROM $cat.db.ren").head.getLong(0) == 3L)
+    // MERGE through a rename: carried-over rows re-resolve, rewrite
+    // emits files under the CURRENT name
+    spark.createDataFrame(Seq((1, "merged"))).toDF("k", "remark")
+      .createOrReplaceTempView("ren_updates")
+    spark.sql(s"""MERGE INTO $cat.db.ren t USING ren_updates s ON t.k = s.k
+                  WHEN MATCHED THEN UPDATE SET *""")
+    assert(spark.sql(s"SELECT remark FROM $cat.db.ren ORDER BY k").collect().map(_.getString(0)).toSeq ==
+      Seq("merged", "after", "newest"))
+    // renaming a partition column is refused loudly
+    spark.sql(s"CREATE TABLE $cat.db.renp (k INT, p STRING) PARTITIONED BY (p)")
+    intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.renp RENAME COLUMN p TO q")
+    }
+  }
+
   test("real concurrent appenders all land through the OCC retry loop") {
     spark.sql(s"CREATE TABLE $cat.db.race (w INT, i INT)")
     val io = manifestIO("race")
