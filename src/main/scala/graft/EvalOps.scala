@@ -74,6 +74,49 @@ object EvalOps {
       bench = true
     ),
     QueryDef(
+      "eval_retrieval_labels",
+      // retrieval-quality measurement against the embeddings' label
+      // column: precision@5 numerator and reciprocal rank of the first
+      // same-label neighbor, per probe — integer counts and a fixed-point
+      // 1000000 div rank, so the metric hash-matches. MRR/precision are
+      // THE feedback loop for picking ANN operating points (the
+      // recall-vs-depth curves in SimilaritySpec measure the index; this
+      // measures end labels).
+      (spark, dir) => {
+        val e = Tables(spark, dir).embeddings
+        val probes = e.filter(col("vec_id") < 10)
+        val cands  = e.filter(col("vec_id") >= 10)
+        val topk = graft.operators.Similarity.bruteForceTopK(
+          probes, cands, "vec_id", "embedding", k = 5)
+        val pl = probes.select(col("vec_id").as("probe_id"), col("label").as("__plabel"))
+        val cl = cands.select(col("vec_id").as("neighbor_id"), col("label").as("__clabel"))
+        topk.join(broadcast(pl), "probe_id").join(broadcast(cl), "neighbor_id")
+          .groupBy("probe_id")
+          .agg(
+            sum(when(col("__clabel") === col("__plabel"), 1L).otherwise(0L)).as("n_relevant_at_5"),
+            min(when(col("__clabel") === col("__plabel"), col("rank"))).as("__fr"))
+          .select(col("probe_id"), col("n_relevant_at_5"),
+            coalesce((lit(1000000L) / col("__fr")).cast("long"), lit(0L)).as("rr_fp"))
+          .orderBy("probe_id")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+             p AS (SELECT * FROM e WHERE vec_id < 10),
+             c AS (SELECT * FROM e WHERE vec_id >= 10),
+             topk AS (
+               SELECT p.vec_id AS probe_id, p.label AS plabel,
+                      c.vec_id AS neighbor_id, c.label AS clabel,
+                      row_number() OVER (PARTITION BY p.vec_id
+                        ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS rank
+               FROM p, c QUALIFY rank <= 5)
+        SELECT probe_id,
+               CAST(sum(CASE WHEN clabel = plabel THEN 1 ELSE 0 END) AS BIGINT) AS n_relevant_at_5,
+               CAST(COALESCE(1000000 // min(CASE WHEN clabel = plabel THEN rank END), 0) AS BIGINT) AS rr_fp
+        FROM topk GROUP BY probe_id ORDER BY probe_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "winsorize",
       (spark, dir) => {
         // per-group clamp at the exact p05/p95 order statistics

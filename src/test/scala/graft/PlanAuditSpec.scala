@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "token_pmi",                       // 1-row bigram-total scalar broadcast
     // bounded-small-side contracts (require-guarded probe sets, ≤16k rows):
     "ann_bruteforce",                  // broadcast probe set vs corpus — the exact baseline
+    "eval_retrieval_labels",           // same broadcast probe sweep feeding the label metrics
     "mine_hard_negatives",             // broadcast probe set vs corpus — sub-ceiling top-k
     "ann_range",                       // broadcast probe set vs corpus — radius filter in the scan
     "ann_hamming",                     // broadcast probe codes vs corpus — two-word popcount sweep
