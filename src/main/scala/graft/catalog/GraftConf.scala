@@ -30,6 +30,20 @@ object GraftConf {
       .map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  /** Plan-time snapshot to embed in reader/writer factories. */
-  def serializable: SerializableConfiguration = new SerializableConfiguration(hadoop)
+  /** Plan-time snapshot to embed in reader/writer factories.
+    *
+    * Broadcast, not inline: an inline `SerializableConfiguration` field
+    * re-serializes the full conf XML into EVERY task closure (measured
+    * 1.0 → 1.8 s on the catalog MERGE path); a broadcast ships it once
+    * per plan and tasks share the deserialized copy — the same pattern
+    * as Spark's own `FileSourceScanExec.broadcastedHadoopConf`. Created
+    * at plan time, so later session-conf mutations still reach the next
+    * query's plan.
+    */
+  def serializable: org.apache.spark.broadcast.Broadcast[SerializableConfiguration] =
+    SparkSession.getActiveSession.orElse(SparkSession.getDefaultSession) match {
+      case Some(s) => s.sparkContext.broadcast(new SerializableConfiguration(hadoop))
+      case None => throw new IllegalStateException(
+        "no active Spark session to broadcast Hadoop conf from")
+    }
 }

@@ -104,11 +104,11 @@ final case class GraftDeltaCommitMessage(data: Seq[FileEntry], deletes: Seq[Dele
 final case class GraftDeltaWriterFactory(
     tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
     maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int,
-    serConf: org.apache.spark.util.SerializableConfiguration = GraftConf.serializable)
+    serConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = GraftConf.serializable)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
-      partitionOrdinals, maxRowsPerFile, fileIdOrdinal, posIdOrdinal, serConf.value)
+      partitionOrdinals, maxRowsPerFile, fileIdOrdinal, posIdOrdinal, serConf.value.value)
 }
 
 /** Inserts go through the ordinary rolling data writer; deletes stream

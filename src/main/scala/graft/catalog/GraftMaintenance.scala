@@ -109,7 +109,7 @@ object GraftMaintenance {
       else {
         val rel = s"data/part-$tag-$id-$pid.parquet"
         val w = new GraftParquetIO.FileWriter(
-          new Path(new Path(dirStr), rel), schema, serConf.value)
+          new Path(new Path(dirStr), rel), schema, serConf.value.value)
         rows.foreach(w.write)
         Iterator.single(w.finish(rel))
       }

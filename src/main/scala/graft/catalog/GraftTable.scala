@@ -317,11 +317,11 @@ final case class GraftInputPartition(
 }
 
 final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int, posColOrdinal: Int,
-    serConf: org.apache.spark.util.SerializableConfiguration)
+    serConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration])
   extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val gp = p.asInstanceOf[GraftInputPartition]
-    val conf = serConf.value
+    val conf = serConf.value.value
     new PartitionReader[InternalRow] {
       private val it = gp.chunks.iterator
       private var reader: GraftParquetIO.FileReader = _
@@ -461,11 +461,11 @@ final case class GraftCommitMessage(entries: Seq[FileEntry]) extends WriterCommi
 final case class GraftDataWriterFactory(
     tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
     maxRowsPerFile: Long = Long.MaxValue,
-    serConf: org.apache.spark.util.SerializableConfiguration = GraftConf.serializable)
+    serConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = GraftConf.serializable)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
-      partitionOrdinals, maxRowsPerFile, serConf.value)
+      partitionOrdinals, maxRowsPerFile, serConf.value.value)
 }
 
 /** One parquet file per non-empty task — or, for partitioned tables,

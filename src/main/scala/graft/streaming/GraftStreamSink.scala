@@ -39,7 +39,7 @@ object GraftStreamSink {
       else {
         val rel = s"data/part-stream-$writeId-$batchId-$pid.parquet"
         val w = new GraftParquetIO.FileWriter(
-          new Path(new Path(tableDir), rel), schema, serConf.value)
+          new Path(new Path(tableDir), rel), schema, serConf.value.value)
         rows.foreach(w.write)
         Iterator.single(w.finish(rel))
       }
