@@ -167,8 +167,29 @@ class GraftS3FileSystem extends FileSystem {
     Listing(objs, dirs, token)
   }
 
+  /** Bounded retry for IDEMPOTENT metadata calls (list/HEAD): transient
+    * resets and 5xx throttles are routine against object stores at
+    * fleet scale, and failing a whole task over one is wasteful — the
+    * s3a policy, minimally. Mutations are NOT retried here: PUT/DELETE
+    * retries interact with the conditional-create protocol and are the
+    * commit loop's job.
+    */
+  private def retrying[A](what: String)(op: => A): A = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: IOException =>
+          attempt += 1
+          if (attempt >= 3) throw e
+          Thread.sleep(100L << attempt)
+      }
+    }
+    sys.error("unreachable")
+  }
+
   private def listOnce(prefix: String, delimiter: Option[String], token: Option[String],
-                       maxKeys: Int = 1000): Listing = {
+                       maxKeys: Int = 1000): Listing = retrying(s"list $prefix") {
     val q = new StringBuilder(s"list-type=2&max-keys=$maxKeys&prefix=${encodeQ(prefix)}")
     delimiter.foreach(d => q.append(s"&delimiter=${encodeQ(d)}"))
     token.foreach(t => q.append(s"&continuation-token=${encodeQ(t)}"))
@@ -196,7 +217,7 @@ class GraftS3FileSystem extends FileSystem {
 
   // ---- status ------------------------------------------------------------
 
-  private def headObject(key: String): Option[(Long, Long)] = {
+  private def headObject(key: String): Option[(Long, Long)] = retrying(s"head $key") {
     val c = connect("HEAD", key)
     try c.getResponseCode match {
       case 200 =>
