@@ -139,6 +139,20 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_simhash_collapsed",
+      // the deep-duplication-safe composition: exact-dup pre-collapse
+      // (one hash shuffle) -> simhash banding on representatives ->
+      // group-level pairs with exact-group cardinalities. On the 30x
+      // replica corpus this turns the designed-quadratic 197s case
+      // linear — duplication depth never reaches the pair stage
+      (spark, dir) =>
+        Dedup.simhashNearDupsCollapsed(
+            spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text", maxHamming = 8)
+          .orderBy("id_a", "id_b"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "dedup_editdistance",
       // character-level near-dup pairs (typos/OCR/template drift) via
       // PassJoin segment blocking — constant per-string key fanout, no

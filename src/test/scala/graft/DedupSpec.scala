@@ -19,6 +19,31 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq((1L, 2L), (2L, 1L), (3L, 1L)))
   }
 
+  test("collapsed simhash: exact copies fold to one representative; near-dups survive with group sizes") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away today", "s"),
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away today", "s"), // exact of 10
+      (12L, "the quick brown fox jumps over the lazy dog and runs far away today", "s"), // exact of 10
+      (20L, "the quick brown fox jumps over the lazy dog and runs far away tonight", "s"), // near-dup
+      (30L, "completely different content about spark query engines and parquet files", "s")
+    ).toDF("doc_id", "text", "source")
+
+    val pairs = Dedup.simhashNearDupsCollapsed(corpus, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b", "n_a", "n_b").as[(Long, Long, Long, Long)].collect().toList
+
+    // the 3-copy group collapses to representative 10; C(3,2)=3
+    // intra-group pairs never materialize; the near-dup pair carries
+    // the group cardinalities instead
+    assert(pairs == List((10L, 20L, 3L, 1L)), s"got $pairs")
+
+    // representative pairs agree with the uncollapsed operator run on
+    // the already-distinct corpus
+    val distinctCorpus = corpus.filter($"doc_id" isin (10L, 20L, 30L))
+    val plain = Dedup.simhashNearDups(distinctCorpus, "doc_id", "text", maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toList
+    assert(plain == pairs.map(p => (p._1, p._2)))
+  }
+
   test("containment is asymmetric: a quote inside a long doc scores forward, not backward") {
     val quote = "the quick brown fox jumps over the lazy dog"
     val corpus = Seq(
