@@ -352,6 +352,20 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_embedding_collapsed",
+      // deep-duplication-safe LSH near-dup: byte-identical vectors fold
+      // to representatives in one hash shuffle before banding; pairs
+      // carry exact-group cardinalities (see dedup_simhash_collapsed —
+      // same composition, measured 197s -> 1.6s on 30x replicas there)
+      (spark, dir) =>
+        Similarity.lshNearDupPairsCollapsed(
+            spread(Tables(spark, dir).embeddings, "vec_id"), "vec_id", "embedding",
+            threshold = 0.45, dim = 64)
+          .orderBy("id_a", "id_b"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "dedup_embedding_exact",
       // all-pairs oracle baseline (O(n²), correctness only — NOT benched
       // and not the scale route)

@@ -454,6 +454,31 @@ object Similarity {
       .filter(col("cosine") >= threshold)
   }
 
+  /** [[lshNearDupPairs]] with EXACT-VECTOR PRE-COLLAPSE — the same
+    * deep-duplication composition as `Dedup.simhashNearDupsCollapsed`:
+    * byte-identical embeddings (hash of the raw float array) fold to
+    * one representative per group in one hash shuffle, LSH banding runs
+    * on representatives, and pairs carry exact-group cardinalities
+    * (n_a, n_b). A cluster of n identical vectors — the dominant dup
+    * shape in web-scale embedding tables — costs O(n) instead of
+    * C(n,2) inside every colliding bucket.
+    */
+  def lshNearDupPairsCollapsed(
+      vectors: DataFrame, idCol: String, vecCol: String, threshold: Double,
+      dim: Int, tables: Int = 16, bitsPerTable: Int = 4
+  ): DataFrame = {
+    val hashed = vectors.select(col(idCol).as("__id"), col(vecCol).as("__vec"))
+      .withColumn("__vhash", sha2(to_json(struct(col("__vec"))), 256))
+    val reps = hashed.groupBy("__vhash").agg(
+      min(col("__id")).as("__id"),
+      first(col("__vec")).as("__vec"),
+      count(lit(1)).as("__n"))
+    lshNearDupPairs(reps, "__id", "__vec", threshold, dim, tables, bitsPerTable)
+      .join(reps.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(reps.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("cosine"), col("n_a"), col("n_b"))
+  }
+
   /** Near-duplicate pairs by embedding cosine ≥ threshold. Exact
     * (pairwise) variant for oracle checking; `lshNearDupPairs` is the
     * scale route for the same semantics.

@@ -29,6 +29,23 @@ class BucketingSpec extends SparkSpec {
     assert(out == Set(1L, 4L))
   }
 
+  test("collapsed LSH near-dup: identical vectors fold to a representative with group sizes") {
+    val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
+    val near = base.clone(); near(0) = near(0) + 0.02f // tiny perturbation: near-dup
+    val far  = Array.tabulate(64)(i => math.cos(3 * i + 2).toFloat)
+    val vecs = Seq(
+      (10L, base), (11L, base), (12L, base), // 3 exact copies
+      (20L, near),
+      (30L, far)
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.lshNearDupPairsCollapsed(vecs, "vec_id", "embedding",
+        threshold = 0.9, dim = 64)
+      .select("id_a", "id_b", "n_a", "n_b").as[(Long, Long, Long, Long)].collect().toList
+    // C(3,2)=3 intra-group pairs never materialize; the surviving
+    // representative pair carries the group cardinality
+    assert(pairs == List((10L, 20L, 3L, 1L)), s"got $pairs")
+  }
+
   test("LSH embedding near-dup pairs find what the exact scan finds") {
     val e = Tables(spark, sfDir).embeddings
     val exact = Similarity.embeddingNearDups(e, "vec_id", "embedding", threshold = 0.4)
