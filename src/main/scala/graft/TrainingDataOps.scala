@@ -131,6 +131,17 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_minhash_collapsed",
+      // exact-dup pre-collapse before banding (see dedup_simhash_collapsed);
+      // identical docs share EVERY band hash, so deep duplication is
+      // quadratic in every band without this
+      (spark, dir) =>
+        Dedup.minhashNearDupsCollapsed(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text")
+          .orderBy("id_a", "id_b"),
+      None,
+      bench = true
+    ),
+    QueryDef(
       "dedup_simhash",
       (spark, dir) =>
         Dedup.simhashNearDups(spread(Tables(spark, dir).documents, "doc_id"), "doc_id", "text", maxHamming = 8)

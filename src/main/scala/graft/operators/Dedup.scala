@@ -214,6 +214,29 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** [[minhashNearDups]] with exact-duplicate pre-collapse — see
+    * [[simhashNearDupsCollapsed]] for the composition and the measured
+    * deep-duplication cliff it removes (identical docs share every band
+    * hash, so an n-copy cluster lands C(n,2) pairs in EVERY band
+    * without the collapse). Output: representative pairs with
+    * exact-group cardinalities.
+    */
+  def minhashNearDupsCollapsed(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, numPerm: Int = 64, bands: Int = 16, threshold: Double = 0.5
+  ): DataFrame = {
+    val hashed = docs.select(col(idCol).as("__id"), col(textCol).as("__text"))
+      .withColumn("__chash", sha2(col("__text"), 256))
+    val reps = hashed.groupBy("__chash").agg(
+      min(col("__id")).as("__id"),
+      first(col("__text")).as("__text"),
+      count(lit(1)).as("__n"))
+    minhashNearDups(reps, "__id", "__text", shingleN, numPerm, bands, threshold)
+      .join(reps.select(col("__id").as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(reps.select(col("__id").as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jaccard"), col("n_a"), col("n_b"))
+  }
+
   /** Resolve near-dup pairs into survivors: connected components by
     * iterative min-label propagation (each doc adopts the smallest id
     * reachable through pair edges), then keep one doc per component.

@@ -44,6 +44,19 @@ class DedupSpec extends SparkSpec {
     assert(plain == pairs.map(p => (p._1, p._2)))
   }
 
+  test("collapsed minhash: exact copies fold before banding; near-dup pair keeps group sizes") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away today", "s"),
+      (11L, "the quick brown fox jumps over the lazy dog and runs far away today", "s"),
+      (12L, "the quick brown fox jumps over the lazy dog and runs far away today", "s"),
+      (20L, "the quick brown fox jumps over the lazy dog and runs far away tonight", "s"),
+      (30L, "completely different content about spark query engines and parquet files", "s")
+    ).toDF("doc_id", "text", "source")
+    val pairs = Dedup.minhashNearDupsCollapsed(corpus, "doc_id", "text")
+      .select("id_a", "id_b", "n_a", "n_b").as[(Long, Long, Long, Long)].collect().toList
+    assert(pairs == List((10L, 20L, 3L, 1L)), s"got $pairs")
+  }
+
   test("containment is asymmetric: a quote inside a long doc scores forward, not backward") {
     val quote = "the quick brown fox jumps over the lazy dog"
     val corpus = Seq(
