@@ -131,6 +131,41 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "dedup_containment_collapsed",
+      // the exact-collapse composition, ORACLE-PROVEN: the collapse is a
+      // plain (source, text) group-by, so the whole
+      // collapse->block->score pipeline hash-matches DuckDB — the
+      // hash-family collapses (simhash/minhash/embedding) share this
+      // structure but are engine-hash-specific
+      (spark, dir) => {
+        import spark.implicits._
+        Dedup.containmentPairsCollapsed(Tables(spark, dir).documents,
+            "doc_id", "text", blockCol = "source", shingleN = 3, threshold = 0.4)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""
+        WITH reps AS (
+          SELECT source, text, min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source, text
+        ), toks AS (
+          SELECT doc_id, source, n, regexp_split_to_array(trim(text), '\s+') AS t FROM reps
+        ), sh AS (
+          SELECT doc_id, source, n,
+                 list_distinct(list_transform(range(1, greatest(len(t)-2,0)+1),
+                    i -> array_to_string(t[i:i+2], ' '))) AS s
+          FROM toks
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.s,b.s)) / len(a.s) AS containment,
+               a.n AS n_a, b.n AS n_b
+        FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id != b.doc_id
+        WHERE len(a.s) > 0
+          AND len(list_intersect(a.s,b.s)) / len(a.s) >= 0.4
+        ORDER BY id_a, id_b
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "dedup_minhash_collapsed",
       // exact-dup pre-collapse before banding (see dedup_simhash_collapsed);
       // identical docs share EVERY band hash, so deep duplication is

@@ -129,6 +129,25 @@ object Dedup {
       .filter(col("containment") >= threshold)
   }
 
+  /** [[containmentPairs]] with exact-duplicate pre-collapse. Unlike the
+    * hash-family collapses, this one is FULLY SQL-expressible (the
+    * collapse is a plain group-by on content), so the deep-duplication
+    * composition itself carries a DuckDB oracle — the one place the
+    * collapse pattern is proven hash-exact rather than spec-gated.
+    */
+  def containmentPairsCollapsed(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      shingleN: Int, threshold: Double
+  ): DataFrame = {
+    val reps = docs.groupBy(col(blockCol), col(textCol))
+      .agg(min(col(idCol)).as("__rid"), count(lit(1)).as("__n"))
+      .select(col("__rid").as(idCol), col(textCol), col(blockCol), col("__n"))
+    containmentPairs(reps, idCol, textCol, blockCol, shingleN, threshold)
+      .join(reps.select(col(idCol).as("id_a"), col("__n").as("n_a")), Seq("id_a"))
+      .join(reps.select(col(idCol).as("id_b"), col("__n").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("containment"), col("n_a"), col("n_b"))
+  }
+
   /** The persisted LSH band index of a corpus: (id, band_id, band_hash).
     * A production pipeline maintains this table incrementally — it is
     * the ONLY structure `minhashIncremental` probes, so history text is
