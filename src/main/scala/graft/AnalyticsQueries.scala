@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.ScaleSafe.broadcastIfSmall
+
 /** Section B of SURVEY.md §2 — headline analytics queries (bench set).
   *
   * Conventions shared with the DuckDB oracles:
@@ -82,15 +84,17 @@ object AnalyticsQueries {
       (spark, dir) => {
         import spark.implicits._
         val t = Tables(spark, dir)
-        // customer is ~1.5% of lineitem rows: broadcast it; orders⨝lineitem
-        // shuffles on orderkey (the natural key at 100 TB too).
+        // customer is ~1.5% of lineitem rows but still SF-proportional:
+        // hint only when measured small (at 100 TB the gate refuses and
+        // AQE shuffles it); orders⨝lineitem shuffles on orderkey (the
+        // natural key at 100 TB too).
         t.lineitem
           .filter($"l_shipdate" > ts("1998-03-15"))
           .join(
             t.orders.filter($"o_orderdate" < ts("1998-03-15")),
             $"l_orderkey" === $"o_orderkey"
           )
-          .join(broadcast(t.customer.filter($"c_mktsegment" === "BUILDING")), $"o_custkey" === $"c_custkey")
+          .join(broadcastIfSmall(t.customer.filter($"c_mktsegment" === "BUILDING")), $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
           .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
           .orderBy($"revenue".desc, $"l_orderkey")
@@ -116,9 +120,12 @@ object AnalyticsQueries {
       (spark, dir) => {
         import spark.implicits._
         val t = Tables(spark, dir)
-        // 6-table join; all dims (region/nation/supplier/customer) broadcast,
-        // the only shuffle join is lineitem⨝orders on orderkey.
-        val dims = broadcast(
+        // 6-table join. region/nation are bounded (plain hint); the
+        // supplier-derived side and customer are SF-proportional, so
+        // their hints are size-gated — at bench scale both broadcast
+        // (the only shuffle join is lineitem⨝orders on orderkey), at
+        // 100 TB the gate refuses and AQE shuffles/skew-handles them.
+        val dims = broadcastIfSmall(
           t.supplier
             .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
             .join(broadcast(t.region.filter($"r_name" === "ASIA")), $"n_regionkey" === $"r_regionkey")
@@ -128,7 +135,7 @@ object AnalyticsQueries {
           .join(t.orders.filter($"o_orderdate" >= ts("1996-01-01") && $"o_orderdate" < ts("1997-01-01")),
             $"l_orderkey" === $"o_orderkey")
           .join(dims, $"l_suppkey" === $"s_suppkey")
-          .join(broadcast(t.customer), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
+          .join(broadcastIfSmall(t.customer), $"o_custkey" === $"c_custkey" && $"c_nationkey" === $"s_nationkey")
           .groupBy($"n_name")
           .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
           .orderBy($"revenue".desc, $"n_name")
@@ -830,7 +837,7 @@ object AnalyticsQueries {
         import spark.implicits._
         val t = Tables(spark, dir)
         t.lineitem.select($"l_partkey", $"l_suppkey").distinct()
-          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+          .join(broadcastIfSmall(t.part), $"l_partkey" === $"p_partkey")
           .groupBy($"p_brand", $"p_type")
           .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
           .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type")
@@ -1054,8 +1061,10 @@ object AnalyticsQueries {
         import spark.implicits._
         // nation-pair trade volume (Q7 shape): the fact table joins TWO
         // different dimension roles (customer's nation via orders,
-        // supplier's nation directly) — all dims broadcast, the only
-        // shuffle is the aggregation's
+        // supplier's nation directly). The derived sides are
+        // customer/supplier-proportional, so their hints are size-gated:
+        // at bench scale everything broadcasts and the only shuffle is
+        // the aggregation's; at 100 TB AQE shuffles the customer side.
         val t = Tables(spark, dir)
         val custNation = t.customer
           .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
@@ -1065,8 +1074,8 @@ object AnalyticsQueries {
           .select($"s_suppkey", $"n_name".as("supp_nation"))
         t.lineitem
           .join(t.orders, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(custNation), $"o_custkey" === $"c_custkey")
-          .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+          .join(broadcastIfSmall(custNation), $"o_custkey" === $"c_custkey")
+          .join(broadcastIfSmall(suppNation), $"l_suppkey" === $"s_suppkey")
           .filter($"supp_nation" =!= $"cust_nation")
           .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
           .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("volume"))
@@ -1094,7 +1103,7 @@ object AnalyticsQueries {
         import spark.implicits._
         // market share (Q8 shape): one supplier nation's revenue share of
         // a region's PROMO-part orders per year — conditional aggregation
-        // over a 7-table join, every dimension broadcast
+        // over a 7-table join; SF-proportional sides size-gated
         val t = Tables(spark, dir)
         val amerCust = t.customer
           .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
@@ -1106,9 +1115,9 @@ object AnalyticsQueries {
         val promoParts = t.part.filter($"p_type" === "PROMO").select($"p_partkey")
         t.lineitem
           .join(t.orders, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(amerCust), $"o_custkey" === $"c_custkey", "left_semi")
-          .join(broadcast(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
-          .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+          .join(broadcastIfSmall(amerCust), $"o_custkey" === $"c_custkey", "left_semi")
+          .join(broadcastIfSmall(promoParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(broadcastIfSmall(suppNation), $"l_suppkey" === $"s_suppkey")
           .withColumn("volume", dec($"l_extendedprice") * (one - dec($"l_discount")))
           .groupBy(year($"o_orderdate").as("o_year"))
           .agg((sum(when($"supp_nation" === "NATION_0", $"volume").otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
@@ -1234,9 +1243,9 @@ object AnalyticsQueries {
           .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
           .select($"s_suppkey", $"n_name".as("nation"))
         t.lineitem
-          .join(broadcast(greenParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(broadcastIfSmall(greenParts), $"l_partkey" === $"p_partkey", "left_semi")
           .join(t.orders, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(suppNation), $"l_suppkey" === $"s_suppkey")
+          .join(broadcastIfSmall(suppNation), $"l_suppkey" === $"s_suppkey")
           .groupBy($"nation", year($"o_orderdate").as("o_year"))
           .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_profit"))
           .orderBy($"nation", $"o_year".desc)
@@ -1333,7 +1342,7 @@ object AnalyticsQueries {
         val t = Tables(spark, dir)
         t.lineitem
           .filter($"l_shipdate" >= ts("1997-03-01") && $"l_shipdate" < ts("1997-04-01"))
-          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+          .join(broadcastIfSmall(t.part), $"l_partkey" === $"p_partkey")
           .withColumn("amount", dec($"l_extendedprice") * (one - dec($"l_discount")))
           .agg(
             (lit(100.0) * sum(when($"p_type" === "PROMO", $"amount").otherwise(lit(0).cast("decimal(12,2)"))).cast("double")
@@ -1402,7 +1411,7 @@ object AnalyticsQueries {
         val t = Tables(spark, dir)
         val brandParts = t.part.filter($"p_brand" === "Brand#3").select($"p_partkey")
         val branded = t.lineitem
-          .join(broadcast(brandParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(broadcastIfSmall(brandParts), $"l_partkey" === $"p_partkey", "left_semi")
         val perPart = branded.groupBy($"l_partkey")
           .agg(sum(dec($"l_quantity")).as("sum_qty"), count(lit(1)).as("n_lines"))
         branded
@@ -1434,7 +1443,7 @@ object AnalyticsQueries {
         import spark.implicits._
         val t = Tables(spark, dir)
         t.lineitem
-          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+          .join(broadcastIfSmall(t.part), $"l_partkey" === $"p_partkey")
           .filter(
             ($"p_brand" === "Brand#1" && $"p_size".between(1, 5) && $"l_quantity".between(1, 11)) ||
               ($"p_brand" === "Brand#2" && $"p_size".between(1, 10) && $"l_quantity".between(10, 20)) ||
@@ -1497,9 +1506,9 @@ object AnalyticsQueries {
         val ps = t.lineitem.groupBy($"l_partkey", $"l_suppkey")
           .agg(min(dec($"l_extendedprice")).as("supply_cost"))
         val qualified = ps
-          .join(broadcast(t.part.filter($"p_size" <= 15 && $"p_type" === "LARGE")),
+          .join(broadcastIfSmall(t.part.filter($"p_size" <= 15 && $"p_type" === "LARGE")),
             $"l_partkey" === $"p_partkey")
-          .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+          .join(broadcastIfSmall(t.supplier), $"l_suppkey" === $"s_suppkey")
           .join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(t.region.filter($"r_name" === "EUROPE")), $"n_regionkey" === $"r_regionkey")
         qualified
@@ -1546,7 +1555,7 @@ object AnalyticsQueries {
           .join(broadcast(t.nation.filter($"n_name" === "NATION_7")), $"s_nationkey" === $"n_nationkey")
           .select($"s_suppkey")
         val perPart = t.lineitem
-          .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
+          .join(broadcastIfSmall(natSupp), $"l_suppkey" === $"s_suppkey", "left_semi")
           .groupBy($"l_partkey")
           .agg(sum(dec($"l_extendedprice")).as("part_value"))
           .persist()
@@ -1588,12 +1597,12 @@ object AnalyticsQueries {
         val t = Tables(spark, dir)
         val targetParts = t.part.filter($"p_name".startsWith("large")).select($"p_partkey")
         val perSupp = t.lineitem
-          .join(broadcast(targetParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(broadcastIfSmall(targetParts), $"l_partkey" === $"p_partkey", "left_semi")
           .groupBy($"l_partkey", $"l_suppkey")
           .agg(sum(dec($"l_quantity")).as("supp_qty"))
         val perYear = t.lineitem
           .filter($"l_shipdate" >= ts("1997-01-01") && $"l_shipdate" < ts("1998-01-01"))
-          .join(broadcast(targetParts), $"l_partkey" === $"p_partkey", "left_semi")
+          .join(broadcastIfSmall(targetParts), $"l_partkey" === $"p_partkey", "left_semi")
           .groupBy($"l_partkey")
           .agg(sum(dec($"l_quantity")).as("year_qty"))
         val excess = perSupp.join(perYear, Seq("l_partkey"))
@@ -1645,7 +1654,7 @@ object AnalyticsQueries {
           .join(broadcast(t.nation.filter($"n_name" === "NATION_1")), $"s_nationkey" === $"n_nationkey")
           .select($"s_suppkey", $"s_name")
         val late = t.lineitem
-          .join(broadcast(natSupp), $"l_suppkey" === $"s_suppkey")
+          .join(broadcastIfSmall(natSupp), $"l_suppkey" === $"s_suppkey")
           .join(t.orders.filter($"o_orderstatus" === "F"), $"l_orderkey" === $"o_orderkey")
           .filter($"l_shipdate" > $"o_orderdate" + expr("INTERVAL 90 DAYS"))
         val l2 = t.lineitem.select($"l_orderkey".as("l2_orderkey"), $"l_suppkey".as("l2_suppkey"))

@@ -1,6 +1,65 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
+/** Streaming throughput section of the bench: sustained rows/sec over
+  * N micro-batches through the two production paths —
+  *  - the full change-capture pipeline (field selection → merge key →
+  *    per-batch upsert → MERGE → snapshot commit), the reference's
+  *    whole identity (its ThroughputShaperBuilder shapes exactly this
+  *    loop); and
+  *  - the catalog append sink (foreachBatch → staged parquet → OCC
+  *    manifest commit), the high-volume ingest path.
+  * Source prep (splitting events into per-trigger files) happens
+  * OUTSIDE the timed window; the timer covers stream start → drain.
+  */
+object StreamBenchSection {
+
+  final case class Result(mergeRowsPerSec: Double, appendRowsPerSec: Double, batches: Long)
+
+  def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+    val srcDir = s"$work/src"
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+    // drop the pandas metadata + pin the schema; one file per trigger
+    events.repartition(batches).write.parquet(srcDir)
+    val schema = spark.read.parquet(srcDir).schema
+    val rows   = events.count()
+
+    // path 1: change-capture pipeline into a snapshot store (MERGE each batch)
+    val cfg = graft.streaming.StreamPipeline.Config(
+      sourceDir = srcDir,
+      targetDir = s"$work/target",
+      checkpointDir = s"$work/ckpt",
+      primaryKeys = Seq("event_id"),
+      versionCols = Seq("ts"),
+      maxFilesPerTrigger = Some(1))
+    val t0 = System.nanoTime()
+    val m  = graft.streaming.StreamPipeline.runAvailableNowWithMetrics(spark, schema, cfg)
+    val mergeSec = (System.nanoTime() - t0) / 1e9
+
+    // path 2: catalog append sink (OCC manifest commit per batch;
+    // idempotentAppend bootstraps the table on first commit)
+    val tableDir = s"$work/table"
+    val t1 = System.nanoTime()
+    val q = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt2")
+      .foreachBatch(graft.streaming.GraftStreamSink.idempotentAppend(tableDir) _)
+      .start()
+    q.awaitTermination()
+    val appendSec = (System.nanoTime() - t1) / 1e9
+
+    // sanity: both paths must have moved every row, or the rate is a lie
+    require(m.rowsStaged == rows, s"pipeline staged ${m.rowsStaged} of $rows rows")
+    val landed = spark.read.parquet(s"$tableDir/data").count()
+    require(landed == rows, s"catalog sink landed $landed of $rows rows")
+
+    graft.operators.Staging.dispose(spark, work)
+    Result(rows / mergeSec, rows / appendSec, m.batches)
+  }
+}
+
 /** Benchmark main: times the headline queries (Queries.benchQueries) at
   * SPARK_GRAFT_SF_DIR and prints one JSON line. A small warmup query
   * first-touches the JIT + parquet footers so per-query times measure the
@@ -87,8 +146,22 @@ object Bench {
     // spread_queries: per-query [steady min, steady max] across the
     // interleaved passes — a wide spread means machine contention, not a
     // plan regression.
+    // streaming throughput: sustained rows/sec through the change-capture
+    // pipeline (MERGE per batch) and the catalog append sink. Timed after
+    // the board so its work never perturbs query samples; failures record
+    // -1 rather than killing the whole bench artifact. Skipped when a
+    // subset filter is active (dev loops iterate on queries).
+    val stream = if (only.isDefined) None else
+      try Some(StreamBenchSection.run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] stream section failed: ${e.getMessage}")
+        Some(StreamBenchSection.Result(-1, -1, 0))
+      }
+    val streamJson = stream.fold("") { r =>
+      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches}"""
+    }
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"spread_queries":${results.map { case (k, v, _, mx) => "\"" + k + "\":[" + f2(v) + "," + f2(mx) + "]" }.mkString("{", ",", "}")}}""")
     spark.stop()
-    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"cold_total":${f2(coldTotal)},"failed":$failedJson,"n_failed":${failed.size},"truncated":$truncated}""")
+    println(s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"sf":"$sfDir","runs":$runs,"cold_total":${f2(coldTotal)},"failed":$failedJson,"n_failed":${failed.size},"truncated":$truncated$streamJson}""")
   }
 }

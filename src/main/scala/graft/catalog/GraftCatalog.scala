@@ -122,11 +122,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
       val cur = base.getOrElse(sys.error("alter of uncommitted table"))
       var schema = cur.schema
       var props = cur.properties
+      // Former-name chains make the name-based format rename-safe: a
+      // reader resolves a logical column in pre-rename files through
+      // its recorded former names. That means a former name is still a
+      // LIVE physical name in old data files — letting a new or renamed
+      // column take it would resolve two logical columns onto the same
+      // physical field (duplicate parquet projection, old data silently
+      // surfacing under the new column). Guard every name grant against
+      // every chain, not just current schema names (Iceberg's
+      // name-mapping conflict rule, re-expressed for chains).
+      def formerNameOwner(sch: StructType, name: String): Option[String] =
+        sch.fields.collectFirst {
+          case f if GraftParquetIO.formerNames(f).contains(name) => f.name
+        }
       changes.foreach {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1, "graft supports top-level columns only")
+          val name = add.fieldNames()(0)
+          require(!schema.fieldNames.contains(name), s"column exists: $name")
+          formerNameOwner(schema, name).foreach { owner =>
+            throw new IllegalArgumentException(
+              s"cannot add column $name: it is a former name of $owner and still " +
+                s"names that column's data in files written before the rename")
+          }
           schema = StructType(schema.fields :+
-            StructField(add.fieldNames()(0), add.dataType(), nullable = true))
+            StructField(name, add.dataType(), nullable = true))
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames().length == 1, "graft supports top-level columns only")
           schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
@@ -137,15 +157,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
             s"cannot rename partition column $oldName")
           require(schema.fieldNames.contains(oldName), s"no such column: $oldName")
           require(!schema.fieldNames.contains(rn.newName()), s"column exists: ${rn.newName()}")
+          // the new name must not be claimed by ANOTHER field's former
+          // chain; reclaiming a name from the renamed field's OWN chain
+          // (rename a→b→a) is safe — in every file that physical name
+          // belongs to this very field — and strips it from the chain
+          formerNameOwner(schema, rn.newName()).foreach { owner =>
+            if (owner != oldName) throw new IllegalArgumentException(
+              s"cannot rename $oldName to ${rn.newName()}: it is a former name of $owner " +
+                s"and still names that column's data in files written before the rename")
+          }
           // name-based format: the new field records its former names so
           // readers resolve data files written BEFORE the rename
           schema = StructType(schema.fields.map { f =>
             if (f.name != oldName) f
             else {
               val prior = GraftParquetIO.formerNames(f)
+              val chain = (oldName +: prior).distinct.filterNot(_ == rn.newName())
               val md = new org.apache.spark.sql.types.MetadataBuilder()
                 .withMetadata(f.metadata)
-                .putStringArray(GraftParquetIO.FormerNamesKey, (oldName +: prior).distinct.toArray)
+                .putStringArray(GraftParquetIO.FormerNamesKey, chain.toArray)
                 .build()
               f.copy(name = rn.newName(), metadata = md)
             }

@@ -100,7 +100,7 @@ object GraftMetadataAgg {
   private[catalog] def internalValue(s: String, dt: DataType): Option[Any] =
     try dt match {
       case IntegerType | DateType => Some(s.toInt)
-      case LongType | TimestampType => Some(s.toLong)
+      case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
       case FloatType => Some(s.toFloat)
       case DoubleType => Some(s.toDouble)
       case BooleanType => Some(s.toBoolean)

@@ -64,6 +64,10 @@ object GraftParquetIO {
       .as(LogicalTypeAnnotation.dateType()).named(name)
     case TimestampType => Types.optional(PrimitiveTypeName.INT64)
       .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(name)
+    // NTZ: same micros-as-int64 physical layout, isAdjustedToUTC=false —
+    // exactly how Spark's own parquet writer distinguishes the two
+    case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(name)
     case d: DecimalType if d.precision <= 18 =>
       Types.optional(PrimitiveTypeName.INT64)
         .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
@@ -123,7 +127,7 @@ object GraftParquetIO {
     private def addValue(g: Group, i: Int, dt: DataType, row: InternalRow): Unit = dt match {
       case BooleanType => g.add(i, row.getBoolean(i))
       case IntegerType | DateType => g.add(i, row.getInt(i))
-      case LongType | TimestampType => g.add(i, row.getLong(i))
+      case LongType | TimestampType | TimestampNTZType => g.add(i, row.getLong(i))
       case FloatType => g.add(i, row.getFloat(i))
       case DoubleType => g.add(i, row.getDouble(i))
       case StringType => g.add(i, Binary.fromString(row.getUTF8String(i).toString))
@@ -162,7 +166,7 @@ object GraftParquetIO {
       val v: Any = dt match {
         case BooleanType => row.getBoolean(i)
         case IntegerType | DateType => row.getInt(i)
-        case LongType | TimestampType => row.getLong(i)
+        case LongType | TimestampType | TimestampNTZType => row.getLong(i)
         case FloatType => row.getFloat(i)
         case DoubleType => row.getDouble(i)
         case StringType =>
@@ -289,7 +293,7 @@ object GraftParquetIO {
     private def readValue(g: Group, gi: Int, dt: DataType): Any = dt match {
       case BooleanType => g.getBoolean(gi, 0)
       case IntegerType | DateType => g.getInteger(gi, 0)
-      case LongType | TimestampType => g.getLong(gi, 0)
+      case LongType | TimestampType | TimestampNTZType => g.getLong(gi, 0)
       case FloatType => g.getFloat(gi, 0)
       case DoubleType => g.getDouble(gi, 0)
       case StringType => UTF8String.fromBytes(g.getBinary(gi, 0).getBytes)

@@ -91,6 +91,7 @@ object StatsPruner {
     case (DateType, d: java.time.LocalDate) => Some(DateTimeUtils.localDateToDays(d))
     case (TimestampType, t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
     case (TimestampType, t: java.time.Instant) => Some(DateTimeUtils.instantToMicros(t))
+    case (TimestampNTZType, t: java.time.LocalDateTime) => Some(DateTimeUtils.localDateTimeToMicros(t))
     case (_: DecimalType, d: java.math.BigDecimal) => Some(d)
     case (_: DecimalType, d: BigDecimal) => Some(d.bigDecimal)
     case (StringType, s: String) => Some(s)
@@ -108,7 +109,7 @@ object StatsPruner {
   private def parseStat(s: String, dt: DataType): Option[Any] =
     try dt match {
       case IntegerType | DateType => Some(s.toInt)
-      case LongType | TimestampType => Some(s.toLong)
+      case LongType | TimestampType | TimestampNTZType => Some(s.toLong)
       case FloatType => Some(s.toFloat)
       case DoubleType => Some(s.toDouble)
       case StringType => Some(s)

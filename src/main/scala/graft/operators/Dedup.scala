@@ -258,10 +258,14 @@ object Dedup {
 
   /** Resolve near-dup pairs into survivors: connected components by
     * iterative min-label propagation (each doc adopts the smallest id
-    * reachable through pair edges), then keep one doc per component.
-    * Near-dup graphs are collections of tiny components, so propagation
-    * converges in O(component diameter) joins over the (small) edge set,
-    * never over the corpus.
+    * reachable through pair edges) with POINTER DOUBLING (each round
+    * additionally shortcuts label := label(label)), then keep one doc
+    * per component. The shortcut makes convergence O(log diameter)
+    * rounds instead of O(diameter) — a 2^64-hop chain would converge
+    * inside the default iteration budget, so heavily templated crawl
+    * corpora with deep near-dup chains cannot outrun the loop. If the
+    * budget is ever exhausted anyway the resolver FAILS LOUDLY
+    * (require) rather than silently returning mislabeled survivors.
     *
     * Cost shape (the driver-side loop is the bottleneck at any scale, so
     * jobs per iteration matter more than bytes):
@@ -277,8 +281,9 @@ object Dedup {
     */
   // maxIters is a runaway backstop, not a tuning knob: convergence is
   // detected after the first stable iteration, so unused headroom costs
-  // nothing, while a cap below the true component diameter would
-  // silently mislabel deep chains
+  // nothing, and pointer doubling means 64 rounds cover any component
+  // diameter up to ~2^64 — the require() below turns the impossible
+  // leftover case into an error instead of silent mislabeling
   def resolveSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String, maxIters: Int = 64): DataFrame = {
     // materialize the (expensive) pair computation exactly once and
     // truncate its lineage so no iteration can replay it
@@ -304,11 +309,21 @@ object Dedup {
       val propagated = edges.join(labels, edges("dst") === labels("node"))
         .groupBy(col("src").as("node"))
         .agg(min(col("label")).as("label"))
+      // pointer doubling: shortcut each node's label to its label's
+      // label. Labels are always ids of nodes in the same component
+      // (min over neighbors, starting from own id), so the inner join
+      // total-matches; and label(x) ≤ x monotonically (self-loops put
+      // own label in every neighbor min), so label(label(x)) ≤ label(x)
+      // — the shortcut only ever accelerates, never regresses. Distance
+      // to the component minimum halves per round → O(log diameter).
+      val jumped = propagated.as("a")
+        .join(propagated.as("b"), col("a.label") === col("b.node"))
+        .select(col("a.node").as("node"), col("b.label").as("label"))
       // periodic lineage truncation: each iteration's plan nests the
       // previous one, so without a cut every few rounds, analysis and
       // planning cost COMPOUND with iteration count (deep components
       // would exhaust driver memory on the plan tree alone, data aside)
-      val updated = if ((i + 1) % 4 == 0) propagated.localCheckpoint() else propagated.persist()
+      val updated = if ((i + 1) % 4 == 0) jumped.localCheckpoint() else jumped.persist()
       val s = updated.agg(sum(col("label"))).head().getLong(0)
       labels.unpersist()
       labels = updated
@@ -316,6 +331,10 @@ object Dedup {
       prevSum = s
       i += 1
     }
+    // unreachable for any physically possible component (2^64 hops),
+    // but if it ever fires the answer would be WRONG — fail, don't return
+    require(converged,
+      s"resolveSurvivors did not converge within $maxIters pointer-doubling rounds")
     // survivor = isolated doc, or the doc whose id IS its component label
     val dropped = labels.filter(col("node") =!= col("label")).select(col("node").as(idCol))
     docs.join(dropped, Seq(idCol), "left_anti")

@@ -58,6 +58,9 @@ class GraftS3FileSystem extends FileSystem {
   private var multipartThreshold: Long = _
   private var workingDir: Path   = _
 
+  // hard cap on the per-writer part buffer (Int-safe, bounded heap)
+  private val maxPartBytes: Long = 256L * 1024 * 1024
+
   override def initialize(name: URI, conf: Configuration): Unit = {
     super.initialize(name, conf)
     setConf(conf)
@@ -69,9 +72,12 @@ class GraftS3FileSystem extends FileSystem {
     endpoint = endpoint.stripSuffix("/")
     accessKey = conf.getTrimmed("fs.s3x.access.key", "graft-test")
     // S3 rejects non-final parts under 5 MB (EntityTooSmall), so the
-    // part size — and with it the threshold — is floored there
-    multipartThreshold = math.max(
-      conf.getLong("fs.s3x.multipart.threshold", 64L * 1024 * 1024), 5L * 1024 * 1024)
+    // part size — and with it the threshold — is floored there; the
+    // config is validated here so a bad value fails at initialize, not
+    // mid-upload
+    val rawThreshold = conf.getLong("fs.s3x.multipart.threshold", 64L * 1024 * 1024)
+    require(rawThreshold > 0, s"fs.s3x.multipart.threshold must be positive: $rawThreshold")
+    multipartThreshold = math.max(rawThreshold, 5L * 1024 * 1024)
     workingDir = new Path(s"s3x://$bucket/")
   }
 
@@ -217,6 +223,14 @@ class GraftS3FileSystem extends FileSystem {
 
   // ---- status ------------------------------------------------------------
 
+  /** None means the object PROVABLY does not exist (404). Any other
+    * non-2xx (403, 500, 503 throttle) throws instead: mapping those to
+    * None would turn a transient server error into wrong control flow —
+    * getFileStatus reporting FileNotFound, exists()/delete() returning
+    * false, and create(overwrite=false)'s pre-check passing. The throw
+    * routes 5xx through `retrying`; persistent errors surface to the
+    * caller as real IOExceptions.
+    */
   private def headObject(key: String): Option[(Long, Long)] = retrying(s"head $key") {
     val c = connect("HEAD", key)
     try c.getResponseCode match {
@@ -224,7 +238,8 @@ class GraftS3FileSystem extends FileSystem {
         val len = c.getContentLengthLong
         val mod = math.max(c.getLastModified, c.getHeaderFieldDate("last-modified", 0L))
         Some((len, mod))
-      case _ => None
+      case 404  => None
+      case code => throw new IOException(s"HEAD $key failed: HTTP $code")
     } finally { drainAndClose(c); c.disconnect() }
   }
 
@@ -377,8 +392,8 @@ class GraftS3FileSystem extends FileSystem {
   }
 
   /** Standard S3 multipart upload (create → N part PUTs → complete with
-    * the ETag manifest); parts are `multipartThreshold`-sized slices of
-    * the spill file. This is what keeps task outputs above the
+    * the ETag manifest); parts are min(threshold, 256 MiB)-sized
+    * slices of the spill file. This is what keeps task outputs above the
     * single-PUT comfort zone (and, on real S3, above the hard 5 GB
     * single-PUT limit) streamable without buffering more than one part.
     */
@@ -404,7 +419,11 @@ class GraftS3FileSystem extends FileSystem {
       val etags = ArrayBuffer.empty[String]
       val in = NioFiles.newInputStream(tmp)
       try {
-        val partBuf = new Array[Byte](multipartThreshold.toInt)
+        // part size is clamped independently of the threshold: the
+        // threshold config is a long (a >= 2 GiB setting would overflow
+        // toInt into a negative array size), and the part buffer is
+        // heap-allocated per writer — cap it at 256 MiB regardless
+        val partBuf = new Array[Byte](math.min(multipartThreshold, maxPartBytes).toInt)
         var partNum = 1
         var done = false
         while (!done) {
@@ -499,6 +518,14 @@ class GraftS3FileSystem extends FileSystem {
     true
   }
 
+  /** S3 has no native rename: this is copy + delete and therefore NOT
+    * atomic — graft's own commit protocol never routes through it
+    * (manifests claim versioned keys with conditional PUT). For
+    * directory trees the deletes are deferred until EVERY copy has
+    * succeeded, so a mid-operation failure leaves the complete source
+    * tree intact (plus possibly a partial destination copy) instead of
+    * a tree split across both prefixes with some source keys gone.
+    */
   override def rename(src: Path, dst: Path): Boolean = {
     val srcSt = try getFileStatus(src) catch { case _: FileNotFoundException => return false }
     val dstSt = try Some(getFileStatus(dst)) catch { case _: FileNotFoundException => None }
@@ -516,13 +543,14 @@ class GraftS3FileSystem extends FileSystem {
       if ((dstKey + "/").startsWith(srcKey + "/"))
         throw new PathIOException(src.toString, s"cannot rename under itself: $target")
       val all = listAll(srcKey + "/", None).objects
+      // phase 1: copy every object (and re-create nested dir markers)
       all.foreach { o =>
         val rest = o.key.stripPrefix(srcKey + "/")
-        if (o.key.endsWith("/")) { // nested marker
-          mkdirs(keyPath(dstKey + "/" + rest.stripSuffix("/")))
-          deleteKey(o.key)
-        } else { copyKey(o.key, dstKey + "/" + rest); deleteKey(o.key) }
+        if (o.key.endsWith("/")) mkdirs(keyPath(dstKey + "/" + rest.stripSuffix("/")))
+        else copyKey(o.key, dstKey + "/" + rest)
       }
+      // phase 2: only now delete the sources — all copies succeeded
+      all.foreach(o => deleteKey(o.key))
       deleteKey(srcKey + "/")
     }
     true

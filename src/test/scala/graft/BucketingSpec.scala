@@ -29,6 +29,19 @@ class BucketingSpec extends SparkSpec {
     assert(out == Set(1L, 4L))
   }
 
+  test("resolveSurvivors converges on a chain far deeper than the iteration budget") {
+    // a 200-hop path component: naive one-hop min-propagation needs 200
+    // rounds and would exit the 64-round budget silently mislabeled;
+    // pointer doubling must resolve it in ~log2(200) ≈ 8 rounds (and
+    // since round 9 a non-converged exit throws instead of returning)
+    val n     = 200
+    val docs  = (0L until n.toLong).toDF("doc_id")
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.resolveSurvivors(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L), s"chain must collapse to its minimum id, got $out")
+  }
+
   test("collapsed LSH near-dup: identical vectors fold to a representative with group sizes") {
     val base = Array.tabulate(64)(i => math.sin(i + 1).toFloat)
     val near = base.clone(); near(0) = near(0) + 0.02f // tiny perturbation: near-dup

@@ -243,6 +243,49 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("TIMESTAMP_NTZ round-trips with stats-based pruning (streaming event time)") {
+    // event streams routinely load as NTZ (parquet isAdjustedToUTC=false);
+    // the format stores it as INT64 micros with the NTZ annotation
+    spark.sql(s"CREATE TABLE $cat.db.ntz (k INT, ts TIMESTAMP_NTZ)")
+    spark.sql(s"INSERT INTO $cat.db.ntz VALUES (1, TIMESTAMP_NTZ'2024-01-01 10:00:00'), (2, TIMESTAMP_NTZ'2024-06-01 12:30:00')")
+    assert(spark.sql(s"SELECT ts FROM $cat.db.ntz WHERE k = 2").head.getAs[java.time.LocalDateTime](0)
+      == java.time.LocalDateTime.of(2024, 6, 1, 12, 30))
+    // min/max stats parse back in the micros domain → file pruning works
+    val pruned = spark.sql(s"SELECT k FROM $cat.db.ntz WHERE ts > TIMESTAMP_NTZ'2024-03-01 00:00:00'")
+    assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
+  test("former names stay reserved: ADD/RENAME onto a chain name is refused, rename-back works") {
+    spark.sql(s"CREATE TABLE $cat.db.fnm (k INT, a STRING, c STRING)")
+    spark.sql(s"INSERT INTO $cat.db.fnm VALUES (1, 'a-data', 'c-data')")
+    spark.sql(s"ALTER TABLE $cat.db.fnm RENAME COLUMN a TO b")
+    // 'a' still physically names b's data in the pre-rename file: a new
+    // column 'a' would make readers resolve two logical columns onto the
+    // same physical field and surface old b-data under the new column
+    val addErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.fnm ADD COLUMN a STRING")
+    }
+    assert(addErr.getMessage.contains("former name"), s"got: ${addErr.getMessage}")
+    // same hazard via RENAME of an unrelated column onto the chain name
+    val renErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.fnm RENAME COLUMN c TO a")
+    }
+    assert(renErr.getMessage.contains("former name"), s"got: ${renErr.getMessage}")
+    // rename BACK (b→a) reclaims the name from the field's own chain —
+    // in every file that physical name is this very field, so it's safe
+    spark.sql(s"ALTER TABLE $cat.db.fnm RENAME COLUMN b TO a")
+    spark.sql(s"INSERT INTO $cat.db.fnm VALUES (2, 'post-back', 'c2')")
+    assert(spark.sql(s"SELECT a FROM $cat.db.fnm ORDER BY k").collect().map(_.getString(0)).toSeq ==
+      Seq("a-data", "post-back"))
+    // after the round trip 'b' joins the chain — files written while
+    // the column was named b store its data under physical 'b', so that
+    // name stays reserved too
+    val backErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.fnm ADD COLUMN b INT")
+    }
+    assert(backErr.getMessage.contains("former name"), s"got: ${backErr.getMessage}")
+  }
+
   test("real concurrent appenders all land through the OCC retry loop") {
     spark.sql(s"CREATE TABLE $cat.db.race (w INT, i INT)")
     val io = manifestIO("race")

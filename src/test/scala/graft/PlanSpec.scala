@@ -114,4 +114,40 @@ class PlanSpec extends SparkSpec {
     assert(globalWindows.isEmpty,
       "two-phase numbering must not move the table to a single partition")
   }
+
+  test("SF-scaled broadcast hints are size-gated: the 100 TB regime plans shuffled joins") {
+    // Small regime (default confs) is covered by the broadcast
+    // assertions above. Here: simulate the 100 TB regime — the gate
+    // refuses every SF-proportional hint (cap=0) and runtime stats are
+    // too big to auto-broadcast (threshold=-1) — and require that every
+    // previously-forced-broadcast query still plans a clean shuffled
+    // join (no forced broadcast of a corpus-sized side, no cartesian
+    // fallback). Bounded dims (nation/region) may keep their plain
+    // hints: 25/5 rows broadcast at any SF.
+    val conf = spark.conf
+    conf.set(graft.operators.ScaleSafe.MaxBytesKey, "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // earlier tests ran queries whose builders persist() intermediates;
+    // the cache manager would substitute those small-regime physical
+    // plans (with their broadcasts baked in) into this regime's plans
+    spark.catalog.clearCache()
+    try {
+      for (q <- Seq("q3_join", "q5_multijoin", "q7_volume", "q8_market_share",
+          "q9_nation_revenue", "q14_promo_share", "q16_supplier_variety",
+          "q17_small_qty", "q19_disjunctive", "q2_min_cost_supplier",
+          "q11_important_parts", "q20_excess_suppliers", "q21_waiting_suppliers")) {
+        val df   = Queries.queries(q)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+          s"$q large regime must shuffle its big joins:\n$plan")
+        assert(!plan.contains("CartesianProduct"),
+          s"$q must not degrade to a cartesian product without broadcasts:\n$plan")
+      }
+      // the large-regime plan must also EXECUTE correctly, not just parse
+      assert(Queries.queries("q5_multijoin")(spark, sfDir).count() > 0)
+    } finally {
+      conf.unset(graft.operators.ScaleSafe.MaxBytesKey)
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -355,4 +355,17 @@ class StreamingSpec extends SparkSpec {
     assert(payloads == Map(1 -> "stream-a", 2 -> "stream-b", 99 -> "backfill"),
       s"external commit must survive the next stream cycle: $payloads")
   }
+
+  test("stream bench section: both ingest paths sustain a pinned throughput floor") {
+    // the BENCH artifact records the real rows/sec at sf0.1; this spec
+    // pins a VERY conservative floor at the tiny SF (commit overhead
+    // dominates 1000 rows / 8 batches, so real throughput is far
+    // higher) — a regression that halves streaming throughput trips
+    // this long before it shows in the artifact diff. The section's own
+    // require()s already pin exactly-once row accounting on both paths.
+    val r = StreamBenchSection.run(spark, sfDir)
+    assert(r.batches == 8L, s"expected 8 rate-limited micro-batches, got ${r.batches}")
+    assert(r.mergeRowsPerSec > 25, s"pipeline throughput floor: ${r.mergeRowsPerSec} rows/s")
+    assert(r.appendRowsPerSec > 25, s"append-sink throughput floor: ${r.appendRowsPerSec} rows/s")
+  }
 }
