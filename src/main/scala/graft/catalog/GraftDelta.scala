@@ -180,21 +180,86 @@ object GraftDeletes {
     StructField("pos", LongType, nullable = false)))
 
   /** Load the sorted deleted positions of `targetRel` from the given
-    * delete files (executor-side, O(applicable deletes)).
+    * delete files (executor-side).
+    *
+    * Delete files from a broad MERGE target (almost) every live data
+    * file, so under sustained change capture a naive
+    * parse-per-data-file costs O(data files × total delete mass) —
+    * measured super-linear read growth at the 30× scale point (1.4 s →
+    * 4.5 s over six accumulation rounds). Delete files are IMMUTABLE
+    * once committed (writeId-unique paths; compaction replaces rather
+    * than mutates), so each JVM parses a delete file at most once into
+    * a per-target position map and serves every later data-file reader
+    * from the cache — on a cluster, each executor pays at most one
+    * parse per delete file it actually touches, which is the same
+    * posture as Iceberg's executor-side delete-loader cache. The cache
+    * is LRU-bounded by TOTAL ENTRIES (`graft.delete.cache.max-entries`,
+    * default 16M ≈ 128 MB of longs) so delete-heavy tables degrade to
+    * re-parsing, never to OOM.
     */
   def positionsFor(deleteFiles: Seq[String], targetRel: String, conf: Configuration): Array[Long] = {
     if (deleteFiles.isEmpty) return Array.emptyLongArray
-    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    deleteFiles.foreach { df =>
-      val r = new GraftParquetIO.FileReader(new Path(df), Schema, conf)
-      try {
-        var row = r.next()
-        while (row != null) {
-          if (row.getUTF8String(0).toString == targetRel) buf += row.getLong(1)
-          row = r.next()
-        }
-      } finally r.close()
+    if (deleteFiles.size == 1) {
+      // single delete file: serve straight from its parsed map
+      return parsed(deleteFiles.head, conf).getOrElse(targetRel, Array.emptyLongArray)
     }
-    buf.distinct.sorted.toArray
+    val slices = deleteFiles.flatMap(df => parsed(df, conf).get(targetRel))
+    if (slices.isEmpty) Array.emptyLongArray
+    else if (slices.size == 1) slices.head
+    else {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      slices.foreach(buf ++= _)
+      buf.distinct.sorted.toArray
+    }
+  }
+
+  // ---- executor-side parsed-delete-file cache ---------------------------
+
+  val CacheMaxEntriesKey = "graft.delete.cache.max-entries"
+  val CacheMaxEntriesDefault = 16L * 1024 * 1024
+
+  private final case class Cached(entries: Long, byTarget: Map[String, Array[Long]])
+  private val cache = new java.util.LinkedHashMap[String, Cached](16, 0.75f, true)
+  private var cachedEntries = 0L
+
+  def cacheClear(): Unit = cache.synchronized {
+    cache.clear(); cachedEntries = 0L
+  }
+
+  private def parsed(deleteFile: String, conf: Configuration): Map[String, Array[Long]] = {
+    cache.synchronized {
+      val hit = cache.get(deleteFile)
+      if (hit != null) return hit.byTarget
+    }
+    // parse OUTSIDE the lock: a rare duplicate parse beats serializing
+    // every reader behind one file scan
+    val byTarget = scala.collection.mutable.HashMap
+      .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
+    var n = 0L
+    val r = new GraftParquetIO.FileReader(new Path(deleteFile), Schema, conf)
+    try {
+      var row = r.next()
+      while (row != null) {
+        byTarget.getOrElseUpdate(row.getUTF8String(0).toString,
+          scala.collection.mutable.ArrayBuffer.empty[Long]) += row.getLong(1)
+        n += 1
+        row = r.next()
+      }
+    } finally r.close()
+    val result = byTarget.iterator.map { case (t, b) => (t, b.distinct.sorted.toArray) }.toMap
+    val cap = conf.getLong(CacheMaxEntriesKey, CacheMaxEntriesDefault)
+    cache.synchronized {
+      if (n <= cap && !cache.containsKey(deleteFile)) {
+        cachedEntries += n
+        cache.put(deleteFile, Cached(n, result))
+        // LRU-evict (access-ordered map: iterator yields oldest first)
+        val it = cache.entrySet().iterator()
+        while (cachedEntries > cap && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != deleteFile) { cachedEntries -= e.getValue.entries; it.remove() }
+        }
+      }
+    }
+    result
   }
 }

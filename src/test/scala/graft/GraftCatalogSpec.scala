@@ -243,6 +243,35 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("delete-file cache is a pure optimization: identical reads cached, cleared, and uncached") {
+    // sustained MOR change capture accumulates delete files whose
+    // re-parsing per data file measured super-linear at 30×
+    // (CatalogScale: 1.4→4.5 s over six rounds; flat ~1.0 s with the
+    // cache). Correctness must be identical in every cache regime.
+    spark.sql(s"CREATE TABLE $cat.db.delcache (k BIGINT, v STRING) TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')")
+    spark.range(0, 1000).selectExpr("id AS k", "CAST(id AS STRING) AS v")
+      .repartition(4).writeTo(s"$cat.db.delcache").append()
+    for (r <- 1 to 3) {
+      spark.range(0, 1000).filter(s"id % 5 = $r")
+        .selectExpr("id AS k", s"'u$r' AS v").createOrReplaceTempView("delcache_src")
+      spark.sql(s"""MERGE INTO $cat.db.delcache t USING delcache_src s ON t.k = s.k
+                    WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    }
+    def state() = spark.sql(s"SELECT k, v FROM $cat.db.delcache ORDER BY k").collect().toSeq
+    val warm = state()
+    assert(warm.size == 1000 && warm(7).getString(1) == "u2" && warm(10).getString(1) == "10")
+    graft.catalog.GraftDeletes.cacheClear()
+    assert(state() == warm, "cold cache must read identically")
+    // cap 0: nothing ever caches — the pure re-parse path stays correct
+    spark.sparkContext.hadoopConfiguration
+      .setLong(graft.catalog.GraftDeletes.CacheMaxEntriesKey, 0L)
+    try {
+      graft.catalog.GraftDeletes.cacheClear()
+      assert(state() == warm, "uncacheable regime must read identically")
+    } finally spark.sparkContext.hadoopConfiguration
+      .unset(graft.catalog.GraftDeletes.CacheMaxEntriesKey)
+  }
+
   test("TIMESTAMP_NTZ round-trips with stats-based pruning (streaming event time)") {
     // event streams routinely load as NTZ (parquet isAdjustedToUTC=false);
     // the format stores it as INT64 micros with the NTZ annotation
