@@ -222,17 +222,50 @@ object GraftDeletes {
   private val cache = new java.util.LinkedHashMap[String, Cached](16, 0.75f, true)
   private var cachedEntries = 0L
 
+  /** Full-file parses performed (test observability: the O(data files ×
+    * delete mass) regression shows as this counter scaling with data
+    * files instead of delete files).
+    */
+  val parseCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
   def cacheClear(): Unit = cache.synchronized {
     cache.clear(); cachedEntries = 0L
   }
+
+  // cold-start parse dedup: without it, every concurrent task on a
+  // fresh executor parses the same delete files in one wave (measured
+  // cores× redundant work on the first read after a commit) — the
+  // first caller parses, the rest join its future
+  private val inFlight = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[Map[String, Array[Long]]]]()
 
   private def parsed(deleteFile: String, conf: Configuration): Map[String, Array[Long]] = {
     cache.synchronized {
       val hit = cache.get(deleteFile)
       if (hit != null) return hit.byTarget
     }
-    // parse OUTSIDE the lock: a rare duplicate parse beats serializing
-    // every reader behind one file scan
+    val fut  = new java.util.concurrent.CompletableFuture[Map[String, Array[Long]]]()
+    val prev = inFlight.putIfAbsent(deleteFile, fut)
+    if (prev != null) return prev.join()
+    try {
+      // re-check under ownership: a finishing parser caches BEFORE
+      // removing its in-flight entry, so a miss here means we parse
+      cache.synchronized {
+        val hit = cache.get(deleteFile)
+        if (hit != null) { fut.complete(hit.byTarget); return hit.byTarget }
+      }
+      val result = parseFile(deleteFile, conf)
+      fut.complete(result)
+      result
+    } catch {
+      case e: Throwable => fut.completeExceptionally(e); throw e
+    } finally inFlight.remove(deleteFile)
+  }
+
+  // parse OUTSIDE the cache lock: serializing every reader behind one
+  // file scan would stall unrelated files' readers
+  private def parseFile(deleteFile: String, conf: Configuration): Map[String, Array[Long]] = {
+    parseCount.incrementAndGet()
     val byTarget = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
     var n = 0L

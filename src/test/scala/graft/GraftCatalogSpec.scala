@@ -270,6 +270,19 @@ class GraftCatalogSpec extends SparkSpec {
       assert(state() == warm, "uncacheable regime must read identically")
     } finally spark.sparkContext.hadoopConfiguration
       .unset(graft.catalog.GraftDeletes.CacheMaxEntriesKey)
+    // and the scale shape itself: a cold full read parses each delete
+    // file ONCE (one per task per merge round), not once per data file
+    // — local[4] shares one JVM, mirroring one executor's view; the
+    // in-flight dedup also stops the cold concurrent-task wave from
+    // multiplying that by the core count
+    val deleteFiles = manifestIO("delcache").currentSnapshot().get.deletes.size.toLong
+    assert(deleteFiles >= 3L, s"expected ≥1 delete file per merge round, got $deleteFiles")
+    graft.catalog.GraftDeletes.cacheClear()
+    val before = graft.catalog.GraftDeletes.parseCount.get()
+    state()
+    val parses = graft.catalog.GraftDeletes.parseCount.get() - before
+    assert(parses == deleteFiles,
+      s"cold read must parse each of the $deleteFiles delete files once, parsed $parses")
   }
 
   test("TIMESTAMP_NTZ round-trips with stats-based pruning (streaming event time)") {
