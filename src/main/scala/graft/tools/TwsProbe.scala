@@ -102,6 +102,36 @@ object TwsProbe {
       println("TWS-OK restart=resumes")
     }
 
+    // scenario 3b (--timers, default ON): event-time timers — the
+    // sessionization primitive (register at watermark+gap, emit on
+    // expiry). TimeMode.EventTime drives different state-store traffic
+    // than TimeMode.None; probing it separately maps exactly which API
+    // surface this container supports.
+    if (!args.contains("--no-timers")) {
+      val input = MemoryStream[(java.sql.Timestamp, String)]
+      def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+      val q = input.toDS().toDF("ts", "user")
+        .withWatermark("ts", "10 minutes")
+        .as[(java.sql.Timestamp, String)]
+        .groupByKey(_._2)
+        .transformWithState(new graft.streaming.TwsSessionize.SessionProcessor(
+          gapMs = 5 * 60 * 1000L), TimeMode.EventTime(), OutputMode.Append())
+      val qq = q.writeStream.format("memory").queryName("tws_sess").outputMode("append")
+        .option("checkpointLocation", ckpt("tws_sess_ckpt")).start()
+      try {
+        input.addData((t(0), "u1"), (t(2), "u1"), (t(1), "u2")); qq.processAllAvailable()
+        // advance the watermark far past u1/u2's gap: sessions close
+        input.addData((t(40), "u3")); qq.processAllAvailable()
+        input.addData((t(59), "zz")); qq.processAllAvailable()
+      } finally qq.stop()
+      val sess = spark.table("tws_sess")
+        .as[graft.streaming.TwsSessionize.Session].collect()
+        .map(s => s.user -> s.events).toMap
+      require(sess.get("u1").contains(2L) && sess.get("u2").contains(1L),
+        s"sessions: ${sess.toSeq.sorted}")
+      println("TWS-OK timers=sessions-close")
+    }
+
     // scenario 4 (OPT-IN --ttl): TTL'd registry re-admits after the
     // horizon. TTL requires TimeMode.ProcessingTime, whose state-cleanup
     // file churn still trips this container's chmod-pipe deadlock (the

@@ -93,6 +93,33 @@ class TwsDedupSpec extends SparkSpec {
     assert(payloads == Set("a1", "a2"), s"expired key must re-admit: $payloads")
   } }
 
+  test("event-time timer sessionization closes sessions when the watermark passes the gap") { gate(); withRocksDB {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import graft.streaming.TwsSessionize
+    def t(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val out = TwsSessionize.sessions(spark,
+      input.toDF().toDF("ts", "user").withWatermark("ts", "10 minutes")
+        .as[(java.sql.Timestamp, String)],
+      gapMs = 5 * 60 * 1000L)
+    val q = out.writeStream.format("memory").queryName("tws_sess_spec")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0))
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tws_sess").toString)
+      .start()
+    input.addData((t(0), "u1"), (t(2), "u1"), (t(1), "u2"))
+    q.processAllAvailable()
+    input.addData((t(40), "u3")) // watermark jumps past u1/u2's gap
+    q.processAllAvailable()
+    input.addData((t(59), "zz")) // and past u3's
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("tws_sess_spec").as[TwsSessionize.Session]
+      .collect().map(s => s.user -> ((s.events, s.startMs, s.endMs))).toMap
+    assert(sess("u1") == ((2L, t(0).getTime, t(2).getTime)), s"u1 session: $sess")
+    assert(sess("u2")._1 == 1L && sess.get("u3").exists(_._1 == 1L), s"sessions: $sess")
+  } }
+
   test("checkpoint restart resumes the seen-registry (exactly-once dedup across restarts)") { gate(); withRocksDB {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     // file sink: the memory sink refuses checkpoint recovery by design
