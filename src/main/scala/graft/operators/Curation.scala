@@ -318,9 +318,12 @@ object Curation {
     val cy  = counts.groupBy("y").agg(sum("c_xy").as("c_y"))
     val tot = counts.agg(sum("c_xy").as("__n_total"))
     def d38(c: Column) = c.cast("decimal(38,0)")
+    // marginal-count sides are VOCABULARY-scaled (sub-linear in corpus
+    // but unbounded — a 100 TB crawl's token set runs to billions):
+    // hint only when measured small, shuffle via AQE beyond
     counts.filter(col("c_xy") >= minCount)
-      .join(broadcast(cx), Seq("x"))
-      .join(broadcast(cy), Seq("y"))
+      .join(ScaleSafe.broadcastIfSmall(cx), Seq("x"))
+      .join(ScaleSafe.broadcastIfSmall(cy), Seq("y"))
       .crossJoin(broadcast(tot))
       .withColumn("pmi_ratio",
         (d38(col("c_xy")) * d38(col("__n_total"))).cast("double") /

@@ -62,7 +62,7 @@ object DataQuality {
     */
   def refIntegrityCheck(fact: DataFrame, fk: String, dim: DataFrame, pk: String): DataFrame = {
     val orphans = fact.join(
-      broadcast(dim.select(col(pk)).distinct()), col(fk) === col(pk), "left_anti")
+      ScaleSafe.broadcastIfSmall(dim.select(col(pk)).distinct()), col(fk) === col(pk), "left_anti")
     orphans.agg(count(lit(1)).as("violations"))
       .crossJoin(fact.agg(count(lit(1)).as("total")))
       .select(lit(s"ref_${fk}_to_$pk").as("check"), col("violations"), col("total"))
@@ -70,13 +70,18 @@ object DataQuality {
 
   /** Full gate: row checks + referential integrity + uniqueness.
     *
-    * FK checks become broadcast LEFT joins against the (distinct,
-    * aliased) dimension keys, each contributing an is-null violation
-    * column to the SAME aggregation as the row-level checks — so the
-    * fact table is scanned exactly ONCE for every per-row check, however
-    * many there are. Only uniqueness needs a second pass (its hash
-    * aggregation on the key is irreducible). The union glues two
-    * summary-sized frames — driver-cheap regardless of input scale.
+    * FK checks become LEFT joins against the (distinct, aliased)
+    * dimension keys, each contributing an is-null violation column to
+    * the SAME aggregation as the row-level checks — when the dims
+    * measure small (size-gated hint) the fact table is scanned exactly
+    * ONCE for every per-row check, however many there are. Dimension
+    * key sets are SF-proportional (a 100 TB fact's customer dim is
+    * itself huge), so past the gate's cap each FK check becomes an
+    * AQE-planned shuffled join — more exchanges, but the only plan
+    * that exists at that size. Only uniqueness always needs a second
+    * pass (its hash aggregation on the key is irreducible). The union
+    * glues two summary-sized frames — driver-cheap regardless of
+    * input scale.
     */
   def gate(fact: DataFrame, rowLevel: Seq[Check], uniqueKeys: Seq[String],
            refs: Seq[(String, DataFrame, String)]): DataFrame = {
@@ -88,7 +93,7 @@ object DataQuality {
         case ((f, cs), (fk, dim, pk)) =>
           val pkAlias = s"__ref_${fk}_$pk"
           val j = f.join(
-            broadcast(dim.select(col(pk).as(pkAlias)).distinct()),
+            ScaleSafe.broadcastIfSmall(dim.select(col(pk).as(pkAlias)).distinct()),
             col(fk) === col(pkAlias), "left_outer")
           (j, cs :+ Check(s"ref_${fk}_to_$pk", col(pkAlias).isNull))
       }
