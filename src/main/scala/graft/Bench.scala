@@ -16,6 +16,20 @@ object StreamBenchSection {
 
   final case class Result(mergeRowsPerSec: Double, appendRowsPerSec: Double, batches: Long)
 
+  /** Standalone entry for scale runs:
+    * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.StreamBenchSection` —
+    * prints the same JSON fields as the Bench tail for any SF slice.
+    */
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val r = run(spark, sfDir)
+    spark.stop()
+    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"sf":"$sfDir"}""")
+  }
+
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
     val srcDir = s"$work/src"
