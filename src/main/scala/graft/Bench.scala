@@ -32,6 +32,13 @@ object StreamBenchSection {
 
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
+    // dispose in finally: a failed require/stream must not strand the
+    // source copy + target + checkpoints in /tmp across bench runs
+    try runIn(spark, sfDir, batches, work)
+    finally graft.operators.Staging.dispose(spark, work)
+  }
+
+  private def runIn(spark: SparkSession, sfDir: String, batches: Int, work: String): Result = {
     val srcDir = s"$work/src"
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     // drop the pandas metadata + pin the schema; one file per trigger
@@ -68,8 +75,6 @@ object StreamBenchSection {
     require(m.rowsStaged == rows, s"pipeline staged ${m.rowsStaged} of $rows rows")
     val landed = spark.read.parquet(s"$tableDir/data").count()
     require(landed == rows, s"catalog sink landed $landed of $rows rows")
-
-    graft.operators.Staging.dispose(spark, work)
     Result(rows / mergeSec, rows / appendSec, m.batches)
   }
 }

@@ -14,6 +14,14 @@ object GraftSession {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // runtime-MEASURED broadcast decisions get more headroom than
+      // estimate-based ones: aggregate-derived sides (vocab counts,
+      // grouped models) defeat plan-time size estimates, so when the
+      // ScaleSafe gate conservatively declines a hint, AQE may still
+      // convert the join using the side's ACTUAL materialized size —
+      // 64 MiB is far under the 8 GB broadcast hard limit and cheap
+      // for any executor that can run this engine
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

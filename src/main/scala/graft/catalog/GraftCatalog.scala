@@ -131,25 +131,49 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
       // surfacing under the new column). Guard every name grant against
       // every chain, not just current schema names (Iceberg's
       // name-mapping conflict rule, re-expressed for chains).
+      //
+      // DeleteColumn has the same hazard one step removed: dropping a
+      // field discards its chain, but the dropped field's data still
+      // sits in old files under its current AND former names — a later
+      // ADD of any of those names would resurrect it. Dropped names are
+      // therefore TOMBSTONED in a table property and reserved forever
+      // (Iceberg avoids this with field ids; a name-based format must
+      // refuse the name instead — documented trade-off).
       def formerNameOwner(sch: StructType, name: String): Option[String] =
         sch.fields.collectFirst {
           case f if GraftParquetIO.formerNames(f).contains(name) => f.name
         }
+      def tombstones: Set[String] =
+        props.get(GraftCatalog.DroppedNamesProp)
+          .map(_.split(",").filter(_.nonEmpty).toSet).getOrElse(Set.empty)
+      def guardName(name: String, what: String): Unit = {
+        formerNameOwner(schema, name).foreach { owner =>
+          throw new IllegalArgumentException(
+            s"cannot $what $name: it is a former name of $owner and still " +
+              s"names that column's data in files written before the rename")
+        }
+        if (tombstones.contains(name))
+          throw new IllegalArgumentException(
+            s"cannot $what $name: a dropped column's data still sits in old files " +
+              s"under that physical name (name-based format; dropped names are reserved)")
+      }
       changes.foreach {
         case add: TableChange.AddColumn =>
           require(add.fieldNames().length == 1, "graft supports top-level columns only")
           val name = add.fieldNames()(0)
           require(!schema.fieldNames.contains(name), s"column exists: $name")
-          formerNameOwner(schema, name).foreach { owner =>
-            throw new IllegalArgumentException(
-              s"cannot add column $name: it is a former name of $owner and still " +
-                s"names that column's data in files written before the rename")
-          }
+          guardName(name, "add column")
           schema = StructType(schema.fields :+
             StructField(name, add.dataType(), nullable = true))
         case del: TableChange.DeleteColumn =>
           require(del.fieldNames().length == 1, "graft supports top-level columns only")
-          schema = StructType(schema.fields.filterNot(_.name == del.fieldNames()(0)))
+          val name = del.fieldNames()(0)
+          val dropped = schema.fields.find(_.name == name)
+            .map(f => f.name +: GraftParquetIO.formerNames(f)).getOrElse(Nil)
+          schema = StructType(schema.fields.filterNot(_.name == name))
+          if (dropped.nonEmpty)
+            props += (GraftCatalog.DroppedNamesProp ->
+              (tombstones ++ dropped).toSeq.sorted.mkString(","))
         case rn: TableChange.RenameColumn =>
           require(rn.fieldNames().length == 1, "graft supports top-level columns only")
           val oldName = rn.fieldNames()(0)
@@ -158,14 +182,19 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
           require(schema.fieldNames.contains(oldName), s"no such column: $oldName")
           require(!schema.fieldNames.contains(rn.newName()), s"column exists: ${rn.newName()}")
           // the new name must not be claimed by ANOTHER field's former
-          // chain; reclaiming a name from the renamed field's OWN chain
-          // (rename a→b→a) is safe — in every file that physical name
-          // belongs to this very field — and strips it from the chain
+          // chain or by a dropped column's tombstone; reclaiming a name
+          // from the renamed field's OWN chain (rename a→b→a) is safe —
+          // in every file that physical name belongs to this very
+          // field — and strips it from the chain
           formerNameOwner(schema, rn.newName()).foreach { owner =>
             if (owner != oldName) throw new IllegalArgumentException(
               s"cannot rename $oldName to ${rn.newName()}: it is a former name of $owner " +
                 s"and still names that column's data in files written before the rename")
           }
+          if (tombstones.contains(rn.newName()))
+            throw new IllegalArgumentException(
+              s"cannot rename $oldName to ${rn.newName()}: a dropped column's data still " +
+                s"sits in old files under that physical name (dropped names are reserved)")
           // name-based format: the new field records its former names so
           // readers resolve data files written BEFORE the rename
           schema = StructType(schema.fields.map { f =>
@@ -248,4 +277,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
   }
 }
 
-object GraftCatalog
+object GraftCatalog {
+  /** Comma-joined names of dropped columns (current + former at drop
+    * time): still-live physical names in old data files, reserved
+    * against ADD/RENAME forever (see the alterTable guard).
+    */
+  val DroppedNamesProp = "graft.dropped-names"
+}

@@ -199,11 +199,17 @@ object GraftDeletes {
     */
   def positionsFor(deleteFiles: Seq[String], targetRel: String, conf: Configuration): Array[Long] = {
     if (deleteFiles.isEmpty) return Array.emptyLongArray
-    if (deleteFiles.size == 1) {
-      // single delete file: serve straight from its parsed map
-      return parsed(deleteFiles.head, conf).getOrElse(targetRel, Array.emptyLongArray)
-    }
-    val slices = deleteFiles.flatMap(df => parsed(df, conf).get(targetRel))
+    val cap = conf.getLong(CacheMaxEntriesKey, CacheMaxEntriesDefault)
+    // a delete file whose footer row count exceeds the cache cap can
+    // never be cached — materializing its full per-target map would be
+    // pure transient memory (and did regress the old bounded streaming
+    // path), so over-cap files take the streaming single-target filter
+    def slice(df: String): Option[Array[Long]] =
+      if (footerRows(df, conf) > cap) {
+        val a = streamPositions(df, targetRel, conf)
+        if (a.isEmpty) None else Some(a)
+      } else parsed(df, conf).get(targetRel)
+    val slices = deleteFiles.flatMap(slice)
     if (slices.isEmpty) Array.emptyLongArray
     else if (slices.size == 1) slices.head
     else {
@@ -246,7 +252,16 @@ object GraftDeletes {
     }
     val fut  = new java.util.concurrent.CompletableFuture[Map[String, Array[Long]]]()
     val prev = inFlight.putIfAbsent(deleteFile, fut)
-    if (prev != null) return prev.join()
+    if (prev != null) {
+      // unwrap so joiners see the SAME exception type as the parsing
+      // thread (an outer retry/error classifier must not treat the
+      // same root cause differently per thread)
+      try return prev.join()
+      catch {
+        case e: java.util.concurrent.CompletionException =>
+          throw Option(e.getCause).getOrElse(e)
+      }
+    }
     try {
       // re-check under ownership: a finishing parser caches BEFORE
       // removing its in-flight entry, so a miss here means we parse
@@ -260,6 +275,35 @@ object GraftDeletes {
     } catch {
       case e: Throwable => fut.completeExceptionally(e); throw e
     } finally inFlight.remove(deleteFile)
+  }
+
+  // footer row counts are tiny and immutable — memoize so the over-cap
+  // routing check doesn't re-open footers per data-file reader
+  private val rowCounts = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def footerRows(deleteFile: String, conf: Configuration): Long =
+    rowCounts.computeIfAbsent(deleteFile, _ => {
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(deleteFile), conf))
+      try Long.box(r.getRecordCount) finally r.close()
+    })
+
+  /** Streaming single-target filter (bounded memory: buffers only the
+    * positions matching `targetRel`) — the path for delete files too
+    * big to cache.
+    */
+  private def streamPositions(deleteFile: String, targetRel: String,
+      conf: Configuration): Array[Long] = {
+    parseCount.incrementAndGet()
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val r = new GraftParquetIO.FileReader(new Path(deleteFile), Schema, conf)
+    try {
+      var row = r.next()
+      while (row != null) {
+        if (row.getUTF8String(0).toString == targetRel) buf += row.getLong(1)
+        row = r.next()
+      }
+    } finally r.close()
+    buf.distinct.sorted.toArray
   }
 
   // parse OUTSIDE the cache lock: serializing every reader behind one

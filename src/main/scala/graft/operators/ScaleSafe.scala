@@ -39,9 +39,15 @@ object ScaleSafe {
   val MaxBytesKey = "spark.graft.broadcast.maxBytes"
   val DefaultMaxBytes: Long = 256L << 20
 
-  /** Estimated on-disk bytes feeding `df`: sum of leaf-relation sizes. */
+  /** Estimated on-disk bytes feeding `df`: sum of leaf-relation sizes.
+    * Read off the ANALYZED plan — leaf relations and their file-size
+    * stats are identical in the optimized plan, and skipping the
+    * optimizer avoids paying a full Catalyst optimization pass per
+    * gated side at DataFrame-construction time (the outer query
+    * re-optimizes the subtree anyway).
+    */
   def leafScanBytes(df: DataFrame): BigInt =
-    df.queryExecution.optimizedPlan.collectLeaves().map(_.stats.sizeInBytes).sum
+    df.queryExecution.analyzed.collectLeaves().map(_.stats.sizeInBytes).sum
 
   /** Hint `df` for broadcast only when its leaf scans are provably
     * small; otherwise return it unchanged and let AQE decide.

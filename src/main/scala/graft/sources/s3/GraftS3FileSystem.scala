@@ -185,6 +185,7 @@ class GraftS3FileSystem extends FileSystem {
     while (true) {
       try return op
       catch {
+        case e: S3AccessDeniedException => throw e // not transient: fail fast
         case e: IOException =>
           attempt += 1
           if (attempt >= 3) throw e
@@ -224,12 +225,18 @@ class GraftS3FileSystem extends FileSystem {
   // ---- status ------------------------------------------------------------
 
   /** None means the object PROVABLY does not exist (404). Any other
-    * non-2xx (403, 500, 503 throttle) throws instead: mapping those to
-    * None would turn a transient server error into wrong control flow —
-    * getFileStatus reporting FileNotFound, exists()/delete() returning
-    * false, and create(overwrite=false)'s pre-check passing. The throw
-    * routes 5xx through `retrying`; persistent errors surface to the
-    * caller as real IOExceptions.
+    * non-2xx throws instead: mapping those to None would turn a server
+    * error into wrong control flow — getFileStatus reporting
+    * FileNotFound, exists()/delete() returning false, and
+    * create(overwrite=false)'s pre-check passing. 5xx throws route
+    * through `retrying`; 403 fails FAST (access denial is not
+    * transient — retrying only burns the backoff). IAM caveat, stated
+    * rather than hidden: real S3 answers HEAD-on-missing-key with 403
+    * instead of 404 when the caller lacks s3:ListBucket, so
+    * least-privilege policies used with s3x need ListBucket (the same
+    * requirement s3a documents) — silently treating 403 as "absent"
+    * would let a credentials/policy mistake pass existence checks and
+    * corrupt create-exclusive control flow.
     */
   private def headObject(key: String): Option[(Long, Long)] = retrying(s"head $key") {
     val c = connect("HEAD", key)
@@ -238,7 +245,10 @@ class GraftS3FileSystem extends FileSystem {
         val len = c.getContentLengthLong
         val mod = math.max(c.getLastModified, c.getHeaderFieldDate("last-modified", 0L))
         Some((len, mod))
-      case 404  => None
+      case 404 => None
+      case 403 => throw new S3AccessDeniedException(
+        s"HEAD $key: HTTP 403 (access denied; note S3 returns 403 for missing keys " +
+          "without s3:ListBucket — grant ListBucket for existence checks)")
       case code => throw new IOException(s"HEAD $key failed: HTTP $code")
     } finally { drainAndClose(c); c.disconnect() }
   }
@@ -574,3 +584,10 @@ class GraftS3FileSystem extends FileSystem {
     }
   }
 }
+
+/** HTTP 403 from the object store: an authorization failure, which no
+  * retry fixes — the retry wrapper rethrows it immediately so callers
+  * see the real problem (and its ListBucket caveat) on the first
+  * attempt.
+  */
+class S3AccessDeniedException(msg: String) extends IOException(msg)

@@ -33,15 +33,19 @@ object TwsSessionize {
 
     override def handleInputRows(key: String, rows: Iterator[(java.sql.Timestamp, String)],
         timers: TimerValues): Iterator[Session] = {
-      var cur = if (agg.exists()) agg.get() else SessAgg(0L, Long.MaxValue, Long.MinValue)
+      val prev = if (agg.exists()) Some(agg.get()) else None
+      var cur  = prev.getOrElse(SessAgg(0L, Long.MaxValue, Long.MinValue))
       rows.foreach { case (ts, _) =>
         val ms = ts.getTime
         cur = SessAgg(cur.n + 1, math.min(cur.startMs, ms), math.max(cur.endMs, ms))
       }
       agg.update(cur)
-      // one timer per (possibly extended) session end; earlier, now-stale
-      // timers are filtered in handleExpiredTimer by expiry < end + gap
-      getHandle.registerTimer(cur.endMs + gapMs)
+      // one timer per (possibly extended) session end, registered ONLY
+      // when the end actually advanced — a key hot in every batch must
+      // not write a timer per batch (nor re-register the same expiry
+      // for late rows inside the window); earlier, now-stale timers are
+      // filtered in handleExpiredTimer by expiry < end + gap
+      if (!prev.exists(_.endMs == cur.endMs)) getHandle.registerTimer(cur.endMs + gapMs)
       Iterator.empty
     }
 

@@ -297,6 +297,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(2))
   }
 
+  test("dropped-column names are tombstoned: re-ADD cannot resurrect old data") {
+    // drop discards the field's former-name chain, but its data still
+    // sits in old files under every name in that chain — without the
+    // tombstone, ADD COLUMN a after RENAME a→b; DROP b would silently
+    // surface the old b-data under the new column
+    spark.sql(s"CREATE TABLE $cat.db.tomb (k INT, a STRING)")
+    spark.sql(s"INSERT INTO $cat.db.tomb VALUES (1, 'secret')")
+    spark.sql(s"ALTER TABLE $cat.db.tomb RENAME COLUMN a TO b")
+    spark.sql(s"ALTER TABLE $cat.db.tomb DROP COLUMN b")
+    for (name <- Seq("a", "b")) {
+      val err = intercept[Exception] {
+        spark.sql(s"ALTER TABLE $cat.db.tomb ADD COLUMN $name STRING")
+      }
+      assert(err.getMessage.contains("dropped"), s"add $name: ${err.getMessage}")
+    }
+    // renaming another column onto a tombstoned name is refused too
+    spark.sql(s"ALTER TABLE $cat.db.tomb ADD COLUMN c STRING")
+    val renErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.tomb RENAME COLUMN c TO a")
+    }
+    assert(renErr.getMessage.contains("dropped"), s"got: ${renErr.getMessage}")
+    // fresh names remain unrestricted and the table stays usable
+    spark.sql(s"INSERT INTO $cat.db.tomb VALUES (2, 'ok')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tomb").head.getLong(0) == 2L)
+  }
+
   test("former names stay reserved: ADD/RENAME onto a chain name is refused, rename-back works") {
     spark.sql(s"CREATE TABLE $cat.db.fnm (k INT, a STRING, c STRING)")
     spark.sql(s"INSERT INTO $cat.db.fnm VALUES (1, 'a-data', 'c-data')")
