@@ -212,11 +212,40 @@ object GraftDeletes {
     val slices = deleteFiles.flatMap(slice)
     if (slices.isEmpty) Array.emptyLongArray
     else if (slices.size == 1) slices.head
-    else {
-      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-      slices.foreach(buf ++= _)
-      buf.distinct.sorted.toArray
+    else sortedDistinct(Array.concat(slices: _*))
+  }
+
+  /** Primitive in-place sort + dedup (the position arrays run to
+    * millions of entries at scale; `.distinct.sorted` would box every
+    * long through an Ordering).
+    */
+  private def sortedDistinct(xs: Array[Long]): Array[Long] = {
+    if (xs.length <= 1) return xs
+    java.util.Arrays.sort(xs)
+    var w = 1
+    var i = 1
+    while (i < xs.length) {
+      if (xs(i) != xs(w - 1)) { xs(w) = xs(i); w += 1 }
+      i += 1
     }
+    if (w == xs.length) xs else java.util.Arrays.copyOf(xs, w)
+  }
+
+  /** One streaming pass over a delete file's (file, pos) entries —
+    * the shared read loop under both the single-target filter and the
+    * full-map parse (also the parseCount tap point).
+    */
+  private def foreachEntry(deleteFile: String, conf: Configuration)(
+      f: (String, Long) => Unit): Unit = {
+    parseCount.incrementAndGet()
+    val r = new GraftParquetIO.FileReader(new Path(deleteFile), Schema, conf)
+    try {
+      var row = r.next()
+      while (row != null) {
+        f(row.getUTF8String(0).toString, row.getLong(1))
+        row = r.next()
+      }
+    } finally r.close()
   }
 
   // ---- executor-side parsed-delete-file cache ---------------------------
@@ -293,37 +322,23 @@ object GraftDeletes {
     */
   private def streamPositions(deleteFile: String, targetRel: String,
       conf: Configuration): Array[Long] = {
-    parseCount.incrementAndGet()
     val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val r = new GraftParquetIO.FileReader(new Path(deleteFile), Schema, conf)
-    try {
-      var row = r.next()
-      while (row != null) {
-        if (row.getUTF8String(0).toString == targetRel) buf += row.getLong(1)
-        row = r.next()
-      }
-    } finally r.close()
-    buf.distinct.sorted.toArray
+    foreachEntry(deleteFile, conf)((rel, pos) => if (rel == targetRel) buf += pos)
+    sortedDistinct(buf.toArray)
   }
 
   // parse OUTSIDE the cache lock: serializing every reader behind one
   // file scan would stall unrelated files' readers
   private def parseFile(deleteFile: String, conf: Configuration): Map[String, Array[Long]] = {
-    parseCount.incrementAndGet()
     val byTarget = scala.collection.mutable.HashMap
       .empty[String, scala.collection.mutable.ArrayBuffer[Long]]
     var n = 0L
-    val r = new GraftParquetIO.FileReader(new Path(deleteFile), Schema, conf)
-    try {
-      var row = r.next()
-      while (row != null) {
-        byTarget.getOrElseUpdate(row.getUTF8String(0).toString,
-          scala.collection.mutable.ArrayBuffer.empty[Long]) += row.getLong(1)
-        n += 1
-        row = r.next()
-      }
-    } finally r.close()
-    val result = byTarget.iterator.map { case (t, b) => (t, b.distinct.sorted.toArray) }.toMap
+    foreachEntry(deleteFile, conf) { (rel, pos) =>
+      byTarget.getOrElseUpdate(rel,
+        scala.collection.mutable.ArrayBuffer.empty[Long]) += pos
+      n += 1
+    }
+    val result = byTarget.iterator.map { case (t, b) => (t, sortedDistinct(b.toArray)) }.toMap
     val cap = conf.getLong(CacheMaxEntriesKey, CacheMaxEntriesDefault)
     cache.synchronized {
       if (n <= cap && !cache.containsKey(deleteFile)) {

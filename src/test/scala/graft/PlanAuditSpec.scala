@@ -129,13 +129,9 @@ class PlanAuditSpec extends SparkSpec {
   )
 
   test("large-regime audit: every broadcast subtree in every registered query is provably bounded") {
-    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
-    val conf = spark.conf
-    conf.set(graft.operators.ScaleSafe.MaxBytesKey, "0")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    spark.catalog.clearCache()
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
     val offenders = scala.collection.mutable.Map.empty[String, Int]
-    try {
+    withLargeRegime {
       for (q <- Queries.all) {
         try {
           val plan = physicalPlan(q.run(spark, sfDir))
@@ -147,10 +143,6 @@ class PlanAuditSpec extends SparkSpec {
           case e: Throwable => fail(s"${q.name} failed to plan in the large regime: ${e.getMessage}")
         }
       }
-    } finally {
-      conf.unset(graft.operators.ScaleSafe.MaxBytesKey)
-      conf.unset("spark.sql.autoBroadcastJoinThreshold")
-      spark.catalog.clearCache()
     }
     val unexpected = offenders.keySet -- boundedByContract.keySet
     assert(unexpected.isEmpty,

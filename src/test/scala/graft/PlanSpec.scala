@@ -124,14 +124,7 @@ class PlanSpec extends SparkSpec {
     // join (no forced broadcast of a corpus-sized side, no cartesian
     // fallback). Bounded dims (nation/region) may keep their plain
     // hints: 25/5 rows broadcast at any SF.
-    val conf = spark.conf
-    conf.set(graft.operators.ScaleSafe.MaxBytesKey, "0")
-    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    // earlier tests ran queries whose builders persist() intermediates;
-    // the cache manager would substitute those small-regime physical
-    // plans (with their broadcasts baked in) into this regime's plans
-    spark.catalog.clearCache()
-    try {
+    withLargeRegime {
       for (q <- Seq("q3_join", "q5_multijoin", "q7_volume", "q8_market_share",
           "q9_nation_revenue", "q14_promo_share", "q16_supplier_variety",
           "q17_small_qty", "q19_disjunctive", "q2_min_cost_supplier",
@@ -145,9 +138,6 @@ class PlanSpec extends SparkSpec {
       }
       // the large-regime plan must also EXECUTE correctly, not just parse
       assert(Queries.queries("q5_multijoin")(spark, sfDir).count() > 0)
-    } finally {
-      conf.unset(graft.operators.ScaleSafe.MaxBytesKey)
-      conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
 }

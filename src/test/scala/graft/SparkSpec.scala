@@ -17,6 +17,25 @@ trait SparkSpec extends AnyFunSuite {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
       case p => p
     }
+
+  /** Plan under the 100 TB regime: the ScaleSafe gate refuses every
+    * SF-proportional hint (cap=0) and runtime stats are too big to
+    * auto-broadcast (threshold=-1). Clears the cache first — earlier
+    * tests' persist()ed intermediates would otherwise substitute their
+    * small-regime physical plans (broadcasts baked in) — and restores
+    * everything after.
+    */
+  def withLargeRegime[A](f: => A): A = {
+    val conf = spark.conf
+    conf.set(graft.operators.ScaleSafe.MaxBytesKey, "0")
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.catalog.clearCache()
+    try f finally {
+      conf.unset(graft.operators.ScaleSafe.MaxBytesKey)
+      conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.catalog.clearCache()
+    }
+  }
 }
 
 object SparkSpec {
