@@ -332,6 +332,81 @@ object EvalOps {
         FROM w WHERE rk = 1 ORDER BY item
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "eval_average_precision",
+      (spark, dir) => {
+        // grouped average precision (AP = mean of precision@rank over
+        // the positives), the PR-curve companion to classifier_eval's
+        // ROC-AUC. Ties are handled by the deterministic PESSIMISTIC
+        // rule — within a score group every negative ranks before
+        // every positive — so the metric is a pure function of the
+        // (score → cnt, pos) histogram in both engines. Each
+        // precision@rank is one integer fixed-point division
+        // ((bp+k)·10^9 div rank), the AP numerator is an exact BIGINT
+        // sum (order-independent), and ONE double division lands the
+        // final value — hash-exact vs DuckDB, no float accumulation.
+        // Scale bound: (npos)·10^9 must fit a BIGINT → npos < 9.2e9
+        // per source, far above any per-source corpus here.
+        // Plan shape: one (source, score) aggregation shuffle (score
+        // domain ≤ 997), per-source windows over ≤ 997 rows, explode
+        // of one row per POSITIVE (linear), final per-source agg.
+        val docs = Tables(spark, dir).documents.selectExpr(
+          "source",
+          "CAST(n_chars % 997 AS BIGINT) AS score",
+          "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos")
+        val byScore = docs.groupBy("source", "score")
+          .agg(count(lit(1)).as("cnt"), sum("pos").as("p"))
+        val w = Window.partitionBy("source").orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val terms = byScore
+          .withColumn("bp", coalesce(sum("p").over(w), lit(0L)))
+          .withColumn("bc", coalesce(sum("cnt").over(w), lit(0L)))
+          .where(col("p") > 0)
+          .withColumn("k", explode(expr("sequence(1L, p)")))
+          .withColumn("term_fp",
+            expr("((bp + k) * CAST(1000000000 AS BIGINT)) div (bc + (cnt - p) + k)"))
+          .groupBy("source").agg(sum("term_fp").as("ap_fp"))
+        docs.groupBy("source").agg(sum("pos").as("npos"))
+          .join(terms, Seq("source"), "left")
+          .selectExpr(
+            "source", "CAST(npos AS BIGINT) AS npos",
+            """CASE WHEN npos > 0
+               THEN CAST(ap_fp AS DOUBLE) / CAST(npos * CAST(1000000000 AS BIGINT) AS DOUBLE)
+               END AS avg_precision""")
+          .orderBy("source")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT source, CAST(n_chars % 997 AS BIGINT) AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+          FROM documents),
+        by_score AS (
+          SELECT source, score, count(*) AS cnt, CAST(sum(pos) AS BIGINT) AS p
+          FROM scored GROUP BY source, score),
+        ranked AS (
+          SELECT source, score, cnt, p,
+                 coalesce(sum(p) OVER (PARTITION BY source ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bp,
+                 coalesce(sum(cnt) OVER (PARTITION BY source ORDER BY score DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS bc
+          FROM by_score
+        ),
+        pos_groups AS (SELECT * FROM ranked WHERE p > 0),
+        terms AS (
+          SELECT source,
+                 ((bp + k) * CAST(1000000000 AS BIGINT)) // (bc + (cnt - p) + k) AS term_fp
+          FROM pos_groups, UNNEST(generate_series(1, p)) AS t(k)),
+        ap AS (SELECT source, CAST(sum(term_fp) AS BIGINT) AS ap_fp FROM terms GROUP BY source),
+        tot AS (SELECT source, sum(pos) AS npos FROM scored GROUP BY source)
+        SELECT tot.source AS source, CAST(tot.npos AS BIGINT) AS npos,
+               CASE WHEN tot.npos > 0
+                 THEN CAST(ap.ap_fp AS DOUBLE) / CAST(tot.npos * CAST(1000000000 AS BIGINT) AS DOUBLE)
+               END AS avg_precision
+        FROM tot LEFT JOIN ap ON tot.source = ap.source
+        ORDER BY source
+      """.trim),
+      bench = true
     )
   )
 }
