@@ -14,7 +14,14 @@ import org.apache.spark.sql.SparkSession
   */
 object StreamBenchSection {
 
-  final case class Result(mergeRowsPerSec: Double, appendRowsPerSec: Double, batches: Long)
+  final case class Result(
+      mergeRowsPerSec: Double, appendRowsPerSec: Double, batches: Long,
+      /** growing-target axis: churn rows/s through the MOR catalog
+        * merge vs the snapshot store, against a SEEDED target that
+        * keeps growing while per-batch churn stays fixed.
+        */
+      morGrowthRowsPerSec: Double = -1, morGrowthFlatness: Double = -1,
+      ssGrowthRowsPerSec: Double = -1, ssGrowthFlatness: Double = -1)
 
   /** Standalone entry for scale runs:
     * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.StreamBenchSection` —
@@ -27,7 +34,7 @@ object StreamBenchSection {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir)
     spark.stop()
-    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"sf":"$sfDir"}""")
+    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"sf":"$sfDir"}""")
   }
 
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
@@ -75,7 +82,106 @@ object StreamBenchSection {
     require(m.rowsStaged == rows, s"pipeline staged ${m.rowsStaged} of $rows rows")
     val landed = spark.read.parquet(s"$tableDir/data").count()
     require(landed == rows, s"catalog sink landed $landed of $rows rows")
-    Result(rows / mergeSec, rows / appendSec, m.batches)
+    val (morRate, morFlat, ssRate, ssFlat) = growthAxis(spark, sfDir, work)
+    Result(rows / mergeSec, rows / appendSec, m.batches,
+      morRate, morFlat, ssRate, ssFlat)
+  }
+
+  /** The write-amplification axis the fresh-target numbers cannot see:
+    * a target SEEDED with the full events table, then fixed-churn
+    * micro-batches (half updates, half inserts) while the target keeps
+    * growing. The MOR catalog merge commits position deletes + churn
+    * files per batch (O(churn) writes — file-level contract pinned in
+    * StreamMergeSpec); the snapshot store rewrites the whole target per
+    * batch (O(target)). Reported: churn rows/sec for each path, plus a
+    * flatness ratio (second-half avg batch time / first-half avg) —
+    * flat ≈ 1.0 means no per-batch cost term grows with the target.
+    */
+  private def growthAxis(spark: SparkSession, sfDir: String, work: String): (Double, Double, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    val nBatches = 16
+    val churnN   = 2500 // per batch: churnN updates + churnN inserts
+    val seed = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        lit(0L).as("version"))
+    val maxId = seed.agg(max("event_id")).head.getLong(0)
+    val updBase = seed.orderBy("event_id").limit(churnN).cache()
+
+    // churn blobs (outside every timed window), one file per trigger
+    val churnSrc = s"$work/churn"
+    for (b <- 0 until nBatches) {
+      val upd = updBase.withColumn("version", lit(b + 1L)).withColumn("value", col("value") * 2)
+      val ins = spark.range(churnN).select(
+        (lit(maxId + 1 + b.toLong * churnN) + col("id")).as("event_id"),
+        col("id").as("user_id"), lit("synthetic").as("event_type"),
+        lit(1.0).as("value"), lit(b + 1L).as("version"))
+      upd.unionByName(ins).coalesce(1).write.mode("append").parquet(churnSrc)
+    }
+    val churnSchema = spark.read.parquet(churnSrc).schema
+    val totalChurn  = nBatches.toLong * 2 * churnN
+
+    // MOR catalog path: seed, then drain with per-batch timing
+    spark.conf.set("spark.sql.catalog.gbench", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gbench.warehouse", s"$work/wh")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbench.db")
+    spark.sql("""CREATE TABLE gbench.db.mor (
+      event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,
+      version BIGINT, arcane_merge_key STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
+      .writeTo("gbench.db.mor").append()
+    val perBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val keyed = graft.operators.MergeKey.withMergeKey(
+      spark.readStream.schema(churnSchema).option("maxFilesPerTrigger", 1).parquet(churnSrc),
+      Seq("event_id"))
+    val t0 = System.nanoTime()
+    val q = keyed.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt_mor")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val b0 = System.nanoTime()
+        graft.streaming.StreamMerge.idempotentMerge(
+          "gbench.db.mor", Seq(graft.operators.MergeKey.ColumnName), Seq("version"))(batch, batchId)
+        perBatch += (System.nanoTime() - b0) / 1e9
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    val morSec = (System.nanoTime() - t0) / 1e9
+    val morRows = spark.table("gbench.db.mor").count()
+    require(morRows == seed.count() + nBatches.toLong * churnN,
+      s"MOR growth target has $morRows rows")
+    val (h1, h2) = perBatch.toSeq.splitAt(perBatch.size / 2)
+    val morFlat  = (h2.sum / h2.size) / (h1.sum / h1.size)
+
+    // snapshot-store contrast: same seed, same churn, two timed halves
+    // (per-half timing is enough to expose a per-batch cost growing
+    // with the target: the rewrite term dominates wall-clock)
+    val ssDir  = s"$work/ss_growth"
+    val ssSeed = graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
+    new graft.sources.SnapshotStore(spark, ssDir).commit(ssSeed)
+    val halfSrc = s"$work/churn_half1"
+    val blobs = new java.io.File(churnSrc).listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    def copyBlobs(fs: Seq[java.io.File], dst: String): Unit = {
+      new java.io.File(dst).mkdirs()
+      fs.foreach(f => java.nio.file.Files.copy(f.toPath, new java.io.File(dst, f.getName).toPath))
+    }
+    copyBlobs(blobs.take(nBatches / 2).toSeq, halfSrc)
+    val ssCfg = graft.streaming.StreamPipeline.Config(
+      sourceDir = halfSrc, targetDir = ssDir, checkpointDir = s"$work/ckpt_ss",
+      primaryKeys = Seq("event_id"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1))
+    val s0 = System.nanoTime()
+    graft.streaming.StreamPipeline.runAvailableNow(spark, churnSchema, ssCfg)
+    val ssHalf1 = (System.nanoTime() - s0) / 1e9
+    copyBlobs(blobs.drop(nBatches / 2).toSeq, halfSrc)
+    val s1 = System.nanoTime()
+    graft.streaming.StreamPipeline.runAvailableNow(spark, churnSchema, ssCfg)
+    val ssHalf2 = (System.nanoTime() - s1) / 1e9
+    val ssRows = new graft.sources.SnapshotStore(spark, ssDir).read().get.count()
+    require(ssRows == morRows, s"snapshot-store growth target has $ssRows rows, MOR has $morRows")
+    updBase.unpersist()
+    (totalChurn / morSec, morFlat, totalChurn / (ssHalf1 + ssHalf2), ssHalf2 / ssHalf1)
   }
 }
 
@@ -177,7 +283,7 @@ object Bench {
         Some(StreamBenchSection.Result(-1, -1, 0))
       }
     val streamJson = stream.fold("") { r =>
-      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches}"""
+      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)}"""
     }
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"spread_queries":${results.map { case (k, v, _, mx) => "\"" + k + "\":[" + f2(v) + "," + f2(mx) + "]" }.mkString("{", ",", "}")}}""")
     spark.stop()

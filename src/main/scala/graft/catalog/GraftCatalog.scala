@@ -209,8 +209,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
               f.copy(name = rn.newName(), metadata = md)
             }
           })
-        case set: TableChange.SetProperty => props += (set.property() -> set.value())
-        case rm: TableChange.RemoveProperty => props -= rm.property()
+        case set: TableChange.SetProperty =>
+          // the dropped-name tombstones are integrity metadata, not user
+          // config: SET on the key would let ALTER erase the reservations
+          // and a later ADD COLUMN resurrect old-file data — the exact
+          // hazard the tombstones exist to prevent
+          if (GraftCatalog.GuardedProps.contains(set.property()))
+            throw new IllegalArgumentException(
+              s"property ${set.property()} is managed by the catalog and cannot be set")
+          props += (set.property() -> set.value())
+        case rm: TableChange.RemoveProperty =>
+          if (GraftCatalog.GuardedProps.contains(rm.property()))
+            throw new IllegalArgumentException(
+              s"property ${rm.property()} is managed by the catalog and cannot be unset")
+          props -= rm.property()
         case other => throw new UnsupportedOperationException(s"graft alter: $other")
       }
       GraftManifestIO.Content(schema, props, cur.files, cur.deletes)
@@ -283,4 +295,9 @@ object GraftCatalog {
     * against ADD/RENAME forever (see the alterTable guard).
     */
   val DroppedNamesProp = "graft.dropped-names"
+
+  /** Catalog-managed properties that ALTER TABLE SET/UNSET TBLPROPERTIES
+    * must not touch (the tombstone list guards data integrity).
+    */
+  val GuardedProps: Set[String] = Set(DroppedNamesProp)
 }

@@ -197,6 +197,11 @@ object GraftDeletes {
     * default 16M ≈ 128 MB of longs) so delete-heavy tables degrade to
     * re-parsing, never to OOM.
     */
+  /** CONTRACT: the returned array is IMMUTABLE — on the single-slice
+    * path it is the cache's internal array shared by every reader in
+    * the JVM (a defensive copy would defeat the cache for the common
+    * one-delete-file case). Callers may only read/binary-search it.
+    */
   def positionsFor(deleteFiles: Seq[String], targetRel: String, conf: Configuration): Array[Long] = {
     if (deleteFiles.isEmpty) return Array.emptyLongArray
     val cap = conf.getLong(CacheMaxEntriesKey, CacheMaxEntriesDefault)
@@ -265,6 +270,10 @@ object GraftDeletes {
 
   def cacheClear(): Unit = cache.synchronized {
     cache.clear(); cachedEntries = 0L
+    // footer-count memo shares the delete-file lifecycle: without this,
+    // long-lived executors accumulate entries for delete files already
+    // removed by compaction
+    rowCounts.clear()
   }
 
   // cold-start parse dedup: without it, every concurrent task on a

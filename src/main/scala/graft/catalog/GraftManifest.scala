@@ -149,13 +149,20 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
       attempt += 1
       val base = currentSnapshot()
       val c = mutate(base)
+      // streaming exactly-once seam: inside a GraftCommitStamp scope
+      // this throws ReplayedCommit if base already covers the batch,
+      // else adds the batch-id property — atomic with the content.
+      // Re-evaluated per attempt against the freshly-read base, so a
+      // replay that loses the version race to a concurrent writer is
+      // still caught on its retry.
+      val stampedProps = GraftCommitStamp.stamped(base, c.properties)
       val next = GraftSnapshot(
         version = base.map(_.version).getOrElse(0L) + 1,
         parent = base.map(_.version),
         operation = operation,
         schema = c.schema,
         // stamp commit wall-clock for TIMESTAMP AS OF travel
-        properties = c.properties + (GraftManifestIO.CommittedAtMs -> System.currentTimeMillis().toString),
+        properties = stampedProps + (GraftManifestIO.CommittedAtMs -> System.currentTimeMillis().toString),
         files = c.files,
         deletes = c.deletes)
       fs.mkdirs(new Path(tableDir, "manifests"))

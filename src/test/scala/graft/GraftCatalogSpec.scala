@@ -321,6 +321,24 @@ class GraftCatalogSpec extends SparkSpec {
     // fresh names remain unrestricted and the table stays usable
     spark.sql(s"INSERT INTO $cat.db.tomb VALUES (2, 'ok')")
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.tomb").head.getLong(0) == 2L)
+    // the tombstone list itself is catalog-managed: SET/UNSET
+    // TBLPROPERTIES must not be able to erase the reservations (that
+    // would reopen the resurrect-old-data hole through a side door)
+    val setErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.tomb SET TBLPROPERTIES ('graft.dropped-names' = '')")
+    }
+    assert(setErr.getMessage.contains("managed by the catalog"), s"got: ${setErr.getMessage}")
+    val unsetErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.tomb UNSET TBLPROPERTIES ('graft.dropped-names')")
+    }
+    assert(unsetErr.getMessage.contains("managed by the catalog"), s"got: ${unsetErr.getMessage}")
+    // and the reservation still holds afterwards
+    val stillErr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.tomb ADD COLUMN a STRING")
+    }
+    assert(stillErr.getMessage.contains("dropped"), s"got: ${stillErr.getMessage}")
+    // unrelated user properties remain settable
+    spark.sql(s"ALTER TABLE $cat.db.tomb SET TBLPROPERTIES ('user.note' = 'fine')")
   }
 
   test("former names stay reserved: ADD/RENAME onto a chain name is refused, rename-back works") {

@@ -29,10 +29,15 @@ trait SparkSpec extends AnyFunSuite {
     val conf = spark.conf
     conf.set(graft.operators.ScaleSafe.MaxBytesKey, "0")
     conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE re-plans with its OWN threshold: without this, executed
+    // large-regime assertions could still see runtime broadcast
+    // conversions the pre-AQE plan string hides
+    conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.catalog.clearCache()
     try f finally {
       conf.unset(graft.operators.ScaleSafe.MaxBytesKey)
       conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
       spark.catalog.clearCache()
     }
   }

@@ -1,0 +1,182 @@
+package graft
+
+import graft.catalog.{GraftCommitStamp, GraftManifestIO}
+import graft.operators.MergeKey
+import graft.sources.SnapshotStore
+import graft.streaming.{StreamMerge, StreamPipeline}
+import java.nio.file.Files
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+/** Streaming MERGE into the Graft MOR catalog: per-batch written data
+  * must be proportional to the CHURN, never the target — the property
+  * that makes sustained CDC viable at 100 TB (the snapshot-store
+  * pipeline rewrites the full target per batch; this path must not).
+  */
+class StreamMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse =
+    Files.createTempDirectory("graft_sm_wh").toString
+
+  private lazy val cat: String = {
+    spark.conf.set("spark.sql.catalog.gsm", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.gsm.warehouse", warehouse)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS gsm.db")
+    "gsm"
+  }
+
+  private def io(table: String) =
+    new GraftManifestIO(new Path(s"$warehouse/db/$table"), new Configuration())
+
+  private def createMorTarget(table: String): Unit =
+    spark.sql(s"""CREATE TABLE $cat.db.$table (
+      k INT, version BIGINT, payload STRING, arcane_merge_key STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+
+  private def seed(table: String, n: Int): Unit = {
+    val df = spark.range(n).selectExpr(
+      "CAST(id AS INT) AS k", "CAST(0 AS BIGINT) AS version", "concat('seed-', id) AS payload")
+    MergeKey.withMergeKey(df, Seq("k")).coalesce(2).writeTo(s"$cat.db.$table").append()
+  }
+
+  private def churnBlob(srcDir: String, batch: Int, updates: Int, inserts: Int, target: Int): Unit = {
+    val up  = (0 until updates).map(k => (k, (batch + 1).toLong, s"upd-$batch-$k"))
+    val ins = (0 until inserts).map(i => (target + batch * inserts + i, (batch + 1).toLong, s"new-$batch-$i"))
+    (up ++ ins).toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(srcDir)
+  }
+
+  test("per-batch writes are O(churn): merge commits add only delta files, never rewrite the target") {
+    val table  = "mor_churn"
+    val target = 20000
+    val (updates, inserts, nBatches) = (500, 100, 4)
+    createMorTarget(table)
+    seed(table, target)
+
+    val src  = Files.createTempDirectory("graft_sm_src").toString
+    val ckpt = Files.createTempDirectory("graft_sm_ckpt").toString
+    (0 until nBatches).foreach(b => churnBlob(src, b, updates, inserts, target))
+
+    val schema = spark.read.parquet(src).schema
+    val batches = StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1)))
+    assert(batches == nBatches, s"expected $nBatches micro-batches, got $batches")
+
+    // walk every merge commit: added data rows == churn, added delete
+    // rows == matched rows, and NO pre-existing file is dropped — the
+    // write-amplification contract (written bytes ∝ churn, not target)
+    val m = io(table)
+    val versions = (1L to m.currentVersion().get).map(m.readSnapshot)
+    val mergeCommits = versions.filter(_.operation.startsWith("merge"))
+    assert(mergeCommits.size == nBatches, s"ops: ${versions.map(_.operation)}")
+    mergeCommits.foreach { s =>
+      val parent = m.readSnapshot(s.parent.get)
+      val parentFiles = parent.files.map(_.path).toSet
+      assert(parent.files.forall(f => s.files.exists(_.path == f.path)),
+        s"v${s.version} rewrote pre-existing data files (O(target) write!)")
+      val addedRows  = s.files.filterNot(f => parentFiles.contains(f.path)).map(_.rows).sum
+      val parentDels = parent.deletes.map(_.path).toSet
+      val addedDels  = s.deletes.filterNot(d => parentDels.contains(d.path)).map(_.rows).sum
+      assert(addedRows == updates + inserts,
+        s"v${s.version}: added $addedRows data rows, churn is ${updates + inserts}")
+      assert(addedDels == updates, s"v${s.version}: added $addedDels delete rows, expected $updates")
+    }
+
+    // content: latest version per key, inserts present, untouched keys intact
+    val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
+    assert(out.count() == target + nBatches * inserts)
+    val byVersion = out.groupBy("version").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byVersion(nBatches.toLong) == updates + inserts, s"got $byVersion")
+    assert(byVersion(0L) == target - updates)
+    assert(out.where(s"k = 0").head.getString(2) == s"upd-${nBatches - 1}-0")
+  }
+
+  test("replayed batch is skipped: pre-check short-circuits, commit-window guard holds atomically") {
+    val table = "mor_replay"
+    createMorTarget(table)
+    seed(table, 100)
+    val batch = MergeKey.withMergeKey(
+      Seq((0, 5L, "replayed"), (200, 5L, "fresh")).toDF("k", "version", "payload"), Seq("k"))
+
+    val applied = StreamMerge.idempotentMerge(
+      s"$cat.db.$table", Seq(MergeKey.ColumnName), Seq("version"))(batch, 7L)
+    assert(applied)
+    val vAfter = io(table).currentVersion().get
+    assert(StreamMerge.committedBatchId(spark, s"$cat.db.$table").contains(7L))
+
+    // fast path: the pre-check sees batch 7 stamped and skips
+    val replayed = StreamMerge.idempotentMerge(
+      s"$cat.db.$table", Seq(MergeKey.ColumnName), Seq("version"))(batch, 7L)
+    assert(!replayed)
+    assert(io(table).currentVersion().get == vAfter, "replay must not commit a snapshot")
+
+    // slow path: a replay that races PAST the pre-check (the crash
+    // window) is refused inside the atomic commit itself
+    batch.createOrReplaceTempView("sm_replay_src")
+    val err = intercept[Exception] {
+      GraftCommitStamp.withBatchId(StreamMerge.BatchIdProp, 7L) {
+        spark.sql(s"""MERGE INTO $cat.db.$table t USING sm_replay_src s
+          ON t.arcane_merge_key = s.arcane_merge_key
+          WHEN MATCHED THEN UPDATE SET t.version = s.version, t.payload = s.payload
+          WHEN NOT MATCHED THEN INSERT *""")
+      }
+    }
+    assert(GraftCommitStamp.isReplay(err), s"got: $err")
+    assert(io(table).currentVersion().get == vAfter, "guarded replay must not commit")
+    // a LATER batch still goes through (the guard is >=, not ==)
+    assert(StreamMerge.idempotentMerge(
+      s"$cat.db.$table", Seq(MergeKey.ColumnName), Seq("version"))(batch, 8L))
+  }
+
+  test("MOR stream target matches the snapshot-store pipeline bit-for-bit") {
+    val src  = Files.createTempDirectory("graft_sm_eq_src").toString
+    Seq((1, 1L, "a1"), (2, 1L, "b1")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    Seq((1, 2L, "a2"), (3, 1L, "c1")).toDF("k", "version", "payload")
+      .coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+
+    val table = "mor_equiv"
+    createMorTarget(table)
+    StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = Files.createTempDirectory("graft_sm_eq_c1").toString,
+      primaryKeys = Seq("k"), versionCols = Seq("version"), maxFilesPerTrigger = Some(1)))
+
+    val storeDir = Files.createTempDirectory("graft_sm_eq_tgt").toString + "/t"
+    StreamPipeline.runAvailableNow(spark, schema, StreamPipeline.Config(
+      sourceDir = src, targetDir = storeDir,
+      checkpointDir = Files.createTempDirectory("graft_sm_eq_c2").toString,
+      primaryKeys = Seq("k"), versionCols = Seq("version"), maxFilesPerTrigger = Some(1)))
+
+    val mor = spark.sql(s"SELECT * FROM $cat.db.$table").collect().map(_.toSeq).sortBy(_.toString)
+    val ss  = new SnapshotStore(spark, storeDir).read().get
+      .select("k", "version", "payload", "arcane_merge_key")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(mor.toSeq == ss.toSeq)
+  }
+
+  test("threshold compaction folds accumulated position deletes; content invariant") {
+    val table = "mor_compact"
+    createMorTarget(table)
+    seed(table, 2000)
+    val src  = Files.createTempDirectory("graft_sm_cp_src").toString
+    val ckpt = Files.createTempDirectory("graft_sm_cp_ckpt").toString
+    (0 until 4).foreach(b => churnBlob(src, b, updates = 200, inserts = 50, target = 2000))
+    val schema = spark.read.parquet(src).schema
+    StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1),
+      compactEveryBatches = Some(4), compactSmallBytes = 1L << 30))
+    val s = io(table).currentSnapshot().get
+    assert(s.operation == "compact", s"last op: ${s.operation}")
+    assert(s.deletes.isEmpty, s"compaction must fold deletes, ${s.deletes.size} remain")
+    val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
+    assert(out.count() == 2000 + 4 * 50)
+    assert(out.where("version = 4").count() == 250)
+  }
+}
