@@ -244,6 +244,66 @@ object CatalogOps {
       bench = true
     ),
     QueryDef(
+      "stream_merge_mor",
+      (spark, dir) => {
+        // the reference's production loop at its 100 TB shape: a stream
+        // of change blobs MERGE'd into a merge-on-read catalog table via
+        // foreachBatch, per-batch writes O(churn) (position deletes +
+        // batch rows; file-level contract pinned in StreamMergeSpec),
+        // batch-id exactly-once via the atomic commit stamp. Oracle =
+        // the same relational merge, so the full stream → MERGE → MOR
+        // read path is hash-gated end to end.
+        val tbl = freshTable(spark)
+        spark.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT,
+          totalprice DECIMAL(12,2), status STRING, version BIGINT, arcane_merge_key STRING)
+          TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+        val seed = Tables(spark, dir).orders
+          .where("o_orderkey % 4 <> 0")
+          .selectExpr(
+            "o_orderkey", "o_custkey",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice",
+            "o_orderstatus AS status", "CAST(1 AS BIGINT) AS version")
+        graft.operators.MergeKey.withMergeKey(seed, Seq("o_orderkey"))
+          .writeTo(tbl).append()
+        val work = java.nio.file.Files.createTempDirectory("graft_smm").toString
+        Tables(spark, dir).orders
+          .where("o_orderkey % 2 = 0")
+          .selectExpr(
+            "o_orderkey", "o_custkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice",
+            "'X' AS status", "CAST(2 AS BIGINT) AS version")
+          .coalesce(1).write.parquet(s"$work/src")
+        val schema = spark.read.parquet(s"$work/src").schema
+        graft.streaming.StreamMerge.runAvailableNow(spark, schema, graft.streaming.StreamMerge.Config(
+          sourceDir = s"$work/src", table = tbl,
+          tableDir = s"$warehouse/db/${tbl.split('.').last}",
+          checkpointDir = s"$work/ckpt",
+          primaryKeys = Seq("o_orderkey"), versionCols = Seq("version")))
+        spark.sql(s"""SELECT o_orderkey, o_custkey,
+          CAST(totalprice AS DOUBLE) AS totalprice, status, version
+          FROM $tbl ORDER BY o_orderkey""")
+      },
+      Some("""
+        WITH tgt AS (
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+                 o_orderstatus AS status, CAST(1 AS BIGINT) AS version
+          FROM orders WHERE o_orderkey % 4 <> 0),
+        src AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice,
+                 'X' AS status, CAST(2 AS BIGINT) AS version
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+               CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.totalprice ELSE t.totalprice END AS DOUBLE) AS totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.status ELSE t.status END AS status,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.version ELSE t.version END AS version
+        FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "catalog_partitioned",
       (spark, dir) => {
         // identity-partitioned table: the write's clustered distribution
