@@ -133,9 +133,12 @@ object TwsProbe {
     }
 
     // scenario 4 (OPT-IN --ttl): TTL'd registry re-admits after the
-    // horizon. TTL requires TimeMode.ProcessingTime, whose state-cleanup
-    // file churn still trips this container's chmod-pipe deadlock (the
-    // TimeMode.None scenarios above run clean) — run on a healthy host.
+    // horizon. TTL requires TimeMode.ProcessingTime; as of the round-10
+    // re-chase this no longer hangs on the chmod pipe but dies in a
+    // Spark-internal planning NPE (PythonSQLMetrics init reads a null
+    // plan session while the micro-batch thread plans the TTL cleanup
+    // batch — TransformWithStateExecBase mixes in PythonSQLMetrics;
+    // SURVEY §9). Run on a healthy host / newer Spark.
     if (args.contains("--ttl")) {
       val input = MemoryStream[Keyed]
       val q = TwsDedup.firstSeenOnly(spark, input.toDS(),
