@@ -159,6 +159,64 @@ class StreamMergeSpec extends SparkSpec {
     assert(mor.toSeq == ss.toSeq)
   }
 
+  test("concurrent stream + batch MERGE writers: OCC retry liveness, no lost updates") {
+    // the production topology the reference runs daily: a change-capture
+    // stream AND an out-of-band backfill MERGE racing on one target.
+    // Disjoint key ranges make the expected final state deterministic;
+    // the OCC manifest claim serializes the commits (losers re-derive
+    // and retry), so BOTH writers' updates must land — a lost update
+    // or a stuck retry loop fails loudly here.
+    val table = "mor_race"
+    val target = 8000
+    createMorTarget(table)
+    seed(table, target)
+
+    val src  = Files.createTempDirectory("graft_sm_race_src").toString
+    val ckpt = Files.createTempDirectory("graft_sm_race_ckpt").toString
+    // stream churn: keys 0..499, versions 1..4 (4 blobs → 4 batches)
+    (0 until 4).foreach(b => churnBlob(src, b, updates = 500, inserts = 0, target = target))
+    val schema = spark.read.parquet(src).schema
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val streamF = Future {
+      StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+        sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+        checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+        maxFilesPerTrigger = Some(1)))
+    }
+    // batch writer: 4 MERGEs on the DISJOINT key range 4000..4399,
+    // racing the stream's commits through the same OCC loop
+    for (round <- 1 to 4) {
+      val batch = MergeKey.withMergeKey(
+        (0 until 400).map(i => (4000 + i, round.toLong, s"backfill-$round-$i"))
+          .toDF("k", "version", "payload"), Seq("k"))
+      batch.createOrReplaceTempView("sm_race_backfill")
+      spark.sql(s"""MERGE INTO $cat.db.$table t USING sm_race_backfill s
+        ON t.arcane_merge_key = s.arcane_merge_key
+        WHEN MATCHED THEN UPDATE SET t.version = s.version, t.payload = s.payload
+        WHEN NOT MATCHED THEN INSERT *""")
+    }
+    val streamBatches = Await.result(streamF, 180.seconds)
+    assert(streamBatches == 4L)
+
+    val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
+    assert(out.count() == target, "no rows lost or duplicated under concurrency")
+    // stream's range carries its last version, batch range its last round
+    assert(out.where("k < 500 AND version = 4").count() == 500,
+      "stream updates lost under concurrent batch MERGE")
+    assert(out.where("k >= 4000 AND k < 4400 AND version = 4").count() == 400,
+      "batch updates lost under concurrent stream MERGE")
+    assert(out.where("k >= 500 AND k < 4000 AND version = 0").count() == 3500)
+    assert(out.where("k = 0").head.getString(2) == "upd-3-0")
+    assert(out.where("k = 4000").head.getString(2) == "backfill-4-0")
+    // liveness: every commit landed (4 stream + 4 batch + seed), and
+    // the batch-id stamp tracked the stream's last batch despite the
+    // interleaved unstamped batch commits
+    assert(StreamMerge.committedBatchId(spark, s"$cat.db.$table").contains(3L))
+  }
+
   test("threshold compaction folds accumulated position deletes; content invariant") {
     val table = "mor_compact"
     createMorTarget(table)
