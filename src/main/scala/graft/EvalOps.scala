@@ -407,6 +407,90 @@ object EvalOps {
         ORDER BY source
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "eval_ndcg",
+      (spark, dir) => {
+        // grouped NDCG@10 — the graded-relevance ranking metric
+        // completing the eval family (ROC-AUC: classifier_eval; AP:
+        // eval_average_precision). The log2 discounts are the only
+        // irrational inputs, and engines disagree on log2 in the last
+        // ulp, so the 10 discount factors are EXACT DECIMAL(14,12)
+        // literals shared verbatim with the oracle; every DCG term is
+        // rel × discount in exact decimal, the per-source sums are
+        // exact decimal aggregation, and ONE double division lands
+        // NDCG — hash-exact by construction. Ranks are deterministic
+        // (score DESC, doc_id ASC; ideal ranking rel DESC, doc_id
+        // ASC). Plan shape: two per-source windows (row_number, then
+        // rank<=10 filter — at 100 TB a group-local top-k; the window
+        // parallelizes across sources), two small aggs, one join.
+        val discounts = Seq(
+          "1.000000000000", "0.630929753571", "0.500000000000",
+          "0.430676558073", "0.386852807235", "0.356207187108",
+          "0.333333333333", "0.315464876786", "0.301029995664",
+          "0.289064826318")
+        val discArr = discounts.map(d => s"CAST('$d' AS DECIMAL(14,12))")
+          .mkString("array(", ", ", ")")
+        val docs = Tables(spark, dir).documents.selectExpr(
+          "source", "doc_id",
+          "CAST(n_chars % 997 AS BIGINT) AS score",
+          "CAST(doc_id % 4 AS BIGINT) AS rel")
+        val wScore = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+        val wRel   = Window.partitionBy("source").orderBy(col("rel").desc, col("doc_id").asc)
+        def gain(ranked: org.apache.spark.sql.DataFrame, out: String) = ranked
+          .where(col("rk") <= 10)
+          .withColumn("term", expr(s"CAST(rel * element_at($discArr, CAST(rk AS INT)) AS DECIMAL(26,12))"))
+          .groupBy("source").agg(sum("term").as(out))
+        val dcg  = gain(docs.withColumn("rk", row_number().over(wScore)), "dcg_d")
+        val idcg = gain(docs.withColumn("rk", row_number().over(wRel)), "idcg_d")
+        dcg.join(idcg, Seq("source"))
+          .selectExpr(
+            "source",
+            "CAST(dcg_d AS DOUBLE) AS dcg",
+            "CAST(idcg_d AS DOUBLE) AS idcg",
+            """CASE WHEN idcg_d > 0
+               THEN CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE) END AS ndcg10""")
+          .orderBy("source")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT source, doc_id, CAST(n_chars % 997 AS BIGINT) AS score,
+                 CAST(doc_id % 4 AS BIGINT) AS rel
+          FROM documents),
+        d(rk, disc) AS (VALUES
+          (1, CAST('1.000000000000' AS DECIMAL(14,12))),
+          (2, CAST('0.630929753571' AS DECIMAL(14,12))),
+          (3, CAST('0.500000000000' AS DECIMAL(14,12))),
+          (4, CAST('0.430676558073' AS DECIMAL(14,12))),
+          (5, CAST('0.386852807235' AS DECIMAL(14,12))),
+          (6, CAST('0.356207187108' AS DECIMAL(14,12))),
+          (7, CAST('0.333333333333' AS DECIMAL(14,12))),
+          (8, CAST('0.315464876786' AS DECIMAL(14,12))),
+          (9, CAST('0.301029995664' AS DECIMAL(14,12))),
+          (10, CAST('0.289064826318' AS DECIMAL(14,12)))),
+        ranked AS (
+          SELECT source, rel,
+                 row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk
+          FROM docs),
+        dcg AS (
+          SELECT source, sum(CAST(rel * disc AS DECIMAL(26,12))) AS dcg_d
+          FROM ranked JOIN d USING (rk) WHERE rk <= 10 GROUP BY source),
+        ideal AS (
+          SELECT source, rel,
+                 row_number() OVER (PARTITION BY source ORDER BY rel DESC, doc_id ASC) AS rk
+          FROM docs),
+        idcg AS (
+          SELECT source, sum(CAST(rel * disc AS DECIMAL(26,12))) AS idcg_d
+          FROM ideal JOIN d USING (rk) WHERE rk <= 10 GROUP BY source)
+        SELECT dcg.source AS source,
+               CAST(dcg_d AS DOUBLE) AS dcg,
+               CAST(idcg_d AS DOUBLE) AS idcg,
+               CASE WHEN idcg_d > 0
+                 THEN CAST(dcg_d AS DOUBLE) / CAST(idcg_d AS DOUBLE) END AS ndcg10
+        FROM dcg JOIN idcg ON dcg.source = idcg.source
+        ORDER BY source
+      """.trim),
+      bench = true
     )
   )
 }

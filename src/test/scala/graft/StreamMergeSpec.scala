@@ -217,6 +217,44 @@ class StreamMergeSpec extends SparkSpec {
     assert(StreamMerge.committedBatchId(spark, s"$cat.db.$table").contains(3L))
   }
 
+  test("MOR MERGE with a static partition predicate in ON prunes the target scan") {
+    // the read-amplification mitigation for the streaming merge at
+    // 100 TB: a partitioned target + a static partition conjunct in the
+    // ON clause must confine both the scan and the delete mass to the
+    // matching partition (Iceberg's standard MERGE guidance, here via
+    // GraftScan's stats pruning on the delta-operation read)
+    spark.sql(s"""CREATE TABLE $cat.db.morpart (k BIGINT, seg STRING, v STRING)
+      PARTITIONED BY (seg)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    spark.range(0, 300)
+      .selectExpr("id AS k",
+        "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS seg",
+        "concat('v', id) AS v")
+      .writeTo(s"$cat.db.morpart").append()
+    val m = io("morpart")
+    val files = m.currentSnapshot().get.files
+    assert(files.size == 3, s"one file per partition expected: ${files.map(_.path)}")
+    val bFile = files.find(_.stats("seg").min.contains("b")).get.path
+
+    spark.range(0, 5).selectExpr("id * 3 + 1 AS k", "'upd' AS v")
+      .createOrReplaceTempView("morpart_src")
+    val plan = spark.sql(s"""EXPLAIN MERGE INTO $cat.db.morpart t USING morpart_src s
+      ON t.k = s.k AND t.seg = 'b'
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""").head.getString(0)
+    assert(plan.contains("GraftScan[files=1"),
+      s"target scan not pruned by the static ON conjunct:\n$plan")
+
+    spark.sql(s"""MERGE INTO $cat.db.morpart t USING morpart_src s
+      ON t.k = s.k AND t.seg = 'b'
+      WHEN MATCHED THEN UPDATE SET t.v = s.v""")
+    val snap = m.currentSnapshot().get
+    // delete mass confined to the matched partition's file
+    assert(snap.deletes.nonEmpty && snap.deletes.flatMap(_.targets).toSet == Set(bFile),
+      s"deletes leaked outside the pruned partition: ${snap.deletes.flatMap(_.targets)}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.morpart WHERE v = 'upd'").head.getLong(0) == 5)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.morpart").head.getLong(0) == 300)
+  }
+
   test("threshold compaction folds accumulated position deletes; content invariant") {
     val table = "mor_compact"
     createMorTarget(table)
