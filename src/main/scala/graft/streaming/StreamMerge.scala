@@ -62,7 +62,16 @@ object StreamMerge {
       maxFilesPerTrigger: Option[Int] = None,
       /** fold position deletes + small files every N batches. */
       compactEveryBatches: Option[Int] = None,
-      compactSmallBytes: Long = 32L << 20)
+      compactSmallBytes: Long = 32L << 20,
+      /** retire old snapshots every N batches (the reference's
+        * `snapshotExpirationSettings.batchThreshold`); the current
+        * snapshot — carrying the batch-id stamp — is always kept.
+        */
+      expireEveryBatches: Option[Int] = None,
+      keepSnapshots: Int = 2,
+      /** sweep unreferenced data files every N batches (the
+        * reference's `orphanFilesExpirationSettings`). */
+      orphansEveryBatches: Option[Int] = None)
 
   /** Highest batch id stamped into the table's current snapshot. */
   def committedBatchId(spark: SparkSession, table: String): Option[Long] =
@@ -124,13 +133,46 @@ object StreamMerge {
         idempotentMerge(cfg.table, Seq(MergeKey.ColumnName), cfg.versionCols)(batch, batchId)
         batches += 1
         // OUTSIDE the stamp scope: maintenance is content-neutral and
-        // must not be refused as a "replay" of the batch it follows
+        // must not be refused as a "replay" of the batch it follows.
+        // Thresholds key off the checkpointed batchId, so the cadence
+        // is restart-safe (a replayed batch re-fires an idempotent
+        // maintenance pass, never skips one).
         if (cfg.compactEveryBatches.exists(n => (batchId + 1) % n == 0))
           GraftMaintenance.compact(spark, cfg.tableDir, cfg.compactSmallBytes)
+        if (cfg.expireEveryBatches.exists(n => (batchId + 1) % n == 0))
+          tableIO(cfg).expireSnapshots(cfg.keepSnapshots)
+        if (cfg.orphansEveryBatches.exists(n => (batchId + 1) % n == 0))
+          tableIO(cfg).removeOrphans()
         ()
       }
       .start()
     q.awaitTermination()
     batches
+  }
+
+  private def tableIO(cfg: Config) =
+    new graft.catalog.GraftManifestIO(
+      new org.apache.hadoop.fs.Path(cfg.tableDir), graft.catalog.GraftConf.hadoop)
+
+  /** Continuous change capture against the catalog table: repeated
+    * AvailableNow cycles separated by jittered poll delays — the
+    * reference's poll loop (`changeCaptureInterval` + jitter) on the
+    * O(churn) merge path. The checkpoint dedupes files across cycles;
+    * batch ids stay monotonic across cycles, so the exactly-once stamp
+    * and the maintenance cadence both span the stream's lifetime.
+    */
+  def runContinuously(
+      spark: SparkSession, schema: StructType, cfg: Config,
+      cadence: ChangeCapture, maxCycles: Int,
+      lifetime: StreamLifetime = StreamLifetime.always): Long = {
+    var total = 0L
+    var cycle = 0
+    while (cycle < maxCycles && lifetime.isActive) {
+      total += runAvailableNow(spark, schema, cfg)
+      cycle += 1
+      if (cycle < maxCycles && lifetime.isActive)
+        lifetime.interruptibleSleep(cadence.nextDelayMs())
+    }
+    total
   }
 }

@@ -3,7 +3,7 @@ package graft
 import graft.catalog.{GraftCommitStamp, GraftManifestIO}
 import graft.operators.MergeKey
 import graft.sources.SnapshotStore
-import graft.streaming.{StreamMerge, StreamPipeline}
+import graft.streaming.{ChangeCapture, StreamMerge, StreamPipeline}
 import java.nio.file.Files
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
@@ -215,6 +215,43 @@ class StreamMergeSpec extends SparkSpec {
     // the batch-id stamp tracked the stream's last batch despite the
     // interleaved unstamped batch commits
     assert(StreamMerge.committedBatchId(spark, s"$cat.db.$table").contains(3L))
+  }
+
+  test("continuous change capture: cycles drain newly-landed blobs, maintenance thresholds span cycles") {
+    val table = "mor_cycles"
+    createMorTarget(table)
+    seed(table, 1000)
+    val src  = Files.createTempDirectory("graft_sm_cyc_src").toString
+    val ckpt = Files.createTempDirectory("graft_sm_cyc_ckpt").toString
+    val cfg = StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1),
+      compactEveryBatches = Some(2), compactSmallBytes = 1L << 30,
+      expireEveryBatches = Some(2), keepSnapshots = 2,
+      orphansEveryBatches = Some(2))
+    val schema = {
+      churnBlob(src, 0, updates = 100, inserts = 10, target = 1000)
+      spark.read.parquet(src).schema
+    }
+    // cycle 1: one blob; cycle 2: two more land in between
+    assert(StreamMerge.runAvailableNow(spark, schema, cfg) == 1L)
+    churnBlob(src, 1, updates = 100, inserts = 10, target = 1000)
+    churnBlob(src, 2, updates = 100, inserts = 10, target = 1000)
+    val cadence = new ChangeCapture(intervalMs = 1, jitterVariance = 0.0, jitterSeed = 7)
+    // maxCycles=2: second cycle finds nothing new (checkpoint dedupes)
+    assert(StreamMerge.runContinuously(spark, schema, cfg, cadence, maxCycles = 2) == 2L)
+
+    val out = spark.sql(s"SELECT k, version FROM $cat.db.$table")
+    assert(out.count() == 1030)
+    assert(out.where("version = 3").count() == 110, "cycle-2 blobs not merged")
+    // maintenance fired on the stream-lifetime batch number: after
+    // batch id 1 (2nd batch) — compaction folded deletes + expiry
+    // trimmed history + orphan sweep ran without touching live files
+    val m = io(table)
+    assert(m.versions().size <= cfg.keepSnapshots + 4,
+      s"snapshot expiry never fired: ${m.versions()}")
+    assert(StreamMerge.committedBatchId(spark, s"$cat.db.$table").contains(2L))
   }
 
   test("MOR MERGE with a static partition predicate in ON prunes the target scan") {
