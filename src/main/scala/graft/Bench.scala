@@ -21,7 +21,15 @@ object StreamBenchSection {
         * keeps growing while per-batch churn stays fixed.
         */
       morGrowthRowsPerSec: Double = -1, morGrowthFlatness: Double = -1,
-      ssGrowthRowsPerSec: Double = -1, ssGrowthFlatness: Double = -1)
+      ssGrowthRowsPerSec: Double = -1, ssGrowthFlatness: Double = -1,
+      /** bytes written during the axis / churn bytes: the write-
+        * amplification factor — ~O(1) for the MOR merge, O(target /
+        * churn) for the snapshot store. Wall-clock hides this at local
+        * scale (a small target rewrites inside the page cache); the
+        * byte ratio is scale-invariant and is what a 100 TB deployment
+        * pays in I/O and storage churn.
+        */
+      morWriteAmp: Double = -1, ssWriteAmp: Double = -1)
 
   /** Standalone entry for scale runs:
     * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.StreamBenchSection` —
@@ -34,7 +42,7 @@ object StreamBenchSection {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir)
     spark.stop()
-    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"sf":"$sfDir"}""")
+    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"mor_write_amp":${math.round(r.morWriteAmp * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"ss_write_amp":${math.round(r.ssWriteAmp * 100) / 100.0},"sf":"$sfDir"}""")
   }
 
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
@@ -82,10 +90,13 @@ object StreamBenchSection {
     require(m.rowsStaged == rows, s"pipeline staged ${m.rowsStaged} of $rows rows")
     val landed = spark.read.parquet(s"$tableDir/data").count()
     require(landed == rows, s"catalog sink landed $landed of $rows rows")
-    val (morRate, morFlat, ssRate, ssFlat) = growthAxis(spark, sfDir, work)
+    val g = growthAxis(spark, sfDir, work)
     Result(rows / mergeSec, rows / appendSec, m.batches,
-      morRate, morFlat, ssRate, ssFlat)
+      g.morRate, g.morFlat, g.ssRate, g.ssFlat, g.morAmp, g.ssAmp)
   }
+
+  final case class Growth(morRate: Double, morFlat: Double, morAmp: Double,
+      ssRate: Double, ssFlat: Double, ssAmp: Double)
 
   /** The write-amplification axis the fresh-target numbers cannot see:
     * a target SEEDED with the full events table, then fixed-churn
@@ -97,7 +108,19 @@ object StreamBenchSection {
     * flatness ratio (second-half avg batch time / first-half avg) —
     * flat ≈ 1.0 means no per-batch cost term grows with the target.
     */
-  private def growthAxis(spark: SparkSession, sfDir: String, work: String): (Double, Double, Double, Double) = {
+  /** Recursive on-disk bytes under `dir` (0 if absent). */
+  private def dirBytes(dir: String): Long = {
+    val root = new java.io.File(dir)
+    if (!root.exists()) 0L
+    else {
+      def walk(f: java.io.File): Long =
+        if (f.isFile) f.length()
+        else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+      walk(root)
+    }
+  }
+
+  private def growthAxis(spark: SparkSession, sfDir: String, work: String): Growth = {
     import org.apache.spark.sql.functions._
     val nBatches = 16
     val churnN   = 2500 // per batch: churnN updates + churnN inserts
@@ -119,6 +142,7 @@ object StreamBenchSection {
     }
     val churnSchema = spark.read.parquet(churnSrc).schema
     val totalChurn  = nBatches.toLong * 2 * churnN
+    val churnBytes  = dirBytes(churnSrc)
 
     // MOR catalog path: seed, then drain with per-batch timing
     spark.conf.set("spark.sql.catalog.gbench", "graft.catalog.GraftCatalog")
@@ -130,6 +154,8 @@ object StreamBenchSection {
       TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
     graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
       .writeTo("gbench.db.mor").append()
+    val morTableDir = s"$work/wh/db/mor"
+    val morBytes0   = dirBytes(morTableDir)
     val perBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
     val keyed = graft.operators.MergeKey.withMergeKey(
       spark.readStream.schema(churnSchema).option("maxFilesPerTrigger", 1).parquet(churnSrc),
@@ -153,6 +179,7 @@ object StreamBenchSection {
       s"MOR growth target has $morRows rows")
     val (h1, h2) = perBatch.toSeq.splitAt(perBatch.size / 2)
     val morFlat  = (h2.sum / h2.size) / (h1.sum / h1.size)
+    val morAmp   = (dirBytes(morTableDir) - morBytes0).toDouble / churnBytes
 
     // snapshot-store contrast: same seed, same churn, two timed halves
     // (per-half timing is enough to expose a per-batch cost growing
@@ -160,6 +187,7 @@ object StreamBenchSection {
     val ssDir  = s"$work/ss_growth"
     val ssSeed = graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
     new graft.sources.SnapshotStore(spark, ssDir).commit(ssSeed)
+    val ssBytes0 = dirBytes(ssDir)
     val halfSrc = s"$work/churn_half1"
     val blobs = new java.io.File(churnSrc).listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
     def copyBlobs(fs: Seq[java.io.File], dst: String): Unit = {
@@ -180,8 +208,12 @@ object StreamBenchSection {
     val ssHalf2 = (System.nanoTime() - s1) / 1e9
     val ssRows = new graft.sources.SnapshotStore(spark, ssDir).read().get.count()
     require(ssRows == morRows, s"snapshot-store growth target has $ssRows rows, MOR has $morRows")
+    // no maintenance configured → every snapshot's data dir is retained,
+    // so the dir-size delta IS the bytes written by the axis
+    val ssAmp = (dirBytes(ssDir) - ssBytes0).toDouble / churnBytes
     updBase.unpersist()
-    (totalChurn / morSec, morFlat, totalChurn / (ssHalf1 + ssHalf2), ssHalf2 / ssHalf1)
+    Growth(totalChurn / morSec, morFlat, morAmp,
+      totalChurn / (ssHalf1 + ssHalf2), ssHalf2 / ssHalf1, ssAmp)
   }
 }
 
@@ -283,7 +315,7 @@ object Bench {
         Some(StreamBenchSection.Result(-1, -1, 0))
       }
     val streamJson = stream.fold("") { r =>
-      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)}"""
+      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)}"""
     }
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"spread_queries":${results.map { case (k, v, _, mx) => "\"" + k + "\":[" + f2(v) + "," + f2(mx) + "]" }.mkString("{", ",", "}")}}""")
     spark.stop()
