@@ -29,7 +29,12 @@ object StreamBenchSection {
         * byte ratio is scale-invariant and is what a 100 TB deployment
         * pays in I/O and storage churn.
         */
-      morWriteAmp: Double = -1, ssWriteAmp: Double = -1)
+      morWriteAmp: Double = -1, ssWriteAmp: Double = -1,
+      /** equality-delete upsert (StreamUpsert): O(churn) writes AND
+        * zero target reads per batch — the expected fastest path.
+        */
+      upsGrowthRowsPerSec: Double = -1, upsGrowthFlatness: Double = -1,
+      upsWriteAmp: Double = -1)
 
   /** Standalone entry for scale runs:
     * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.StreamBenchSection` —
@@ -42,7 +47,7 @@ object StreamBenchSection {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir)
     spark.stop()
-    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"mor_write_amp":${math.round(r.morWriteAmp * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"ss_write_amp":${math.round(r.ssWriteAmp * 100) / 100.0},"sf":"$sfDir"}""")
+    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"mor_write_amp":${math.round(r.morWriteAmp * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"ss_write_amp":${math.round(r.ssWriteAmp * 100) / 100.0},"ups_growth_rows_per_sec":${r.upsGrowthRowsPerSec.round},"ups_growth_flatness":${math.round(r.upsGrowthFlatness * 100) / 100.0},"ups_write_amp":${math.round(r.upsWriteAmp * 100) / 100.0},"sf":"$sfDir"}""")
   }
 
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
@@ -92,11 +97,13 @@ object StreamBenchSection {
     require(landed == rows, s"catalog sink landed $landed of $rows rows")
     val g = growthAxis(spark, sfDir, work)
     Result(rows / mergeSec, rows / appendSec, m.batches,
-      g.morRate, g.morFlat, g.ssRate, g.ssFlat, g.morAmp, g.ssAmp)
+      g.morRate, g.morFlat, g.ssRate, g.ssFlat, g.morAmp, g.ssAmp,
+      g.upsRate, g.upsFlat, g.upsAmp)
   }
 
   final case class Growth(morRate: Double, morFlat: Double, morAmp: Double,
-      ssRate: Double, ssFlat: Double, ssAmp: Double)
+      ssRate: Double, ssFlat: Double, ssAmp: Double,
+      upsRate: Double, upsFlat: Double, upsAmp: Double)
 
   /** The write-amplification axis the fresh-target numbers cannot see:
     * a target SEEDED with the full events table, then fixed-churn
@@ -211,9 +218,43 @@ object StreamBenchSection {
     // no maintenance configured → every snapshot's data dir is retained,
     // so the dir-size delta IS the bytes written by the axis
     val ssAmp = (dirBytes(ssDir) - ssBytes0).toDouble / churnBytes
+
+    // equality-delete upsert path: same seed, same churn — zero target
+    // reads per batch, so its rate should track the plain append sink
+    val upsDir = s"$work/wh/db/ups" // under the gbench warehouse → readable as a table
+    graft.streaming.StreamUpsert.idempotentUpsert(
+      upsDir, graft.operators.MergeKey.ColumnName, Seq("version"))(
+      graft.operators.MergeKey.withMergeKey(seed, Seq("event_id")), 0L)
+    // seed was batch 0: shift the stream's batch ids past it
+    val upsBytes0 = dirBytes(upsDir)
+    val upsBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val upsKeyed = graft.operators.MergeKey.withMergeKey(
+      spark.readStream.schema(churnSchema).option("maxFilesPerTrigger", 1).parquet(churnSrc),
+      Seq("event_id"))
+    val u0 = System.nanoTime()
+    val uq = upsKeyed.writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", s"$work/ckpt_ups")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val b0 = System.nanoTime()
+        graft.streaming.StreamUpsert.idempotentUpsert(
+          upsDir, graft.operators.MergeKey.ColumnName, Seq("version"))(batch, batchId + 1)
+        upsBatch += (System.nanoTime() - b0) / 1e9
+        ()
+      }
+      .start()
+    uq.awaitTermination()
+    val upsSec = (System.nanoTime() - u0) / 1e9
+    val upsCount = spark.table("gbench.db.ups").count()
+    require(upsCount == morRows, s"eq-upsert growth target has $upsCount rows, MOR has $morRows")
+    val (u1, u2) = upsBatch.toSeq.splitAt(upsBatch.size / 2)
+    val upsFlat  = (u2.sum / u2.size) / (u1.sum / u1.size)
+    val upsAmp   = (dirBytes(upsDir) - upsBytes0).toDouble / churnBytes
+
     updBase.unpersist()
     Growth(totalChurn / morSec, morFlat, morAmp,
-      totalChurn / (ssHalf1 + ssHalf2), ssHalf2 / ssHalf1, ssAmp)
+      totalChurn / (ssHalf1 + ssHalf2), ssHalf2 / ssHalf1, ssAmp,
+      totalChurn / upsSec, upsFlat, upsAmp)
   }
 }
 
@@ -315,7 +356,7 @@ object Bench {
         Some(StreamBenchSection.Result(-1, -1, 0))
       }
     val streamJson = stream.fold("") { r =>
-      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)}"""
+      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)}"""
     }
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"spread_queries":${results.map { case (k, v, _, mx) => "\"" + k + "\":[" + f2(v) + "," + f2(mx) + "]" }.mkString("{", ",", "}")}}""")
     spark.stop()

@@ -304,6 +304,60 @@ object CatalogOps {
       bench = true
     ),
     QueryDef(
+      "stream_upsert_eqdelete",
+      (spark, dir) => {
+        // the zero-target-read CDC shape: each micro-batch commits its
+        // rows + equality-delete key files (Iceberg v2 / Flink upsert
+        // mode); recency ACROSS batches is commit order (the stream's
+        // checkpoint guarantees source order), within a batch the
+        // version column. Two change-capture cycles: seed, then churn.
+        val tbl = freshTable(spark)
+        val tableDir = s"$warehouse/db/${tbl.split('.').last}"
+        val work = java.nio.file.Files.createTempDirectory("graft_sue").toString
+        def blob(df: org.apache.spark.sql.DataFrame): Unit =
+          df.coalesce(1).write.mode("append").parquet(s"$work/src")
+        blob(Tables(spark, dir).orders
+          .where("o_orderkey % 4 <> 0")
+          .selectExpr("o_orderkey", "o_custkey",
+            "CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice",
+            "o_orderstatus AS status", "CAST(1 AS BIGINT) AS version"))
+        val schema = spark.read.parquet(s"$work/src").schema
+        val cfg = graft.streaming.StreamUpsert.Config(
+          sourceDir = s"$work/src", tableDir = tableDir,
+          checkpointDir = s"$work/ckpt",
+          primaryKeys = Seq("o_orderkey"), versionCols = Seq("version"))
+        graft.streaming.StreamUpsert.runAvailableNow(spark, schema, cfg)
+        blob(Tables(spark, dir).orders
+          .where("o_orderkey % 2 = 0")
+          .selectExpr("o_orderkey", "o_custkey",
+            "CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice",
+            "'X' AS status", "CAST(2 AS BIGINT) AS version"))
+        graft.streaming.StreamUpsert.runAvailableNow(spark, schema, cfg)
+        spark.sql(s"""SELECT o_orderkey, o_custkey,
+          CAST(totalprice AS DOUBLE) AS totalprice, status, version
+          FROM $tbl ORDER BY o_orderkey""")
+      },
+      Some("""
+        WITH tgt AS (
+          SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice,
+                 o_orderstatus AS status, CAST(1 AS BIGINT) AS version
+          FROM orders WHERE o_orderkey % 4 <> 0),
+        src AS (
+          SELECT o_orderkey, o_custkey,
+                 CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 3 AS DECIMAL(12,2)) AS totalprice,
+                 'X' AS status, CAST(2 AS BIGINT) AS version
+          FROM orders WHERE o_orderkey % 2 = 0)
+        SELECT coalesce(t.o_orderkey, s.o_orderkey) AS o_orderkey,
+               coalesce(t.o_custkey, s.o_custkey) AS o_custkey,
+               CAST(CASE WHEN s.o_orderkey IS NOT NULL THEN s.totalprice ELSE t.totalprice END AS DOUBLE) AS totalprice,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.status ELSE t.status END AS status,
+               CASE WHEN s.o_orderkey IS NOT NULL THEN s.version ELSE t.version END AS version
+        FROM tgt t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+        ORDER BY o_orderkey
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "catalog_partitioned",
       (spark, dir) => {
         // identity-partitioned table: the write's clustered distribution

@@ -225,7 +225,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
           props -= rm.property()
         case other => throw new UnsupportedOperationException(s"graft alter: $other")
       }
-      GraftManifestIO.Content(schema, props, cur.files, cur.deletes)
+      GraftManifestIO.Content(schema, props, cur.files, cur.deletes, cur.eqDeletes)
     }
     new GraftTable(fullName(ident), tablePath(ident).toString)
   }

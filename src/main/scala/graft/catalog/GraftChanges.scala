@@ -31,14 +31,14 @@ object GraftChanges {
       "change feed across a schema evolution is not supported; diff within one schema epoch")
 
     // a file contributes changes if it joined/left the snapshot or its
-    // applicable delete set changed
-    def deleteKey(s: GraftSnapshot, path: String): Set[String] =
-      s.deletesFor(path).map(_.path).toSet
-    val fromPaths = from.files.map(_.path).toSet
-    val toPaths = to.files.map(_.path).toSet
-    val changed = (fromPaths ++ toPaths).filter { p =>
-      !fromPaths.contains(p) || !toPaths.contains(p) ||
-        deleteKey(from, p) != deleteKey(to, p)
+    // applicable delete set (position OR equality) changed
+    def deleteKey(s: GraftSnapshot, e: FileEntry): (Set[String], Set[String]) =
+      (s.deletesFor(e.path).map(_.path).toSet, s.eqDeletesFor(e).map(_.path).toSet)
+    val fromByPath = from.files.map(f => f.path -> f).toMap
+    val toByPath = to.files.map(f => f.path -> f).toMap
+    val changed = (fromByPath.keySet ++ toByPath.keySet).filter { p =>
+      !fromByPath.contains(p) || !toByPath.contains(p) ||
+        deleteKey(from, fromByPath(p)) != deleteKey(to, toByPath(p))
     }
 
     def liveRows(s: GraftSnapshot): DataFrame = {
@@ -46,20 +46,9 @@ object GraftChanges {
       if (files.isEmpty)
         return spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
-      val raw = spark.read.schema(s.schema)
-        .parquet(files.map(f => new Path(new Path(tableDir), f.path).toString): _*)
-      val dels = files.flatMap(f => s.deletesFor(f.path)).distinct
-      if (dels.isEmpty) raw
-      else {
-        val delDf = spark.read.schema(GraftDeletes.Schema)
-          .parquet(dels.map(d => new Path(new Path(tableDir), d.path).toString): _*)
-        raw
-          .withColumn("__rel", regexp_extract(col("_metadata.file_path"), "(data/[^/]*)$", 1))
-          .withColumn("__pos", col("_metadata.row_index"))
-          .join(delDf.withColumnRenamed("file", "__rel").withColumnRenamed("pos", "__pos"),
-            Seq("__rel", "__pos"), "left_anti")
-          .select(s.schema.fieldNames.map(col).toIndexedSeq: _*)
-      }
+      GraftMaintenance.readThroughDeletes(spark, tableDir, s.schema, files,
+        files.flatMap(f => s.deletesFor(f.path)).distinct,
+        s.eqDeletes.filter(d => files.exists(_.seq < d.seq)))
     }
 
     val before = liveRows(from)

@@ -83,8 +83,9 @@ final class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo, operation
           s"delta commit conflicts: deletes target concurrently removed file(s) ${missing.mkString(", ")}")
       GraftManifestIO.Content(
         cur.schema, cur.properties,
-        cur.files ++ dataEntries,
-        cur.deletes ++ deleteEntries)
+        cur.files ++ dataEntries.map(_.copy(seq = GraftManifestIO.PendingSeq)),
+        cur.deletes ++ deleteEntries,
+        cur.eqDeletes)
     }
   }
 

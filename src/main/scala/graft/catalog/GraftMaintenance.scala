@@ -36,7 +36,8 @@ object GraftMaintenance {
     val nOut = math.max(1, math.ceil(small.map(_.bytes).sum.toDouble / targetBytes).toInt)
     val smallSet = small.map(_.path).toSet
     val applicableDeletes = base.deletes.filter(_.targets.exists(smallSet.contains))
-    val df = readThroughDeletes(spark, tableDir, base.schema, small, applicableDeletes)
+    val applicableEq = base.eqDeletes.filter(d => small.exists(_.seq < d.seq))
+    val df = readThroughDeletes(spark, tableDir, base.schema, small, applicableDeletes, applicableEq)
       .coalesce(nOut)
 
     val newEntries = writeEntries(df, tableDir, schema, "compact")
@@ -62,7 +63,7 @@ object GraftMaintenance {
     if (base.files.isEmpty) return (0, 0)
     val schema = base.schema
     val clustered = graft.operators.Layout
-      .withZ(readThroughDeletes(spark, tableDir, schema, base.files, base.deletes),
+      .withZ(readThroughDeletes(spark, tableDir, schema, base.files, base.deletes, base.eqDeletes),
         xCol, yCol, bits)
       .repartitionByRange(targetFiles, col("_z"))
       .sortWithinPartitions("_z")
@@ -78,19 +79,46 @@ object GraftMaintenance {
     */
   private[catalog] def readThroughDeletes(
       spark: SparkSession, tableDir: String, schema: org.apache.spark.sql.types.StructType,
-      files: Seq[FileEntry], deletes: Seq[DeleteEntry]): DataFrame = {
+      files: Seq[FileEntry], deletes: Seq[DeleteEntry],
+      eqDeletes: Seq[EqDeleteEntry] = Nil): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = spark.read.schema(schema)
-      .parquet(files.map(f => new Path(new Path(tableDir), f.path).toString): _*)
-    if (deletes.isEmpty) raw
+    val posApplied = {
+      val raw = spark.read.schema(schema)
+        .parquet(files.map(f => new Path(new Path(tableDir), f.path).toString): _*)
+      if (deletes.isEmpty) raw
+      else {
+        val delDf = spark.read.schema(GraftDeletes.Schema)
+          .parquet(deletes.map(d => new Path(new Path(tableDir), d.path).toString): _*)
+        raw
+          .withColumn("__rel", regexp_extract(col("_metadata.file_path"), "(data/[^/]*)$", 1))
+          .withColumn("__pos", col("_metadata.row_index"))
+          .join(delDf.withColumnRenamed("file", "__rel").withColumnRenamed("pos", "__pos"),
+            Seq("__rel", "__pos"), "left_anti")
+          .select(schema.fieldNames.map(col).toIndexedSeq: _*)
+      }
+    }
+    if (eqDeletes.isEmpty) posApplied
     else {
-      val delDf = spark.read.schema(GraftDeletes.Schema)
-        .parquet(deletes.map(d => new Path(new Path(tableDir), d.path).toString): _*)
-      raw
-        .withColumn("__rel", regexp_extract(col("_metadata.file_path"), "(data/[^/]*)$", 1))
-        .withColumn("__pos", col("_metadata.row_index"))
-        .join(delDf.withColumnRenamed("file", "__rel").withColumnRenamed("pos", "__pos"),
-          Seq("__rel", "__pos"), "left_anti")
+      // equality shadowing is per (data file seq, delete seq): group
+      // input files by their applicable delete subset and anti-join
+      // each group against its union of keys (usually one group — the
+      // common compaction of all-older files)
+      require(eqDeletes.forall(d => d.cols.length == 1 && d.cols == eqDeletes.head.cols),
+        s"equality deletes must share one key column: ${eqDeletes.map(_.cols)}")
+      val keyCol = eqDeletes.head.cols.head
+      files.groupBy(f => eqDeletes.filter(_.seq > f.seq).map(_.path).sorted).toSeq
+        .map { case (delPaths, group) =>
+          val raw = readThroughDeletes(spark, tableDir, schema, group,
+            deletes.filter(_.targets.exists(group.map(_.path).contains)))
+          if (delPaths.isEmpty) raw
+          else {
+            val keys = spark.read
+              .parquet(delPaths.map(p => new Path(new Path(tableDir), p).toString): _*)
+              .select(col(keyCol))
+            raw.join(keys, Seq(keyCol), "left_anti")
+          }
+        }
+        .reduce(_ unionByName _)
         .select(schema.fieldNames.map(col).toIndexedSeq: _*)
     }
   }
@@ -133,9 +161,16 @@ object GraftMaintenance {
       val remainingDeletes = cur.map(_.deletes).getOrElse(Nil)
         .map(d => d.copy(targets = d.targets.filterNot(replaced.contains)))
         .filter(_.targets.nonEmpty)
+      val remainingFiles = live.filterNot(f => replaced.contains(f.path))
+      // equality deletes were applied during the rewrite read; an entry
+      // survives only while an older surviving data file could match it
+      // (new entries get this commit's seq — never shadowed)
+      val remainingEq = cur.map(_.eqDeletes).getOrElse(Nil)
+        .filter(d => remainingFiles.exists(_.seq < d.seq))
       GraftManifestIO.Content(
         cur.map(_.schema).getOrElse(schema), cur.map(_.properties).getOrElse(Map.empty),
-        live.filterNot(f => replaced.contains(f.path)) ++ newEntries, remainingDeletes)
+        remainingFiles ++ newEntries.map(_.copy(seq = GraftManifestIO.PendingSeq)),
+        remainingDeletes, remainingEq)
     }
     ()
   }

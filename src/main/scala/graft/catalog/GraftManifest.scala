@@ -25,7 +25,15 @@ final case class FileEntry(
     path: String,
     rows: Long,
     bytes: Long,
-    stats: Map[String, ColStats])
+    stats: Map[String, ColStats],
+    /** data sequence number (Iceberg v2): the snapshot version that
+      * added this file, stamped by commit(). An equality delete
+      * applies to a data file iff the delete's seq is HIGHER — newer
+      * upserts shadow older rows, never their own batch. Legacy
+      * manifests read back as 0 (oldest: shadowed by every eq delete,
+      * the correct upsert semantics for pre-existing data).
+      */
+    seq: Long = 0L)
 
 /** A position-delete file (merge-on-read): standard parquet with
   * schema `(file STRING, pos BIGINT)` marking rows of data files as
@@ -33,6 +41,18 @@ final case class FileEntry(
   * data files it covers so readers load only applicable deletes.
   */
 final case class DeleteEntry(path: String, rows: Long, targets: Seq[String])
+
+/** An equality-delete file (Iceberg v2's second delete form): standard
+  * parquet holding KEY VALUES; a row in any data file with a LOWER seq
+  * whose key appears in the file is deleted. This is the streaming
+  * upsert primitive (Flink's Iceberg upsert mode): a micro-batch
+  * commits its rows plus one equality-delete file of its keys and
+  * NEVER READS THE TARGET — per-batch cost is O(churn) for writes and
+  * zero for target reads, vs the MERGE path's full target scan.
+  * Readers pay for it: each scan filters against the applicable
+  * delete-key sets until compaction folds them.
+  */
+final case class EqDeleteEntry(path: String, rows: Long, cols: Seq[String], seq: Long = 0L)
 
 /** One table snapshot: the complete file list plus the schema under
   * which it was committed. Snapshots are immutable; a commit writes
@@ -49,10 +69,14 @@ final case class GraftSnapshot(
     schema: StructType,
     properties: Map[String, String],
     files: Seq[FileEntry],
-    deletes: Seq[DeleteEntry] = Nil) {
+    deletes: Seq[DeleteEntry] = Nil,
+    eqDeletes: Seq[EqDeleteEntry] = Nil) {
   /** Delete files applicable to one data file. */
   def deletesFor(dataPath: String): Seq[DeleteEntry] =
     deletes.filter(_.targets.contains(dataPath))
+  /** Equality deletes applicable to one data file (strictly newer seq). */
+  def eqDeletesFor(file: FileEntry): Seq[EqDeleteEntry] =
+    eqDeletes.filter(_.seq > file.seq)
 }
 
 /** Thrown when an optimistic commit loses the race: the caller
@@ -156,15 +180,20 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
       // replay that loses the version race to a concurrent writer is
       // still caught on its retry.
       val stampedProps = GraftCommitStamp.stamped(base, c.properties)
+      val version = base.map(_.version).getOrElse(0L) + 1
       val next = GraftSnapshot(
-        version = base.map(_.version).getOrElse(0L) + 1,
+        version = version,
         parent = base.map(_.version),
         operation = operation,
         schema = c.schema,
         // stamp commit wall-clock for TIMESTAMP AS OF travel
         properties = stampedProps + (GraftManifestIO.CommittedAtMs -> System.currentTimeMillis().toString),
-        files = c.files,
-        deletes = c.deletes)
+        // PendingSeq entries get this commit's version as their data
+        // sequence (re-stamped per OCC attempt against the fresh base)
+        files = c.files.map(f => if (f.seq == GraftManifestIO.PendingSeq) f.copy(seq = version) else f),
+        deletes = c.deletes,
+        eqDeletes = c.eqDeletes.map(d =>
+          if (d.seq == GraftManifestIO.PendingSeq) d.copy(seq = version) else d))
       fs.mkdirs(new Path(tableDir, "manifests"))
       val bytes = GraftManifestIO.toJson(next).getBytes("UTF-8")
       val target = manifestFile(next.version)
@@ -216,7 +245,8 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     val target = readSnapshot(version)
     commit(s"rollback-to-v$version") { _ =>
       GraftManifestIO.Content(target.schema,
-        target.properties - GraftManifestIO.CommittedAtMs, target.files, target.deletes)
+        target.properties - GraftManifestIO.CommittedAtMs, target.files, target.deletes,
+        target.eqDeletes)
     }
   }
 
@@ -230,7 +260,7 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
   def removeOrphans(): Seq[String] = {
     val live = versions().flatMap { v =>
       val s = readSnapshot(v)
-      s.files.map(_.path) ++ s.deletes.map(_.path)
+      s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
     }.toSet
     val dirs = Seq(("data", dataDir), ("deletes", new Path(tableDir, "deletes")))
     dirs.flatMap { case (prefix, dir) =>
@@ -273,7 +303,14 @@ object GraftManifestIO {
       schema: StructType,
       properties: Map[String, String],
       files: Seq[FileEntry],
-      deletes: Seq[DeleteEntry] = Nil)
+      deletes: Seq[DeleteEntry] = Nil,
+      eqDeletes: Seq[EqDeleteEntry] = Nil)
+
+  /** Sentinel seq meaning "the version this commit is assigned":
+    * commit() stamps it once the version race is won, so entries carry
+    * the right sequence even across OCC retries.
+    */
+  val PendingSeq: Long = -1L
 
   /** Snapshot property: commit wall-clock millis (set by [[GraftManifestIO.commit]]). */
   val CommittedAtMs = "graft.committed-at-ms"
@@ -284,6 +321,7 @@ object GraftManifestIO {
         "path" -> JString(f.path),
         "rows" -> JLong(f.rows),
         "bytes" -> JLong(f.bytes),
+        "seq" -> JLong(f.seq),
         "stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, st) =>
           c -> JObject(List(
             "min" -> st.min.map(JString(_): JValue).getOrElse(JNull),
@@ -297,6 +335,13 @@ object GraftManifestIO {
         "rows" -> JLong(d.rows),
         "targets" -> JArray(d.targets.map(JString(_): JValue).toList)))
     }.toList)
+    val eqDeletes = JArray(s.eqDeletes.map { d =>
+      JObject(List(
+        "path" -> JString(d.path),
+        "rows" -> JLong(d.rows),
+        "cols" -> JArray(d.cols.map(JString(_): JValue).toList),
+        "seq" -> JLong(d.seq)))
+    }.toList)
     val root = JObject(List(
       "version" -> JLong(s.version),
       "parent" -> s.parent.map(JLong(_): JValue).getOrElse(JNull),
@@ -304,7 +349,8 @@ object GraftManifestIO {
       "schema" -> JsonMethods.parse(s.schema.json),
       "properties" -> JObject(s.properties.toList.sortBy(_._1).map { case (k, v) => k -> JString(v) }),
       "files" -> files,
-      "deletes" -> deletes))
+      "deletes" -> deletes,
+      "eq_deletes" -> eqDeletes))
     JsonMethods.pretty(JsonMethods.render(root))
   }
 
@@ -323,7 +369,8 @@ object GraftManifestIO {
           }.toMap
           case _ => Map.empty[String, ColStats]
         }
-        FileEntry(str(f \ "path").get, long(f \ "rows"), long(f \ "bytes"), stats)
+        val seq = (f \ "seq") match { case JNull | JNothing => 0L; case v => long(v) }
+        FileEntry(str(f \ "path").get, long(f \ "rows"), long(f \ "bytes"), stats, seq)
       }
       case _ => Nil
     }
@@ -337,6 +384,17 @@ object GraftManifestIO {
       }
       case _ => Nil
     }
+    val eqDeletes = (j \ "eq_deletes") match {
+      case JArray(ds) => ds.map { d =>
+        val cols = (d \ "cols") match {
+          case JArray(cs) => cs.collect { case JString(c) => c }
+          case _ => Nil
+        }
+        EqDeleteEntry(str(d \ "path").get, long(d \ "rows"), cols,
+          (d \ "seq") match { case JNull | JNothing => 0L; case v => long(v) })
+      }
+      case _ => Nil
+    }
     GraftSnapshot(
       version = long(j \ "version"),
       parent = (j \ "parent") match { case JNull | JNothing => None; case v => Some(long(v)) },
@@ -347,6 +405,7 @@ object GraftManifestIO {
         case _ => Map.empty
       },
       files = files,
-      deletes = deletes)
+      deletes = deletes,
+      eqDeletes = eqDeletes)
   }
 }

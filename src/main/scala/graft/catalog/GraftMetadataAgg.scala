@@ -21,6 +21,7 @@ object GraftMetadataAgg {
   def tryCompute(snapshot: GraftSnapshot, agg: Aggregation): Option[Seq[Any]] = {
     if (agg.groupByExpressions().nonEmpty) return None
     if (snapshot.deletes.nonEmpty) return None // deleted rows not in stats
+    if (snapshot.eqDeletes.nonEmpty) return None // eq-deleted row count unknown
     val files = snapshot.files
     val schema = snapshot.schema
 

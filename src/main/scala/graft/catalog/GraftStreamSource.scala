@@ -68,7 +68,7 @@ final class GraftMicroBatchStream(
     val added = after.files.filterNot(f => before.contains(f.path))
     added.map { f =>
       GraftInputPartition(
-        Seq((new Path(new Path(tableDir), f.path).toString, f.path, Nil)), None): InputPartition
+        Seq((new Path(new Path(tableDir), f.path).toString, f.path, GraftReadDeletes())), None): InputPartition
     }.toArray
   }
 

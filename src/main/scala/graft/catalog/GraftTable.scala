@@ -99,11 +99,23 @@ final class GraftTable(
     partitionCols.flatMap(c => sch.fields.find(_.name == c).map(f => (c, f.dataType)))
   }
 
-  /** (absolute data path, entry, absolute delete-file paths) for scans. */
-  def scanFiles(): Seq[(String, FileEntry, Seq[String])] = {
+  /** (absolute data path, entry, delete context) for scans: applicable
+    * position-delete files plus (seq-newer) equality-delete files with
+    * the resolved key field.
+    */
+  def scanFiles(): Seq[(String, FileEntry, GraftReadDeletes)] = {
     val snap = snapshot
+    val sch = schema()
     snap.map(_.files).getOrElse(Nil).map { e =>
-      (absolutePath(e), e, snap.get.deletesFor(e.path).map(d => absolutePath(d.path)))
+      val eq = snap.get.eqDeletesFor(e)
+      require(eq.forall(d => d.cols.length == 1 && d.cols == eq.head.cols),
+        s"equality deletes must share one key column, got ${eq.map(_.cols)}")
+      val eqField = eq.headOption.flatMap(d => sch.fields.find(_.name == d.cols.head))
+      require(eq.isEmpty || eqField.isDefined,
+        s"equality-delete key column ${eq.head.cols.head} missing from table schema")
+      (absolutePath(e), e, GraftReadDeletes(
+        snap.get.deletesFor(e.path).map(d => absolutePath(d.path)),
+        eq.map(d => absolutePath(d.path)), eqField))
     }
   }
 
@@ -208,7 +220,7 @@ final class GraftLocalAggScan(schema: StructType, override val rows: Array[Inter
 }
 
 final class GraftScan(
-    files: Seq[(String, FileEntry, Seq[String])], requested: StructType,
+    files: Seq[(String, FileEntry, GraftReadDeletes)], requested: StructType,
     partitionColTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
     streaming: Option[(String, Boolean)] = None)
   extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
@@ -246,7 +258,7 @@ final class GraftScan(
     * partitioned joins (spark.sql.sources.v2.bucketing.enabled) —
     * co-partitioned Graft tables join WITHOUT a shuffle.
     */
-  private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[(String, FileEntry, Seq[String])])]] = {
+  private lazy val keyedGroups: Option[Seq[(Seq[Any], Seq[(String, FileEntry, GraftReadDeletes)])]] = {
     // grouping trades read parallelism (one split per partition VALUE)
     // for shuffle-free joins — only worth it when the session opted
     // into storage-partitioned joins
@@ -306,11 +318,21 @@ final class GraftScan(
       GraftConf.serializable)
 }
 
+/** Per-data-file delete context handed to readers: applicable
+  * position-delete file paths, applicable equality-delete file paths
+  * (strictly newer data sequence), and the resolved key field for the
+  * latter (single-column; the upsert merge key).
+  */
+final case class GraftReadDeletes(
+    pos: Seq[String] = Nil,
+    eq: Seq[String] = Nil,
+    eqField: Option[org.apache.spark.sql.types.StructField] = None)
+
 /** One or more data files (same partition value when grouped) +
-  * their delete files; `key` present only under key-grouped planning.
+  * their delete context; `key` present only under key-grouped planning.
   */
 final case class GraftInputPartition(
-    chunks: Seq[(String, String, Seq[String])],
+    chunks: Seq[(String, String, GraftReadDeletes)],
     key: Option[InternalRow])
   extends InputPartition with HasPartitionKey {
   override def partitionKey(): InternalRow = key.orNull
@@ -326,23 +348,65 @@ final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int, 
       private val it = gp.chunks.iterator
       private var reader: GraftParquetIO.FileReader = _
       private var row: InternalRow = _
+      // equality-delete state for the OPEN chunk: key set, the key's
+      // ordinal in the (possibly extended) read schema, and whether
+      // the schema was extended (key column not in the projection —
+      // read it anyway for filtering, then trim it back off)
+      private var eqKeys: java.util.HashSet[Any] = _
+      private var eqOrdinal: Int = -1
+      private var eqType: org.apache.spark.sql.types.DataType = _
+      private var trimTo: Int = -1
       private def openNext(): Boolean = {
         if (reader != null) { reader.close(); reader = null }
         if (!it.hasNext) return false
         val (abs, rel, dels) = it.next()
         // executor-side: load the position deletes applicable to this file
-        val deleted = GraftDeletes.positionsFor(dels, rel, conf)
-        reader = new GraftParquetIO.FileReader(
-          new Path(abs), requested, conf, fileColOrdinal, posColOrdinal, deleted)
+        val deleted = GraftDeletes.positionsFor(dels.pos, rel, conf)
+        if (dels.eq.isEmpty) {
+          eqKeys = null; eqOrdinal = -1; trimTo = -1
+          reader = new GraftParquetIO.FileReader(
+            new Path(abs), requested, conf, fileColOrdinal, posColOrdinal, deleted)
+        } else {
+          val field = dels.eqField.get
+          eqKeys = GraftEqDeletes.keysFor(dels.eq, field, conf)
+          eqType = field.dataType
+          val have = requested.fieldNames.indexOf(field.name)
+          val readSchema =
+            if (have >= 0) { eqOrdinal = have; trimTo = -1; requested }
+            else { eqOrdinal = requested.length; trimTo = requested.length
+              StructType(requested.fields :+ field) }
+          reader = new GraftParquetIO.FileReader(
+            new Path(abs), readSchema, conf, fileColOrdinal, posColOrdinal, deleted)
+        }
         true
+      }
+      private def liveRow(r: InternalRow): InternalRow = {
+        if (eqKeys != null) {
+          val k = r.get(eqOrdinal, eqType)
+          if (k != null && eqKeys.contains(k)) return null // shadowed by a newer upsert
+        }
+        if (trimTo < 0) r
+        else {
+          val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(trimTo)
+          var i = 0
+          while (i < trimTo) {
+            out.update(i, r.get(i, requested.fields(i).dataType)); i += 1
+          }
+          out
+        }
       }
       override def next(): Boolean = {
         while (true) {
           if (reader == null && !openNext()) return false
-          row = reader.next()
-          if (row != null) return true
-          if (reader != null) { reader.close(); reader = null }
-          if (!it.hasNext) return false
+          val raw = reader.next()
+          if (raw != null) {
+            val live = liveRow(raw)
+            if (live != null) { row = live; return true }
+            // eq-deleted: keep scanning this file
+          } else {
+            if (reader != null) { reader.close(); reader = null }
+            if (!it.hasNext) return false
+          }
         }
         false
       }
@@ -411,12 +475,17 @@ final class GraftWrite(
       val props = base.map(_.properties).getOrElse(Map.empty)
       mode match {
         case GraftCommitMode.Append =>
-          // appended files carry no deletes; existing deletes stay valid
+          // appended files carry no deletes; existing deletes stay
+          // valid; new entries take this commit's seq (PendingSeq) so
+          // they are NOT shadowed by older equality deletes
           GraftManifestIO.Content(schema, props,
-            base.map(_.files).getOrElse(Nil) ++ entries,
-            base.map(_.deletes).getOrElse(Nil))
+            base.map(_.files).getOrElse(Nil) ++
+              entries.map(_.copy(seq = GraftManifestIO.PendingSeq)),
+            base.map(_.deletes).getOrElse(Nil),
+            base.map(_.eqDeletes).getOrElse(Nil))
         case GraftCommitMode.Truncate =>
-          GraftManifestIO.Content(schema, props, entries, Nil)
+          GraftManifestIO.Content(schema, props,
+            entries.map(_.copy(seq = GraftManifestIO.PendingSeq)), Nil, Nil)
         case GraftCommitMode.ReplaceFiles(replaced) =>
           val gone = replaced().toSet
           val live = base.map(_.files).getOrElse(Nil)
@@ -430,8 +499,15 @@ final class GraftWrite(
           val remainingDeletes = base.map(_.deletes).getOrElse(Nil)
             .map(d => d.copy(targets = d.targets.filterNot(gone.contains)))
             .filter(_.targets.nonEmpty)
+          val remainingFiles = live.filterNot(f => gone.contains(f.path))
+          // equality deletes already applied to the rewritten groups'
+          // rows fold in likewise; an entry survives only while some
+          // remaining OLDER data file could still match it
+          val remainingEq = base.map(_.eqDeletes).getOrElse(Nil)
+            .filter(d => remainingFiles.exists(_.seq < d.seq))
           GraftManifestIO.Content(schema, props,
-            live.filterNot(f => gone.contains(f.path)) ++ entries, remainingDeletes)
+            remainingFiles ++ entries.map(_.copy(seq = GraftManifestIO.PendingSeq)),
+            remainingDeletes, remainingEq)
       }
     }
   }
@@ -586,12 +662,12 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Com
   * `_file IN (...)` predicate produced from the matching-rows
   * subquery).
   */
-final class GraftCowScan(initial: Seq[(String, FileEntry, Seq[String])], requested: StructType)
+final class GraftCowScan(initial: Seq[(String, FileEntry, GraftReadDeletes)], requested: StructType)
   extends Scan with Batch with SupportsRuntimeV2Filtering {
 
-  @volatile private var files: Seq[(String, FileEntry, Seq[String])] = initial
+  @volatile private var files: Seq[(String, FileEntry, GraftReadDeletes)] = initial
   @volatile private[catalog] var wasFiltered: Boolean = false
-  private[catalog] def plannedEntries: Seq[(String, FileEntry, Seq[String])] = files
+  private[catalog] def plannedEntries: Seq[(String, FileEntry, GraftReadDeletes)] = files
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this

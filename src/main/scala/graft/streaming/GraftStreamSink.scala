@@ -51,7 +51,10 @@ object GraftStreamSink {
       val props = base.map(_.properties).getOrElse(Map.empty) + (BatchIdProp -> batchId.toString)
       graft.catalog.GraftManifestIO.Content(
         base.map(_.schema).getOrElse(schema), props,
-        base.map(_.files).getOrElse(Nil) ++ entries, base.map(_.deletes).getOrElse(Nil))
+        base.map(_.files).getOrElse(Nil) ++
+          entries.map(_.copy(seq = graft.catalog.GraftManifestIO.PendingSeq)),
+        base.map(_.deletes).getOrElse(Nil),
+        base.map(_.eqDeletes).getOrElse(Nil))
     } catch {
       case _: ReplayedBatch =>
         // no snapshot written; drop the redundantly staged files
