@@ -491,6 +491,49 @@ object EvalOps {
         ORDER BY source
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "eval_mrr",
+      (spark, dir) => {
+        // reciprocal rank of the first relevant document per group —
+        // the third standard retrieval metric beside AP and NDCG.
+        // rank is an exact integer (deterministic tiebreak), so
+        // 1.0/rank is the same double in both engines; one window,
+        // one filter, one per-group min — no float accumulation.
+        val docs = Tables(spark, dir).documents.selectExpr(
+          "source", "doc_id",
+          "CAST(n_chars % 997 AS BIGINT) AS score",
+          "CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel")
+        val w = Window.partitionBy("source").orderBy(col("score").desc, col("doc_id").asc)
+        val firstRel = docs.withColumn("rk", row_number().over(w))
+          .where(col("rel") === 1)
+          .groupBy("source").agg(min("rk").as("first_rel_rank"))
+        docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+          .join(firstRel, Seq("source"), "left")
+          .selectExpr("source", "CAST(n_docs AS BIGINT) AS n_docs",
+            "CAST(first_rel_rank AS BIGINT) AS first_rel_rank",
+            "CAST(1.0 AS DOUBLE) / first_rel_rank AS rr")
+          .orderBy("source")
+      },
+      Some("""
+        WITH docs AS (
+          SELECT source, doc_id, CAST(n_chars % 997 AS BIGINT) AS score,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+          FROM documents),
+        ranked AS (
+          SELECT source, rel,
+                 row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id ASC) AS rk
+          FROM docs),
+        first_rel AS (
+          SELECT source, CAST(min(rk) AS BIGINT) AS first_rel_rank
+          FROM ranked WHERE rel = 1 GROUP BY source),
+        totals AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs FROM docs GROUP BY source)
+        SELECT totals.source AS source, n_docs, first_rel_rank,
+               CAST(1.0 AS DOUBLE) / first_rel_rank AS rr
+        FROM totals LEFT JOIN first_rel ON totals.source = first_rel.source
+        ORDER BY source
+      """.trim),
+      bench = true
     )
   )
 }
