@@ -34,7 +34,14 @@ object StreamBenchSection {
         * zero target reads per batch — the expected fastest path.
         */
       upsGrowthRowsPerSec: Double = -1, upsGrowthFlatness: Double = -1,
-      upsWriteAmp: Double = -1)
+      upsWriteAmp: Double = -1,
+      /** point-churn READ-amplification axis: small-key-count batches
+        * against a bucket-clustered target. Files actually opened per
+        * MERGE batch, bucket-pruned vs full-scan — the target-read half
+        * of the O(churn) contract (writes were already O(churn)).
+        */
+      pointFilesPruned: Double = -1, pointFilesFull: Double = -1,
+      pointSecPruned: Double = -1, pointSecFull: Double = -1)
 
   /** Standalone entry for scale runs:
     * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.StreamBenchSection` —
@@ -47,7 +54,7 @@ object StreamBenchSection {
     spark.sparkContext.setLogLevel("WARN")
     val r = run(spark, sfDir)
     spark.stop()
-    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"mor_write_amp":${math.round(r.morWriteAmp * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"ss_write_amp":${math.round(r.ssWriteAmp * 100) / 100.0},"ups_growth_rows_per_sec":${r.upsGrowthRowsPerSec.round},"ups_growth_flatness":${math.round(r.upsGrowthFlatness * 100) / 100.0},"ups_write_amp":${math.round(r.upsWriteAmp * 100) / 100.0},"sf":"$sfDir"}""")
+    println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"mor_write_amp":${math.round(r.morWriteAmp * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"ss_write_amp":${math.round(r.ssWriteAmp * 100) / 100.0},"ups_growth_rows_per_sec":${r.upsGrowthRowsPerSec.round},"ups_growth_flatness":${math.round(r.upsGrowthFlatness * 100) / 100.0},"ups_write_amp":${math.round(r.upsWriteAmp * 100) / 100.0},"point_files_per_batch_pruned":${math.round(r.pointFilesPruned * 10) / 10.0},"point_files_per_batch_full":${math.round(r.pointFilesFull * 10) / 10.0},"point_sec_per_batch_pruned":${math.round(r.pointSecPruned * 1000) / 1000.0},"point_sec_per_batch_full":${math.round(r.pointSecFull * 1000) / 1000.0},"sf":"$sfDir"}""")
   }
 
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
@@ -96,9 +103,12 @@ object StreamBenchSection {
     val landed = spark.read.parquet(s"$tableDir/data").count()
     require(landed == rows, s"catalog sink landed $landed of $rows rows")
     val g = growthAxis(spark, sfDir, work)
+    val (pf, ff, ps, fs) = pointChurnAxis(spark, sfDir, work)
     Result(rows / mergeSec, rows / appendSec, m.batches,
       g.morRate, g.morFlat, g.ssRate, g.ssFlat, g.morAmp, g.ssAmp,
-      g.upsRate, g.upsFlat, g.upsAmp)
+      g.upsRate, g.upsFlat, g.upsAmp,
+      pointFilesPruned = pf, pointFilesFull = ff,
+      pointSecPruned = ps, pointSecFull = fs)
   }
 
   final case class Growth(morRate: Double, morFlat: Double, morAmp: Double,
@@ -256,6 +266,89 @@ object StreamBenchSection {
       totalChurn / (ssHalf1 + ssHalf2), ssHalf2 / ssHalf1, ssAmp,
       totalChurn / upsSec, upsFlat, upsAmp)
   }
+
+  /** Read-amplification axis: a handful of churn keys per batch against
+    * a bucket-clustered MOR target. Uniform md5 merge keys defeat
+    * min/max pruning, so the unbucketed merge OPENS every target file
+    * per batch — O(target) reads. With the bucket column + per-batch IN
+    * conjunct ([[graft.streaming.StreamMerge.BucketColumnName]]) the
+    * scan opens only the files whose bucket range covers the batch's
+    * keys: files/batch ≈ min(churn keys, files) instead of all files.
+    * This ratio is the scale-invariant signal — at 100 TB it is the
+    * difference between reading ~1k files and ~100k files per trigger.
+    * Returns (filesPerBatch pruned, filesPerBatch full, sec/batch
+    * pruned, sec/batch full).
+    */
+  private def pointChurnAxis(
+      spark: SparkSession, sfDir: String, work: String): (Double, Double, Double, Double) = {
+    import org.apache.spark.sql.functions._
+    import graft.streaming.StreamMerge
+    val nBuckets = 4096
+    val nFiles   = 64
+    val nB       = 8
+    val c        = 8 // churn keys per batch: c updates + c inserts
+    val seed = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"),
+        lit(0L).as("version"))
+    val maxId = seed.agg(max("event_id")).head.getLong(0)
+    val updKeys = seed.orderBy("event_id").limit(c)
+
+    val churnSrc = s"$work/point_churn"
+    for (b <- 0 until nB) {
+      val upd = updKeys.withColumn("version", lit(b + 1L)).withColumn("value", col("value") * 2)
+      val ins = spark.range(c).select(
+        (lit(maxId + 1 + b.toLong * c) + col("id")).as("event_id"),
+        col("id").as("user_id"), lit("synthetic").as("event_type"),
+        lit(1.0).as("value"), lit(b + 1L).as("version"))
+      upd.unionByName(ins).coalesce(1).write.mode("append").parquet(churnSrc)
+    }
+    val schema = spark.read.parquet(churnSrc).schema
+
+    // pruned target: bucket column, seed clustered by bucket
+    spark.sql(s"""CREATE TABLE gbench.db.morp (
+      event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,
+      version BIGINT, arcane_merge_key STRING, ${StreamMerge.BucketColumnName} INT)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
+      .withColumn(StreamMerge.BucketColumnName, StreamMerge.bucketExpr(nBuckets))
+      .repartitionByRange(nFiles, col(StreamMerge.BucketColumnName))
+      .sortWithinPartitions(StreamMerge.BucketColumnName)
+      .writeTo("gbench.db.morp").append()
+    // full-scan contrast: same rows, same file count, no bucket column
+    spark.sql("""CREATE TABLE gbench.db.morf (
+      event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,
+      version BIGINT, arcane_merge_key STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
+      .repartition(nFiles)
+      .writeTo("gbench.db.morf").append()
+
+    def drain(table: String, ckpt: String, prune: Option[Int]): (Double, Double) = {
+      val f0 = graft.catalog.GraftReadMetrics.dataFilesOpened
+      val t0 = System.nanoTime()
+      StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+        sourceDir = churnSrc, table = table,
+        tableDir = s"$work/wh/db/${table.split('.').last}",
+        checkpointDir = ckpt, primaryKeys = Seq("event_id"), versionCols = Seq("version"),
+        maxFilesPerTrigger = Some(1), pruneBuckets = prune,
+        // fold the accumulated churn files mid-axis so pruning stays
+        // tight under sustained capture (re-clustered by bucket)
+        compactEveryBatches = Some(nB / 2), compactSmallBytes = 64L << 10))
+      val sec   = (System.nanoTime() - t0) / 1e9
+      val files = graft.catalog.GraftReadMetrics.dataFilesOpened - f0
+      (files.toDouble / nB, sec / nB)
+    }
+    val (pf, ps) = drain("gbench.db.morp", s"$work/ckpt_morp", Some(nBuckets))
+    val (ff, fs) = drain("gbench.db.morf", s"$work/ckpt_morf", None)
+    val expected = seed.count() + nB.toLong * c
+    require(spark.table("gbench.db.morp").count() == expected, "pruned point target row drift")
+    require(spark.table("gbench.db.morf").count() == expected, "full point target row drift")
+    // the pruned path must actually prune — catches a silently-dropped
+    // IN conjunct, which would make the axis a lie
+    require(pf < ff / 2,
+      s"bucket pruning ineffective: $pf files/batch pruned vs $ff full")
+    (pf, ff, ps, fs)
+  }
 }
 
 /** Benchmark main: times the headline queries (Queries.benchQueries) at
@@ -356,7 +449,7 @@ object Bench {
         Some(StreamBenchSection.Result(-1, -1, 0))
       }
     val streamJson = stream.fold("") { r =>
-      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)}"""
+      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)},"point_files_per_batch_pruned":${f2(r.pointFilesPruned)},"point_files_per_batch_full":${f2(r.pointFilesFull)},"point_sec_per_batch_pruned":${f2(r.pointSecPruned)},"point_sec_per_batch_full":${f2(r.pointSecFull)}"""
     }
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"spread_queries":${results.map { case (k, v, _, mx) => "\"" + k + "\":[" + f2(v) + "," + f2(mx) + "]" }.mkString("{", ",", "}")}}""")
     spark.stop()

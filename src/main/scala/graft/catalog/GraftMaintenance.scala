@@ -26,7 +26,15 @@ object GraftMaintenance {
     */
   def compact(
       spark: SparkSession, tableDir: String,
-      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20): (Int, Int) = {
+      smallBytes: Long = 32L << 20, targetBytes: Long = 128L << 20,
+      /** cluster the rewritten files by these columns (range-partition
+        * + sort within): their manifest min/max become tight disjoint
+        * ranges, so point/IN predicates prune the compacted files — the
+        * streaming-merge bucket-pruning contract
+        * ([[graft.streaming.StreamMerge.BucketColumnName]]) and
+        * Iceberg's rewrite_data_files sort strategy.
+        */
+      sortCols: Seq[String] = Nil): (Int, Int) = {
     val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
     val base = io.currentSnapshot().getOrElse(return (0, 0))
     val small = base.files.filter(_.bytes < smallBytes)
@@ -37,8 +45,14 @@ object GraftMaintenance {
     val smallSet = small.map(_.path).toSet
     val applicableDeletes = base.deletes.filter(_.targets.exists(smallSet.contains))
     val applicableEq = base.eqDeletes.filter(d => small.exists(_.seq < d.seq))
-    val df = readThroughDeletes(spark, tableDir, base.schema, small, applicableDeletes, applicableEq)
-      .coalesce(nOut)
+    val read = readThroughDeletes(spark, tableDir, base.schema, small, applicableDeletes, applicableEq)
+    val df =
+      if (sortCols.isEmpty) read.coalesce(nOut)
+      else {
+        import org.apache.spark.sql.functions.col
+        read.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      }
 
     val newEntries = writeEntries(df, tableDir, schema, "compact")
     replaceCommit(io, "compact", schema, small.map(_.path).toSet, newEntries)

@@ -360,6 +360,7 @@ final case class GraftReaderFactory(requested: StructType, fileColOrdinal: Int, 
         if (reader != null) { reader.close(); reader = null }
         if (!it.hasNext) return false
         val (abs, rel, dels) = it.next()
+        GraftReadMetrics.fileOpened()
         // executor-side: load the position deletes applicable to this file
         val deleted = GraftDeletes.positionsFor(dels.pos, rel, conf)
         if (dels.eq.isEmpty) {

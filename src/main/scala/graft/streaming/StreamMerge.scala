@@ -39,6 +39,51 @@ object StreamMerge {
     */
   val BatchIdProp: String = GraftStreamSink.BatchIdProp
 
+  /** Derived key-bucket column for read-amplification pruning:
+    * `pmod(xxhash64(merge_key), nBuckets)`. High-cardinality CDC keys
+    * (md5 merge keys) are uniform, so plain min/max file stats never
+    * prune the target scan — every micro-batch MERGE reads the whole
+    * table. Bucketing restores pruning: compaction clusters data files
+    * by bucket (tight min/max boxes), each batch's DISTINCT buckets are
+    * a bounded set (≤ min(churn, nBuckets)), and a static
+    * `t.bucket IN (...)` conjunct in the ON clause pushes down to
+    * [[graft.catalog.StatsPruner]] — per-batch target READS become
+    * O(files covering the churn's buckets), completing the O(churn)
+    * WRITE contract. This is Iceberg's bucket-partitioning guidance for
+    * streaming upserts, done with stats pruning instead of directories.
+    */
+  val BucketColumnName = "arcane_merge_bucket"
+
+  /** Cap on `pruneBuckets`: above this the per-batch IN list stops
+    * being "a small static predicate" (and pruning gains flatten —
+    * bucket count should sit ~10-100× the typical batch's distinct-key
+    * count, not at key cardinality).
+    */
+  val MaxBuckets = 65536
+
+  /** The bucket expression — exposed so writers seeding a target table
+    * derive the IDENTICAL bucket for a given merge key.
+    */
+  def bucketExpr(nBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(col(MergeKey.ColumnName)), lit(nBuckets.toLong)).cast("int")
+
+  /** The MERGE statement [[idempotentMerge]] runs — factored out so
+    * specs can EXPLAIN the exact SQL and pin the pruned scan shape.
+    */
+  def mergeSql(
+      table: String, view: String, keys: Seq[String], cols: Seq[String],
+      buckets: Option[Seq[Int]] = None): String = {
+    val on = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ") +
+      buckets.filter(_.nonEmpty).fold("")(bs =>
+        s" AND t.`$BucketColumnName` IN (${bs.sorted.mkString(", ")})")
+    val set = cols.filterNot(keys.contains).map(c => s"t.`$c` = s.`$c`").mkString(", ")
+    val ins = cols.map(c => s"`$c`").mkString(", ")
+    val vals = cols.map(c => s"s.`$c`").mkString(", ")
+    s"""MERGE INTO $table t USING $view s ON $on
+       |WHEN MATCHED THEN UPDATE SET $set
+       |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin
+  }
+
   final case class Config(
       sourceDir: String,
       /** fully-qualified SQL name of a pre-created Graft table (MOR
@@ -71,7 +116,17 @@ object StreamMerge {
       keepSnapshots: Int = 2,
       /** sweep unreferenced data files every N batches (the
         * reference's `orphanFilesExpirationSettings`). */
-      orphansEveryBatches: Option[Int] = None)
+      orphansEveryBatches: Option[Int] = None,
+      /** bucket count for read-amplification pruning ([[BucketColumnName]]):
+        * the target table must carry the bucket column; each batch's
+        * MERGE then reads only files whose bucket range covers the
+        * batch's keys, and threshold compaction clusters by bucket to
+        * keep those ranges tight. None = today's full-scan merge.
+        */
+      pruneBuckets: Option[Int] = None) {
+    pruneBuckets.foreach(n => require(n >= 1 && n <= MaxBuckets,
+      s"pruneBuckets must be in [1, $MaxBuckets], got $n"))
+  }
 
   /** Highest batch id stamped into the table's current snapshot. */
   def committedBatchId(spark: SparkSession, table: String): Option[Long] =
@@ -83,7 +138,8 @@ object StreamMerge {
     * one `MERGE INTO` on the merge keys — exactly once per batch id.
     * Returns true if the batch was applied, false for a replay skip.
     */
-  def idempotentMerge(table: String, keys: Seq[String], versionCols: Seq[String])(
+  def idempotentMerge(table: String, keys: Seq[String], versionCols: Seq[String],
+      pruneBuckets: Option[Int] = None)(
       batch: DataFrame, batchId: Long): Boolean = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(versionCols.nonEmpty, "upsert versioning requires at least one version column")
@@ -91,18 +147,22 @@ object StreamMerge {
     if (committedBatchId(spark, table).exists(_ >= batchId)) return false
     val staged = Upsert.latestByKey(batch, keys, versionCols)
     val cols = staged.columns.toSeq
+    // the batch's distinct buckets: a bounded collect (≤ nBuckets ≤
+    // MaxBuckets rows) over the RAW batch — dedup can't add buckets, so
+    // this avoids computing the latest-per-key window twice. When every
+    // bucket is present the conjunct prunes nothing; drop it.
+    val buckets = pruneBuckets.flatMap { n =>
+      require(cols.contains(BucketColumnName),
+        s"pruneBuckets set but batch lacks $BucketColumnName")
+      val bs = batch.select(BucketColumnName).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (bs.size < n) Some(bs) else None
+    }
     val view = s"graft_stream_merge_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     staged.createOrReplaceTempView(view)
-    val on  = keys.map(k => s"t.`$k` = s.`$k`").mkString(" AND ")
-    val set = cols.filterNot(keys.contains).map(c => s"t.`$c` = s.`$c`").mkString(", ")
-    val ins = cols.map(c => s"`$c`").mkString(", ")
-    val vals = cols.map(c => s"s.`$c`").mkString(", ")
     try {
       GraftCommitStamp.withBatchId(BatchIdProp, batchId) {
-        spark.sql(
-          s"""MERGE INTO $table t USING $view s ON $on
-             |WHEN MATCHED THEN UPDATE SET $set
-             |WHEN NOT MATCHED THEN INSERT ($ins) VALUES ($vals)""".stripMargin)
+        spark.sql(mergeSql(table, view, keys, cols, buckets))
       }
       true
     } catch {
@@ -125,12 +185,15 @@ object StreamMerge {
     val src = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(cfg.sourceDir)
     val essentials = cfg.essentialFields ++ cfg.primaryKeys ++ cfg.versionCols
-    val keyed = MergeKey.withMergeKey(FieldSelection(src, cfg.fieldRule, essentials), cfg.primaryKeys)
+    val withKey = MergeKey.withMergeKey(FieldSelection(src, cfg.fieldRule, essentials), cfg.primaryKeys)
+    val keyed = cfg.pruneBuckets.fold(withKey)(n =>
+      withKey.withColumn(BucketColumnName, bucketExpr(n)))
     val q = keyed.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        idempotentMerge(cfg.table, Seq(MergeKey.ColumnName), cfg.versionCols)(batch, batchId)
+        idempotentMerge(cfg.table, Seq(MergeKey.ColumnName), cfg.versionCols,
+          cfg.pruneBuckets)(batch, batchId)
         batches += 1
         // OUTSIDE the stamp scope: maintenance is content-neutral and
         // must not be refused as a "replay" of the batch it follows.
@@ -138,7 +201,9 @@ object StreamMerge {
         // is restart-safe (a replayed batch re-fires an idempotent
         // maintenance pass, never skips one).
         if (cfg.compactEveryBatches.exists(n => (batchId + 1) % n == 0))
-          GraftMaintenance.compact(spark, cfg.tableDir, cfg.compactSmallBytes)
+          GraftMaintenance.compact(spark, cfg.tableDir, cfg.compactSmallBytes,
+            // cluster by bucket so the next batches' scans prune tightly
+            sortCols = cfg.pruneBuckets.map(_ => Seq(BucketColumnName)).getOrElse(Nil))
         if (cfg.expireEveryBatches.exists(n => (batchId + 1) % n == 0))
           tableIO(cfg).expireSnapshots(cfg.keepSnapshots)
         if (cfg.orphansEveryBatches.exists(n => (batchId + 1) % n == 0))

@@ -292,6 +292,109 @@ class StreamMergeSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(*) FROM $cat.db.morpart").head.getLong(0) == 300)
   }
 
+  test("bucket pruning: high-cardinality merge reads only files covering the batch's buckets") {
+    // min/max stats never prune uniform md5 merge keys, so an unbucketed
+    // MOR merge reads the WHOLE target every micro-batch — O(target)
+    // READS against O(churn) writes. The bucket column restores file
+    // skipping: seed clustered by bucket, verify the per-batch IN
+    // conjunct prunes the scan, and verify compaction re-clusters the
+    // accumulated batch files so pruning stays tight under sustained CDC.
+    val nBuckets = 64
+    val table = "mor_buckets"
+    spark.sql(s"""CREATE TABLE $cat.db.$table (
+      k INT, version BIGINT, payload STRING, arcane_merge_key STRING,
+      ${StreamMerge.BucketColumnName} INT)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    val seedDf = MergeKey.withMergeKey(
+      spark.range(20000).selectExpr(
+        "CAST(id AS INT) AS k", "CAST(0 AS BIGINT) AS version", "concat('seed-', id) AS payload"),
+      Seq("k"))
+      .withColumn(StreamMerge.BucketColumnName, StreamMerge.bucketExpr(nBuckets))
+    seedDf
+      .repartitionByRange(8, org.apache.spark.sql.functions.col(StreamMerge.BucketColumnName))
+      .sortWithinPartitions(StreamMerge.BucketColumnName)
+      .writeTo(s"$cat.db.$table").append()
+
+    val m = io(table)
+    val seedFiles = m.currentSnapshot().get.files
+    assert(seedFiles.size == 8, s"expected 8 clustered seed files, got ${seedFiles.size}")
+
+    // churn: 6 existing keys + 2 inserts — a handful of buckets
+    val churn = MergeKey.withMergeKey(
+      ((0 until 6).map(k => (k * 997, 1L, s"upd-$k")) ++
+        Seq((30001, 1L, "new-a"), (30002, 1L, "new-b"))).toDF("k", "version", "payload"),
+      Seq("k"))
+      .withColumn(StreamMerge.BucketColumnName, StreamMerge.bucketExpr(nBuckets))
+    val churnBuckets = churn.select(StreamMerge.BucketColumnName)
+      .distinct().collect().map(_.getInt(0)).toSet
+    val affected = seedFiles.filter { f =>
+      val st = f.stats(StreamMerge.BucketColumnName)
+      churnBuckets.exists(b => st.min.get.toInt <= b && b <= st.max.get.toInt)
+    }
+    assert(affected.size < seedFiles.size,
+      s"test needs churn that misses some files (buckets $churnBuckets)")
+
+    // the exact SQL the stream runs, EXPLAIN'd: scan planned only the
+    // files whose bucket range covers the churn
+    churn.createOrReplaceTempView("mor_bucket_churn")
+    val plan = spark.sql("EXPLAIN " + StreamMerge.mergeSql(
+      s"$cat.db.$table", "mor_bucket_churn", Seq(MergeKey.ColumnName),
+      churn.columns.toSeq, Some(churnBuckets.toSeq))).head.getString(0)
+    assert(plan.contains(s"GraftScan[files=${affected.size}"),
+      s"expected ${affected.size} of ${seedFiles.size} files planned:\n$plan")
+
+    // live run via the stream path (bucket column added by the stream)
+    val src  = Files.createTempDirectory("graft_smb_src").toString
+    val ckpt = Files.createTempDirectory("graft_smb_ckpt").toString
+    ((0 until 6).map(k => (k * 997, 1L, s"upd-$k")) ++
+      Seq((30001, 1L, "new-a"), (30002, 1L, "new-b")))
+      .toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    assert(StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+      pruneBuckets = Some(nBuckets))) == 1L)
+
+    val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
+    assert(out.count() == 20002)
+    assert(out.where("version = 1").count() == 8)
+    assert(out.where("k = 997").head.getString(2) == "upd-1")
+    assert(out.where("k = 30001").head.getString(2) == "new-a")
+    // delete mass confined to the affected files
+    val snap1 = m.currentSnapshot().get
+    assert(snap1.deletes.flatMap(_.targets).toSet.subsetOf(affected.map(_.path).toSet),
+      s"deletes leaked outside the bucket-pruned files: ${snap1.deletes.flatMap(_.targets)}")
+
+    // sustained CDC: two more batches then threshold compaction — the
+    // accumulated batch files (each spanning many buckets) must come
+    // back bucket-clustered so later merges keep pruning
+    (1 to 2).foreach { b =>
+      (0 until 6).map(k => (k * 997, (b + 1).toLong, s"upd$b-$k"))
+        .toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(src)
+    }
+    assert(StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1), pruneBuckets = Some(nBuckets),
+      compactEveryBatches = Some(3), compactSmallBytes = 1L << 30)) == 2L)
+    val snap2 = m.currentSnapshot().get
+    assert(snap2.operation == "compact", s"last op: ${snap2.operation}")
+    assert(snap2.deletes.isEmpty, "compaction must fold deletes")
+    // every compacted file covers a tight, disjoint bucket range
+    val spans = snap2.files.map { f =>
+      val st = f.stats(StreamMerge.BucketColumnName)
+      (st.min.get.toInt, st.max.get.toInt)
+    }.sorted
+    assert(spans.sliding(2).forall {
+      case Seq((_, hi), (lo, _)) => hi <= lo
+      case _ => true
+    }, s"compacted files overlap in bucket space: $spans")
+    val out2 = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
+    assert(out2.count() == 20002)
+    assert(out2.where("version = 3").count() == 6)
+    assert(out2.where("k = 997").head.getString(2) == "upd2-1")
+  }
+
   test("threshold compaction folds accumulated position deletes; content invariant") {
     val table = "mor_compact"
     createMorTarget(table)
