@@ -223,10 +223,45 @@ final class GraftScan(
     files: Seq[(String, FileEntry, GraftReadDeletes)], requested: StructType,
     partitionColTypes: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
     streaming: Option[(String, Boolean)] = None)
-  extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning {
+  extends Scan with Batch with SupportsReportStatistics with SupportsReportPartitioning
+  with SupportsRuntimeV2Filtering {
+
+  /** Files actually planned: narrowed at runtime by dynamic partition
+    * pruning ([[filter]]); statistics/partitioning report the planning-
+    * time set (computed before runtime filters resolve).
+    */
+  @volatile private var live: Seq[(String, FileEntry, GraftReadDeletes)] = files
 
   override def readSchema(): StructType = requested
   override def toBatch: Batch = this
+
+  /** Dynamic partition pruning, DSv2-style (what Iceberg's Spark scan
+    * does): advertise the identity partition columns; at execution
+    * Spark hands over the join's build-side values as IN/= predicates
+    * and the scan drops files whose partition stats provably exclude
+    * them. Purely an I/O optimization — the join still evaluates every
+    * surviving row, so conservative pruning is safe by construction.
+    * Skipped under storage-partitioned-join planning: the key-grouped
+    * partitioning already reported to Spark must not change shape.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    partitionColTypes.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.column(c._1)
+        : NamedReference).toArray
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    if (keyedGroups.isDefined) return // SPJ: partition shape is load-bearing
+    val partCols = partitionColTypes.map(_._1).toSet
+    val schema = org.apache.spark.sql.types.StructType(
+      partitionColTypes.map { case (n, dt) =>
+        org.apache.spark.sql.types.StructField(n, dt) })
+    predicates.foreach { p =>
+      GraftScan.colInValues(p, partCols).foreach { case (c, vs) =>
+        live = live.filter { case (_, e, _) =>
+          StatsPruner.mayMatchAnyInternal(c, vs, e, schema) }
+      }
+    }
+  }
 
   /** readStream.table(...): micro-batches of files added per snapshot
     * version ([[GraftMicroBatchStream]]).
@@ -238,7 +273,8 @@ final class GraftScan(
     new GraftMicroBatchStream(dir, requested, ignoreChanges)
   }
   override def description(): String =
-    s"GraftScan[files=${files.size}, columns=${requested.fieldNames.mkString(",")}]"
+    s"GraftScan[files=${live.size}, columns=${requested.fieldNames.mkString(",")}" +
+      s"${if (live.size != files.size) ", runtime-filtered" else ""}]"
 
   /** Exact row/byte totals from the manifest (deleted rows subtracted
     * as an upper-bound estimate) — lets Catalyst's CBO auto-broadcast
@@ -307,7 +343,7 @@ final class GraftScan(
           : InputPartition
       }.toArray
     case None =>
-      files.map { case (abs, e, dels) =>
+      live.map { case (abs, e, dels) =>
         GraftInputPartition(Seq((abs, e.path, dels)), None): InputPartition
       }.toArray
   }
@@ -316,6 +352,30 @@ final class GraftScan(
     GraftReaderFactory(requested,
       requested.fieldNames.indexOf("_file"), requested.fieldNames.indexOf("_pos"),
       GraftConf.serializable)
+}
+
+object GraftScan {
+  /** `(column, values)` of an IN/`=` predicate over one of `cols`;
+    * None for any other shape (ignored — runtime pruning is
+    * best-effort, never load-bearing).
+    */
+  private[catalog] def colInValues(p: Predicate, cols: Set[String]): Option[(String, Seq[Any])] = {
+    val ref = p.children().collectFirst {
+      case r: NamedReference if r.fieldNames().length == 1 && cols.contains(r.fieldNames()(0)) =>
+        r.fieldNames()(0)
+    }
+    ref.flatMap { c =>
+      p.name() match {
+        case "IN" | "=" =>
+          val lits = p.children().collect {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] => l.value()
+          }
+          // every non-ref child must be a literal, else unknown shape
+          if (lits.length == p.children().length - 1) Some((c, lits.toSeq)) else None
+        case _ => None
+      }
+    }
+  }
 }
 
 /** Per-data-file delete context handed to readers: applicable

@@ -38,6 +38,43 @@ object StatsPruner {
   private def hasNulls(col: String, entry: FileEntry): Boolean =
     entry.stats.get(col).forall(_.nulls > 0)
 
+  /** May `entry` contain a row where `col` equals ANY of `values`,
+    * where values are in Catalyst's INTERNAL domain (UTF8String,
+    * epoch-day Int, epoch-micro Long, Decimal) — the domain runtime
+    * (DPP) filters arrive in. Conservative like [[mayMatch]]: missing
+    * stats or an uninterpretable value answer "may match".
+    */
+  def mayMatchAnyInternal(col: String, values: Seq[Any], entry: FileEntry, schema: StructType): Boolean = {
+    (for {
+      st <- entry.stats.get(col)
+      dt <- schema.fields.find(_.name == col).map(_.dataType)
+      mn <- st.min; mx <- st.max
+      sMn <- parseStat(mn, dt); sMx <- parseStat(mx, dt)
+    } yield values.exists { v0 =>
+      fromInternal(v0) match {
+        case None => true // can't interpret → must keep the file
+        case Some(v) => cmp(v, sMx, dt) <= 0 && cmp(v, sMn, dt) >= 0
+      }
+    }).getOrElse(true)
+  }
+
+  /** Internal-domain runtime value → the stat compare domain (which is
+    * itself internal for dates/timestamps, so most types pass through).
+    */
+  private def fromInternal(v: Any): Option[Any] = v match {
+    case null => None
+    case s: org.apache.spark.unsafe.types.UTF8String => Some(s.toString)
+    case s: String => Some(s)
+    case n: Int => Some(n)
+    case n: Long => Some(n)
+    case n: Float => Some(n)
+    case n: Double => Some(n)
+    case b: Boolean => Some(b)
+    case d: org.apache.spark.sql.types.Decimal => Some(d.toJavaBigDecimal)
+    case d: java.math.BigDecimal => Some(d)
+    case _ => None
+  }
+
   /** [lo, hi] (inclusive) overlaps the file's [min, max]? */
   private def rangeOverlaps(col: String, lo: Any, hi: Any, entry: FileEntry, schema: StructType): Boolean = {
     if (lo == null || hi == null) return true

@@ -460,6 +460,43 @@ class GraftCatalogSpec extends SparkSpec {
     untouched.foreach(f => assert(after.contains(f.path), s"${f.path} should survive"))
   }
 
+  test("dynamic partition pruning: a filtered-dim join opens only the matching partition's files") {
+    import spark.implicits._
+    // the partition values that survive the dim's filter are only known
+    // at RUNTIME — static stats pruning can't help. GraftScan's
+    // SupportsRuntimeV2Filtering (Iceberg's DPP posture) receives the
+    // broadcast build side's seg values and drops the other partitions'
+    // files before any read.
+    spark.sql(s"""CREATE TABLE $cat.db.dppfact (k BIGINT, seg STRING, v DOUBLE)
+      PARTITIONED BY (seg)""")
+    spark.range(0, 9000)
+      .selectExpr("id AS k",
+        "CASE id % 3 WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS seg",
+        "CAST(id AS DOUBLE) AS v")
+      .writeTo(s"$cat.db.dppfact").append()
+    assert(manifestIO("dppfact").currentSnapshot().get.files.size == 3)
+    // dim must be a real scan so its filter survives to the optimizer
+    // (a local relation folds the filter away and DPP sees no selective
+    // predicate on the build side)
+    spark.sql(s"CREATE TABLE $cat.db.dppdim (seg STRING, flag STRING)")
+    Seq(("a", "keep"), ("b", "drop"), ("c", "drop")).toDF("seg", "flag")
+      .writeTo(s"$cat.db.dppdim").append()
+
+    val q = spark.sql(s"""SELECT count(*) AS n, sum(f.v) AS s
+      FROM $cat.db.dppfact f JOIN $cat.db.dppdim d ON f.seg = d.seg
+      WHERE d.flag = 'keep'""")
+    assert(physicalPlan(q).toString.contains("dynamicpruning"),
+      s"no runtime filter planned:\n${physicalPlan(q)}")
+    val f0 = graft.catalog.GraftReadMetrics.dataFilesOpened
+    val row = q.head
+    val opened = graft.catalog.GraftReadMetrics.dataFilesOpened - f0
+    assert(row.getLong(0) == 3000)
+    assert(row.getDouble(1) == (0 until 9000 by 3).map(_.toDouble).sum)
+    // 2 = the dim's single file + ONE pruned fact file (an unpruned
+    // fact scan would make this 4)
+    assert(opened == 2, s"DPP opened $opened files, expected 2 (1 dim + 1 pruned fact)")
+  }
+
   test("max-rows-per-file property rolls hot partitions into bounded files") {
     spark.sql(s"""CREATE TABLE $cat.db.roll (k BIGINT, seg STRING)
       PARTITIONED BY (seg)
