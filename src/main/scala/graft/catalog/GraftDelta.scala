@@ -65,7 +65,8 @@ final class GraftDeltaWrite(table: GraftTable, info: LogicalWriteInfo, operation
       GraftWrite.maxRows(table),
       fileIdOrdinal = rowIdSchema.fieldNames.indexOf("_file"),
       posIdOrdinal = rowIdSchema.fieldNames.indexOf("_pos"),
-      serConf = GraftConf.serializable)
+      serConf = GraftConf.serializable,
+      bloomCols = GraftWrite.bloomCols(table), bloomBits = GraftWrite.bloomBits(table))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -105,11 +106,13 @@ final case class GraftDeltaCommitMessage(data: Seq[FileEntry], deletes: Seq[Dele
 final case class GraftDeltaWriterFactory(
     tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
     maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int,
-    serConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = GraftConf.serializable)
+    serConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = GraftConf.serializable,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits)
   extends DeltaWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DeltaWriter[InternalRow] =
     new GraftDeltaWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
-      partitionOrdinals, maxRowsPerFile, fileIdOrdinal, posIdOrdinal, serConf.value.value)
+      partitionOrdinals, maxRowsPerFile, fileIdOrdinal, posIdOrdinal, serConf.value.value,
+      bloomCols, bloomBits)
 }
 
 /** Inserts go through the ordinary rolling data writer; deletes stream
@@ -118,11 +121,13 @@ final case class GraftDeltaWriterFactory(
 final class GraftDeltaWriter(
     tableDir: String, schema: StructType, filePrefix: String, partitionOrdinals: Seq[Int],
     maxRowsPerFile: Long, fileIdOrdinal: Int, posIdOrdinal: Int,
-    conf: Configuration = new Configuration())
+    conf: Configuration = new Configuration(),
+    bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits)
   extends DeltaWriter[InternalRow] {
 
   private val inserts =
-    new GraftDataWriter(tableDir, schema, filePrefix, partitionOrdinals, maxRowsPerFile, conf)
+    new GraftDataWriter(tableDir, schema, filePrefix, partitionOrdinals, maxRowsPerFile, conf,
+      bloomCols, bloomBits)
   private var delWriter: GraftParquetIO.FileWriter = _
   private val delRel = s"deletes/$filePrefix-del.parquet"
   private val delTargets = scala.collection.mutable.LinkedHashSet.empty[String]

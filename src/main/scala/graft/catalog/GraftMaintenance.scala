@@ -54,7 +54,7 @@ object GraftMaintenance {
           .sortWithinPartitions(sortCols.map(col): _*)
       }
 
-    val newEntries = writeEntries(df, tableDir, schema, "compact")
+    val newEntries = writeEntries(df, tableDir, schema, "compact", base.properties)
     replaceCommit(io, "compact", schema, small.map(_.path).toSet, newEntries)
     (base.files.size, base.files.size - small.size + newEntries.size)
   }
@@ -82,7 +82,7 @@ object GraftMaintenance {
       .repartitionByRange(targetFiles, col("_z"))
       .sortWithinPartitions("_z")
       .select(schema.fieldNames.map(col).toIndexedSeq: _*)
-    val newEntries = writeEntries(clustered, tableDir, schema, "zorder")
+    val newEntries = writeEntries(clustered, tableDir, schema, "zorder", base.properties)
     replaceCommit(io, "zorder", schema, base.files.map(_.path).toSet, newEntries)
     (base.files.size, newEntries.size)
   }
@@ -142,16 +142,18 @@ object GraftMaintenance {
     */
   private def writeEntries(
       df: DataFrame, tableDir: String, schema: org.apache.spark.sql.types.StructType,
-      tag: String): Seq[FileEntry] = {
+      tag: String, properties: Map[String, String] = Map.empty): Seq[FileEntry] = {
     val id = java.util.UUID.randomUUID().toString
     val dirStr = tableDir
     val serConf = GraftConf.serializable
+    val bloomCols = GraftBloom.columns(properties)
+    val bloomBits = GraftBloom.bits(properties)
     df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
       if (!rows.hasNext) Iterator.empty
       else {
         val rel = s"data/part-$tag-$id-$pid.parquet"
         val w = new GraftParquetIO.FileWriter(
-          new Path(new Path(dirStr), rel), schema, serConf.value.value)
+          new Path(new Path(dirStr), rel), schema, serConf.value.value, bloomCols, bloomBits)
         rows.foreach(w.write)
         Iterator.single(w.finish(rel))
       }

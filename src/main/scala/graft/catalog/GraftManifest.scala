@@ -33,7 +33,12 @@ final case class FileEntry(
       * manifests read back as 0 (oldest: shadowed by every eq delete,
       * the correct upsert semantics for pre-existing data).
       */
-    seq: Long = 0L)
+    seq: Long = 0L,
+    /** table-relative path of this file's key-bloom sidecar
+      * ([[GraftBloom]]), present when the table had
+      * `graft.bloom.columns` set at write time.
+      */
+    bloom: Option[String] = None)
 
 /** A position-delete file (merge-on-read): standard parquet with
   * schema `(file STRING, pos BIGINT)` marking rows of data files as
@@ -260,9 +265,11 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
   def removeOrphans(): Seq[String] = {
     val live = versions().flatMap { v =>
       val s = readSnapshot(v)
-      s.files.map(_.path) ++ s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
+      s.files.map(_.path) ++ s.files.flatMap(_.bloom) ++
+        s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
     }.toSet
-    val dirs = Seq(("data", dataDir), ("deletes", new Path(tableDir, "deletes")))
+    val dirs = Seq(("data", dataDir), ("deletes", new Path(tableDir, "deletes")),
+      ("blooms", new Path(tableDir, "blooms")))
     dirs.flatMap { case (prefix, dir) =>
       if (!fs.exists(dir)) Nil
       else {
@@ -322,6 +329,7 @@ object GraftManifestIO {
         "rows" -> JLong(f.rows),
         "bytes" -> JLong(f.bytes),
         "seq" -> JLong(f.seq),
+        "bloom" -> f.bloom.map(JString(_): JValue).getOrElse(JNull),
         "stats" -> JObject(f.stats.toList.sortBy(_._1).map { case (c, st) =>
           c -> JObject(List(
             "min" -> st.min.map(JString(_): JValue).getOrElse(JNull),
@@ -370,7 +378,8 @@ object GraftManifestIO {
           case _ => Map.empty[String, ColStats]
         }
         val seq = (f \ "seq") match { case JNull | JNothing => 0L; case v => long(v) }
-        FileEntry(str(f \ "path").get, long(f \ "rows"), long(f \ "bytes"), stats, seq)
+        FileEntry(str(f \ "path").get, long(f \ "rows"), long(f \ "bytes"), stats, seq,
+          bloom = str(f \ "bloom"))
       }
       case _ => Nil
     }

@@ -95,7 +95,8 @@ object GraftParquetIO {
     * stats in the columns' internal domain as it writes, so the
     * [[FileEntry]] is exact without a second pass or a footer re-read.
     */
-  final class FileWriter(fsPath: Path, schema: StructType, conf: Configuration) {
+  final class FileWriter(fsPath: Path, schema: StructType, conf: Configuration,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits) {
     private val message = toMessageType(schema)
     private val factory = new SimpleGroupFactory(message)
     private val writer: ParquetWriter[Group] = ExampleParquetWriter.builder(fsPath)
@@ -107,6 +108,11 @@ object GraftParquetIO {
     private val nulls = new Array[Long](schema.length)
     private val mins = new Array[Any](schema.length)
     private val maxs = new Array[Any](schema.length)
+    // per-bloom'd-column builder, ordinal-resolved; unsupported types
+    // are silently untracked (their pruning stays stats-only)
+    private val blooms: Array[(Int, GraftBloom.Builder)] =
+      bloomCols.map(c => schema.fieldNames.indexOf(c)).filter(_ >= 0)
+        .map(i => (i, new GraftBloom.Builder(bloomBits))).toArray
 
     def write(row: InternalRow): Unit = {
       val g = factory.newGroup()
@@ -119,6 +125,15 @@ object GraftParquetIO {
           trackStats(i, f.dataType, row)
         }
         i += 1
+      }
+      var b = 0
+      while (b < blooms.length) {
+        val (ord, builder) = blooms(b)
+        if (!row.isNullAt(ord)) {
+          val dt = schema.fields(ord).dataType
+          GraftBloom.hashPair(row.get(ord, dt), dt).foreach(builder.add)
+        }
+        b += 1
       }
       writer.write(g)
       rowCount += 1
@@ -196,7 +211,22 @@ object GraftParquetIO {
       }.toMap
       val fs = fsPath.getFileSystem(conf)
       val bytes = fs.getFileStatus(fsPath).getLen
-      FileEntry(relPath, rowCount, bytes, stats)
+      // key-bloom sidecar next to the data file; staged like the data
+      // file itself (referenced only once the commit wins, orphan-swept
+      // otherwise)
+      val bloomRel =
+        if (blooms.isEmpty || !relPath.startsWith("data/")) None
+        else {
+          val rel = GraftBloom.sidecarFor(relPath)
+          val p = new Path(new Path(fsPath.getParent.getParent, "blooms"),
+            rel.stripPrefix("blooms/"))
+          val payload = GraftBloom.serialize(blooms.toSeq.map { case (ord, b) =>
+            schema.fields(ord).name -> b.result })
+          val out = fs.create(p, true)
+          try out.write(payload) finally out.close()
+          Some(rel)
+        }
+      FileEntry(relPath, rowCount, bytes, stats, bloom = bloomRel)
     }
 
     def rows: Long = rowCount

@@ -207,8 +207,42 @@ final class GraftScanBuilder(
       val schema = table.schema()
       val kept = table.scanFiles().filter { case (_, e, _) =>
         skipping.forall(f => StatsPruner.mayMatch(f, e, schema)) }
-      new GraftScan(kept, requested, table.partitionColTypes,
+      new GraftScan(bloomPrune(kept, schema), requested, table.partitionColTypes,
         streaming = Some((table.tableDir, options.getBoolean("ignoreChanges", false))))
+  }
+
+  /** Point-lookup file skipping via the per-file key blooms
+    * ([[GraftBloom]]): for pushed `=`/`IN` filters on bloom-indexed
+    * columns, drop files whose bloom proves the value(s) absent.
+    * min/max stats cannot prune uniform high-cardinality keys; this
+    * can. Sidecars load lazily on the driver (LRU-cached; files are
+    * immutable so entries never invalidate) and every unknown — no
+    * sidecar, unhashable value, IN wider than 64 — keeps the file.
+    */
+  private def bloomPrune(
+      files: Seq[(String, FileEntry, GraftReadDeletes)],
+      schema: StructType): Seq[(String, FileEntry, GraftReadDeletes)] = {
+    val bloomed = table.snapshot.map(s => GraftBloom.columns(s.properties)).getOrElse(Nil).toSet
+    if (bloomed.isEmpty || files.isEmpty) return files
+    val points: Seq[(String, Seq[Any])] = skipping.toSeq.collect {
+      case org.apache.spark.sql.sources.EqualTo(a, v) if bloomed.contains(a) && v != null =>
+        (a, Seq(v))
+      case org.apache.spark.sql.sources.In(a, vs)
+          if bloomed.contains(a) && vs != null && vs.nonEmpty && vs.length <= 64 &&
+            !vs.contains(null) =>
+        (a, vs.toSeq)
+    }
+    val conf = GraftConf.hadoop
+    points.foldLeft(files) { case (fs, (col, vals)) =>
+      schema.fields.find(_.name == col).map(_.dataType) match {
+        case None => fs
+        case Some(dt) =>
+          val hashes = vals.flatMap(v => GraftBloom.hashPairExternal(v, dt))
+          if (hashes.size != vals.size) fs // an unhashable value may match anywhere
+          else fs.filter { case (_, e, _) =>
+            GraftBloom.mayContainAny(table.tableDir, e, col, dt, hashes, conf) }
+      }
+    }
   }
 }
 
@@ -496,12 +530,14 @@ final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
     new GraftWrite(table.tableDir, info.schema(), mode, operation = mode match {
       case GraftCommitMode.Truncate => "overwrite"
       case _ => "append"
-    }, partitionCols = table.partitionCols, maxRowsPerFile = GraftWrite.maxRows(table))
+    }, partitionCols = table.partitionCols, maxRowsPerFile = GraftWrite.maxRows(table),
+      bloomCols = GraftWrite.bloomCols(table), bloomBits = GraftWrite.bloomBits(table))
 }
 
 final class GraftWrite(
     tableDir: String, writeSchema: StructType, mode: GraftCommitMode, operation: String,
-    partitionCols: Seq[String] = Nil, maxRowsPerFile: Long = Long.MaxValue)
+    partitionCols: Seq[String] = Nil, maxRowsPerFile: Long = Long.MaxValue,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits)
   extends Write with BatchWrite with RequiresDistributionAndOrdering {
 
   override def toBatch: BatchWrite = this
@@ -526,7 +562,7 @@ final class GraftWrite(
   override def createBatchWriterFactory(i: PhysicalWriteInfo): DataWriterFactory =
     GraftDataWriterFactory(tableDir, writeSchema, java.util.UUID.randomUUID().toString,
       partitionCols.map(c => writeSchema.fieldNames.indexOf(c)).filter(_ >= 0),
-      maxRowsPerFile, GraftConf.serializable)
+      maxRowsPerFile, GraftConf.serializable, bloomCols, bloomBits)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case GraftCommitMessage(es) => es }.flatten.toSeq
@@ -576,9 +612,13 @@ final class GraftWrite(
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
     val fs = new Path(tableDir).getFileSystem(GraftConf.hadoop)
     messages.foreach {
-      case GraftCommitMessage(es) => es.foreach(e =>
+      case GraftCommitMessage(es) => es.foreach { e =>
         try fs.delete(new Path(new Path(tableDir), e.path), false)
-        catch { case _: Throwable => () })
+        catch { case _: Throwable => () }
+        e.bloom.foreach(b =>
+          try fs.delete(new Path(new Path(tableDir), b), false)
+          catch { case _: Throwable => () })
+      }
       case _ => ()
     }
   }
@@ -591,6 +631,12 @@ object GraftWrite {
   def maxRows(table: GraftTable): Long =
     table.snapshot.flatMap(_.properties.get(MaxRowsProp)).map(_.toLong)
       .getOrElse(Long.MaxValue)
+
+  def bloomCols(table: GraftTable): Seq[String] =
+    table.snapshot.map(s => GraftBloom.columns(s.properties)).getOrElse(Nil)
+
+  def bloomBits(table: GraftTable): Int =
+    table.snapshot.map(s => GraftBloom.bits(s.properties)).getOrElse(GraftBloom.DefaultBits)
 }
 
 final case class GraftCommitMessage(entries: Seq[FileEntry]) extends WriterCommitMessage
@@ -598,11 +644,12 @@ final case class GraftCommitMessage(entries: Seq[FileEntry]) extends WriterCommi
 final case class GraftDataWriterFactory(
     tableDir: String, schema: StructType, writeId: String, partitionOrdinals: Seq[Int],
     maxRowsPerFile: Long = Long.MaxValue,
-    serConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = GraftConf.serializable)
+    serConf: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.SerializableConfiguration] = GraftConf.serializable,
+    bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits)
   extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(tableDir, schema, s"part-$writeId-$partitionId-$taskId",
-      partitionOrdinals, maxRowsPerFile, serConf.value.value)
+      partitionOrdinals, maxRowsPerFile, serConf.value.value, bloomCols, bloomBits)
 }
 
 /** One parquet file per non-empty task — or, for partitioned tables,
@@ -614,7 +661,8 @@ final case class GraftDataWriterFactory(
 final class GraftDataWriter(
     tableDir: String, schema: StructType, filePrefix: String, partitionOrdinals: Seq[Int],
     maxRowsPerFile: Long = Long.MaxValue,
-    conf: Configuration = new Configuration())
+    conf: Configuration = new Configuration(),
+    bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits)
   extends DataWriter[InternalRow] {
 
   private val open = scala.collection.mutable.LinkedHashMap.empty[String, (String, GraftParquetIO.FileWriter)]
@@ -643,7 +691,8 @@ final class GraftDataWriter(
       s"more than 1024 partition values in one write task — repartition by $partitionOrdinals")
     val rel = s"data/$filePrefix-$fileSeq.parquet"
     fileSeq += 1
-    (rel, new GraftParquetIO.FileWriter(new Path(new Path(tableDir), rel), schema, conf))
+    (rel, new GraftParquetIO.FileWriter(new Path(new Path(tableDir), rel), schema, conf,
+      bloomCols, bloomBits))
   }
 
   override def write(row: InternalRow): Unit = writerFor(row).write(row)
@@ -652,9 +701,13 @@ final class GraftDataWriter(
   override def abort(): Unit = {
     open.values.foreach(_._2.abort())
     val fs = new Path(tableDir).getFileSystem(conf)
-    finished.foreach(e =>
+    finished.foreach { e =>
       try fs.delete(new Path(new Path(tableDir), e.path), false)
-      catch { case _: Throwable => () })
+      catch { case _: Throwable => () }
+      e.bloom.foreach(b =>
+        try fs.delete(new Path(new Path(tableDir), b), false)
+        catch { case _: Throwable => () })
+    }
   }
   override def close(): Unit = ()
 }
@@ -704,7 +757,8 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Com
         GraftCommitMode.ReplaceFiles(() => replacedFiles()),
         operation = cmd.toString.toLowerCase,
         partitionCols = table.partitionCols,
-        maxRowsPerFile = GraftWrite.maxRows(table))
+        maxRowsPerFile = GraftWrite.maxRows(table),
+        bloomCols = GraftWrite.bloomCols(table), bloomBits = GraftWrite.bloomBits(table))
     }
 
   /** Files the operation's scan actually planned: a runtime-filtered
