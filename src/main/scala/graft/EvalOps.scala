@@ -534,6 +534,137 @@ object EvalOps {
         ORDER BY source
       """.trim),
       bench = true
+    ),
+    QueryDef(
+      "eval_kappa",
+      (spark, dir) => {
+        // Cohen's kappa — inter-annotator agreement corrected for
+        // chance, the standard label-quality gate before training on
+        // human annotations. Two synthetic annotators per item (labels
+        // of vec 2i and 2i+1), grouped into 4 annotation batches.
+        // Exact form: kappa = (agree·n − Σ_k a_k·b_k) /
+        // (n² − Σ_k a_k·b_k) — both sides exact BIGINTs, ONE double
+        // division at the end (the engine's exact-math gate
+        // discipline). Plan: one per-item aggregation, two per-(batch,
+        // label) marginal aggregations joined on the tiny label
+        // domain, one final per-batch aggregation — three shuffles,
+        // all on bounded keys.
+        val pairs = Tables(spark, dir).embeddings
+          .selectExpr("CAST(FLOOR(vec_id / 2.0) AS BIGINT) AS item",
+            "CAST(vec_id % 2 AS INT) AS slot", "label")
+          .groupBy("item")
+          .agg(
+            max(when(col("slot") === 0, col("label"))).as("a"),
+            max(when(col("slot") === 1, col("label"))).as("b"))
+          .where(col("a").isNotNull && col("b").isNotNull)
+          .withColumn("g", pmod(col("item"), lit(4L)).cast("int"))
+        val base = pairs.groupBy("g").agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a") === col("b"), 1L).otherwise(0L)).as("agree"))
+        val aCnt = pairs.groupBy("g", "a").agg(count(lit(1)).as("ca"))
+          .withColumnRenamed("a", "lbl")
+        val bCnt = pairs.groupBy("g", "b").agg(count(lit(1)).as("cb"))
+          .withColumnRenamed("b", "lbl")
+        val chance = aCnt.join(bCnt, Seq("g", "lbl"))
+          .groupBy("g").agg(sum(col("ca") * col("cb")).as("pe_num"))
+        base.join(chance, Seq("g"))
+          .selectExpr("g", "CAST(n AS BIGINT) AS n", "CAST(agree AS BIGINT) AS agree",
+            """CASE WHEN n * n <> pe_num
+               THEN CAST(agree * n - pe_num AS DOUBLE) / CAST(n * n - pe_num AS DOUBLE)
+               END AS kappa""")
+          .orderBy("g")
+      },
+      Some("""
+        WITH pairs AS (
+          SELECT CAST(FLOOR(vec_id / 2.0) AS BIGINT) AS item,
+                 max(CASE WHEN vec_id % 2 = 0 THEN label END) AS a,
+                 max(CASE WHEN vec_id % 2 = 1 THEN label END) AS b
+          FROM embeddings GROUP BY 1),
+        g AS (
+          SELECT item % 4 AS g, a, b FROM pairs
+          WHERE a IS NOT NULL AND b IS NOT NULL),
+        base AS (
+          SELECT g, count(*) AS n,
+                 sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS agree
+          FROM g GROUP BY g),
+        ac AS (SELECT g, a AS lbl, count(*) AS ca FROM g GROUP BY g, a),
+        bc AS (SELECT g, b AS lbl, count(*) AS cb FROM g GROUP BY g, b),
+        chance AS (
+          SELECT ac.g AS g, sum(ca * cb) AS pe_num
+          FROM ac JOIN bc ON ac.g = bc.g AND ac.lbl = bc.lbl GROUP BY ac.g)
+        SELECT CAST(base.g AS INT) AS g, CAST(n AS BIGINT) AS n,
+               CAST(agree AS BIGINT) AS agree,
+               CASE WHEN n * n <> pe_num
+                 THEN CAST(agree * n - pe_num AS DOUBLE) / CAST(n * n - pe_num AS DOUBLE)
+               END AS kappa
+        FROM base JOIN chance ON base.g = chance.g
+        ORDER BY g
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "eval_confusion",
+      (spark, dir) => {
+        // per-class confusion summary (precision / recall / F1) for a
+        // deterministic synthetic classifier (every 7th prediction
+        // shifted one class up) — the standard per-class quality report
+        // for a filtering classifier. Exact integers throughout;
+        // precision, recall, and F1 are each ONE double division
+        // (F1 = 2tp/(predTotal+trueTotal) — never composed from the
+        // other two floats). Plan: one (pred, true) pair-count shuffle
+        // on a ≤ |classes|² domain, then tiny per-class aggregations.
+        val scored = Tables(spark, dir).embeddings.selectExpr(
+          "label AS truth",
+          "CAST(label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS pred")
+        val pairCnt = scored.groupBy("pred", "truth").agg(count(lit(1)).as("cnt"))
+        val predTot = pairCnt.groupBy("pred").agg(sum("cnt").as("pred_total"))
+          .withColumnRenamed("pred", "cls")
+        val trueTot = pairCnt.groupBy("truth").agg(sum("cnt").as("true_total"))
+          .withColumnRenamed("truth", "cls")
+        val tp = pairCnt.where(col("pred") === col("truth"))
+          .select(col("pred").as("cls"), col("cnt").as("tp"))
+        predTot.join(trueTot, Seq("cls"), "full_outer")
+          .join(tp, Seq("cls"), "left")
+          .selectExpr(
+            "CAST(cls AS INT) AS cls",
+            "CAST(coalesce(tp, 0) AS BIGINT) AS tp",
+            "CAST(coalesce(pred_total, 0) AS BIGINT) AS pred_total",
+            "CAST(coalesce(true_total, 0) AS BIGINT) AS true_total",
+            """CASE WHEN coalesce(pred_total, 0) > 0
+               THEN CAST(coalesce(tp, 0) AS DOUBLE) / pred_total END AS precision""",
+            """CASE WHEN coalesce(true_total, 0) > 0
+               THEN CAST(coalesce(tp, 0) AS DOUBLE) / true_total END AS recall""",
+            """CASE WHEN coalesce(pred_total, 0) + coalesce(true_total, 0) > 0
+               THEN CAST(2 * coalesce(tp, 0) AS DOUBLE)
+                    / (coalesce(pred_total, 0) + coalesce(true_total, 0)) END AS f1""")
+          .orderBy("cls")
+      },
+      Some("""
+        WITH scored AS (
+          SELECT label AS truth,
+                 CAST(label + CASE WHEN vec_id % 7 = 0 THEN 1 ELSE 0 END AS INT) AS pred
+          FROM embeddings),
+        pair_cnt AS (SELECT pred, truth, count(*) AS cnt FROM scored GROUP BY pred, truth),
+        pred_tot AS (SELECT pred AS cls, sum(cnt) AS pred_total FROM pair_cnt GROUP BY pred),
+        true_tot AS (SELECT truth AS cls, sum(cnt) AS true_total FROM pair_cnt GROUP BY truth),
+        tp AS (SELECT pred AS cls, cnt AS tp FROM pair_cnt WHERE pred = truth)
+        SELECT CAST(cls AS INT) AS cls,
+               CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+               CAST(coalesce(pred_total, 0) AS BIGINT) AS pred_total,
+               CAST(coalesce(true_total, 0) AS BIGINT) AS true_total,
+               CASE WHEN coalesce(pred_total, 0) > 0
+                 THEN CAST(coalesce(tp, 0) AS DOUBLE) / pred_total END AS precision,
+               CASE WHEN coalesce(true_total, 0) > 0
+                 THEN CAST(coalesce(tp, 0) AS DOUBLE) / true_total END AS recall,
+               CASE WHEN coalesce(pred_total, 0) + coalesce(true_total, 0) > 0
+                 THEN CAST(2 * coalesce(tp, 0) AS DOUBLE)
+                      / (coalesce(pred_total, 0) + coalesce(true_total, 0)) END AS f1
+        FROM pred_tot
+        FULL JOIN true_tot USING (cls)
+        LEFT JOIN tp USING (cls)
+        ORDER BY cls
+      """.trim),
+      bench = true
     )
   )
 }
