@@ -26,6 +26,47 @@ object TrainingDataOps {
   private def spread(df: org.apache.spark.sql.DataFrame, key: String) =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism, col(key))
 
+  /** Shared BM25 top-5 oracle (probes 0/7/42): the from-scratch DuckDB
+    * computation. `search_bm25` recomputes it per query; the inverted-
+    * index variants answer FROM a persisted index and must produce the
+    * row-identical ranking — same oracle for all three.
+    */
+  private val bm25Top5Sql = """
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+    ), tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+    ), dl AS (
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+    ), stats AS (
+      SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+    ), dfreq AS (
+      SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), idf AS (
+      SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+    ), sat AS (
+      SELECT tf.doc_id, tf.tok,
+             (22 * tf * s.avgdl_fp * 10000) //
+             (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+      FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+    ), scores AS (
+      SELECT q.doc_id AS probe_id, s.doc_id,
+             CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+      FROM tf q
+      JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
+      JOIN idf i ON i.tok = q.tok
+      WHERE q.doc_id IN (0, 7, 42)
+      GROUP BY 1, 2
+    )
+    SELECT probe_id, CAST(rn AS INT) AS rank, doc_id,
+           CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+    FROM (
+      SELECT probe_id, doc_id, score_fp,
+             row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS rn
+      FROM scores
+    ) WHERE rn <= 5 ORDER BY probe_id, rank
+  """.trim
+
   /** Shared DuckDB span-cleaning CTE chain (dedup_spans family): the
     * batch semantics, parameterized by the final row filter — the
     * incremental variant's oracle IS the batch SQL restricted to the
@@ -2046,41 +2087,7 @@ object TrainingDataOps {
             spread(Tables(spark, dir).documents, "doc_id"),
             "doc_id", "text", probeIds = Seq(0L, 7L, 42L), k = 5)
           .orderBy("probe_id", "rank"),
-      Some("""
-        WITH toks AS (
-          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
-        ), tf AS (
-          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
-        ), dl AS (
-          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
-        ), stats AS (
-          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
-        ), dfreq AS (
-          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        ), idf AS (
-          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
-        ), sat AS (
-          SELECT tf.doc_id, tf.tok,
-                 (22 * tf * s.avgdl_fp * 10000) //
-                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
-          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
-        ), scores AS (
-          SELECT q.doc_id AS probe_id, s.doc_id,
-                 CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
-          FROM tf q
-          JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
-          JOIN idf i ON i.tok = q.tok
-          WHERE q.doc_id IN (0, 7, 42)
-          GROUP BY 1, 2
-        )
-        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id,
-               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
-        FROM (
-          SELECT probe_id, doc_id, score_fp,
-                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS rn
-          FROM scores
-        ) WHERE rn <= 5 ORDER BY probe_id, rank
-      """.trim),
+      Some(bm25Top5Sql),
       bench = true
     ),
     QueryDef(
@@ -2150,6 +2157,47 @@ object TrainingDataOps {
           FROM fused
         ) WHERE rn <= 5 ORDER BY probe_id, rank
       """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "search_bm25_indexed",
+      // the serving shape of search_bm25: postings/vocab/stats persisted
+      // once (bucket-partitioned by token hash), the query reads ONLY the
+      // probe terms' bucket directories — partition-pruned before any
+      // I/O — and joins them to the broadcast probe terms. Ranking is the
+      // same fixed-point arithmetic, so it hash-matches the from-scratch
+      // oracle
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.build(docs, "doc_id", "text", work)
+        operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
+            probeIds = Seq(0L, 7L, 42L), k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some(bm25Top5Sql),
+      bench = true
+    ),
+    QueryDef(
+      "search_index_delta",
+      // incremental index maintenance: build on half the corpus, fold the
+      // other half in via addDelta — churn-sized postings append + a
+      // vocabulary-bounded df/stats merge, the historical postings never
+      // re-read. The grown index must answer EXACTLY like a from-scratch
+      // rebuild over the full corpus (tf-saturation uses the current
+      // avgdl, recomputed at query time) — same oracle as search_bm25
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_invidx_d").toString
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.build(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", work)
+        operators.InvertedIndex.addDelta(
+          docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", work)
+        operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
+            probeIds = Seq(0L, 7L, 42L), k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some(bm25Top5Sql),
       bench = true
     ),
     QueryDef(
