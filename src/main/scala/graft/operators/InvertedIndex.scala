@@ -154,7 +154,11 @@ object InvertedIndex {
     val postings = spark.read.parquet(s"$dir/postings")
       .filter(col("bucket").isin(probeBuckets: _*))
 
+    // scalar aggregate over the 1-row stats file: a structural row
+    // bound the plan audit can SEE (a bare file scan is unbounded to
+    // it), and robust if a stats version ever carries multiple rows
     val stats = readLatest(spark, dir, "stats")
+      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
       .select(col("n"), expr("100L * sumdl div n").as("__avgdl_fp"))
     val idf = readLatest(spark, dir, "vocab").crossJoin(broadcast(stats))
       .select(col("tok"),

@@ -35,6 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "ann_pq",                          // broadcast ADC tables vs encoded corpus
     "dedup_embedding_exact",           // all-pairs oracle baseline (correctness only, never benched at scale)
     "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts
+    "search_bm25_indexed",             // same stats scalars, read from the index's 1-row sidecar
+    "search_index_delta",              // same stats scalars after the versioned merge
     "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
@@ -112,6 +114,8 @@ class PlanAuditSpec extends SparkSpec {
     "mine_hard_negatives"   -> "broadcast probe set, require-capped",
     "eval_retrieval_labels" -> "probe sweep + probe/candidate label lists, require-capped",
     "search_hybrid_rrf"     -> "probe sweep (dense branch), require-capped",
+    "search_bm25_indexed"   -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
+    "search_index_delta"    -> "same probe-bounded sides over the delta-grown index",
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
     "curation_pipeline"     -> "embeds the decontaminate benchmark-shingle side",
