@@ -108,19 +108,27 @@ object InvertedIndex {
     * is tokenized once and its postings appended; vocab and stats merge
     * additively into fresh versions. The historical postings are never
     * read.
+    *
+    * Concurrency: one maintainer at a time. The vocab version write is
+    * the FIRST action and the OCC gate: two concurrent deltas both
+    * target v=K+1, and `errorifexists` fails the loser BEFORE it has
+    * appended anything — a clean retry from the new latest version
+    * (the catalog's commit-refusal posture). A crash BETWEEN the
+    * version claim and the postings append leaves a torn delta (stats
+    * count docs whose postings are absent) — at that point rebuild or
+    * restore; production deployments wanting atomic delta commits put
+    * the postings behind the Graft catalog's manifest instead. Readers
+    * are never blocked: they resolve the latest committed version at
+    * query time and postings appends are additive.
     */
   def addDelta(delta: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = DefaultBuckets): Unit = {
     val spark = delta.sparkSession
     val tf = termFreqs(delta, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-    val postings = tf.join(dl, idCol)
-      .select(col(idCol).as("doc_id"), col("__tok").as("tok"),
-        col("__tf").as("tf"), col("__dl").as("dl"),
-        bucketOf(col("__tok"), buckets).as("bucket"))
-    postings.repartition(buckets, col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
 
+    // version claim first — the OCC gate (see scaladoc): a concurrent
+    // maintainer fails HERE, before any postings land
     val v = latestVersion(spark, dir, "vocab")
     val deltaVocab = tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
       .select(col("__tok").as("tok"), col("df"))
@@ -132,6 +140,13 @@ object InvertedIndex {
     val mergedStats = readLatest(spark, dir, "stats").unionByName(deltaStats)
       .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
     writeVersioned(mergedStats, dir, "stats", v + 1)
+
+    val postings = tf.join(dl, idCol)
+      .select(col(idCol).as("doc_id"), col("__tok").as("tok"),
+        col("__tf").as("tf"), col("__dl").as("dl"),
+        bucketOf(col("__tok"), buckets).as("bucket"))
+    postings.repartition(buckets, col("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
   }
 
   /** BM25 top-`k` per probe answered FROM the index. Probe terms come

@@ -94,4 +94,26 @@ class InvertedIndexSpec extends SparkSpec {
     // vocab/stats DID merge (vocabulary-bounded paths, not postings)
     assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vocab/v=1")))
   }
+
+  test("a lost maintenance race fails before any postings land") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx_occ").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 4), "doc_id", "text", dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def postingFiles(): Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    // another maintainer already claimed version 1: the vocab write is
+    // the OCC gate, so this delta must fail WITHOUT appending postings
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/vocab/v=1"))
+    val before = postingFiles()
+    intercept[Exception] {
+      InvertedIndex.addDelta(docs.filter(col("doc_id") >= 4), "doc_id", "text", dir)
+    }
+    assert(postingFiles() == before,
+      "losing the version race must not leave orphan postings")
+  }
 }
