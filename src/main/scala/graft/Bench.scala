@@ -305,11 +305,13 @@ object StreamBenchSection {
     }
     val schema = spark.read.parquet(churnSrc).schema
 
-    // pruned target: bucket column, seed clustered by bucket
+    // pruned target: bucket column, seed clustered by bucket, modulus
+    // DECLARED — the stream's default Auto posture then prunes with it
     spark.sql(s"""CREATE TABLE gbench.db.morp (
       event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,
       version BIGINT, arcane_merge_key STRING, ${StreamMerge.BucketColumnName} INT)
-      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read',
+        '${StreamMerge.BucketsProp}' = '$nBuckets')""")
     graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
       .withColumn(StreamMerge.BucketColumnName, StreamMerge.bucketExpr(nBuckets))
       .repartitionByRange(nFiles, col(StreamMerge.BucketColumnName))
@@ -324,14 +326,17 @@ object StreamBenchSection {
       .repartition(nFiles)
       .writeTo("gbench.db.morf").append()
 
-    def drain(table: String, ckpt: String, prune: Option[Int]): (Double, Double) = {
+    // BOTH drains run the DEFAULT config (Auto posture): pruning follows
+    // each table's own declaration — morp declares its modulus, morf is
+    // unbucketed — so this axis measures the out-of-the-box behavior
+    def drain(table: String, ckpt: String): (Double, Double) = {
       val f0 = graft.catalog.GraftReadMetrics.dataFilesOpened
       val t0 = System.nanoTime()
       StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
         sourceDir = churnSrc, table = table,
         tableDir = s"$work/wh/db/${table.split('.').last}",
         checkpointDir = ckpt, primaryKeys = Seq("event_id"), versionCols = Seq("version"),
-        maxFilesPerTrigger = Some(1), pruneBuckets = prune,
+        maxFilesPerTrigger = Some(1),
         // fold the accumulated churn files mid-axis so pruning stays
         // tight under sustained capture (re-clustered by bucket)
         compactEveryBatches = Some(nB / 2), compactSmallBytes = 64L << 10))
@@ -339,8 +344,8 @@ object StreamBenchSection {
       val files = graft.catalog.GraftReadMetrics.dataFilesOpened - f0
       (files.toDouble / nB, sec / nB)
     }
-    val (pf, ps) = drain("gbench.db.morp", s"$work/ckpt_morp", Some(nBuckets))
-    val (ff, fs) = drain("gbench.db.morf", s"$work/ckpt_morf", None)
+    val (pf, ps) = drain("gbench.db.morp", s"$work/ckpt_morp")
+    val (ff, fs) = drain("gbench.db.morf", s"$work/ckpt_morf")
     val expected = seed.count() + nB.toLong * c
     require(spark.table("gbench.db.morp").count() == expected, "pruned point target row drift")
     require(spark.table("gbench.db.morf").count() == expected, "full point target row drift")

@@ -254,17 +254,17 @@ object CatalogOps {
         // the same relational merge, so the full stream → MERGE → MOR
         // read path is hash-gated end to end.
         val tbl = freshTable(spark)
-        spark.sql(s"""CREATE TABLE $tbl (o_orderkey BIGINT, o_custkey BIGINT,
-          totalprice DECIMAL(12,2), status STRING, version BIGINT, arcane_merge_key STRING)
-          TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
         val seed = Tables(spark, dir).orders
           .where("o_orderkey % 4 <> 0")
           .selectExpr(
             "o_orderkey", "o_custkey",
             "CAST(o_totalprice AS DECIMAL(12,2)) AS totalprice",
             "o_orderstatus AS status", "CAST(1 AS BIGINT) AS version")
-        graft.operators.MergeKey.withMergeKey(seed, Seq("o_orderkey"))
-          .writeTo(tbl).append()
+        // seedTarget: bucket column + declared modulus derived from the
+        // seed's size — the stream's default Auto posture then prunes
+        // its per-batch target reads, so the oracle gates the PRUNED
+        // merge path end to end
+        graft.streaming.StreamMerge.seedTarget(spark, tbl, seed, Seq("o_orderkey"))
         val work = java.nio.file.Files.createTempDirectory("graft_smm").toString
         Tables(spark, dir).orders
           .where("o_orderkey % 2 = 0")

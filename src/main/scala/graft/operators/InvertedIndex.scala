@@ -2,6 +2,8 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 
 /** Persisted inverted index for lexical retrieval — the 100 TB shape of
   * [[TextAnalysis.bm25TopK]].
@@ -13,40 +15,81 @@ import org.apache.spark.sql.functions._
   * the work the way every production search stack does:
   *
   *  - '''build''' (once, corpus-sized): tokenize → postings
-  *    `(tok, doc_id, tf, dl)` written as parquet PARTITIONED BY
-  *    `bucket = pmod(xxhash64(tok), B)`, plus a vocabulary-bounded
-  *    `vocab (tok, df)` and a 1-row `stats (n, sumdl)` table, both
-  *    versioned (`v=K` subdirs) so maintenance never overwrites what a
-  *    concurrent reader is scanning.
+  *    `(doc_id, tok, tf, dl)` written one file-set per token-hash
+  *    bucket, plus a vocabulary-bounded `vocab (tok, df)` and a 1-row
+  *    `stats (n, sumdl)` table.
   *  - '''query''' (posting-list-sized): the probe's distinct terms map
   *    to their buckets (≤ B values, collected driver-side — bounded by
-  *    the constant bucket count, not by data); the postings scan carries
-  *    `bucket IN (...)` as a PARTITION filter, so only the matching
-  *    bucket directories are listed and read — the index's other
-  *    buckets are pruned before any I/O. Scoring joins the pruned
-  *    postings to the broadcast probe terms and the broadcast
+  *    the constant bucket count, not by data); the manifest's file list
+  *    is pruned to those buckets BEFORE the scan is planned, so the
+  *    index's other buckets are never listed or read. Scoring joins the
+  *    pruned postings to the broadcast probe terms and the broadcast
   *    (vocab-subset, stats) sides; the BM25 arithmetic is the exact
   *    fixed-point form of [[TextAnalysis.bm25TopK]], so the ranking is
   *    hash-identical to the from-scratch query.
-  *  - '''addDelta''' (churn-sized): new documents append their postings
-  *    partitions; `vocab` merges old df + delta df (vocabulary-bounded
-  *    aggregation, no postings rescan); `stats` adds the delta's doc and
-  *    token counts. tf-saturation depends on the CURRENT avgdl, so
-  *    postings store raw (tf, dl) and saturation is computed at query
-  *    time — an index grown by deltas answers exactly like one rebuilt
-  *    from scratch (oracle-gated by `search_index_delta`).
+  *  - '''addDelta''' (churn-sized): new documents stage their postings
+  *    as fresh immutable files; `vocab` merges old df + delta df
+  *    (vocabulary-bounded aggregation, no postings rescan); `stats`
+  *    adds the delta's doc and token counts. tf-saturation depends on
+  *    the CURRENT avgdl, so postings store raw (tf, dl) and saturation
+  *    is computed at query time — an index grown by deltas answers
+  *    exactly like one rebuilt from scratch (oracle-gated by
+  *    `search_index_delta`).
+  *  - '''compact''' folds each bucket's accumulated per-delta small
+  *    files into one; '''vacuum''' expires old manifests and sweeps
+  *    every unreferenced file — the same maintenance cadence the
+  *    reference runs for its one persisted artifact
+  *    (/root/reference/stream-spec-yaml-example.yaml:49
+  *    `maintenanceSettings`) and this repo's catalog runs via
+  *    `CALL graft.system.*`.
   *
-  * At 100 TB: postings partitioning moves from B directories to
-  * B × range-split files; the per-query read stays proportional to the
-  * probe terms' posting lists (df-bounded), never the corpus.
+  * '''Commit protocol''' (shared with [[graft.catalog.GraftManifestIO]]):
+  * every mutation stages immutable files under fresh UUID directories,
+  * then atomically claims `manifest/v<N>.json` by exclusive create
+  * (O_EXCL locally, create-no-overwrite on HDFS-likes). The manifest
+  * lists the EXACT postings files plus the vocab/stats directories of
+  * that version and pins the bucket count, so:
+  *
+  *  - a crash anywhere before the claim leaves only invisible orphans
+  *    (swept by vacuum) — readers can never observe stats counting docs
+  *    whose postings are absent;
+  *  - two racing maintainers serialize on the claim; the loser re-reads
+  *    the fresh manifest and re-derives its vocab/stats merge (its
+  *    staged postings are reusable as-is) — lost-update-free, not just
+  *    conflict-detected;
+  *  - the bucket count is read from the manifest at query/delta time,
+  *    never supplied by the caller — a mismatched modulus (which would
+  *    silently drop probe terms' postings from the pruned scan) is
+  *    structurally impossible.
+  *
+  * At 100 TB: postings move from B file-sets to B × range-split files;
+  * the per-query read stays proportional to the probe terms' posting
+  * lists (df-bounded), never the corpus; compaction and vacuum stay
+  * proportional to the churn since the last maintenance pass.
   */
 object InvertedIndex {
 
   val DefaultBuckets = 16
 
-  /** Same tokenize → term-frequency pipeline as bm25TopK — MUST stay
-    * expression-identical so index answers hash-match the oracle.
+  /** One committed index version: the exact postings files (with their
+    * bucket), the merged vocab/stats directories, and the bucket count
+    * pinned at build time. All paths are relative to the index root.
     */
+  final case class Manifest(
+      version: Long,
+      buckets: Int,
+      postings: Seq[(Int, String)],
+      vocabDir: String,
+      statsDir: String)
+
+  /** Staged-but-uncommitted delta: immutable postings files under a
+    * fresh UUID dir. Visible only once a manifest referencing them is
+    * committed.
+    */
+  private[graft] final case class StagedDelta(files: Seq[(Int, String)])
+
+  // ---- tokenization (MUST stay expression-identical to bm25TopK) ----
+
   private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
         explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
@@ -55,127 +98,381 @@ object InvertedIndex {
   private def bucketOf(tok: Column, buckets: Int): Column =
     pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
 
+  // ---- manifest IO ---------------------------------------------------
+
   private def fs(spark: SparkSession, dir: String) =
     new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Latest committed metadata version under `dir/<name>` (v=K subdirs),
-    * or -1 when none exist yet.
+  private def manifestPath(dir: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.json")
+
+  private def toJson(m: Manifest): String = {
+    val root = JObject(List(
+      "version" -> JLong(m.version),
+      "buckets" -> JInt(m.buckets),
+      "vocab" -> JString(m.vocabDir),
+      "stats" -> JString(m.statsDir),
+      "postings" -> JArray(m.postings.map { case (b, p) =>
+        JObject(List("bucket" -> JInt(b), "path" -> JString(p)))
+      }.toList)))
+    JsonMethods.pretty(JsonMethods.render(root))
+  }
+
+  private def fromJson(body: String): Manifest = {
+    val j = JsonMethods.parse(body)
+    implicit val fmts: Formats = DefaultFormats
+    Manifest(
+      version = (j \ "version").extract[Long],
+      buckets = (j \ "buckets").extract[Int],
+      postings = (j \ "postings").extract[List[JValue]].map(e =>
+        ((e \ "bucket").extract[Int], (e \ "path").extract[String])),
+      vocabDir = (j \ "vocab").extract[String],
+      statsDir = (j \ "stats").extract[String])
+  }
+
+  /** Committed versions, ascending; the manifest listing is
+    * authoritative (files are claimed by atomic exclusive create).
     */
-  private def latestVersion(spark: SparkSession, dir: String, name: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/$name")
+  private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
     val f = fs(spark, dir)
-    if (!f.exists(p)) -1
+    if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath.getName)
-      .collect { case s if s.startsWith("v=") => s.drop(2).toInt }
-      .foldLeft(-1)(math.max)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted.toSeq
   }
 
-  private def writeVersioned(df: DataFrame, dir: String, name: String, version: Int): Unit =
-    df.write.mode("errorifexists").parquet(s"$dir/$name/v=$version")
-
-  private def readLatest(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val v = latestVersion(spark, dir, name)
-    require(v >= 0, s"inverted index at $dir has no committed $name")
-    spark.read.parquet(s"$dir/$name/v=$v")
+  private[graft] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
+    // a manifest becomes visible at exclusive create, microseconds
+    // before its bytes land — retry the (local-FS) sliver
+    var last: Throwable = null
+    for (_ <- 1 to 5) {
+      try {
+        val in = fs(spark, dir).open(manifestPath(dir, v))
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        return fromJson(body)
+      } catch { case t: Throwable => last = t; Thread.sleep(10) }
+    }
+    throw last
   }
+
+  private[graft] def currentManifest(spark: SparkSession, dir: String): Manifest = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed inverted index at $dir")
+    readManifest(spark, dir, vs.last)
+  }
+
+  /** Atomic exclusive create of manifest v — exactly one racing writer
+    * wins a version (java.nio CREATE_NEW locally: Hadoop's local
+    * create(overwrite=false) is check-then-create, not O_EXCL).
+    */
+  private def tryCommit(spark: SparkSession, dir: String, m: Manifest): Boolean = {
+    val f = fs(spark, dir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/manifest"))
+    val target = manifestPath(dir, m.version)
+    val bytes = toJson(m).getBytes("UTF-8")
+    if (f.getScheme == "file") {
+      try {
+        val nio = java.nio.file.Paths.get(target.toUri.getPath)
+        val ch = java.nio.file.Files.newByteChannel(nio,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = f.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.toLowerCase.contains("exist") => false
+      }
+    }
+  }
+
+  // ---- staging -------------------------------------------------------
+
+  private def freshRel(kind: String): String =
+    s"$kind/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** Write `(doc_id, tok, tf, dl, bucket)` rows as one file-set per
+    * bucket under a fresh UUID dir; returns the (bucket, relative path)
+    * entries. partitionBy keeps each bucket's rows in its own files;
+    * the bucket value itself lives in the manifest, not the rows.
+    */
+  private def stagePostings(spark: SparkSession, postings: DataFrame, dir: String,
+      buckets: Int): Seq[(Int, String)] = {
+    val rel = freshRel("postings")
+    postings.repartition(buckets, col("bucket"))
+      .write.mode("errorifexists").partitionBy("bucket").parquet(s"$dir/$rel")
+    val f = fs(spark, dir)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+    val out = Seq.newBuilder[(Int, String)]
+    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val abs = p.toUri.getPath
+        val relPath = abs.stripPrefix(root + "/")
+        val bucket = relPath.split('/').collectFirst {
+          case s if s.startsWith("bucket=") => s.stripPrefix("bucket=").toInt
+        }.getOrElse(sys.error(s"staged postings file outside a bucket dir: $relPath"))
+        out += bucket -> relPath
+      }
+    }
+    out.result()
+  }
+
+  private def postingsOf(tf: DataFrame, dl: DataFrame, idCol: String,
+      buckets: Int): DataFrame =
+    tf.join(dl, idCol)
+      .select(col(idCol).as("doc_id"), col("__tok").as("tok"),
+        col("__tf").as("tf"), col("__dl").as("dl"),
+        bucketOf(col("__tok"), buckets).as("bucket"))
+
+  /** Read a committed (or staged) file list; empty lists yield an empty
+    * postings frame with the right schema.
+    */
+  private def readPostings(spark: SparkSession, dir: String,
+      files: Seq[(Int, String)]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"))
+    else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
+
+  // ---- build ---------------------------------------------------------
 
   /** Build the index from scratch. One corpus pass: the (doc, token)
     * shuffle computes tf, a doc-keyed aggregate computes dl, and the
-    * postings land repartitioned by bucket so each bucket directory is
-    * a few dense files (at larger SF, raise the shuffle width per
-    * bucket; the layout contract is only "bucket is a partition key").
+    * postings land one file-set per bucket (at larger SF, raise the
+    * shuffle width per bucket; the layout contract is only "each file
+    * belongs to one bucket"). The bucket count is pinned in the
+    * manifest — queries and deltas always use the modulus the postings
+    * were laid out with.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = DefaultBuckets): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    val spark = docs.sparkSession
+    require(versions(spark, dir).isEmpty,
+      s"inverted index already committed at $dir (addDelta grows it; build starts fresh)")
     val tf = termFreqs(docs, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-    val postings = tf.join(dl, idCol)
-      .select(col(idCol).as("doc_id"), col("__tok").as("tok"),
-        col("__tf").as("tf"), col("__dl").as("dl"),
-        bucketOf(col("__tok"), buckets).as("bucket"))
-    postings.repartition(buckets, col("bucket"))
-      .write.mode("errorifexists").partitionBy("bucket").parquet(s"$dir/postings")
-    val vocab = tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
+    val files = stagePostings(spark, postingsOf(tf, dl, idCol, buckets), dir, buckets)
+    val vocabRel = freshRel("vocab")
+    tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
       .select(col("__tok").as("tok"), col("df"))
-    writeVersioned(vocab, dir, "vocab", 0)
-    val stats = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
-    writeVersioned(stats, dir, "stats", 0)
+      .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
+    val statsRel = freshRel("stats")
+    dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+      .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+    require(tryCommit(spark, dir, Manifest(1L, buckets, files, vocabRel, statsRel)),
+      s"lost the build commit race at $dir — another maintainer built concurrently")
+  }
+
+  // ---- delta maintenance ---------------------------------------------
+
+  /** Stage a delta's postings (the only corpus-sized work — done ONCE,
+    * reused across commit retries). Delta doc ids must be disjoint from
+    * the indexed set.
+    */
+  private[graft] def stageDelta(delta: DataFrame, idCol: String, textCol: String,
+      dir: String): StagedDelta = {
+    val spark = delta.sparkSession
+    val buckets = currentManifest(spark, dir).buckets
+    val tf = termFreqs(delta, idCol, textCol)
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    StagedDelta(stagePostings(spark, postingsOf(tf, dl, idCol, buckets), dir, buckets))
+  }
+
+  /** Commit a staged delta: merge vocab/stats against the CURRENT
+    * manifest and claim the next version. The delta's df/n/sumdl are
+    * re-derived from its staged postings files (so retries never
+    * re-tokenize), the merge is vocabulary-bounded, and historical
+    * postings are never read. On a lost race the fresh manifest is
+    * re-read and the merge re-derived — staged postings are immutable
+    * and reusable, only the (cheap) metadata merge repeats.
+    */
+  private[graft] def commitDelta(spark: SparkSession, dir: String,
+      staged: StagedDelta, maxAttempts: Int = 5): Manifest = {
+    val deltaPostings = readPostings(spark, dir, staged.files)
+    val deltaVocab = deltaPostings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val deltaStats = deltaPostings.groupBy(col("doc_id"))
+      .agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      val vocabRel = freshRel("vocab")
+      spark.read.parquet(s"$dir/${base.vocabDir}").unionByName(deltaVocab)
+        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+        .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
+      val statsRel = freshRel("stats")
+      spark.read.parquet(s"$dir/${base.statsDir}").unionByName(deltaStats)
+        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+        .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+      val next = Manifest(base.version + 1, base.buckets,
+        base.postings ++ staged.files, vocabRel, statsRel)
+      if (tryCommit(spark, dir, next)) return next
+      if (attempt >= maxAttempts)
+        throw new graft.catalog.GraftCommitConflict(
+          s"index delta lost the version race $maxAttempts times at $dir")
+    }
+    sys.error("unreachable")
   }
 
   /** Fold a batch of NEW documents (ids disjoint from the indexed set)
-    * into the index. Work is churn-sized + vocabulary-sized: the delta
-    * is tokenized once and its postings appended; vocab and stats merge
-    * additively into fresh versions. The historical postings are never
-    * read.
-    *
-    * Concurrency: one maintainer at a time. The vocab version write is
-    * the FIRST action and the OCC gate: two concurrent deltas both
-    * target v=K+1, and `errorifexists` fails the loser BEFORE it has
-    * appended anything — a clean retry from the new latest version
-    * (the catalog's commit-refusal posture). A crash BETWEEN the
-    * version claim and the postings append leaves a torn delta (stats
-    * count docs whose postings are absent) — at that point rebuild or
-    * restore; production deployments wanting atomic delta commits put
-    * the postings behind the Graft catalog's manifest instead. Readers
-    * are never blocked: they resolve the latest committed version at
-    * query time and postings appends are additive.
+    * into the index. Work is churn-sized + vocabulary-sized; the
+    * historical postings are never read, and the new version becomes
+    * visible ATOMICALLY at the manifest claim — a crash at any earlier
+    * point leaves the old version serving and only invisible orphans
+    * on disk (see the commit protocol in the object scaladoc).
     */
-  def addDelta(delta: DataFrame, idCol: String, textCol: String, dir: String,
-      buckets: Int = DefaultBuckets): Unit = {
+  def addDelta(delta: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
     val spark = delta.sparkSession
-    val tf = termFreqs(delta, idCol, textCol)
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-
-    // version claim first — the OCC gate (see scaladoc): a concurrent
-    // maintainer fails HERE, before any postings land
-    val v = latestVersion(spark, dir, "vocab")
-    val deltaVocab = tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
-      .select(col("__tok").as("tok"), col("df"))
-    val mergedVocab = readLatest(spark, dir, "vocab").unionByName(deltaVocab)
-      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-    writeVersioned(mergedVocab, dir, "vocab", v + 1)
-
-    val deltaStats = dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
-    val mergedStats = readLatest(spark, dir, "stats").unionByName(deltaStats)
-      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
-    writeVersioned(mergedStats, dir, "stats", v + 1)
-
-    val postings = tf.join(dl, idCol)
-      .select(col(idCol).as("doc_id"), col("__tok").as("tok"),
-        col("__tf").as("tf"), col("__dl").as("dl"),
-        bucketOf(col("__tok"), buckets).as("bucket"))
-    postings.repartition(buckets, col("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(s"$dir/postings")
+    commitDelta(spark, dir, stageDelta(delta, idCol, textCol, dir))
+    ()
   }
+
+  // ---- maintenance ---------------------------------------------------
+
+  /** Fold each bucket's accumulated per-delta files into one file —
+    * bounded at `buckets` jobs over only the multi-file buckets' rows
+    * (churn since the last compaction, never the corpus when deltas are
+    * small; after N deltas without compaction, reads the affected
+    * buckets once). Commits a new manifest; superseded files become
+    * unreferenced (swept by [[vacuum]]). Returns files folded.
+    */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val base = currentManifest(spark, dir)
+    val byBucket = base.postings.groupBy(_._1)
+    val victims = byBucket.filter(_._2.size > 1)
+    if (victims.isEmpty) return 0
+    val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
+      val rel = freshRel("postings")
+      readPostings(spark, dir, files).coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
+      val f = fs(spark, dir)
+      val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+      val out = Seq.newBuilder[(Int, String)]
+      while (it.hasNext) {
+        val p = it.next().getPath
+        if (p.getName.endsWith(".parquet"))
+          out += bucket -> p.toUri.getPath.stripPrefix(root + "/")
+      }
+      bucket -> out.result()
+    }.toMap
+    val next = Manifest(base.version + 1, base.buckets,
+      byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
+      base.vocabDir, base.statsDir)
+    require(tryCommit(spark, dir, next),
+      s"compaction lost the version race at $dir — rerun against the fresh manifest")
+    victims.valuesIterator.map(_.size).sum
+  }
+
+  /** Expire all but the newest `keepVersions` manifests, then sweep
+    * everything no surviving manifest references — torn stagings from
+    * crashed maintainers, files superseded by compaction, and stale
+    * vocab/stats versions all go here. Postings sweep at FILE
+    * granularity (compaction supersedes individual files inside a
+    * staging dir whose single-file buckets stay live); vocab/stats at
+    * directory granularity (each version is a whole dir). `graceMs`
+    * protects a CONCURRENT maintainer's in-flight staging (not yet
+    * referenced by any manifest): anything younger is kept. Returns
+    * files/directories removed.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+      graceMs: Long = 60L * 60 * 1000): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f = fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed inverted index at $dir")
+    val (expire, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val kept = keep.map(readManifest(spark, dir, _))
+    expire.foreach(v => f.delete(manifestPath(dir, v), false))
+    val now = System.currentTimeMillis()
+    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+    var removed = 0
+
+    val liveFiles: Set[String] = kept.flatMap(_.postings.map(_._2)).toSet
+    val pRoot = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    if (f.exists(pRoot)) f.listStatus(pRoot).foreach { st =>
+      val it = f.listFiles(st.getPath, true)
+      val files = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) files += it.next()
+      val all = files.result()
+      def rel(p: org.apache.hadoop.fs.Path) = p.toUri.getPath.stripPrefix(root + "/")
+      val anyLive = all.exists(x => liveFiles.contains(rel(x.getPath)))
+      if (!anyLive) {
+        // fully orphaned staging (crashed maintainer, or wholly
+        // superseded): remove the dir, crumbs and all
+        if (now - st.getModificationTime >= graceMs &&
+            all.forall(x => now - x.getModificationTime >= graceMs)) {
+          f.delete(st.getPath, true); removed += 1
+        }
+      } else all.foreach { x =>
+        // partially superseded: sweep the dead files, keep the live ones
+        if (x.getPath.getName.endsWith(".parquet") &&
+            !liveFiles.contains(rel(x.getPath)) &&
+            now - x.getModificationTime >= graceMs) {
+          f.delete(x.getPath, false); removed += 1
+        }
+      }
+    }
+
+    val liveDirs: Set[String] = kept.flatMap(m => Seq(m.vocabDir, m.statsDir)).toSet
+    Seq("vocab", "stats").foreach { kind =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$kind")
+      if (f.exists(p)) f.listStatus(p).foreach { st =>
+        if (!liveDirs.contains(s"$kind/${st.getPath.getName}") &&
+            now - st.getModificationTime >= graceMs) {
+          f.delete(st.getPath, true)
+          removed += 1
+        }
+      }
+    }
+    removed
+  }
+
+  // ---- query ---------------------------------------------------------
 
   /** BM25 top-`k` per probe answered FROM the index. Probe terms come
     * from the probe documents themselves (the "query is a document"
-    * contract shared with [[TextAnalysis.bm25TopK]]); everything read
-    * from the index is bucket-pruned to the probe terms' buckets.
-    * Ranking is hash-identical to the from-scratch bm25TopK.
+    * contract shared with [[TextAnalysis.bm25TopK]]); the postings scan
+    * is planned over ONLY the probe terms' buckets' files — pruned from
+    * the manifest's metadata before any I/O, using the bucket count the
+    * index was built with. Ranking is hash-identical to the
+    * from-scratch bm25TopK.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      probeIds: Seq[Long], k: Int = 5, buckets: Int = DefaultBuckets): DataFrame = {
+      probeIds: Seq[Long], k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
+    val m = currentManifest(spark, dir)
     val qterms = termFreqs(docs.filter(col(idCol).isin(probeIds: _*)), idCol, textCol)
       .select(col(idCol).as("probe_id"), col("__tok"))
 
-    // ≤ `buckets` distinct values by construction — a constant-bounded
+    // ≤ `m.buckets` distinct values by construction — a constant-bounded
     // driver-side collect, independent of corpus or probe size.
-    val probeBuckets = qterms.select(bucketOf(col("__tok"), buckets).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSeq
-    val postings = spark.read.parquet(s"$dir/postings")
-      .filter(col("bucket").isin(probeBuckets: _*))
+    val probeBuckets = qterms.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val postings = readPostings(spark, dir, m.postings.filter(e => probeBuckets(e._1)))
 
     // scalar aggregate over the 1-row stats file: a structural row
     // bound the plan audit can SEE (a bare file scan is unbounded to
     // it), and robust if a stats version ever carries multiple rows
-    val stats = readLatest(spark, dir, "stats")
+    val stats = spark.read.parquet(s"$dir/${m.statsDir}")
       .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
       .select(col("n"), expr("100L * sumdl div n").as("__avgdl_fp"))
-    val idf = readLatest(spark, dir, "vocab").crossJoin(broadcast(stats))
+    val idf = spark.read.parquet(s"$dir/${m.vocabDir}").crossJoin(broadcast(stats))
       .select(col("tok"),
         expr("(2L * n - 2L * df + 1L) * 1000L div (2L * df + 1L)").as("__idf_fp"))
     val sat = postings.crossJoin(broadcast(stats))

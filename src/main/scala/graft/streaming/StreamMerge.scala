@@ -54,18 +54,128 @@ object StreamMerge {
     */
   val BucketColumnName = "arcane_merge_bucket"
 
-  /** Cap on `pruneBuckets`: above this the per-batch IN list stops
+  /** Cap on the bucket count: above this the per-batch IN list stops
     * being "a small static predicate" (and pruning gains flatten —
     * bucket count should sit ~10-100× the typical batch's distinct-key
     * count, not at key cardinality).
     */
   val MaxBuckets = 65536
 
+  val MinBuckets = 16
+
+  /** Target bytes per bucket for [[deriveBuckets]]: small enough that a
+    * bucket is a slice of one compacted file (file-stat pruning then
+    * drops whole files for absent buckets), large enough that the
+    * bucket count stays metadata-sized until the [[MaxBuckets]] cap.
+    */
+  val DefaultBucketBytes: Long = 8L << 20
+
+  /** Table property pinning the modulus the target's
+    * [[BucketColumnName]] was computed with (set by [[seedTarget]] or
+    * declared manually). The property — not any per-run config — is the
+    * source of truth: a batch bucketed with a DIFFERENT modulus makes
+    * matched target rows fail the IN conjunct, silently turning updates
+    * into duplicate-key inserts, so [[resolveBuckets]] refuses to run
+    * against an undeclared or mismatched bucket column.
+    */
+  val BucketsProp = "graft.merge.buckets"
+
   /** The bucket expression — exposed so writers seeding a target table
     * derive the IDENTICAL bucket for a given merge key.
     */
   def bucketExpr(nBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(col(MergeKey.ColumnName)), lit(nBuckets.toLong)).cast("int")
+
+  /** Bucket pruning posture. [[Auto]] (the default) follows the
+    * target's own declaration: a table seeded with a bucket column and
+    * the [[BucketsProp]] property prunes with that modulus, an
+    * unbucketed table merges full-scan — the 100 TB-correct posture is
+    * on unless the table itself opted out at seed time. [[Fixed]]
+    * asserts the declared count (loud mismatch instead of silent
+    * duplicate-key inserts). [[Off]] skips the pruning conjunct but
+    * still maintains the bucket column on a declared table (so a later
+    * Auto run never sees NULL buckets).
+    */
+  sealed trait Bucketing
+  case object Auto extends Bucketing
+  final case class Fixed(n: Int) extends Bucketing {
+    require(n >= 1 && n <= MaxBuckets, s"bucket count must be in [1, $MaxBuckets], got $n")
+  }
+  case object Off extends Bucketing
+
+  /** Bucket count for a target of `bytes`: one bucket per
+    * [[DefaultBucketBytes]], clamped to [[[MinBuckets]], [[MaxBuckets]]].
+    * At 100 TB this saturates at the cap — per-batch reads are then
+    * bounded by churn × (bytes / MaxBuckets), the flattest the IN-list
+    * contract allows; heavier streams should raise the count explicitly.
+    */
+  def deriveBuckets(bytes: BigInt): Int =
+    (bytes / DefaultBucketBytes).max(MinBuckets).min(MaxBuckets).toInt
+
+  /** The declared bucket modulus of `table`, if any. */
+  def declaredBuckets(spark: SparkSession, table: String): Option[Int] =
+    spark.sql(s"SHOW TBLPROPERTIES $table")
+      .where(col("key") === BucketsProp)
+      .collect().headOption.map(_.getString(1).toInt)
+
+  /** Create + seed a bucketed MOR target in one step: merge key and
+    * bucket column derived, bucket count declared as a table property
+    * (the modulus contract future streams validate against), and the
+    * seed range-clustered by bucket so file stats prune tightly from
+    * the first batch. Returns the bucket count.
+    */
+  def seedTarget(spark: SparkSession, table: String, seed: DataFrame,
+      primaryKeys: Seq[String], mergeMode: String = "merge-on-read",
+      buckets: Option[Int] = None, seedFileBytes: Long = 32L << 20): Int = {
+    val keyed = MergeKey.withMergeKey(seed, primaryKeys)
+    val bytes = graft.operators.ScaleSafe.leafScanBytes(seed)
+    val n = buckets.getOrElse(deriveBuckets(bytes))
+    val bucketed = keyed.withColumn(BucketColumnName, bucketExpr(n))
+    spark.sql(s"""CREATE TABLE $table (${bucketed.schema.toDDL})
+      TBLPROPERTIES ('graft.merge.mode' = '$mergeMode', '$BucketsProp' = '$n')""")
+    val files = (bytes / seedFileBytes).max(1).min(4096).toInt
+    bucketed.repartitionByRange(files, col(BucketColumnName))
+      .sortWithinPartitions(BucketColumnName)
+      .writeTo(table).append()
+    n
+  }
+
+  /** Resolved bucketing for one stream cycle: `n` = the modulus batches
+    * must compute [[BucketColumnName]] with (None ⇒ unbucketed target),
+    * `prune` = whether the per-batch IN conjunct is added. Fails
+    * LOUDLY on every silent-wrong configuration: a bucket column with
+    * no declared modulus, or a [[Fixed]] count that contradicts the
+    * declaration.
+    */
+  final case class ResolvedBuckets(n: Option[Int], prune: Boolean)
+
+  def resolveBuckets(spark: SparkSession, table: String, posture: Bucketing): ResolvedBuckets = {
+    val declared = declaredBuckets(spark, table)
+    val hasColumn = spark.table(table).columns.contains(BucketColumnName)
+    (declared, hasColumn) match {
+      case (Some(_), false) => sys.error(
+        s"$table declares $BucketsProp but lacks the $BucketColumnName column")
+      case (None, true) => sys.error(
+        s"$table carries $BucketColumnName with no declared $BucketsProp — the modulus is " +
+          "unknowable and a mismatched batch silently turns updates into duplicate inserts; " +
+          s"declare it (ALTER TABLE $table SET TBLPROPERTIES ('$BucketsProp' = '<n>'))")
+      case _ => ()
+    }
+    posture match {
+      case Off => ResolvedBuckets(declared, prune = false)
+      case Auto => ResolvedBuckets(declared, prune = declared.isDefined)
+      case Fixed(n) =>
+        declared match {
+          case Some(d) if d != n => sys.error(
+            s"$table declares $BucketsProp=$d but the stream was configured with $n — " +
+              "a mismatched modulus silently turns updates into duplicate inserts")
+          case Some(_) => ResolvedBuckets(Some(n), prune = true)
+          case None => sys.error(
+            s"Fixed($n) bucketing requires $table to declare $BucketsProp " +
+              s"(seed via StreamMerge.seedTarget, or ALTER TABLE ... SET TBLPROPERTIES)")
+        }
+    }
+  }
 
   /** The MERGE statement [[idempotentMerge]] runs — factored out so
     * specs can EXPLAIN the exact SQL and pin the pruned scan shape.
@@ -117,16 +227,16 @@ object StreamMerge {
       /** sweep unreferenced data files every N batches (the
         * reference's `orphanFilesExpirationSettings`). */
       orphansEveryBatches: Option[Int] = None,
-      /** bucket count for read-amplification pruning ([[BucketColumnName]]):
-        * the target table must carry the bucket column; each batch's
-        * MERGE then reads only files whose bucket range covers the
-        * batch's keys, and threshold compaction clusters by bucket to
-        * keep those ranges tight. None = today's full-scan merge.
+      /** read-amplification pruning posture ([[BucketColumnName]]): the
+        * default [[Auto]] prunes whenever the target declares its
+        * bucket modulus ([[BucketsProp]], set by [[seedTarget]]) — each
+        * batch's MERGE then reads only files whose bucket range covers
+        * the batch's keys, and threshold compaction clusters by bucket
+        * to keep those ranges tight. An unbucketed target (no
+        * declaration) merges full-scan; [[Off]] is the explicit
+        * skip-pruning knob.
         */
-      pruneBuckets: Option[Int] = None) {
-    pruneBuckets.foreach(n => require(n >= 1 && n <= MaxBuckets,
-      s"pruneBuckets must be in [1, $MaxBuckets], got $n"))
-  }
+      bucketing: Bucketing = Auto)
 
   /** Highest batch id stamped into the table's current snapshot. */
   def committedBatchId(spark: SparkSession, table: String): Option[Long] =
@@ -181,19 +291,23 @@ object StreamMerge {
     */
   def runAvailableNow(spark: SparkSession, schema: StructType, cfg: Config): Long = {
     var batches = 0L
+    // resolved ONCE per cycle against the target's own declaration —
+    // the modulus can never drift from the table's bucket column
+    val resolved = resolveBuckets(spark, cfg.table, cfg.bucketing)
     val reader = spark.readStream.schema(schema)
     val src = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(cfg.sourceDir)
     val essentials = cfg.essentialFields ++ cfg.primaryKeys ++ cfg.versionCols
     val withKey = MergeKey.withMergeKey(FieldSelection(src, cfg.fieldRule, essentials), cfg.primaryKeys)
-    val keyed = cfg.pruneBuckets.fold(withKey)(n =>
+    val keyed = resolved.n.fold(withKey)(n =>
       withKey.withColumn(BucketColumnName, bucketExpr(n)))
+    val pruneWith = resolved.n.filter(_ => resolved.prune)
     val q = keyed.writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentMerge(cfg.table, Seq(MergeKey.ColumnName), cfg.versionCols,
-          cfg.pruneBuckets)(batch, batchId)
+          pruneWith)(batch, batchId)
         batches += 1
         // OUTSIDE the stamp scope: maintenance is content-neutral and
         // must not be refused as a "replay" of the batch it follows.
@@ -203,7 +317,7 @@ object StreamMerge {
         if (cfg.compactEveryBatches.exists(n => (batchId + 1) % n == 0))
           GraftMaintenance.compact(spark, cfg.tableDir, cfg.compactSmallBytes,
             // cluster by bucket so the next batches' scans prune tightly
-            sortCols = cfg.pruneBuckets.map(_ => Seq(BucketColumnName)).getOrElse(Nil))
+            sortCols = resolved.n.map(_ => Seq(BucketColumnName)).getOrElse(Nil))
         if (cfg.expireEveryBatches.exists(n => (batchId + 1) % n == 0))
           tableIO(cfg).expireSnapshots(cfg.keepSnapshots)
         if (cfg.orphansEveryBatches.exists(n => (batchId + 1) % n == 0))

@@ -11,6 +11,14 @@ import graft.operators.{InvertedIndex, TextAnalysis}
   * split (the board's registered query times build+serve together,
   * which hides it).
   *
+  * The delta-accumulation axis is the one that matters at 100 TB: an
+  * index that only ever absorbs deltas accretes per-delta small files
+  * per bucket, so the serve-side scan plans more and more files for the
+  * same probe. This tool applies TEN ~1% deltas, measures serve after
+  * the accumulation, then compacts + vacuums and measures again — the
+  * compacted serve must return to (or beat) the freshly-built serve,
+  * and the file count must fall back to one per bucket.
+  *
   * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.InvIndexScale
   * Prints one labeled line per measurement; serve/scratch are min-of-3.
   */
@@ -40,15 +48,34 @@ object InvIndexScale {
     val scratchS = minOf3(noop(
       TextAnalysis.bm25TopK(docs, "doc_id", "text", probes, k = 5)))
 
-    // maintenance: fold a ~1% delta into an index built on the other 99%
-    val deltaPred = pmod(xxhash64(col("doc_id")), lit(100L)) === 0
+    // maintenance lifecycle: build on 90%, fold TEN ~1% deltas in, then
+    // compact + vacuum. serve is measured fresh / after accumulation /
+    // after compaction — the last must be flat vs the first.
+    val shard = pmod(xxhash64(col("doc_id")), lit(100L))
     val dir2 = java.nio.file.Files.createTempDirectory("invidx_scale_d").toString
-    InvertedIndex.build(docs.filter(!deltaPred), "doc_id", "text", dir2)
-    val (_, deltaS) = timed(
-      InvertedIndex.addDelta(docs.filter(deltaPred), "doc_id", "text", dir2))
+    InvertedIndex.build(docs.filter(shard >= 10), "doc_id", "text", dir2)
+    val serveFresh = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dir2, probes, k = 5)))
+    var deltaTotal = 0.0
+    (0 until 10).foreach { i =>
+      deltaTotal += timed(InvertedIndex.addDelta(
+        docs.filter(shard === i), "doc_id", "text", dir2))._2
+    }
+    val files10 = InvertedIndex.currentManifest(spark, dir2).postings.size
+    val serve10d = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dir2, probes, k = 5)))
+    val (folded, compactS) = timed(InvertedIndex.compact(spark, dir2))
+    val (swept, vacuumS) = timed(InvertedIndex.vacuum(spark, dir2, keepVersions = 1, graceMs = 0L))
+    val filesC = InvertedIndex.currentManifest(spark, dir2).postings.size
+    val serveC = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dir2, probes, k = 5)))
 
     println(f"[invidx] sf=$sfDir docs=$nDocs build=$buildS%.2f serve=$serveS%.2f " +
-      f"scratch=$scratchS%.2f delta1pct=$deltaS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
+      f"scratch=$scratchS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
+    println(f"[invidx-maint] serve_fresh=$serveFresh%.2f deltas10=$deltaTotal%.2f " +
+      f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
+      f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +
+      f"files_after_compact=$filesC serve_after_compact=$serveC%.2f")
     spark.stop()
   }
 }

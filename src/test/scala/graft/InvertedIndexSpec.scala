@@ -23,6 +23,21 @@ class InvertedIndexSpec extends SparkSpec {
   private def rows(df: org.apache.spark.sql.DataFrame) =
     df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
 
+  private def hfs = new org.apache.hadoop.fs.Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def postingFiles(dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/postings")
+    if (!hfs.exists(p)) return Seq.empty
+    val it = hfs.listFiles(p, true)
+    val out = Seq.newBuilder[String]
+    while (it.hasNext) {
+      val f = it.next().getPath
+      if (f.getName.endsWith(".parquet")) out += f.toUri.getPath
+    }
+    out.result()
+  }
+
   test("indexed BM25 answers identically to the from-scratch query") {
     val dir = java.nio.file.Files.createTempDirectory("invidx").toString
     InvertedIndex.build(docs, "doc_id", "text", dir)
@@ -30,6 +45,23 @@ class InvertedIndexSpec extends SparkSpec {
       probeIds = Seq(0L, 3L), k = 4)
     val scratch = TextAnalysis.bm25TopK(docs, "doc_id", "text",
       probeIds = Seq(0L, 3L), k = 4)
+    assert(rows(indexed) == rows(scratch))
+  }
+
+  test("the bucket count is pinned in the manifest, not supplied by callers") {
+    // a non-default modulus at build time: queries and deltas resolve it
+    // from the manifest, so a mismatched-modulus wrong-ranking (the old
+    // per-call `buckets` parameter hazard) is structurally impossible
+    val dir = java.nio.file.Files.createTempDirectory("invidx_b4").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 6), "doc_id", "text", dir, buckets = 4)
+    assert(InvertedIndex.currentManifest(spark, dir).buckets == 4)
+    InvertedIndex.addDelta(docs.filter(col("doc_id") >= 6), "doc_id", "text", dir)
+    val m = InvertedIndex.currentManifest(spark, dir)
+    assert(m.buckets == 4 && m.postings.forall(_._1 < 4))
+    val indexed = InvertedIndex.bm25TopK(docs, "doc_id", "text", dir,
+      probeIds = Seq(0L, 7L), k = 5)
+    val scratch = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      probeIds = Seq(0L, 7L), k = 5)
     assert(rows(indexed) == rows(scratch))
   }
 
@@ -44,32 +76,28 @@ class InvertedIndexSpec extends SparkSpec {
     val rebuilt = InvertedIndex.bm25TopK(docs, "doc_id", "text", full,
       probeIds = Seq(0L, 7L), k = 5)
     assert(rows(grown) == rows(rebuilt))
-    // two metadata versions exist after the delta; the query read v=1
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vocab/v=1")))
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/stats/v=1")))
+    // the delta committed a second manifest version; the query read v2
+    assert(InvertedIndex.versions(spark, dir) == Seq(1L, 2L))
   }
 
-  test("query reads only the probe terms' bucket partitions") {
+  test("query reads only the probe terms' buckets' files") {
     val dir = java.nio.file.Files.createTempDirectory("invidx_prune").toString
     InvertedIndex.build(docs, "doc_id", "text", dir)
     // single-term probe: doc 4 is the only doc with zeta/eta/theta, so
-    // its terms cover ≤ 3 of the 16 buckets
+    // its terms cover ≤ 3 of the 16 buckets — the manifest prune must
+    // plan the scan over only those buckets' files
     val q = InvertedIndex.bm25TopK(docs, "doc_id", "text", dir,
       probeIds = Seq(4L), k = 3)
-    // pre-execution plan: AQE hasn't materialized query stages yet, so
-    // the file scans are still visible to collect
-    val scans = physicalPlan(q).collect {
-      case s: org.apache.spark.sql.execution.FileSourceScanExec
-          if s.metadata.get("Location").exists(_.contains("postings")) => s
-    }
-    assert(scans.nonEmpty, "postings scan not found in plan")
-    val scan = scans.head
-    assert(scan.metadata("PartitionFilters").contains("bucket"),
-      s"no bucket partition filter pushed: ${scan.metadata("PartitionFilters")}")
-    assert(scan.selectedPartitions.partitionCount <= 3,
-      s"expected <=3 bucket partitions read, got ${scan.selectedPartitions.partitionCount}")
+    val read = q.inputFiles.filter(_.contains("/postings/")).toSeq
+    assert(read.nonEmpty, "postings files not visible in the planned scan")
+    val bucketsRead = read.flatMap(_.split('/').collectFirst {
+      case s if s.startsWith("bucket=") => s.stripPrefix("bucket=").toInt
+    }).distinct
+    assert(bucketsRead.size <= 3,
+      s"expected <=3 buckets' files read, got buckets $bucketsRead")
+    val all = postingFiles(dir)
+    assert(read.size < all.size,
+      s"prune read ${read.size} of ${all.size} files — nothing pruned")
   }
 
   test("addDelta never reads historical postings") {
@@ -77,43 +105,96 @@ class InvertedIndexSpec extends SparkSpec {
     InvertedIndex.build(docs.filter(col("doc_id") < 4), "doc_id", "text", dir)
     // make historical postings unreadable as parquet: if addDelta tried
     // to scan them the job would fail
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val postings = new org.apache.hadoop.fs.Path(s"$dir/postings")
-    val it = fs.listFiles(postings, true)
-    var corrupted = 0
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val out = fs.create(f.getPath, true)
-        out.write("not parquet".getBytes); out.close(); corrupted += 1
-      }
+    val historical = postingFiles(dir)
+    assert(historical.nonEmpty)
+    historical.foreach { f =>
+      val out = hfs.create(new org.apache.hadoop.fs.Path(f), true)
+      out.write("not parquet".getBytes); out.close()
     }
-    assert(corrupted > 0)
     InvertedIndex.addDelta(docs.filter(col("doc_id") >= 4), "doc_id", "text", dir)
     // vocab/stats DID merge (vocabulary-bounded paths, not postings)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/vocab/v=1")))
+    assert(InvertedIndex.versions(spark, dir) == Seq(1L, 2L))
   }
 
-  test("a lost maintenance race fails before any postings land") {
-    val dir = java.nio.file.Files.createTempDirectory("invidx_occ").toString
+  test("a crash between staging and commit leaves the OLD version serving, never a torn one") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx_crash").toString
     InvertedIndex.build(docs.filter(col("doc_id") < 4), "doc_id", "text", dir)
-    val fs = new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def postingFiles(): Int = {
-      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
-      var n = 0
-      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
-      n
+    val before = rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir,
+      probeIds = Seq(0L), k = 5))
+    // simulate the maintainer dying after its postings/vocab/stats land
+    // but before the manifest claim: stage only, never commit
+    val staged = InvertedIndex.stageDelta(
+      docs.filter(col("doc_id") >= 4), "doc_id", "text", dir)
+    assert(staged.files.nonEmpty)
+    // the torn delta is INVISIBLE: same manifest, same answers — stats
+    // can never count docs whose postings are absent
+    assert(InvertedIndex.versions(spark, dir) == Seq(1L))
+    val after = rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir,
+      probeIds = Seq(0L), k = 5))
+    assert(after == before)
+    // vacuum sweeps the orphaned staging (grace 0: this test IS the
+    // crashed maintainer)
+    val removed = InvertedIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(removed >= 1)
+    staged.files.foreach { case (_, rel) =>
+      assert(!hfs.exists(new org.apache.hadoop.fs.Path(s"$dir/$rel")),
+        s"orphaned staged file survived vacuum: $rel")
     }
-    // another maintainer already claimed version 1: the vocab write is
-    // the OCC gate, so this delta must fail WITHOUT appending postings
-    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/vocab/v=1"))
-    val before = postingFiles()
-    intercept[Exception] {
-      InvertedIndex.addDelta(docs.filter(col("doc_id") >= 4), "doc_id", "text", dir)
+    // a retried delta then lands normally and serves the FULL new version
+    InvertedIndex.addDelta(docs.filter(col("doc_id") >= 4), "doc_id", "text", dir)
+    val full = java.nio.file.Files.createTempDirectory("invidx_crash_full").toString
+    InvertedIndex.build(docs, "doc_id", "text", full)
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 7L), k = 5))
+      == rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", full, Seq(0L, 7L), k = 5)))
+  }
+
+  test("two racing maintainers both land (OCC retry), no lost update") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx_race").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 4), "doc_id", "text", dir)
+    val d1 = docs.filter(col("doc_id") === 4 || col("doc_id") === 5)
+    val d2 = docs.filter(col("doc_id") === 6 || col("doc_id") === 7)
+    val t1 = new Thread(() => InvertedIndex.addDelta(d1, "doc_id", "text", dir))
+    val t2 = new Thread(() => InvertedIndex.addDelta(d2, "doc_id", "text", dir))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    // both deltas committed: versions 1..3, and the index answers like a
+    // rebuild over everything
+    assert(InvertedIndex.versions(spark, dir) == Seq(1L, 2L, 3L))
+    val full = java.nio.file.Files.createTempDirectory("invidx_race_full").toString
+    InvertedIndex.build(docs, "doc_id", "text", full)
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 7L), k = 5))
+      == rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", full, Seq(0L, 7L), k = 5)))
+  }
+
+  test("compaction folds per-delta files; vacuum expires superseded versions") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx_compact").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 2), "doc_id", "text", dir)
+    (2L until 8L).grouped(2).foreach { ids =>
+      InvertedIndex.addDelta(docs.filter(col("doc_id").isin(ids: _*)),
+        "doc_id", "text", dir)
     }
-    assert(postingFiles() == before,
-      "losing the version race must not leave orphan postings")
+    val before = InvertedIndex.currentManifest(spark, dir)
+    assert(before.postings.groupBy(_._1).exists(_._2.size > 1),
+      "deltas should have accumulated multi-file buckets")
+    val expected = rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 7L), k = 5))
+
+    val folded = InvertedIndex.compact(spark, dir)
+    assert(folded > 0)
+    val after = InvertedIndex.currentManifest(spark, dir)
+    assert(after.postings.groupBy(_._1).forall(_._2.size == 1),
+      "every bucket must be single-file after compaction")
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 7L), k = 5))
+      == expected, "compaction changed answers")
+
+    // vacuum: keep only the compacted version; superseded postings and
+    // stale vocab/stats versions are swept, answers unchanged
+    val filesBefore = postingFiles(dir).size
+    val removed = InvertedIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(removed > 0)
+    assert(InvertedIndex.versions(spark, dir) == Seq(after.version))
+    assert(postingFiles(dir).size < filesBefore)
+    assert(postingFiles(dir).size == after.postings.size,
+      "exactly the live manifest's files must survive vacuum")
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 7L), k = 5))
+      == expected, "vacuum changed answers")
   }
 }

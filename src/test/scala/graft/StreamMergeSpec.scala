@@ -304,7 +304,8 @@ class StreamMergeSpec extends SparkSpec {
     spark.sql(s"""CREATE TABLE $cat.db.$table (
       k INT, version BIGINT, payload STRING, arcane_merge_key STRING,
       ${StreamMerge.BucketColumnName} INT)
-      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read',
+        '${StreamMerge.BucketsProp}' = '$nBuckets')""")
     val seedDf = MergeKey.withMergeKey(
       spark.range(20000).selectExpr(
         "CAST(id AS INT) AS k", "CAST(0 AS BIGINT) AS version", "concat('seed-', id) AS payload"),
@@ -353,7 +354,7 @@ class StreamMergeSpec extends SparkSpec {
     assert(StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
       sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
       checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
-      pruneBuckets = Some(nBuckets))) == 1L)
+      bucketing = StreamMerge.Fixed(nBuckets))) == 1L)
 
     val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
     assert(out.count() == 20002)
@@ -375,7 +376,7 @@ class StreamMergeSpec extends SparkSpec {
     assert(StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
       sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
       checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
-      maxFilesPerTrigger = Some(1), pruneBuckets = Some(nBuckets),
+      maxFilesPerTrigger = Some(1),
       compactEveryBatches = Some(3), compactSmallBytes = 1L << 30)) == 2L)
     val snap2 = m.currentSnapshot().get
     assert(snap2.operation == "compact", s"last op: ${snap2.operation}")
@@ -414,5 +415,92 @@ class StreamMergeSpec extends SparkSpec {
     val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
     assert(out.count() == 2000 + 4 * 50)
     assert(out.where("version = 4").count() == 250)
+  }
+
+  test("seedTarget + DEFAULT config: bucket pruning is on out of the box, files-opened pinned") {
+    // the 100 TB-correct posture without any per-run knob: seedTarget
+    // declares the modulus as a table property, the stream's default
+    // Auto posture resolves it, and per-batch target READS open only
+    // the files covering the churn's buckets
+    val table = "mor_auto"
+    val seedDf = spark.range(20000).selectExpr(
+      "CAST(id AS INT) AS k", "CAST(0 AS BIGINT) AS version", "concat('seed-', id) AS payload")
+    val n = StreamMerge.seedTarget(spark, s"$cat.db.$table", seedDf, Seq("k"),
+      buckets = Some(64), seedFileBytes = 8L << 10)
+    assert(n == 64)
+    assert(StreamMerge.declaredBuckets(spark, s"$cat.db.$table").contains(64))
+    val seedFiles = io(table).currentSnapshot().get.files.size
+    assert(seedFiles >= 8, s"need a multi-file seed to observe pruning, got $seedFiles")
+
+    val src  = Files.createTempDirectory("graft_sm_auto_src").toString
+    val ckpt = Files.createTempDirectory("graft_sm_auto_ckpt").toString
+    val nBatches = 3
+    (0 until nBatches).foreach(b => churnBlob(src, b, updates = 2, inserts = 1, target = 20000))
+    val schema = spark.read.parquet(src).schema
+    val f0 = graft.catalog.GraftReadMetrics.dataFilesOpened
+    // DEFAULT Config — no bucketing argument at all
+    assert(StreamMerge.runAvailableNow(spark, schema, StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1))) == nBatches.toLong)
+    val opened = graft.catalog.GraftReadMetrics.dataFilesOpened - f0
+    assert(opened < seedFiles.toLong * nBatches,
+      s"default posture did not prune: opened $opened of ${seedFiles * nBatches} file-reads")
+    val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
+    assert(out.count() == 20003)
+    assert(out.where("version = 3").count() == 2 + 1)
+    // inserts carry a real bucket (the stream computed it with the
+    // declared modulus — never NULL, which would escape future pruning)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.$table " +
+      s"WHERE ${StreamMerge.BucketColumnName} IS NULL").head.getLong(0) == 0)
+  }
+
+  test("resolveBuckets refuses every silent-wrong bucket configuration, loudly") {
+    // bucket column present but modulus undeclared: unknowable — refuse
+    val t1 = "mor_undeclared"
+    spark.sql(s"""CREATE TABLE $cat.db.$t1 (
+      k INT, version BIGINT, arcane_merge_key STRING, ${StreamMerge.BucketColumnName} INT)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    val e1 = intercept[RuntimeException] {
+      StreamMerge.resolveBuckets(spark, s"$cat.db.$t1", StreamMerge.Auto)
+    }
+    assert(e1.getMessage.contains(StreamMerge.BucketsProp))
+
+    // declared table + Fixed(other): modulus contradiction — refuse
+    val t2 = "mor_mismatch"
+    spark.sql(s"""CREATE TABLE $cat.db.$t2 (
+      k INT, version BIGINT, arcane_merge_key STRING, ${StreamMerge.BucketColumnName} INT)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read', '${StreamMerge.BucketsProp}' = '64')""")
+    val e2 = intercept[RuntimeException] {
+      StreamMerge.resolveBuckets(spark, s"$cat.db.$t2", StreamMerge.Fixed(32))
+    }
+    assert(e2.getMessage.contains("64") && e2.getMessage.contains("32"))
+    // matching Fixed resolves and prunes
+    assert(StreamMerge.resolveBuckets(spark, s"$cat.db.$t2", StreamMerge.Fixed(64))
+      == StreamMerge.ResolvedBuckets(Some(64), prune = true))
+    // Off on a declared table keeps maintaining the column, skips the conjunct
+    assert(StreamMerge.resolveBuckets(spark, s"$cat.db.$t2", StreamMerge.Off)
+      == StreamMerge.ResolvedBuckets(Some(64), prune = false))
+    // declaration without the column: the table can't satisfy it — refuse
+    val t3 = "mor_nocol"
+    spark.sql(s"""CREATE TABLE $cat.db.$t3 (
+      k INT, version BIGINT, arcane_merge_key STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read', '${StreamMerge.BucketsProp}' = '16')""")
+    intercept[RuntimeException] {
+      StreamMerge.resolveBuckets(spark, s"$cat.db.$t3", StreamMerge.Auto)
+    }
+    // Fixed against an undeclared, unbucketed table — refuse (seed first)
+    val t4 = "mor_plain"
+    spark.sql(s"""CREATE TABLE $cat.db.$t4 (
+      k INT, version BIGINT, arcane_merge_key STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
+    intercept[RuntimeException] {
+      StreamMerge.resolveBuckets(spark, s"$cat.db.$t4", StreamMerge.Fixed(16))
+    }
+    // the compatible paths stay open: Auto/Off on an unbucketed table
+    assert(StreamMerge.resolveBuckets(spark, s"$cat.db.$t4", StreamMerge.Auto)
+      == StreamMerge.ResolvedBuckets(None, prune = false))
+    assert(StreamMerge.resolveBuckets(spark, s"$cat.db.$t4", StreamMerge.Off)
+      == StreamMerge.ResolvedBuckets(None, prune = false))
   }
 }
