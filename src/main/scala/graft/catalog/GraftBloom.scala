@@ -111,11 +111,17 @@ object GraftBloom {
     def result: Filterbits = new Filterbits(words, mask)
   }
 
-  /** Queryable bloom bits. */
-  final class Filterbits(words: Array[Long], mask: Int) {
+  /** Queryable bloom bits. `k` is the hash count the WRITER set the
+    * bits with (carried in the sidecar) — probing must use it, not the
+    * compile-time [[NumHashes]]: a probe with more hashes than were set
+    * yields false negatives, and a bloom false negative SKIPS a file
+    * that contains matching rows (silent wrong results, not degraded
+    * pruning).
+    */
+  final class Filterbits(words: Array[Long], mask: Int, k: Int = NumHashes) {
     def mayContain(h: (Int, Int)): Boolean = {
       var i = 0
-      while (i < NumHashes) {
+      while (i < k) {
         val bit = (h._1 + i * h._2) & mask
         if ((words(bit >> 6) & (1L << (bit & 63))) == 0L) return false
         i += 1
@@ -146,11 +152,14 @@ object GraftBloom {
     val n = in.readInt()
     (0 until n).map { _ =>
       val name = in.readUTF()
-      in.readInt() // k (fixed NumHashes today; versioned for evolution)
+      // probe with the WRITER's hash count: old sidecars stay correct
+      // across a NumHashes change instead of silently false-negating
+      val k = in.readInt()
+      require(k >= 1 && k <= 64, s"bloom sidecar hash count out of range: $k")
       val words = new Array[Long](in.readInt())
       var i = 0
       while (i < words.length) { words(i) = in.readLong(); i += 1 }
-      name -> new Filterbits(words, words.length * 64 - 1)
+      name -> new Filterbits(words, words.length * 64 - 1, k)
     }.toMap
   }
 

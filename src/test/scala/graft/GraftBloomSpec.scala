@@ -48,6 +48,41 @@ class GraftBloomSpec extends SparkSpec {
       back.mayContain(GraftBloom.hashPair(UTF8String.fromString(s"absent-$i"), StringType).get)) == fp)
   }
 
+  test("sidecars written with a different hash count probe with the WRITER's k, never false-negating") {
+    // simulate an older writer whose NumHashes was 3: hand-build the
+    // byte format with k=3 and bits set by 3 hash probes. A reader that
+    // ignored the stored k and probed with today's 7 would false-negate
+    // — and a bloom false negative SKIPS a file that contains matching
+    // rows. The reader must honor the stored k.
+    val oldK = 3
+    val nBits = 1 << 12
+    val mask = nBits - 1
+    val words = new Array[Long](nBits / 64)
+    val present = (0 until 200).map(i => s"legacy-$i")
+    present.foreach { key =>
+      val (h1, h2) = GraftBloom.hashPair(UTF8String.fromString(key), StringType).get
+      (0 until oldK).foreach { i =>
+        val bit = (h1 + i * h2) & mask
+        words(bit >> 6) |= 1L << (bit & 63)
+      }
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(0x47424631); out.writeInt(1)
+    out.writeUTF("c"); out.writeInt(oldK); out.writeInt(words.length)
+    words.foreach(out.writeLong); out.flush()
+    val bits = GraftBloom.deserialize(bos.toByteArray)("c")
+    present.foreach(k =>
+      assert(bits.mayContain(GraftBloom.hashPair(UTF8String.fromString(k), StringType).get),
+        s"false negative on $k: stored k=$oldK not honored"))
+    // an out-of-range stored k is a corrupt sidecar — deserialize
+    // refuses, and load()'s catch degrades pruning to keeping the file
+    val bad = bos.toByteArray.clone()
+    // k field sits after magic(4) + count(4) + UTF("c" = 2 len + 1 byte)
+    java.nio.ByteBuffer.wrap(bad).putInt(11, 0)
+    intercept[IllegalArgumentException](GraftBloom.deserialize(bad))
+  }
+
   test("point lookup on a bloom-indexed md5 key opens exactly the containing file") {
     spark.sql(s"""CREATE TABLE $cat.db.pt (k BIGINT, arcane_merge_key STRING, v STRING)
       TBLPROPERTIES ('graft.bloom.columns' = 'arcane_merge_key')""")
