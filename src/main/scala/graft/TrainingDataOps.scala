@@ -781,6 +781,26 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_ivf_indexed",
+      // the dense-side SERVING shape of ann_ivf: the corpus is assigned
+      // once and persisted one file-set per coarse cell (AnnIndex);
+      // probes read ONLY their nProbe cells' files — pruned from the
+      // manifest before the scan is planned. Engine-specific cells →
+      // recall vs brute force + files-opened pinned in AnnIndexSpec
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        val work = java.nio.file.Files.createTempDirectory("graft_annidx").toString
+        operators.AnnIndex.build(
+          e.filter($"vec_id" >= 5), "vec_id", "embedding", work, nCells = 16)
+        operators.AnnIndex.topK(
+          e.filter($"vec_id" < 5), "vec_id", "embedding", work, k = 5, nProbe = 8)
+          .orderBy("probe_id", "rank")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "ann_pq",
       // product-quantization ANN (codes + ADC shortlist + exact re-rank):
       // engine-specific codebooks → recall vs brute force in SimilaritySpec

@@ -1,0 +1,259 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import graft.plans.VectorQuantization
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Persisted IVF serving index — the dense-side twin of
+  * [[InvertedIndex]] (`search_bm25_indexed`): [[Similarity.ivfTopK]]
+  * re-trains the quantizer and re-assigns every candidate on every
+  * query, which is the correct recall BASELINE but not a serving shape.
+  * Here the corpus is assigned once to its coarse cell and persisted
+  * one file-set per cell; a probe reads ONLY its nProbe cells' files —
+  * pruned from the manifest's metadata before the scan is planned —
+  * and the exact cosine runs on that slice alone. At 100 TB a query
+  * touches ~nProbe/nCells of the index, never the corpus.
+  *
+  *  - '''build''': train the coarse quantizer on a bounded
+  *    deterministic sample ([[Similarity.trainQuantizer]]'s
+  *    contract), assign each vector to its nearest centroid (one
+  *    scan, the codegen'd CentroidCells expression — no join), stage
+  *    the vectors cell-partitioned, commit manifest v1 with the
+  *    CENTROIDS INLINE (nCells × dim doubles, bit-exact as IEEE longs
+  *    — they are the index metadata every later operation derives
+  *    from).
+  *  - '''addDelta''' (churn-sized): assign the delta against the
+  *    PERSISTED centroids — a pure per-row function, so
+  *    `lists(old) ∪ assign(delta)` is exactly `lists(old ∪ delta)`
+  *    (the [[Similarity.ivfAssignDelta]] identity) — stage, commit.
+  *    Historical cell files are never read.
+  *  - '''topK''': probes map to their nProbe nearest cells (a
+  *    ≤ nCells driver-side collect), the manifest's file list is
+  *    pruned to those cells, and the exact cosine + per-probe window
+  *    ranks the slice. Same output shape as `ann_ivf`.
+  *  - '''compact''' / '''vacuum''': fold per-delta small files per
+  *    cell / expire old manifests and sweep unreferenced files — the
+  *    same maintenance actions as the lexical index, via the shared
+  *    [[IndexManifests]] commit protocol (atomic exclusive-create
+  *    claim; a crash before the claim leaves only invisible orphans;
+  *    racing maintainers serialize and retry).
+  *
+  * Recall is the ann_ivf bound (≥ 0.8 vs brute force, spec-pinned):
+  * identical centroid training, assignment, and probe-cell selection —
+  * the persisted layout changes WHERE the lists live, not what they
+  * contain. When centroid drift degrades recall, rebuild retrains;
+  * [[graft.operators.Drift]]'s canary decides when.
+  */
+object AnnIndex {
+
+  val DefaultCells = 16
+
+  /** One committed index version: the coarse centroids (bit-exact) and
+    * the exact vector files with their cell. Paths relative to root.
+    */
+  final case class Manifest(
+      version: Long,
+      centroids: Array[Array[Double]],
+      vectors: Seq[(Int, String)])
+
+  private def toJson(m: Manifest): String = {
+    // doubles as raw IEEE-754 bits: JSON decimal printing is not
+    // guaranteed to round-trip, and the centroids must be BIT-exact —
+    // assignment with perturbed centroids silently moves cell borders
+    val root = JObject(List(
+      "version" -> JLong(m.version),
+      "centroids" -> JArray(m.centroids.map(c =>
+        JArray(c.map(d => JLong(java.lang.Double.doubleToRawLongBits(d)): JValue).toList)).toList),
+      "vectors" -> JArray(m.vectors.map { case (cell, p) =>
+        JObject(List("cell" -> JInt(cell), "path" -> JString(p)))
+      }.toList)))
+    JsonMethods.pretty(JsonMethods.render(root))
+  }
+
+  private def fromJson(body: String): Manifest = {
+    val j = JsonMethods.parse(body)
+    implicit val fmts: Formats = DefaultFormats
+    Manifest(
+      version = (j \ "version").extract[Long],
+      centroids = (j \ "centroids").extract[List[List[Long]]]
+        .map(_.map(java.lang.Double.longBitsToDouble).toArray).toArray,
+      vectors = (j \ "vectors").extract[List[JValue]].map(e =>
+        ((e \ "cell").extract[Int], (e \ "path").extract[String])))
+  }
+
+  private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] =
+    IndexManifests.versions(spark, dir)
+
+  private[graft] def currentManifest(spark: SparkSession, dir: String): Manifest = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed ANN index at $dir")
+    fromJson(IndexManifests.readBody(spark, dir, vs.last))
+  }
+
+  private def stageVectors(spark: SparkSession, assigned: DataFrame,
+      dir: String, nCells: Int): Seq[(Int, String)] = {
+    val rel = IndexManifests.freshRel("vectors")
+    assigned.repartition(nCells, col("cell"))
+      .write.mode("errorifexists").partitionBy("cell").parquet(s"$dir/$rel")
+    IndexManifests.listStaged(spark, dir, rel, "cell")
+  }
+
+  private def readVectors(spark: SparkSession, dir: String,
+      files: Seq[(Int, String)]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "neighbor_id BIGINT, __cv ARRAY<DOUBLE>"))
+    else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
+
+  private def assign(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame =
+    emb.select(col(idCol).cast("long").as("neighbor_id"),
+        asDouble(col(vecCol)).as("__cv"))
+      .withColumn("cell",
+        element_at(VectorQuantization.centroidCells(col("__cv"), centroids, 1), 1))
+
+  /** Build from scratch: one assignment scan + a cell-clustered write.
+    * Centroid training matches [[Similarity.ivfTopK]] exactly
+    * (deterministic ordered sample, fixed seed), so recall carries over.
+    */
+  def build(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+      nCells: Int = DefaultCells, sampleSize: Int = 2048, iters: Int = 5): Unit = {
+    val spark = emb.sparkSession
+    require(versions(spark, dir).isEmpty,
+      s"ANN index already committed at $dir (addDelta grows it; build starts fresh)")
+    val centroids = Similarity.trainQuantizer(emb, idCol, vecCol, nCells, sampleSize, iters)
+    val files = stageVectors(spark, assign(emb, idCol, vecCol, centroids), dir, centroids.length)
+    require(IndexManifests.tryCommit(spark, dir, 1L,
+      toJson(Manifest(1L, centroids, files))),
+      s"lost the build commit race at $dir — another maintainer built concurrently")
+  }
+
+  /** Fold NEW vectors (ids disjoint from the indexed set) in against
+    * the persisted centroids: churn-sized, shuffle-free assignment,
+    * historical cell files never read, visible atomically at the
+    * manifest claim. Losing a race to a concurrent maintainer retries
+    * against the fresh manifest (staged files are reusable as-is).
+    */
+  def addDelta(delta: DataFrame, idCol: String, vecCol: String, dir: String,
+      maxAttempts: Int = 5): Unit = {
+    val spark = delta.sparkSession
+    val base0 = currentManifest(spark, dir)
+    val files = stageVectors(spark,
+      assign(delta, idCol, vecCol, base0.centroids), dir, base0.centroids.length)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files)
+      if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
+    }
+    throw new graft.catalog.GraftCommitConflict(
+      s"ANN index delta lost the version race $maxAttempts times at $dir")
+  }
+
+  /** Exact-cosine top-`k` within the probes' nProbe nearest cells,
+    * answered FROM the index: the scan is planned over only those
+    * cells' files. Output shape matches `ann_ivf` (probe_id,
+    * neighbor_id, cosine, rank); probes are excluded from their own
+    * neighbor lists when they are indexed.
+    */
+  def topK(probes: DataFrame, idCol: String, vecCol: String, dir: String,
+      k: Int, nProbe: Int = 4, maxProbes: Int = 16384): DataFrame = {
+    val spark = probes.sparkSession
+    val m = currentManifest(spark, dir)
+    // the probe side broadcasts (the small-side contract every ANN
+    // operator here shares) — enforce it instead of assuming it
+    require(probes.limit(maxProbes + 1).count() <= maxProbes,
+      s"AnnIndex.topK probe side exceeds the small-side contract (> $maxProbes rows); " +
+        "batch large probe sets or swap probes/candidates")
+    val p = probes.select(col(idCol).cast("long").as("probe_id"),
+        asDouble(col(vecCol)).as("__pv"))
+      .withColumn("cell",
+        explode(VectorQuantization.centroidCells(col("__pv"), m.centroids, nProbe)))
+    // ≤ nCells distinct values by construction — a constant-bounded
+    // driver-side collect, independent of corpus or probe count
+    val probeCells = p.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    // the cell is a partition-dir value, not a row column; re-derive it
+    // with the SAME pure assignment expression (bit-identical centroids)
+    // so each probe compares only within ITS probed cells — the exact
+    // ivfTopK join semantics
+    val slice = readVectors(spark, dir, m.vectors.filter(e => probeCells(e._1)))
+      .withColumn("cell",
+        element_at(VectorQuantization.centroidCells(col("__cv"), m.centroids, 1), 1))
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    slice.join(broadcast(p), Seq("cell"))
+      .filter(col("neighbor_id") =!= col("probe_id"))
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Fold each cell's accumulated per-delta files into one; commits a
+    * new manifest, superseded files become unreferenced ([[vacuum]]).
+    * Bounded at nCells jobs over only the multi-file cells' rows.
+    */
+  def compact(spark: SparkSession, dir: String): Int = {
+    val base = currentManifest(spark, dir)
+    val byCell = base.vectors.groupBy(_._1)
+    val victims = byCell.filter(_._2.size > 1)
+    if (victims.isEmpty) return 0
+    val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
+      val rel = IndexManifests.freshRel("vectors")
+      readVectors(spark, dir, files).coalesce(1)
+        .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")
+      cell -> IndexManifests.listStaged(spark, dir, rel, "cell")
+    }.toMap
+    val next = Manifest(base.version + 1, base.centroids,
+      byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2))
+    require(IndexManifests.tryCommit(spark, dir, next.version, toJson(next)),
+      s"ANN compaction lost the version race at $dir — rerun against the fresh manifest")
+    victims.valuesIterator.map(_.size).sum
+  }
+
+  /** Expire all but the newest `keepVersions` manifests and sweep
+    * unreferenced vector files (file-granular — compaction supersedes
+    * individual files inside stagings whose other cells stay live).
+    * `graceMs` protects a concurrent maintainer's in-flight staging.
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int = 2,
+      graceMs: Long = 60L * 60 * 1000): Int = {
+    require(keepVersions >= 1, s"keepVersions must be >= 1, got $keepVersions")
+    val f = IndexManifests.fs(spark, dir)
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed ANN index at $dir")
+    val (expire, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
+    val kept = keep.map(v => fromJson(IndexManifests.readBody(spark, dir, v)))
+    expire.foreach(v => f.delete(IndexManifests.manifestPath(dir, v), false))
+    val now = System.currentTimeMillis()
+    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+    val live: Set[String] = kept.flatMap(_.vectors.map(_._2)).toSet
+    var removed = 0
+    val vRoot = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    if (f.exists(vRoot)) f.listStatus(vRoot).foreach { st =>
+      val it = f.listFiles(st.getPath, true)
+      val all = Seq.newBuilder[org.apache.hadoop.fs.LocatedFileStatus]
+      while (it.hasNext) all += it.next()
+      val files = all.result()
+      def rel(p: org.apache.hadoop.fs.Path) = p.toUri.getPath.stripPrefix(root + "/")
+      if (!files.exists(x => live.contains(rel(x.getPath)))) {
+        if (now - st.getModificationTime >= graceMs &&
+            files.forall(x => now - x.getModificationTime >= graceMs)) {
+          f.delete(st.getPath, true); removed += 1
+        }
+      } else files.foreach { x =>
+        if (x.getPath.getName.endsWith(".parquet") &&
+            !live.contains(rel(x.getPath)) &&
+            now - x.getModificationTime >= graceMs) {
+          f.delete(x.getPath, false); removed += 1
+        }
+      }
+    }
+    removed
+  }
+}

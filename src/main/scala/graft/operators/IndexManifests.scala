@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared manifest-commit machinery for persisted serving indexes
+  * ([[InvertedIndex]], [[AnnIndex]]): versioned JSON manifests under
+  * `dir/manifest/v<N>.json`, claimed by ATOMIC EXCLUSIVE CREATE — the
+  * same protocol as [[graft.catalog.GraftManifestIO]] (O_EXCL via
+  * java.nio locally, create-no-overwrite on HDFS-likes; object stores
+  * without atomic create need a locking catalog in front). Exactly one
+  * racing maintainer wins a version; a crash before the claim leaves
+  * only invisible orphans.
+  */
+private[graft] object IndexManifests {
+
+  def fs(spark: SparkSession, dir: String): org.apache.hadoop.fs.FileSystem =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def manifestPath(dir: String, v: Long) =
+    new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.json")
+
+  /** Committed versions, ascending; the listing is authoritative. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
+    val f = fs(spark, dir)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted.toSeq
+  }
+
+  /** Read manifest `v`'s body. A manifest becomes visible at exclusive
+    * create, microseconds before its bytes land — retry the (local-FS)
+    * sliver.
+    */
+  def readBody(spark: SparkSession, dir: String, v: Long): String = {
+    var last: Throwable = null
+    for (_ <- 1 to 5) {
+      try {
+        val in = fs(spark, dir).open(manifestPath(dir, v))
+        try return new String(in.readAllBytes(), "UTF-8") finally in.close()
+      } catch { case t: Throwable => last = t; Thread.sleep(10) }
+    }
+    throw last
+  }
+
+  /** Atomically claim manifest `v` with `body`; false = lost the race.
+    * Hadoop's local create(overwrite=false) is check-then-create, not
+    * O_EXCL — java.nio CREATE_NEW is the true atomic claim locally.
+    */
+  def tryCommit(spark: SparkSession, dir: String, v: Long, body: String): Boolean = {
+    val f = fs(spark, dir)
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/manifest"))
+    val target = manifestPath(dir, v)
+    val bytes = body.getBytes("UTF-8")
+    if (f.getScheme == "file") {
+      try {
+        val nio = java.nio.file.Paths.get(target.toUri.getPath)
+        val ch = java.nio.file.Files.newByteChannel(nio,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = f.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.toLowerCase.contains("exist") => false
+      }
+    }
+  }
+
+  def freshRel(kind: String): String =
+    s"$kind/${java.util.UUID.randomUUID().toString.replace("-", "")}"
+
+  /** List the staged parquet files under `dir/rel` as (partition value,
+    * dir-relative path) pairs, where the partition value is parsed from
+    * the `prefix=<v>` directory level (partitionBy layout).
+    */
+  def listStaged(spark: SparkSession, dir: String, rel: String,
+      prefix: String): Seq[(Int, String)] = {
+    val f = fs(spark, dir)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+    val out = Seq.newBuilder[(Int, String)]
+    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+    while (it.hasNext) {
+      val p = it.next().getPath
+      if (p.getName.endsWith(".parquet")) {
+        val relPath = p.toUri.getPath.stripPrefix(root + "/")
+        val v = relPath.split('/').collectFirst {
+          case s if s.startsWith(prefix + "=") => s.stripPrefix(prefix + "=").toInt
+        }.getOrElse(sys.error(s"staged file outside a $prefix= dir: $relPath"))
+        out += v -> relPath
+      }
+    }
+    out.result()
+  }
+}

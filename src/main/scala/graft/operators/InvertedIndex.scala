@@ -98,14 +98,9 @@ object InvertedIndex {
   private def bucketOf(tok: Column, buckets: Int): Column =
     pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
 
-  // ---- manifest IO ---------------------------------------------------
+  // ---- manifest IO (commit protocol shared via IndexManifests) -------
 
-  private def fs(spark: SparkSession, dir: String) =
-    new org.apache.hadoop.fs.Path(dir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def manifestPath(dir: String, v: Long) =
-    new org.apache.hadoop.fs.Path(s"$dir/manifest/v$v.json")
+  private def fs(spark: SparkSession, dir: String) = IndexManifests.fs(spark, dir)
 
   private def toJson(m: Manifest): String = {
     val root = JObject(List(
@@ -131,32 +126,11 @@ object InvertedIndex {
       statsDir = (j \ "stats").extract[String])
   }
 
-  /** Committed versions, ascending; the manifest listing is
-    * authoritative (files are claimed by atomic exclusive create).
-    */
-  private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/manifest")
-    val f = fs(spark, dir)
-    if (!f.exists(p)) Seq.empty
-    else f.listStatus(p).map(_.getPath.getName)
-      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
-        n.stripPrefix("v").stripSuffix(".json").toLong }
-      .sorted.toSeq
-  }
+  private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] =
+    IndexManifests.versions(spark, dir)
 
-  private[graft] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest = {
-    // a manifest becomes visible at exclusive create, microseconds
-    // before its bytes land — retry the (local-FS) sliver
-    var last: Throwable = null
-    for (_ <- 1 to 5) {
-      try {
-        val in = fs(spark, dir).open(manifestPath(dir, v))
-        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        return fromJson(body)
-      } catch { case t: Throwable => last = t; Thread.sleep(10) }
-    }
-    throw last
-  }
+  private[graft] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest =
+    fromJson(IndexManifests.readBody(spark, dir, v))
 
   private[graft] def currentManifest(spark: SparkSession, dir: String): Manifest = {
     val vs = versions(spark, dir)
@@ -164,41 +138,10 @@ object InvertedIndex {
     readManifest(spark, dir, vs.last)
   }
 
-  /** Atomic exclusive create of manifest v — exactly one racing writer
-    * wins a version (java.nio CREATE_NEW locally: Hadoop's local
-    * create(overwrite=false) is check-then-create, not O_EXCL).
-    */
-  private def tryCommit(spark: SparkSession, dir: String, m: Manifest): Boolean = {
-    val f = fs(spark, dir)
-    f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/manifest"))
-    val target = manifestPath(dir, m.version)
-    val bytes = toJson(m).getBytes("UTF-8")
-    if (f.getScheme == "file") {
-      try {
-        val nio = java.nio.file.Paths.get(target.toUri.getPath)
-        val ch = java.nio.file.Files.newByteChannel(nio,
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    } else {
-      try {
-        val out = f.create(target, false)
-        try out.write(bytes) finally out.close()
-        true
-      } catch {
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-        case e: java.io.IOException if e.getMessage != null &&
-          e.getMessage.toLowerCase.contains("exist") => false
-      }
-    }
-  }
+  private def tryCommit(spark: SparkSession, dir: String, m: Manifest): Boolean =
+    IndexManifests.tryCommit(spark, dir, m.version, toJson(m))
 
   // ---- staging -------------------------------------------------------
-
-  private def freshRel(kind: String): String =
-    s"$kind/${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
   /** Write `(doc_id, tok, tf, dl, bucket)` rows as one file-set per
     * bucket under a fresh UUID dir; returns the (bucket, relative path)
@@ -207,25 +150,10 @@ object InvertedIndex {
     */
   private def stagePostings(spark: SparkSession, postings: DataFrame, dir: String,
       buckets: Int): Seq[(Int, String)] = {
-    val rel = freshRel("postings")
+    val rel = IndexManifests.freshRel("postings")
     postings.repartition(buckets, col("bucket"))
       .write.mode("errorifexists").partitionBy("bucket").parquet(s"$dir/$rel")
-    val f = fs(spark, dir)
-    val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
-    val out = Seq.newBuilder[(Int, String)]
-    val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
-    while (it.hasNext) {
-      val p = it.next().getPath
-      if (p.getName.endsWith(".parquet")) {
-        val abs = p.toUri.getPath
-        val relPath = abs.stripPrefix(root + "/")
-        val bucket = relPath.split('/').collectFirst {
-          case s if s.startsWith("bucket=") => s.stripPrefix("bucket=").toInt
-        }.getOrElse(sys.error(s"staged postings file outside a bucket dir: $relPath"))
-        out += bucket -> relPath
-      }
-    }
-    out.result()
+    IndexManifests.listStaged(spark, dir, rel, "bucket")
   }
 
   private def postingsOf(tf: DataFrame, dl: DataFrame, idCol: String,
@@ -265,11 +193,11 @@ object InvertedIndex {
     val tf = termFreqs(docs, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
     val files = stagePostings(spark, postingsOf(tf, dl, idCol, buckets), dir, buckets)
-    val vocabRel = freshRel("vocab")
+    val vocabRel = IndexManifests.freshRel("vocab")
     tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
       .select(col("__tok").as("tok"), col("df"))
       .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
-    val statsRel = freshRel("stats")
+    val statsRel = IndexManifests.freshRel("stats")
     dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
       .write.mode("errorifexists").parquet(s"$dir/$statsRel")
     require(tryCommit(spark, dir, Manifest(1L, buckets, files, vocabRel, statsRel)),
@@ -310,11 +238,11 @@ object InvertedIndex {
     while (true) {
       attempt += 1
       val base = currentManifest(spark, dir)
-      val vocabRel = freshRel("vocab")
+      val vocabRel = IndexManifests.freshRel("vocab")
       spark.read.parquet(s"$dir/${base.vocabDir}").unionByName(deltaVocab)
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
         .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
-      val statsRel = freshRel("stats")
+      val statsRel = IndexManifests.freshRel("stats")
       spark.read.parquet(s"$dir/${base.statsDir}").unionByName(deltaStats)
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
         .write.mode("errorifexists").parquet(s"$dir/$statsRel")
@@ -356,7 +284,7 @@ object InvertedIndex {
     val victims = byBucket.filter(_._2.size > 1)
     if (victims.isEmpty) return 0
     val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
-      val rel = freshRel("postings")
+      val rel = IndexManifests.freshRel("postings")
       readPostings(spark, dir, files).coalesce(1)
         .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
       val f = fs(spark, dir)
@@ -397,7 +325,7 @@ object InvertedIndex {
     require(vs.nonEmpty, s"no committed inverted index at $dir")
     val (expire, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
     val kept = keep.map(readManifest(spark, dir, _))
-    expire.foreach(v => f.delete(manifestPath(dir, v), false))
+    expire.foreach(v => f.delete(IndexManifests.manifestPath(dir, v), false))
     val now = System.currentTimeMillis()
     val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
     var removed = 0

@@ -1,0 +1,140 @@
+package graft
+
+import graft.operators.{AnnIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF serving index: recall must carry over from ivfTopK
+  * (identical training/assignment), reads must be pruned to the probed
+  * cells' files, and maintenance must follow the manifest commit
+  * protocol (atomic visibility, compaction, vacuum).
+  */
+class AnnIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables(spark, sfDir).embeddings
+
+  private def topKSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  test("indexed IVF recall vs brute force is >= 0.8 and matches ivfTopK exactly") {
+    val probes     = emb.filter($"vec_id" < 20)
+    val candidates = emb.filter($"vec_id" >= 20)
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    AnnIndex.build(candidates, "vec_id", "embedding", dir, nCells = 16)
+    val indexed = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8))
+    val exact = topKSet(Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 10))
+    val recall = exact.intersect(indexed).size.toDouble / exact.size
+    assert(recall >= 0.8, s"indexed IVF recall $recall too low")
+    // same trainer, same assignment, same probe-cell selection — the
+    // persisted layout must not change WHAT the lists contain
+    val transient_ = topKSet(Similarity.ivfTopK(probes, candidates, "vec_id", "embedding",
+      k = 10, nCells = 16, nProbe = 8))
+    assert(indexed == transient_, "persisted index diverged from ivfTopK")
+  }
+
+  test("a probe reads only its probed cells' files (manifest-pruned scan)") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_prune").toString
+    AnnIndex.build(emb.filter($"vec_id" >= 5), "vec_id", "embedding", dir, nCells = 16)
+    val m = AnnIndex.currentManifest(spark, dir)
+    val allFiles = m.vectors.size
+    val nProbe = 4
+    val q = AnnIndex.topK(emb.filter($"vec_id" === 0), "vec_id", "embedding", dir,
+      k = 5, nProbe = nProbe)
+    val read = q.inputFiles.filter(_.contains("/vectors/")).toSeq
+    assert(read.nonEmpty, "vector files not visible in the planned scan")
+    val cellsRead = read.flatMap(_.split('/').collectFirst {
+      case s if s.startsWith("cell=") => s.stripPrefix("cell=").toInt
+    }).distinct
+    assert(cellsRead.size <= nProbe,
+      s"expected <= $nProbe cells' files read, got cells $cellsRead")
+    assert(read.size < allFiles,
+      s"prune read ${read.size} of $allFiles files — nothing pruned")
+  }
+
+  test("delta assignment against persisted centroids: grown index == one-shot index") {
+    // assignment is a pure per-row function of (vector, centroids), so
+    // lists(old) ∪ assign(delta) must equal lists(old ∪ delta) for the
+    // SAME centroids — build both ways with the same training corpus
+    val probes = emb.filter($"vec_id" < 5)
+    val old_   = emb.filter($"vec_id" >= 5 && pmod($"vec_id", lit(10)) =!= 7)
+    val delta  = emb.filter($"vec_id" >= 5 && pmod($"vec_id", lit(10)) === 7)
+
+    val grownDir = java.nio.file.Files.createTempDirectory("annidx_grown").toString
+    AnnIndex.build(old_, "vec_id", "embedding", grownDir, nCells = 16)
+    AnnIndex.addDelta(delta, "vec_id", "embedding", grownDir)
+    assert(AnnIndex.versions(spark, grownDir) == Seq(1L, 2L))
+
+    // one-shot comparator with the SAME centroids: seed a fresh index
+    // from the same training subset, then fold the rest in one delta
+    val cmpDir = java.nio.file.Files.createTempDirectory("annidx_cmp").toString
+    AnnIndex.build(old_, "vec_id", "embedding", cmpDir, nCells = 16)
+    AnnIndex.addDelta(delta, "vec_id", "embedding", cmpDir)
+    AnnIndex.compact(spark, cmpDir)
+
+    val a = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", grownDir, k = 10, nProbe = 8))
+    val b = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", cmpDir, k = 10, nProbe = 8))
+    assert(a == b, "compaction/delta layout changed answers")
+    // the delta's vectors are genuinely servable
+    val deltaIds = delta.select($"vec_id".cast("long")).as[Long].collect().toSet
+    assert(a.exists { case (_, n) => deltaIds.contains(n) } ||
+      topKSet(AnnIndex.topK(probes, "vec_id", "embedding", grownDir, k = 50, nProbe = 16))
+        .exists { case (_, n) => deltaIds.contains(n) },
+      "no delta vector ever surfaces as a neighbor")
+  }
+
+  test("crash between staging and commit leaves the old version; vacuum sweeps; compact folds") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_maint").toString
+    AnnIndex.build(emb.filter($"vec_id" >= 5 && $"vec_id" < 350),
+      "vec_id", "embedding", dir, nCells = 8)
+    val probes = emb.filter($"vec_id" < 5)
+    val before = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 5, nProbe = 8))
+
+    // "crash": stage vector files with no manifest claim — invisible
+    val m = AnnIndex.currentManifest(spark, dir)
+    emb.filter($"vec_id" >= 350 && $"vec_id" < 400)
+      .select($"vec_id".cast("long").as("neighbor_id"),
+        graft.functions.VectorFunctions.asDouble($"embedding").as("__cv"),
+        lit(3).as("cell"))
+      .write.partitionBy("cell")
+      .parquet(s"$dir/vectors/deadbeefdeadbeefdeadbeefdeadbeef")
+    assert(AnnIndex.versions(spark, dir) == Seq(1L))
+    assert(topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 5, nProbe = 8)) == before)
+    val swept = AnnIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(swept >= 1)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/vectors/deadbeefdeadbeefdeadbeefdeadbeef")))
+
+    // three deltas accumulate multi-file cells; compact folds to one
+    // file per cell, vacuum retires the superseded files, answers fixed
+    (0 until 3).foreach { i =>
+      AnnIndex.addDelta(emb.filter($"vec_id" >= 350 + i * 50 && $"vec_id" < 400 + i * 50),
+        "vec_id", "embedding", dir)
+    }
+    val expect = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 5, nProbe = 8))
+    val folded = AnnIndex.compact(spark, dir)
+    assert(folded > 0)
+    val after = AnnIndex.currentManifest(spark, dir)
+    assert(after.vectors.groupBy(_._1).forall(_._2.size == 1))
+    assert(AnnIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L) > 0)
+    assert(topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 5, nProbe = 8)) == expect)
+  }
+
+  test("two racing delta maintainers both land, no lost update") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_race").toString
+    AnnIndex.build(emb.filter($"vec_id" >= 5 && $"vec_id" < 400),
+      "vec_id", "embedding", dir, nCells = 8)
+    val d1 = emb.filter($"vec_id" >= 400 && $"vec_id" < 450)
+    val d2 = emb.filter($"vec_id" >= 450 && $"vec_id" < 500)
+    val t1 = new Thread(() => AnnIndex.addDelta(d1, "vec_id", "embedding", dir))
+    val t2 = new Thread(() => AnnIndex.addDelta(d2, "vec_id", "embedding", dir))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(AnnIndex.versions(spark, dir) == Seq(1L, 2L, 3L))
+    val n = AnnIndex.currentManifest(spark, dir).vectors.size
+    val serveable = emb.filter($"vec_id" >= 5 && $"vec_id" < 500).count()
+    val indexed = spark.read.parquet(
+      AnnIndex.currentManifest(spark, dir).vectors.map { case (_, p) => s"$dir/$p" }: _*).count()
+    assert(indexed == serveable, s"lost update: $indexed of $serveable vectors indexed (files=$n)")
+  }
+}

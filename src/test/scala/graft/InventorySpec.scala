@@ -64,6 +64,30 @@ class InventorySpec extends SparkSpec {
       s"§8 says ${oracleM.group(1)} oracles, registry has $nOracles")
   }
 
+  test("§8 suite counts equal the mechanical test-source counts (test counts can't drift either)") {
+    // round 10 claimed 369 tests where the run showed 370 — the same
+    // hand-maintained-number hazard the query counts had. Anchor the
+    // prose to what IS mechanically countable: test DEFINITIONS and
+    // suite files in the test sources. (Run-time green/canceled splits
+    // vary by environment and stay prose.)
+    val text = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    val s8 = text.substring(text.indexOf("## §8"))
+    val m = """(\d+) test definitions across (\d+) suites""".r.findFirstMatchIn(s8)
+      .getOrElse(fail("§8 must state 'N test definitions across M suites'"))
+    val dir = java.nio.file.Paths.get("src/test/scala/graft")
+    val sources = java.nio.file.Files.list(dir).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(_.toString.endsWith(".scala"))
+      .map(p => new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+    val nTests = sources.map("""(?m)^\s*test\(""".r.findAllMatchIn(_).size).sum
+    val nSuites = sources.map("""(?m)^class \w+ extends """.r.findAllMatchIn(_).size).sum
+    assert(m.group(1).toInt == nTests,
+      s"§8 says ${m.group(1)} test definitions, sources define $nTests")
+    assert(m.group(2).toInt == nSuites,
+      s"§8 says ${m.group(2)} suites, sources define $nSuites")
+  }
+
   test("§2 oracle annotations match the registry (SQL rows declare oracles, rows-only rows don't)") {
     val oracles = Queries.all.map(q => q.name -> q.oracle.isDefined).toMap
     val wrong = surveyRows.collect {
