@@ -227,6 +227,13 @@ object StreamMerge {
       /** sweep unreferenced data files every N batches (the
         * reference's `orphanFilesExpirationSettings`). */
       orphansEveryBatches: Option[Int] = None,
+      /** snapshot property carrying this STREAM's exactly-once batch
+        * stamp. Two checkpointed streams merging into ONE table need
+        * DISTINCT properties (each stream's batch ids are its own
+        * monotonic sequence); sharing one would make stream B's batch 0
+        * look like a replay of stream A's batch 3.
+        */
+      batchIdProp: String = StreamMerge.BatchIdProp,
       /** read-amplification pruning posture ([[BucketColumnName]]): the
         * default [[Auto]] prunes whenever the target declares its
         * bucket modulus ([[BucketsProp]], set by [[seedTarget]]) — each
@@ -238,10 +245,13 @@ object StreamMerge {
         */
       bucketing: Bucketing = Auto)
 
-  /** Highest batch id stamped into the table's current snapshot. */
-  def committedBatchId(spark: SparkSession, table: String): Option[Long] =
+  /** Highest batch id stamped into the table's current snapshot under
+    * `prop` (one stamp namespace per stream).
+    */
+  def committedBatchId(spark: SparkSession, table: String,
+      prop: String = BatchIdProp): Option[Long] =
     spark.sql(s"SHOW TBLPROPERTIES $table")
-      .where(col("key") === BatchIdProp)
+      .where(col("key") === prop)
       .collect().headOption.map(_.getString(1).toLong)
 
   /** foreachBatch handler: latest-per-key dedup within the batch, then
@@ -249,12 +259,12 @@ object StreamMerge {
     * Returns true if the batch was applied, false for a replay skip.
     */
   def idempotentMerge(table: String, keys: Seq[String], versionCols: Seq[String],
-      pruneBuckets: Option[Int] = None)(
+      pruneBuckets: Option[Int] = None, batchIdProp: String = BatchIdProp)(
       batch: DataFrame, batchId: Long): Boolean = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(versionCols.nonEmpty, "upsert versioning requires at least one version column")
     val spark = batch.sparkSession
-    if (committedBatchId(spark, table).exists(_ >= batchId)) return false
+    if (committedBatchId(spark, table, batchIdProp).exists(_ >= batchId)) return false
     val staged = Upsert.latestByKey(batch, keys, versionCols)
     val cols = staged.columns.toSeq
     // the batch's distinct buckets: a bounded collect (≤ nBuckets ≤
@@ -271,7 +281,7 @@ object StreamMerge {
     val view = s"graft_stream_merge_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     staged.createOrReplaceTempView(view)
     try {
-      GraftCommitStamp.withBatchId(BatchIdProp, batchId) {
+      GraftCommitStamp.withBatchId(batchIdProp, batchId) {
         spark.sql(mergeSql(table, view, keys, cols, buckets))
       }
       true
@@ -307,7 +317,7 @@ object StreamMerge {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentMerge(cfg.table, Seq(MergeKey.ColumnName), cfg.versionCols,
-          pruneWith)(batch, batchId)
+          pruneWith, cfg.batchIdProp)(batch, batchId)
         batches += 1
         // OUTSIDE the stamp scope: maintenance is content-neutral and
         // must not be refused as a "replay" of the batch it follows.

@@ -417,6 +417,61 @@ class StreamMergeSpec extends SparkSpec {
     assert(out.where("version = 4").count() == 250)
   }
 
+  test("two concurrent checkpointed streams on one table: distinct stamps, 0 lost updates") {
+    // stream-vs-stream contention (round-10's race was stream-vs-batch):
+    // two change-capture streams with their own checkpoints and their
+    // own batch-id stamp properties MERGE into one target. The OCC
+    // manifest claim serializes commits; each loser re-derives and
+    // retries; each stream's replay guard reads ITS OWN property, so
+    // the other stream's commits are never mistaken for replays. Both
+    // streams' final versions must land and both stamps must advance.
+    val table = "mor_two_streams"
+    val target = 6000
+    createMorTarget(table)
+    seed(table, target)
+
+    val propA = s"${StreamMerge.BatchIdProp}.a"
+    val propB = s"${StreamMerge.BatchIdProp}.b"
+    val srcA  = Files.createTempDirectory("graft_sm2_srcA").toString
+    val srcB  = Files.createTempDirectory("graft_sm2_srcB").toString
+    val ckptA = Files.createTempDirectory("graft_sm2_ckptA").toString
+    val ckptB = Files.createTempDirectory("graft_sm2_ckptB").toString
+    // stream A churns keys 0..299 (4 batches, versions 1..4); stream B
+    // churns the DISJOINT 3000..3299 (4 batches) so the final state is
+    // deterministic under any interleaving
+    (0 until 4).foreach(b => churnBlob(srcA, b, updates = 300, inserts = 0, target = target))
+    (0 until 4).foreach { b =>
+      (0 until 300).map(k => (3000 + k, (b + 1).toLong, s"b-upd-$b-$k"))
+        .toDF("k", "version", "payload").coalesce(1).write.mode("append").parquet(srcB)
+    }
+    val schema = spark.read.parquet(srcA).schema
+    def cfg(src: String, ckpt: String, prop: String) = StreamMerge.Config(
+      sourceDir = src, table = s"$cat.db.$table", tableDir = s"$warehouse/db/$table",
+      checkpointDir = ckpt, primaryKeys = Seq("k"), versionCols = Seq("version"),
+      maxFilesPerTrigger = Some(1), batchIdProp = prop)
+
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.global
+    val fA = Future(StreamMerge.runAvailableNow(spark, schema, cfg(srcA, ckptA, propA)))
+    val fB = Future(StreamMerge.runAvailableNow(spark, schema, cfg(srcB, ckptB, propB)))
+    assert(Await.result(fA, 180.seconds) == 4L)
+    assert(Await.result(fB, 180.seconds) == 4L)
+
+    val out = spark.sql(s"SELECT k, version, payload FROM $cat.db.$table")
+    assert(out.count() == target, "rows lost or duplicated under stream-vs-stream contention")
+    assert(out.where("k < 300 AND version = 4").count() == 300,
+      "stream A updates lost under concurrent stream B")
+    assert(out.where("k >= 3000 AND k < 3300 AND version = 4").count() == 300,
+      "stream B updates lost under concurrent stream A")
+    assert(out.where("k >= 300 AND k < 3000 AND version = 0").count() == 2700)
+    assert(out.where("k = 0").head.getString(2) == "upd-3-0")
+    assert(out.where("k = 3000").head.getString(2) == "b-upd-3-0")
+    // BOTH stamps advanced to their stream's last batch, independently
+    assert(StreamMerge.committedBatchId(spark, s"$cat.db.$table", propA).contains(3L))
+    assert(StreamMerge.committedBatchId(spark, s"$cat.db.$table", propB).contains(3L))
+  }
+
   test("seedTarget + DEFAULT config: bucket pruning is on out of the box, files-opened pinned") {
     // the 100 TB-correct posture without any per-run knob: seedTarget
     // declares the modulus as a table property, the stream's default
