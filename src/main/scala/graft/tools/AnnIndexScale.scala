@@ -1,0 +1,74 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, Similarity}
+
+/** Scale measurement for the persisted ANN (IVF) serving index — the
+  * dense twin of [[InvIndexScale]]: build vs serve vs the from-scratch
+  * `ann_ivf` recompute (which re-trains and re-assigns per query), plus
+  * the delta-accumulation → compaction lifecycle. The serve claim is
+  * the same: a probe reads only its nProbe cells' files, so serve cost
+  * tracks the probed slice, never the corpus — and compaction must
+  * return an accumulated index's serve time to the freshly-built one.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.AnnIndexScale
+  */
+object AnnIndexScale {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+  private def minOf3(f: => Unit): Double =
+    (1 to 3).map(_ => timed(f)._2).min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val n = emb.count()
+    val probes = emb.filter($"vec_id" < 5)
+    val candidates = emb.filter($"vec_id" >= 5)
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    val dir = java.nio.file.Files.createTempDirectory("annidx_scale").toString
+    val (_, buildS) = timed(AnnIndex.build(candidates, "vec_id", "embedding", dir, nCells = 16))
+    val serveS = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 4)))
+    val scratchS = minOf3(noop(
+      Similarity.ivfTopK(probes, candidates, "vec_id", "embedding", k = 10,
+        nCells = 16, nProbe = 4)))
+
+    // lifecycle: build on 90%, ten ~1% deltas, compact + vacuum
+    val shard = pmod(xxhash64($"vec_id"), lit(100L))
+    val dir2 = java.nio.file.Files.createTempDirectory("annidx_scale_d").toString
+    AnnIndex.build(candidates.filter(shard >= 10), "vec_id", "embedding", dir2, nCells = 16)
+    val serveFresh = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir2, k = 10, nProbe = 4)))
+    var deltaTotal = 0.0
+    (0 until 10).foreach { i =>
+      deltaTotal += timed(AnnIndex.addDelta(
+        candidates.filter(shard === i), "vec_id", "embedding", dir2))._2
+    }
+    val files10 = AnnIndex.currentManifest(spark, dir2).vectors.size
+    val serve10d = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir2, k = 10, nProbe = 4)))
+    val (folded, compactS) = timed(AnnIndex.compact(spark, dir2))
+    val (swept, vacuumS) = timed(AnnIndex.vacuum(spark, dir2, keepVersions = 1, graceMs = 0L))
+    val filesC = AnnIndex.currentManifest(spark, dir2).vectors.size
+    val serveC = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir2, k = 10, nProbe = 4)))
+
+    println(f"[annidx] sf=$sfDir vecs=$n build=$buildS%.2f serve=$serveS%.2f " +
+      f"scratch=$scratchS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
+    println(f"[annidx-maint] serve_fresh=$serveFresh%.2f deltas10=$deltaTotal%.2f " +
+      f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
+      f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +
+      f"files_after_compact=$filesC serve_after_compact=$serveC%.2f")
+    spark.stop()
+  }
+}
