@@ -1499,6 +1499,35 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "text_multimatch",
+      // multi-needle exact-substring screening (contamination canaries)
+      // by ONE Aho-Corasick pass per doc; the oracle is the O(needles ×
+      // length) per-needle replace/contains formulation. Needles are
+      // border-free (no proper prefix = suffix), so non-overlapping
+      // replace-counting equals all-occurrence counting.
+      (spark, dir) =>
+        TextAnalysis.multiMatch(Tables(spark, dir).documents, "doc_id", "text",
+          Seq("merge", "spark", "customer", "vector", "join", "batch stream"))
+          .orderBy("doc_id"),
+      Some("""
+        SELECT doc_id,
+               CAST((length(text) - length(replace(text, 'merge', ''))) // 5
+                  + (length(text) - length(replace(text, 'spark', ''))) // 5
+                  + (length(text) - length(replace(text, 'customer', ''))) // 8
+                  + (length(text) - length(replace(text, 'vector', ''))) // 6
+                  + (length(text) - length(replace(text, 'join', ''))) // 4
+                  + (length(text) - length(replace(text, 'batch stream', ''))) // 12 AS BIGINT) AS n_hits,
+               CAST((CASE WHEN contains(text, 'merge') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text, 'spark') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text, 'customer') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text, 'vector') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text, 'join') THEN 1 ELSE 0 END)
+                  + (CASE WHEN contains(text, 'batch stream') THEN 1 ELSE 0 END) AS BIGINT) AS needles_hit
+        FROM documents ORDER BY doc_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "length_outliers",
       // corpus-relative length-band filter: the percentile bounds are a
       // 1-row aggregate broadcast over a pure filter scan (t-digest

@@ -54,11 +54,15 @@ object AnnIndex {
 
   /** One committed index version: the coarse centroids (bit-exact) and
     * the exact vector files with their cell. Paths relative to root.
+    * `streams` carries per-stream exactly-once batch stamps committed
+    * in the same atomic manifest claim as the content (the lexical
+    * index's contract — see [[InvertedIndex.Manifest]]).
     */
   final case class Manifest(
       version: Long,
       centroids: Array[Array[Double]],
-      vectors: Seq[(Int, String)])
+      vectors: Seq[(Int, String)],
+      streams: Map[String, Long] = Map.empty)
 
   private def toJson(m: Manifest): String = {
     // doubles as raw IEEE-754 bits: JSON decimal printing is not
@@ -68,6 +72,7 @@ object AnnIndex {
       "version" -> JLong(m.version),
       "centroids" -> JArray(m.centroids.map(c =>
         JArray(c.map(d => JLong(java.lang.Double.doubleToRawLongBits(d)): JValue).toList)).toList),
+      "streams" -> IndexManifests.streamsToJson(m.streams),
       "vectors" -> JArray(m.vectors.map { case (cell, p) =>
         JObject(List("cell" -> JInt(cell), "path" -> JString(p)))
       }.toList)))
@@ -82,7 +87,8 @@ object AnnIndex {
       centroids = (j \ "centroids").extract[List[List[Long]]]
         .map(_.map(java.lang.Double.longBitsToDouble).toArray).toArray,
       vectors = (j \ "vectors").extract[List[JValue]].map(e =>
-        ((e \ "cell").extract[Int], (e \ "path").extract[String])))
+        ((e \ "cell").extract[Int], (e \ "path").extract[String])),
+      streams = IndexManifests.streamsFromJson(j \ "streams"))
   }
 
   private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] =
@@ -97,7 +103,12 @@ object AnnIndex {
   private def stageVectors(spark: SparkSession, assigned: DataFrame,
       dir: String, nCells: Int): Seq[(Int, String)] = {
     val rel = IndexManifests.freshRel("vectors")
-    assigned.repartition(nCells, col("cell"))
+    // the cell rides in the rows too (partitionBy strips its column
+    // from file contents, and manifest-pruned reads open leaf files
+    // directly, losing the dir value) — serving then never re-runs the
+    // nCells × dim assignment per sliced row
+    assigned.withColumn("__cell", col("cell"))
+      .repartition(nCells, col("cell"))
       .write.mode("errorifexists").partitionBy("cell").parquet(s"$dir/$rel")
     IndexManifests.listStaged(spark, dir, rel, "cell")
   }
@@ -107,7 +118,7 @@ object AnnIndex {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "neighbor_id BIGINT, __cv ARRAY<DOUBLE>"))
+          "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, __cell INT"))
     else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
 
   private def assign(emb: DataFrame, idCol: String, vecCol: String,
@@ -140,21 +151,34 @@ object AnnIndex {
     * against the fresh manifest (staged files are reusable as-is).
     */
   def addDelta(delta: DataFrame, idCol: String, vecCol: String, dir: String,
-      maxAttempts: Int = 5): Unit = {
+      maxAttempts: Int = 5, stamp: Option[(String, Long)] = None): Unit = {
     val spark = delta.sparkSession
     val base0 = currentManifest(spark, dir)
+    stamp.foreach { case (ns, batchId) =>
+      if (base0.streams.get(ns).exists(_ >= batchId)) return
+    }
     val files = stageVectors(spark,
       assign(delta, idCol, vecCol, base0.centroids), dir, base0.centroids.length)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
       val base = currentManifest(spark, dir)
-      val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files)
+      stamp.foreach { case (ns, batchId) =>
+        // a replay that raced past the pre-check: the stamp is already
+        // committed, the staged files become orphans for vacuum
+        if (base.streams.get(ns).exists(_ >= batchId)) return
+      }
+      val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files,
+        base.streams ++ stamp.toMap)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
       s"ANN index delta lost the version race $maxAttempts times at $dir")
   }
+
+  /** Highest batch id committed under stream namespace `ns`, if any. */
+  def committedBatchId(spark: SparkSession, dir: String, ns: String): Option[Long] =
+    currentManifest(spark, dir).streams.get(ns)
 
   /** Exact-cosine top-`k` within the probes' nProbe nearest cells,
     * answered FROM the index: the scan is planned over only those
@@ -178,13 +202,12 @@ object AnnIndex {
     // ≤ nCells distinct values by construction — a constant-bounded
     // driver-side collect, independent of corpus or probe count
     val probeCells = p.select("cell").distinct().collect().map(_.getInt(0)).toSet
-    // the cell is a partition-dir value, not a row column; re-derive it
-    // with the SAME pure assignment expression (bit-identical centroids)
-    // so each probe compares only within ITS probed cells — the exact
-    // ivfTopK join semantics
+    // the cell was computed ONCE at stage time (same pure assignment
+    // expression, bit-identical centroids) and stored in the rows, so
+    // each probe compares only within ITS probed cells — the exact
+    // ivfTopK join semantics with no per-row re-assignment at serve
     val slice = readVectors(spark, dir, m.vectors.filter(e => probeCells(e._1)))
-      .withColumn("cell",
-        element_at(VectorQuantization.centroidCells(col("__cv"), m.centroids, 1), 1))
+      .withColumn("cell", col("__cell"))
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     slice.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
@@ -210,7 +233,8 @@ object AnnIndex {
       cell -> IndexManifests.listStaged(spark, dir, rel, "cell")
     }.toMap
     val next = Manifest(base.version + 1, base.centroids,
-      byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2))
+      byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
+      base.streams)
     require(IndexManifests.tryCommit(spark, dir, next.version, toJson(next)),
       s"ANN compaction lost the version race at $dir — rerun against the fresh manifest")
     victims.valuesIterator.map(_.size).sum

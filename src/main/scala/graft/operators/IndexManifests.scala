@@ -80,6 +80,21 @@ private[graft] object IndexManifests {
   def freshRel(kind: String): String =
     s"$kind/${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  /** Per-stream exactly-once stamps (namespace → highest applied batch
+    * id) as a JSON object; absent in pre-stamp manifests, which parse
+    * as empty.
+    */
+  def streamsToJson(streams: Map[String, Long]): org.json4s.JValue =
+    org.json4s.JObject(streams.toList.sortBy(_._1).map { case (ns, b) =>
+      ns -> (org.json4s.JLong(b): org.json4s.JValue) })
+
+  def streamsFromJson(j: org.json4s.JValue): Map[String, Long] = j match {
+    case org.json4s.JObject(fields) =>
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      fields.map { case (ns, v) => ns -> v.extract[Long] }.toMap
+    case _ => Map.empty
+  }
+
   /** List the staged parquet files under `dir/rel` as (partition value,
     * dir-relative path) pairs, where the partition value is parsed from
     * the `prefix=<v>` directory level (partitionBy layout).

@@ -74,13 +74,20 @@ object InvertedIndex {
   /** One committed index version: the exact postings files (with their
     * bucket), the merged vocab/stats directories, and the bucket count
     * pinned at build time. All paths are relative to the index root.
+    * `streams` carries per-stream exactly-once batch stamps (namespace →
+    * highest applied batch id) — the index-side analogue of the
+    * catalog's [[graft.catalog.GraftCommitStamp]]: the stamp rides the
+    * SAME atomic manifest claim as the delta's content, so a replayed
+    * micro-batch is refused by the committed state itself, never by a
+    * side channel that could desynchronize from it.
     */
   final case class Manifest(
       version: Long,
       buckets: Int,
       postings: Seq[(Int, String)],
       vocabDir: String,
-      statsDir: String)
+      statsDir: String,
+      streams: Map[String, Long] = Map.empty)
 
   /** Staged-but-uncommitted delta: immutable postings files under a
     * fresh UUID dir. Visible only once a manifest referencing them is
@@ -108,6 +115,7 @@ object InvertedIndex {
       "buckets" -> JInt(m.buckets),
       "vocab" -> JString(m.vocabDir),
       "stats" -> JString(m.statsDir),
+      "streams" -> IndexManifests.streamsToJson(m.streams),
       "postings" -> JArray(m.postings.map { case (b, p) =>
         JObject(List("bucket" -> JInt(b), "path" -> JString(p)))
       }.toList)))
@@ -123,7 +131,8 @@ object InvertedIndex {
       postings = (j \ "postings").extract[List[JValue]].map(e =>
         ((e \ "bucket").extract[Int], (e \ "path").extract[String])),
       vocabDir = (j \ "vocab").extract[String],
-      statsDir = (j \ "stats").extract[String])
+      statsDir = (j \ "stats").extract[String],
+      streams = IndexManifests.streamsFromJson(j \ "streams"))
   }
 
   private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] =
@@ -226,9 +235,16 @@ object InvertedIndex {
     * postings are never read. On a lost race the fresh manifest is
     * re-read and the merge re-derived — staged postings are immutable
     * and reusable, only the (cheap) metadata merge repeats.
+    *
+    * With a `stamp` (streaming exactly-once): the batch id commits in
+    * the SAME manifest claim as the content, and a base manifest that
+    * already carries `>= batchId` under the namespace aborts the commit
+    * (returns the base unchanged; the staged files become orphans for
+    * [[vacuum]]) — a replayed micro-batch can never double-count.
     */
   private[graft] def commitDelta(spark: SparkSession, dir: String,
-      staged: StagedDelta, maxAttempts: Int = 5): Manifest = {
+      staged: StagedDelta, maxAttempts: Int = 5,
+      stamp: Option[(String, Long)] = None): Manifest = {
     val deltaPostings = readPostings(spark, dir, staged.files)
     val deltaVocab = deltaPostings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val deltaStats = deltaPostings.groupBy(col("doc_id"))
@@ -238,6 +254,9 @@ object InvertedIndex {
     while (true) {
       attempt += 1
       val base = currentManifest(spark, dir)
+      stamp.foreach { case (ns, batchId) =>
+        if (base.streams.get(ns).exists(_ >= batchId)) return base
+      }
       val vocabRel = IndexManifests.freshRel("vocab")
       spark.read.parquet(s"$dir/${base.vocabDir}").unionByName(deltaVocab)
         .groupBy(col("tok")).agg(sum(col("df")).as("df"))
@@ -247,7 +266,8 @@ object InvertedIndex {
         .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
         .write.mode("errorifexists").parquet(s"$dir/$statsRel")
       val next = Manifest(base.version + 1, base.buckets,
-        base.postings ++ staged.files, vocabRel, statsRel)
+        base.postings ++ staged.files, vocabRel, statsRel,
+        base.streams ++ stamp.toMap)
       if (tryCommit(spark, dir, next)) return next
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
@@ -262,12 +282,25 @@ object InvertedIndex {
     * visible ATOMICALLY at the manifest claim — a crash at any earlier
     * point leaves the old version serving and only invisible orphans
     * on disk (see the commit protocol in the object scaladoc).
+    *
+    * `stamp = Some(ns -> batchId)` makes the fold exactly-once per
+    * batch id within the namespace (see [[commitDelta]]); a replay is
+    * skipped before any staging work when the committed stamp already
+    * covers it.
     */
-  def addDelta(delta: DataFrame, idCol: String, textCol: String, dir: String): Unit = {
+  def addDelta(delta: DataFrame, idCol: String, textCol: String, dir: String,
+      stamp: Option[(String, Long)] = None): Unit = {
     val spark = delta.sparkSession
-    commitDelta(spark, dir, stageDelta(delta, idCol, textCol, dir))
+    stamp.foreach { case (ns, batchId) =>
+      if (committedBatchId(spark, dir, ns).exists(_ >= batchId)) return
+    }
+    commitDelta(spark, dir, stageDelta(delta, idCol, textCol, dir), stamp = stamp)
     ()
   }
+
+  /** Highest batch id committed under stream namespace `ns`, if any. */
+  def committedBatchId(spark: SparkSession, dir: String, ns: String): Option[Long] =
+    currentManifest(spark, dir).streams.get(ns)
 
   // ---- maintenance ---------------------------------------------------
 
@@ -300,7 +333,7 @@ object InvertedIndex {
     }.toMap
     val next = Manifest(base.version + 1, base.buckets,
       byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
-      base.vocabDir, base.statsDir)
+      base.vocabDir, base.statsDir, base.streams)
     require(tryCommit(spark, dir, next),
       s"compaction lost the version race at $dir — rerun against the fresh manifest")
     victims.valuesIterator.map(_.size).sum

@@ -456,6 +456,24 @@ object TextAnalysis {
       regexp_count(t, lit(DigitRunRe)).cast("long").as("n_digit_runs"))
   }
 
+  /** Multi-pattern exact-substring screening (canary strings, benchmark
+    * digests, blocklist phrases) by ONE Aho-Corasick pass per document
+    * (plans/TextVectorExpressions.scala `MultiPatternCounts`): per-doc
+    * total occurrences and needle coverage, O(length + matches)
+    * regardless of needle count — the per-needle `contains`/`replace`
+    * formulation is O(needles × length) and is exactly what the DuckDB
+    * oracle runs. Totals/coverage derive from the single counts vector
+    * with codegen'd HOFs, so the kernel runs once per row.
+    */
+  def multiMatch(df: DataFrame, idCol: String, textCol: String,
+      needles: Seq[String]): DataFrame = {
+    val counts = graft.plans.TextVectorExpressions.multiPatternCounts(col(textCol), needles)
+    df.select(col(idCol), counts.as("__mc"))
+      .select(col(idCol),
+        aggregate(col("__mc"), lit(0L), (a, x) => a + x).as("n_hits"),
+        size(filter(col("__mc"), _ > lit(0L))).cast("long").as("needles_hit"))
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD 2003): hash char
     * k-grams, slide a window of w hashes, keep each window's minimum.
     * Near-dup docs share most fingerprints even after local edits.

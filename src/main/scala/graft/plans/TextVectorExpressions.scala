@@ -561,6 +561,118 @@ case class HyperplaneBuckets(child: Expression, planes: Array[Array[Array[Double
     copy(child = newChild)
 }
 
+/** Per-needle occurrence counts of a fixed needle set by one
+  * Aho-Corasick pass: `out(i)` = occurrences of `needles(i)` in the
+  * text (all match positions, substring semantics — not tokens).
+  * Totals and coverage derive with codegen'd HOFs from the ONE pass:
+  * `aggregate(counts, sum)`, `size(filter(counts, c -> c > 0))`.
+  *
+  * The scale contract of contamination screening: the built-in
+  * formulation is O(needles × length) per document (one `contains`/
+  * `replace` scan per needle); the automaton is O(length + matches)
+  * independent of needle count. The needle list is an expression
+  * constant — serialized once per task binary, automaton rebuilt
+  * lazily ONCE per executor JVM (transient lazy), never per row or
+  * partition. Bounded contract: the per-document output vector is
+  * needle-count-sized, so needle sets belong in the 10²–10⁵ range
+  * (canary strings, benchmark digests, blocklists) — corpus-sized
+  * needle sets are a join, not an expression.
+  */
+case class MultiPatternCounts(child: Expression, needles: Seq[String])
+    extends UnaryExpression with CodegenFallback {
+  require(needles.nonEmpty, "needle set must be non-empty")
+  require(needles.forall(_.nonEmpty), "empty needles match everywhere")
+  require(needles.distinct.size == needles.size, "duplicate needles double-count")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // goto as per-node char maps; fail + dict-suffix (output) links by BFS.
+  // Built once per JVM that evaluates the expression (driver for
+  // constant folding, each executor otherwise).
+  @transient private lazy val automaton: AhoCorasick = AhoCorasick(needles)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    new GenericArrayData(automaton.counts(s))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MultiPatternCounts =
+    copy(child = newChild)
+}
+
+private[plans] final class AhoCorasick(
+    gotoMaps: Array[java.util.HashMap[Character, Integer]],
+    fail: Array[Int],
+    // needle index ending at this node, -1 if none
+    hit: Array[Int],
+    // nearest dict-suffix ancestor with a hit, -1 if none
+    dict: Array[Int],
+    nNeedles: Int) {
+
+  /** One pass over `s`; O(|s| + matches) via dict-suffix links. */
+  def counts(s: String): Array[Long] = {
+    val out = new Array[Long](nNeedles)
+    var node = 0
+    var i = 0
+    while (i < s.length) {
+      val c = Character.valueOf(s.charAt(i))
+      var next = gotoMaps(node).get(c)
+      while (next == null && node != 0) {
+        node = fail(node)
+        next = gotoMaps(node).get(c)
+      }
+      node = if (next == null) 0 else next.intValue()
+      if (hit(node) >= 0) out(hit(node)) += 1L
+      var d = dict(node)
+      while (d >= 0) { out(hit(d)) += 1L; d = dict(d) }
+      i += 1
+    }
+    out
+  }
+}
+
+private[plans] object AhoCorasick {
+  def apply(needles: Seq[String]): AhoCorasick = {
+    val gotoMaps = scala.collection.mutable.ArrayBuffer(
+      new java.util.HashMap[Character, Integer]())
+    val hit = scala.collection.mutable.ArrayBuffer(-1)
+    needles.zipWithIndex.foreach { case (n, idx) =>
+      var node = 0
+      n.foreach { ch =>
+        val c = Character.valueOf(ch)
+        var next = gotoMaps(node).get(c)
+        if (next == null) {
+          gotoMaps += new java.util.HashMap[Character, Integer]()
+          hit += -1
+          next = Integer.valueOf(gotoMaps.size - 1)
+          gotoMaps(node).put(c, next)
+        }
+        node = next.intValue()
+      }
+      hit(node) = idx
+    }
+    val size = gotoMaps.size
+    val fail = new Array[Int](size)
+    val dict = new Array[Int](size)
+    java.util.Arrays.fill(dict, -1)
+    val queue = new java.util.ArrayDeque[Integer]()
+    gotoMaps(0).values().forEach(v => queue.add(v))
+    while (!queue.isEmpty) {
+      val u = queue.poll().intValue()
+      gotoMaps(u).forEach { (c, v) =>
+        var f = fail(u)
+        while (f != 0 && gotoMaps(f).get(c) == null) f = fail(f)
+        val fNext = gotoMaps(f).get(c)
+        fail(v) = if (fNext != null && fNext.intValue() != v.intValue())
+          fNext.intValue() else 0
+        dict(v) = if (hit(fail(v)) >= 0) fail(v) else dict(fail(v))
+        queue.add(v)
+      }
+    }
+    new AhoCorasick(gotoMaps.toArray, fail, hit.toArray, dict, needles.size)
+  }
+}
+
 object TextVectorExpressions {
   def shingleHashes(text: Column, n: Int): Column =
     GraftShim.column(ShingleHashes(GraftShim.expression(text), n))
@@ -591,4 +703,7 @@ object TextVectorExpressions {
 
   def normalizeText(text: Column): Column =
     GraftShim.column(NormalizeText(GraftShim.expression(text)))
+
+  def multiPatternCounts(text: Column, needles: Seq[String]): Column =
+    GraftShim.column(MultiPatternCounts(GraftShim.expression(text), needles))
 }

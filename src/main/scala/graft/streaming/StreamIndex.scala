@@ -1,0 +1,130 @@
+package graft.streaming
+
+import graft.operators.{AnnIndex, InvertedIndex}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming maintenance for the persisted serving indexes: each
+  * micro-batch of NEW documents/vectors folds into [[InvertedIndex]] /
+  * [[AnnIndex]] as one churn-sized delta, exactly once.
+  *
+  * This closes the loop the reference runs for its one persisted
+  * artifact (change capture feeding a maintained target on a batch
+  * cadence, /root/reference/src/main/scala/main.scala:121-126 +
+  * stream-spec-yaml-example.yaml:49 `maintenanceSettings`), applied to
+  * the index layer: a corpus ingested through [[StreamMerge]] can keep
+  * its serving indexes current FROM THE SAME STREAM, without ever
+  * re-reading the indexed history — per-trigger work is proportional to
+  * the batch, per-query work stays proportional to the probed
+  * buckets/cells.
+  *
+  * Exactly-once over foreachBatch's at-least-once delivery, the
+  * [[StreamMerge.idempotentMerge]] contract transplanted to manifests:
+  * the batch id commits INSIDE the same atomic manifest claim as the
+  * delta's content (`streams` stamp map, one namespace per stream), so
+  * a batch replayed after a crash between the index commit and the
+  * checkpoint advance is refused by the committed state itself — the
+  * replay stages nothing (cheap pre-check) or at worst stages orphans
+  * that vacuum sweeps, and the index never double-counts a document
+  * (double-counting would silently inflate df/n/avgdl — wrong BM25
+  * scores, not an error). Two checkpointed streams growing ONE index
+  * need distinct namespaces; the stamps merge map-wise, so neither
+  * stream's replays are confused with the other's progress.
+  *
+  * Compaction and vacuum run on the checkpointed batch-id cadence
+  * (restart-safe: a replayed batch re-fires an idempotent maintenance
+  * pass, never skips one), bounding the per-delta small-file
+  * accumulation that costs ~30% serve time after ten unmaintained
+  * deltas (BENCH_SF1).
+  */
+object StreamIndex {
+
+  /** Default stamp namespace; distinct streams MUST override. */
+  val DefaultNs = "graft.stream.index"
+
+  final case class Config(
+      /** index root directory (a committed index must already exist —
+        * build seeds, the stream maintains).
+        */
+      indexDir: String,
+      checkpointDir: String,
+      idCol: String,
+      /** exactly-once stamp namespace — one per stream (the
+        * [[StreamMerge.Config.batchIdProp]] rule).
+        */
+      ns: String = DefaultNs,
+      /** fold per-delta small files every N batches. */
+      compactEveryBatches: Option[Int] = Some(8),
+      /** expire stale manifests + sweep orphans every N batches. */
+      vacuumEveryBatches: Option[Int] = None,
+      keepVersions: Int = 2,
+      vacuumGraceMs: Long = 60L * 60 * 1000)
+
+  /** foreachBatch handler growing an inverted index: skip-replay →
+    * stamped addDelta → cadenced maintenance. Returns true if the batch
+    * was applied, false for a replay skip.
+    */
+  def invertedBatch(cfg: Config, textCol: String)(
+      batch: DataFrame, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (InvertedIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
+      return false
+    InvertedIndex.addDelta(batch, cfg.idCol, textCol, cfg.indexDir,
+      stamp = Some(cfg.ns -> batchId))
+    maintain(cfg, batchId,
+      () => InvertedIndex.compact(spark, cfg.indexDir),
+      () => InvertedIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
+    true
+  }
+
+  /** foreachBatch handler growing an ANN index (vectors assign against
+    * the persisted centroids — the lists-union identity, so the grown
+    * index answers exactly like a one-shot build).
+    */
+  def annBatch(cfg: Config, vecCol: String)(
+      batch: DataFrame, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
+      return false
+    AnnIndex.addDelta(batch, cfg.idCol, vecCol, cfg.indexDir,
+      stamp = Some(cfg.ns -> batchId))
+    maintain(cfg, batchId,
+      () => AnnIndex.compact(spark, cfg.indexDir),
+      () => AnnIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
+    true
+  }
+
+  // outside the stamp (maintenance is content-neutral and idempotent);
+  // thresholds key off the checkpointed batch id — the StreamMerge rule
+  private def maintain(cfg: Config, batchId: Long,
+      compact: () => Int, vacuum: () => Int): Unit = {
+    if (cfg.compactEveryBatches.exists(n => (batchId + 1) % n == 0)) compact()
+    if (cfg.vacuumEveryBatches.exists(n => (batchId + 1) % n == 0)) vacuum()
+  }
+
+  /** Drain all currently-available rows of `source` into the inverted
+    * index (one maintenance cycle). Returns micro-batches processed.
+    */
+  def runInvertedAvailableNow(source: DataFrame, textCol: String, cfg: Config): Long =
+    run(source, cfg)(invertedBatch(cfg, textCol))
+
+  /** Same cycle shape for the ANN index. */
+  def runAnnAvailableNow(source: DataFrame, vecCol: String, cfg: Config): Long =
+    run(source, cfg)(annBatch(cfg, vecCol))
+
+  private def run(source: DataFrame, cfg: Config)(
+      handler: (DataFrame, Long) => Boolean): Long = {
+    var batches = 0L
+    val q = source.writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", cfg.checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        handler(batch, batchId)
+        batches += 1
+        ()
+      }
+      .start()
+    q.awaitTermination()
+    batches
+  }
+}

@@ -1,0 +1,199 @@
+package graft
+
+import graft.operators.{AnnIndex, InvertedIndex}
+import graft.streaming.StreamIndex
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+
+/** Streaming index maintenance: micro-batches fold into the persisted
+  * serving indexes exactly once. The hazards are silent — a replayed
+  * batch that double-counts inflates df/n/avgdl (wrong BM25 scores) or
+  * duplicates neighbors (wrong top-k), never an error — so every test
+  * pins answers, not just versions.
+  */
+class StreamIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables(spark, sfDir).documents.select("doc_id", "text")
+  private def emb  = Tables(spark, sfDir).embeddings
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+
+  private def topKSet(df: org.apache.spark.sql.DataFrame) =
+    df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+
+  /** Write `parts` one-file parquet blobs so maxFilesPerTrigger=1 gives
+    * one micro-batch per blob.
+    */
+  private def blobs(df: org.apache.spark.sql.DataFrame, dir: String, parts: Int,
+      partCol: String): Unit =
+    (0 until parts).foreach { p =>
+      df.filter(pmod(col(partCol), lit(parts)) === p)
+        .coalesce(1).write.mode("append").parquet(dir)
+    }
+
+  private def fileSource(dir: String) = {
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir)
+  }
+
+  test("streamed deltas grow the inverted index to answer exactly like a one-shot build") {
+    val seed  = docs.filter($"doc_id" < 300)
+    val delta = docs.filter($"doc_id" >= 300 && $"doc_id" < 420)
+    val probes = Seq(0L, 7L, 42L)
+
+    val dir = Files.createTempDirectory("sidx_inv").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir)
+    val src  = Files.createTempDirectory("sidx_inv_src").toString
+    val ckpt = Files.createTempDirectory("sidx_inv_ckpt").toString
+    blobs(delta, src, 3, "doc_id")
+
+    val cfg = StreamIndex.Config(indexDir = dir, checkpointDir = ckpt, idCol = "doc_id")
+    val batches = StreamIndex.runInvertedAvailableNow(fileSource(src), "text", cfg)
+    assert(batches == 3, s"expected 3 micro-batches, got $batches")
+
+    // every batch stamped; the index's committed state IS the progress
+    assert(InvertedIndex.committedBatchId(spark, dir, cfg.ns).contains(2L))
+
+    val scratchDir = Files.createTempDirectory("sidx_inv_scratch").toString
+    InvertedIndex.build(docs.filter($"doc_id" < 420), "doc_id", "text", scratchDir)
+    val grown   = InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, probes, k = 5)
+    val scratch = InvertedIndex.bm25TopK(docs, "doc_id", "text", scratchDir, probes, k = 5)
+    assert(rows(grown) == rows(scratch),
+      "stream-grown index diverged from a one-shot build over the same corpus")
+  }
+
+  test("a replayed micro-batch is refused by the committed stamp — scores cannot inflate") {
+    val dir = Files.createTempDirectory("sidx_replay").toString
+    InvertedIndex.build(docs.filter($"doc_id" < 100), "doc_id", "text", dir)
+    val batch = docs.filter($"doc_id" >= 100 && $"doc_id" < 150)
+    val cfg = StreamIndex.Config(indexDir = dir,
+      checkpointDir = Files.createTempDirectory("sidx_replay_ckpt").toString,
+      idCol = "doc_id", compactEveryBatches = None)
+
+    assert(StreamIndex.invertedBatch(cfg, "text")(batch, 0L), "first delivery must apply")
+    val v = InvertedIndex.versions(spark, dir)
+    val before = rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(3L, 9L), k = 5))
+
+    // crash between index commit and checkpoint advance → foreachBatch
+    // re-delivers the SAME batch id; double-applying would double df/n
+    assert(!StreamIndex.invertedBatch(cfg, "text")(batch, 0L), "replay must be skipped")
+    assert(InvertedIndex.versions(spark, dir) == v, "replay must not commit a version")
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(3L, 9L), k = 5)) == before,
+      "replay changed BM25 answers")
+  }
+
+  test("a lost checkpoint redelivers everything; the stamp alone keeps the index exact") {
+    val seed  = docs.filter($"doc_id" < 200)
+    val delta = docs.filter($"doc_id" >= 200 && $"doc_id" < 280)
+    val dir = Files.createTempDirectory("sidx_lost").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir)
+    val src = Files.createTempDirectory("sidx_lost_src").toString
+    blobs(delta, src, 2, "doc_id")
+
+    val cfg = StreamIndex.Config(indexDir = dir,
+      checkpointDir = Files.createTempDirectory("sidx_lost_ckpt1").toString, idCol = "doc_id")
+    StreamIndex.runInvertedAvailableNow(fileSource(src), "text", cfg)
+    val v = InvertedIndex.versions(spark, dir)
+    val before = rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(1L, 5L), k = 5))
+
+    // fresh checkpoint, same namespace: at-least-once redelivery of
+    // every blob under the SAME monotonic batch ids — all stamped, all
+    // skipped (the worst-case crash-recovery posture)
+    val cfg2 = cfg.copy(checkpointDir = Files.createTempDirectory("sidx_lost_ckpt2").toString)
+    StreamIndex.runInvertedAvailableNow(fileSource(src), "text", cfg2)
+    assert(InvertedIndex.versions(spark, dir) == v,
+      "redelivered batches committed new versions")
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(1L, 5L), k = 5)) == before,
+      "redelivery changed BM25 answers")
+  }
+
+  test("two streams with distinct namespaces grow one index without confusing progress") {
+    val dir = Files.createTempDirectory("sidx_two").toString
+    InvertedIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir)
+    val srcA = Files.createTempDirectory("sidx_two_a").toString
+    val srcB = Files.createTempDirectory("sidx_two_b").toString
+    blobs(docs.filter($"doc_id" >= 200 && $"doc_id" < 260), srcA, 2, "doc_id")
+    blobs(docs.filter($"doc_id" >= 260 && $"doc_id" < 320), srcB, 2, "doc_id")
+
+    val cfgA = StreamIndex.Config(indexDir = dir, ns = "graft.stream.a", idCol = "doc_id",
+      checkpointDir = Files.createTempDirectory("sidx_two_ca").toString)
+    val cfgB = StreamIndex.Config(indexDir = dir, ns = "graft.stream.b", idCol = "doc_id",
+      checkpointDir = Files.createTempDirectory("sidx_two_cb").toString)
+    StreamIndex.runInvertedAvailableNow(fileSource(srcA), "text", cfgA)
+    StreamIndex.runInvertedAvailableNow(fileSource(srcB), "text", cfgB)
+
+    // stream B's batch 0 must NOT read as a replay of stream A's batch 1
+    val m = InvertedIndex.currentManifest(spark, dir)
+    assert(m.streams == Map("graft.stream.a" -> 1L, "graft.stream.b" -> 1L),
+      s"stamp namespaces collided: ${m.streams}")
+    val scratchDir = Files.createTempDirectory("sidx_two_scratch").toString
+    InvertedIndex.build(docs.filter($"doc_id" < 320), "doc_id", "text", scratchDir)
+    assert(
+      rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 8L), k = 5)) ==
+      rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", scratchDir, Seq(0L, 8L), k = 5)),
+      "two-stream-grown index diverged from a one-shot build")
+  }
+
+  test("cadenced compaction bounds the per-delta file accumulation; stamps survive it") {
+    val dir = Files.createTempDirectory("sidx_maint").toString
+    InvertedIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir, buckets = 4)
+    val src = Files.createTempDirectory("sidx_maint_src").toString
+    blobs(docs.filter($"doc_id" >= 200 && $"doc_id" < 360), src, 4, "doc_id")
+
+    val cfg = StreamIndex.Config(indexDir = dir,
+      checkpointDir = Files.createTempDirectory("sidx_maint_ckpt").toString,
+      idCol = "doc_id", compactEveryBatches = Some(2),
+      vacuumEveryBatches = Some(2), keepVersions = 1, vacuumGraceMs = 0L)
+    StreamIndex.runInvertedAvailableNow(fileSource(src), "text", cfg)
+
+    val m = InvertedIndex.currentManifest(spark, dir)
+    // compaction ran at batch 3: one file per bucket again
+    assert(m.postings.groupBy(_._1).forall(_._2.size == 1),
+      s"postings not folded: ${m.postings.groupBy(_._1).view.mapValues(_.size).toMap}")
+    // the stamp must ride through compaction — dropping it would make
+    // the NEXT replayed batch double-count
+    assert(m.streams.get(cfg.ns).contains(3L), s"stamp lost across compaction: ${m.streams}")
+    // vacuum (grace 0, keep 1) swept the superseded per-delta files
+    val live = m.postings.map(_._2).toSet
+    val f = new org.apache.hadoop.fs.Path("/")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/postings"), true)
+    var onDisk = 0
+    while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) onDisk += 1 }
+    assert(onDisk == live.size, s"vacuum left ${onDisk - live.size} unreferenced postings files")
+  }
+
+  test("streamed vector deltas grow the ANN index to answer exactly like a one-shot delta fold") {
+    val seed  = emb.filter($"vec_id" < 300)
+    val delta = emb.filter($"vec_id" >= 300 && $"vec_id" < 420)
+    val probes = emb.filter($"vec_id" >= 420 && $"vec_id" < 430)
+
+    val dir = Files.createTempDirectory("sidx_ann").toString
+    AnnIndex.build(seed, "vec_id", "embedding", dir, nCells = 8)
+    val src  = Files.createTempDirectory("sidx_ann_src").toString
+    blobs(delta, src, 3, "vec_id")
+
+    val cfg = StreamIndex.Config(indexDir = dir, idCol = "vec_id",
+      checkpointDir = Files.createTempDirectory("sidx_ann_ckpt").toString)
+    val batches = StreamIndex.runAnnAvailableNow(fileSource(src), "embedding", cfg)
+    assert(batches == 3)
+    assert(AnnIndex.committedBatchId(spark, dir, cfg.ns).contains(2L))
+
+    // one-shot comparator: same seed (same centroids), one delta fold —
+    // assignment is pure per-row, so the lists must be identical
+    val cmpDir = Files.createTempDirectory("sidx_ann_cmp").toString
+    AnnIndex.build(seed, "vec_id", "embedding", cmpDir, nCells = 8)
+    AnnIndex.addDelta(delta, "vec_id", "embedding", cmpDir)
+    val a = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8))
+    val b = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", cmpDir, k = 10, nProbe = 8))
+    assert(a == b, "stream-grown ANN index diverged from the one-shot fold")
+
+    // replay of the last batch: refused, answers pinned
+    val last = delta.filter(pmod($"vec_id", lit(3)) === 2)
+    assert(!StreamIndex.annBatch(cfg, "embedding")(last, 2L))
+    assert(topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8)) == a,
+      "ANN replay changed answers")
+  }
+}

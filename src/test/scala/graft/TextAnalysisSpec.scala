@@ -312,6 +312,50 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got.toMap.apply(3L) == expected3, s"rrf_fp must be exact: $got")
   }
 
+  test("aho-corasick counts every occurrence: overlaps, nested needles, dict-suffix chains") {
+    def naive(s: String, needle: String): Long =
+      (0 to s.length - needle.length).count(i => s.startsWith(needle, i)).toLong
+    // the classic AC stress set: needles that are suffixes of each other
+    // ("hers" ends "s"→"hers", dict chain hits "he"+"hers" at once) plus
+    // a self-overlapping needle ("aba" in "ababa" = 2, replace-counting
+    // would say 1 — the expression must count ALL positions)
+    val needles = Seq("he", "she", "his", "hers", "aba")
+    val texts = Seq("ushers", "shehehis", "ababa", "", "hhhh", "ahishers")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        graft.plans.TextVectorExpressions.multiPatternCounts(col("text"), needles).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      val expect = needles.map(naive(t, _))
+      assert(got(i.toLong) == expect, s"text '$t': got ${got(i.toLong)}, want $expect")
+    }
+  }
+
+  test("aho-corasick equals the naive scan on random strings (property)") {
+    val rnd = new scala.util.Random(42)
+    val needles = Seq("ab", "ba", "aab", "bba", "abab", "b")
+    def naive(s: String, needle: String): Long =
+      (0 to s.length - needle.length).count(i => s.startsWith(needle, i)).toLong
+    val texts = (0 until 200).map(i =>
+      (i.toLong, (0 until rnd.nextInt(40)).map(_ => if (rnd.nextBoolean()) 'a' else 'b').mkString))
+    val got = texts.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.plans.TextVectorExpressions.multiPatternCounts(col("text"), needles).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(got(id) == needles.map(naive(t, _)), s"mismatch on '$t'")
+    }
+  }
+
+  test("multiMatch totals and coverage derive from one kernel pass") {
+    val df = Seq((1L, "spark merge spark"), (2L, "nothing here"), (3L, "batch stream merge"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.multiMatch(df, "doc_id", "text",
+        Seq("spark", "merge", "batch stream"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq((1L, 3L, 2L), (2L, 0L, 0L), (3L, 2L, 2L)), s"got $out")
+  }
+
   test("frame sampling keeps every Nth frame with per-frame features") {
     val docs  = Seq((1L, "x" * 100)).toDF("doc_id", "text")
     val media = Multimodal.synthesizePayloads(docs, "doc_id", "text")
