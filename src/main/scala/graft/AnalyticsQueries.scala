@@ -778,6 +778,50 @@ object AnalyticsQueries {
       bench = true
     ),
     QueryDef(
+      "q_time_weighted",
+      (spark, dir) => {
+        import spark.implicits._
+        // time-weighted average (TWAP shape): each event's value holds
+        // until the user's next event, so the mean weights by exact
+        // microsecond durations, not by event count — burst-heavy users
+        // stop dominating their own averages. One (user) shuffle: the
+        // lead() window and the aggregation share the partitioning.
+        // All-integer cents × micros keeps the weighted sum exact, and
+        // the final int64→double conversions + one IEEE division are
+        // bit-deterministic across engines (decimal→double is NOT: the
+        // engines' conversions round differently past 2^53). Bound:
+        // cents×µs sums overflow int64 around 1e5 busy-user segments —
+        // widen to decimal(38,0) sums (still exact) past that corpus.
+        val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        Tables(spark, dir).events
+          .withColumn("__v_cents", round($"value" * 100).cast("long"))
+          .withColumn("__dur_us", lead(unix_micros($"ts"), 1).over(w) - unix_micros($"ts"))
+          .filter($"__dur_us".isNotNull)
+          .groupBy($"user_id")
+          .agg(
+            sum($"__dur_us").as("active_us"),
+            (sum($"__v_cents" * $"__dur_us").cast("double") /
+              sum($"__dur_us").cast("double") / 100.0).as("twa_value"),
+            count(lit(1)).as("n_segments"))
+          .orderBy("user_id")
+      },
+      Some("""
+        WITH seg AS (
+          SELECT user_id, CAST(round(value * 100) AS BIGINT) AS v_cents,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) - epoch_us(ts) AS dur_us
+          FROM events
+        )
+        SELECT user_id,
+               CAST(sum(dur_us) AS BIGINT) AS active_us,
+               CAST(CAST(sum(v_cents * dur_us) AS BIGINT) AS DOUBLE)
+                 / CAST(CAST(sum(dur_us) AS BIGINT) AS DOUBLE) / 100 AS twa_value,
+               count(*) AS n_segments
+        FROM seg WHERE dur_us IS NOT NULL
+        GROUP BY user_id ORDER BY user_id
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "q13_custdist",
       // TPC-H Q13 shape: order-count distribution over customers — the
       // LEFT OUTER join + double aggregation pattern (customers with no

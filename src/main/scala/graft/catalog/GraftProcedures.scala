@@ -25,8 +25,21 @@ object GraftProcedures {
   val Namespace = "system"
 
   def list(): Array[Identifier] =
-    Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback")
+    Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
+      "index_compact", "index_vacuum")
       .map(Identifier.of(Array(Namespace), _))
+
+  /** The serving indexes (lexical postings / ANN cells) share one
+    * manifest protocol but different manifest shapes — dispatch on the
+    * committed manifest itself so one procedure surface maintains both
+    * (`centroids` is the ANN manifest's defining field).
+    */
+  private def isAnnIndex(spark: SparkSession, dir: String): Boolean = {
+    val vs = graft.operators.IndexManifests.versions(spark, dir)
+    require(vs.nonEmpty, s"no committed serving index at $dir")
+    val body = graft.operators.IndexManifests.readBody(spark, dir, vs.last)
+    (org.json4s.jackson.JsonMethods.parse(body) \ "centroids") != org.json4s.JNothing
+  }
 
   def load(warehouse: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array(Namespace))) return None
@@ -92,6 +105,32 @@ object GraftProcedures {
           val io = new GraftManifestIO(
             new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
           new GenericInternalRow(Array[Any](io.removeOrphans().size))
+        }))
+      case "index_compact" => Some(proc("index_compact",
+        "fold a serving index's per-delta small files (lexical or ANN — detected from the manifest)",
+        Seq(ProcedureParameter.in("dir", StringType).build()),
+        StructType(Seq(StructField("files_folded", IntegerType))),
+        { (spark, in) =>
+          val d = in.getUTF8String(0).toString
+          val folded =
+            if (isAnnIndex(spark, d)) graft.operators.AnnIndex.compact(spark, d)
+            else graft.operators.InvertedIndex.compact(spark, d)
+          new GenericInternalRow(Array[Any](folded))
+        }))
+      case "index_vacuum" => Some(proc("index_vacuum",
+        "expire a serving index's stale manifests and sweep unreferenced files",
+        Seq(
+          ProcedureParameter.in("dir", StringType).build(),
+          ProcedureParameter.in("keep_versions", IntegerType).defaultValue("2").build(),
+          ProcedureParameter.in("grace_ms", LongType).defaultValue("3600000").build()),
+        StructType(Seq(StructField("removed", IntegerType))),
+        { (spark, in) =>
+          val d = in.getUTF8String(0).toString
+          val removed =
+            if (isAnnIndex(spark, d))
+              graft.operators.AnnIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
+            else graft.operators.InvertedIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
+          new GenericInternalRow(Array[Any](removed))
         }))
       case _ => None
     }

@@ -712,6 +712,33 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT count(DISTINCT k) FROM $cat.db.proc").head.getLong(0) == 1000)
   }
 
+  test("CALL index_compact / index_vacuum maintain both serving-index kinds through one surface") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val lexDir = java.nio.file.Files.createTempDirectory("proc_lex").toString
+    graft.operators.InvertedIndex.build(docs.filter($"doc_id" < 100), "doc_id", "text",
+      lexDir, buckets = 4)
+    graft.operators.InvertedIndex.addDelta(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 140), "doc_id", "text", lexDir)
+    // 4 seed files + delta files share buckets → compaction folds them
+    assert(spark.sql(s"CALL $cat.system.index_compact('$lexDir')").head.getInt(0) > 0)
+    assert(spark.sql(s"CALL $cat.system.index_vacuum('$lexDir', 1, 0)").head.getInt(0) > 0)
+    val m = graft.operators.InvertedIndex.currentManifest(spark, lexDir)
+    assert(m.postings.groupBy(_._1).forall(_._2.size == 1), "lexical postings not folded")
+
+    val emb = Tables(spark, sfDir).embeddings
+    val annDir = java.nio.file.Files.createTempDirectory("proc_ann").toString
+    graft.operators.AnnIndex.build(emb.filter($"vec_id" < 200), "vec_id", "embedding",
+      annDir, nCells = 4)
+    graft.operators.AnnIndex.addDelta(
+      emb.filter($"vec_id" >= 200 && $"vec_id" < 260), "vec_id", "embedding", annDir)
+    // the manifest-sniffing dispatch must route to the ANN actions
+    assert(spark.sql(s"CALL $cat.system.index_compact('$annDir')").head.getInt(0) > 0)
+    assert(spark.sql(s"CALL $cat.system.index_vacuum('$annDir', 1, 0)").head.getInt(0) > 0)
+    val am = graft.operators.AnnIndex.currentManifest(spark, annDir)
+    assert(am.vectors.groupBy(_._1).forall(_._2.size == 1), "ANN cells not folded")
+  }
+
   test("CALL rollback restores an earlier snapshot as a new commit; history stays travelable") {
     spark.sql(s"CREATE TABLE $cat.db.rb (k INT, v STRING)")      // v1
     spark.sql(s"INSERT INTO $cat.db.rb VALUES (1, 'a')")          // v2
