@@ -100,15 +100,32 @@ object AnnIndex {
     fromJson(IndexManifests.readBody(spark, dir, vs.last))
   }
 
+  /** Target bytes per staged vector file. One file per cell does NOT
+    * scale — `repartition(nCells, cell)` makes a single task write a
+    * cell's ENTIRE data (at 100 TB, terabytes through one writer), and
+    * serve parallelism collapses to nProbe tasks. Splitting by
+    * (cell, id) hash keeps the layout contract (each file belongs to
+    * one cell) while bounding both writer task size and reader
+    * task granularity.
+    */
+  val TargetFileBytes: Long = 64L << 20
+  val MaxSplits = 4096
+
+  private[graft] def stageSplits(assigned: DataFrame, nCells: Int): Int = {
+    val bytes = graft.operators.ScaleSafe.leafScanBytes(assigned)
+    (bytes / TargetFileBytes).max(nCells).min(MaxSplits).toInt
+  }
+
   private def stageVectors(spark: SparkSession, assigned: DataFrame,
-      dir: String, nCells: Int): Seq[(Int, String)] = {
+      dir: String, nCells: Int, splits: Option[Int] = None): Seq[(Int, String)] = {
     val rel = IndexManifests.freshRel("vectors")
     // the cell rides in the rows too (partitionBy strips its column
     // from file contents, and manifest-pruned reads open leaf files
     // directly, losing the dir value) — serving then never re-runs the
     // nCells × dim assignment per sliced row
     assigned.withColumn("__cell", col("cell"))
-      .repartition(nCells, col("cell"))
+      .repartition(splits.getOrElse(stageSplits(assigned, nCells)),
+        col("cell"), col("neighbor_id"))
       .write.mode("errorifexists").partitionBy("cell").parquet(s"$dir/$rel")
     IndexManifests.listStaged(spark, dir, rel, "cell")
   }
@@ -133,12 +150,14 @@ object AnnIndex {
     * (deterministic ordered sample, fixed seed), so recall carries over.
     */
   def build(emb: DataFrame, idCol: String, vecCol: String, dir: String,
-      nCells: Int = DefaultCells, sampleSize: Int = 2048, iters: Int = 5): Unit = {
+      nCells: Int = DefaultCells, sampleSize: Int = 2048, iters: Int = 5,
+      splits: Option[Int] = None): Unit = {
     val spark = emb.sparkSession
     require(versions(spark, dir).isEmpty,
       s"ANN index already committed at $dir (addDelta grows it; build starts fresh)")
     val centroids = Similarity.trainQuantizer(emb, idCol, vecCol, nCells, sampleSize, iters)
-    val files = stageVectors(spark, assign(emb, idCol, vecCol, centroids), dir, centroids.length)
+    val files = stageVectors(spark, assign(emb, idCol, vecCol, centroids), dir,
+      centroids.length, splits)
     require(IndexManifests.tryCommit(spark, dir, 1L,
       toJson(Manifest(1L, centroids, files))),
       s"lost the build commit race at $dir — another maintainer built concurrently")

@@ -152,15 +152,30 @@ object InvertedIndex {
 
   // ---- staging -------------------------------------------------------
 
-  /** Write `(doc_id, tok, tf, dl, bucket)` rows as one file-set per
+  /** Target bytes per staged postings file: one file per bucket does
+    * NOT scale (a single task would write a bucket's entire postings —
+    * terabytes at 100 TB — and a probe's scan parallelism would
+    * collapse to its bucket count), so staging splits by
+    * (bucket, doc_id) hash: each file still belongs to exactly one
+    * bucket (the layout contract pruning relies on), but writers and
+    * readers stay task-sized.
+    */
+  val TargetFileBytes: Long = 64L << 20
+  val MaxSplits = 4096
+
+  /** Write `(doc_id, tok, tf, dl, bucket)` rows as file-sets per
     * bucket under a fresh UUID dir; returns the (bucket, relative path)
     * entries. partitionBy keeps each bucket's rows in its own files;
     * the bucket value itself lives in the manifest, not the rows.
     */
   private def stagePostings(spark: SparkSession, postings: DataFrame, dir: String,
-      buckets: Int): Seq[(Int, String)] = {
+      buckets: Int, splits: Option[Int] = None): Seq[(Int, String)] = {
     val rel = IndexManifests.freshRel("postings")
-    postings.repartition(buckets, col("bucket"))
+    val n = splits.getOrElse {
+      val bytes = graft.operators.ScaleSafe.leafScanBytes(postings)
+      (bytes / TargetFileBytes).max(buckets).min(MaxSplits).toInt
+    }
+    postings.repartition(n, col("bucket"), col("doc_id"))
       .write.mode("errorifexists").partitionBy("bucket").parquet(s"$dir/$rel")
     IndexManifests.listStaged(spark, dir, rel, "bucket")
   }
@@ -194,14 +209,14 @@ object InvertedIndex {
     * were laid out with.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      buckets: Int = DefaultBuckets): Unit = {
+      buckets: Int = DefaultBuckets, splits: Option[Int] = None): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
     require(versions(spark, dir).isEmpty,
       s"inverted index already committed at $dir (addDelta grows it; build starts fresh)")
     val tf = termFreqs(docs, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-    val files = stagePostings(spark, postingsOf(tf, dl, idCol, buckets), dir, buckets)
+    val files = stagePostings(spark, postingsOf(tf, dl, idCol, buckets), dir, buckets, splits)
     val vocabRel = IndexManifests.freshRel("vocab")
     tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
       .select(col("__tok").as("tok"), col("df"))

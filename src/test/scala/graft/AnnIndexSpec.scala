@@ -32,6 +32,21 @@ class AnnIndexSpec extends SparkSpec {
     assert(indexed == transient_, "persisted index diverged from ivfTopK")
   }
 
+  test("multi-file cells: staging splits past one-file-per-cell without changing answers") {
+    val probes     = emb.filter($"vec_id" < 20)
+    val candidates = emb.filter($"vec_id" >= 20)
+    val oneDir   = java.nio.file.Files.createTempDirectory("annidx_one").toString
+    val splitDir = java.nio.file.Files.createTempDirectory("annidx_split").toString
+    AnnIndex.build(candidates, "vec_id", "embedding", oneDir, nCells = 8)
+    AnnIndex.build(candidates, "vec_id", "embedding", splitDir, nCells = 8, splits = Some(32))
+    assert(AnnIndex.currentManifest(spark, splitDir).vectors.size >
+      AnnIndex.currentManifest(spark, oneDir).vectors.size,
+      "splits did not widen the staged layout")
+    val a = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", oneDir, k = 10, nProbe = 4))
+    val b = topKSet(AnnIndex.topK(probes, "vec_id", "embedding", splitDir, k = 10, nProbe = 4))
+    assert(a == b, "split staging changed top-k answers")
+  }
+
   test("a probe reads only its probed cells' files (manifest-pruned scan)") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_prune").toString
     AnnIndex.build(emb.filter($"vec_id" >= 5), "vec_id", "embedding", dir, nCells = 16)

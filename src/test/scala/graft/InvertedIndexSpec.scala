@@ -48,6 +48,22 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows(indexed) == rows(scratch))
   }
 
+  test("multi-file buckets: staging splits past one-file-per-bucket without changing answers") {
+    // one file per bucket does not scale (one task writes a bucket's
+    // whole postings) — the layout contract is only "each file belongs
+    // to one bucket"; a wider staging must answer identically
+    val dir = java.nio.file.Files.createTempDirectory("invidx_split").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir, buckets = 2, splits = Some(8))
+    val m = InvertedIndex.currentManifest(spark, dir)
+    assert(m.postings.size > 2, s"expected multi-file buckets, got ${m.postings.size} files")
+    assert(m.postings.map(_._1).toSet.subsetOf(Set(0, 1)))
+    val indexed = InvertedIndex.bm25TopK(docs, "doc_id", "text", dir,
+      probeIds = Seq(0L, 3L), k = 4)
+    val scratch = TextAnalysis.bm25TopK(docs, "doc_id", "text",
+      probeIds = Seq(0L, 3L), k = 4)
+    assert(rows(indexed) == rows(scratch), "split staging changed BM25 answers")
+  }
+
   test("the bucket count is pinned in the manifest, not supplied by callers") {
     // a non-default modulus at build time: queries and deltas resolve it
     // from the manifest, so a mismatched-modulus wrong-ranking (the old
