@@ -31,9 +31,9 @@ object TrainingDataOps {
     * index variants answer FROM a persisted index and must produce the
     * row-identical ranking — same oracle for all three.
     */
-  private val bm25Top5Sql = """
+  private def bm25Top5SqlOver(corpus: String): String = s"""
     WITH toks AS (
-      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok FROM $corpus
     ), tf AS (
       SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
     ), dl AS (
@@ -2136,7 +2136,7 @@ object TrainingDataOps {
             spread(Tables(spark, dir).documents, "doc_id"),
             "doc_id", "text", probeIds = Seq(0L, 7L, 42L), k = 5)
           .orderBy("probe_id", "rank"),
-      Some(bm25Top5Sql),
+      Some(bm25Top5SqlOver("documents")),
       bench = true
     ),
     QueryDef(
@@ -2224,7 +2224,7 @@ object TrainingDataOps {
             probeIds = Seq(0L, 7L, 42L), k = 5)
           .orderBy("probe_id", "rank")
       },
-      Some(bm25Top5Sql),
+      Some(bm25Top5SqlOver("documents")),
       bench = true
     ),
     QueryDef(
@@ -2246,7 +2246,28 @@ object TrainingDataOps {
             probeIds = Seq(0L, 7L, 42L), k = 5)
           .orderBy("probe_id", "rank")
       },
-      Some(bm25Top5Sql),
+      Some(bm25Top5SqlOver("documents")),
+      bench = true
+    ),
+    QueryDef(
+      "search_index_delete",
+      // index DELETE support: tombstone a slice of the corpus, then
+      // serve. The tombstone commit subtracts the deleted docs'
+      // df/n/sumdl in the SAME atomic claim, so the served ranking is
+      // row-identical to an index that never contained them — the
+      // oracle is the from-scratch BM25 over the remaining corpus. The
+      // probes (0, 7, 42) are all ≡ 0 mod 7, never deleted.
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_invidx_x").toString
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.build(docs, "doc_id", "text", work)
+        operators.InvertedIndex.deleteDocs(
+          docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), "doc_id", work)
+        operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
+            probeIds = Seq(0L, 7L, 42L), k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some(bm25Top5SqlOver("(SELECT * FROM documents WHERE doc_id % 7 != 3)")),
       bench = true
     ),
     QueryDef(

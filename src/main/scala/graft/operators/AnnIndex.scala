@@ -62,7 +62,14 @@ object AnnIndex {
       version: Long,
       centroids: Array[Array[Double]],
       vectors: Seq[(Int, String)],
-      streams: Map[String, Long] = Map.empty)
+      streams: Map[String, Long] = Map.empty,
+      /** vector-id tombstone dirs ([[deleteVecs]]): excluded at query
+        * time, physically dropped at the next [[compact]]. No stat
+        * corrections needed on the dense side — cosine ranking has no
+        * corpus-level terms (centroid drift is the rebuild canary's
+        * concern, not the tombstone's).
+        */
+      deletes: Seq[String] = Nil)
 
   private def toJson(m: Manifest): String = {
     // doubles as raw IEEE-754 bits: JSON decimal printing is not
@@ -73,6 +80,7 @@ object AnnIndex {
       "centroids" -> JArray(m.centroids.map(c =>
         JArray(c.map(d => JLong(java.lang.Double.doubleToRawLongBits(d)): JValue).toList)).toList),
       "streams" -> IndexManifests.streamsToJson(m.streams),
+      "deletes" -> JArray(m.deletes.map(JString(_): JValue).toList),
       "vectors" -> JArray(m.vectors.map { case (cell, p) =>
         JObject(List("cell" -> JInt(cell), "path" -> JString(p)))
       }.toList)))
@@ -88,7 +96,11 @@ object AnnIndex {
         .map(_.map(java.lang.Double.longBitsToDouble).toArray).toArray,
       vectors = (j \ "vectors").extract[List[JValue]].map(e =>
         ((e \ "cell").extract[Int], (e \ "path").extract[String])),
-      streams = IndexManifests.streamsFromJson(j \ "streams"))
+      streams = IndexManifests.streamsFromJson(j \ "streams"),
+      deletes = j \ "deletes" match {
+        case JArray(items) => items.collect { case JString(s) => s }
+        case _ => Nil
+      })
   }
 
   private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] =
@@ -188,7 +200,7 @@ object AnnIndex {
         if (base.streams.get(ns).exists(_ >= batchId)) return
       }
       val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files,
-        base.streams ++ stamp.toMap)
+        base.streams ++ stamp.toMap, base.deletes)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -198,6 +210,40 @@ object AnnIndex {
   /** Highest batch id committed under stream namespace `ns`, if any. */
   def committedBatchId(spark: SparkSession, dir: String, ns: String): Option[Long] =
     currentManifest(spark, dir).streams.get(ns)
+
+  /** The committed tombstone set (neighbor_id), empty-schema-safe. */
+  private[graft] def readDeletes(spark: SparkSession, dir: String,
+      m: Manifest): DataFrame =
+    if (m.deletes.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("neighbor_id BIGINT"))
+    else spark.read.parquet(m.deletes.map(d => s"$dir/$d"): _*).select(col("neighbor_id"))
+
+  /** Delete vectors from the index: one atomic tombstone commit (no
+    * index scan needed — the dense side has no corpus-level stats to
+    * correct). Tombstoned ids are excluded from every [[topK]] until
+    * [[compact]] drops their rows; already-tombstoned and absent ids
+    * are no-ops.
+    */
+  def deleteVecs(ids: DataFrame, idCol: String, dir: String,
+      maxAttempts: Int = 5): Unit = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      val fresh = del.join(readDeletes(spark, dir, base), Seq("neighbor_id"), "left_anti")
+      if (fresh.isEmpty) return
+      val delRel = IndexManifests.freshRel("deletes")
+      fresh.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
+      val next = Manifest(base.version + 1, base.centroids, base.vectors,
+        base.streams, base.deletes :+ delRel)
+      if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
+    }
+    throw new graft.catalog.GraftCommitConflict(
+      s"ANN index delete lost the version race $maxAttempts times at $dir")
+  }
 
   /** Exact-cosine top-`k` within the probes' nProbe nearest cells,
     * answered FROM the index: the scan is planned over only those
@@ -225,8 +271,11 @@ object AnnIndex {
     // expression, bit-identical centroids) and stored in the rows, so
     // each probe compares only within ITS probed cells — the exact
     // ivfTopK join semantics with no per-row re-assignment at serve
-    val slice = readVectors(spark, dir, m.vectors.filter(e => probeCells(e._1)))
+    val slice0 = readVectors(spark, dir, m.vectors.filter(e => probeCells(e._1)))
       .withColumn("cell", col("__cell"))
+    val slice =
+      if (m.deletes.isEmpty) slice0
+      else slice0.join(readDeletes(spark, dir, m), Seq("neighbor_id"), "left_anti")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     slice.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
@@ -236,24 +285,34 @@ object AnnIndex {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Fold each cell's accumulated per-delta files into one; commits a
-    * new manifest, superseded files become unreferenced ([[vacuum]]).
-    * Bounded at nCells jobs over only the multi-file cells' rows.
+  /** Fold each cell's accumulated per-delta files into
+    * TargetFileBytes-sized files; when tombstones exist every cell is a
+    * victim (the physical-delete pass) and the new manifest clears
+    * `deletes`. Commits a new manifest, superseded files become
+    * unreferenced ([[vacuum]]). Bounded at nCells jobs over the
+    * victim cells' rows.
     */
   def compact(spark: SparkSession, dir: String): Int = {
     val base = currentManifest(spark, dir)
     val byCell = base.vectors.groupBy(_._1)
-    val victims = byCell.filter(_._2.size > 1)
+    val victims =
+      if (base.deletes.nonEmpty) byCell
+      else byCell.filter(_._2.size > 1)
     if (victims.isEmpty) return 0
+    val dels = readDeletes(spark, dir, base)
     val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
       val rel = IndexManifests.freshRel("vectors")
-      readVectors(spark, dir, files).coalesce(1)
+      val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
+        / TargetFileBytes).max(1).min(MaxSplits).toInt
+      readVectors(spark, dir, files)
+        .join(dels, Seq("neighbor_id"), "left_anti")
+        .repartition(width, col("neighbor_id"))
         .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")
       cell -> IndexManifests.listStaged(spark, dir, rel, "cell")
     }.toMap
     val next = Manifest(base.version + 1, base.centroids,
       byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
-      base.streams)
+      base.streams, deletes = Nil)
     require(IndexManifests.tryCommit(spark, dir, next.version, toJson(next)),
       s"ANN compaction lost the version race at $dir — rerun against the fresh manifest")
     victims.valuesIterator.map(_.size).sum
@@ -295,6 +354,14 @@ object AnnIndex {
             now - x.getModificationTime >= graceMs) {
           f.delete(x.getPath, false); removed += 1
         }
+      }
+    }
+    val liveDel: Set[String] = kept.flatMap(_.deletes).toSet
+    val dRoot = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    if (f.exists(dRoot)) f.listStatus(dRoot).foreach { st =>
+      if (!liveDel.contains(s"deletes/${st.getPath.getName}") &&
+          now - st.getModificationTime >= graceMs) {
+        f.delete(st.getPath, true); removed += 1
       }
     }
     removed

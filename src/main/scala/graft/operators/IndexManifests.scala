@@ -80,6 +80,15 @@ private[graft] object IndexManifests {
   def freshRel(kind: String): String =
     s"$kind/${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  /** Sum of the on-disk lengths of `relPaths` (dir-relative files). */
+  def fileBytes(spark: SparkSession, dir: String, relPaths: Seq[String]): Long = {
+    val f = fs(spark, dir)
+    relPaths.map { p =>
+      try f.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$p")).getLen
+      catch { case _: java.io.FileNotFoundException => 0L }
+    }.sum
+  }
+
   /** Per-stream exactly-once stamps (namespace → highest applied batch
     * id) as a JSON object; absent in pre-stamp manifests, which parse
     * as empty.

@@ -87,7 +87,14 @@ object InvertedIndex {
       postings: Seq[(Int, String)],
       vocabDir: String,
       statsDir: String,
-      streams: Map[String, Long] = Map.empty)
+      streams: Map[String, Long] = Map.empty,
+      /** doc-id tombstone dirs ([[deleteDocs]]): rows of deleted docs
+        * are EXCLUDED at query time (anti-join) and physically dropped
+        * at the next [[compact]]; vocab/stats were already corrected
+        * when the tombstone committed, so served scores equal a rebuild
+        * without the deleted docs at every point in between.
+        */
+      deletes: Seq[String] = Nil)
 
   /** Staged-but-uncommitted delta: immutable postings files under a
     * fresh UUID dir. Visible only once a manifest referencing them is
@@ -116,6 +123,7 @@ object InvertedIndex {
       "vocab" -> JString(m.vocabDir),
       "stats" -> JString(m.statsDir),
       "streams" -> IndexManifests.streamsToJson(m.streams),
+      "deletes" -> JArray(m.deletes.map(JString(_): JValue).toList),
       "postings" -> JArray(m.postings.map { case (b, p) =>
         JObject(List("bucket" -> JInt(b), "path" -> JString(p)))
       }.toList)))
@@ -132,7 +140,11 @@ object InvertedIndex {
         ((e \ "bucket").extract[Int], (e \ "path").extract[String])),
       vocabDir = (j \ "vocab").extract[String],
       statsDir = (j \ "stats").extract[String],
-      streams = IndexManifests.streamsFromJson(j \ "streams"))
+      streams = IndexManifests.streamsFromJson(j \ "streams"),
+      deletes = j \ "deletes" match {
+        case JArray(items) => items.collect { case JString(s) => s }
+        case _ => Nil
+      })
   }
 
   private[graft] def versions(spark: SparkSession, dir: String): Seq[Long] =
@@ -282,7 +294,7 @@ object InvertedIndex {
         .write.mode("errorifexists").parquet(s"$dir/$statsRel")
       val next = Manifest(base.version + 1, base.buckets,
         base.postings ++ staged.files, vocabRel, statsRel,
-        base.streams ++ stamp.toMap)
+        base.streams ++ stamp.toMap, base.deletes)
       if (tryCommit(spark, dir, next)) return next
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
@@ -317,23 +329,102 @@ object InvertedIndex {
   def committedBatchId(spark: SparkSession, dir: String, ns: String): Option[Long] =
     currentManifest(spark, dir).streams.get(ns)
 
+  // ---- deletes -------------------------------------------------------
+
+  /** The committed tombstone set (doc_id), empty-schema-safe. */
+  private[graft] def readDeletes(spark: SparkSession, dir: String,
+      m: Manifest): DataFrame =
+    if (m.deletes.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
+    else spark.read.parquet(m.deletes.map(d => s"$dir/$d"): _*).select(col("doc_id"))
+
+  /** Delete documents from the index: commits a doc-id tombstone PLUS
+    * df/n/sumdl corrections in one atomic manifest claim, so a served
+    * score is exactly what a rebuild without the deleted docs would
+    * produce — from the moment the claim lands, with the physical rows
+    * still in place until [[compact]] drops them.
+    *
+    * The corrections need the deleted docs' (tok, tf, dl) rows, and a
+    * doc's tokens hash across ALL buckets — so this is the one
+    * maintenance action that scans the postings (once per delete
+    * BATCH; batch deletes on the same cadence as the reference's
+    * maintenance). Already-tombstoned ids are excluded from the
+    * corrections (no double-subtraction); ids absent from the index
+    * are no-ops.
+    */
+  def deleteDocs(ids: DataFrame, idCol: String, dir: String,
+      maxAttempts: Int = 5): Unit = {
+    val spark = ids.sparkSession
+    val del = ids.select(col(idCol).cast("long").as("doc_id")).distinct()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      // a racing addDelta changes base.postings — corrections must be
+      // computed against the SAME postings the claim commits over, so
+      // the scan re-derives inside the CAS loop (retries are rare)
+      val fresh = del.join(readDeletes(spark, dir, base), Seq("doc_id"), "left_anti")
+      if (fresh.isEmpty) return
+      val hit = readPostings(spark, dir, base.postings)
+        .join(broadcast(fresh), Seq("doc_id"))
+      val vocabMinus = hit.groupBy(col("tok")).agg(count(lit(1)).as("__dfm"))
+      val statsMinus = hit.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+        .agg(count(lit(1)).as("__nm"), sum(col("__dl")).as("__sdm"))
+      val vocabRel = IndexManifests.freshRel("vocab")
+      spark.read.parquet(s"$dir/${base.vocabDir}")
+        .join(vocabMinus, Seq("tok"), "left")
+        .select(col("tok"), (col("df") - coalesce(col("__dfm"), lit(0L))).as("df"))
+        .filter(col("df") > 0)
+        .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
+      val statsRel = IndexManifests.freshRel("stats")
+      spark.read.parquet(s"$dir/${base.statsDir}").crossJoin(broadcast(statsMinus))
+        .select((col("n") - coalesce(col("__nm"), lit(0L))).as("n"),
+          (col("sumdl") - coalesce(col("__sdm"), lit(0L))).as("sumdl"))
+        .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+      val delRel = IndexManifests.freshRel("deletes")
+      fresh.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
+      val next = Manifest(base.version + 1, base.buckets, base.postings,
+        vocabRel, statsRel, base.streams, base.deletes :+ delRel)
+      if (tryCommit(spark, dir, next)) return
+      if (attempt >= maxAttempts)
+        throw new graft.catalog.GraftCommitConflict(
+          s"index delete lost the version race $maxAttempts times at $dir")
+    }
+  }
+
   // ---- maintenance ---------------------------------------------------
 
   /** Fold each bucket's accumulated per-delta files into one file —
     * bounded at `buckets` jobs over only the multi-file buckets' rows
     * (churn since the last compaction, never the corpus when deltas are
     * small; after N deltas without compaction, reads the affected
-    * buckets once). Commits a new manifest; superseded files become
+    * buckets once). When tombstones exist, EVERY bucket is a victim:
+    * compaction is the physical-delete pass (a deleted doc's tokens
+    * hash across all buckets), rows anti-join the tombstone set during
+    * the fold, and the new manifest clears `deletes` — the same
+    * rewrite-on-maintenance contract as the catalog's MOR delete
+    * folding. Commits a new manifest; superseded files become
     * unreferenced (swept by [[vacuum]]). Returns files folded.
     */
   def compact(spark: SparkSession, dir: String): Int = {
     val base = currentManifest(spark, dir)
     val byBucket = base.postings.groupBy(_._1)
-    val victims = byBucket.filter(_._2.size > 1)
+    val victims =
+      if (base.deletes.nonEmpty) byBucket
+      else byBucket.filter(_._2.size > 1)
     if (victims.isEmpty) return 0
+    val dels = readDeletes(spark, dir, base)
     val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
       val rel = IndexManifests.freshRel("postings")
-      readPostings(spark, dir, files).coalesce(1)
+      // fold to as few TargetFileBytes-sized files as the bucket's
+      // actual bytes need — coalesce(1) would push a huge bucket's
+      // rewrite through one task (the same cliff staging avoids)
+      val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
+        / TargetFileBytes).max(1).min(MaxSplits).toInt
+      readPostings(spark, dir, files)
+        .join(dels, Seq("doc_id"), "left_anti")
+        .repartition(width, col("doc_id"))
         .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
       val f = fs(spark, dir)
       val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
@@ -348,7 +439,7 @@ object InvertedIndex {
     }.toMap
     val next = Manifest(base.version + 1, base.buckets,
       byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
-      base.vocabDir, base.statsDir, base.streams)
+      base.vocabDir, base.statsDir, base.streams, deletes = Nil)
     require(tryCommit(spark, dir, next),
       s"compaction lost the version race at $dir — rerun against the fresh manifest")
     victims.valuesIterator.map(_.size).sum
@@ -404,8 +495,9 @@ object InvertedIndex {
       }
     }
 
-    val liveDirs: Set[String] = kept.flatMap(m => Seq(m.vocabDir, m.statsDir)).toSet
-    Seq("vocab", "stats").foreach { kind =>
+    val liveDirs: Set[String] =
+      kept.flatMap(m => Seq(m.vocabDir, m.statsDir) ++ m.deletes).toSet
+    Seq("vocab", "stats", "deletes").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$kind")
       if (f.exists(p)) f.listStatus(p).foreach { st =>
         if (!liveDirs.contains(s"$kind/${st.getPath.getName}") &&
@@ -440,7 +532,14 @@ object InvertedIndex {
     // driver-side collect, independent of corpus or probe size.
     val probeBuckets = qterms.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val postings = readPostings(spark, dir, m.postings.filter(e => probeBuckets(e._1)))
+    // tombstoned docs are excluded here; their df/n/sumdl contributions
+    // were subtracted when the tombstone committed, so the scores below
+    // equal a rebuild without them (churn-sized between compactions —
+    // the next compact drops the rows and clears the set)
+    val postings0 = readPostings(spark, dir, m.postings.filter(e => probeBuckets(e._1)))
+    val postings =
+      if (m.deletes.isEmpty) postings0
+      else postings0.join(readDeletes(spark, dir, m), Seq("doc_id"), "left_anti")
 
     // scalar aggregate over the 1-row stats file: a structural row
     // bound the plan audit can SEE (a bare file scan is unbounded to

@@ -47,6 +47,46 @@ class AnnIndexSpec extends SparkSpec {
     assert(a == b, "split staging changed top-k answers")
   }
 
+  test("deleteVecs tombstones serve-side; compact drops rows and answers are stable throughout") {
+    val probes     = emb.filter($"vec_id" < 10)
+    val candidates = emb.filter($"vec_id" >= 10)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_del").toString
+    AnnIndex.build(candidates, "vec_id", "embedding", dir, nCells = 8)
+    val before15 = AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 15, nProbe = 8)
+      .orderBy("probe_id", "rank")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+
+    // delete 5 ids that actually rank somewhere, so the identity below
+    // exercises real removals
+    val deleted = before15.map(_._2).distinct.take(5).toSet
+    AnnIndex.deleteVecs(deleted.toSeq.toDF("vec_id"), "vec_id", dir)
+
+    def after10 = AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8)
+      .orderBy("probe_id", "rank")
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSeq
+    // exact identity: post-delete top-10 per probe == pre-delete top-15
+    // with the deleted ids struck out, truncated to 10 (≤ 5 removals
+    // per probe by construction) — ranking is otherwise untouched
+    val expect = before15.groupBy(_._1).view.mapValues(
+      _.map(_._2).filterNot(deleted).take(10)).toMap
+    val got0 = after10.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(got0 == expect, "tombstoned top-k is not the struck-out pre-delete ranking")
+    assert(got0.values.flatten.forall(id => !deleted(id)))
+
+    // double delete: no-op; compact: physical drop, same answers
+    val v = AnnIndex.versions(spark, dir)
+    AnnIndex.deleteVecs(deleted.toSeq.toDF("vec_id"), "vec_id", dir)
+    assert(AnnIndex.versions(spark, dir) == v)
+    AnnIndex.compact(spark, dir)
+    val m = AnnIndex.currentManifest(spark, dir)
+    assert(m.deletes.isEmpty, "compact left tombstones")
+    val left = spark.read.parquet(m.vectors.map(p => s"$dir/${p._2}"): _*)
+      .filter(col("neighbor_id").isin(deleted.toSeq: _*)).count()
+    assert(left == 0, s"$left deleted vectors survived compaction")
+    assert(after10.groupBy(_._1).view.mapValues(_.map(_._2)).toMap == expect,
+      "compaction changed post-delete answers")
+  }
+
   test("a probe reads only its probed cells' files (manifest-pruned scan)") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_prune").toString
     AnnIndex.build(emb.filter($"vec_id" >= 5), "vec_id", "embedding", dir, nCells = 16)

@@ -64,6 +64,41 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows(indexed) == rows(scratch), "split staging changed BM25 answers")
   }
 
+  test("deleteDocs answers exactly like a rebuild without the docs; compact drops rows, clears tombstones") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx_del").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir, buckets = 4)
+    val deleted = Seq(2L, 5L)
+    InvertedIndex.deleteDocs(
+      docs.filter(col("doc_id").isin(deleted: _*)).select("doc_id"), "doc_id", dir)
+    val remaining = docs.filter(!col("doc_id").isin(deleted: _*))
+    // served scores must equal a from-scratch BM25 over the remaining
+    // corpus — df/n/sumdl were corrected in the tombstone's commit
+    val served  = InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 3L), k = 4)
+    val scratch = TextAnalysis.bm25TopK(remaining, "doc_id", "text", Seq(0L, 3L), k = 4)
+    assert(rows(served) == rows(scratch), "tombstoned serve diverged from rebuild-without")
+
+    // double delete is a no-op (no double-subtraction of df/n)
+    val v = InvertedIndex.versions(spark, dir)
+    InvertedIndex.deleteDocs(
+      docs.filter(col("doc_id").isin(deleted: _*)).select("doc_id"), "doc_id", dir)
+    assert(InvertedIndex.versions(spark, dir) == v, "re-deleting committed a version")
+
+    // compact = the physical-delete pass: rows gone, tombstones cleared,
+    // answers unchanged; vacuum sweeps the tombstone files
+    InvertedIndex.compact(spark, dir)
+    val m = InvertedIndex.currentManifest(spark, dir)
+    assert(m.deletes.isEmpty, "compact left tombstones in the manifest")
+    val left = spark.read.parquet(m.postings.map(p => s"$dir/${p._2}"): _*)
+      .filter(col("doc_id").isin(deleted: _*)).count()
+    assert(left == 0, s"$left physical rows of deleted docs survived compaction")
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 3L), k = 4)) ==
+      rows(scratch), "compaction changed post-delete answers")
+    InvertedIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val delRoot = new org.apache.hadoop.fs.Path(s"$dir/deletes")
+    assert(!hfs.exists(delRoot) || hfs.listStatus(delRoot).isEmpty,
+      "vacuum left stale tombstone dirs")
+  }
+
   test("the bucket count is pinned in the manifest, not supplied by callers") {
     // a non-default modulus at build time: queries and deltas resolve it
     // from the manifest, so a mismatched-modulus wrong-ranking (the old

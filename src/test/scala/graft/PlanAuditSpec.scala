@@ -37,6 +37,7 @@ class PlanAuditSpec extends SparkSpec {
     "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts
     "search_bm25_indexed",             // same stats scalars, read from the index's 1-row sidecar
     "search_index_delta",              // same stats scalars after the versioned merge
+    "search_index_delete",             // same stats scalars over the tombstone-corrected sidecars
     "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
@@ -117,6 +118,7 @@ class PlanAuditSpec extends SparkSpec {
     "search_hybrid_rrf"     -> "probe sweep (dense branch), require-capped",
     "search_bm25_indexed"   -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
     "search_index_delta"    -> "same probe-bounded sides over the delta-grown index",
+    "search_index_delete"   -> "probe-bounded sides + churn-sized tombstone anti-join (set cleared at every compact)",
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
     "curation_pipeline"     -> "embeds the decontaminate benchmark-shingle side",
