@@ -95,6 +95,8 @@ object CurateMain {
     val spark = SparkSession.builder()
       .appName("graft-curate")
       .config("spark.sql.shuffle.partitions", 32)
+      // unsound in Spark 4.1 — see GraftSession for the full account
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     val code =
       try {

@@ -30,4 +30,17 @@ object GraftSession {
       // plans (the 175-query bench board re-pays Janino compilation
       // every pass); a long-lived cluster wants all its plans warm
       .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // Spark 4.1's union-partitioning claim is UNSOUND in this build:
+      // UnionExec.outputPartitioning reports the children's common
+      // hash partitioning (N partitions) while doExecute concatenates
+      // via sc.union (sum-of-children partitions), and under AQE
+      // exchange reuse the two copies of a union subtree can even
+      // materialize DIFFERENT physical partition counts — a downstream
+      // SortMergeJoin that trusted the claim zips its children and
+      // dies with "Can't zip RDDs with unequal numbers of partitions"
+      // (observed on a CDC batch assembled as updates ∪ inserts from
+      // co-repartitioned branches). One skipped exchange is not worth
+      // a plan that crashes — or worse — at scale; claim the default
+      // partitioning and let EnsureRequirements place real shuffles.
+      .config("spark.sql.unionOutputPartitioning", "false")
 }

@@ -2271,6 +2271,45 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_index_cdc",
+      // one CDC micro-batch against the serving index — the reference's
+      // change-capture loop applied to the SERVING layer. Build on the
+      // seed corpus (doc_id % 5 != 4), then ONE atomic applyCdc commit
+      // carries updates (doc_id % 13 == 6 docs double their text),
+      // deletes (doc_id % 11 == 5) and inserts (doc_id % 5 == 4):
+      // new postings, a coverage tombstone (Iceberg sequence semantics —
+      // the updated docs' NEW rows survive their own tombstone), and
+      // corrected vocab/stats land in one manifest claim. Serving must
+      // be row-identical to a from-scratch build over the post-CDC
+      // corpus. Probes 0/7/42 are untouched by construction.
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_invidx_c").toString
+        val docs = spread(Tables(spark, dir).documents, "doc_id").select("doc_id", "text")
+        val seed = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
+        operators.InvertedIndex.build(seed, "doc_id", "text", work)
+        val updates = seed
+          .filter(pmod(col("doc_id"), lit(13)) === 6 && pmod(col("doc_id"), lit(11)) =!= 5)
+          .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"))
+        val inserts = docs.filter(pmod(col("doc_id"), lit(5)) === 4)
+        val deletes = seed.filter(pmod(col("doc_id"), lit(11)) === 5).select("doc_id")
+        val leaving = updates.select("doc_id").unionByName(deletes)
+        operators.InvertedIndex.applyCdc(
+          upserts = updates.unionByName(inserts),
+          removals = seed.join(leaving, Seq("doc_id"), "left_semi"),
+          "doc_id", "text", work)
+        operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
+            probeIds = Seq(0L, 7L, 42L), k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some(bm25Top5SqlOver("""(
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 6 AND doc_id % 5 != 4 AND doc_id % 11 != 5
+                    THEN text || ' ' || text ELSE text END AS text
+        FROM documents
+        WHERE doc_id % 5 = 4 OR doc_id % 11 != 5)""")),
+      bench = true
+    ),
+    QueryDef(
       "vocab_growth",
       // Heaps-law vocabulary growth per source: first occurrence =
       // min(doc_id) per (source, token) — one vocab-bounded agg, then a

@@ -63,13 +63,16 @@ object AnnIndex {
       centroids: Array[Array[Double]],
       vectors: Seq[(Int, String)],
       streams: Map[String, Long] = Map.empty,
-      /** vector-id tombstone dirs ([[deleteVecs]]): excluded at query
-        * time, physically dropped at the next [[compact]]. No stat
+      /** vector-id tombstones ([[deleteVecs]]/[[applyCdc]]) as
+        * (dir, cover): each excludes ids ONLY from the first `cover`
+        * vector files — Iceberg equality-delete sequence semantics
+        * (see [[InvertedIndex.Manifest]]), so one atomic commit can
+        * tombstone an id's old vector and append its new one. No stat
         * corrections needed on the dense side — cosine ranking has no
         * corpus-level terms (centroid drift is the rebuild canary's
         * concern, not the tombstone's).
         */
-      deletes: Seq[String] = Nil)
+      deletes: Seq[(String, Int)] = Nil)
 
   private def toJson(m: Manifest): String = {
     // doubles as raw IEEE-754 bits: JSON decimal printing is not
@@ -80,7 +83,9 @@ object AnnIndex {
       "centroids" -> JArray(m.centroids.map(c =>
         JArray(c.map(d => JLong(java.lang.Double.doubleToRawLongBits(d)): JValue).toList)).toList),
       "streams" -> IndexManifests.streamsToJson(m.streams),
-      "deletes" -> JArray(m.deletes.map(JString(_): JValue).toList),
+      "deletes" -> JArray(m.deletes.map { case (p, c) =>
+        JObject(List("path" -> JString(p), "cover" -> JInt(c))): JValue
+      }.toList),
       "vectors" -> JArray(m.vectors.map { case (cell, p) =>
         JObject(List("cell" -> JInt(cell), "path" -> JString(p)))
       }.toList)))
@@ -98,7 +103,10 @@ object AnnIndex {
         ((e \ "cell").extract[Int], (e \ "path").extract[String])),
       streams = IndexManifests.streamsFromJson(j \ "streams"),
       deletes = j \ "deletes" match {
-        case JArray(items) => items.collect { case JString(s) => s }
+        case JArray(items) => items.collect {
+          case JString(s) => (s, Int.MaxValue) // legacy: covered everything
+          case o: JObject => ((o \ "path").extract[String], (o \ "cover").extract[Int])
+        }
         case _ => Nil
       })
   }
@@ -211,19 +219,41 @@ object AnnIndex {
   def committedBatchId(spark: SparkSession, dir: String, ns: String): Option[Long] =
     currentManifest(spark, dir).streams.get(ns)
 
-  /** The committed tombstone set (neighbor_id), empty-schema-safe. */
-  private[graft] def readDeletes(spark: SparkSession, dir: String,
-      m: Manifest): DataFrame =
-    if (m.deletes.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("neighbor_id BIGINT"))
-    else spark.read.parquet(m.deletes.map(d => s"$dir/$d"): _*).select(col("neighbor_id"))
+  /** LIVE rows of `selected` vector files under `m`'s tombstones — the
+    * coverage-aware exclusion shared with the lexical index (see
+    * [[InvertedIndex.liveRows]]); a plain read when no tombstones.
+    */
+  private[graft] def liveRows(spark: SparkSession, dir: String, m: Manifest,
+      selected: Seq[(Int, String)]): DataFrame = {
+    val base = readVectors(spark, dir, selected)
+    if (m.deletes.isEmpty) return base
+    // last THREE path components as the key — leaf names collide across
+    // a partitionBy job's cell dirs (see InvertedIndex.liveRows)
+    val posRows = m.vectors.map(_._2).zipWithIndex.map { case (p, i) =>
+      org.apache.spark.sql.Row(p.split('/').takeRight(3).mkString("/"), i)
+    }
+    val posDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(posRows, 1),
+      org.apache.spark.sql.types.StructType.fromDDL("__fn STRING, __fidx INT"))
+    val tomb = m.deletes.map { case (d, c) =>
+      spark.read.parquet(s"$dir/$d").select(col("neighbor_id"), lit(c).as("__cover"))
+    }.reduce(_ unionByName _)
+    val tagged = base
+      .withColumn("__fn",
+        concat_ws("/", slice(split(input_file_name(), "/"), -3, 3)))
+      .join(broadcast(posDf), Seq("__fn"))
+    tagged
+      .join(tomb, tagged("neighbor_id") === tomb("neighbor_id") &&
+        tagged("__fidx") < tomb("__cover"), "left_anti")
+      .drop("__fn", "__fidx")
+  }
 
   /** Delete vectors from the index: one atomic tombstone commit (no
     * index scan needed — the dense side has no corpus-level stats to
     * correct). Tombstoned ids are excluded from every [[topK]] until
-    * [[compact]] drops their rows; already-tombstoned and absent ids
-    * are no-ops.
+    * [[compact]] drops their rows; an id re-inserted after a deletion
+    * is live again (coverage semantics) and deletable again. Deleting
+    * ids already dead under a full-coverage tombstone is a no-op.
     */
   def deleteVecs(ids: DataFrame, idCol: String, dir: String,
       maxAttempts: Int = 5): Unit = {
@@ -233,16 +263,66 @@ object AnnIndex {
     while (attempt < maxAttempts) {
       attempt += 1
       val base = currentManifest(spark, dir)
-      val fresh = del.join(readDeletes(spark, dir, base), Seq("neighbor_id"), "left_anti")
+      // certainly-dead ids: tombstoned with cover == current file count
+      // (no delta appended since, so no resurrection possible)
+      val full = base.deletes.filter(_._2 >= base.vectors.size).map(_._1)
+      val fresh =
+        if (full.isEmpty) del
+        else del.join(
+          spark.read.parquet(full.map(d => s"$dir/$d"): _*).select(col("neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
       if (fresh.isEmpty) return
       val delRel = IndexManifests.freshRel("deletes")
       fresh.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
       val next = Manifest(base.version + 1, base.centroids, base.vectors,
-        base.streams, base.deletes :+ delRel)
+        base.streams, base.deletes :+ (delRel -> base.vectors.size))
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
       s"ANN index delete lost the version race $maxAttempts times at $dir")
+  }
+
+  /** One ATOMIC CDC micro-batch: `upserts` = new (id, vector) versions,
+    * `removalIds` = ids leaving the index (deleted ids and updated
+    * ids). One manifest claim commits the new cell files, a tombstone
+    * covering only the PRE-batch files (the new vectors survive it —
+    * Iceberg sequence semantics), and the stream stamp. No old vectors
+    * needed: the dense side has no corpus-level stats to correct.
+    */
+  def applyCdc(upserts: DataFrame, removalIds: DataFrame, idCol: String,
+      vecCol: String, dir: String, stamp: Option[(String, Long)] = None,
+      maxAttempts: Int = 5): Unit = {
+    val spark = upserts.sparkSession
+    val base0 = currentManifest(spark, dir)
+    stamp.foreach { case (ns, batchId) =>
+      if (base0.streams.get(ns).exists(_ >= batchId)) return
+    }
+    val files =
+      if (upserts.isEmpty) Nil
+      else stageVectors(spark, assign(upserts, idCol, vecCol, base0.centroids),
+        dir, base0.centroids.length)
+    val tombstoneIds = removalIds.select(col(idCol).cast("long").as("neighbor_id")).distinct()
+    val hasRemovals = !tombstoneIds.isEmpty
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      stamp.foreach { case (ns, batchId) =>
+        if (base.streams.get(ns).exists(_ >= batchId)) return
+      }
+      val delEntry =
+        if (!hasRemovals) None
+        else {
+          val delRel = IndexManifests.freshRel("deletes")
+          tombstoneIds.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
+          Some(delRel -> base.vectors.size)
+        }
+      val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files,
+        base.streams ++ stamp.toMap, base.deletes ++ delEntry)
+      if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
+    }
+    throw new graft.catalog.GraftCommitConflict(
+      s"ANN CDC batch lost the version race $maxAttempts times at $dir")
   }
 
   /** Exact-cosine top-`k` within the probes' nProbe nearest cells,
@@ -271,11 +351,8 @@ object AnnIndex {
     // expression, bit-identical centroids) and stored in the rows, so
     // each probe compares only within ITS probed cells — the exact
     // ivfTopK join semantics with no per-row re-assignment at serve
-    val slice0 = readVectors(spark, dir, m.vectors.filter(e => probeCells(e._1)))
+    val slice = liveRows(spark, dir, m, m.vectors.filter(e => probeCells(e._1)))
       .withColumn("cell", col("__cell"))
-    val slice =
-      if (m.deletes.isEmpty) slice0
-      else slice0.join(readDeletes(spark, dir, m), Seq("neighbor_id"), "left_anti")
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     slice.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
@@ -299,13 +376,11 @@ object AnnIndex {
       if (base.deletes.nonEmpty) byCell
       else byCell.filter(_._2.size > 1)
     if (victims.isEmpty) return 0
-    val dels = readDeletes(spark, dir, base)
     val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
       val rel = IndexManifests.freshRel("vectors")
       val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
         / TargetFileBytes).max(1).min(MaxSplits).toInt
-      readVectors(spark, dir, files)
-        .join(dels, Seq("neighbor_id"), "left_anti")
+      liveRows(spark, dir, base, files)
         .repartition(width, col("neighbor_id"))
         .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")
       cell -> IndexManifests.listStaged(spark, dir, rel, "cell")
@@ -356,7 +431,7 @@ object AnnIndex {
         }
       }
     }
-    val liveDel: Set[String] = kept.flatMap(_.deletes).toSet
+    val liveDel: Set[String] = kept.flatMap(_.deletes.map(_._1)).toSet
     val dRoot = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     if (f.exists(dRoot)) f.listStatus(dRoot).foreach { st =>
       if (!liveDel.contains(s"deletes/${st.getPath.getName}") &&

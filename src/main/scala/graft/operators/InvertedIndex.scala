@@ -35,8 +35,18 @@ import org.json4s.jackson.JsonMethods
   *    is computed at query time — an index grown by deltas answers
   *    exactly like one rebuilt from scratch (oracle-gated by
   *    `search_index_delta`).
+  *  - '''deleteDocs / applyCdc''' (churn-sized): doc-id tombstones with
+  *    coverage — each tombstone excludes a doc's rows only from the
+  *    postings files that PRECEDED it in the manifest (Iceberg v2
+  *    equality-delete sequence semantics), so one atomic commit can
+  *    tombstone a doc's old rows AND append its new version (an update
+  *    survives its own tombstone, a re-inserted doc is live again).
+  *    df/n/sumdl corrections ride the same claim, so served scores
+  *    equal a rebuild over the post-change corpus at every point
+  *    (oracle-gated by `search_index_delete` / `search_index_cdc`).
   *  - '''compact''' folds each bucket's accumulated per-delta small
-  *    files into one; '''vacuum''' expires old manifests and sweeps
+  *    files into one (dropping tombstoned rows and clearing the
+  *    tombstone set); '''vacuum''' expires old manifests and sweeps
   *    every unreferenced file — the same maintenance cadence the
   *    reference runs for its one persisted artifact
   *    (/root/reference/stream-spec-yaml-example.yaml:49
@@ -88,13 +98,18 @@ object InvertedIndex {
       vocabDir: String,
       statsDir: String,
       streams: Map[String, Long] = Map.empty,
-      /** doc-id tombstone dirs ([[deleteDocs]]): rows of deleted docs
-        * are EXCLUDED at query time (anti-join) and physically dropped
-        * at the next [[compact]]; vocab/stats were already corrected
-        * when the tombstone committed, so served scores equal a rebuild
-        * without the deleted docs at every point in between.
+      /** doc-id tombstones ([[deleteDocs]]/[[applyCdc]]) as
+        * (dir, cover): the tombstone excludes a doc's rows ONLY from
+        * the first `cover` postings files of this manifest — Iceberg
+        * v2 equality-delete sequence semantics (a delete applies to
+        * files that preceded it), which is what lets one atomic commit
+        * both tombstone a doc's old rows and append its new version.
+        * The postings list is append-only between compactions and
+        * [[compact]] clears the set, so covers stay valid. Vocab/stats
+        * were corrected when each tombstone committed, so served
+        * scores equal a rebuild at every point in between.
         */
-      deletes: Seq[String] = Nil)
+      deletes: Seq[(String, Int)] = Nil)
 
   /** Staged-but-uncommitted delta: immutable postings files under a
     * fresh UUID dir. Visible only once a manifest referencing them is
@@ -123,7 +138,9 @@ object InvertedIndex {
       "vocab" -> JString(m.vocabDir),
       "stats" -> JString(m.statsDir),
       "streams" -> IndexManifests.streamsToJson(m.streams),
-      "deletes" -> JArray(m.deletes.map(JString(_): JValue).toList),
+      "deletes" -> JArray(m.deletes.map { case (p, c) =>
+        JObject(List("path" -> JString(p), "cover" -> JInt(c))): JValue
+      }.toList),
       "postings" -> JArray(m.postings.map { case (b, p) =>
         JObject(List("bucket" -> JInt(b), "path" -> JString(p)))
       }.toList)))
@@ -142,7 +159,10 @@ object InvertedIndex {
       statsDir = (j \ "stats").extract[String],
       streams = IndexManifests.streamsFromJson(j \ "streams"),
       deletes = j \ "deletes" match {
-        case JArray(items) => items.collect { case JString(s) => s }
+        case JArray(items) => items.collect {
+          case JString(s) => (s, Int.MaxValue) // legacy: covered everything
+          case o: JObject => ((o \ "path").extract[String], (o \ "cover").extract[Int])
+        }
         case _ => Nil
       })
   }
@@ -192,12 +212,21 @@ object InvertedIndex {
     IndexManifests.listStaged(spark, dir, rel, "bucket")
   }
 
-  private def postingsOf(tf: DataFrame, dl: DataFrame, idCol: String,
-      buckets: Int): DataFrame =
-    tf.join(dl, idCol)
-      .select(col(idCol).as("doc_id"), col("__tok").as("tok"),
-        col("__tf").as("tf"), col("__dl").as("dl"),
-        bucketOf(col("__tok"), buckets).as("bucket"))
+  /** (doc_id, tok, tf, dl, bucket) rows from term frequencies. dl (the
+    * doc length) is a window sum over the doc's tf rows, NOT a
+    * tf ⨝ groupBy(doc) self-join: the window reuses the tf aggregate's
+    * doc-clustered partitioning in place (zero extra shuffles, no
+    * join), where the join shape re-sorted both sides and — fed by a
+    * union-assembled CDC batch — tripped Spark 4.1's unsound union
+    * partitioning claim (see GraftSession).
+    */
+  private def postingsOf(tf: DataFrame, idCol: String, buckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    tf.select(col(idCol).as("doc_id"), col("__tok").as("tok"),
+      col("__tf").as("tf"),
+      sum(col("__tf")).over(Window.partitionBy(col(idCol))).as("dl"),
+      bucketOf(col("__tok"), buckets).as("bucket"))
+  }
 
   /** Read a committed (or staged) file list; empty lists yield an empty
     * postings frame with the right schema.
@@ -228,7 +257,7 @@ object InvertedIndex {
       s"inverted index already committed at $dir (addDelta grows it; build starts fresh)")
     val tf = termFreqs(docs, idCol, textCol)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-    val files = stagePostings(spark, postingsOf(tf, dl, idCol, buckets), dir, buckets, splits)
+    val files = stagePostings(spark, postingsOf(tf, idCol, buckets), dir, buckets, splits)
     val vocabRel = IndexManifests.freshRel("vocab")
     tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
       .select(col("__tok").as("tok"), col("df"))
@@ -251,8 +280,7 @@ object InvertedIndex {
     val spark = delta.sparkSession
     val buckets = currentManifest(spark, dir).buckets
     val tf = termFreqs(delta, idCol, textCol)
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
-    StagedDelta(stagePostings(spark, postingsOf(tf, dl, idCol, buckets), dir, buckets))
+    StagedDelta(stagePostings(spark, postingsOf(tf, idCol, buckets), dir, buckets))
   }
 
   /** Commit a staged delta: merge vocab/stats against the CURRENT
@@ -331,13 +359,39 @@ object InvertedIndex {
 
   // ---- deletes -------------------------------------------------------
 
-  /** The committed tombstone set (doc_id), empty-schema-safe. */
-  private[graft] def readDeletes(spark: SparkSession, dir: String,
-      m: Manifest): DataFrame =
-    if (m.deletes.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT"))
-    else spark.read.parquet(m.deletes.map(d => s"$dir/$d"): _*).select(col("doc_id"))
+  /** LIVE rows of `selected` postings files under `m`'s tombstones: a
+    * row is dead when some tombstone's cover extends past its file's
+    * position in the manifest (Iceberg equality-delete sequence
+    * semantics). The file position rides in via the leaf file name —
+    * globally unique part-file UUIDs — joined against a driver-built
+    * O(#files) (name, position) table; with no tombstones this is a
+    * plain read.
+    */
+  private[graft] def liveRows(spark: SparkSession, dir: String, m: Manifest,
+      selected: Seq[(Int, String)]): DataFrame = {
+    val base = readPostings(spark, dir, selected)
+    if (m.deletes.isEmpty) return base
+    // key = the last THREE path components (staging-uuid/bucket=N/part
+    // file): the leaf NAME alone collides — one partitionBy job writes
+    // identically-named part files into every bucket dir it touches
+    val posRows = m.postings.map(_._2).zipWithIndex.map { case (p, i) =>
+      org.apache.spark.sql.Row(p.split('/').takeRight(3).mkString("/"), i)
+    }
+    val posDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(posRows, 1),
+      org.apache.spark.sql.types.StructType.fromDDL("__fn STRING, __fidx INT"))
+    val tomb = m.deletes.map { case (d, c) =>
+      spark.read.parquet(s"$dir/$d").select(col("doc_id"), lit(c).as("__cover"))
+    }.reduce(_ unionByName _)
+    val tagged = base
+      .withColumn("__fn",
+        concat_ws("/", slice(split(input_file_name(), "/"), -3, 3)))
+      .join(broadcast(posDf), Seq("__fn"))
+    tagged
+      .join(tomb, tagged("doc_id") === tomb("doc_id") &&
+        tagged("__fidx") < tomb("__cover"), "left_anti")
+      .drop("__fn", "__fidx")
+  }
 
   /** Delete documents from the index: commits a doc-id tombstone PLUS
     * df/n/sumdl corrections in one atomic manifest claim, so a served
@@ -349,9 +403,10 @@ object InvertedIndex {
     * doc's tokens hash across ALL buckets — so this is the one
     * maintenance action that scans the postings (once per delete
     * BATCH; batch deletes on the same cadence as the reference's
-    * maintenance). Already-tombstoned ids are excluded from the
-    * corrections (no double-subtraction); ids absent from the index
-    * are no-ops.
+    * maintenance; [[applyCdc]] avoids the scan when the caller can
+    * supply the outgoing text). Dead or absent ids are no-ops; a doc
+    * re-inserted after a deletion is live again (tombstones cover only
+    * the files that preceded them) and deletable again.
     */
   def deleteDocs(ids: DataFrame, idCol: String, dir: String,
       maxAttempts: Int = 5): Unit = {
@@ -361,35 +416,116 @@ object InvertedIndex {
     while (true) {
       attempt += 1
       val base = currentManifest(spark, dir)
-      // a racing addDelta changes base.postings — corrections must be
-      // computed against the SAME postings the claim commits over, so
-      // the scan re-derives inside the CAS loop (retries are rare)
-      val fresh = del.join(readDeletes(spark, dir, base), Seq("doc_id"), "left_anti")
-      if (fresh.isEmpty) return
-      val hit = readPostings(spark, dir, base.postings)
-        .join(broadcast(fresh), Seq("doc_id"))
-      val vocabMinus = hit.groupBy(col("tok")).agg(count(lit(1)).as("__dfm"))
-      val statsMinus = hit.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-        .agg(count(lit(1)).as("__nm"), sum(col("__dl")).as("__sdm"))
-      val vocabRel = IndexManifests.freshRel("vocab")
-      spark.read.parquet(s"$dir/${base.vocabDir}")
-        .join(vocabMinus, Seq("tok"), "left")
-        .select(col("tok"), (col("df") - coalesce(col("__dfm"), lit(0L))).as("df"))
-        .filter(col("df") > 0)
-        .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
-      val statsRel = IndexManifests.freshRel("stats")
-      spark.read.parquet(s"$dir/${base.statsDir}").crossJoin(broadcast(statsMinus))
-        .select((col("n") - coalesce(col("__nm"), lit(0L))).as("n"),
-          (col("sumdl") - coalesce(col("__sdm"), lit(0L))).as("sumdl"))
-        .write.mode("errorifexists").parquet(s"$dir/$statsRel")
-      val delRel = IndexManifests.freshRel("deletes")
-      fresh.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
-      val next = Manifest(base.version + 1, base.buckets, base.postings,
-        vocabRel, statsRel, base.streams, base.deletes :+ delRel)
-      if (tryCommit(spark, dir, next)) return
+      // corrections must be computed against the SAME postings the
+      // claim commits over — the (live-row) scan re-derives inside the
+      // CAS loop (retries are rare)
+      val hit = liveRows(spark, dir, base, base.postings)
+        .join(broadcast(del), Seq("doc_id"))
+      if (hit.isEmpty) return
+      val committed = commitRemoval(spark, dir, base,
+        removed = hit, tombstoneIds = del, staged = Nil, stamp = None)
+      if (committed) return
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
           s"index delete lost the version race $maxAttempts times at $dir")
+    }
+  }
+
+  /** Stage corrected vocab/stats from `removed` (outgoing (tok, tf,
+    * dl) rows) plus `staged` (incoming postings files), write the
+    * tombstone, and try ONE manifest claim against `base`. Returns
+    * false on a lost race (caller re-reads and retries).
+    */
+  private def commitRemoval(spark: SparkSession, dir: String, base: Manifest,
+      removed: DataFrame, tombstoneIds: DataFrame, staged: Seq[(Int, String)],
+      stamp: Option[(String, Long)], appendTombstone: Boolean = true): Boolean = {
+    val vocabMinus = removed.groupBy(col("tok")).agg(count(lit(1)).as("__dfm"))
+    val statsMinus = removed.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("__nm"), sum(col("__dl")).as("__sdm"))
+    val (vocabPlus, statsPlus) =
+      if (staged.isEmpty) (None, None)
+      else {
+        val p = readPostings(spark, dir, staged)
+        (Some(p.groupBy(col("tok")).agg(count(lit(1)).as("__dfp"))),
+          Some(p.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+            .agg(count(lit(1)).as("__np"), sum(col("__dl")).as("__sdp"))))
+      }
+    val vocabRel = IndexManifests.freshRel("vocab")
+    val v0 = spark.read.parquet(s"$dir/${base.vocabDir}")
+      .join(vocabMinus, Seq("tok"), "left")
+    val v1 = vocabPlus.fold(v0.withColumn("__dfp", lit(null).cast("long")))(p =>
+      v0.join(p, Seq("tok"), "full"))
+    v1.select(col("tok"),
+        (coalesce(col("df"), lit(0L)) - coalesce(col("__dfm"), lit(0L)) +
+          coalesce(col("__dfp"), lit(0L))).as("df"))
+      .filter(col("df") > 0)
+      .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
+    val statsRel = IndexManifests.freshRel("stats")
+    val s0 = spark.read.parquet(s"$dir/${base.statsDir}").crossJoin(broadcast(statsMinus))
+    val s1 = statsPlus.fold(
+      s0.withColumn("__np", lit(0L)).withColumn("__sdp", lit(0L)))(p =>
+      s0.crossJoin(broadcast(p)))
+    s1.select(
+        (col("n") - coalesce(col("__nm"), lit(0L)) + coalesce(col("__np"), lit(0L))).as("n"),
+        (col("sumdl") - coalesce(col("__sdm"), lit(0L)) +
+          coalesce(col("__sdp"), lit(0L))).as("sumdl"))
+      .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+    val delEntry =
+      if (!appendTombstone) None
+      else {
+        val delRel = IndexManifests.freshRel("deletes")
+        tombstoneIds.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
+        Some(delRel -> base.postings.size)
+      }
+    val next = Manifest(base.version + 1, base.buckets, base.postings ++ staged,
+      vocabRel, statsRel, base.streams ++ stamp.toMap,
+      base.deletes ++ delEntry)
+    tryCommit(spark, dir, next)
+  }
+
+  /** One ATOMIC CDC micro-batch against the index — the reference's
+    * merge loop applied to the serving layer. `upserts` carries the
+    * NEW (id, text) versions to index; `removals` carries the OLD
+    * indexed text of every id leaving the index (deleted ids AND the
+    * prior versions of updated ids — the caller reads them from the
+    * system of record, e.g. a bucket-pruned catalog lookup, which is
+    * churn-sized; supplying text that differs from what was indexed
+    * silently corrupts df/n/sumdl, so the contract is loud here).
+    *
+    * One manifest claim commits: the upserts' postings files, the
+    * removal tombstone (covering only the PRE-batch files, so the new
+    * versions survive their own tombstone — the Iceberg sequence
+    * trick), corrected vocab/stats, and the stream stamp. A replayed
+    * batch is refused by the committed stamp; a crash leaves the old
+    * version serving.
+    */
+  def applyCdc(upserts: DataFrame, removals: DataFrame, idCol: String,
+      textCol: String, dir: String, stamp: Option[(String, Long)] = None,
+      maxAttempts: Int = 5): Unit = {
+    val spark = upserts.sparkSession
+    stamp.foreach { case (ns, batchId) =>
+      if (committedBatchId(spark, dir, ns).exists(_ >= batchId)) return
+    }
+    val staged = if (upserts.isEmpty) StagedDelta(Nil)
+      else stageDelta(upserts, idCol, textCol, dir)
+    // the outgoing rows re-tokenize the OLD text with the build's exact
+    // expression — bit-identical (tok, tf, dl) to what was indexed
+    val removed = postingsOf(termFreqs(removals, idCol, textCol), idCol, 1)
+      .drop("bucket")
+    val tombstoneIds = removals.select(col(idCol).cast("long").as("doc_id")).distinct()
+    val hasRemovals = !removals.isEmpty
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      stamp.foreach { case (ns, batchId) =>
+        if (base.streams.get(ns).exists(_ >= batchId)) return
+      }
+      if (commitRemoval(spark, dir, base, removed, tombstoneIds,
+        staged.files, stamp, appendTombstone = hasRemovals)) return
+      if (attempt >= maxAttempts)
+        throw new graft.catalog.GraftCommitConflict(
+          s"index CDC batch lost the version race $maxAttempts times at $dir")
     }
   }
 
@@ -414,7 +550,6 @@ object InvertedIndex {
       if (base.deletes.nonEmpty) byBucket
       else byBucket.filter(_._2.size > 1)
     if (victims.isEmpty) return 0
-    val dels = readDeletes(spark, dir, base)
     val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
       val rel = IndexManifests.freshRel("postings")
       // fold to as few TargetFileBytes-sized files as the bucket's
@@ -422,8 +557,7 @@ object InvertedIndex {
       // rewrite through one task (the same cliff staging avoids)
       val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
         / TargetFileBytes).max(1).min(MaxSplits).toInt
-      readPostings(spark, dir, files)
-        .join(dels, Seq("doc_id"), "left_anti")
+      liveRows(spark, dir, base, files)
         .repartition(width, col("doc_id"))
         .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
       val f = fs(spark, dir)
@@ -496,7 +630,7 @@ object InvertedIndex {
     }
 
     val liveDirs: Set[String] =
-      kept.flatMap(m => Seq(m.vocabDir, m.statsDir) ++ m.deletes).toSet
+      kept.flatMap(m => Seq(m.vocabDir, m.statsDir) ++ m.deletes.map(_._1)).toSet
     Seq("vocab", "stats", "deletes").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$kind")
       if (f.exists(p)) f.listStatus(p).foreach { st =>
@@ -532,14 +666,12 @@ object InvertedIndex {
     // driver-side collect, independent of corpus or probe size.
     val probeBuckets = qterms.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    // tombstoned docs are excluded here; their df/n/sumdl contributions
-    // were subtracted when the tombstone committed, so the scores below
-    // equal a rebuild without them (churn-sized between compactions —
-    // the next compact drops the rows and clears the set)
-    val postings0 = readPostings(spark, dir, m.postings.filter(e => probeBuckets(e._1)))
-    val postings =
-      if (m.deletes.isEmpty) postings0
-      else postings0.join(readDeletes(spark, dir, m), Seq("doc_id"), "left_anti")
+    // tombstoned rows are excluded here (coverage-aware); their
+    // df/n/sumdl contributions were subtracted when each tombstone
+    // committed, so the scores below equal a rebuild without them
+    // (churn-sized between compactions — the next compact drops the
+    // rows and clears the set)
+    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
 
     // scalar aggregate over the 1-row stats file: a structural row
     // bound the plan audit can SEE (a bare file scan is unbounded to

@@ -102,6 +102,63 @@ object StreamIndex {
     if (cfg.vacuumEveryBatches.exists(n => (batchId + 1) % n == 0)) vacuum()
   }
 
+  /** CDC foreachBatch against the inverted index — the reference's
+    * change-capture loop maintaining the SERVING layer. Batch rows
+    * carry (id, text, `opCol` ∈ I/U/D), at most one row per id (dedup
+    * upstream with [[graft.operators.Upsert.latestByKey]]). `oldTexts`
+    * resolves the INDEXED text of ids leaving the index (U and D rows)
+    * from the system of record — e.g. a bucket-pruned catalog point
+    * lookup, churn-sized — returning (id, text) rows for only the ids
+    * it has. The whole batch lands in ONE atomic manifest claim
+    * ([[graft.operators.InvertedIndex.applyCdc]]): new postings,
+    * coverage tombstone, corrected vocab/stats, and the exactly-once
+    * stamp.
+    */
+  def invertedCdcBatch(cfg: Config, textCol: String, opCol: String,
+      oldTexts: DataFrame => DataFrame)(batch: DataFrame, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (InvertedIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
+      return false
+    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+      .drop(opCol)
+    val leaving = batch
+      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
+      .select(cfg.idCol)
+    InvertedIndex.applyCdc(upserts, oldTexts(leaving), cfg.idCol, textCol,
+      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    maintain(cfg, batchId,
+      () => InvertedIndex.compact(spark, cfg.indexDir),
+      () => InvertedIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
+    true
+  }
+
+  /** CDC foreachBatch against the ANN index: same shape, no resolver —
+    * the dense side needs only the LEAVING IDS (no corpus stats to
+    * correct), so the batch itself carries everything.
+    */
+  def annCdcBatch(cfg: Config, vecCol: String, opCol: String)(
+      batch: DataFrame, batchId: Long): Boolean = {
+    val spark = batch.sparkSession
+    if (AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
+      return false
+    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+      .drop(opCol)
+    val leaving = batch
+      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
+      .select(cfg.idCol)
+    AnnIndex.applyCdc(upserts, leaving, cfg.idCol, vecCol,
+      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    maintain(cfg, batchId,
+      () => AnnIndex.compact(spark, cfg.indexDir),
+      () => AnnIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
+    true
+  }
+
+  /** Drain a CDC source into the inverted index (one capture cycle). */
+  def runInvertedCdcAvailableNow(source: DataFrame, textCol: String, opCol: String,
+      oldTexts: DataFrame => DataFrame, cfg: Config): Long =
+    run(source, cfg)(invertedCdcBatch(cfg, textCol, opCol, oldTexts))
+
   /** Drain all currently-available rows of `source` into the inverted
     * index (one maintenance cycle). Returns micro-batches processed.
     */

@@ -167,6 +167,8 @@ object StreamMain {
     val spark = SparkSession.builder()
       .appName("graft-stream")
       .config("spark.sql.shuffle.partitions", 32)
+      // unsound in Spark 4.1 — see GraftSession for the full account
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     val code =
       try {

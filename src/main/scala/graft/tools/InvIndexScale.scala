@@ -70,12 +70,44 @@ object InvIndexScale {
     val serveC = minOf3(noop(
       InvertedIndex.bm25TopK(docs, "doc_id", "text", dir2, probes, k = 5)))
 
+    // CDC axis: ten churn-sized I/U/D batches against a served index —
+    // coverage tombstones accumulate (serve pays the liveRows anti-join
+    // + O(#files) position broadcast per query), then compact drops the
+    // dead rows and clears the set: serve must return to flat. Slices
+    // are disjoint across batches (each doc inserted/updated/deleted at
+    // most once); the probes are pinned out of the churn.
+    val churnable = !col("doc_id").isin(probes: _*)
+    val dir3 = java.nio.file.Files.createTempDirectory("invidx_scale_c").toString
+    InvertedIndex.build(docs.filter(shard >= 20), "doc_id", "text", dir3)
+    val serveFresh3 = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5)))
+    var cdcTotal = 0.0
+    (0 until 10).foreach { i =>
+      val ins = docs.filter(shard === (10 + i))
+      val upd = docs.filter(shard === (90 - i) && churnable)
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"))
+      val removalsOld = docs.filter((shard === (90 - i) || shard === (50 + i)) && churnable)
+      cdcTotal += timed(InvertedIndex.applyCdc(
+        upd.unionByName(ins), removalsOld, "doc_id", "text", dir3))._2
+    }
+    val m10 = InvertedIndex.currentManifest(spark, dir3)
+    val serve10c = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5)))
+    val (foldedC, compactCS) = timed(InvertedIndex.compact(spark, dir3))
+    InvertedIndex.vacuum(spark, dir3, keepVersions = 1, graceMs = 0L)
+    val serveCc = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5)))
+
     println(f"[invidx] sf=$sfDir docs=$nDocs build=$buildS%.2f serve=$serveS%.2f " +
       f"scratch=$scratchS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
     println(f"[invidx-maint] serve_fresh=$serveFresh%.2f deltas10=$deltaTotal%.2f " +
       f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
       f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +
       f"files_after_compact=$filesC serve_after_compact=$serveC%.2f")
+    println(f"[invidx-cdc] serve_fresh=$serveFresh3%.2f cdc10=$cdcTotal%.2f " +
+      f"tombstones_after_10=${m10.deletes.size} files_after_10=${m10.postings.size} " +
+      f"serve_after_10cdc=$serve10c%.2f compact=$compactCS%.2f folded=$foldedC " +
+      f"serve_after_compact=$serveCc%.2f")
     spark.stop()
   }
 }

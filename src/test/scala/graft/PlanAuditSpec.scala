@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "search_bm25_indexed",             // same stats scalars, read from the index's 1-row sidecar
     "search_index_delta",              // same stats scalars after the versioned merge
     "search_index_delete",             // same stats scalars over the tombstone-corrected sidecars
+    "search_index_cdc",                // same stats scalars over the CDC-corrected sidecars
     "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
@@ -119,6 +120,7 @@ class PlanAuditSpec extends SparkSpec {
     "search_bm25_indexed"   -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
     "search_index_delta"    -> "same probe-bounded sides over the delta-grown index",
     "search_index_delete"   -> "probe-bounded sides + churn-sized tombstone anti-join (set cleared at every compact)",
+    "search_index_cdc"      -> "probe-bounded sides + churn-sized coverage-tombstone anti-join + O(#files) position table",
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
     "curation_pipeline"     -> "embeds the decontaminate benchmark-shingle side",

@@ -54,6 +54,8 @@ object SparkSpec {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // unsound in Spark 4.1 — see GraftSession for the full account
+      .config("spark.sql.unionOutputPartitioning", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -165,6 +165,109 @@ class StreamIndexSpec extends SparkSpec {
     assert(onDisk == live.size, s"vacuum left ${onDisk - live.size} unreferenced postings files")
   }
 
+  test("one CDC batch (insert+update+delete) lands atomically and answers like a rebuild") {
+    val spark0 = spark
+    import spark0.implicits._
+    val seed = docs.filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("sidx_cdc").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir)
+
+    // update 5 (new text borrowed from doc 460), delete 10, insert 450
+    val newText5 = docs.filter($"doc_id" === 460).select("text").as[String].head()
+    val text450  = docs.filter($"doc_id" === 450).select("text").as[String].head()
+    val batch = Seq((5L, newText5, "U"), (10L, null.asInstanceOf[String], "D"),
+      (450L, text450, "I")).toDF("doc_id", "text", "op")
+    // the resolver reads the system of record (here: the seed corpus)
+    val resolver = (ids: org.apache.spark.sql.DataFrame) =>
+      seed.join(ids, Seq("doc_id"), "left_semi")
+    val cfg = StreamIndex.Config(indexDir = dir, idCol = "doc_id",
+      checkpointDir = Files.createTempDirectory("sidx_cdc_ckpt").toString,
+      compactEveryBatches = None)
+    assert(StreamIndex.invertedCdcBatch(cfg, "text", "op", resolver)(batch, 0L))
+
+    val after = docs.filter($"doc_id" < 300 && !$"doc_id".isin(5L, 10L))
+      .unionByName(Seq((5L, newText5), (450L, text450)).toDF("doc_id", "text"))
+    val scratchDir = Files.createTempDirectory("sidx_cdc_scratch").toString
+    InvertedIndex.build(after, "doc_id", "text", scratchDir)
+    val probes = Seq(0L, 5L, 42L)
+    assert(
+      rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, probes, k = 5)) ==
+      rows(InvertedIndex.bm25TopK(after, "doc_id", "text", scratchDir, probes, k = 5)),
+      "CDC-maintained index diverged from a rebuild over the post-CDC corpus")
+
+    // the updated doc's NEW rows survived its own tombstone (coverage),
+    // the deleted doc is gone, and a replay changes nothing
+    val v = InvertedIndex.versions(spark, dir)
+    assert(!StreamIndex.invertedCdcBatch(cfg, "text", "op", resolver)(batch, 0L))
+    assert(InvertedIndex.versions(spark, dir) == v)
+
+    // compact = physical pass; answers stable, tombstones cleared
+    InvertedIndex.compact(spark, dir)
+    assert(InvertedIndex.currentManifest(spark, dir).deletes.isEmpty)
+    assert(
+      rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, probes, k = 5)) ==
+      rows(InvertedIndex.bm25TopK(after, "doc_id", "text", scratchDir, probes, k = 5)),
+      "compaction changed post-CDC answers")
+  }
+
+  test("re-insert after delete: coverage tombstones never shadow a later version") {
+    val spark0 = spark
+    import spark0.implicits._
+    val seed = docs.filter($"doc_id" < 100)
+    val dir = Files.createTempDirectory("sidx_reins").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir)
+    InvertedIndex.deleteDocs(Seq(7L).toDF("doc_id"), "doc_id", dir)
+    // bring doc 7 back with different text via a pure-insert CDC batch
+    val newText = docs.filter($"doc_id" === 200).select("text").as[String].head()
+    InvertedIndex.applyCdc(Seq((7L, newText)).toDF("doc_id", "text"),
+      removals = Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val after = seed.filter($"doc_id" =!= 7L)
+      .unionByName(Seq((7L, newText)).toDF("doc_id", "text"))
+    val scratchDir = Files.createTempDirectory("sidx_reins_scratch").toString
+    InvertedIndex.build(after, "doc_id", "text", scratchDir)
+    val got = rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, Seq(1L, 7L), k = 5))
+    assert(got == rows(InvertedIndex.bm25TopK(after, "doc_id", "text", scratchDir,
+      Seq(1L, 7L), k = 5)), "resurrected doc not served like a rebuild")
+  }
+
+  test("ANN CDC batch: updated vector replaces the old one atomically; replay is refused") {
+    val spark0 = spark
+    import spark0.implicits._
+    val seed = emb.filter($"vec_id" >= 20 && $"vec_id" < 300)
+    val dir = Files.createTempDirectory("sidx_anncdc").toString
+    AnnIndex.build(seed, "vec_id", "embedding", dir, nCells = 8)
+    val probes = emb.filter($"vec_id" < 10)
+
+    // vec 25 takes vec 310's embedding; vec 30 is deleted; vec 310 inserts
+    val v310 = emb.filter($"vec_id" === 310).select("embedding")
+      .as[Seq[Float]].head()
+    val batch = Seq((25L, v310, "U"), (30L, Seq.empty[Float], "D"), (310L, v310, "I"))
+      .toDF("vec_id", "embedding", "op")
+    val cfg = StreamIndex.Config(indexDir = dir, idCol = "vec_id",
+      checkpointDir = Files.createTempDirectory("sidx_anncdc_ckpt").toString,
+      compactEveryBatches = None)
+    assert(StreamIndex.annCdcBatch(cfg, "embedding", "op")(batch, 0L))
+
+    val got = AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 200, nProbe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(30L), "deleted vector still served")
+    assert(got.contains(310L) || got.contains(25L),
+      "no trace of the batch's new vectors in a full sweep")
+    // 25 and 310 now share a vector: both or neither appear per probe
+    // cell; stronger — 25's OLD vector must be gone: delete 25 again
+    // and its new version with it, then re-query
+    val v = AnnIndex.versions(spark, dir)
+    assert(!StreamIndex.annCdcBatch(cfg, "embedding", "op")(batch, 0L), "replay applied")
+    assert(AnnIndex.versions(spark, dir) == v)
+    AnnIndex.compact(spark, dir)
+    val m = AnnIndex.currentManifest(spark, dir)
+    assert(m.deletes.isEmpty)
+    val live = spark.read.parquet(m.vectors.map(p => s"$dir/${p._2}"): _*)
+    assert(live.filter($"neighbor_id" === 30L).count() == 0, "deleted vector survived compact")
+    assert(live.filter($"neighbor_id" === 25L).count() == 1, "update left duplicate vectors")
+  }
+
   test("streamed vector deltas grow the ANN index to answer exactly like a one-shot delta fold") {
     val seed  = emb.filter($"vec_id" < 300)
     val delta = emb.filter($"vec_id" >= 300 && $"vec_id" < 420)
