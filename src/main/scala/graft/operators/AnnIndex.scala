@@ -133,7 +133,11 @@ object AnnIndex {
 
   private[graft] def stageSplits(assigned: DataFrame, nCells: Int): Int = {
     val bytes = graft.operators.ScaleSafe.leafScanBytes(assigned)
-    (bytes / TargetFileBytes).max(nCells).min(MaxSplits).toInt
+    // bytes-derived only, no nCells floor — see InvertedIndex
+    // .stagePostings: a task floor multiplies every churn-sized delta
+    // into ~floor × cells small files; the writer cliff is covered by
+    // the bytes term and readers split large parquet files by row group
+    (bytes / TargetFileBytes).max(1).min(MaxSplits).toInt
   }
 
   private def stageVectors(spark: SparkSession, assigned: DataFrame,

@@ -63,12 +63,41 @@ object AnnIndexScale {
     val serveC = minOf3(noop(
       AnnIndex.topK(probes, "vec_id", "embedding", dir2, k = 10, nProbe = 4)))
 
+    // CDC axis: ten churn-sized U/D+I batches — no stat corrections on
+    // the dense side, so applyCdc is tombstone-write + cell-file append
+    // + one manifest claim; serve pays the coverage anti-join until
+    // compact drops the dead rows and clears the set.
+    val dir3 = java.nio.file.Files.createTempDirectory("annidx_scale_c").toString
+    AnnIndex.build(candidates.filter(shard >= 20), "vec_id", "embedding", dir3, nCells = 16)
+    val serveFresh3 = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir3, k = 10, nProbe = 4)))
+    var cdcTotal = 0.0
+    (0 until 10).foreach { i =>
+      val ins = candidates.filter(shard === (10 + i))
+      val upd = candidates.filter(shard === (90 - i))   // re-insert same vec = an update
+      val leaving = candidates.filter(shard === (90 - i) || shard === (50 + i))
+        .select("vec_id")
+      cdcTotal += timed(AnnIndex.applyCdc(
+        upd.unionByName(ins), leaving, "vec_id", "embedding", dir3))._2
+    }
+    val m10c = AnnIndex.currentManifest(spark, dir3)
+    val serve10c = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir3, k = 10, nProbe = 4)))
+    val (foldedC, compactCS) = timed(AnnIndex.compact(spark, dir3))
+    AnnIndex.vacuum(spark, dir3, keepVersions = 1, graceMs = 0L)
+    val serveCc = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir3, k = 10, nProbe = 4)))
+
     println(f"[annidx] sf=$sfDir vecs=$n build=$buildS%.2f serve=$serveS%.2f " +
       f"scratch=$scratchS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
     println(f"[annidx-maint] serve_fresh=$serveFresh%.2f deltas10=$deltaTotal%.2f " +
       f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
       f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +
       f"files_after_compact=$filesC serve_after_compact=$serveC%.2f")
+    println(f"[annidx-cdc] serve_fresh=$serveFresh3%.2f cdc10=$cdcTotal%.2f " +
+      f"tombstones_after_10=${m10c.deletes.size} files_after_10=${m10c.vectors.size} " +
+      f"serve_after_10cdc=$serve10c%.2f compact=$compactCS%.2f folded=$foldedC " +
+      f"serve_after_compact=$serveCc%.2f")
     spark.stop()
   }
 }

@@ -83,7 +83,7 @@ object InvIndexScale {
       InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5)))
     var cdcTotal = 0.0
     (0 until 10).foreach { i =>
-      val ins = docs.filter(shard === (10 + i))
+      val ins = docs.filter(shard === (10 + i)).select(col("doc_id"), col("text"))
       val upd = docs.filter(shard === (90 - i) && churnable)
         .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"))
       val removalsOld = docs.filter((shard === (90 - i) || shard === (50 + i)) && churnable)
