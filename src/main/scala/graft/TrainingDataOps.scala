@@ -2310,6 +2310,44 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_phrase_indexed",
+      // exact phrase search FROM the positional postings (no corpus
+      // access at query time): a doc matches "t0 … tL-1" at start p iff
+      // every ti's posting has position p+i, so matches = intersection
+      // of each term's positions shifted by its offset. The scan reads
+      // only the phrase terms' buckets' files; occurrence counting is
+      // exact and overlapping, which is what the oracle's naive
+      // token-slice scan computes
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_invidx_p").toString
+        val docs = spread(Tables(spark, dir).documents, "doc_id").select("doc_id", "text")
+        operators.InvertedIndex.build(docs, "doc_id", "text", work)
+        operators.InvertedIndex.phraseTopK(spark, work,
+            phrases = Seq("fast key scan", "table table", "value fast"), k = 5)
+          .orderBy("phrase", "rank")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), p AS (
+          SELECT * FROM (VALUES ('fast key scan', ['fast','key','scan']),
+                                ('table table', ['table','table']),
+                                ('value fast', ['value','fast'])) AS t(phrase, pts)
+        ), m AS (
+          SELECT p.phrase, d.doc_id,
+                 len(list_filter(range(1, len(toks) - len(pts) + 2),
+                     i -> toks[i:i+len(pts)-1] = pts)) AS n
+          FROM d CROSS JOIN p
+        )
+        SELECT phrase, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
+          SELECT phrase, doc_id, n,
+                 row_number() OVER (PARTITION BY phrase ORDER BY n DESC, doc_id) AS rn
+          FROM m WHERE n > 0
+        ) WHERE rn <= 5 ORDER BY phrase, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "vocab_growth",
       // Heaps-law vocabulary growth per source: first occurrence =
       // min(doc_id) per (source, token) — one vocab-bounded agg, then a

@@ -119,10 +119,19 @@ object InvertedIndex {
 
   // ---- tokenization (MUST stay expression-identical to bm25TopK) ----
 
+  /** One row per (doc, token): tf plus the token's POSITIONS in the
+    * doc (0-based over the whitespace token sequence). Positions are
+    * what make the postings a full positional index — [[phraseTopK]]
+    * needs them; BM25 never references the column, so Catalyst prunes
+    * it out of every scoring scan (zero serve cost when unused).
+    */
   private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
-        explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
-      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
+        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+          .as(Seq("__pos", "__tok")))
+      .groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"),
+        sort_array(collect_list(col("__pos"))).as("__positions"))
 
   private def bucketOf(tok: Column, buckets: Int): Column =
     pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
@@ -233,6 +242,7 @@ object InvertedIndex {
     tf.select(col(idCol).as("doc_id"), col("__tok").as("tok"),
       col("__tf").as("tf"),
       sum(col("__tf")).over(Window.partitionBy(col(idCol))).as("dl"),
+      col("__positions").as("positions"),
       bucketOf(col("__tok"), buckets).as("bucket"))
   }
 
@@ -244,7 +254,7 @@ object InvertedIndex {
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"))
+          "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, positions ARRAY<INT>"))
     else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
 
   // ---- build ---------------------------------------------------------
@@ -707,5 +717,59 @@ object InvertedIndex {
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("doc_id").as(idCol),
         (col("__score_fp").cast("double") / 1.0e7).as("score"))
+  }
+
+  /** Exact phrase search FROM the positional postings: top-`k` docs per
+    * phrase ranked by occurrence count (overlapping occurrences
+    * included). Pure index-side — no corpus access: a doc contains the
+    * phrase `t_0 … t_{L-1}` at start position p iff every `t_i`'s
+    * posting for the doc has position `p + i`, so the match set is the
+    * intersection of each term's positions shifted left by its phrase
+    * offset. The scan reads ONLY the phrase terms' buckets' files
+    * (manifest-pruned, like [[bm25TopK]]); the phrase table broadcasts
+    * (bounded by the caller's phrase list); duplicate terms in a
+    * phrase are handled naturally (each offset intersects the same
+    * posting shifted differently). Occurrence counting is exact and
+    * overlapping ("a a a" contains "a a" twice), matching the naive
+    * token-slice scan of the corpus.
+    */
+  def phraseTopK(spark: SparkSession, dir: String, phrases: Seq[String],
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrases.nonEmpty, "phraseTopK needs at least one phrase")
+    val m = currentManifest(spark, dir)
+    val probeRows = phrases.flatMap { p =>
+      val terms = p.trim.split("\\s+").toSeq
+      terms.zipWithIndex.map { case (t, i) => (p, t, i, terms.size) }
+    }
+    import spark.implicits._
+    val probe = probeRows.toDF("phrase", "tok", "__term_idx", "__phrase_len")
+    // ≤ m.buckets distinct values — constant-bounded driver-side
+    // collect, through the SAME engine expression the postings were
+    // laid out with (a re-implemented hash would be a silent-miss risk)
+    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
+      .select(col("doc_id"), col("tok"), col("positions"))
+    val hits = postings.join(broadcast(probe), Seq("tok"))
+      .select(col("phrase"), col("__phrase_len"), col("doc_id"),
+        transform(col("positions"), p => p - col("__term_idx")).as("__starts"))
+    val matched = hits.groupBy(col("phrase"), col("doc_id"))
+      .agg(first(col("__phrase_len")).as("__len"), count(lit(1)).as("__nterms"),
+        collect_list(col("__starts")).as("__all"))
+      // every phrase offset must have matched (one postings row per
+      // (doc, tok), so rows == offsets iff all terms are present)
+      .filter(col("__nterms") === col("__len"))
+      .select(col("phrase"), col("doc_id"),
+        // fold the WHOLE list with the first array as init — positions
+        // are distinct, so intersecting the init with itself is a no-op
+        size(aggregate(col("__all"), element_at(col("__all"), 1),
+          (acc, x) => array_intersect(acc, x))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val rank = Window.partitionBy(col("phrase"))
+      .orderBy(col("n").desc, col("doc_id").asc)
+    matched.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
   }
 }

@@ -38,6 +38,42 @@ class InvertedIndexSpec extends SparkSpec {
     out.result()
   }
 
+  test("phrase search from positional postings: exact, overlapping, rank by occurrences") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "a a a b"),                // "a a" twice (overlapping), "a a a" once
+      (1L, "a b a b a b"),            // "a b" three times, "b a" twice
+      (2L, "b b a"),                  // "a a" never ("a" once)
+      (3L, "x a a y a a"),            // "a a" twice (disjoint)
+      (4L, "a")                       // single token: matches "a" only
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_phrase").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir)
+    val got = InvertedIndex.phraseTopK(spark, dir, Seq("a a", "a b", "a a a", "a"), k = 5)
+      .orderBy("phrase", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a", 1, 3L, 4L), ("a", 2, 0L, 3L), ("a", 3, 1L, 3L), ("a", 4, 2L, 1L), ("a", 5, 4L, 1L),
+      ("a a", 1, 0L, 2L), ("a a", 2, 3L, 2L),
+      ("a a a", 1, 0L, 1L),
+      ("a b", 1, 1L, 3L), ("a b", 2, 0L, 1L)))
+  }
+
+  test("phrase search still answers after a delta grows the index") {
+    val s = spark
+    import s.implicits._
+    val half1 = Seq((0L, "p q r"), (1L, "q r p")).toDF("doc_id", "text")
+    val half2 = Seq((2L, "p q p q"), (3L, "r r r")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_phrase_d").toString
+    InvertedIndex.build(half1, "doc_id", "text", dir)
+    InvertedIndex.addDelta(half2, "doc_id", "text", dir)
+    val got = InvertedIndex.phraseTopK(spark, dir, Seq("p q"), k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, 2L, 2L), (2, 0L, 1L)))
+  }
+
   test("indexed BM25 answers identically to the from-scratch query") {
     val dir = java.nio.file.Files.createTempDirectory("invidx").toString
     InvertedIndex.build(docs, "doc_id", "text", dir)
