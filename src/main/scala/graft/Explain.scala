@@ -7,6 +7,8 @@ object Explain {
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
+      // unsound in Spark 4.1 — see GraftSession for the full account
+      .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.01"

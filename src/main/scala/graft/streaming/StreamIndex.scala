@@ -154,6 +154,24 @@ object StreamIndex {
     true
   }
 
+  /** Standard `oldTexts` resolver for [[invertedCdcBatch]]: point-look
+    * up the system of record (a catalog table) for the leaving ids'
+    * INDEXED text. The distinct id set broadcasts, so the DSv2 scan
+    * receives the ids as runtime filters and key-bloom / min-max
+    * sidecars prune the files — a churn-sized read of an arbitrarily
+    * large table. Resolve against the PRE-batch table state: the
+    * crash-safe order is resolve → applyCdc (stamped, idempotent) →
+    * catalog MERGE (stamped) — a replay of the index half re-reads
+    * text the index still serves, and a replay after both committed is
+    * refused by both stamps.
+    */
+  def catalogResolver(spark: org.apache.spark.sql.SparkSession, table: String,
+      idCol: String, textCol: String): DataFrame => DataFrame =
+    ids => spark.table(table)
+      .join(org.apache.spark.sql.functions.broadcast(ids.select(idCol).distinct()),
+        Seq(idCol), "left_semi")
+      .select(idCol, textCol)
+
   /** Drain a CDC source into the inverted index (one capture cycle). */
   def runInvertedCdcAvailableNow(source: DataFrame, textCol: String, opCol: String,
       oldTexts: DataFrame => DataFrame, cfg: Config): Long =

@@ -210,6 +210,43 @@ class StreamIndexSpec extends SparkSpec {
       "compaction changed post-CDC answers")
   }
 
+  test("catalog-backed CDC: system of record and serving index stay in lockstep") {
+    val warehouse = Files.createTempDirectory("sidx_cat_wh").toString
+    spark.conf.set("spark.sql.catalog.sidxcat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.sidxcat.warehouse", warehouse)
+    spark.sql("CREATE TABLE sidxcat.db.docs (doc_id BIGINT, text STRING)")
+    docs.filter($"doc_id" < 200).createOrReplaceTempView("sidx_cat_seed")
+    spark.sql("INSERT INTO sidxcat.db.docs SELECT * FROM sidx_cat_seed")
+    val dir = Files.createTempDirectory("sidx_cat").toString
+    InvertedIndex.build(spark.table("sidxcat.db.docs"), "doc_id", "text", dir)
+
+    val newText = docs.filter($"doc_id" === 300).select("text").as[String].head()
+    val batch = Seq((5L, newText, "U"), (10L, null.asInstanceOf[String], "D"),
+      (400L, newText, "I")).toDF("doc_id", "text", "op")
+    val resolver = StreamIndex.catalogResolver(spark, "sidxcat.db.docs", "doc_id", "text")
+    val cfg = StreamIndex.Config(indexDir = dir, idCol = "doc_id",
+      checkpointDir = Files.createTempDirectory("sidx_cat_ckpt").toString,
+      compactEveryBatches = None)
+    // crash-safe order: resolve + applyCdc first (stamped), catalog MERGE second
+    assert(StreamIndex.invertedCdcBatch(cfg, "text", "op", resolver)(batch, 0L))
+    batch.createOrReplaceTempView("sidx_cat_cdc")
+    spark.sql("""MERGE INTO sidxcat.db.docs t USING sidx_cat_cdc s ON t.doc_id = s.doc_id
+      WHEN MATCHED AND s.op = 'D' THEN DELETE
+      WHEN MATCHED THEN UPDATE SET t.text = s.text
+      WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (doc_id, text) VALUES (s.doc_id, s.text)""")
+
+    val after = spark.table("sidxcat.db.docs")
+    val scratch = Files.createTempDirectory("sidx_cat_scratch").toString
+    InvertedIndex.build(after, "doc_id", "text", scratch)
+    val probes = Seq(0L, 7L, 42L)
+    assert(rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, probes, k = 5)) ==
+      rows(InvertedIndex.bm25TopK(after, "doc_id", "text", scratch, probes, k = 5)),
+      "CDC-maintained index diverged from a rebuild over the merged table")
+    // a replay of the index half (crash between index and catalog
+    // commits) is refused by the committed stamp
+    assert(!StreamIndex.invertedCdcBatch(cfg, "text", "op", resolver)(batch, 0L))
+  }
+
   test("re-insert after delete: coverage tombstones never shadow a later version") {
     val spark0 = spark
     import spark0.implicits._
