@@ -2348,6 +2348,45 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_proximity_indexed",
+      // ordered span-near from the positional postings: anchors =
+      // positions p of the FIRST term with the SECOND term in
+      // (p, p+window]. Same serving shape as phrase search (pair
+      // terms' buckets only, pair table broadcast); the oracle is the
+      // naive nested position scan of the corpus
+      (spark, dir) => {
+        val work = java.nio.file.Files.createTempDirectory("graft_invidx_x2").toString
+        val docs = spread(Tables(spark, dir).documents, "doc_id").select("doc_id", "text")
+        operators.InvertedIndex.build(docs, "doc_id", "text", work)
+        operators.InvertedIndex.proximityTopK(spark, work,
+            pairs = Seq(("scan", "fast"), ("table", "query"), ("key", "value")),
+            window = 3, k = 5)
+          .orderBy("q", "rank")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), p AS (
+          SELECT * FROM (VALUES ('scan fast', 'scan', 'fast'),
+                                ('table query', 'table', 'query'),
+                                ('key value', 'key', 'value')) AS t(q, a, b)
+        ), m AS (
+          SELECT p.q, d.doc_id,
+                 len(list_filter(
+                   list_filter(range(1, len(toks)+1), i -> toks[i] = a),
+                   pp -> len(list_filter(range(1, len(toks)+1),
+                             j -> toks[j] = b AND j > pp AND j - pp <= 3)) > 0)) AS n
+          FROM d CROSS JOIN p
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
+          SELECT q, doc_id, n,
+                 row_number() OVER (PARTITION BY q ORDER BY n DESC, doc_id) AS rn
+          FROM m WHERE n > 0
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "vocab_growth",
       // Heaps-law vocabulary growth per source: first occurrence =
       // min(doc_id) per (source, token) — one vocab-bounded agg, then a

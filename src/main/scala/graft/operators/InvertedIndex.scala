@@ -772,4 +772,41 @@ object InvertedIndex {
       .filter(col("rank") <= k)
       .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
   }
+
+  /** Ordered proximity search (span-near) FROM the positional postings:
+    * top-`k` docs per (first, second) pair ranked by the number of
+    * anchors — positions p of `first` with an occurrence of `second`
+    * in (p, p + window]. Same serving shape as [[phraseTopK]] (only
+    * the pair terms' buckets read, pair table broadcast); `first ==
+    * second` means "the term repeats within the window".
+    */
+  def proximityTopK(spark: SparkSession, dir: String,
+      pairs: Seq[(String, String)], window: Int, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(pairs.nonEmpty, "proximityTopK needs at least one pair")
+    require(window >= 1, s"window must be >= 1, got $window")
+    val m = currentManifest(spark, dir)
+    import spark.implicits._
+    val probe = pairs.flatMap { case (a, b) =>
+      Seq((s"$a $b", a, 0), (s"$a $b", b, 1))
+    }.toDF("q", "tok", "__role")
+    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
+      .select(col("doc_id"), col("tok"), col("positions"))
+    val matched = postings.join(broadcast(probe), Seq("tok"))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(
+        first(when(col("__role") === 0, col("positions")), ignoreNulls = true).as("__pa"),
+        first(when(col("__role") === 1, col("positions")), ignoreNulls = true).as("__pb"))
+      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+      .select(col("q"), col("doc_id"),
+        size(filter(col("__pa"), p =>
+          exists(col("__pb"), q2 => q2 > p && q2 - p <= lit(window)))).cast("long").as("n"))
+      .filter(col("n") > 0)
+    val rank = Window.partitionBy(col("q")).orderBy(col("n").desc, col("doc_id").asc)
+    matched.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("doc_id"), col("n"))
+  }
 }

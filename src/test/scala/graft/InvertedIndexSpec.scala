@@ -60,6 +60,28 @@ class InvertedIndexSpec extends SparkSpec {
       ("a b", 1, 1L, 3L), ("a b", 2, 0L, 1L)))
   }
 
+  test("proximity search: ordered span-near with window edge, reversed pair, same-term pair") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "a x x b"),     // gap 3 = window edge: anchors
+      (1L, "a x x x b"),   // gap 4: out of window
+      (2L, "b a"),         // reversed order: (a,b) misses, (b,a) hits
+      (3L, "a b a b"),     // two anchors for (a,b)
+      (4L, "a a")          // same-term pair
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_prox").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir)
+    val got = InvertedIndex.proximityTopK(spark, dir,
+        Seq(("a", "b"), ("b", "a"), ("a", "a")), window = 3, k = 5)
+      .orderBy("q", "rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq(
+      ("a a", 1, 3L, 1L), ("a a", 2, 4L, 1L),
+      ("a b", 1, 3L, 2L), ("a b", 2, 0L, 1L),
+      ("b a", 1, 2L, 1L), ("b a", 2, 3L, 1L)))
+  }
+
   test("phrase search still answers after a delta grows the index") {
     val s = spark
     import s.implicits._
