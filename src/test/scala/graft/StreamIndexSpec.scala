@@ -247,6 +247,41 @@ class StreamIndexSpec extends SparkSpec {
     assert(!StreamIndex.invertedCdcBatch(cfg, "text", "op", resolver)(batch, 0L))
   }
 
+  test("racing applyCdc and addDelta serialize on the manifest claim; no lost update") {
+    val spark0 = spark
+    import spark0.implicits._
+    val seed = docs.filter($"doc_id" < 200)
+    val dir = Files.createTempDirectory("sidx_race").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir)
+
+    val updIds = Seq(5L, 6L, 7L, 8L, 9L)
+    val updates = seed.filter($"doc_id".isin(updIds: _*))
+      .select($"doc_id", concat_ws(" ", $"text", $"text").as("text"))
+    val removals = seed.filter($"doc_id".isin(updIds: _*))
+    val delta = docs.filter($"doc_id" >= 400 && $"doc_id" < 450)
+
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val fa = scala.concurrent.Future(
+      InvertedIndex.applyCdc(updates, removals, "doc_id", "text", dir))
+    val fb = scala.concurrent.Future(
+      InvertedIndex.addDelta(delta, "doc_id", "text", dir))
+    scala.concurrent.Await.result(fa.zip(fb), scala.concurrent.duration.Duration("300s"))
+    pool.shutdown()
+
+    // both commits landed (one of them through the OCC retry)
+    assert(InvertedIndex.versions(spark, dir).last == 3L)
+    val expected = seed.filter(!$"doc_id".isin(updIds: _*))
+      .unionByName(updates).unionByName(delta)
+    val scratch = Files.createTempDirectory("sidx_race_scratch").toString
+    InvertedIndex.build(expected, "doc_id", "text", scratch)
+    val probes = Seq(0L, 7L, 42L)
+    assert(rows(InvertedIndex.bm25TopK(expected, "doc_id", "text", dir, probes, k = 5)) ==
+      rows(InvertedIndex.bm25TopK(expected, "doc_id", "text", scratch, probes, k = 5)),
+      "racing maintainers lost an update: index diverged from the rebuild")
+  }
+
   test("re-insert after delete: coverage tombstones never shadow a later version") {
     val spark0 = spark
     import spark0.implicits._
