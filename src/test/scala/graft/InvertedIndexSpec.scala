@@ -82,6 +82,31 @@ class InvertedIndexSpec extends SparkSpec {
       ("b a", 1, 2L, 1L), ("b a", 2, 3L, 1L)))
   }
 
+  test("phrase search sees CDC: an update's old positions die, its new ones serve") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "m n m n"),   // "m n" twice — until the update rewrites it
+      (1L, "m n x"),     // "m n" once
+      (2L, "n m")        // reversed: never matches
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_phrase_cdc").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir)
+    // doc 0 loses its phrase ("m x n" has no adjacent m n); doc 3 arrives with one
+    InvertedIndex.applyCdc(
+      upserts = Seq((0L, "m x n"), (3L, "y m n")).toDF("doc_id", "text"),
+      removals = Seq((0L, "m n m n")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    def got() = InvertedIndex.phraseTopK(spark, dir, Seq("m n"), k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got() == Seq((1, 1L, 1L), (2, 3L, 1L)),
+      "phrase results under coverage tombstones diverged")
+    // compact = the physical pass; phrase answers must not move
+    InvertedIndex.compact(spark, dir)
+    assert(got() == Seq((1, 1L, 1L), (2, 3L, 1L)), "compaction changed phrase answers")
+  }
+
   test("phrase search still answers after a delta grows the index") {
     val s = spark
     import s.implicits._

@@ -247,6 +247,49 @@ class StreamIndexSpec extends SparkSpec {
     assert(!StreamIndex.invertedCdcBatch(cfg, "text", "op", resolver)(batch, 0L))
   }
 
+  test("a CDC stream drains through foreachBatch: multi-batch I/U/D, exactly-once end to end") {
+    val spark0 = spark
+    import spark0.implicits._
+    val seed = docs.filter($"doc_id" < 300)
+    val dir = Files.createTempDirectory("sidx_cdc_stream").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir)
+
+    // three micro-batches: an update wave, a delete wave, an insert wave
+    val newText = docs.filter($"doc_id" === 460).select("text").as[String].head()
+    val updates = Seq(5L, 6L).map(id => (id, newText, "U", 0L))
+    val deletes = Seq(10L, 11L).map(id => (id, null.asInstanceOf[String], "D", 1L))
+    val inserts = Seq(450L, 451L).map { id =>
+      (id, docs.filter($"doc_id" === id).select("text").as[String].head(), "I", 2L)
+    }
+    val srcDir = Files.createTempDirectory("sidx_cdc_src").toString
+    val cdc = (updates ++ deletes ++ inserts).toDF("doc_id", "text", "op", "wave")
+    blobs(cdc, srcDir, 3, "wave")
+    val source = fileSource(srcDir).drop("wave")
+
+    val resolver = (ids: org.apache.spark.sql.DataFrame) =>
+      seed.join(ids, Seq("doc_id"), "left_semi")
+    val cfg = StreamIndex.Config(indexDir = dir, idCol = "doc_id",
+      checkpointDir = Files.createTempDirectory("sidx_cdc_stream_ckpt").toString,
+      compactEveryBatches = Some(2))
+    assert(StreamIndex.runInvertedCdcAvailableNow(source, "text", "op", resolver, cfg) == 3L)
+
+    val after = seed.filter(!$"doc_id".isin(5L, 6L, 10L, 11L))
+      .unionByName(Seq((5L, newText), (6L, newText)).toDF("doc_id", "text"))
+      .unionByName(inserts.map(r => (r._1, r._2)).toDF("doc_id", "text"))
+    val scratch = Files.createTempDirectory("sidx_cdc_stream_scratch").toString
+    InvertedIndex.build(after, "doc_id", "text", scratch)
+    val probes = Seq(0L, 7L, 42L)
+    assert(rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, probes, k = 5)) ==
+      rows(InvertedIndex.bm25TopK(after, "doc_id", "text", scratch, probes, k = 5)),
+      "stream-drained CDC index diverged from a rebuild")
+    // a full replay from a fresh checkpoint is refused batch by batch
+    val v = InvertedIndex.versions(spark, dir)
+    val cfg2 = cfg.copy(checkpointDir = Files.createTempDirectory("sidx_cdc_ckpt2").toString)
+    val source2 = fileSource(srcDir).drop("wave")
+    StreamIndex.runInvertedCdcAvailableNow(source2, "text", "op", resolver, cfg2)
+    assert(InvertedIndex.versions(spark, dir) == v, "replayed CDC stream mutated the index")
+  }
+
   test("racing applyCdc and addDelta serialize on the manifest claim; no lost update") {
     val spark0 = spark
     import spark0.implicits._
