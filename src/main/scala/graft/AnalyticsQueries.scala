@@ -18,6 +18,11 @@ import graft.operators.ScaleSafe.broadcastIfSmall
 object AnalyticsQueries {
 
   private def dec(c: Column): Column = c.cast("decimal(12,2)")
+
+  /** q22's "idle" cutoff: no orders on/after this date. Non-private so
+    * the planted-row spec exercises the exact boundary the query uses.
+    */
+  val Idle1998Cutoff = "1998-01-01"
   private val one                    = lit(1).cast("decimal(12,2)")
 
   private def ts(s: String) = lit(s).cast("timestamp")
@@ -1506,11 +1511,18 @@ object AnalyticsQueries {
     QueryDef(
       "q22_idle_customers",
       // TPC-H Q22 shape: customers with above-average positive balance
-      // and no orders — scalar aggregate broadcast + anti-join. The
-      // above-average test multiplies through by the count
-      // (bal * n > total ⇔ bal > avg) so both engines compare exact
-      // decimals, not a divided double. (No phone column; the nation key
-      // stands in for the country-code grouping.)
+      // and no RECENT orders — scalar aggregate broadcast + anti-join
+      // against the date-filtered order slice. The above-average test
+      // multiplies through by the count (bal * n > total ⇔ bal > avg)
+      // so both engines compare exact decimals, not a divided double.
+      // (No phone column; the nation key stands in for the country-code
+      // grouping. "Idle" is date-bounded — no orders on/after
+      // 1998-01-01 — because the generator gives EVERY customer at
+      // least one lifetime order, which made the unbounded anti-join
+      // structurally empty and its oracle evidence vacuous: 0 == 0 at
+      // every SF. The date-bounded form yields rows at sf0.01 and is
+      // the shape real Q22 intends — dormant accounts, not never-
+      // customers. Idle1998Cutoff is shared with the planted-row spec.)
       (spark, dir) => {
         import spark.implicits._
         val t = Tables(spark, dir)
@@ -1519,18 +1531,20 @@ object AnalyticsQueries {
         t.customer
           .crossJoin(broadcast(avgPos))
           .filter(dec($"c_acctbal") * $"n_pos" > $"total_bal")
-          .join(t.orders, $"c_custkey" === $"o_custkey", "left_anti")
+          .join(t.orders.filter(to_date($"o_orderdate") >= lit(Idle1998Cutoff)),
+            $"c_custkey" === $"o_custkey", "left_anti")
           .groupBy($"c_nationkey")
           .agg(count(lit(1)).as("numcust"), sum(dec($"c_acctbal")).cast("double").as("totacctbal"))
           .orderBy($"c_nationkey")
       },
-      Some("""
+      Some(s"""
         SELECT c_nationkey, count(*) AS numcust,
                CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
         FROM customer
         WHERE CAST(c_acctbal AS DECIMAL(12,2)) * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
               > (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer WHERE c_acctbal > 0)
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                          AND CAST(o_orderdate AS DATE) >= DATE '$Idle1998Cutoff')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
       """.stripMargin.trim),

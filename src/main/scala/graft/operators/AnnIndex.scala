@@ -373,28 +373,47 @@ object AnnIndex {
     * unreferenced ([[vacuum]]). Bounded at nCells jobs over the
     * victim cells' rows.
     */
-  def compact(spark: SparkSession, dir: String): Int = {
-    val base = currentManifest(spark, dir)
-    val byCell = base.vectors.groupBy(_._1)
-    val victims =
-      if (base.deletes.nonEmpty) byCell
-      else byCell.filter(_._2.size > 1)
-    if (victims.isEmpty) return 0
-    val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
-      val rel = IndexManifests.freshRel("vectors")
-      val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-        / TargetFileBytes).max(1).min(MaxSplits).toInt
-      liveRows(spark, dir, base, files)
-        .repartition(width, col("neighbor_id"))
-        .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")
-      cell -> IndexManifests.listStaged(spark, dir, rel, "cell")
-    }.toMap
-    val next = Manifest(base.version + 1, base.centroids,
-      byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
-      base.streams, deletes = Nil)
-    require(IndexManifests.tryCommit(spark, dir, next.version, toJson(next)),
-      s"ANN compaction lost the version race at $dir — rerun against the fresh manifest")
-    victims.valuesIterator.map(_.size).sum
+  def compact(spark: SparkSession, dir: String): Int =
+    compactWithHook(spark, dir, () => ())
+
+  /** Compaction body with a pre-commit seam for the race spec. A lost
+    * claim retries against the fresh manifest (restaged — the prior
+    * rewrites reference a superseded file set; orphans go to
+    * [[vacuum]]), matching [[addDelta]]/[[applyCdc]]'s posture instead
+    * of the single-shot `require` round 11 shipped: compaction racing
+    * a live stream must land eventually, never kill the caller.
+    */
+  private[graft] def compactWithHook(spark: SparkSession, dir: String,
+      onBeforeCommit: () => Unit, maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      val byCell = base.vectors.groupBy(_._1)
+      val victims =
+        if (base.deletes.nonEmpty) byCell
+        else byCell.filter(_._2.size > 1)
+      if (victims.isEmpty) return 0
+      val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
+        val rel = IndexManifests.freshRel("vectors")
+        val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
+          / TargetFileBytes).max(1).min(MaxSplits).toInt
+        liveRows(spark, dir, base, files)
+          .repartition(width, col("neighbor_id"))
+          .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")
+        cell -> IndexManifests.listStaged(spark, dir, rel, "cell")
+      }.toMap
+      if (attempt == 1) onBeforeCommit()
+      val next = Manifest(base.version + 1, base.centroids,
+        byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
+        base.streams, deletes = Nil)
+      if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next)))
+        return victims.valuesIterator.map(_.size).sum
+      if (attempt >= maxAttempts)
+        throw new graft.catalog.GraftCommitConflict(
+          s"ANN compaction lost the version race $maxAttempts times at $dir")
+    }
+    sys.error("unreachable")
   }
 
   /** Expire all but the newest `keepVersions` manifests and sweep

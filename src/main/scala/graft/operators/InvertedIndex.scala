@@ -561,40 +561,66 @@ object InvertedIndex {
     * folding. Commits a new manifest; superseded files become
     * unreferenced (swept by [[vacuum]]). Returns files folded.
     */
-  def compact(spark: SparkSession, dir: String): Int = {
-    val base = currentManifest(spark, dir)
-    val byBucket = base.postings.groupBy(_._1)
-    val victims =
-      if (base.deletes.nonEmpty) byBucket
-      else byBucket.filter(_._2.size > 1)
-    if (victims.isEmpty) return 0
-    val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
-      val rel = IndexManifests.freshRel("postings")
-      // fold to as few TargetFileBytes-sized files as the bucket's
-      // actual bytes need — coalesce(1) would push a huge bucket's
-      // rewrite through one task (the same cliff staging avoids)
-      val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-        / TargetFileBytes).max(1).min(MaxSplits).toInt
-      liveRows(spark, dir, base, files)
-        .repartition(width, col("doc_id"))
-        .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
-      val f = fs(spark, dir)
-      val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
-      val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
-      val out = Seq.newBuilder[(Int, String)]
-      while (it.hasNext) {
-        val p = it.next().getPath
-        if (p.getName.endsWith(".parquet"))
-          out += bucket -> p.toUri.getPath.stripPrefix(root + "/")
-      }
-      bucket -> out.result()
-    }.toMap
-    val next = Manifest(base.version + 1, base.buckets,
-      byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
-      base.vocabDir, base.statsDir, base.streams, deletes = Nil)
-    require(tryCommit(spark, dir, next),
-      s"compaction lost the version race at $dir — rerun against the fresh manifest")
-    victims.valuesIterator.map(_.size).sum
+  def compact(spark: SparkSession, dir: String): Int =
+    compactWithHook(spark, dir, () => ())
+
+  /** Compaction body with a pre-commit seam (the race spec commits a
+    * concurrent delta there). A lost claim RETRIES against the fresh
+    * manifest — the same re-derive-and-retry posture as
+    * [[commitDelta]]/[[deleteDocs]]: maintenance racing a live
+    * delta/CDC stream must land eventually, never throw away its work
+    * AND kill the caller (round 11 shipped a single-shot `require`
+    * here, which failed the explicitly-supported two-streams-one-index
+    * configuration whenever a compact cadence raced the other stream's
+    * commit). Each attempt restages from the fresh manifest — the prior
+    * attempt's rewrites reference a superseded file set, so reusing
+    * them could resurrect tombstoned rows or miss a racing delta's
+    * files; the orphaned staging is [[vacuum]]'s job. Retries are
+    * maintenance-cadence-rare; correctness beats rewrite reuse.
+    */
+  private[graft] def compactWithHook(spark: SparkSession, dir: String,
+      onBeforeCommit: () => Unit, maxAttempts: Int = 5): Int = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      val byBucket = base.postings.groupBy(_._1)
+      val victims =
+        if (base.deletes.nonEmpty) byBucket
+        else byBucket.filter(_._2.size > 1)
+      if (victims.isEmpty) return 0
+      val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
+        val rel = IndexManifests.freshRel("postings")
+        // fold to as few TargetFileBytes-sized files as the bucket's
+        // actual bytes need — coalesce(1) would push a huge bucket's
+        // rewrite through one task (the same cliff staging avoids)
+        val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
+          / TargetFileBytes).max(1).min(MaxSplits).toInt
+        liveRows(spark, dir, base, files)
+          .repartition(width, col("doc_id"))
+          .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
+        val f = fs(spark, dir)
+        val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+        val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
+        val out = Seq.newBuilder[(Int, String)]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet"))
+            out += bucket -> p.toUri.getPath.stripPrefix(root + "/")
+        }
+        bucket -> out.result()
+      }.toMap
+      if (attempt == 1) onBeforeCommit()
+      val next = Manifest(base.version + 1, base.buckets,
+        byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
+        base.vocabDir, base.statsDir, base.streams, deletes = Nil)
+      if (tryCommit(spark, dir, next))
+        return victims.valuesIterator.map(_.size).sum
+      if (attempt >= maxAttempts)
+        throw new graft.catalog.GraftCommitConflict(
+          s"index compaction lost the version race $maxAttempts times at $dir")
+    }
+    sys.error("unreachable")
   }
 
   /** Expire all but the newest `keepVersions` manifests, then sweep

@@ -31,11 +31,16 @@ import org.apache.spark.sql.streaming.Trigger
   * need distinct namespaces; the stamps merge map-wise, so neither
   * stream's replays are confused with the other's progress.
   *
-  * Compaction and vacuum run on the checkpointed batch-id cadence
-  * (restart-safe: a replayed batch re-fires an idempotent maintenance
-  * pass, never skips one), bounding the per-delta small-file
-  * accumulation that costs ~30% serve time after ten unmaintained
-  * deltas (BENCH_SF1).
+  * Compaction and vacuum run on the checkpointed batch-id cadence and
+  * are restart-safe: the stamp pre-check short-circuits only the DELTA
+  * on a replayed batch — maintenance still fires, so a crash between
+  * the index commit and the checkpoint advance re-runs the (idempotent,
+  * content-neutral) pass instead of deferring it a full cadence. They
+  * are also best-effort: an OCC conflict that survives compact/vacuum's
+  * internal retries is swallowed (see [[maintain]]) — maintenance must
+  * never fail a streaming query whose batch already committed. The
+  * cadence bounds the per-delta small-file accumulation that costs
+  * ~30% serve time after ten unmaintained deltas (BENCH_SF1).
   */
 object StreamIndex {
 
@@ -67,14 +72,15 @@ object StreamIndex {
   def invertedBatch(cfg: Config, textCol: String)(
       batch: DataFrame, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    if (InvertedIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
-      return false
-    InvertedIndex.addDelta(batch, cfg.idCol, textCol, cfg.indexDir,
-      stamp = Some(cfg.ns -> batchId))
+    val replay = InvertedIndex.committedBatchId(spark, cfg.indexDir, cfg.ns)
+      .exists(_ >= batchId)
+    if (!replay)
+      InvertedIndex.addDelta(batch, cfg.idCol, textCol, cfg.indexDir,
+        stamp = Some(cfg.ns -> batchId))
     maintain(cfg, batchId,
       () => InvertedIndex.compact(spark, cfg.indexDir),
       () => InvertedIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
-    true
+    !replay
   }
 
   /** foreachBatch handler growing an ANN index (vectors assign against
@@ -84,22 +90,34 @@ object StreamIndex {
   def annBatch(cfg: Config, vecCol: String)(
       batch: DataFrame, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    if (AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
-      return false
-    AnnIndex.addDelta(batch, cfg.idCol, vecCol, cfg.indexDir,
-      stamp = Some(cfg.ns -> batchId))
+    val replay = AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns)
+      .exists(_ >= batchId)
+    if (!replay)
+      AnnIndex.addDelta(batch, cfg.idCol, vecCol, cfg.indexDir,
+        stamp = Some(cfg.ns -> batchId))
     maintain(cfg, batchId,
       () => AnnIndex.compact(spark, cfg.indexDir),
       () => AnnIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
-    true
+    !replay
   }
 
   // outside the stamp (maintenance is content-neutral and idempotent);
-  // thresholds key off the checkpointed batch id — the StreamMerge rule
+  // thresholds key off the checkpointed batch id — the StreamMerge rule.
+  // BEST-EFFORT: compact/vacuum retry their OCC claim internally, but a
+  // conflict that survives the retries (a pathologically hot
+  // two-streams-one-index race) is swallowed here — the BATCH already
+  // committed, and failing the streaming query over discarded
+  // maintenance work would trade a deferred cleanup for an outage; the
+  // next cadence multiple simply re-runs it. Handlers also call this on
+  // REPLAYED batches (the stamp pre-check skips only the delta), so a
+  // crash between the index commit and checkpoint advance re-fires the
+  // maintenance pass instead of skipping a cadence.
   private def maintain(cfg: Config, batchId: Long,
       compact: () => Int, vacuum: () => Int): Unit = {
-    if (cfg.compactEveryBatches.exists(n => (batchId + 1) % n == 0)) compact()
-    if (cfg.vacuumEveryBatches.exists(n => (batchId + 1) % n == 0)) vacuum()
+    def bestEffort(step: () => Int): Unit =
+      try { step(); () } catch { case _: graft.catalog.GraftCommitConflict => () }
+    if (cfg.compactEveryBatches.exists(n => (batchId + 1) % n == 0)) bestEffort(compact)
+    if (cfg.vacuumEveryBatches.exists(n => (batchId + 1) % n == 0)) bestEffort(vacuum)
   }
 
   /** CDC foreachBatch against the inverted index — the reference's
@@ -117,19 +135,21 @@ object StreamIndex {
   def invertedCdcBatch(cfg: Config, textCol: String, opCol: String,
       oldTexts: DataFrame => DataFrame)(batch: DataFrame, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    if (InvertedIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
-      return false
-    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
-      .drop(opCol)
-    val leaving = batch
-      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
-      .select(cfg.idCol)
-    InvertedIndex.applyCdc(upserts, oldTexts(leaving), cfg.idCol, textCol,
-      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    val replay = InvertedIndex.committedBatchId(spark, cfg.indexDir, cfg.ns)
+      .exists(_ >= batchId)
+    if (!replay) {
+      val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+        .drop(opCol)
+      val leaving = batch
+        .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
+        .select(cfg.idCol)
+      InvertedIndex.applyCdc(upserts, oldTexts(leaving), cfg.idCol, textCol,
+        cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    }
     maintain(cfg, batchId,
       () => InvertedIndex.compact(spark, cfg.indexDir),
       () => InvertedIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
-    true
+    !replay
   }
 
   /** CDC foreachBatch against the ANN index: same shape, no resolver —
@@ -139,19 +159,21 @@ object StreamIndex {
   def annCdcBatch(cfg: Config, vecCol: String, opCol: String)(
       batch: DataFrame, batchId: Long): Boolean = {
     val spark = batch.sparkSession
-    if (AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns).exists(_ >= batchId))
-      return false
-    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
-      .drop(opCol)
-    val leaving = batch
-      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
-      .select(cfg.idCol)
-    AnnIndex.applyCdc(upserts, leaving, cfg.idCol, vecCol,
-      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    val replay = AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns)
+      .exists(_ >= batchId)
+    if (!replay) {
+      val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+        .drop(opCol)
+      val leaving = batch
+        .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
+        .select(cfg.idCol)
+      AnnIndex.applyCdc(upserts, leaving, cfg.idCol, vecCol,
+        cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    }
     maintain(cfg, batchId,
       () => AnnIndex.compact(spark, cfg.indexDir),
       () => AnnIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
-    true
+    !replay
   }
 
   /** Standard `oldTexts` resolver for [[invertedCdcBatch]]: point-look

@@ -176,6 +176,30 @@ class AnnIndexSpec extends SparkSpec {
     assert(topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 5, nProbe = 8)) == expect)
   }
 
+  test("compaction that loses the claim race retries and lands (delta wins, compact folds it too)") {
+    // the dense-side twin of the InvertedIndex race spec: round 11's
+    // compact require-threw on a lost race (inconsistent with
+    // addDelta/applyCdc's retry posture); the seam deterministically
+    // makes compact the loser.
+    val dir = java.nio.file.Files.createTempDirectory("annidx_crace").toString
+    AnnIndex.build(emb.filter($"vec_id" >= 5 && $"vec_id" < 400),
+      "vec_id", "embedding", dir, nCells = 8)
+    AnnIndex.addDelta(emb.filter($"vec_id" >= 400 && $"vec_id" < 450),
+      "vec_id", "embedding", dir)
+    val folded = AnnIndex.compactWithHook(spark, dir,
+      () => AnnIndex.addDelta(emb.filter($"vec_id" >= 450 && $"vec_id" < 500),
+        "vec_id", "embedding", dir))
+    assert(folded > 0, "compact returned without folding after the lost race")
+    assert(AnnIndex.versions(spark, dir).last == 4L)
+    val m = AnnIndex.currentManifest(spark, dir)
+    assert(m.vectors.groupBy(_._1).forall(_._2.size == 1),
+      "the retried compact must fold the racing delta's files too")
+    val indexed = spark.read.parquet(
+      m.vectors.map { case (_, p) => s"$dir/$p" }: _*).count()
+    val serveable = emb.filter($"vec_id" >= 5 && $"vec_id" < 500).count()
+    assert(indexed == serveable, s"lost update after raced compact: $indexed of $serveable")
+  }
+
   test("two racing delta maintainers both land, no lost update") {
     val dir = java.nio.file.Files.createTempDirectory("annidx_race").toString
     AnnIndex.build(emb.filter($"vec_id" >= 5 && $"vec_id" < 400),

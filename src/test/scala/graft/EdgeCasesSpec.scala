@@ -195,4 +195,30 @@ class EdgeCasesSpec extends SparkSpec {
     val noIntervals = Seq.empty[(java.sql.Timestamp, java.sql.Timestamp)].toDF("st", "en")
     assert(TimeSeries.peakConcurrency(noIntervals, "st", "en").count() == 0)
   }
+
+  test("q22_idle_customers finds a planted dormant customer (non-vacuous anti-join evidence)") {
+    // round 11 found q22's only green signal was 0 == 0 (the generator
+    // gives every customer a lifetime order, and the then-unbounded
+    // anti-join could never match). The query is now date-bounded and
+    // this fixture pins every branch: above-average + dormant (kept),
+    // above-average + recent order (anti-joined away), below-average +
+    // dormant (filtered by the scalar threshold), and an order ON the
+    // cutoff date (boundary: counts as recent).
+    val work = Files.createTempDirectory("graft_q22").toString
+    val cutoff = java.sql.Timestamp.valueOf(s"${AnalyticsQueries.Idle1998Cutoff} 00:00:00")
+    val old = java.sql.Timestamp.valueOf("1996-05-01 00:00:00")
+    Seq(
+      (1L, 900.0, 7),  // dormant, above avg -> the row
+      (2L, 800.0, 8),  // above avg but ordered ON the cutoff -> excluded
+      (3L, 10.0, 9)    // dormant but below avg -> excluded
+    ).toDF("c_custkey", "c_acctbal", "c_nationkey")
+      .write.parquet(s"$work/customer.parquet")
+    Seq((1L, old), (2L, old), (2L, cutoff), (3L, old))
+      .toDF("o_custkey", "o_orderdate")
+      .write.parquet(s"$work/orders.parquet")
+    val out = Queries.queries("q22_idle_customers")(spark, work).collect()
+    assert(out.length == 1, s"expected exactly the planted dormant customer, got ${out.toSeq}")
+    assert(out.head.getInt(0) == 7 && out.head.getLong(1) == 1L &&
+      math.abs(out.head.getDouble(2) - 900.0) < 1e-9)
+  }
 }

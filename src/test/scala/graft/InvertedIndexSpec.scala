@@ -299,6 +299,34 @@ class InvertedIndexSpec extends SparkSpec {
       == rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", full, Seq(0L, 7L), k = 5)))
   }
 
+  test("compaction that loses the claim race retries against the fresh manifest and still lands") {
+    // round 11 shipped compact as single-shot OCC (require on a lost
+    // race) — in the supported two-streams-one-index configuration a
+    // compact cadence racing the other stream's delta commit killed the
+    // streaming query. The seam commits a racing delta between
+    // compact's manifest read and its claim, deterministically losing
+    // compact's first attempt.
+    val dir = java.nio.file.Files.createTempDirectory("invidx_crace").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 4), "doc_id", "text", dir)
+    InvertedIndex.addDelta(docs.filter(col("doc_id") === 4 || col("doc_id") === 5),
+      "doc_id", "text", dir)
+    val folded = InvertedIndex.compactWithHook(spark, dir,
+      () => InvertedIndex.addDelta(docs.filter(col("doc_id") === 6 || col("doc_id") === 7),
+        "doc_id", "text", dir))
+    assert(folded > 0, "compact returned without folding after the lost race")
+    // v1 build, v2 delta, v3 racing delta (wins), v4 compact (retried)
+    assert(InvertedIndex.versions(spark, dir).last == 4L)
+    val m = InvertedIndex.currentManifest(spark, dir)
+    assert(m.postings.groupBy(_._1).forall(_._2.size == 1),
+      "the retried compact must fold the racing delta's files too")
+    // nothing lost on either side: answers equal a from-scratch rebuild
+    // over the union of all three commits
+    val full = java.nio.file.Files.createTempDirectory("invidx_crace_full").toString
+    InvertedIndex.build(docs, "doc_id", "text", full)
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 7L), k = 5))
+      == rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", full, Seq(0L, 7L), k = 5)))
+  }
+
   test("compaction folds per-delta files; vacuum expires superseded versions") {
     val dir = java.nio.file.Files.createTempDirectory("invidx_compact").toString
     InvertedIndex.build(docs.filter(col("doc_id") < 2), "doc_id", "text", dir)

@@ -282,12 +282,21 @@ class StreamIndexSpec extends SparkSpec {
     assert(rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, probes, k = 5)) ==
       rows(InvertedIndex.bm25TopK(after, "doc_id", "text", scratch, probes, k = 5)),
       "stream-drained CDC index diverged from a rebuild")
-    // a full replay from a fresh checkpoint is refused batch by batch
-    val v = InvertedIndex.versions(spark, dir)
+    // a full replay from a fresh checkpoint is refused batch by batch:
+    // no delta/CDC content re-applies (stamps and answers unchanged).
+    // Maintenance DOES re-fire on replayed cadence batches (that is the
+    // restart-safety contract — a crash between index commit and
+    // checkpoint advance must not skip a pass), so the version may
+    // advance via content-neutral compact commits; content must not.
+    val expected = rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, probes, k = 5))
+    val stamps = InvertedIndex.currentManifest(spark, dir).streams
     val cfg2 = cfg.copy(checkpointDir = Files.createTempDirectory("sidx_cdc_ckpt2").toString)
     val source2 = fileSource(srcDir).drop("wave")
     StreamIndex.runInvertedCdcAvailableNow(source2, "text", "op", resolver, cfg2)
-    assert(InvertedIndex.versions(spark, dir) == v, "replayed CDC stream mutated the index")
+    assert(InvertedIndex.currentManifest(spark, dir).streams == stamps,
+      "replayed CDC stream advanced the exactly-once stamps")
+    assert(rows(InvertedIndex.bm25TopK(after, "doc_id", "text", dir, probes, k = 5)) == expected,
+      "replayed CDC stream mutated served content")
   }
 
   test("racing applyCdc and addDelta serialize on the manifest claim; no lost update") {
