@@ -98,6 +98,15 @@ object InvertedIndex {
       vocabDir: String,
       statsDir: String,
       streams: Map[String, Long] = Map.empty,
+      /** whether postings rows carry the positions column. Pinned at
+        * build time IN the manifest (like the bucket modulus): deltas
+        * must stage the same row shape, and a phrase/proximity query
+        * against a positions-free index must fail LOUDLY at the
+        * manifest — never scan, find no column, and return empty. A
+        * BM25-only index skips the positional build cost (collect_list
+        * per (doc, tok): ×2.2 build at the 100× rung, BENCH_SF1).
+        */
+      positions: Boolean = true,
       /** doc-id tombstones ([[deleteDocs]]/[[applyCdc]]) as
         * (dir, cover): the tombstone excludes a doc's rows ONLY from
         * the first `cover` postings files of this manifest — Iceberg
@@ -119,19 +128,31 @@ object InvertedIndex {
 
   // ---- tokenization (MUST stay expression-identical to bm25TopK) ----
 
-  /** One row per (doc, token): tf plus the token's POSITIONS in the
-    * doc (0-based over the whitespace token sequence). Positions are
-    * what make the postings a full positional index — [[phraseTopK]]
-    * needs them; BM25 never references the column, so Catalyst prunes
-    * it out of every scoring scan (zero serve cost when unused).
+  /** One row per (doc, token): tf, plus (when `withPositions`) the
+    * token's POSITIONS in the doc (0-based over the whitespace token
+    * sequence). Positions are what make the postings a full positional
+    * index — [[phraseTopK]]/[[proximityTopK]]/[[spanNearTopK]] need
+    * them; BM25 never references the column, so Catalyst prunes it out
+    * of every scoring scan (zero SERVE cost when unused). The BUILD
+    * cost is real though (collect_list per (doc, tok) plans
+    * ObjectHashAggregate instead of a codegen'd count: ×2.2 at the
+    * 100× rung) — a BM25-only index skips it via
+    * `build(withPositions = false)`, pinned in the manifest.
     */
-  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol),
-        posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
-          .as(Seq("__pos", "__tok")))
-      .groupBy(col(idCol), col("__tok"))
-      .agg(count(lit(1)).as("__tf"),
-        sort_array(collect_list(col("__pos"))).as("__positions"))
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String,
+      withPositions: Boolean = true): DataFrame =
+    if (withPositions)
+      docs.select(col(idCol),
+          posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
+            .as(Seq("__pos", "__tok")))
+        .groupBy(col(idCol), col("__tok"))
+        .agg(count(lit(1)).as("__tf"),
+          sort_array(collect_list(col("__pos"))).as("__positions"))
+    else
+      docs.select(col(idCol),
+          explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+        .groupBy(col(idCol), col("__tok"))
+        .agg(count(lit(1)).as("__tf"))
 
   private def bucketOf(tok: Column, buckets: Int): Column =
     pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
@@ -144,6 +165,7 @@ object InvertedIndex {
     val root = JObject(List(
       "version" -> JLong(m.version),
       "buckets" -> JInt(m.buckets),
+      "positions" -> JBool(m.positions),
       "vocab" -> JString(m.vocabDir),
       "stats" -> JString(m.statsDir),
       "streams" -> IndexManifests.streamsToJson(m.streams),
@@ -167,6 +189,10 @@ object InvertedIndex {
       vocabDir = (j \ "vocab").extract[String],
       statsDir = (j \ "stats").extract[String],
       streams = IndexManifests.streamsFromJson(j \ "streams"),
+      positions = j \ "positions" match {
+        case JBool(b) => b
+        case _ => true // legacy manifests predate the flag and carry positions
+      },
       deletes = j \ "deletes" match {
         case JArray(items) => items.collect {
           case JString(s) => (s, Int.MaxValue) // legacy: covered everything
@@ -239,22 +265,25 @@ object InvertedIndex {
     */
   private def postingsOf(tf: DataFrame, idCol: String, buckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    tf.select(col(idCol).as("doc_id"), col("__tok").as("tok"),
+    val base = Seq(col(idCol).as("doc_id"), col("__tok").as("tok"),
       col("__tf").as("tf"),
-      sum(col("__tf")).over(Window.partitionBy(col(idCol))).as("dl"),
-      col("__positions").as("positions"),
-      bucketOf(col("__tok"), buckets).as("bucket"))
+      sum(col("__tf")).over(Window.partitionBy(col(idCol))).as("dl"))
+    val pos = if (tf.columns.contains("__positions"))
+      Seq(col("__positions").as("positions")) else Nil
+    tf.select(base ++ pos :+ bucketOf(col("__tok"), buckets).as("bucket"): _*)
   }
 
   /** Read a committed (or staged) file list; empty lists yield an empty
     * postings frame with the right schema.
     */
   private def readPostings(spark: SparkSession, dir: String,
-      files: Seq[(Int, String)]): DataFrame =
+      files: Seq[(Int, String)], withPositions: Boolean = true): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, positions ARRAY<INT>"))
+          if (withPositions)
+            "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, positions ARRAY<INT>"
+          else "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"))
     else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
 
   // ---- build ---------------------------------------------------------
@@ -268,12 +297,13 @@ object InvertedIndex {
     * were laid out with.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      buckets: Int = DefaultBuckets, splits: Option[Int] = None): Unit = {
+      buckets: Int = DefaultBuckets, splits: Option[Int] = None,
+      withPositions: Boolean = true): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
     require(versions(spark, dir).isEmpty,
       s"inverted index already committed at $dir (addDelta grows it; build starts fresh)")
-    val tf = termFreqs(docs, idCol, textCol)
+    val tf = termFreqs(docs, idCol, textCol, withPositions)
     val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
     val files = stagePostings(spark, postingsOf(tf, idCol, buckets), dir, buckets, splits)
     val vocabRel = IndexManifests.freshRel("vocab")
@@ -283,7 +313,8 @@ object InvertedIndex {
     val statsRel = IndexManifests.freshRel("stats")
     dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
       .write.mode("errorifexists").parquet(s"$dir/$statsRel")
-    require(tryCommit(spark, dir, Manifest(1L, buckets, files, vocabRel, statsRel)),
+    require(tryCommit(spark, dir,
+      Manifest(1L, buckets, files, vocabRel, statsRel, positions = withPositions)),
       s"lost the build commit race at $dir — another maintainer built concurrently")
   }
 
@@ -296,9 +327,11 @@ object InvertedIndex {
   private[graft] def stageDelta(delta: DataFrame, idCol: String, textCol: String,
       dir: String): StagedDelta = {
     val spark = delta.sparkSession
-    val buckets = currentManifest(spark, dir).buckets
-    val tf = termFreqs(delta, idCol, textCol)
-    StagedDelta(stagePostings(spark, postingsOf(tf, idCol, buckets), dir, buckets))
+    val m = currentManifest(spark, dir)
+    // the manifest decides the row shape — a positions-free index must
+    // never grow mixed-schema postings (and vice versa)
+    val tf = termFreqs(delta, idCol, textCol, m.positions)
+    StagedDelta(stagePostings(spark, postingsOf(tf, idCol, m.buckets), dir, m.buckets))
   }
 
   /** Commit a staged delta: merge vocab/stats against the CURRENT
@@ -340,7 +373,7 @@ object InvertedIndex {
         .write.mode("errorifexists").parquet(s"$dir/$statsRel")
       val next = Manifest(base.version + 1, base.buckets,
         base.postings ++ staged.files, vocabRel, statsRel,
-        base.streams ++ stamp.toMap, base.deletes)
+        base.streams ++ stamp.toMap, base.positions, base.deletes)
       if (tryCommit(spark, dir, next)) return next
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
@@ -496,7 +529,7 @@ object InvertedIndex {
         Some(delRel -> base.postings.size)
       }
     val next = Manifest(base.version + 1, base.buckets, base.postings ++ staged,
-      vocabRel, statsRel, base.streams ++ stamp.toMap,
+      vocabRel, statsRel, base.streams ++ stamp.toMap, base.positions,
       base.deletes ++ delEntry)
     tryCommit(spark, dir, next)
   }
@@ -527,9 +560,11 @@ object InvertedIndex {
     val staged = if (upserts.isEmpty) StagedDelta(Nil)
       else stageDelta(upserts, idCol, textCol, dir)
     // the outgoing rows re-tokenize the OLD text with the build's exact
-    // expression — bit-identical (tok, tf, dl) to what was indexed
-    val removed = postingsOf(termFreqs(removals, idCol, textCol), idCol, 1)
-      .drop("bucket")
+    // expression — bit-identical (tok, tf, dl) to what was indexed.
+    // Positions are never part of the corrections, so skip their build
+    // regardless of the index's shape
+    val removed = postingsOf(termFreqs(removals, idCol, textCol, withPositions = false),
+      idCol, 1).drop("bucket")
     val tombstoneIds = removals.select(col(idCol).cast("long").as("doc_id")).distinct()
     val hasRemovals = !removals.isEmpty
     var attempt = 0
@@ -613,7 +648,7 @@ object InvertedIndex {
       if (attempt == 1) onBeforeCommit()
       val next = Manifest(base.version + 1, base.buckets,
         byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
-        base.vocabDir, base.statsDir, base.streams, deletes = Nil)
+        base.vocabDir, base.statsDir, base.streams, base.positions, deletes = Nil)
       if (tryCommit(spark, dir, next))
         return victims.valuesIterator.map(_.size).sum
       if (attempt >= maxAttempts)
@@ -690,6 +725,20 @@ object InvertedIndex {
 
   // ---- query ---------------------------------------------------------
 
+  /** Manifest of a POSITIONAL index, or a loud refusal: the manifest
+    * knows whether positions were built (`positions` flag pinned at
+    * build), so a phrase/proximity/span query against a BM25-only
+    * index fails HERE — it must never plan a scan that silently finds
+    * no positions column and returns empty.
+    */
+  private def requirePositional(spark: SparkSession, dir: String, op: String): Manifest = {
+    val m = currentManifest(spark, dir)
+    require(m.positions,
+      s"$op needs a positional index, but $dir was built with withPositions=false " +
+        "(BM25-only postings); rebuild with positions to serve phrase/proximity queries")
+    m
+  }
+
   /** BM25 top-`k` per probe answered FROM the index. Probe terms come
     * from the probe documents themselves (the "query is a document"
     * contract shared with [[TextAnalysis.bm25TopK]]); the postings scan
@@ -763,7 +812,7 @@ object InvertedIndex {
       k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phrases.nonEmpty, "phraseTopK needs at least one phrase")
-    val m = currentManifest(spark, dir)
+    val m = requirePositional(spark, dir, "phraseTopK")
     val probeRows = phrases.flatMap { p =>
       val terms = p.trim.split("\\s+").toSeq
       terms.zipWithIndex.map { case (t, i) => (p, t, i, terms.size) }
@@ -811,7 +860,7 @@ object InvertedIndex {
     import org.apache.spark.sql.expressions.Window
     require(pairs.nonEmpty, "proximityTopK needs at least one pair")
     require(window >= 1, s"window must be >= 1, got $window")
-    val m = currentManifest(spark, dir)
+    val m = requirePositional(spark, dir, "proximityTopK")
     import spark.implicits._
     val probe = pairs.flatMap { case (a, b) =>
       Seq((s"$a $b", a, 0), (s"$a $b", b, 1))
@@ -826,9 +875,72 @@ object InvertedIndex {
         first(when(col("__role") === 0, col("positions")), ignoreNulls = true).as("__pa"),
         first(when(col("__role") === 1, col("positions")), ignoreNulls = true).as("__pb"))
       .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+      // linear two-pointer merge over the sorted position arrays (the
+      // HOF filter/exists pair this replaces was O(|pa|·|pb|) per doc —
+      // quadratic on a hot stopword pair; see plans/PositionExpressions)
       .select(col("q"), col("doc_id"),
-        size(filter(col("__pa"), p =>
-          exists(col("__pb"), q2 => q2 > p && q2 - p <= lit(window)))).cast("long").as("n"))
+        graft.plans.SpanNearCount.proximityAnchors(
+          col("__pa"), col("__pb"), window).as("n"))
+      .filter(col("n") > 0)
+    val rank = Window.partitionBy(col("q")).orderBy(col("n").desc, col("doc_id").asc)
+    matched.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("doc_id"), col("n"))
+  }
+
+  /** k-term span-near (Lucene SpanNearQuery semantics) FROM the
+    * positional postings: top-`k` docs per query ranked by anchor
+    * count — see [[graft.plans.SpanNearCount]] for the exact match
+    * semantics per mode:
+    *
+    *  - `inOrder = true`: anchors = first-term positions starting a
+    *    strictly-increasing chain through all terms with total stretch
+    *    `pk - p1 - (k-1) <= slop` (slop 0 ≡ exact phrase). Duplicate
+    *    terms are legal (the chain keeps their positions distinct).
+    *  - `inOrder = false`: anchors = minimum positions of valid
+    *    unordered assignments — every term within `[m, m+slop+(k-1)]`.
+    *    Terms must be DISTINCT (enforced loudly here): with duplicate
+    *    terms, assignment distinctness needs Hall-style matching that
+    *    neither this kernel nor a SQL oracle can check linearly.
+    *
+    * Serving shape matches [[phraseTopK]]: only the query terms'
+    * buckets are read (manifest-pruned), the query table broadcasts,
+    * the per-doc count is one linear codegen'd kernel over the sorted
+    * position arrays. A doc must contain EVERY term (enforced by the
+    * matched-terms count) — span-near is conjunctive.
+    */
+  def spanNearTopK(spark: SparkSession, dir: String, queries: Seq[Seq[String]],
+      slop: Int, inOrder: Boolean, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(queries.nonEmpty, "spanNearTopK needs at least one query")
+    require(queries.forall(_.nonEmpty), "span-near queries need at least one term")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
+    if (!inOrder) queries.foreach { terms =>
+      require(terms.distinct.size == terms.size,
+        s"unordered span-near requires distinct terms, got ${terms.mkString(" ")}")
+    }
+    val m = requirePositional(spark, dir, "spanNearTopK")
+    import spark.implicits._
+    val probe = queries.flatMap { terms =>
+      val q = terms.mkString(" ")
+      terms.zipWithIndex.map { case (t, i) => (q, t, i, terms.size) }
+    }.toDF("q", "tok", "__term_idx", "__qlen")
+    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
+      .select(col("doc_id"), col("tok"), col("positions"))
+    val matched = postings.join(broadcast(probe), Seq("tok"))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(first(col("__qlen")).as("__len"), count(lit(1)).as("__nterms"),
+        // per-term position arrays IN TERM ORDER: sort the collected
+        // (term_idx, positions) structs by index, then project the
+        // arrays — the kernel's input contract
+        transform(
+          sort_array(collect_list(struct(col("__term_idx"), col("positions")))),
+          s => s.getField("positions")).as("__pos"))
+      .filter(col("__nterms") === col("__len"))
+      .select(col("q"), col("doc_id"),
+        graft.plans.SpanNearCount.spanNear(col("__pos"), slop, inOrder).as("n"))
       .filter(col("n") > 0)
     val rank = Window.partitionBy(col("q")).orderBy(col("n").desc, col("doc_id").asc)
     matched.withColumn("rank", row_number().over(rank))

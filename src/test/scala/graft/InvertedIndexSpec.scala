@@ -299,6 +299,116 @@ class InvertedIndexSpec extends SparkSpec {
       == rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", full, Seq(0L, 7L), k = 5)))
   }
 
+  test("span-near: ordered chains, unordered coverage windows, edges and duplicates pinned") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "a x b y c"),        // a@0 b@2 c@4: ordered abc stretch 4-0-2=2
+      (1L, "c b a"),            // reversed: unordered only
+      (2L, "a b c a b c"),      // two ordered chains (a@0,a@3), plus cross-chain
+      (3L, "a a b"),            // duplicate-term material: "a a" via chain
+      (4L, "b a x x x c"),      // scattered: unordered window test
+      (5L, "a")                 // single term only
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_span").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir)
+    def got(qs: Seq[Seq[String]], slop: Int, inOrder: Boolean) =
+      InvertedIndex.spanNearTopK(spark, dir, qs, slop, inOrder, k = 10)
+        .orderBy("q", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+
+    // ordered 3-term: doc0 stretch 2 needs slop >= 2 (edge: slop 1 misses)
+    assert(got(Seq(Seq("a", "b", "c")), slop = 1, inOrder = true)
+      .filter(_._2 == 0L).isEmpty)
+    assert(got(Seq(Seq("a", "b", "c")), slop = 2, inOrder = true)
+      .contains(("a b c", 0L, 1L)))
+    // doc2: anchors a@0 (chain 0,1,2 stretch 0) and a@3 (chain 3,4,5) -> 2
+    assert(got(Seq(Seq("a", "b", "c")), slop = 0, inOrder = true)
+      .contains(("a b c", 2L, 2L)))
+    // reversed doc1 never matches ordered, but matches unordered
+    val ord = got(Seq(Seq("a", "b", "c")), slop = 4, inOrder = true)
+    assert(!ord.exists(_._2 == 1L))
+    val unord = got(Seq(Seq("a", "b", "c")), slop = 0, inOrder = false)
+    // doc1: window [0, 0+0+2] = positions {0,1,2} covers c,b,a -> anchor m=0 (c) only
+    assert(unord.contains(("a b c", 1L, 1L)))
+    // doc4 "b a x x x c": b@0 a@1 c@5; width slop+2 must reach 5 from m=0 -> slop >= 3
+    assert(!got(Seq(Seq("a", "b", "c")), slop = 2, inOrder = false).exists(_._2 == 4L))
+    assert(got(Seq(Seq("a", "b", "c")), slop = 3, inOrder = false)
+      .contains(("a b c", 4L, 1L)))
+    // duplicate terms: ordered chains keep positions distinct —
+    // doc3 "a a b" has the only adjacent pair (doc2's a's are 3 apart)
+    assert(got(Seq(Seq("a", "a")), slop = 0, inOrder = true) ==
+      Seq(("a a", 3L, 1L)))
+    // ... but are refused loudly in unordered mode
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.spanNearTopK(spark, dir, Seq(Seq("a", "a")), 1, inOrder = false)
+    }
+    assert(e.getMessage.contains("distinct"))
+    // slop-0 ordered span-near IS exact phrase: identical counts
+    val phr = InvertedIndex.phraseTopK(spark, dir, Seq("a b c", "a a"), k = 10)
+      .orderBy("phrase", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).toSeq
+    val span0 = got(Seq(Seq("a", "b", "c"), Seq("a", "a")), slop = 0, inOrder = true)
+    assert(phr.toSet == span0.toSet,
+      s"phraseTopK and slop-0 ordered spanNearTopK diverged: $phr vs $span0")
+  }
+
+  test("proximity via the linear kernel matches a naive position scan on a hot pair") {
+    val s = spark
+    import s.implicits._
+    // hot pair: both terms at stopword frequency in one long doc — the
+    // r11 HOF paid |pa|·|pb| here; the kernel must stay linear AND
+    // row-identical to the naive scan
+    val hot = (0 until 2000).map(i => if (i % 2 == 0) "a" else "b").mkString(" ")
+    val corpus = Seq((0L, hot), (1L, "a b a"), (2L, "b x a"), (3L, "a x x b")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_prox_hot").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir)
+    val got = InvertedIndex.proximityTopK(spark, dir, Seq(("a", "b")), window = 2, k = 10)
+      .orderBy("doc_id").collect().map(r => (r.getLong(2), r.getLong(3))).toSeq
+    // naive oracle: every a-position with a b in (p, p+2]
+    def naive(text: String, w: Int): Long = {
+      val toks = text.split("\\s+")
+      val pa = toks.zipWithIndex.collect { case ("a", i) => i }
+      val pb = toks.zipWithIndex.collect { case ("b", i) => i }.toSet
+      pa.count(p => (p + 1 to p + w).exists(pb)).toLong
+    }
+    val expected = Seq((0L, naive(hot, 2)), (1L, 1L), (3L, 0L), (2L, 0L))
+      .filter(_._2 > 0).sortBy(_._1)
+    assert(got == expected, s"kernel diverged from naive scan: $got vs $expected")
+  }
+
+  test("withPositions=false: BM25 identical, no positions column, positional queries refuse loudly") {
+    val pos   = java.nio.file.Files.createTempDirectory("invidx_pos").toString
+    val nopos = java.nio.file.Files.createTempDirectory("invidx_nopos").toString
+    InvertedIndex.build(docs.filter(col("doc_id") < 6), "doc_id", "text", pos)
+    InvertedIndex.build(docs.filter(col("doc_id") < 6), "doc_id", "text", nopos,
+      withPositions = false)
+    // deltas follow the manifest's pinned shape on both indexes
+    InvertedIndex.addDelta(docs.filter(col("doc_id") >= 6), "doc_id", "text", pos)
+    InvertedIndex.addDelta(docs.filter(col("doc_id") >= 6), "doc_id", "text", nopos)
+    assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", pos, Seq(0L, 7L), k = 5))
+      == rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", nopos, Seq(0L, 7L), k = 5)),
+      "BM25 must not depend on the positions axis")
+    val m = InvertedIndex.currentManifest(spark, nopos)
+    assert(!m.positions, "manifest must pin the positions-free shape")
+    val schema = spark.read.parquet(
+      m.postings.map { case (_, p) => s"$nopos/$p" }: _*).schema
+    assert(!schema.fieldNames.contains("positions"),
+      "positions-free postings must not carry the column (delta included)")
+    // a positional query against the BM25-only index fails AT THE
+    // MANIFEST — never an empty result from a positionless scan
+    val e1 = intercept[IllegalArgumentException] {
+      InvertedIndex.phraseTopK(spark, nopos, Seq("alpha beta"), k = 5)
+    }
+    assert(e1.getMessage.contains("withPositions=false"))
+    val e2 = intercept[IllegalArgumentException] {
+      InvertedIndex.proximityTopK(spark, nopos, Seq(("alpha", "beta")), window = 3, k = 5)
+    }
+    assert(e2.getMessage.contains("withPositions=false"))
+    // the positional twin still serves phrases (deltas carried positions)
+    assert(InvertedIndex.phraseTopK(spark, pos, Seq("alpha beta"), k = 5).count() > 0)
+  }
+
   test("compaction that loses the claim race retries against the fresh manifest and still lands") {
     // round 11 shipped compact as single-shot OCC (require on a lost
     // race) — in the supported two-streams-one-index configuration a
