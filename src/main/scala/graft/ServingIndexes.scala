@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-JVM prebuilt serving indexes for the SERVE-ONLY registered
+  * queries (`*_served`, `ann_ivf_indexed`, span-near): one positional
+  * inverted index and one ANN index per scale-factor directory, built
+  * lazily on first use and reused for every subsequent query in the
+  * process.
+  *
+  * Round 11's board conflated build+mutate+serve in each indexed-search
+  * entry — the positional-postings BUILD cost surfaced as an apparent
+  * QUERY regression, and a real serve regression could have hidden
+  * behind build noise (VERDICT r11 "what's wrong" #2). With the shared
+  * index, Bench's interleaved passes isolate the phases mechanically:
+  * pass 1 (reported as `cold`) pays the one-time build, passes 2+
+  * (reported as the steady min) time pure serving — the board number a
+  * serve regression can no longer hide under. The index-LIFECYCLE
+  * entries (`search_index_delta`/`delete`/`cdc`) still build + mutate
+  * inside the timed body on purpose: their cost IS the lifecycle.
+  *
+  * Temp hygiene: every directory registers for deletion at JVM exit,
+  * and lifecycle entries dispose their scratch dirs eagerly via
+  * [[disposeAfter]] — round 11's entries leaked a corpus-sized tree
+  * per bench pass.
+  */
+object ServingIndexes {
+
+  private val lexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val annDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared POSITIONAL inverted index over `documents` (spread like the
+    * lifecycle entries, so layouts match). Serves BM25, phrase,
+    * proximity, and span-near.
+    */
+  def lexicalDir(spark: SparkSession, sfDir: String): String =
+    lexDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = scratchDir("graft_served_lex")
+      val docs = Tables(spark, sfDir).documents
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select("doc_id", "text")
+      operators.InvertedIndex.build(docs, "doc_id", "text", dir)
+      dir
+    })
+
+  /** Shared ANN index over `embeddings` with vec_id >= 5 as the corpus
+    * (probes 0-4 stay out, matching the ann_ivf oracle split).
+    */
+  def annDir(spark: SparkSession, sfDir: String): String =
+    annDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = scratchDir("graft_served_ann")
+      val emb = Tables(spark, sfDir).embeddings.filter(col("vec_id") >= 5)
+      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16)
+      dir
+    })
+
+  /** Fresh scratch dir registered for JVM-exit deletion (backstop for
+    * dirs whose owner never disposes eagerly).
+    */
+  def scratchDir(prefix: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    registerCleanup(dir)
+    dir
+  }
+
+  /** Run a lifecycle query body against a fresh scratch dir, EAGERLY
+    * materialize its (contract-small: top-k per probe) result, delete
+    * the scratch tree, and return the rows as a local relation — the
+    * timed body still covers build + mutate + serve, but nothing leaks
+    * on disk across bench passes. Results are ≤ k × probes rows by
+    * construction; anything larger does not belong on this path.
+    */
+  def disposeAfter(spark: SparkSession, prefix: String)(
+      body: String => org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory(prefix).toString
+    try {
+      val df = body(dir)
+      val rows = df.collect()
+      require(rows.length <= 10000,
+        s"disposeAfter materialized ${rows.length} rows — this path is for top-k results only")
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+    } finally deleteRecursively(dir)
+  }
+
+  // ---- cleanup --------------------------------------------------------
+
+  private val pending = java.util.Collections.synchronizedSet(
+    new java.util.LinkedHashSet[String]())
+
+  private lazy val hook: Unit = {
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      pending.toArray(Array.empty[String]).foreach(deleteRecursively)
+    }, "graft-serving-index-cleanup"))
+  }
+
+  private def registerCleanup(dir: String): Unit = {
+    hook
+    pending.add(dir)
+    ()
+  }
+
+  private def deleteRecursively(dir: String): Unit = {
+    val root = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(root)) {
+      val it = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+      try it.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally it.close()
+    }
+    pending.remove(dir)
+    ()
+  }
+}

@@ -785,16 +785,17 @@ object TrainingDataOps {
       // the dense-side SERVING shape of ann_ivf: the corpus is assigned
       // once and persisted one file-set per coarse cell (AnnIndex);
       // probes read ONLY their nProbe cells' files — pruned from the
-      // manifest before the scan is planned. Engine-specific cells →
-      // recall vs brute force + files-opened pinned in AnnIndexSpec
+      // manifest before the scan is planned. SERVE-ONLY from the shared
+      // per-process index since round 12 (build once, serve in the
+      // timed body — the r11 entry rebuilt per run, so the board number
+      // was build-dominated). Engine-specific cells → recall vs brute
+      // force + files-opened pinned in AnnIndexSpec
       (spark, dir) => {
         import spark.implicits._
         val e = Tables(spark, dir).embeddings
-        val work = java.nio.file.Files.createTempDirectory("graft_annidx").toString
-        operators.AnnIndex.build(
-          e.filter($"vec_id" >= 5), "vec_id", "embedding", work, nCells = 16)
         operators.AnnIndex.topK(
-          e.filter($"vec_id" < 5), "vec_id", "embedding", work, k = 5, nProbe = 8)
+          e.filter($"vec_id" < 5), "vec_id", "embedding",
+          ServingIndexes.annDir(spark, dir), k = 5, nProbe = 8)
           .orderBy("probe_id", "rank")
       },
       None,
@@ -2216,8 +2217,7 @@ object TrainingDataOps {
       // I/O — and joins them to the broadcast probe terms. Ranking is the
       // same fixed-point arithmetic, so it hash-matches the from-scratch
       // oracle
-      (spark, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft_invidx").toString
+      (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id")
         operators.InvertedIndex.build(docs, "doc_id", "text", work)
         operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
@@ -2228,6 +2228,76 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_bm25_served",
+      // the SERVE-ONLY board number: answers from the per-process
+      // prebuilt shared index (built lazily on Bench's first pass, so
+      // the steady min times pure serving — the number a serve-path
+      // regression can no longer hide under build noise; the lifecycle
+      // entries above/below keep measuring build+mutate on purpose).
+      // Same fixed-point arithmetic, same oracle as search_bm25.
+      (spark, dir) => {
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.bm25TopK(docs, "doc_id", "text",
+            ServingIndexes.lexicalDir(spark, dir), probeIds = Seq(0L, 7L, 42L), k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some(bm25Top5SqlOver("documents")),
+      bench = true
+    ),
+    QueryDef(
+      "search_bm25_sql",
+      // the SQL-ONLY path: `SELECT * FROM graft_bm25('<dir>', 'raw
+      // query text', k)` through the GraftExtensions table function —
+      // round 11 exposed index MAINTENANCE in SQL (CALL graft.system.*)
+      // but not serving; a SQL-first user could compact an index they
+      // could not query. The TVF resolves to the same manifest-pruned
+      // serve plan the Scala API builds (query terms tokenized with the
+      // build's expression, distinct terms scored — no self-exclusion:
+      // the query is not a corpus document), hash-matched here against
+      // the from-scratch DuckDB computation over literal query text
+      (spark, dir) => {
+        val idx = ServingIndexes.lexicalDir(spark, dir)
+        spark.sql(s"SELECT * FROM graft_bm25('$idx', 'fast key scan', 5)")
+          .unionByName(spark.sql(s"SELECT * FROM graft_bm25('$idx', 'table value', 5)"))
+          .orderBy("q", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), qd AS (
+          SELECT DISTINCT q, unnest(regexp_split_to_array(q, '\s+')) AS tok
+          FROM (VALUES ('fast key scan'), ('table value')) t(q)
+        ), scores AS (
+          SELECT qd.q, s.doc_id, CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM sat s JOIN qd ON s.tok = qd.tok JOIN idf i ON i.tok = s.tok
+          GROUP BY 1, 2
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT q, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY q ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_index_delta",
       // incremental index maintenance: build on half the corpus, fold the
       // other half in via addDelta — churn-sized postings append + a
@@ -2235,8 +2305,7 @@ object TrainingDataOps {
       // re-read. The grown index must answer EXACTLY like a from-scratch
       // rebuild over the full corpus (tf-saturation uses the current
       // avgdl, recomputed at query time) — same oracle as search_bm25
-      (spark, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft_invidx_d").toString
+      (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx_d") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id")
         operators.InvertedIndex.build(
           docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", work)
@@ -2257,8 +2326,7 @@ object TrainingDataOps {
       // row-identical to an index that never contained them — the
       // oracle is the from-scratch BM25 over the remaining corpus. The
       // probes (0, 7, 42) are all ≡ 0 mod 7, never deleted.
-      (spark, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft_invidx_x").toString
+      (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx_x") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id")
         operators.InvertedIndex.build(docs, "doc_id", "text", work)
         operators.InvertedIndex.deleteDocs(
@@ -2282,8 +2350,7 @@ object TrainingDataOps {
       // corrected vocab/stats land in one manifest claim. Serving must
       // be row-identical to a from-scratch build over the post-CDC
       // corpus. Probes 0/7/42 are untouched by construction.
-      (spark, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft_invidx_c").toString
+      (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx_c") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id").select("doc_id", "text")
         val seed = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
         operators.InvertedIndex.build(seed, "doc_id", "text", work)
@@ -2317,15 +2384,13 @@ object TrainingDataOps {
       // of each term's positions shifted by its offset. The scan reads
       // only the phrase terms' buckets' files; occurrence counting is
       // exact and overlapping, which is what the oracle's naive
-      // token-slice scan computes
-      (spark, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft_invidx_p").toString
-        val docs = spread(Tables(spark, dir).documents, "doc_id").select("doc_id", "text")
-        operators.InvertedIndex.build(docs, "doc_id", "text", work)
-        operators.InvertedIndex.phraseTopK(spark, work,
+      // token-slice scan computes. SERVE-ONLY since round 12: answers
+      // from the shared prebuilt index (no mutation in this entry; the
+      // build axis is covered by search_bm25_indexed + InvIndexScale)
+      (spark, dir) =>
+        operators.InvertedIndex.phraseTopK(spark, ServingIndexes.lexicalDir(spark, dir),
             phrases = Seq("fast key scan", "table table", "value fast"), k = 5)
-          .orderBy("phrase", "rank")
-      },
+          .orderBy("phrase", "rank"),
       Some("""
         WITH d AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
@@ -2351,18 +2416,16 @@ object TrainingDataOps {
       "search_proximity_indexed",
       // ordered span-near from the positional postings: anchors =
       // positions p of the FIRST term with the SECOND term in
-      // (p, p+window]. Same serving shape as phrase search (pair
-      // terms' buckets only, pair table broadcast); the oracle is the
-      // naive nested position scan of the corpus
-      (spark, dir) => {
-        val work = java.nio.file.Files.createTempDirectory("graft_invidx_x2").toString
-        val docs = spread(Tables(spark, dir).documents, "doc_id").select("doc_id", "text")
-        operators.InvertedIndex.build(docs, "doc_id", "text", work)
-        operators.InvertedIndex.proximityTopK(spark, work,
+      // (p, p+window], counted by the linear two-pointer kernel
+      // (plans/PositionExpressions). Same serving shape as phrase
+      // search (pair terms' buckets only, pair table broadcast);
+      // SERVE-ONLY from the shared prebuilt index since round 12; the
+      // oracle is the naive nested position scan of the corpus
+      (spark, dir) =>
+        operators.InvertedIndex.proximityTopK(spark, ServingIndexes.lexicalDir(spark, dir),
             pairs = Seq(("scan", "fast"), ("table", "query"), ("key", "value")),
             window = 3, k = 5)
-          .orderBy("q", "rank")
-      },
+          .orderBy("q", "rank"),
       Some("""
         WITH d AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
@@ -2377,6 +2440,90 @@ object TrainingDataOps {
                    pp -> len(list_filter(range(1, len(toks)+1),
                              j -> toks[j] = b AND j > pp AND j - pp <= 3)) > 0)) AS n
           FROM d CROSS JOIN p
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
+          SELECT q, doc_id, n,
+                 row_number() OVER (PARTITION BY q ORDER BY n DESC, doc_id) AS rn
+          FROM m WHERE n > 0
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "search_spannear_indexed",
+      // k-term ORDERED span-near (Lucene SpanNearQuery, inOrder=true)
+      // from the positional postings: anchors = first-term positions
+      // starting a strictly-increasing chain through all terms with
+      // stretch pk - p1 - (k-1) <= slop, counted by the linear
+      // monotone-pointer kernel (plans/PositionExpressions). Serves
+      // from the shared prebuilt index (query terms' buckets only);
+      // the oracle is the naive nested position scan — existence of a
+      // chain equals greedy-chain validity, so both engines count the
+      // same anchors
+      (spark, dir) =>
+        operators.InvertedIndex.spanNearTopK(spark, ServingIndexes.lexicalDir(spark, dir),
+            queries = Seq(Seq("fast", "key", "scan"), Seq("key", "value")),
+            slop = 2, inOrder = true, k = 5)
+          .orderBy("q", "rank"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), m AS (
+          SELECT 'fast key scan' AS q, doc_id,
+                 len(list_filter(list_filter(range(1,len(toks)+1), i -> toks[i] = 'fast'),
+                   a -> len(list_filter(list_filter(range(1,len(toks)+1), j -> toks[j] = 'key'),
+                     b -> b > a AND len(list_filter(list_filter(range(1,len(toks)+1), k2 -> toks[k2] = 'scan'),
+                       c -> c > b AND c - a - 2 <= 2)) > 0)) > 0)) AS n
+          FROM d
+          UNION ALL
+          SELECT 'key value' AS q, doc_id,
+                 len(list_filter(list_filter(range(1,len(toks)+1), i -> toks[i] = 'key'),
+                   a -> len(list_filter(list_filter(range(1,len(toks)+1), j -> toks[j] = 'value'),
+                     b -> b > a AND b - a - 1 <= 2)) > 0)) AS n
+          FROM d
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
+          SELECT q, doc_id, n,
+                 row_number() OVER (PARTITION BY q ORDER BY n DESC, doc_id) AS rn
+          FROM m WHERE n > 0
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "search_spannear_unordered",
+      // k-term UNORDERED span-near (inOrder=false): anchors = minimum
+      // positions m of valid assignments — every (distinct) term has an
+      // occurrence in [m, m + slop + (k-1)]. Distinct terms make
+      // position sets disjoint, so assignment distinctness is free and
+      // the count is one linear k-way sweep. The oracle enumerates
+      // candidate anchors over the union of position lists
+      (spark, dir) =>
+        operators.InvertedIndex.spanNearTopK(spark, ServingIndexes.lexicalDir(spark, dir),
+            queries = Seq(Seq("table", "query", "scan"), Seq("fast", "value")),
+            slop = 3, inOrder = false, k = 5)
+          .orderBy("q", "rank"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), m AS (
+          SELECT 'table query scan' AS q, doc_id,
+                 len(list_filter(list_sort(
+                       list_filter(range(1,len(toks)+1), i -> toks[i] = 'table')
+                       || list_filter(range(1,len(toks)+1), i -> toks[i] = 'query')
+                       || list_filter(range(1,len(toks)+1), i -> toks[i] = 'scan')), mm ->
+                   len(list_filter(range(1,len(toks)+1), x -> toks[x] = 'table' AND x >= mm AND x <= mm + 5)) > 0 AND
+                   len(list_filter(range(1,len(toks)+1), x -> toks[x] = 'query' AND x >= mm AND x <= mm + 5)) > 0 AND
+                   len(list_filter(range(1,len(toks)+1), x -> toks[x] = 'scan'  AND x >= mm AND x <= mm + 5)) > 0)) AS n
+          FROM d
+          UNION ALL
+          SELECT 'fast value' AS q, doc_id,
+                 len(list_filter(list_sort(
+                       list_filter(range(1,len(toks)+1), i -> toks[i] = 'fast')
+                       || list_filter(range(1,len(toks)+1), i -> toks[i] = 'value')), mm ->
+                   len(list_filter(range(1,len(toks)+1), x -> toks[x] = 'fast'  AND x >= mm AND x <= mm + 4)) > 0 AND
+                   len(list_filter(range(1,len(toks)+1), x -> toks[x] = 'value' AND x >= mm AND x <= mm + 4)) > 0)) AS n
+          FROM d
         )
         SELECT q, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
           SELECT q, doc_id, n,

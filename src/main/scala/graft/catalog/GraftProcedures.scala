@@ -26,7 +26,7 @@ object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
-      "index_compact", "index_vacuum")
+      "index_compact", "index_vacuum", "index_rollback")
       .map(Identifier.of(Array(Namespace), _))
 
   /** The serving indexes (lexical postings / ANN cells) share one
@@ -131,6 +131,21 @@ object GraftProcedures {
               graft.operators.AnnIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
             else graft.operators.InvertedIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
           new GenericInternalRow(Array[Any](removed))
+        }))
+      case "index_rollback" => Some(proc("index_rollback",
+        "roll a serving index back to an earlier manifest version (a new commit; " +
+          "content, tombstones and stream stamps rewind together)",
+        Seq(
+          ProcedureParameter.in("dir", StringType).build(),
+          ProcedureParameter.in("version", LongType).build()),
+        StructType(Seq(StructField("restored_version", LongType), StructField("new_version", LongType))),
+        { (spark, in) =>
+          val d = in.getUTF8String(0).toString
+          val v = in.getLong(1)
+          val nv =
+            if (isAnnIndex(spark, d)) graft.operators.AnnIndex.rollback(spark, d, v)
+            else graft.operators.InvertedIndex.rollback(spark, d, v)
+          new GenericInternalRow(Array[Any](v, nv))
         }))
       case _ => None
     }

@@ -416,6 +416,28 @@ object AnnIndex {
     sys.error("unreachable")
   }
 
+  /** Roll the ANN index back to `toVersion`'s content as a new head
+    * commit — the lexical index's [[InvertedIndex.rollback]] contract:
+    * vectors/centroids/tombstones/stream-stamps all rewind together,
+    * history stays travelable, the target must not be vacuumed away.
+    */
+  def rollback(spark: SparkSession, dir: String, toVersion: Long,
+      maxAttempts: Int = 5): Long = {
+    require(versions(spark, dir).contains(toVersion),
+      s"no manifest v$toVersion at $dir — expired by vacuum (keepVersions bounds rollback reach)")
+    val target = fromJson(IndexManifests.readBody(spark, dir, toVersion))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      if (base.version == toVersion) return base.version
+      val next = target.copy(version = base.version + 1)
+      if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return next.version
+    }
+    throw new graft.catalog.GraftCommitConflict(
+      s"ANN index rollback lost the version race $maxAttempts times at $dir")
+  }
+
   /** Expire all but the newest `keepVersions` manifests and sweep
     * unreferenced vector files (file-granular — compaction supersedes
     * individual files inside stagings whose other cells stay live).

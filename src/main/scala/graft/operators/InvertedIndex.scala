@@ -658,6 +658,34 @@ object InvertedIndex {
     sys.error("unreachable")
   }
 
+  /** Roll the index back to `toVersion`'s content as a NEW head commit
+    * (the catalog's `rollback` posture: history stays travelable, the
+    * rollback itself is one more OCC claim — so a bad CDC batch is one
+    * call to undo, and a racing maintainer serializes like any other).
+    * Everything rewinds together: postings/vocab/stats/tombstones AND
+    * the stream stamps — the rolled-back batches are no longer applied,
+    * so their replays must re-apply, not be refused by a stamp whose
+    * content was discarded. The target manifest must still exist
+    * ([[vacuum]] `keepVersions` bounds how far back this reaches —
+    * fails loudly past it). Returns the new head version.
+    */
+  def rollback(spark: SparkSession, dir: String, toVersion: Long,
+      maxAttempts: Int = 5): Long = {
+    require(versions(spark, dir).contains(toVersion),
+      s"no manifest v$toVersion at $dir — expired by vacuum (keepVersions bounds rollback reach)")
+    val target = readManifest(spark, dir, toVersion)
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      if (base.version == toVersion) return base.version
+      val next = target.copy(version = base.version + 1)
+      if (tryCommit(spark, dir, next)) return next.version
+    }
+    throw new graft.catalog.GraftCommitConflict(
+      s"index rollback lost the version race $maxAttempts times at $dir")
+  }
+
   /** Expire all but the newest `keepVersions` manifests, then sweep
     * everything no surviving manifest references — torn stagings from
     * crashed maintainers, files superseded by compaction, and stale
@@ -749,12 +777,42 @@ object InvertedIndex {
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, dir: String,
       probeIds: Seq[Long], k: Int = 5): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
-    val m = currentManifest(spark, dir)
-    val qterms = termFreqs(docs.filter(col(idCol).isin(probeIds: _*)), idCol, textCol)
+    // probe terms need no positions regardless of the index's shape
+    val qterms = termFreqs(docs.filter(col(idCol).isin(probeIds: _*)), idCol, textCol,
+        withPositions = false)
       .select(col(idCol).as("probe_id"), col("__tok"))
+    serveBm25(spark, dir, qterms, k, excludeSelf = true)
+      .select(col("probe_id"), col("rank"), col("doc_id").as(idCol), col("score"))
+  }
 
+  /** BM25 top-`k` for RAW QUERY TEXT (the SQL/TVF surface's shape): the
+    * query string is tokenized with the build's exact expression, its
+    * distinct terms score against the index, and results carry the
+    * query text as `q`. No self-exclusion — the query is not a corpus
+    * document. Same fixed-point arithmetic as [[bm25TopK]].
+    */
+  def bm25TopKText(spark: SparkSession, dir: String, queries: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKText needs at least one query")
+    import spark.implicits._
+    val qterms = queries.toDF("probe_id")
+      .select(col("probe_id"),
+        explode(graft.functions.TextFunctions.tokens(col("probe_id"))).as("__tok"))
+      .distinct()
+    serveBm25(spark, dir, qterms, k, excludeSelf = false)
+      .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** Shared serve core: score `qterms` (probe_id of ANY type, __tok)
+    * against the index. The postings scan is planned over ONLY the
+    * probe terms' buckets' files — pruned from the manifest's metadata
+    * before any I/O, using the bucket count the index was built with.
+    */
+  private def serveBm25(spark: SparkSession, dir: String, qterms: DataFrame,
+      k: Int, excludeSelf: Boolean): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = currentManifest(spark, dir)
     // ≤ `m.buckets` distinct values by construction — a constant-bounded
     // driver-side collect, independent of corpus or probe size.
     val probeBuckets = qterms.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
@@ -779,9 +837,10 @@ object InvertedIndex {
       .select(col("doc_id"), col("tok"),
         expr("22L * tf * __avgdl_fp * 10000L div " +
           "(10L * tf * __avgdl_fp + 3L * __avgdl_fp + 900L * dl)").as("__sat_fp"))
-    val scored = sat
+    val joined = sat
       .join(broadcast(qterms.withColumnRenamed("__tok", "tok")), Seq("tok"))
-      .filter(col("doc_id") =!= col("probe_id"))
+    val scored = (if (excludeSelf) joined.filter(col("doc_id") =!= col("probe_id"))
+      else joined)
       .join(broadcast(idf.join(qterms.select(col("__tok").as("tok")).distinct(), Seq("tok"))),
         Seq("tok"))
       .groupBy(col("probe_id"), col("doc_id"))
@@ -790,7 +849,7 @@ object InvertedIndex {
       .orderBy(col("__score_fp").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)
-      .select(col("probe_id"), col("rank"), col("doc_id").as(idCol),
+      .select(col("probe_id"), col("rank"), col("doc_id"),
         (col("__score_fp").cast("double") / 1.0e7).as("score"))
   }
 

@@ -1,8 +1,9 @@
 package graft.plans
 
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{GraftShim, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** SparkSessionExtensions entry point registering the graft expressions
   * as SQL functions, so `spark.sql("SELECT simhash64(...)")` works and
@@ -143,5 +144,81 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (children: Seq[Expression]) => KllN(children.head)
       )
     )
+
+    // ---- serving-index table functions --------------------------------
+    // SQL surface for the persisted indexes: round 11 shipped the
+    // MAINTENANCE half in SQL (CALL graft.system.index_compact/vacuum)
+    // but left every serving path Scala-only — a SQL-first user could
+    // maintain an index they could not query. These TVFs close that:
+    //   SELECT * FROM graft_bm25('<dir>', 'query text', 5)
+    //   SELECT * FROM graft_phrase('<dir>', 'exact phrase', 5)
+    //   SELECT * FROM graft_proximity('<dir>', 'first', 'second', 3, 5)
+    //   SELECT * FROM graft_spannear('<dir>', 'a b c', 2, true, 5)
+    //   SELECT * FROM graft_ann('<dir>', array(...), 5, 8)
+    // Arguments must be literals (evaluated at resolution — the plan the
+    // TVF returns is the same manifest-pruned serve plan the Scala API
+    // builds, so bucket/cell pruning and broadcasts are identical).
+    def strArg(e: Expression, name: String): String = e.eval() match {
+      case s: UTF8String => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$name must be a string literal, got $other")
+    }
+    def boolArg(e: Expression, name: String): Boolean = e.eval() match {
+      case b: java.lang.Boolean => b.booleanValue()
+      case other => throw new IllegalArgumentException(
+        s"$name must be a boolean literal, got $other")
+    }
+    def vecArg(e: Expression, name: String): Array[Double] = {
+      import org.apache.spark.sql.types._
+      val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      e.dataType match {
+        case ArrayType(DoubleType, _)  => ad.toDoubleArray()
+        case ArrayType(FloatType, _)   => ad.toFloatArray().map(_.toDouble)
+        case ArrayType(IntegerType, _) => ad.toIntArray().map(_.toDouble)
+        case ArrayType(LongType, _)    => ad.toLongArray().map(_.toDouble)
+        case other => throw new IllegalArgumentException(
+          s"$name must be a numeric array literal, got $other")
+      }
+    }
+    def tvf(name: String)(
+        builder: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
+      ext.injectTableFunction(
+        (
+          FunctionIdentifier(name),
+          new ExpressionInfo("graft.operators.InvertedIndex", name),
+          (children: Seq[Expression]) =>
+            GraftShim.logicalPlan(builder(children))
+        )
+      )
+    tvf("graft_bm25") { args =>
+      graft.operators.InvertedIndex.bm25TopKText(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"))
+    }
+    tvf("graft_phrase") { args =>
+      graft.operators.InvertedIndex.phraseTopK(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "phrase")), intArg(args(2), "k"))
+    }
+    tvf("graft_proximity") { args =>
+      graft.operators.InvertedIndex.proximityTopK(SparkSession.active,
+        strArg(args(0), "dir"),
+        Seq((strArg(args(1), "first"), strArg(args(2), "second"))),
+        intArg(args(3), "window"), intArg(args(4), "k"))
+    }
+    tvf("graft_spannear") { args =>
+      graft.operators.InvertedIndex.spanNearTopK(SparkSession.active,
+        strArg(args(0), "dir"),
+        Seq(strArg(args(1), "terms").trim.split("\\s+").toSeq),
+        intArg(args(2), "slop"), boolArg(args(3), "in_order"), intArg(args(4), "k"))
+    }
+    tvf("graft_ann") { args =>
+      val spark = SparkSession.active
+      import spark.implicits._
+      val probe = Seq((0L, vecArg(args(1), "vector").toSeq))
+        .toDF("probe_id", "embedding")
+      graft.operators.AnnIndex.topK(probe, "probe_id", "embedding",
+          strArg(args(0), "dir"), k = intArg(args(2), "k"),
+          nProbe = intArg(args(3), "n_probe"))
+        .select("neighbor_id", "cosine", "rank")
+    }
   }
 }

@@ -41,12 +41,40 @@ object InvIndexScale {
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // positions axis: the SAME corpus built twice — positional vs
+    // BM25-only — prices what the positional columns cost at build
+    // (the collect_list aggregate + larger postings) and verifies BM25
+    // serve is position-blind (the scoring scan prunes the column, so
+    // serve must be flat). SPARK_GRAFT_NOPOS_FIRST=1 flips the build
+    // order: an honest A/B alternates which variant pays the cold
+    // first-build (the addendum-1 ordered-A/B lesson).
+    val noposFirst = sys.env.get("SPARK_GRAFT_NOPOS_FIRST").contains("1")
     val dir = java.nio.file.Files.createTempDirectory("invidx_scale").toString
-    val (_, buildS) = timed(InvertedIndex.build(docs, "doc_id", "text", dir))
+    val dirNp = java.nio.file.Files.createTempDirectory("invidx_scale_np").toString
+    def buildPos() = timed(InvertedIndex.build(docs, "doc_id", "text", dir))._2
+    def buildNp() = timed(InvertedIndex.build(docs, "doc_id", "text", dirNp,
+      withPositions = false))._2
+    val (buildS, buildNpS) =
+      if (noposFirst) { val np = buildNp(); val p = buildPos(); (p, np) }
+      else { val p = buildPos(); val np = buildNp(); (p, np) }
     val serveS = minOf3(noop(
       InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, probes, k = 5)))
+    val serveNpS = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dirNp, probes, k = 5)))
     val scratchS = minOf3(noop(
       TextAnalysis.bm25TopK(docs, "doc_id", "text", probes, k = 5)))
+
+    // hot-pair proximity microbench: r11's HOF intersect was
+    // O(|pa|·|pb|) per doc — a stopword-frequency pair in long docs is
+    // its worst case; the linear kernel must keep this flat. The two
+    // most frequent corpus tokens ARE that pair.
+    val topToks = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().orderBy(desc("count"), col("tok")).limit(2)
+      .collect().map(_.getString(0))
+    val proxHotS = minOf3(noop(
+      InvertedIndex.proximityTopK(spark, dir, Seq((topToks(0), topToks(1))),
+        window = 5, k = 5)))
 
     // maintenance lifecycle: build on 90%, fold TEN ~1% deltas in, then
     // compact + vacuum. serve is measured fresh / after accumulation /
@@ -100,6 +128,10 @@ object InvIndexScale {
 
     println(f"[invidx] sf=$sfDir docs=$nDocs build=$buildS%.2f serve=$serveS%.2f " +
       f"scratch=$scratchS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
+    println(f"[invidx-positions] build_pos=$buildS%.2f build_nopos=$buildNpS%.2f " +
+      f"pos_build_cost=${buildS / buildNpS}%.2fx serve_pos=$serveS%.2f " +
+      f"serve_nopos=$serveNpS%.2f prox_hotpair='${topToks.mkString(" ")}' " +
+      f"prox_hot=$proxHotS%.2f")
     println(f"[invidx-maint] serve_fresh=$serveFresh%.2f deltas10=$deltaTotal%.2f " +
       f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
       f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +

@@ -48,6 +48,55 @@ class ExtensionsSpec extends SparkSpec {
     assert(np == Seq(5L, 4L, 4L, 4L), s"gram counts: $np")
   }
 
+  test("serving-index table functions answer from SQL, identical to the Scala API") {
+    import graft.operators.{AnnIndex, InvertedIndex}
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "beta beta delta"),
+      (2L, "alpha delta epsilon epsilon epsilon"),
+      (3L, "gamma gamma beta alpha delta"),
+      (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+    val lex = java.nio.file.Files.createTempDirectory("tvf_lex").toString
+    InvertedIndex.build(docs, "doc_id", "text", lex)
+
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(spark.sql(s"SELECT * FROM graft_bm25('$lex', 'alpha delta', 3) ORDER BY rank"))
+      == rows(InvertedIndex.bm25TopKText(spark, lex, Seq("alpha delta"), 3).orderBy("rank")),
+      "graft_bm25 diverged from bm25TopKText")
+    assert(rows(spark.sql(s"SELECT * FROM graft_phrase('$lex', 'alpha beta', 5) ORDER BY doc_id"))
+      == rows(InvertedIndex.phraseTopK(spark, lex, Seq("alpha beta"), 5).orderBy("doc_id")),
+      "graft_phrase diverged from phraseTopK")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_proximity('$lex', 'alpha', 'delta', 3, 5) ORDER BY doc_id"))
+      == rows(InvertedIndex.proximityTopK(spark, lex, Seq(("alpha", "delta")), 3, 5)
+        .orderBy("doc_id")),
+      "graft_proximity diverged from proximityTopK")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_spannear('$lex', 'alpha beta gamma', 2, false, 5) ORDER BY doc_id"))
+      == rows(InvertedIndex.spanNearTopK(spark, lex,
+        Seq(Seq("alpha", "beta", "gamma")), 2, inOrder = false, 5).orderBy("doc_id")),
+      "graft_spannear diverged from spanNearTopK")
+
+    val emb = Tables(spark, sfDir).embeddings
+    val ann = java.nio.file.Files.createTempDirectory("tvf_ann").toString
+    AnnIndex.build(emb.filter($"vec_id" >= 5), "vec_id", "embedding", ann, nCells = 8)
+    val probeVec = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0)
+    // widen float -> double BEFORE printing: Float.toString parsed as a
+    // double literal is the double nearest the printed decimal, not the
+    // widened float — an ulp off per component shifts cosine ties
+    val vecSql = probeVec.map(v => s"CAST(${v.toDouble} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val viaSql = rows(spark.sql(
+      s"SELECT * FROM graft_ann('$ann', $vecSql, 5, 4) ORDER BY rank"))
+    val viaApi = rows(AnnIndex.topK(
+        emb.filter($"vec_id" === 0), "vec_id", "embedding", ann, k = 5, nProbe = 4)
+      .select("neighbor_id", "cosine", "rank").orderBy("rank"))
+    assert(viaSql == viaApi, "graft_ann diverged from AnnIndex.topK")
+  }
+
   test("SQL shingle_hashes matches the column-API shingle set size") {
     import graft.functions.TextFunctions
     import graft.plans.TextVectorExpressions

@@ -739,6 +739,59 @@ class GraftCatalogSpec extends SparkSpec {
     assert(am.vectors.groupBy(_._1).forall(_._2.size == 1), "ANN cells not folded")
   }
 
+  test("CALL index_rollback undoes a bad CDC batch: content, stamps and vacuum all coherent") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("proc_idx_rb").toString
+    val probes = Seq(0L, 7L, 42L)
+    def serve() = graft.operators.InvertedIndex.bm25TopK(
+        docs, "doc_id", "text", dir, probes, k = 5)
+      .collect().map(_.toSeq).toSeq
+
+    graft.operators.InvertedIndex.build(docs.filter($"doc_id" < 200), "doc_id", "text", dir) // v1
+    val good = serve()
+    // the "bad" CDC batch: stamped, deletes some docs, garbles others
+    val bad = docs.filter($"doc_id" >= 10 && $"doc_id" < 30)
+    graft.operators.InvertedIndex.applyCdc(
+      upserts = bad.select($"doc_id", org.apache.spark.sql.functions.lit("garbled garbage").as("text")),
+      removals = bad, "doc_id", "text", dir, stamp = Some("cdc" -> 7L))          // v2
+    assert(serve() != good, "the bad batch should have changed served answers")
+    assert(graft.operators.InvertedIndex.committedBatchId(spark, dir, "cdc").contains(7L))
+
+    val r = spark.sql(s"CALL $cat.system.index_rollback('$dir', 1)").head
+    assert(r.getLong(0) == 1L && r.getLong(1) == 3L, s"expected (1, 3), got $r")
+    assert(serve() == good, "rollback must serve the pre-CDC answers")
+    // the stamp rewound WITH the content: the undone batch may re-apply
+    assert(graft.operators.InvertedIndex.committedBatchId(spark, dir, "cdc").isEmpty,
+      "stream stamp must rewind with the content it stamped")
+    // vacuum keeps the rolled-back head serving (its files are
+    // referenced by the new head manifest, not only the expired v1)
+    graft.operators.InvertedIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(graft.operators.InvertedIndex.versions(spark, dir) == Seq(3L))
+    assert(serve() == good, "vacuum after rollback must not sweep the restored files")
+    // past the vacuum horizon the rollback target is a loud error
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.index_rollback('$dir', 2)").collect()
+    }
+    assert(e.getMessage.contains("expired") || e.getMessage.contains("no manifest"))
+
+    // dense side through the same dispatch
+    val emb = Tables(spark, sfDir).embeddings
+    val annDir = java.nio.file.Files.createTempDirectory("proc_ann_rb").toString
+    graft.operators.AnnIndex.build(emb.filter($"vec_id" >= 5 && $"vec_id" < 300),
+      "vec_id", "embedding", annDir, nCells = 4)                                  // v1
+    def annServe() = graft.operators.AnnIndex.topK(emb.filter($"vec_id" < 5),
+        "vec_id", "embedding", annDir, k = 5, nProbe = 4)
+      .collect().map(_.toSeq).toSeq
+    val annGood = annServe()
+    graft.operators.AnnIndex.deleteVecs(
+      emb.filter($"vec_id" >= 5 && $"vec_id" < 100).select("vec_id"), "vec_id", annDir) // v2
+    assert(annServe() != annGood)
+    val ar = spark.sql(s"CALL $cat.system.index_rollback('$annDir', 1)").head
+    assert(ar.getLong(0) == 1L && ar.getLong(1) == 3L)
+    assert(annServe() == annGood, "ANN rollback must serve the pre-delete answers")
+  }
+
   test("CALL rollback restores an earlier snapshot as a new commit; history stays travelable") {
     spark.sql(s"CREATE TABLE $cat.db.rb (k INT, v STRING)")      // v1
     spark.sql(s"INSERT INTO $cat.db.rb VALUES (1, 'a')")          // v2

@@ -35,10 +35,13 @@ class PlanAuditSpec extends SparkSpec {
     "ann_pq",                          // broadcast ADC tables vs encoded corpus
     "dedup_embedding_exact",           // all-pairs oracle baseline (correctness only, never benched at scale)
     "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts
-    "search_bm25_indexed",             // same stats scalars, read from the index's 1-row sidecar
-    "search_index_delta",              // same stats scalars after the versioned merge
-    "search_index_delete",             // same stats scalars over the tombstone-corrected sidecars
-    "search_index_cdc",                // same stats scalars over the CDC-corrected sidecars
+    "search_bm25_served",              // same stats scalars, read from the shared index's 1-row sidecar
+    "search_bm25_sql",                 // the TVF path resolves to the same serve plan, same stats scalars
+    // (the index-LIFECYCLE entries — search_bm25_indexed/delta/delete/cdc —
+    // eager-materialize via disposeAfter and return a LocalRelation, so
+    // their audited plan no longer carries the scalar nested loop; the
+    // serve-path plan shape is audited through search_bm25_served and
+    // the InvertedIndexSpec plan pins instead)
     "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
@@ -117,10 +120,10 @@ class PlanAuditSpec extends SparkSpec {
     "mine_hard_negatives"   -> "broadcast probe set, require-capped",
     "eval_retrieval_labels" -> "probe sweep + probe/candidate label lists, require-capped",
     "search_hybrid_rrf"     -> "probe sweep (dense branch), require-capped",
-    "search_bm25_indexed"   -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
-    "search_index_delta"    -> "same probe-bounded sides over the delta-grown index",
-    "search_index_delete"   -> "probe-bounded sides + churn-sized tombstone anti-join (set cleared at every compact)",
-    "search_index_cdc"      -> "probe-bounded sides + churn-sized coverage-tombstone anti-join + O(#files) position table",
+    // (search_bm25_indexed/delta/delete/cdc left this list in r12: they
+    // eager-materialize via disposeAfter, so the audited plan is a
+    // LocalRelation; their serve shape is audited via search_bm25_served)
+    "search_bm25_served"    -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
     "curation_pipeline"     -> "embeds the decontaminate benchmark-shingle side",
