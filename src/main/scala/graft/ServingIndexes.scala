@@ -55,6 +55,21 @@ object ServingIndexes {
       dir
     })
 
+  private val annHybridDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared ANN index matching the hybrid-retrieval corpus split:
+    * everything except the lexical probes (0, 7, 42) — the dense
+    * candidates of `search_hybrid_rrf`'s oracle.
+    */
+  def annHybridDir(spark: SparkSession, sfDir: String): String =
+    annHybridDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = scratchDir("graft_served_annh")
+      val emb = Tables(spark, sfDir).embeddings
+        .filter(!col("vec_id").isin(0L, 7L, 42L))
+      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16)
+      dir
+    })
+
   /** Fresh scratch dir registered for JVM-exit deletion (backstop for
     * dirs whose owner never disposes eagerly).
     */

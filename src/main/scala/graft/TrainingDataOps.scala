@@ -67,6 +67,64 @@ object TrainingDataOps {
     ) WHERE rn <= 5 ORDER BY probe_id, rank
   """.trim
 
+  /** Shared hybrid-RRF oracle (lex BM25 top-20 + dense cosine top-20,
+    * probes 0/7/42, RRF top-5): `search_hybrid_rrf` computes it from
+    * scratch; `search_hybrid_served` answers from the two serving
+    * indexes and must hash-match the same SQL.
+    */
+  private lazy val hybridRrfSql: String = """
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), scores AS (
+          SELECT q.doc_id AS probe_id, s.doc_id,
+                 CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM tf q
+          JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
+          JOIN idf i ON i.tok = q.tok
+          WHERE q.doc_id IN (0, 7, 42)
+          GROUP BY 1, 2
+        ), lex AS (
+          SELECT probe_id, doc_id,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
+          FROM scores QUALIFY lex_rank <= 20
+        ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ), den AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
+                 row_number() OVER (PARTITION BY p.vec_id
+                   ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS den_rank
+          FROM (SELECT * FROM e WHERE vec_id IN (0, 7, 42)) p,
+               (SELECT * FROM e WHERE vec_id NOT IN (0, 7, 42)) c
+          QUALIFY den_rank <= 20
+        ), fused AS (
+          SELECT COALESCE(l.probe_id, d.probe_id) AS probe_id,
+                 COALESCE(l.doc_id, d.doc_id) AS doc_id,
+                 COALESCE(1000000 // (60 + l.lex_rank), 0)
+                   + COALESCE(1000000 // (60 + d.den_rank), 0) AS rrf_fp
+          FROM lex l FULL OUTER JOIN den d
+            ON l.probe_id = d.probe_id AND l.doc_id = d.doc_id
+        )
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp FROM (
+          SELECT probe_id, doc_id, rrf_fp,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY rrf_fp DESC, doc_id ASC) AS rn
+          FROM fused
+        ) WHERE rn <= 5 ORDER BY probe_id, rank
+      """.trim
+
   /** Shared DuckDB span-cleaning CTE chain (dedup_spans family): the
     * batch semantics, parameterized by the final row filter — the
     * incremental variant's oracle IS the batch SQL restricted to the
@@ -2155,6 +2213,59 @@ object TrainingDataOps {
             probeIds = Seq(0L, 7L, 42L), depth = 20, k = 5)
           .orderBy("probe_id", "rank")
       },
+      Some(hybridRrfSql),
+      bench = true
+    ),
+    QueryDef(
+      "search_hybrid_served",
+      // hybrid retrieval ANSWERED FROM THE SERVING INDEXES: the lexical
+      // branch reads the shared inverted index (probe-bucket-pruned
+      // postings), the dense branch reads the hybrid-split ANN index
+      // with nProbe = nCells — exact by construction (every cell
+      // consulted through the same cell-pruned serve plan; dialing
+      // nProbe below nCells is the recall/latency knob, recall ≥ 0.8
+      // pinned in AnnIndexSpec), so the fusion hash-matches the
+      // from-scratch search_hybrid_rrf oracle. Rank fusion is
+      // ranker-agnostic (shared rrfFuseRanked), which is exactly why
+      // the serving swap cannot move the fused arithmetic
+      (spark, dir) => {
+        import spark.implicits._
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        val emb = Tables(spark, dir).embeddings
+        val probes = Seq(0L, 7L, 42L)
+        val lex = operators.InvertedIndex.bm25TopK(docs, "doc_id", "text",
+            ServingIndexes.lexicalDir(spark, dir), probes, k = 20)
+          .select(col("probe_id"), col("doc_id").as("__id"), col("rank").as("__lex_rank"))
+        val den = operators.AnnIndex.topK(
+            emb.filter($"vec_id".isin(probes: _*)), "vec_id", "embedding",
+            ServingIndexes.annHybridDir(spark, dir), k = 20, nProbe = 16)
+          .select(col("probe_id"), col("neighbor_id").as("__id"), col("rank").as("__den_rank"))
+        TextAnalysis.rrfFuseRanked(lex, den, "doc_id", k = 5, rrfK = 60)
+          .orderBy("probe_id", "rank")
+      },
+      Some(hybridRrfSql),
+      bench = true
+    ),
+    QueryDef(
+      "search_bm25_capped",
+      // the stopword-probe scale valve (WAND-lite): probe terms whose
+      // df exceeds 78% of the corpus are dropped from the query BEFORE
+      // bucket pruning — their corpus-sized posting lists are never
+      // read (at 100 TB one stopword probe term otherwise turns a
+      // posting-list-sized read into a corpus scan; the dropped terms
+      // carry near-zero idf, so the trade is explicit and tiny). The
+      // integer threshold (df·100 ≤ n·78) is replicated exactly in the
+      // oracle's query-term filter. (78 because the synthetic vocab is
+      // uniformly hot — every token sits at 74-80% df — so this is the
+      // band where a cap separates; at sf0.01 it keeps 15 of 30 probe
+      // terms, non-vacuous in both directions)
+      (spark, dir) => {
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.bm25TopK(docs, "doc_id", "text",
+            ServingIndexes.lexicalDir(spark, dir), probeIds = Seq(0L, 7L, 42L), k = 5,
+            maxDfPercent = Some(78))
+          .orderBy("probe_id", "rank")
+      },
       Some("""
         WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
@@ -2177,34 +2288,19 @@ object TrainingDataOps {
           SELECT q.doc_id AS probe_id, s.doc_id,
                  CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
           FROM tf q
+          JOIN dfreq qdf ON qdf.tok = q.tok
+          JOIN stats st ON qdf.df * 100 <= st.n * 78
           JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
           JOIN idf i ON i.tok = q.tok
           WHERE q.doc_id IN (0, 7, 42)
           GROUP BY 1, 2
-        ), lex AS (
-          SELECT probe_id, doc_id,
-                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS lex_rank
-          FROM scores QUALIFY lex_rank <= 20
-        ), e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-        ), den AS (
-          SELECT p.vec_id AS probe_id, c.vec_id AS doc_id,
-                 row_number() OVER (PARTITION BY p.vec_id
-                   ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS den_rank
-          FROM (SELECT * FROM e WHERE vec_id IN (0, 7, 42)) p,
-               (SELECT * FROM e WHERE vec_id NOT IN (0, 7, 42)) c
-          QUALIFY den_rank <= 20
-        ), fused AS (
-          SELECT COALESCE(l.probe_id, d.probe_id) AS probe_id,
-                 COALESCE(l.doc_id, d.doc_id) AS doc_id,
-                 COALESCE(1000000 // (60 + l.lex_rank), 0)
-                   + COALESCE(1000000 // (60 + d.den_rank), 0) AS rrf_fp
-          FROM lex l FULL OUTER JOIN den d
-            ON l.probe_id = d.probe_id AND l.doc_id = d.doc_id
         )
-        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id, CAST(rrf_fp AS BIGINT) AS rrf_fp FROM (
-          SELECT probe_id, doc_id, rrf_fp,
-                 row_number() OVER (PARTITION BY probe_id ORDER BY rrf_fp DESC, doc_id ASC) AS rn
-          FROM fused
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT probe_id, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
         ) WHERE rn <= 5 ORDER BY probe_id, rank
       """.trim),
       bench = true

@@ -776,13 +776,13 @@ object InvertedIndex {
     * from-scratch bm25TopK.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      probeIds: Seq[Long], k: Int = 5): DataFrame = {
+      probeIds: Seq[Long], k: Int = 5, maxDfPercent: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     // probe terms need no positions regardless of the index's shape
     val qterms = termFreqs(docs.filter(col(idCol).isin(probeIds: _*)), idCol, textCol,
         withPositions = false)
       .select(col(idCol).as("probe_id"), col("__tok"))
-    serveBm25(spark, dir, qterms, k, excludeSelf = true)
+    serveBm25(spark, dir, qterms, k, excludeSelf = true, maxDfPercent)
       .select(col("probe_id"), col("rank"), col("doc_id").as(idCol), col("score"))
   }
 
@@ -809,10 +809,30 @@ object InvertedIndex {
     * probe terms' buckets' files — pruned from the manifest's metadata
     * before any I/O, using the bucket count the index was built with.
     */
-  private def serveBm25(spark: SparkSession, dir: String, qterms: DataFrame,
-      k: Int, excludeSelf: Boolean): DataFrame = {
+  private def serveBm25(spark: SparkSession, dir: String, qterms0: DataFrame,
+      k: Int, excludeSelf: Boolean, maxDfPercent: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = currentManifest(spark, dir)
+    // df cap (stopword pruning, the WAND-lite scale valve): a probe
+    // term at stopword frequency has a posting list proportional to the
+    // CORPUS, not the query — at 100 TB one such term turns a
+    // posting-list-sized read into a corpus scan. With `maxDfPercent`,
+    // terms with df·100 > n·pct are dropped from the query BEFORE
+    // bucket pruning (their buckets are never read) — an exact integer
+    // threshold both engines can replicate, applied identically in the
+    // oracle. High-df terms carry near-zero idf anyway, so the ranking
+    // loss is the BM25-idf tail, traded explicitly for bounded reads.
+    val qterms = maxDfPercent match {
+      case None => qterms0
+      case Some(pct) =>
+        require(pct >= 1 && pct <= 100, s"maxDfPercent must be in [1, 100], got $pct")
+        val n = spark.read.parquet(s"$dir/${m.statsDir}")
+          .agg(sum(col("n"))).head().getLong(0)
+        val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
+          .filter(col("df") * 100 <= lit(n) * pct)
+          .select(col("tok").as("__tok"))
+        qterms0.join(kept, Seq("__tok"), "left_semi")
+    }
     // ≤ `m.buckets` distinct values by construction — a constant-bounded
     // driver-side collect, independent of corpus or probe size.
     val probeBuckets = qterms.select(bucketOf(col("__tok"), m.buckets).as("bucket"))

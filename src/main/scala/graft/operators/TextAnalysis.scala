@@ -366,6 +366,19 @@ object TextAnalysis {
         candidates = emb.filter(!col(embIdCol).isin(probeIds: _*)),
         idCol = embIdCol, vecCol = vecCol, k = depth)
       .select(col("probe_id"), col("neighbor_id").as("__id"), col("rank").as("__den_rank"))
+    rrfFuseRanked(lex, den, idCol, k, rrfK)
+  }
+
+  /** RRF fusion of two ranked lists — `lex` as (probe_id, __id,
+    * __lex_rank), `den` as (probe_id, __id, __den_rank). Shared by the
+    * from-scratch [[hybridRrfTopK]] and the indexed serving path
+    * (`search_hybrid_served`): rank fusion is ranker-agnostic, so
+    * swapping a branch for its serving index cannot change the fusion
+    * arithmetic.
+    */
+  private[graft] def rrfFuseRanked(lex: DataFrame, den: DataFrame, idCol: String,
+      k: Int, rrfK: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val fused = lex.join(den, Seq("probe_id", "__id"), "full_outer")
       .select(col("probe_id"), col("__id"),
         (coalesce(lit(1000000L).cast("long") divAsLong (lit(rrfK) + col("__lex_rank")), lit(0L)) +

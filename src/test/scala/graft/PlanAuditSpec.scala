@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts
     "search_bm25_served",              // same stats scalars, read from the shared index's 1-row sidecar
     "search_bm25_sql",                 // the TVF path resolves to the same serve plan, same stats scalars
+    "search_bm25_capped",              // same serve plan behind the df-cap term filter
+    "search_hybrid_served",            // lexical branch inherits the bm25 stats scalars
     // (the index-LIFECYCLE entries — search_bm25_indexed/delta/delete/cdc —
     // eager-materialize via disposeAfter and return a LocalRelation, so
     // their audited plan no longer carries the scalar nested loop; the
@@ -124,6 +126,8 @@ class PlanAuditSpec extends SparkSpec {
     // eager-materialize via disposeAfter, so the audited plan is a
     // LocalRelation; their serve shape is audited via search_bm25_served)
     "search_bm25_served"    -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
+    "search_bm25_capped"    -> "same probe-bounded sides behind the df-cap vocab semi-join",
+    "search_hybrid_served"  -> "probe-bounded lexical sides + probe (id, vec, cell) rows on the dense branch",
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
     "curation_pipeline"     -> "embeds the decontaminate benchmark-shingle side",

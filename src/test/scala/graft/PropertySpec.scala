@@ -29,6 +29,63 @@ class PropertySpec extends SparkSpec {
       p <- Gen.alphaStr.map(_.take(4))
     } yield (k, v, p))
 
+  test("ProximityAnchors/SpanNearCount agree with brute-force references on random position sets") {
+    import org.apache.spark.sql.functions.col
+
+    // brute-force references: the definitions, evaluated the slow way
+    def refProx(pa: Seq[Int], pb: Seq[Int], w: Int): Long =
+      pa.count(p => pb.exists(q => q > p && q - p <= w)).toLong
+    def refOrdered(pos: Seq[Seq[Int]], slop: Int): Long = {
+      def chain(prev: Int, rest: Seq[Seq[Int]]): Option[Int] = rest match {
+        case Nil => Some(prev)
+        case h +: t => h.find(_ > prev).flatMap(q => chain(q, t))
+      }
+      pos.head.count(p1 =>
+        chain(p1, pos.tail).exists(pk => pk - p1 - (pos.size - 1) <= slop)).toLong
+    }
+    def refUnordered(pos: Seq[Seq[Int]], slop: Int): Long = {
+      val w = slop + pos.size - 1
+      pos.flatten.distinct.count(m =>
+        pos.forall(_.exists(q => q >= m && q <= m + w))).toLong
+    }
+
+    val posGen = Gen.listOf(Gen.choose(0, 30)).map(_.distinct.sorted)
+    val windowGen = Gen.choose(1, 6)
+
+    // pair kernel vs reference
+    val pairCases = samples(Gen.zip(posGen, posGen, windowGen), 60)
+      .filter { case (a, b, _) => a.nonEmpty && b.nonEmpty }
+    for (w <- pairCases.map(_._3).distinct) {
+      val cases = pairCases.filter(_._3 == w)
+      val got = cases.map(c => (c._1, c._2)).toDF("pa", "pb")
+        .select(graft.plans.SpanNearCount.proximityAnchors(col("pa"), col("pb"), w))
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == cases.map(c => refProx(c._1, c._2, w)),
+        s"ProximityAnchors diverged from brute force at window=$w")
+    }
+
+    // k-term kernel vs references, both modes, k in 1..4
+    val kGen = for {
+      k <- Gen.choose(1, 4)
+      arrays <- Gen.listOfN(k, posGen.map(_.take(8)))
+      slop <- Gen.choose(0, 5)
+    } yield (arrays, slop)
+    val spanCases = samples(kGen, 80).filter(_._1.forall(_.nonEmpty))
+    for (inOrder <- Seq(true, false); slop <- spanCases.map(_._2).distinct) {
+      val cases = spanCases.filter(_._2 == slop)
+      val got = cases.map(c => Tuple1(c._1)).toDF("pos")
+        .select(graft.plans.SpanNearCount.spanNear(col("pos"), slop, inOrder))
+        .collect().map(_.getLong(0)).toSeq
+      val want = cases.map(c =>
+        if (inOrder) refOrdered(c._1, slop) else refUnordered(c._1, slop))
+      assert(got == want,
+        s"SpanNearCount(inOrder=$inOrder, slop=$slop) diverged from brute force: " +
+          cases.zip(got.zip(want)).collectFirst {
+            case ((arr, _), (g, e)) if g != e => s"$arr -> got $g want $e"
+          }.getOrElse(""))
+    }
+  }
+
   test("SortedIntersect/SortedJaccard agree with set algebra on random sorted arrays") {
     import graft.plans.TextVectorExpressions
     import org.apache.spark.sql.functions.col
