@@ -793,14 +793,14 @@ object InvertedIndex {
     * document. Same fixed-point arithmetic as [[bm25TopK]].
     */
   def bm25TopKText(spark: SparkSession, dir: String, queries: Seq[String],
-      k: Int = 5): DataFrame = {
+      k: Int = 5, maxDfPercent: Option[Int] = None): DataFrame = {
     require(queries.nonEmpty, "bm25TopKText needs at least one query")
     import spark.implicits._
     val qterms = queries.toDF("probe_id")
       .select(col("probe_id"),
         explode(graft.functions.TextFunctions.tokens(col("probe_id"))).as("__tok"))
       .distinct()
-    serveBm25(spark, dir, qterms, k, excludeSelf = false)
+    serveBm25(spark, dir, qterms, k, excludeSelf = false, maxDfPercent)
       .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
   }
 

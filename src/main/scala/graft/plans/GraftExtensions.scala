@@ -191,8 +191,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         )
       )
     tvf("graft_bm25") { args =>
+      // optional 4th arg: max_df_percent — the stopword valve (terms
+      // with df·100 > n·pct are dropped before bucket pruning)
       graft.operators.InvertedIndex.bm25TopKText(SparkSession.active,
-        strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"))
+        strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"),
+        maxDfPercent = args.lift(3).map(e => intArg(e, "max_df_percent")))
     }
     tvf("graft_phrase") { args =>
       graft.operators.InvertedIndex.phraseTopK(SparkSession.active,

@@ -75,6 +75,19 @@ object InvIndexScale {
     val proxHotS = minOf3(noop(
       InvertedIndex.proximityTopK(spark, dir, Seq((topToks(0), topToks(1))),
         window = 5, k = 5)))
+    // span-query serve axes over the same positional index (serve-only:
+    // the board's search_spannear_* shapes at this rung)
+    val phraseS = minOf3(noop(
+      InvertedIndex.phraseTopK(spark, dir,
+        Seq("fast key scan", "table table", "value fast"), k = 5)))
+    val spanOrdS = minOf3(noop(
+      InvertedIndex.spanNearTopK(spark, dir,
+        Seq(Seq("fast", "key", "scan"), Seq("key", "value")),
+        slop = 2, inOrder = true, k = 5)))
+    val spanUnS = minOf3(noop(
+      InvertedIndex.spanNearTopK(spark, dir,
+        Seq(Seq("table", "query", "scan"), Seq("fast", "value")),
+        slop = 3, inOrder = false, k = 5)))
 
     // maintenance lifecycle: build on 90%, fold TEN ~1% deltas in, then
     // compact + vacuum. serve is measured fresh / after accumulation /
@@ -132,6 +145,8 @@ object InvIndexScale {
       f"pos_build_cost=${buildS / buildNpS}%.2fx serve_pos=$serveS%.2f " +
       f"serve_nopos=$serveNpS%.2f prox_hotpair='${topToks.mkString(" ")}' " +
       f"prox_hot=$proxHotS%.2f")
+    println(f"[invidx-span] phrase=$phraseS%.2f spannear_ord=$spanOrdS%.2f " +
+      f"spannear_unord=$spanUnS%.2f")
     println(f"[invidx-maint] serve_fresh=$serveFresh%.2f deltas10=$deltaTotal%.2f " +
       f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
       f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +

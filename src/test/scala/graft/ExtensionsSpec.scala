@@ -65,6 +65,13 @@ class ExtensionsSpec extends SparkSpec {
     assert(rows(spark.sql(s"SELECT * FROM graft_bm25('$lex', 'alpha delta', 3) ORDER BY rank"))
       == rows(InvertedIndex.bm25TopKText(spark, lex, Seq("alpha delta"), 3).orderBy("rank")),
       "graft_bm25 diverged from bm25TopKText")
+    // optional df-cap arg: 'alpha' (df 4/5 = 80%) is dropped at 79,
+    // leaving a delta-only query — identical to the capped Scala path
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_bm25('$lex', 'alpha delta', 3, 79) ORDER BY rank"))
+      == rows(InvertedIndex.bm25TopKText(spark, lex, Seq("alpha delta"), 3,
+        maxDfPercent = Some(79)).orderBy("rank")),
+      "graft_bm25 with max_df_percent diverged from the capped Scala path")
     assert(rows(spark.sql(s"SELECT * FROM graft_phrase('$lex', 'alpha beta', 5) ORDER BY doc_id"))
       == rows(InvertedIndex.phraseTopK(spark, lex, Seq("alpha beta"), 5).orderBy("doc_id")),
       "graft_phrase diverged from phraseTopK")

@@ -407,6 +407,24 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e2.getMessage.contains("withPositions=false"))
     // the positional twin still serves phrases (deltas carried positions)
     assert(InvertedIndex.phraseTopK(spark, pos, Seq("alpha beta"), k = 5).count() > 0)
+
+    // the FULL maintenance lifecycle holds on the positions-free shape:
+    // CDC (tokenizes outgoing text positions-free regardless), delete,
+    // compact, and serve all run without the column, answers matching a
+    // positions-free rebuild of the post-churn corpus
+    val upd = docs.filter(col("doc_id") === 1)
+      .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"))
+    InvertedIndex.applyCdc(upserts = upd,
+      removals = docs.filter(col("doc_id") === 1), "doc_id", "text", nopos)
+    InvertedIndex.deleteDocs(
+      docs.filter(col("doc_id") === 2).select("doc_id"), "doc_id", nopos)
+    InvertedIndex.compact(spark, nopos)
+    val after = docs.filter(col("doc_id") =!= 1 && col("doc_id") =!= 2).unionByName(upd)
+    val scratch = java.nio.file.Files.createTempDirectory("invidx_nopos_sc").toString
+    InvertedIndex.build(after, "doc_id", "text", scratch, withPositions = false)
+    assert(rows(InvertedIndex.bm25TopK(after, "doc_id", "text", nopos, Seq(0L, 7L), k = 5))
+      == rows(InvertedIndex.bm25TopK(after, "doc_id", "text", scratch, Seq(0L, 7L), k = 5)),
+      "positions-free CDC/delete/compact lifecycle diverged from a rebuild")
   }
 
   test("compaction that loses the claim race retries against the fresh manifest and still lands") {
