@@ -2315,7 +2315,13 @@ object TrainingDataOps {
       // oracle
       (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id")
-        operators.InvertedIndex.build(docs, "doc_id", "text", work)
+        // BM25-only lifecycle -> BM25-only index (withPositions=false,
+        // the honest production config for a non-span index; the
+        // POSITIONAL build cost is visible in search_bm25_served's cold
+        // pass and the InvIndexScale positions axis, and the positional
+        // CDC lifecycle is spec-gated via phrase-over-CDC)
+        operators.InvertedIndex.build(docs, "doc_id", "text", work,
+          withPositions = false)
         operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
             probeIds = Seq(0L, 7L, 42L), k = 5)
           .orderBy("probe_id", "rank")
@@ -2404,7 +2410,8 @@ object TrainingDataOps {
       (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx_d") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id")
         operators.InvertedIndex.build(
-          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", work)
+          docs.filter(pmod(col("doc_id"), lit(2)) === 0), "doc_id", "text", work,
+          withPositions = false) // BM25-only lifecycle (see search_bm25_indexed)
         operators.InvertedIndex.addDelta(
           docs.filter(pmod(col("doc_id"), lit(2)) === 1), "doc_id", "text", work)
         operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
@@ -2424,7 +2431,8 @@ object TrainingDataOps {
       // probes (0, 7, 42) are all ≡ 0 mod 7, never deleted.
       (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx_x") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id")
-        operators.InvertedIndex.build(docs, "doc_id", "text", work)
+        operators.InvertedIndex.build(docs, "doc_id", "text", work,
+          withPositions = false) // BM25-only lifecycle (see search_bm25_indexed)
         operators.InvertedIndex.deleteDocs(
           docs.filter(pmod(col("doc_id"), lit(7)) === 3).select("doc_id"), "doc_id", work)
         operators.InvertedIndex.bm25TopK(docs, "doc_id", "text", work,
@@ -2449,7 +2457,12 @@ object TrainingDataOps {
       (spark, dir) => ServingIndexes.disposeAfter(spark, "graft_invidx_c") { work =>
         val docs = spread(Tables(spark, dir).documents, "doc_id").select("doc_id", "text")
         val seed = docs.filter(pmod(col("doc_id"), lit(5)) =!= 4)
-        operators.InvertedIndex.build(seed, "doc_id", "text", work)
+        // BM25-only lifecycle; this also puts the positions-FREE
+        // CDC path (tombstone coverage + schema-stable delta staging)
+        // under the DuckDB oracle, complementing the positional CDC
+        // covered by the phrase-over-CDC spec
+        operators.InvertedIndex.build(seed, "doc_id", "text", work,
+          withPositions = false)
         val updates = seed
           .filter(pmod(col("doc_id"), lit(13)) === 6 && pmod(col("doc_id"), lit(11)) =!= 5)
           .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"))

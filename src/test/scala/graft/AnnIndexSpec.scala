@@ -176,6 +176,39 @@ class AnnIndexSpec extends SparkSpec {
     assert(topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 5, nProbe = 8)) == expect)
   }
 
+  test("hybrid serving: the nProbe knob trades recall for reads, overlap vs the exact fusion pinned") {
+    // search_hybrid_served runs nProbe = nCells (exact — hash-matched
+    // against the from-scratch oracle); this pins what the KNOB does:
+    // at nProbe = half the cells, the dense branch is approximate and
+    // the fused top-5 must still overlap the exact fusion heavily
+    // (RRF dampens dense-branch misses — the lexical branch is exact
+    // either way). Documented trade, measured, not asserted vacuously.
+    val spark0 = spark
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark0, sfDir).documents
+      .repartition(4, col("doc_id")).select("doc_id", "text")
+    val probes = Seq(0L, 7L, 42L)
+    val lexDir = java.nio.file.Files.createTempDirectory("hyb_lex").toString
+    graft.operators.InvertedIndex.build(docs, "doc_id", "text", lexDir)
+    val annDir = java.nio.file.Files.createTempDirectory("hyb_ann").toString
+    AnnIndex.build(emb.filter(!$"vec_id".isin(probes: _*)),
+      "vec_id", "embedding", annDir, nCells = 16)
+    def hybrid(nProbe: Int) = {
+      val lex = graft.operators.InvertedIndex.bm25TopK(docs, "doc_id", "text",
+          lexDir, probes, k = 20)
+        .select(col("probe_id"), col("doc_id").as("__id"), col("rank").as("__lex_rank"))
+      val den = AnnIndex.topK(emb.filter($"vec_id".isin(probes: _*)),
+          "vec_id", "embedding", annDir, k = 20, nProbe = nProbe)
+        .select(col("probe_id"), col("neighbor_id").as("__id"), col("rank").as("__den_rank"))
+      graft.operators.TextAnalysis.rrfFuseRanked(lex, den, "doc_id", k = 5, rrfK = 60)
+        .select("probe_id", "doc_id").as[(Long, Long)].collect().toSet
+    }
+    val exact  = hybrid(nProbe = 16)
+    val approx = hybrid(nProbe = 8)
+    val overlap = exact.intersect(approx).size.toDouble / exact.size
+    assert(overlap >= 0.6, s"approximate hybrid fusion overlap $overlap too low")
+  }
+
   test("compaction that loses the claim race retries and lands (delta wins, compact folds it too)") {
     // the dense-side twin of the InvertedIndex race spec: round 11's
     // compact require-threw on a lost race (inconsistent with
