@@ -39,8 +39,11 @@ object ServingIndexes {
       val dir = scratchDir("graft_served_lex")
       val docs = Tables(spark, sfDir).documents
         .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
-        .select("doc_id", "text")
-      operators.InvertedIndex.build(docs, "doc_id", "text", dir)
+        .select("doc_id", "text", "source")
+      // source rides as the meta sidecar so the filtered-retrieval
+      // entry can serve from the same shared index
+      operators.InvertedIndex.build(docs, "doc_id", "text", dir,
+        metaCols = Seq("source"))
       dir
     })
 

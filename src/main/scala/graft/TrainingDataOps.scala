@@ -2559,6 +2559,62 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_bm25_filtered",
+      // FILTERED retrieval from the serving index: the `where`
+      // predicate evaluates against the index's doc-metadata sidecar
+      // (doc-count-sized, pinned at build; latest-wins under CDC) and
+      // semi-joins the scored candidates BEFORE ranking — top-5 of the
+      // allowed sources only, with corpus-level idf/avgdl (standard
+      // filtered-search semantics). Scoring stays posting-sized; the
+      // sidecar read is a narrow column-pruned scan, never the corpus
+      // text
+      (spark, dir) => {
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.bm25TopK(docs, "doc_id", "text",
+            ServingIndexes.lexicalDir(spark, dir), probeIds = Seq(0L, 7L, 42L), k = 5,
+            where = Some(col("source").isin("src0", "src1", "src2", "src3", "src4")))
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), scores AS (
+          SELECT q.doc_id AS probe_id, s.doc_id,
+                 CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM tf q
+          JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
+          JOIN documents d ON d.doc_id = s.doc_id
+               AND d.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+          JOIN idf i ON i.tok = q.tok
+          WHERE q.doc_id IN (0, 7, 42)
+          GROUP BY 1, 2
+        )
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT probe_id, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
+        ) WHERE rn <= 5 ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_spannear_indexed",
       // k-term ORDERED span-near (Lucene SpanNearQuery, inOrder=true)
       // from the positional postings: anchors = first-term positions

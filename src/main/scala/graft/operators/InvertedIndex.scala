@@ -107,6 +107,17 @@ object InvertedIndex {
         * per (doc, tok): ×2.2 build at the 100× rung, BENCH_SF1).
         */
       positions: Boolean = true,
+      /** doc-metadata sidecar for FILTERED retrieval: column names
+        * pinned at build (`metaCols`) and the append-ordered sidecar
+        * dirs (`metaDirs`, each holding (doc_id, metaCols…) rows —
+        * doc-count-sized, never token-sized). Queries with a `where`
+        * predicate resolve each doc's LATEST meta (dir order =
+        * manifest append order, so CDC-updated metadata wins) and
+        * semi-join the scored candidates pre-rank. Empty = no sidecar;
+        * a `where` query against it fails loudly.
+        */
+      metaCols: Seq[String] = Nil,
+      metaDirs: Seq[String] = Nil,
       /** doc-id tombstones ([[deleteDocs]]/[[applyCdc]]) as
         * (dir, cover): the tombstone excludes a doc's rows ONLY from
         * the first `cover` postings files of this manifest — Iceberg
@@ -124,7 +135,8 @@ object InvertedIndex {
     * fresh UUID dir. Visible only once a manifest referencing them is
     * committed.
     */
-  private[graft] final case class StagedDelta(files: Seq[(Int, String)])
+  private[graft] final case class StagedDelta(files: Seq[(Int, String)],
+      meta: Option[String] = None)
 
   // ---- tokenization (MUST stay expression-identical to bm25TopK) ----
 
@@ -166,6 +178,8 @@ object InvertedIndex {
       "version" -> JLong(m.version),
       "buckets" -> JInt(m.buckets),
       "positions" -> JBool(m.positions),
+      "metaCols" -> JArray(m.metaCols.map(JString(_): JValue).toList),
+      "metaDirs" -> JArray(m.metaDirs.map(JString(_): JValue).toList),
       "vocab" -> JString(m.vocabDir),
       "stats" -> JString(m.statsDir),
       "streams" -> IndexManifests.streamsToJson(m.streams),
@@ -192,6 +206,14 @@ object InvertedIndex {
       positions = j \ "positions" match {
         case JBool(b) => b
         case _ => true // legacy manifests predate the flag and carry positions
+      },
+      metaCols = j \ "metaCols" match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      },
+      metaDirs = j \ "metaDirs" match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
       },
       deletes = j \ "deletes" match {
         case JArray(items) => items.collect {
@@ -298,7 +320,7 @@ object InvertedIndex {
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = DefaultBuckets, splits: Option[Int] = None,
-      withPositions: Boolean = true): Unit = {
+      withPositions: Boolean = true, metaCols: Seq[String] = Nil): Unit = {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     val spark = docs.sparkSession
     require(versions(spark, dir).isEmpty,
@@ -313,10 +335,25 @@ object InvertedIndex {
     val statsRel = IndexManifests.freshRel("stats")
     dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
       .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+    val metaDirs = stageMeta(docs, idCol, metaCols, dir).toSeq
     require(tryCommit(spark, dir,
-      Manifest(1L, buckets, files, vocabRel, statsRel, positions = withPositions)),
+      Manifest(1L, buckets, files, vocabRel, statsRel, positions = withPositions,
+        metaCols = metaCols, metaDirs = metaDirs)),
       s"lost the build commit race at $dir — another maintainer built concurrently")
   }
+
+  /** Stage a (doc_id, metaCols…) sidecar batch; None when the index
+    * carries no metadata. Doc-count-sized — never token-sized.
+    */
+  private def stageMeta(docs: DataFrame, idCol: String, metaCols: Seq[String],
+      dir: String): Option[String] =
+    if (metaCols.isEmpty) None
+    else {
+      val rel = IndexManifests.freshRel("meta")
+      docs.select((col(idCol).cast("long").as("doc_id") +: metaCols.map(col)): _*)
+        .write.mode("errorifexists").parquet(s"$dir/$rel")
+      Some(rel)
+    }
 
   // ---- delta maintenance ---------------------------------------------
 
@@ -329,9 +366,12 @@ object InvertedIndex {
     val spark = delta.sparkSession
     val m = currentManifest(spark, dir)
     // the manifest decides the row shape — a positions-free index must
-    // never grow mixed-schema postings (and vice versa)
+    // never grow mixed-schema postings (and vice versa); likewise the
+    // meta sidecar: an index with metadata requires every delta to
+    // carry the pinned columns (the select fails loudly if absent)
     val tf = termFreqs(delta, idCol, textCol, m.positions)
-    StagedDelta(stagePostings(spark, postingsOf(tf, idCol, m.buckets), dir, m.buckets))
+    StagedDelta(stagePostings(spark, postingsOf(tf, idCol, m.buckets), dir, m.buckets),
+      stageMeta(delta, idCol, m.metaCols, dir))
   }
 
   /** Commit a staged delta: merge vocab/stats against the CURRENT
@@ -373,7 +413,8 @@ object InvertedIndex {
         .write.mode("errorifexists").parquet(s"$dir/$statsRel")
       val next = Manifest(base.version + 1, base.buckets,
         base.postings ++ staged.files, vocabRel, statsRel,
-        base.streams ++ stamp.toMap, base.positions, base.deletes)
+        base.streams ++ stamp.toMap, base.positions,
+        base.metaCols, base.metaDirs ++ staged.meta, base.deletes)
       if (tryCommit(spark, dir, next)) return next
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
@@ -489,7 +530,8 @@ object InvertedIndex {
     */
   private def commitRemoval(spark: SparkSession, dir: String, base: Manifest,
       removed: DataFrame, tombstoneIds: DataFrame, staged: Seq[(Int, String)],
-      stamp: Option[(String, Long)], appendTombstone: Boolean = true): Boolean = {
+      stamp: Option[(String, Long)], appendTombstone: Boolean = true,
+      stagedMeta: Option[String] = None): Boolean = {
     val vocabMinus = removed.groupBy(col("tok")).agg(count(lit(1)).as("__dfm"))
     val statsMinus = removed.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
       .agg(count(lit(1)).as("__nm"), sum(col("__dl")).as("__sdm"))
@@ -530,7 +572,7 @@ object InvertedIndex {
       }
     val next = Manifest(base.version + 1, base.buckets, base.postings ++ staged,
       vocabRel, statsRel, base.streams ++ stamp.toMap, base.positions,
-      base.deletes ++ delEntry)
+      base.metaCols, base.metaDirs ++ stagedMeta, base.deletes ++ delEntry)
     tryCommit(spark, dir, next)
   }
 
@@ -575,7 +617,8 @@ object InvertedIndex {
         if (base.streams.get(ns).exists(_ >= batchId)) return
       }
       if (commitRemoval(spark, dir, base, removed, tombstoneIds,
-        staged.files, stamp, appendTombstone = hasRemovals)) return
+        staged.files, stamp, appendTombstone = hasRemovals,
+        stagedMeta = staged.meta)) return
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
           s"index CDC batch lost the version race $maxAttempts times at $dir")
@@ -648,7 +691,8 @@ object InvertedIndex {
       if (attempt == 1) onBeforeCommit()
       val next = Manifest(base.version + 1, base.buckets,
         byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
-        base.vocabDir, base.statsDir, base.streams, base.positions, deletes = Nil)
+        base.vocabDir, base.statsDir, base.streams, base.positions,
+        base.metaCols, base.metaDirs, deletes = Nil)
       if (tryCommit(spark, dir, next))
         return victims.valuesIterator.map(_.size).sum
       if (attempt >= maxAttempts)
@@ -737,8 +781,8 @@ object InvertedIndex {
     }
 
     val liveDirs: Set[String] =
-      kept.flatMap(m => Seq(m.vocabDir, m.statsDir) ++ m.deletes.map(_._1)).toSet
-    Seq("vocab", "stats", "deletes").foreach { kind =>
+      kept.flatMap(m => Seq(m.vocabDir, m.statsDir) ++ m.metaDirs ++ m.deletes.map(_._1)).toSet
+    Seq("vocab", "stats", "deletes", "meta").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$kind")
       if (f.exists(p)) f.listStatus(p).foreach { st =>
         if (!liveDirs.contains(s"$kind/${st.getPath.getName}") &&
@@ -776,13 +820,14 @@ object InvertedIndex {
     * from-scratch bm25TopK.
     */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String, dir: String,
-      probeIds: Seq[Long], k: Int = 5, maxDfPercent: Option[Int] = None): DataFrame = {
+      probeIds: Seq[Long], k: Int = 5, maxDfPercent: Option[Int] = None,
+      where: Option[Column] = None): DataFrame = {
     val spark = docs.sparkSession
     // probe terms need no positions regardless of the index's shape
     val qterms = termFreqs(docs.filter(col(idCol).isin(probeIds: _*)), idCol, textCol,
         withPositions = false)
       .select(col(idCol).as("probe_id"), col("__tok"))
-    serveBm25(spark, dir, qterms, k, excludeSelf = true, maxDfPercent)
+    serveBm25(spark, dir, qterms, k, excludeSelf = true, maxDfPercent, where)
       .select(col("probe_id"), col("rank"), col("doc_id").as(idCol), col("score"))
   }
 
@@ -793,14 +838,15 @@ object InvertedIndex {
     * document. Same fixed-point arithmetic as [[bm25TopK]].
     */
   def bm25TopKText(spark: SparkSession, dir: String, queries: Seq[String],
-      k: Int = 5, maxDfPercent: Option[Int] = None): DataFrame = {
+      k: Int = 5, maxDfPercent: Option[Int] = None,
+      where: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty, "bm25TopKText needs at least one query")
     import spark.implicits._
     val qterms = queries.toDF("probe_id")
       .select(col("probe_id"),
         explode(graft.functions.TextFunctions.tokens(col("probe_id"))).as("__tok"))
       .distinct()
-    serveBm25(spark, dir, qterms, k, excludeSelf = false, maxDfPercent)
+    serveBm25(spark, dir, qterms, k, excludeSelf = false, maxDfPercent, where)
       .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
   }
 
@@ -810,7 +856,8 @@ object InvertedIndex {
     * before any I/O, using the bucket count the index was built with.
     */
   private def serveBm25(spark: SparkSession, dir: String, qterms0: DataFrame,
-      k: Int, excludeSelf: Boolean, maxDfPercent: Option[Int] = None): DataFrame = {
+      k: Int, excludeSelf: Boolean, maxDfPercent: Option[Int] = None,
+      where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = currentManifest(spark, dir)
     // df cap (stopword pruning, the WAND-lite scale valve): a probe
@@ -859,12 +906,37 @@ object InvertedIndex {
           "(10L * tf * __avgdl_fp + 3L * __avgdl_fp + 900L * dl)").as("__sat_fp"))
     val joined = sat
       .join(broadcast(qterms.withColumnRenamed("__tok", "tok")), Seq("tok"))
-    val scored = (if (excludeSelf) joined.filter(col("doc_id") =!= col("probe_id"))
+    val scored0 = (if (excludeSelf) joined.filter(col("doc_id") =!= col("probe_id"))
       else joined)
       .join(broadcast(idf.join(qterms.select(col("__tok").as("tok")).distinct(), Seq("tok"))),
         Seq("tok"))
       .groupBy(col("probe_id"), col("doc_id"))
       .agg(sum(col("__idf_fp") * col("__sat_fp")).as("__score_fp"))
+    // filtered retrieval (the `where` predicate over the meta sidecar):
+    // resolve each doc's LATEST metadata (sidecar dirs are
+    // manifest-append-ordered, so a CDC'd doc's new metadata wins),
+    // apply the predicate, and semi-join the scored candidates BEFORE
+    // ranking — top-k of the allowed subset, standard filtered-search
+    // semantics (corpus-level idf/avgdl unchanged). The sidecar read is
+    // doc-count-sized and column-pruned; scoring stays posting-sized.
+    val scored = where match {
+      case None => scored0
+      case Some(pred) =>
+        require(m.metaCols.nonEmpty,
+          s"filtered query against $dir, but the index was built without metaCols " +
+            "(build(metaCols = ...) pins the sidecar)")
+        val metaAll = m.metaDirs.zipWithIndex.map { case (d, i) =>
+          spark.read.parquet(s"$dir/$d").withColumn("__seq", lit(i))
+        }.reduce(_ unionByName _)
+        val latest =
+          if (m.metaDirs.size == 1) metaAll.drop("__seq")
+          else {
+            val w = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
+            metaAll.withColumn("__rn", row_number().over(w))
+              .filter(col("__rn") === 1).drop("__rn", "__seq")
+          }
+        scored0.join(latest.filter(pred).select("doc_id"), Seq("doc_id"), "left_semi")
+    }
     val rank = Window.partitionBy(col("probe_id"))
       .orderBy(col("__score_fp").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(rank))

@@ -299,6 +299,47 @@ class InvertedIndexSpec extends SparkSpec {
       == rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", full, Seq(0L, 7L), k = 5)))
   }
 
+  test("filtered retrieval: meta sidecar gates results, CDC metadata wins latest, vacuum keeps it") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma", "web"),
+      (1L, "alpha beta delta", "web"),
+      (2L, "alpha beta epsilon", "books"),
+      (3L, "alpha beta zeta", "books"),
+      (4L, "alpha beta eta", "web")
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_meta").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir, metaCols = Seq("source"))
+    def top(where: Option[org.apache.spark.sql.Column]) =
+      InvertedIndex.bm25TopK(corpus, "doc_id", "text", dir, Seq(0L), k = 5, where = where)
+        .select("doc_id").as[Long].collect().toSet
+    assert(top(None) == Set(1L, 2L, 3L, 4L))
+    assert(top(Some(col("source") === "web")) == Set(1L, 4L),
+      "filter must gate to the allowed sources only")
+    // CDC: doc 1 moves web -> books; its LATEST metadata must decide
+    val upd = Seq((1L, "alpha beta delta", "books")).toDF("doc_id", "text", "source")
+    InvertedIndex.applyCdc(upserts = upd,
+      removals = corpus.filter($"doc_id" === 1).select("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(top(Some(col("source") === "web")) == Set(4L),
+      "CDC'd metadata must win over the build-time sidecar row")
+    assert(top(Some(col("source") === "books")) == Set(1L, 2L, 3L))
+    // maintenance keeps the sidecar: compact + vacuum, answers stable
+    InvertedIndex.compact(spark, dir)
+    InvertedIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(top(Some(col("source") === "books")) == Set(1L, 2L, 3L),
+      "vacuum must not sweep live meta sidecar dirs")
+    // an index without metaCols refuses filtered queries loudly
+    val bare = java.nio.file.Files.createTempDirectory("invidx_nometa").toString
+    InvertedIndex.build(corpus.select("doc_id", "text"), "doc_id", "text", bare)
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.bm25TopK(corpus, "doc_id", "text", bare, Seq(0L), k = 5,
+        where = Some(col("source") === "web")).collect()
+    }
+    assert(e.getMessage.contains("metaCols"))
+  }
+
   test("span-near: ordered chains, unordered coverage windows, edges and duplicates pinned") {
     val s = spark
     import s.implicits._

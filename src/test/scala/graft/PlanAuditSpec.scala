@@ -38,6 +38,7 @@ class PlanAuditSpec extends SparkSpec {
     "search_bm25_served",              // same stats scalars, read from the shared index's 1-row sidecar
     "search_bm25_sql",                 // the TVF path resolves to the same serve plan, same stats scalars
     "search_bm25_capped",              // same serve plan behind the df-cap term filter
+    "search_bm25_filtered",            // same serve plan + the meta-sidecar semi-join
     "search_hybrid_served",            // lexical branch inherits the bm25 stats scalars
     // (the index-LIFECYCLE entries — search_bm25_indexed/delta/delete/cdc —
     // eager-materialize via disposeAfter and return a LocalRelation, so
@@ -127,6 +128,7 @@ class PlanAuditSpec extends SparkSpec {
     // LocalRelation; their serve shape is audited via search_bm25_served)
     "search_bm25_served"    -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
     "search_bm25_capped"    -> "same probe-bounded sides behind the df-cap vocab semi-join",
+    "search_bm25_filtered"  -> "probe-bounded sides + doc-count-sized meta sidecar semi-join",
     "search_hybrid_served"  -> "probe-bounded lexical sides + probe (id, vec, cell) rows on the dense branch",
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
