@@ -54,7 +54,9 @@ object ServingIndexes {
     annDirs.computeIfAbsent(sfDir, { _ =>
       val dir = scratchDir("graft_served_ann")
       val emb = Tables(spark, sfDir).embeddings.filter(col("vec_id") >= 5)
-      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16)
+      // label rides as the meta sidecar for the filtered-ANN entry
+      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+        metaCols = Seq("label"))
       dir
     })
 

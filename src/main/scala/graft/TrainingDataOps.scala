@@ -860,6 +860,38 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_ivf_filtered",
+      // FILTERED ANN from the serving index: the `where` predicate over
+      // the index's vector-metadata sidecar (label, pinned at build;
+      // latest-wins under CDC) restricts the candidate slice BEFORE
+      // ranking — top-5 of the allowed labels only. nProbe = nCells
+      // makes the serve exact (every cell consulted through the same
+      // cell-pruned plan), so the oracle is brute-force cosine over the
+      // label-filtered candidates
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        operators.AnnIndex.topK(
+          e.filter($"vec_id" < 5), "vec_id", "embedding",
+          ServingIndexes.annDir(spark, dir), k = 5, nProbe = 16,
+          where = Some(col("label").isin(0, 1)))
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT * FROM e WHERE vec_id < 5),
+             c AS (SELECT * FROM e WHERE vec_id >= 5 AND label IN (0, 1))
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(p.v, c.v) AS cosine,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS INT) AS rank
+        FROM p, c
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "ann_pq",
       // product-quantization ANN (codes + ADC shortlist + exact re-rank):
       // engine-specific codebooks → recall vs brute force in SimilaritySpec

@@ -63,6 +63,13 @@ object AnnIndex {
       centroids: Array[Array[Double]],
       vectors: Seq[(Int, String)],
       streams: Map[String, Long] = Map.empty,
+      /** vector-metadata sidecar for FILTERED ANN (the lexical index's
+        * [[InvertedIndex.Manifest]] contract): columns pinned at
+        * build, dirs append-ordered so CDC-updated metadata wins;
+        * a `where` query against a sidecar-free index fails loudly.
+        */
+      metaCols: Seq[String] = Nil,
+      metaDirs: Seq[String] = Nil,
       /** vector-id tombstones ([[deleteVecs]]/[[applyCdc]]) as
         * (dir, cover): each excludes ids ONLY from the first `cover`
         * vector files — Iceberg equality-delete sequence semantics
@@ -83,6 +90,8 @@ object AnnIndex {
       "centroids" -> JArray(m.centroids.map(c =>
         JArray(c.map(d => JLong(java.lang.Double.doubleToRawLongBits(d)): JValue).toList)).toList),
       "streams" -> IndexManifests.streamsToJson(m.streams),
+      "metaCols" -> JArray(m.metaCols.map(JString(_): JValue).toList),
+      "metaDirs" -> JArray(m.metaDirs.map(JString(_): JValue).toList),
       "deletes" -> JArray(m.deletes.map { case (p, c) =>
         JObject(List("path" -> JString(p), "cover" -> JInt(c))): JValue
       }.toList),
@@ -102,6 +111,14 @@ object AnnIndex {
       vectors = (j \ "vectors").extract[List[JValue]].map(e =>
         ((e \ "cell").extract[Int], (e \ "path").extract[String])),
       streams = IndexManifests.streamsFromJson(j \ "streams"),
+      metaCols = j \ "metaCols" match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      },
+      metaDirs = j \ "metaDirs" match {
+        case JArray(xs) => xs.collect { case JString(s) => s }
+        case _ => Nil
+      },
       deletes = j \ "deletes" match {
         case JArray(items) => items.collect {
           case JString(s) => (s, Int.MaxValue) // legacy: covered everything
@@ -175,17 +192,31 @@ object AnnIndex {
     */
   def build(emb: DataFrame, idCol: String, vecCol: String, dir: String,
       nCells: Int = DefaultCells, sampleSize: Int = 2048, iters: Int = 5,
-      splits: Option[Int] = None): Unit = {
+      splits: Option[Int] = None, metaCols: Seq[String] = Nil): Unit = {
     val spark = emb.sparkSession
     require(versions(spark, dir).isEmpty,
       s"ANN index already committed at $dir (addDelta grows it; build starts fresh)")
     val centroids = Similarity.trainQuantizer(emb, idCol, vecCol, nCells, sampleSize, iters)
     val files = stageVectors(spark, assign(emb, idCol, vecCol, centroids), dir,
       centroids.length, splits)
+    val metaDirs = stageMeta(emb, idCol, metaCols, dir).toSeq
     require(IndexManifests.tryCommit(spark, dir, 1L,
-      toJson(Manifest(1L, centroids, files))),
+      toJson(Manifest(1L, centroids, files, metaCols = metaCols, metaDirs = metaDirs))),
       s"lost the build commit race at $dir — another maintainer built concurrently")
   }
+
+  /** Stage a (neighbor_id, metaCols…) sidecar batch; None when the
+    * index carries no metadata (see [[InvertedIndex]]'s sidecar).
+    */
+  private def stageMeta(emb: DataFrame, idCol: String, metaCols: Seq[String],
+      dir: String): Option[String] =
+    if (metaCols.isEmpty) None
+    else {
+      val rel = IndexManifests.freshRel("meta")
+      emb.select((col(idCol).cast("long").as("neighbor_id") +: metaCols.map(col)): _*)
+        .write.mode("errorifexists").parquet(s"$dir/$rel")
+      Some(rel)
+    }
 
   /** Fold NEW vectors (ids disjoint from the indexed set) in against
     * the persisted centroids: churn-sized, shuffle-free assignment,
@@ -202,6 +233,7 @@ object AnnIndex {
     }
     val files = stageVectors(spark,
       assign(delta, idCol, vecCol, base0.centroids), dir, base0.centroids.length)
+    val metaRel = stageMeta(delta, idCol, base0.metaCols, dir)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -212,7 +244,8 @@ object AnnIndex {
         if (base.streams.get(ns).exists(_ >= batchId)) return
       }
       val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files,
-        base.streams ++ stamp.toMap, base.deletes)
+        base.streams ++ stamp.toMap, base.metaCols, base.metaDirs ++ metaRel,
+        base.deletes)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -279,7 +312,8 @@ object AnnIndex {
       val delRel = IndexManifests.freshRel("deletes")
       fresh.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
       val next = Manifest(base.version + 1, base.centroids, base.vectors,
-        base.streams, base.deletes :+ (delRel -> base.vectors.size))
+        base.streams, base.metaCols, base.metaDirs,
+        base.deletes :+ (delRel -> base.vectors.size))
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -305,6 +339,9 @@ object AnnIndex {
       if (upserts.isEmpty) Nil
       else stageVectors(spark, assign(upserts, idCol, vecCol, base0.centroids),
         dir, base0.centroids.length)
+    val metaRel =
+      if (upserts.isEmpty) None
+      else stageMeta(upserts, idCol, base0.metaCols, dir)
     val tombstoneIds = removalIds.select(col(idCol).cast("long").as("neighbor_id")).distinct()
     val hasRemovals = !tombstoneIds.isEmpty
     var attempt = 0
@@ -322,7 +359,8 @@ object AnnIndex {
           Some(delRel -> base.vectors.size)
         }
       val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files,
-        base.streams ++ stamp.toMap, base.deletes ++ delEntry)
+        base.streams ++ stamp.toMap, base.metaCols, base.metaDirs ++ metaRel,
+        base.deletes ++ delEntry)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -336,7 +374,8 @@ object AnnIndex {
     * neighbor lists when they are indexed.
     */
   def topK(probes: DataFrame, idCol: String, vecCol: String, dir: String,
-      k: Int, nProbe: Int = 4, maxProbes: Int = 16384): DataFrame = {
+      k: Int, nProbe: Int = 4, maxProbes: Int = 16384,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = probes.sparkSession
     val m = currentManifest(spark, dir)
     // the probe side broadcasts (the small-side contract every ANN
@@ -355,8 +394,30 @@ object AnnIndex {
     // expression, bit-identical centroids) and stored in the rows, so
     // each probe compares only within ITS probed cells — the exact
     // ivfTopK join semantics with no per-row re-assignment at serve
-    val slice = liveRows(spark, dir, m, m.vectors.filter(e => probeCells(e._1)))
+    val slice0 = liveRows(spark, dir, m, m.vectors.filter(e => probeCells(e._1)))
       .withColumn("cell", col("__cell"))
+    // filtered ANN: restrict the candidate slice by the meta-sidecar
+    // predicate BEFORE ranking — top-k of the allowed subset (the
+    // lexical index's filtered-retrieval contract; latest metadata
+    // wins under CDC, sidecar reads are vector-count-sized)
+    val slice = where match {
+      case None => slice0
+      case Some(pred) =>
+        require(m.metaCols.nonEmpty,
+          s"filtered query against $dir, but the index was built without metaCols " +
+            "(build(metaCols = ...) pins the sidecar)")
+        val metaAll = m.metaDirs.zipWithIndex.map { case (d, i) =>
+          spark.read.parquet(s"$dir/$d").withColumn("__seq", lit(i))
+        }.reduce(_ unionByName _)
+        val latest =
+          if (m.metaDirs.size == 1) metaAll.drop("__seq")
+          else {
+            val wseq = Window.partitionBy(col("neighbor_id")).orderBy(col("__seq").desc)
+            metaAll.withColumn("__rn", row_number().over(wseq))
+              .filter(col("__rn") === 1).drop("__rn", "__seq")
+          }
+        slice0.join(latest.filter(pred).select("neighbor_id"), Seq("neighbor_id"), "left_semi")
+    }
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
     slice.join(broadcast(p), Seq("cell"))
       .filter(col("neighbor_id") =!= col("probe_id"))
@@ -406,7 +467,7 @@ object AnnIndex {
       if (attempt == 1) onBeforeCommit()
       val next = Manifest(base.version + 1, base.centroids,
         byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
-        base.streams, deletes = Nil)
+        base.streams, base.metaCols, base.metaDirs, deletes = Nil)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next)))
         return victims.valuesIterator.map(_.size).sum
       if (attempt >= maxAttempts)
@@ -480,6 +541,14 @@ object AnnIndex {
     val dRoot = new org.apache.hadoop.fs.Path(s"$dir/deletes")
     if (f.exists(dRoot)) f.listStatus(dRoot).foreach { st =>
       if (!liveDel.contains(s"deletes/${st.getPath.getName}") &&
+          now - st.getModificationTime >= graceMs) {
+        f.delete(st.getPath, true); removed += 1
+      }
+    }
+    val liveMeta: Set[String] = kept.flatMap(_.metaDirs).toSet
+    val mRoot = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    if (f.exists(mRoot)) f.listStatus(mRoot).foreach { st =>
+      if (!liveMeta.contains(s"meta/${st.getPath.getName}") &&
           now - st.getModificationTime >= graceMs) {
         f.delete(st.getPath, true); removed += 1
       }

@@ -176,6 +176,47 @@ class AnnIndexSpec extends SparkSpec {
     assert(topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 5, nProbe = 8)) == expect)
   }
 
+  test("filtered ANN: meta sidecar gates candidates, CDC metadata wins latest, vacuum keeps it") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("annidx_meta").toString
+    val base = emb.filter($"vec_id" >= 5 && $"vec_id" < 300)
+    AnnIndex.build(base, "vec_id", "embedding", dir, nCells = 8,
+      metaCols = Seq("label"))
+    val probes = emb.filter($"vec_id" < 3)
+    def ids(where: Option[org.apache.spark.sql.Column]) =
+      AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8, where = where)
+        .select("neighbor_id").as[Long].collect().toSet
+    val unfiltered = ids(None)
+    val lab0 = base.filter($"label" === 0).select("vec_id").as[Long].collect().toSet
+    val got0 = ids(Some(col("label") === 0))
+    assert(got0.nonEmpty && got0.subsetOf(lab0),
+      "filtered ANN must return only allowed-label neighbors")
+    assert(got0 != unfiltered)
+    // CDC: one vector's label flips 0 -> 9; its LATEST metadata decides
+    val victim = got0.head
+    val upd = base.filter($"vec_id" === victim)
+      .withColumn("label", org.apache.spark.sql.functions.lit(9))
+    AnnIndex.applyCdc(upserts = upd,
+      removalIds = base.filter($"vec_id" === victim).select("vec_id"),
+      "vec_id", "embedding", dir)
+    assert(!ids(Some(col("label") === 0)).contains(victim),
+      "CDC'd metadata must win over the build-time sidecar row")
+    assert(ids(Some(col("label") === 9)).contains(victim))
+    // maintenance keeps the sidecar
+    AnnIndex.compact(spark, dir)
+    AnnIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    assert(ids(Some(col("label") === 9)).contains(victim),
+      "vacuum must not sweep live meta sidecar dirs")
+    // sidecar-free index refuses filtered queries loudly
+    val bare = java.nio.file.Files.createTempDirectory("annidx_nometa").toString
+    AnnIndex.build(base, "vec_id", "embedding", bare, nCells = 8)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.topK(probes, "vec_id", "embedding", bare, k = 5,
+        where = Some(col("label") === 0)).collect()
+    }
+    assert(e.getMessage.contains("metaCols"))
+  }
+
   test("hybrid serving: the nProbe knob trades recall for reads, overlap vs the exact fusion pinned") {
     // search_hybrid_served runs nProbe = nCells (exact — hash-matched
     // against the from-scratch oracle); this pins what the KNOB does:
