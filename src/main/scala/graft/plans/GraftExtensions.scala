@@ -223,5 +223,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           nProbe = intArg(args(3), "n_probe"))
         .select("neighbor_id", "cosine", "rank")
     }
+    // filtered variants: the predicate arrives as a SQL expression
+    // STRING over the index's meta-sidecar columns (a Column can't ride
+    // a SQL literal) — parsed with expr(), evaluated against the
+    // sidecar exactly like the Scala `where` path
+    tvf("graft_bm25_filtered") { args =>
+      graft.operators.InvertedIndex.bm25TopKText(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"),
+        where = Some(org.apache.spark.sql.functions.expr(strArg(args(3), "predicate"))))
+    }
+    tvf("graft_ann_filtered") { args =>
+      val spark = SparkSession.active
+      import spark.implicits._
+      val probe = Seq((0L, vecArg(args(1), "vector").toSeq))
+        .toDF("probe_id", "embedding")
+      graft.operators.AnnIndex.topK(probe, "probe_id", "embedding",
+          strArg(args(0), "dir"), k = intArg(args(2), "k"),
+          nProbe = intArg(args(3), "n_probe"),
+          where = Some(org.apache.spark.sql.functions.expr(strArg(args(4), "predicate"))))
+        .select("neighbor_id", "cosine", "rank")
+    }
   }
 }

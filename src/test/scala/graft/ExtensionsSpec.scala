@@ -86,9 +86,22 @@ class ExtensionsSpec extends SparkSpec {
         Seq(Seq("alpha", "beta", "gamma")), 2, inOrder = false, 5).orderBy("doc_id")),
       "graft_spannear diverged from spanNearTopK")
 
+    // filtered bm25 through the SQL path: predicate string over the
+    // meta sidecar == the Scala Column path
+    val lexM = java.nio.file.Files.createTempDirectory("tvf_lexm").toString
+    InvertedIndex.build(docs.withColumn("src",
+        when(col("doc_id") < 2, lit("a")).otherwise(lit("b"))),
+      "doc_id", "text", lexM, metaCols = Seq("src"))
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_bm25_filtered('$lexM', 'alpha delta', 5, 'src = ''b''') ORDER BY rank"))
+      == rows(InvertedIndex.bm25TopKText(spark, lexM, Seq("alpha delta"), 5,
+        where = Some(col("src") === "b")).orderBy("rank")),
+      "graft_bm25_filtered diverged from the Scala where path")
+
     val emb = Tables(spark, sfDir).embeddings
     val ann = java.nio.file.Files.createTempDirectory("tvf_ann").toString
-    AnnIndex.build(emb.filter($"vec_id" >= 5), "vec_id", "embedding", ann, nCells = 8)
+    AnnIndex.build(emb.filter($"vec_id" >= 5), "vec_id", "embedding", ann, nCells = 8,
+      metaCols = Seq("label"))
     val probeVec = emb.filter($"vec_id" === 0).select("embedding")
       .head().getSeq[Float](0)
     // widen float -> double BEFORE printing: Float.toString parsed as a
@@ -102,6 +115,13 @@ class ExtensionsSpec extends SparkSpec {
         emb.filter($"vec_id" === 0), "vec_id", "embedding", ann, k = 5, nProbe = 4)
       .select("neighbor_id", "cosine", "rank").orderBy("rank"))
     assert(viaSql == viaApi, "graft_ann diverged from AnnIndex.topK")
+    val viaSqlF = rows(spark.sql(
+      s"SELECT * FROM graft_ann_filtered('$ann', $vecSql, 5, 4, 'label IN (0, 1)') ORDER BY rank"))
+    val viaApiF = rows(AnnIndex.topK(
+        emb.filter($"vec_id" === 0), "vec_id", "embedding", ann, k = 5, nProbe = 4,
+        where = Some(col("label").isin(0, 1)))
+      .select("neighbor_id", "cosine", "rank").orderBy("rank"))
+    assert(viaSqlF == viaApiF, "graft_ann_filtered diverged from the Scala where path")
   }
 
   test("SQL shingle_hashes matches the column-API shingle set size") {
