@@ -2647,6 +2647,79 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_phrase_filtered",
+      // FILTERED phrase search — the contamination-audit shape (find
+      // benchmark phrases only in docs from specific sources): the
+      // `where` predicate gates the matched docs through the meta
+      // sidecar BEFORE ranking, exactly like filtered BM25. Phrase
+      // occurrence counts are per-doc (no corpus-level stats), so
+      // filtering matches pre-rank equals matching over the filtered
+      // corpus — which is what the oracle computes
+      (spark, dir) =>
+        operators.InvertedIndex.phraseTopK(spark, ServingIndexes.lexicalDir(spark, dir),
+            phrases = Seq("fast key scan", "table table", "value fast"), k = 5,
+            where = Some(col("source").isin("src0", "src1", "src2", "src3", "src4")))
+          .orderBy("phrase", "rank"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        ), p AS (
+          SELECT * FROM (VALUES ('fast key scan', ['fast','key','scan']),
+                                ('table table', ['table','table']),
+                                ('value fast', ['value','fast'])) AS t(phrase, pts)
+        ), m AS (
+          SELECT p.phrase, d.doc_id,
+                 len(list_filter(range(1, len(toks) - len(pts) + 2),
+                     i -> toks[i:i+len(pts)-1] = pts)) AS n
+          FROM d CROSS JOIN p
+        )
+        SELECT phrase, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
+          SELECT phrase, doc_id, n,
+                 row_number() OVER (PARTITION BY phrase ORDER BY n DESC, doc_id) AS rn
+          FROM m WHERE n > 0
+        ) WHERE rn <= 5 ORDER BY phrase, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "search_spannear_filtered",
+      // FILTERED k-term ordered span-near: the sidecar predicate gates
+      // the conjunctive matches pre-rank (anchor counts are per-doc, so
+      // this equals span-near over the filtered corpus — the oracle)
+      (spark, dir) =>
+        operators.InvertedIndex.spanNearTopK(spark, ServingIndexes.lexicalDir(spark, dir),
+            queries = Seq(Seq("fast", "key", "scan"), Seq("key", "value")),
+            slop = 2, inOrder = true, k = 5,
+            where = Some(col("source").isin("src0", "src1", "src2", "src3", "src4")))
+          .orderBy("q", "rank"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+          WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        ), m AS (
+          SELECT 'fast key scan' AS q, doc_id,
+                 len(list_filter(list_filter(range(1,len(toks)+1), i -> toks[i] = 'fast'),
+                   a -> len(list_filter(list_filter(range(1,len(toks)+1), j -> toks[j] = 'key'),
+                     b -> b > a AND len(list_filter(list_filter(range(1,len(toks)+1), k2 -> toks[k2] = 'scan'),
+                       c -> c > b AND c - a - 2 <= 2)) > 0)) > 0)) AS n
+          FROM d
+          UNION ALL
+          SELECT 'key value' AS q, doc_id,
+                 len(list_filter(list_filter(range(1,len(toks)+1), i -> toks[i] = 'key'),
+                   a -> len(list_filter(list_filter(range(1,len(toks)+1), j -> toks[j] = 'value'),
+                     b -> b > a AND b - a - 1 <= 2)) > 0)) AS n
+          FROM d
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
+          SELECT q, doc_id, n,
+                 row_number() OVER (PARTITION BY q ORDER BY n DESC, doc_id) AS rn
+          FROM m WHERE n > 0
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_spannear_indexed",
       // k-term ORDERED span-near (Lucene SpanNearQuery, inOrder=true)
       // from the positional postings: anchors = first-term positions

@@ -213,8 +213,17 @@ object AnnIndex {
     if (metaCols.isEmpty) None
     else {
       val rel = IndexManifests.freshRel("meta")
-      emb.select((col(idCol).cast("long").as("neighbor_id") +: metaCols.map(col)): _*)
-        .write.mode("errorifexists").parquet(s"$dir/$rel")
+      val meta = emb.select(
+        (col(idCol).cast("long").as("neighbor_id") +: metaCols.map(col)): _*)
+      // one metadata row per vector per batch (loud, like the lexical
+      // sidecar): latest-wins is ordered across batches, and a
+      // within-batch tie would resolve nondeterministically
+      val dup = meta.groupBy(col("neighbor_id")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"duplicate neighbor_id ${if (dup.nonEmpty) dup.head.getLong(0) else ""} in the " +
+          "metadata sidecar batch — supply one metadata row per vector per batch")
+      meta.write.mode("errorifexists").parquet(s"$dir/$rel")
       Some(rel)
     }
 
@@ -375,7 +384,8 @@ object AnnIndex {
     */
   def topK(probes: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, nProbe: Int = 4, maxProbes: Int = 16384,
-      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      where: Option[org.apache.spark.sql.Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
     val spark = probes.sparkSession
     val m = currentManifest(spark, dir)
     // the probe side broadcasts (the small-side contract every ANN
@@ -406,21 +416,18 @@ object AnnIndex {
         require(m.metaCols.nonEmpty,
           s"filtered query against $dir, but the index was built without metaCols " +
             "(build(metaCols = ...) pins the sidecar)")
-        val metaAll = m.metaDirs.zipWithIndex.map { case (d, i) =>
-          spark.read.parquet(s"$dir/$d").withColumn("__seq", lit(i))
-        }.reduce(_ unionByName _)
-        val latest =
-          if (m.metaDirs.size == 1) metaAll.drop("__seq")
-          else {
-            val wseq = Window.partitionBy(col("neighbor_id")).orderBy(col("__seq").desc)
-            metaAll.withColumn("__rn", row_number().over(wseq))
-              .filter(col("__rn") === 1).drop("__rn", "__seq")
-          }
+        val latest = IndexManifests.latestMeta(spark, dir, m.metaDirs, "neighbor_id")
         slice0.join(latest.filter(pred).select("neighbor_id"), Seq("neighbor_id"), "left_semi")
     }
     val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
-    slice.join(broadcast(p), Seq("cell"))
-      .filter(col("neighbor_id") =!= col("probe_id"))
+    // self-exclusion only when the probes ARE corpus vectors (the
+    // "query is a document" shape); a raw query vector (the SQL TVF
+    // path) must keep every neighbor — its synthetic probe id could
+    // collide with a real corpus id and silently drop that vector
+    val joined0 = slice.join(broadcast(p), Seq("cell"))
+    val joined = if (excludeSelf) joined0.filter(col("neighbor_id") =!= col("probe_id"))
+      else joined0
+    joined
       .withColumn("cosine", cosine(col("__pv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -454,7 +461,13 @@ object AnnIndex {
       val victims =
         if (base.deletes.nonEmpty) byCell
         else byCell.filter(_._2.size > 1)
-      if (victims.isEmpty) return 0
+      // fold the vector-metadata sidecar alongside the cell files —
+      // the lexical index's contract (see InvertedIndex.compact): one
+      // latest-wins dir after maintenance, dead ids dropped, so
+      // filtered-ANN cost never grows with CDC batch count
+      val foldMeta = base.metaDirs.size > 1 ||
+        (base.deletes.nonEmpty && base.metaDirs.nonEmpty)
+      if (victims.isEmpty && !foldMeta) return 0
       val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
         val rel = IndexManifests.freshRel("vectors")
         val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
@@ -464,10 +477,32 @@ object AnnIndex {
           .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")
         cell -> IndexManifests.listStaged(spark, dir, rel, "cell")
       }.toMap
+      val newMetaDirs =
+        if (!foldMeta) base.metaDirs
+        else {
+          val latest = IndexManifests.latestMeta(spark, dir, base.metaDirs, "neighbor_id")
+          val folded =
+            if (base.deletes.isEmpty) latest
+            else {
+              val tombIds = base.deletes.map { case (d, _) =>
+                spark.read.parquet(s"$dir/$d").select(col("neighbor_id"))
+              }.reduce(_ unionByName _).distinct()
+              // a vector re-inserted AFTER its tombstone has a live row
+              // in later files — its latest metadata must survive
+              val liveTomb = liveRows(spark, dir, base, base.vectors)
+                .join(broadcast(tombIds), Seq("neighbor_id"))
+                .select("neighbor_id").distinct()
+              val dead = tombIds.join(liveTomb, Seq("neighbor_id"), "left_anti")
+              latest.join(broadcast(dead), Seq("neighbor_id"), "left_anti")
+            }
+          val rel = IndexManifests.freshRel("meta")
+          folded.write.mode("errorifexists").parquet(s"$dir/$rel")
+          Seq(rel)
+        }
       if (attempt == 1) onBeforeCommit()
       val next = Manifest(base.version + 1, base.centroids,
         byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
-        base.streams, base.metaCols, base.metaDirs, deletes = Nil)
+        base.streams, base.metaCols, newMetaDirs, deletes = Nil)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next)))
         return victims.valuesIterator.map(_.size).sum
       if (attempt >= maxAttempts)

@@ -104,6 +104,30 @@ private[graft] object IndexManifests {
     case _ => Map.empty
   }
 
+  /** Resolve each key's LATEST metadata row across the append-ordered
+    * sidecar dirs (manifest append order = dir index, so a CDC-updated
+    * doc's newest metadata wins). One dir short-circuits to a plain
+    * read — the shape [[InvertedIndex.compact]]/[[AnnIndex.compact]]
+    * maintain: they fold the accumulated dirs into one, so a filtered
+    * query's sidecar cost stays doc-count-sized regardless of how many
+    * delta/CDC batches the index absorbed.
+    */
+  def latestMeta(spark: SparkSession, dir: String, metaDirs: Seq[String],
+      keyCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(metaDirs.nonEmpty, "latestMeta needs at least one sidecar dir")
+    if (metaDirs.size == 1) spark.read.parquet(s"$dir/${metaDirs.head}")
+    else {
+      val all = metaDirs.zipWithIndex.map { case (d, i) =>
+        spark.read.parquet(s"$dir/$d").withColumn("__seq", lit(i))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(keyCol)).orderBy(col("__seq").desc)
+      all.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn", "__seq")
+    }
+  }
+
   /** List the staged parquet files under `dir/rel` as (partition value,
     * dir-relative path) pairs, where the partition value is parsed from
     * the `prefix=<v>` directory level (partitionBy layout).

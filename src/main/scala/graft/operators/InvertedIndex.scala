@@ -350,8 +350,17 @@ object InvertedIndex {
     if (metaCols.isEmpty) None
     else {
       val rel = IndexManifests.freshRel("meta")
-      docs.select((col(idCol).cast("long").as("doc_id") +: metaCols.map(col)): _*)
-        .write.mode("errorifexists").parquet(s"$dir/$rel")
+      val meta = docs.select((col(idCol).cast("long").as("doc_id") +: metaCols.map(col)): _*)
+      // one metadata row per doc per batch, enforced loudly: latest-wins
+      // is ordered ACROSS batches (sidecar dir index); two rows for one
+      // doc inside a batch would tie and resolve nondeterministically —
+      // the same loud contract duplicate ids have on the postings side
+      val dup = meta.groupBy(col("doc_id")).agg(count(lit(1)).as("__c"))
+        .filter(col("__c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"duplicate doc_id ${if (dup.nonEmpty) dup.head.getLong(0) else ""} in the metadata " +
+          "sidecar batch — supply one metadata row per doc per batch")
+      meta.write.mode("errorifexists").parquet(s"$dir/$rel")
       Some(rel)
     }
 
@@ -666,7 +675,14 @@ object InvertedIndex {
       val victims =
         if (base.deletes.nonEmpty) byBucket
         else byBucket.filter(_._2.size > 1)
-      if (victims.isEmpty) return 0
+      // the meta sidecar folds whenever CDC/deltas accumulated dirs or
+      // tombstones left dead rows: without the fold a FILTERED query
+      // pays an O(#batches × corpus-docs) union + latest-wins window
+      // forever — cost must return to one doc-count-sized dir here,
+      // exactly like postings return to one file-set per bucket
+      val foldMeta = base.metaDirs.size > 1 ||
+        (base.deletes.nonEmpty && base.metaDirs.nonEmpty)
+      if (victims.isEmpty && !foldMeta) return 0
       val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
         val rel = IndexManifests.freshRel("postings")
         // fold to as few TargetFileBytes-sized files as the bucket's
@@ -688,11 +704,37 @@ object InvertedIndex {
         }
         bucket -> out.result()
       }.toMap
+      // fold the sidecar to ONE materialized latest-wins dir; docs whose
+      // tombstone left no live postings drop out (dead weight otherwise
+      // — tombstoned docs never reach a scored set, but their sidecar
+      // rows would ride every filtered query's scan forever). A doc
+      // re-inserted AFTER its tombstone has live postings in later
+      // files, so its latest metadata row survives the fold.
+      val newMetaDirs =
+        if (!foldMeta) base.metaDirs
+        else {
+          val latest = IndexManifests.latestMeta(spark, dir, base.metaDirs, "doc_id")
+          val folded =
+            if (base.deletes.isEmpty) latest
+            else {
+              val tombIds = base.deletes.map { case (d, _) =>
+                spark.read.parquet(s"$dir/$d").select(col("doc_id"))
+              }.reduce(_ unionByName _).distinct()
+              val liveTomb = liveRows(spark, dir, base, base.postings)
+                .join(broadcast(tombIds), Seq("doc_id"))
+                .select("doc_id").distinct()
+              val dead = tombIds.join(liveTomb, Seq("doc_id"), "left_anti")
+              latest.join(broadcast(dead), Seq("doc_id"), "left_anti")
+            }
+          val rel = IndexManifests.freshRel("meta")
+          folded.write.mode("errorifexists").parquet(s"$dir/$rel")
+          Seq(rel)
+        }
       if (attempt == 1) onBeforeCommit()
       val next = Manifest(base.version + 1, base.buckets,
         byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
         base.vocabDir, base.statsDir, base.streams, base.positions,
-        base.metaCols, base.metaDirs, deletes = Nil)
+        base.metaCols, newMetaDirs, deletes = Nil)
       if (tryCommit(spark, dir, next))
         return victims.valuesIterator.map(_.size).sum
       if (attempt >= maxAttempts)
@@ -918,31 +960,33 @@ object InvertedIndex {
     // apply the predicate, and semi-join the scored candidates BEFORE
     // ranking — top-k of the allowed subset, standard filtered-search
     // semantics (corpus-level idf/avgdl unchanged). The sidecar read is
-    // doc-count-sized and column-pruned; scoring stays posting-sized.
-    val scored = where match {
-      case None => scored0
-      case Some(pred) =>
-        require(m.metaCols.nonEmpty,
-          s"filtered query against $dir, but the index was built without metaCols " +
-            "(build(metaCols = ...) pins the sidecar)")
-        val metaAll = m.metaDirs.zipWithIndex.map { case (d, i) =>
-          spark.read.parquet(s"$dir/$d").withColumn("__seq", lit(i))
-        }.reduce(_ unionByName _)
-        val latest =
-          if (m.metaDirs.size == 1) metaAll.drop("__seq")
-          else {
-            val w = Window.partitionBy(col("doc_id")).orderBy(col("__seq").desc)
-            metaAll.withColumn("__rn", row_number().over(w))
-              .filter(col("__rn") === 1).drop("__rn", "__seq")
-          }
-        scored0.join(latest.filter(pred).select("doc_id"), Seq("doc_id"), "left_semi")
-    }
+    // doc-count-sized and column-pruned; scoring stays posting-sized;
+    // [[compact]] folds the accumulated dirs to ONE, so the latest-wins
+    // window here is a between-maintenance cost, never unbounded.
+    val scored = applyMetaFilter(spark, dir, m, scored0, where)
     val rank = Window.partitionBy(col("probe_id"))
       .orderBy(col("__score_fp").desc, col("doc_id").asc)
     scored.withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)
       .select(col("probe_id"), col("rank"), col("doc_id"),
         (col("__score_fp").cast("double") / 1.0e7).as("score"))
+  }
+
+  /** Filtered-retrieval gate shared by every serve path (BM25, phrase,
+    * proximity, span-near): semi-join the per-doc candidates against
+    * the predicate-filtered LATEST sidecar metadata BEFORE ranking —
+    * top-k of the allowed subset. No-op without a predicate; loud
+    * refusal against a sidecar-free index.
+    */
+  private def applyMetaFilter(spark: SparkSession, dir: String, m: Manifest,
+      candidates: DataFrame, where: Option[Column]): DataFrame = where match {
+    case None => candidates
+    case Some(pred) =>
+      require(m.metaCols.nonEmpty,
+        s"filtered query against $dir, but the index was built without metaCols " +
+          "(build(metaCols = ...) pins the sidecar)")
+      val latest = IndexManifests.latestMeta(spark, dir, m.metaDirs, "doc_id")
+      candidates.join(latest.filter(pred).select("doc_id"), Seq("doc_id"), "left_semi")
   }
 
   /** Exact phrase search FROM the positional postings: top-`k` docs per
@@ -960,7 +1004,7 @@ object InvertedIndex {
     * token-slice scan of the corpus.
     */
   def phraseTopK(spark: SparkSession, dir: String, phrases: Seq[String],
-      k: Int = 5): DataFrame = {
+      k: Int = 5, where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(phrases.nonEmpty, "phraseTopK needs at least one phrase")
     val m = requirePositional(spark, dir, "phraseTopK")
@@ -992,9 +1036,10 @@ object InvertedIndex {
         size(aggregate(col("__all"), element_at(col("__all"), 1),
           (acc, x) => array_intersect(acc, x))).cast("long").as("n"))
       .filter(col("n") > 0)
+    val allowed = applyMetaFilter(spark, dir, m, matched, where)
     val rank = Window.partitionBy(col("phrase"))
       .orderBy(col("n").desc, col("doc_id").asc)
-    matched.withColumn("rank", row_number().over(rank))
+    allowed.withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)
       .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
   }
@@ -1007,7 +1052,8 @@ object InvertedIndex {
     * second` means "the term repeats within the window".
     */
   def proximityTopK(spark: SparkSession, dir: String,
-      pairs: Seq[(String, String)], window: Int, k: Int = 5): DataFrame = {
+      pairs: Seq[(String, String)], window: Int, k: Int = 5,
+      where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(pairs.nonEmpty, "proximityTopK needs at least one pair")
     require(window >= 1, s"window must be >= 1, got $window")
@@ -1033,8 +1079,9 @@ object InvertedIndex {
         graft.plans.SpanNearCount.proximityAnchors(
           col("__pa"), col("__pb"), window).as("n"))
       .filter(col("n") > 0)
+    val allowed = applyMetaFilter(spark, dir, m, matched, where)
     val rank = Window.partitionBy(col("q")).orderBy(col("n").desc, col("doc_id").asc)
-    matched.withColumn("rank", row_number().over(rank))
+    allowed.withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)
       .select(col("q"), col("rank"), col("doc_id"), col("n"))
   }
@@ -1061,7 +1108,8 @@ object InvertedIndex {
     * matched-terms count) — span-near is conjunctive.
     */
   def spanNearTopK(spark: SparkSession, dir: String, queries: Seq[Seq[String]],
-      slop: Int, inOrder: Boolean, k: Int = 5): DataFrame = {
+      slop: Int, inOrder: Boolean, k: Int = 5,
+      where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(queries.nonEmpty, "spanNearTopK needs at least one query")
     require(queries.forall(_.nonEmpty), "span-near queries need at least one term")
@@ -1093,8 +1141,9 @@ object InvertedIndex {
       .select(col("q"), col("doc_id"),
         graft.plans.SpanNearCount.spanNear(col("__pos"), slop, inOrder).as("n"))
       .filter(col("n") > 0)
+    val allowed = applyMetaFilter(spark, dir, m, matched, where)
     val rank = Window.partitionBy(col("q")).orderBy(col("n").desc, col("doc_id").asc)
-    matched.withColumn("rank", row_number().over(rank))
+    allowed.withColumn("rank", row_number().over(rank))
       .filter(col("rank") <= k)
       .select(col("q"), col("rank"), col("doc_id"), col("n"))
   }

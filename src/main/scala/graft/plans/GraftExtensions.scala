@@ -180,66 +180,97 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"$name must be a numeric array literal, got $other")
       }
     }
-    def tvf(name: String)(
+    // each TVF declares its signature and arity range; a call with the
+    // wrong argument count fails at resolution with the expected
+    // parameter list, never an IndexOutOfBoundsException
+    def tvf(name: String, signature: String, minArgs: Int, maxArgs: Int)(
         builder: Seq[Expression] => org.apache.spark.sql.DataFrame): Unit =
       ext.injectTableFunction(
         (
           FunctionIdentifier(name),
           new ExpressionInfo("graft.operators.InvertedIndex", name),
-          (children: Seq[Expression]) =>
+          (children: Seq[Expression]) => {
+            if (children.size < minArgs || children.size > maxArgs)
+              throw new IllegalArgumentException(
+                s"$name expects $signature (${
+                  if (minArgs == maxArgs) s"$minArgs arguments"
+                  else s"$minArgs to $maxArgs arguments"}), got ${children.size}")
             GraftShim.logicalPlan(builder(children))
+          }
         )
       )
-    tvf("graft_bm25") { args =>
+    tvf("graft_bm25", "(dir, query, k[, max_df_percent])", 3, 4) { args =>
       // optional 4th arg: max_df_percent — the stopword valve (terms
       // with df·100 > n·pct are dropped before bucket pruning)
       graft.operators.InvertedIndex.bm25TopKText(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"),
         maxDfPercent = args.lift(3).map(e => intArg(e, "max_df_percent")))
     }
-    tvf("graft_phrase") { args =>
+    tvf("graft_phrase", "(dir, phrase, k)", 3, 3) { args =>
       graft.operators.InvertedIndex.phraseTopK(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "phrase")), intArg(args(2), "k"))
     }
-    tvf("graft_proximity") { args =>
+    tvf("graft_proximity", "(dir, first, second, window, k)", 5, 5) { args =>
       graft.operators.InvertedIndex.proximityTopK(SparkSession.active,
         strArg(args(0), "dir"),
         Seq((strArg(args(1), "first"), strArg(args(2), "second"))),
         intArg(args(3), "window"), intArg(args(4), "k"))
     }
-    tvf("graft_spannear") { args =>
+    tvf("graft_spannear", "(dir, terms, slop, in_order, k)", 5, 5) { args =>
       graft.operators.InvertedIndex.spanNearTopK(SparkSession.active,
         strArg(args(0), "dir"),
         Seq(strArg(args(1), "terms").trim.split("\\s+").toSeq),
         intArg(args(2), "slop"), boolArg(args(3), "in_order"), intArg(args(4), "k"))
     }
-    tvf("graft_ann") { args =>
+    // ANN TVFs: a raw query vector is NOT a corpus vector, so
+    // self-exclusion is off — the synthetic probe id must never be able
+    // to knock a real corpus id (e.g. vector 0) out of the results
+    tvf("graft_ann", "(dir, vector, k, n_probe)", 4, 4) { args =>
       val spark = SparkSession.active
       import spark.implicits._
       val probe = Seq((0L, vecArg(args(1), "vector").toSeq))
         .toDF("probe_id", "embedding")
       graft.operators.AnnIndex.topK(probe, "probe_id", "embedding",
           strArg(args(0), "dir"), k = intArg(args(2), "k"),
-          nProbe = intArg(args(3), "n_probe"))
+          nProbe = intArg(args(3), "n_probe"), excludeSelf = false)
         .select("neighbor_id", "cosine", "rank")
     }
     // filtered variants: the predicate arrives as a SQL expression
     // STRING over the index's meta-sidecar columns (a Column can't ride
     // a SQL literal) — parsed with expr(), evaluated against the
     // sidecar exactly like the Scala `where` path
-    tvf("graft_bm25_filtered") { args =>
+    tvf("graft_bm25_filtered", "(dir, query, k, predicate)", 4, 4) { args =>
       graft.operators.InvertedIndex.bm25TopKText(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"),
         where = Some(org.apache.spark.sql.functions.expr(strArg(args(3), "predicate"))))
     }
-    tvf("graft_ann_filtered") { args =>
+    tvf("graft_phrase_filtered", "(dir, phrase, k, predicate)", 4, 4) { args =>
+      graft.operators.InvertedIndex.phraseTopK(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "phrase")), intArg(args(2), "k"),
+        where = Some(org.apache.spark.sql.functions.expr(strArg(args(3), "predicate"))))
+    }
+    tvf("graft_proximity_filtered", "(dir, first, second, window, k, predicate)", 6, 6) { args =>
+      graft.operators.InvertedIndex.proximityTopK(SparkSession.active,
+        strArg(args(0), "dir"),
+        Seq((strArg(args(1), "first"), strArg(args(2), "second"))),
+        intArg(args(3), "window"), intArg(args(4), "k"),
+        where = Some(org.apache.spark.sql.functions.expr(strArg(args(5), "predicate"))))
+    }
+    tvf("graft_spannear_filtered", "(dir, terms, slop, in_order, k, predicate)", 6, 6) { args =>
+      graft.operators.InvertedIndex.spanNearTopK(SparkSession.active,
+        strArg(args(0), "dir"),
+        Seq(strArg(args(1), "terms").trim.split("\\s+").toSeq),
+        intArg(args(2), "slop"), boolArg(args(3), "in_order"), intArg(args(4), "k"),
+        where = Some(org.apache.spark.sql.functions.expr(strArg(args(5), "predicate"))))
+    }
+    tvf("graft_ann_filtered", "(dir, vector, k, n_probe, predicate)", 5, 5) { args =>
       val spark = SparkSession.active
       import spark.implicits._
       val probe = Seq((0L, vecArg(args(1), "vector").toSeq))
         .toDF("probe_id", "embedding")
       graft.operators.AnnIndex.topK(probe, "probe_id", "embedding",
           strArg(args(0), "dir"), k = intArg(args(2), "k"),
-          nProbe = intArg(args(3), "n_probe"),
+          nProbe = intArg(args(3), "n_probe"), excludeSelf = false,
           where = Some(org.apache.spark.sql.functions.expr(strArg(args(4), "predicate"))))
         .select("neighbor_id", "cosine", "rank")
     }

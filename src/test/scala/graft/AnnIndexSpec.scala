@@ -217,6 +217,57 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("metaCols"))
   }
 
+  test("compact folds the vector-meta sidecar: CDC batches -> one dir, answers identical, dead ids dropped") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val dir = java.nio.file.Files.createTempDirectory("annidx_metafold").toString
+    val base = emb.filter($"vec_id" >= 5 && $"vec_id" < 300)
+    AnnIndex.build(base, "vec_id", "embedding", dir, nCells = 8, metaCols = Seq("label"))
+    val probes = emb.filter($"vec_id" < 3)
+    // ten CDC batches: ids 10..19 flip label to 90+i one at a time;
+    // id 20 deleted in batch 0, re-inserted with label 77 in batch 5;
+    // id 21 deleted in batch 1 for good
+    (0 until 10).foreach { i =>
+      val id = 10L + i
+      val up = base.filter($"vec_id" === id).withColumn("label", lit(90 + i))
+        .unionByName(
+          if (i == 5) base.filter($"vec_id" === 20L).withColumn("label", lit(77))
+          else base.filter(lit(false)))
+      val rmIds = Seq(id) ++ (i match {
+        case 0 => Seq(20L); case 1 => Seq(21L); case _ => Nil
+      })
+      AnnIndex.applyCdc(upserts = up,
+        removalIds = base.filter(col("vec_id").isin(rmIds.map(Long.box): _*)).select("vec_id"),
+        "vec_id", "embedding", dir)
+    }
+    val before = AnnIndex.currentManifest(spark, dir)
+    assert(before.metaDirs.size == 11, s"expected 11 sidecar dirs, got ${before.metaDirs.size}")
+    def filtered(pred: org.apache.spark.sql.Column) =
+      AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8,
+          where = Some(pred))
+        .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val lab0Before = filtered(col("label") === 0)
+    val resBefore = filtered(col("label") === 77)
+    AnnIndex.compact(spark, dir)
+    val after = AnnIndex.currentManifest(spark, dir)
+    assert(after.metaDirs.size == 1,
+      s"compact must fold the sidecar to ONE dir, got ${after.metaDirs.size}")
+    assert(filtered(col("label") === 0) == lab0Before,
+      "filtered ANN answers must be identical across the fold")
+    assert(filtered(col("label") === 77) == resBefore && resBefore.nonEmpty,
+      "a vector re-inserted after its tombstone keeps its latest metadata")
+    val folded = spark.read.parquet(s"$dir/${after.metaDirs.head}")
+    assert(folded.filter(col("neighbor_id") === 21L).isEmpty,
+      "tombstoned vector's sidecar row must drop at the fold")
+    assert(folded.groupBy("neighbor_id").count().filter(col("count") > 1).isEmpty,
+      "folded sidecar must be latest-wins unique per vector")
+    AnnIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(metaRoot).length == 1,
+      "vacuum must sweep the superseded sidecar dirs")
+    assert(filtered(col("label") === 0) == lab0Before, "answers stable after vacuum")
+  }
+
   test("hybrid serving: the nProbe knob trades recall for reads, overlap vs the exact fusion pinned") {
     // search_hybrid_served runs nProbe = nCells (exact — hash-matched
     // against the from-scratch oracle); this pins what the KNOB does:

@@ -97,6 +97,22 @@ class ExtensionsSpec extends SparkSpec {
       == rows(InvertedIndex.bm25TopKText(spark, lexM, Seq("alpha delta"), 5,
         where = Some(col("src") === "b")).orderBy("rank")),
       "graft_bm25_filtered diverged from the Scala where path")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_phrase_filtered('$lexM', 'alpha beta', 5, 'src = ''b''') ORDER BY doc_id"))
+      == rows(InvertedIndex.phraseTopK(spark, lexM, Seq("alpha beta"), 5,
+        where = Some(col("src") === "b")).orderBy("doc_id")),
+      "graft_phrase_filtered diverged from the Scala where path")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_spannear_filtered('$lexM', 'alpha beta gamma', 2, false, 5, 'src = ''a''') ORDER BY doc_id"))
+      == rows(InvertedIndex.spanNearTopK(spark, lexM,
+        Seq(Seq("alpha", "beta", "gamma")), 2, inOrder = false, 5,
+        where = Some(col("src") === "a")).orderBy("doc_id")),
+      "graft_spannear_filtered diverged from the Scala where path")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_proximity_filtered('$lexM', 'alpha', 'delta', 3, 5, 'src = ''b''') ORDER BY doc_id"))
+      == rows(InvertedIndex.proximityTopK(spark, lexM, Seq(("alpha", "delta")), 3, 5,
+        where = Some(col("src") === "b")).orderBy("doc_id")),
+      "graft_proximity_filtered diverged from the Scala where path")
 
     val emb = Tables(spark, sfDir).embeddings
     val ann = java.nio.file.Files.createTempDirectory("tvf_ann").toString
@@ -122,6 +138,33 @@ class ExtensionsSpec extends SparkSpec {
         where = Some(col("label").isin(0, 1)))
       .select("neighbor_id", "cosine", "rank").orderBy("rank"))
     assert(viaSqlF == viaApiF, "graft_ann_filtered diverged from the Scala where path")
+  }
+
+  test("graft_ann serves a corpus containing vector id 0 (no phantom self-exclusion) and TVF arity errors name the signature") {
+    import graft.operators.AnnIndex
+    val emb = Tables(spark, sfDir).embeddings
+    // corpus INCLUDES vec_id 0 — the TVF's synthetic probe id must not
+    // collide with it (a raw query vector is not a corpus document, so
+    // nothing may be excluded as "self")
+    val ann = java.nio.file.Files.createTempDirectory("tvf_ann0").toString
+    AnnIndex.build(emb.filter($"vec_id" < 200), "vec_id", "embedding", ann, nCells = 4)
+    val qv = emb.filter($"vec_id" === 0).select("embedding").head().getSeq[Float](0)
+    val vecSql = qv.map(v => s"CAST(${v.toDouble} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    val got = spark.sql(s"SELECT * FROM graft_ann('$ann', $vecSql, 3, 4) ORDER BY rank")
+      .collect()
+    // the query vector IS vector 0, so vector 0 must come back rank 1
+    assert(got.nonEmpty && got.head.getLong(0) == 0L,
+      s"graft_ann must return indexed vector 0 for its own embedding, got ${got.toSeq}")
+    // wrong arity fails with the expected parameter list, not an
+    // IndexOutOfBoundsException at argument access
+    val e = intercept[Throwable] {
+      spark.sql(s"SELECT * FROM graft_proximity('$ann', 'alpha')").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(m => m.contains("graft_proximity expects") && m.contains("window")),
+      s"arity error must name the signature, got: ${messages(e)}")
   }
 
   test("SQL shingle_hashes matches the column-API shingle set size") {

@@ -340,6 +340,64 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("metaCols"))
   }
 
+  test("compact folds the meta sidecar: ten CDC batches -> one dir, answers identical, dead ids dropped") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 40L).map(i =>
+      (i, s"alpha beta tok$i common", if (i % 2 == 0) "web" else "books"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_metafold").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir, metaCols = Seq("source"))
+    // ten CDC batches: docs 10..19 flip source books<->web one at a
+    // time; doc 30 is deleted in batch 0 and RE-INSERTED in batch 5
+    // (its latest metadata must survive the fold); doc 31 is deleted
+    // in batch 1 and never returns (its sidecar row must drop)
+    (0 until 10).foreach { i =>
+      val id = 10L + i
+      val newSrc = if (id % 2 == 0) "books" else "web"
+      val up = Seq((id, s"alpha beta tok$id common", newSrc)) ++
+        (if (i == 5) Seq((30L, "alpha beta tok30 common", "resurrected")) else Nil)
+      val rm = Seq(id) ++ (i match {
+        case 0 => Seq(30L)
+        case 1 => Seq(31L)
+        case _ => Nil
+      })
+      InvertedIndex.applyCdc(
+        upserts = up.toDF("doc_id", "text", "source"),
+        removals = corpus.filter(col("doc_id").isin(rm.map(Long.box): _*))
+          .select("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    val before = InvertedIndex.currentManifest(spark, dir)
+    assert(before.metaDirs.size == 11, s"expected 11 sidecar dirs, got ${before.metaDirs.size}")
+    def filtered(src: String) =
+      InvertedIndex.bm25TopKText(spark, dir, Seq("alpha beta common"), k = 40,
+          where = Some(col("source") === src))
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+    val webBefore = filtered("web"); val booksBefore = filtered("books")
+    val resBefore = filtered("resurrected")
+    InvertedIndex.compact(spark, dir)
+    val after = InvertedIndex.currentManifest(spark, dir)
+    assert(after.metaDirs.size == 1,
+      s"compact must fold the sidecar to ONE dir, got ${after.metaDirs.size}")
+    assert(filtered("web") == webBefore && filtered("books") == booksBefore,
+      "filtered answers must be hash-identical across the fold")
+    assert(filtered("resurrected") == resBefore && resBefore.nonEmpty,
+      "a doc re-inserted after its tombstone keeps its latest metadata")
+    // dead doc 31's sidecar row is physically gone, not just unreachable
+    val folded = spark.read.parquet(s"$dir/${after.metaDirs.head}")
+    assert(folded.filter(col("doc_id") === 31L).isEmpty,
+      "tombstoned doc's sidecar row must drop at the fold")
+    assert(folded.groupBy("doc_id").count().filter(col("count") > 1).isEmpty,
+      "folded sidecar must be latest-wins unique per doc")
+    // vacuum sweeps the superseded dirs
+    InvertedIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val metaRoot = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    assert(hfs.listStatus(metaRoot).length == 1,
+      "vacuum must sweep the superseded sidecar dirs")
+    assert(filtered("web") == webBefore, "answers stable after vacuum")
+  }
+
   test("span-near: ordered chains, unordered coverage windows, edges and duplicates pinned") {
     val s = spark
     import s.implicits._
