@@ -60,6 +60,21 @@ object ServingIndexes {
       dir
     })
 
+  private val annPqDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared IVF+PQ index over the same corpus split as [[annDir]]:
+    * codes + raw vectors persisted per cell, quantizers pinned in the
+    * manifest — the serve-only `ann_ivfpq_indexed` entry's index.
+    */
+  def annPqDir(spark: SparkSession, sfDir: String): String =
+    annPqDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = scratchDir("graft_served_annpq")
+      val emb = Tables(spark, sfDir).embeddings.filter(col("vec_id") >= 5)
+      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+        pq = Some(operators.AnnIndex.PqSpec(m = 8, nCodes = 16)))
+      dir
+    })
+
   private val annHybridDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
   /** Shared ANN index matching the hybrid-retrieval corpus split:

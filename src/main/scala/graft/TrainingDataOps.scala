@@ -860,6 +860,26 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_ivfpq_indexed",
+      // the PERSISTED IVF+PQ serving shape (FAISS IVFADC) of ann_ivfpq:
+      // codes encoded once against the manifest-pinned quantizers, ADC
+      // shortlist scans only (neighbor_id, codes, __cell) of the probed
+      // cells — m ints per candidate instead of dim doubles — then the
+      // exact re-rank touches raw vectors for the shortlist ids only.
+      // SERVE-ONLY from the shared per-process PQ index; recall +
+      // determinism + delta-encode parity pinned in AnnIndexSpec
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        operators.AnnIndex.pqTopK(
+          e.filter($"vec_id" < 5), "vec_id", "embedding",
+          ServingIndexes.annPqDir(spark, dir), k = 5, nProbe = 8, shortlist = 50)
+          .orderBy("probe_id", "rank")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "ann_ivf_filtered",
       // FILTERED ANN from the serving index: the `where` predicate over
       // the index's vector-metadata sidecar (label, pinned at build;

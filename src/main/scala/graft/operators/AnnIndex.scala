@@ -79,7 +79,20 @@ object AnnIndex {
         * corpus-level terms (centroid drift is the rebuild canary's
         * concern, not the tombstone's).
         */
-      deletes: Seq[(String, Int)] = Nil)
+      deletes: Seq[(String, Int)] = Nil,
+      /** per-subspace PQ residual codebooks (m × nCodes × dim/m,
+        * bit-exact IEEE longs like the centroids) — present iff the
+        * index was built with `pq = Some(...)`. Rows then carry an
+        * m-code `codes` column next to the raw vector: the ADC serve
+        * path ([[pqTopK]]) scans ONLY (neighbor_id, codes, __cell) of
+        * the probed cells (parquet column pruning delivers the byte
+        * cut — m ints vs dim doubles per candidate) and touches raw
+        * vectors just for the shortlist's exact re-rank. Deltas encode
+        * against THESE persisted codebooks — encoding is a pure
+        * per-row function of (vector, centroids, codebooks), so
+        * delta ∪ old ≡ full re-encode (the ann_ivfpq_delta identity).
+        */
+      codebooks: Array[Array[Array[Double]]] = Array.empty)
 
   private def toJson(m: Manifest): String = {
     // doubles as raw IEEE-754 bits: JSON decimal printing is not
@@ -95,6 +108,10 @@ object AnnIndex {
       "deletes" -> JArray(m.deletes.map { case (p, c) =>
         JObject(List("path" -> JString(p), "cover" -> JInt(c))): JValue
       }.toList),
+      "codebooks" -> JArray(m.codebooks.map(cb =>
+        JArray(cb.map(c =>
+          JArray(c.map(d =>
+            JLong(java.lang.Double.doubleToRawLongBits(d)): JValue).toList): JValue).toList): JValue).toList),
       "vectors" -> JArray(m.vectors.map { case (cell, p) =>
         JObject(List("cell" -> JInt(cell), "path" -> JString(p)))
       }.toList)))
@@ -125,6 +142,12 @@ object AnnIndex {
           case o: JObject => ((o \ "path").extract[String], (o \ "cover").extract[Int])
         }
         case _ => Nil
+      },
+      codebooks = j \ "codebooks" match {
+        case JArray(cbs) => cbs.map(cb =>
+          cb.extract[List[List[Long]]]
+            .map(_.map(java.lang.Double.longBitsToDouble).toArray).toArray).toArray
+        case _ => Array.empty
       })
   }
 
@@ -172,11 +195,13 @@ object AnnIndex {
   }
 
   private def readVectors(spark: SparkSession, dir: String,
-      files: Seq[(Int, String)]): DataFrame =
+      files: Seq[(Int, String)], withCodes: Boolean = false): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
-          "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, __cell INT"))
+          if (withCodes)
+            "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, codes ARRAY<INT>, __cell INT"
+          else "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, __cell INT"))
     else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
 
   private def assign(emb: DataFrame, idCol: String, vecCol: String,
@@ -186,22 +211,100 @@ object AnnIndex {
       .withColumn("cell",
         element_at(VectorQuantization.centroidCells(col("__cv"), centroids, 1), 1))
 
+  // cosine contract across the PQ family (Similarity's convention):
+  // residuals and ADC run on UNIT vectors — dot on raw vectors would
+  // rank large-norm candidates above nearer ones
+  private def unitCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    transform(v, x => x / greatest(n, lit(1e-12)))
+  }
+
+  /** Append the m-code PQ `codes` column to an assigned frame: residual
+    * of the UNIT vector against its cell centroid, each subspace coded
+    * against its persisted L2 codebook. Pure per-row — the property
+    * that makes delta encoding ≡ full re-encode.
+    */
+  private def withCodes(assigned: DataFrame, centroids: Array[Array[Double]],
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dim = centroids.head.length
+    val sub = dim / m
+    val centLit = typedLit(centroids.map(_.toSeq).toSeq)
+    val resid = zip_with(unitCol(col("__cv")), element_at(centLit, col("cell") + 1),
+      (a, b) => a - b)
+    val codeCols = (0 until m).map { j =>
+      element_at(VectorQuantization.centroidCellsL2(
+        slice(col("__resid"), j * sub + 1, sub), codebooks(j), 1), 1)
+    }
+    assigned.withColumn("__resid", resid)
+      .withColumn("codes", array(codeCols: _*))
+      .drop("__resid")
+  }
+
+  /** Train the per-subspace residual codebooks on the SAME bounded
+    * deterministic sample contract as the coarse quantizer, against
+    * the coarse centroids the index will persist (residuals must be
+    * relative to the cells the vectors are actually stored under).
+    */
+  private def trainCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]], m: Int, nCodes: Int,
+      sampleSize: Int, iters: Int): Array[Array[Array[Double]]] = {
+    val sample = emb
+      .select(col(idCol).cast("long").as("__id"), asDouble(col(vecCol)).as("__v"))
+      .orderBy("__id").limit(sampleSize)
+      .select("__v").collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ build needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"vector dim $dim must be divisible by m=$m")
+    val sub = dim / m
+    val residuals = sample.map { raw =>
+      var s = 0.0; var i = 0
+      while (i < dim) { s += raw(i) * raw(i); i += 1 }
+      val norm = math.max(math.sqrt(s), 1e-12)
+      val v = raw.map(_ / norm)
+      var best = 0; var bestDot = Double.MinValue
+      var ci = 0
+      while (ci < centroids.length) {
+        var d = 0.0; i = 0
+        while (i < dim) { d += v(i) * centroids(ci)(i); i += 1 }
+        if (d > bestDot) { bestDot = d; best = ci }
+        ci += 1
+      }
+      Array.tabulate(dim)(i => v(i) - centroids(best)(i))
+    }
+    Array.tabulate(m) { j =>
+      VectorQuantization.trainCentroidsL2(
+        residuals.map(_.slice(j * sub, (j + 1) * sub)), nCodes, iters, seed = 42L + j)
+    }
+  }
+
   /** Build from scratch: one assignment scan + a cell-clustered write.
     * Centroid training matches [[Similarity.ivfTopK]] exactly
     * (deterministic ordered sample, fixed seed), so recall carries over.
     */
+  /** PQ spec for a code-carrying build: m subspaces × nCodes codewords
+    * per subspace (dim must divide by m).
+    */
+  final case class PqSpec(m: Int = 8, nCodes: Int = 16)
+
   def build(emb: DataFrame, idCol: String, vecCol: String, dir: String,
       nCells: Int = DefaultCells, sampleSize: Int = 2048, iters: Int = 5,
-      splits: Option[Int] = None, metaCols: Seq[String] = Nil): Unit = {
+      splits: Option[Int] = None, metaCols: Seq[String] = Nil,
+      pq: Option[PqSpec] = None): Unit = {
     val spark = emb.sparkSession
     require(versions(spark, dir).isEmpty,
       s"ANN index already committed at $dir (addDelta grows it; build starts fresh)")
     val centroids = Similarity.trainQuantizer(emb, idCol, vecCol, nCells, sampleSize, iters)
-    val files = stageVectors(spark, assign(emb, idCol, vecCol, centroids), dir,
-      centroids.length, splits)
+    val codebooks = pq.fold(Array.empty[Array[Array[Double]]])(spec =>
+      trainCodebooks(emb, idCol, vecCol, centroids, spec.m, spec.nCodes, sampleSize, iters))
+    val assigned0 = assign(emb, idCol, vecCol, centroids)
+    val assigned = if (codebooks.isEmpty) assigned0
+      else withCodes(assigned0, centroids, codebooks)
+    val files = stageVectors(spark, assigned, dir, centroids.length, splits)
     val metaDirs = stageMeta(emb, idCol, metaCols, dir).toSeq
     require(IndexManifests.tryCommit(spark, dir, 1L,
-      toJson(Manifest(1L, centroids, files, metaCols = metaCols, metaDirs = metaDirs))),
+      toJson(Manifest(1L, centroids, files, metaCols = metaCols, metaDirs = metaDirs,
+        codebooks = codebooks))),
       s"lost the build commit race at $dir — another maintainer built concurrently")
   }
 
@@ -240,8 +343,10 @@ object AnnIndex {
     stamp.foreach { case (ns, batchId) =>
       if (base0.streams.get(ns).exists(_ >= batchId)) return
     }
-    val files = stageVectors(spark,
-      assign(delta, idCol, vecCol, base0.centroids), dir, base0.centroids.length)
+    val assigned0 = assign(delta, idCol, vecCol, base0.centroids)
+    val assigned = if (base0.codebooks.isEmpty) assigned0
+      else withCodes(assigned0, base0.centroids, base0.codebooks)
+    val files = stageVectors(spark, assigned, dir, base0.centroids.length)
     val metaRel = stageMeta(delta, idCol, base0.metaCols, dir)
     var attempt = 0
     while (attempt < maxAttempts) {
@@ -254,7 +359,7 @@ object AnnIndex {
       }
       val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files,
         base.streams ++ stamp.toMap, base.metaCols, base.metaDirs ++ metaRel,
-        base.deletes)
+        base.deletes, base.codebooks)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -271,7 +376,7 @@ object AnnIndex {
     */
   private[graft] def liveRows(spark: SparkSession, dir: String, m: Manifest,
       selected: Seq[(Int, String)]): DataFrame = {
-    val base = readVectors(spark, dir, selected)
+    val base = readVectors(spark, dir, selected, withCodes = m.codebooks.nonEmpty)
     if (m.deletes.isEmpty) return base
     // last THREE path components as the key — leaf names collide across
     // a partitionBy job's cell dirs (see InvertedIndex.liveRows)
@@ -322,7 +427,7 @@ object AnnIndex {
       fresh.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
       val next = Manifest(base.version + 1, base.centroids, base.vectors,
         base.streams, base.metaCols, base.metaDirs,
-        base.deletes :+ (delRel -> base.vectors.size))
+        base.deletes :+ (delRel -> base.vectors.size), base.codebooks)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -346,8 +451,12 @@ object AnnIndex {
     }
     val files =
       if (upserts.isEmpty) Nil
-      else stageVectors(spark, assign(upserts, idCol, vecCol, base0.centroids),
-        dir, base0.centroids.length)
+      else {
+        val assigned0 = assign(upserts, idCol, vecCol, base0.centroids)
+        val assigned = if (base0.codebooks.isEmpty) assigned0
+          else withCodes(assigned0, base0.centroids, base0.codebooks)
+        stageVectors(spark, assigned, dir, base0.centroids.length)
+      }
     val metaRel =
       if (upserts.isEmpty) None
       else stageMeta(upserts, idCol, base0.metaCols, dir)
@@ -369,7 +478,7 @@ object AnnIndex {
         }
       val next = Manifest(base.version + 1, base.centroids, base.vectors ++ files,
         base.streams ++ stamp.toMap, base.metaCols, base.metaDirs ++ metaRel,
-        base.deletes ++ delEntry)
+        base.deletes ++ delEntry, base.codebooks)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next))) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -428,6 +537,101 @@ object AnnIndex {
     val joined = if (excludeSelf) joined0.filter(col("neighbor_id") =!= col("probe_id"))
       else joined0
     joined
+      .withColumn("cosine", cosine(col("__pv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** ADC top-`k` FROM the persisted PQ codes — the serving shape of
+    * [[Similarity.ivfPqTopK]] (FAISS IVFADC). Two stages over ONLY the
+    * probed cells' files (manifest-pruned like [[topK]]):
+    *
+    *  1. '''shortlist''': per probe, score every candidate in its
+    *     probed cells as `cdot(probe·centroid) + Σ_j table_j[code_j]`
+    *     — the scan is column-pruned to (neighbor_id, codes, __cell),
+    *     m ints per candidate instead of dim doubles: the byte cut
+    *     that lets a 100 TB dense corpus's code columns stay
+    *     page-cache-resident where raw vectors never would.
+    *  2. '''re-rank''': exact cosine on the shortlist only, raw
+    *     vectors fetched by an id join against the same pruned slice.
+    *
+    * Codes were encoded against the manifest's persisted quantizers at
+    * build/delta/CDC time, so serving never re-encodes. Recall carries
+    * the ann_ivfpq bound (spec-pinned); determinism follows from the
+    * bit-exact manifest quantizers + deterministic tie-breaks.
+    */
+  def pqTopK(probes: DataFrame, idCol: String, vecCol: String, dir: String,
+      k: Int, nProbe: Int = 4, shortlist: Int = 100, maxProbes: Int = 16384,
+      where: Option[org.apache.spark.sql.Column] = None,
+      excludeSelf: Boolean = true): DataFrame = {
+    val spark = probes.sparkSession
+    val m = currentManifest(spark, dir)
+    require(m.codebooks.nonEmpty,
+      s"pqTopK against $dir, but the index carries no PQ codebooks " +
+        "(build(pq = Some(PqSpec(...))) pins them)")
+    val centroids = m.centroids
+    val codebooks = m.codebooks
+    val nSub = codebooks.length
+    val dim = centroids.head.length
+    val sub = dim / nSub
+    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(maxProbes + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(probeRows.length <= maxProbes,
+      s"pqTopK probe side exceeds the small-side contract (> $maxProbes rows); " +
+        "batch large probe sets")
+    // driver-side per probe: nProbe nearest cells by unit-probe·centroid
+    // (the cdot constant of the ADC decomposition) + the m lookup tables
+    val probeSide = probeRows.toSeq.flatMap { case (pid, pvRaw) =>
+      val norm = math.max(math.sqrt(pvRaw.map(x => x * x).sum), 1e-12)
+      val pv = pvRaw.map(_ / norm)
+      val adcTables = (0 until nSub).map { j =>
+        codebooks(j).map { cen =>
+          var d = 0.0; var i = 0
+          while (i < sub) { d += pv(j * sub + i) * cen(i); i += 1 }
+          d
+        }.toSeq
+      }
+      val byCell = centroids.zipWithIndex.map { case (cen, ci) =>
+        var d = 0.0; var i = 0
+        while (i < dim) { d += pv(i) * cen(i); i += 1 }
+        (ci, d)
+      }.sortBy { case (ci, d) => (-d, ci) }.take(nProbe)
+      byCell.toSeq.map { case (ci, cdot) => (pid, ci, cdot, adcTables) }
+    }
+    import spark.implicits._
+    val probeTables = probeSide.toDF("probe_id", "cell", "cdot", "tables")
+    val probeCells = probeSide.map(_._2).toSet
+    val slice0 = liveRows(spark, dir, m, m.vectors.filter(e => probeCells(e._1)))
+    val slice = where match {
+      case None => slice0
+      case Some(pred) =>
+        require(m.metaCols.nonEmpty,
+          s"filtered query against $dir, but the index was built without metaCols " +
+            "(build(metaCols = ...) pins the sidecar)")
+        val latest = IndexManifests.latestMeta(spark, dir, m.metaDirs, "neighbor_id")
+        slice0.join(latest.filter(pred).select("neighbor_id"), Seq("neighbor_id"), "left_semi")
+    }
+    // stage 1: ADC shortlist — column pruning keeps __cv out of this scan
+    val adc = col("cdot") + aggregate(sequence(lit(1), lit(nSub)), lit(0.0), (acc, j) =>
+      acc + element_at(element_at(col("tables"), j), element_at(col("codes"), j) + 1))
+    val wAdc = Window.partitionBy(col("probe_id")).orderBy(col("adc").desc, col("neighbor_id"))
+    val short0 = slice.select(col("neighbor_id"), col("codes"), col("__cell").as("cell"))
+      .join(broadcast(probeTables), Seq("cell"))
+    val short1 = if (excludeSelf) short0.filter(col("neighbor_id") =!= col("probe_id"))
+      else short0
+    val short = short1.withColumn("adc", adc)
+      .withColumn("__adc_rank", row_number().over(wAdc))
+      .filter(col("__adc_rank") <= shortlist)
+      .select("probe_id", "neighbor_id")
+    // stage 2: exact cosine re-rank — raw vectors touched for the
+    // (probes × shortlist)-bounded id set only, broadcast by contract
+    val pv = probeRows.toSeq.map { case (pid, v) => (pid, v.toSeq) }.toDF("probe_id", "__pv")
+    val w = Window.partitionBy(col("probe_id")).orderBy(col("cosine").desc, col("neighbor_id"))
+    slice.select(col("neighbor_id"), col("__cv"))
+      .join(broadcast(short), Seq("neighbor_id"))
+      .join(broadcast(pv), Seq("probe_id"))
       .withColumn("cosine", cosine(col("__pv"), col("__cv")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -502,7 +706,8 @@ object AnnIndex {
       if (attempt == 1) onBeforeCommit()
       val next = Manifest(base.version + 1, base.centroids,
         byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
-        base.streams, base.metaCols, newMetaDirs, deletes = Nil)
+        base.streams, base.metaCols, newMetaDirs, deletes = Nil,
+        codebooks = base.codebooks)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next)))
         return victims.valuesIterator.map(_.size).sum
       if (attempt >= maxAttempts)

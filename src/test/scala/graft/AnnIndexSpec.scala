@@ -217,6 +217,72 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("metaCols"))
   }
 
+  test("persisted IVFPQ: recall >= 0.8, deterministic serve, ADC scan prunes to probed cells") {
+    val probes = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_pq").toString
+    AnnIndex.build(corpus, "vec_id", "embedding", dir, nCells = 16,
+      pq = Some(AnnIndex.PqSpec(m = 8, nCodes = 16)))
+    val q = AnnIndex.pqTopK(probes, "vec_id", "embedding", dir,
+      k = 10, nProbe = 8, shortlist = 200)
+    val got = topKSet(q)
+    val exact = topKSet(Similarity.bruteForceTopK(probes, corpus, "vec_id", "embedding", k = 10))
+    val recall = exact.intersect(got).size.toDouble / exact.size
+    assert(recall >= 0.8, s"persisted IVFPQ recall $recall too low")
+    // deterministic: bit-exact manifest quantizers + deterministic ties
+    val again = topKSet(AnnIndex.pqTopK(probes, "vec_id", "embedding", dir,
+      k = 10, nProbe = 8, shortlist = 200))
+    assert(got == again, "pqTopK must be deterministic run to run")
+    // the ADC scan plans only the probed cells' files
+    val m = AnnIndex.currentManifest(spark, dir)
+    val nProbe = 4
+    val q4 = AnnIndex.pqTopK(emb.filter($"vec_id" === 0), "vec_id", "embedding", dir,
+      k = 5, nProbe = nProbe)
+    val read = q4.inputFiles.filter(_.contains("/vectors/")).toSeq
+    val cellsRead = read.flatMap(_.split('/').collectFirst {
+      case s if s.startsWith("cell=") => s.stripPrefix("cell=").toInt
+    }).distinct
+    assert(read.nonEmpty && cellsRead.size <= nProbe,
+      s"expected <= $nProbe cells' files in the ADC plan, got cells $cellsRead")
+    assert(read.size < m.vectors.size, "nothing pruned from the PQ serve scan")
+    // a PQ query against a codes-free index refuses loudly
+    val bare = java.nio.file.Files.createTempDirectory("annidx_nopq").toString
+    AnnIndex.build(corpus, "vec_id", "embedding", bare, nCells = 8)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.pqTopK(probes, "vec_id", "embedding", bare, k = 5).collect()
+    }
+    assert(e.getMessage.contains("codebooks"))
+  }
+
+  test("IVFPQ lifecycle parity: delta/CDC encode against persisted quantizers == one-shot build") {
+    val probes = emb.filter($"vec_id" < 5)
+    val all    = emb.filter($"vec_id" >= 5)
+    val old_   = all.filter(pmod($"vec_id", lit(10)) =!= 7)
+    val delta  = all.filter(pmod($"vec_id", lit(10)) === 7)
+    // grow by delta: codes come from the PERSISTED codebooks, so the
+    // grown index must answer exactly like assignments over old ∪ delta
+    val grown = java.nio.file.Files.createTempDirectory("annidx_pq_grown").toString
+    AnnIndex.build(old_, "vec_id", "embedding", grown, nCells = 16,
+      pq = Some(AnnIndex.PqSpec(m = 8, nCodes = 16)))
+    AnnIndex.addDelta(delta, "vec_id", "embedding", grown)
+    def serve(d: String) = AnnIndex.pqTopK(probes, "vec_id", "embedding", d,
+        k = 10, nProbe = 8, shortlist = 100)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val before = serve(grown)
+    // compact folds the per-delta files; answers must not move
+    assert(AnnIndex.compact(spark, grown) > 0)
+    assert(serve(grown) == before, "compaction changed PQ answers")
+    // CDC: delete one indexed id, re-insert it — codes re-encode
+    // against the same persisted quantizers, answers deterministic
+    val victim = before.head(1).asInstanceOf[Long]
+    AnnIndex.applyCdc(
+      upserts = all.filter($"vec_id" === victim),
+      removalIds = all.filter($"vec_id" === victim).select("vec_id"),
+      "vec_id", "embedding", grown)
+    assert(serve(grown) == before,
+      "re-inserting the same vector via CDC must leave PQ answers unchanged")
+  }
+
   test("compact folds the vector-meta sidecar: CDC batches -> one dir, answers identical, dead ids dropped") {
     import org.apache.spark.sql.functions.{col, lit}
     val dir = java.nio.file.Files.createTempDirectory("annidx_metafold").toString
