@@ -43,6 +43,39 @@ object StreamBenchSection {
       pointFilesPruned: Double = -1, pointFilesFull: Double = -1,
       pointSecPruned: Double = -1, pointSecFull: Double = -1)
 
+  /** Noise-robust combination of repeated passes — the query board's
+    * min-of-passes posture applied to the streaming axes (r12's board
+    * printed single-pass wall-clock rates that moved 34–46% with no
+    * code cause: machine-day drift a single sample cannot defend
+    * against). Rates take the best pass (max rows/s ≡ min time),
+    * per-batch seconds and flatness take the min (a drift burst only
+    * ever inflates them), and the byte-ratio write-amp / files-pruned
+    * axes are scale-invariant and take the min as a tie-break.
+    */
+  def best(a: Result, b: Result): Result = {
+    // -1 marks a failed/absent axis: max ignores it naturally; min must
+    // not let it shadow a real sample
+    def mn(x: Double, y: Double) =
+      if (x < 0) y else if (y < 0) x else math.min(x, y)
+    Result(
+      mergeRowsPerSec = math.max(a.mergeRowsPerSec, b.mergeRowsPerSec),
+      appendRowsPerSec = math.max(a.appendRowsPerSec, b.appendRowsPerSec),
+      batches = math.max(a.batches, b.batches),
+      morGrowthRowsPerSec = math.max(a.morGrowthRowsPerSec, b.morGrowthRowsPerSec),
+      morGrowthFlatness = mn(a.morGrowthFlatness, b.morGrowthFlatness),
+      ssGrowthRowsPerSec = math.max(a.ssGrowthRowsPerSec, b.ssGrowthRowsPerSec),
+      ssGrowthFlatness = mn(a.ssGrowthFlatness, b.ssGrowthFlatness),
+      morWriteAmp = mn(a.morWriteAmp, b.morWriteAmp),
+      ssWriteAmp = mn(a.ssWriteAmp, b.ssWriteAmp),
+      upsGrowthRowsPerSec = math.max(a.upsGrowthRowsPerSec, b.upsGrowthRowsPerSec),
+      upsGrowthFlatness = mn(a.upsGrowthFlatness, b.upsGrowthFlatness),
+      upsWriteAmp = mn(a.upsWriteAmp, b.upsWriteAmp),
+      pointFilesPruned = mn(a.pointFilesPruned, b.pointFilesPruned),
+      pointFilesFull = mn(a.pointFilesFull, b.pointFilesFull),
+      pointSecPruned = mn(a.pointSecPruned, b.pointSecPruned),
+      pointSecFull = mn(a.pointSecFull, b.pointSecFull))
+  }
+
   /** Standalone entry for scale runs:
     * `SPARK_GRAFT_SF_DIR=<dir> runMain graft.StreamBenchSection` —
     * prints the same JSON fields as the Bench tail for any SF slice.
@@ -53,20 +86,27 @@ object StreamBenchSection {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, sfDir)
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt)
+    val r = (1 to passes).map(_ => run(spark, sfDir)).reduce(best)
     spark.stop()
     println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"mor_write_amp":${math.round(r.morWriteAmp * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"ss_write_amp":${math.round(r.ssWriteAmp * 100) / 100.0},"ups_growth_rows_per_sec":${r.upsGrowthRowsPerSec.round},"ups_growth_flatness":${math.round(r.upsGrowthFlatness * 100) / 100.0},"ups_write_amp":${math.round(r.upsWriteAmp * 100) / 100.0},"point_files_per_batch_pruned":${math.round(r.pointFilesPruned * 10) / 10.0},"point_files_per_batch_full":${math.round(r.pointFilesFull * 10) / 10.0},"point_sec_per_batch_pruned":${math.round(r.pointSecPruned * 1000) / 1000.0},"point_sec_per_batch_full":${math.round(r.pointSecFull * 1000) / 1000.0},"sf":"$sfDir"}""")
   }
 
+  private val passCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
     // dispose in finally: a failed require/stream must not strand the
-    // source copy + target + checkpoints in /tmp across bench runs
-    try runIn(spark, sfDir, batches, work)
+    // source copy + target + checkpoints in /tmp across bench runs.
+    // Each pass gets its OWN catalog name: Spark caches catalog plugin
+    // instances (with their warehouse) per name, so reusing one across
+    // passes would point pass 2's tables at pass 1's disposed warehouse
+    try runIn(spark, sfDir, batches, work, s"gbench${passCounter.incrementAndGet()}")
     finally graft.operators.Staging.dispose(spark, work)
   }
 
-  private def runIn(spark: SparkSession, sfDir: String, batches: Int, work: String): Result = {
+  private def runIn(spark: SparkSession, sfDir: String, batches: Int, work: String,
+      cat: String): Result = {
     val srcDir = s"$work/src"
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     // drop the pandas metadata + pin the schema; one file per trigger
@@ -103,8 +143,8 @@ object StreamBenchSection {
     require(m.rowsStaged == rows, s"pipeline staged ${m.rowsStaged} of $rows rows")
     val landed = spark.read.parquet(s"$tableDir/data").count()
     require(landed == rows, s"catalog sink landed $landed of $rows rows")
-    val g = growthAxis(spark, sfDir, work)
-    val (pf, ff, ps, fs) = pointChurnAxis(spark, sfDir, work)
+    val g = growthAxis(spark, sfDir, work, cat)
+    val (pf, ff, ps, fs) = pointChurnAxis(spark, sfDir, work, cat)
     Result(rows / mergeSec, rows / appendSec, m.batches,
       g.morRate, g.morFlat, g.ssRate, g.ssFlat, g.morAmp, g.ssAmp,
       g.upsRate, g.upsFlat, g.upsAmp,
@@ -138,7 +178,8 @@ object StreamBenchSection {
     }
   }
 
-  private def growthAxis(spark: SparkSession, sfDir: String, work: String): Growth = {
+  private def growthAxis(spark: SparkSession, sfDir: String, work: String,
+      cat: String): Growth = {
     import org.apache.spark.sql.functions._
     val nBatches = 16
     val churnN   = 2500 // per batch: churnN updates + churnN inserts
@@ -163,15 +204,15 @@ object StreamBenchSection {
     val churnBytes  = dirBytes(churnSrc)
 
     // MOR catalog path: seed, then drain with per-batch timing
-    spark.conf.set("spark.sql.catalog.gbench", "graft.catalog.GraftCatalog")
-    spark.conf.set("spark.sql.catalog.gbench.warehouse", s"$work/wh")
-    spark.sql("CREATE NAMESPACE IF NOT EXISTS gbench.db")
-    spark.sql("""CREATE TABLE gbench.db.mor (
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.catalog.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$work/wh")
+    spark.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.db")
+    spark.sql(s"""CREATE TABLE $cat.db.mor (
       event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,
       version BIGINT, arcane_merge_key STRING)
       TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
     graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
-      .writeTo("gbench.db.mor").append()
+      .writeTo(s"$cat.db.mor").append()
     val morTableDir = s"$work/wh/db/mor"
     val morBytes0   = dirBytes(morTableDir)
     val perBatch = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -185,14 +226,14 @@ object StreamBenchSection {
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val b0 = System.nanoTime()
         graft.streaming.StreamMerge.idempotentMerge(
-          "gbench.db.mor", Seq(graft.operators.MergeKey.ColumnName), Seq("version"))(batch, batchId)
+          s"$cat.db.mor", Seq(graft.operators.MergeKey.ColumnName), Seq("version"))(batch, batchId)
         perBatch += (System.nanoTime() - b0) / 1e9
         ()
       }
       .start()
     q.awaitTermination()
     val morSec = (System.nanoTime() - t0) / 1e9
-    val morRows = spark.table("gbench.db.mor").count()
+    val morRows = spark.table(s"$cat.db.mor").count()
     require(morRows == seed.count() + nBatches.toLong * churnN,
       s"MOR growth target has $morRows rows")
     val (h1, h2) = perBatch.toSeq.splitAt(perBatch.size / 2)
@@ -232,7 +273,7 @@ object StreamBenchSection {
 
     // equality-delete upsert path: same seed, same churn — zero target
     // reads per batch, so its rate should track the plain append sink
-    val upsDir = s"$work/wh/db/ups" // under the gbench warehouse → readable as a table
+    val upsDir = s"$work/wh/db/ups" // under the pass catalog's warehouse → readable as a table
     graft.streaming.StreamUpsert.idempotentUpsert(
       upsDir, graft.operators.MergeKey.ColumnName, Seq("version"))(
       graft.operators.MergeKey.withMergeKey(seed, Seq("event_id")), 0L)
@@ -256,7 +297,7 @@ object StreamBenchSection {
       .start()
     uq.awaitTermination()
     val upsSec = (System.nanoTime() - u0) / 1e9
-    val upsCount = spark.table("gbench.db.ups").count()
+    val upsCount = spark.table(s"$cat.db.ups").count()
     require(upsCount == morRows, s"eq-upsert growth target has $upsCount rows, MOR has $morRows")
     val (u1, u2) = upsBatch.toSeq.splitAt(upsBatch.size / 2)
     val upsFlat  = (u2.sum / u2.size) / (u1.sum / u1.size)
@@ -281,7 +322,8 @@ object StreamBenchSection {
     * pruned, sec/batch full).
     */
   private def pointChurnAxis(
-      spark: SparkSession, sfDir: String, work: String): (Double, Double, Double, Double) = {
+      spark: SparkSession, sfDir: String, work: String,
+      cat: String): (Double, Double, Double, Double) = {
     import org.apache.spark.sql.functions._
     import graft.streaming.StreamMerge
     val nBuckets = 4096
@@ -307,7 +349,7 @@ object StreamBenchSection {
 
     // pruned target: bucket column, seed clustered by bucket, modulus
     // DECLARED — the stream's default Auto posture then prunes with it
-    spark.sql(s"""CREATE TABLE gbench.db.morp (
+    spark.sql(s"""CREATE TABLE $cat.db.morp (
       event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,
       version BIGINT, arcane_merge_key STRING, ${StreamMerge.BucketColumnName} INT)
       TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read',
@@ -316,15 +358,15 @@ object StreamBenchSection {
       .withColumn(StreamMerge.BucketColumnName, StreamMerge.bucketExpr(nBuckets))
       .repartitionByRange(nFiles, col(StreamMerge.BucketColumnName))
       .sortWithinPartitions(StreamMerge.BucketColumnName)
-      .writeTo("gbench.db.morp").append()
+      .writeTo(s"$cat.db.morp").append()
     // full-scan contrast: same rows, same file count, no bucket column
-    spark.sql("""CREATE TABLE gbench.db.morf (
+    spark.sql(s"""CREATE TABLE $cat.db.morf (
       event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE,
       version BIGINT, arcane_merge_key STRING)
       TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
     graft.operators.MergeKey.withMergeKey(seed, Seq("event_id"))
       .repartition(nFiles)
-      .writeTo("gbench.db.morf").append()
+      .writeTo(s"$cat.db.morf").append()
 
     // BOTH drains run the DEFAULT config (Auto posture): pruning follows
     // each table's own declaration — morp declares its modulus, morf is
@@ -344,11 +386,11 @@ object StreamBenchSection {
       val files = graft.catalog.GraftReadMetrics.dataFilesOpened - f0
       (files.toDouble / nB, sec / nB)
     }
-    val (pf, ps) = drain("gbench.db.morp", s"$work/ckpt_morp")
-    val (ff, fs) = drain("gbench.db.morf", s"$work/ckpt_morf")
+    val (pf, ps) = drain(s"$cat.db.morp", s"$work/ckpt_morp")
+    val (ff, fs) = drain(s"$cat.db.morf", s"$work/ckpt_morf")
     val expected = seed.count() + nB.toLong * c
-    require(spark.table("gbench.db.morp").count() == expected, "pruned point target row drift")
-    require(spark.table("gbench.db.morf").count() == expected, "full point target row drift")
+    require(spark.table(s"$cat.db.morp").count() == expected, "pruned point target row drift")
+    require(spark.table(s"$cat.db.morf").count() == expected, "full point target row drift")
     // the pruned path must actually prune — catches a silently-dropped
     // IN conjunct, which would make the axis a lie
     require(pf < ff / 2,
@@ -449,14 +491,19 @@ object Bench {
     // the board so its work never perturbs query samples; failures record
     // -1 rather than killing the whole bench artifact. Skipped when a
     // subset filter is active (dev loops iterate on queries).
+    // min-of-passes on the streaming axes too (default 2 full passes):
+    // r12's single-pass rates moved 34-46% on machine-day drift with no
+    // code cause — a second pass caps what one noisy pass can print
+    val streamRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt)
     val stream = if (only.isDefined) None else
-      try Some(StreamBenchSection.run(spark, sfDir))
+      try Some((1 to streamRuns).map(_ => StreamBenchSection.run(spark, sfDir))
+        .reduce(StreamBenchSection.best))
       catch { case e: Throwable =>
         System.err.println(s"[bench] stream section failed: ${e.getMessage}")
         Some(StreamBenchSection.Result(-1, -1, 0))
       }
     val streamJson = stream.fold("") { r =>
-      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)},"point_files_per_batch_pruned":${f2(r.pointFilesPruned)},"point_files_per_batch_full":${f2(r.pointFilesFull)},"point_sec_per_batch_pruned":${f2(r.pointSecPruned)},"point_sec_per_batch_full":${f2(r.pointSecFull)}"""
+      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)},"point_files_per_batch_pruned":${f2(r.pointFilesPruned)},"point_files_per_batch_full":${f2(r.pointFilesFull)},"point_sec_per_batch_pruned":${f2(r.pointSecPruned)},"point_sec_per_batch_full":${f2(r.pointSecFull)},"stream_passes":$streamRuns"""
     }
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"spread_queries":${results.map { case (k, v, _, mx) => "\"" + k + "\":[" + f2(v) + "," + f2(mx) + "]" }.mkString("{", ",", "}")}}""")
     spark.stop()

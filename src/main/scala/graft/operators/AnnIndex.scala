@@ -705,7 +705,7 @@ object AnnIndex {
         }
       if (attempt == 1) onBeforeCommit()
       val next = Manifest(base.version + 1, base.centroids,
-        byCell.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
+        byCell.toSeq.flatMap { case (c, files) => compacted.getOrElse(c, files) }.toSeq.sortBy(_._2),
         base.streams, base.metaCols, newMetaDirs, deletes = Nil,
         codebooks = base.codebooks)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next)))

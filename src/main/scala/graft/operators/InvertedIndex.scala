@@ -129,7 +129,20 @@ object InvertedIndex {
         * were corrected when each tombstone committed, so served
         * scores equal a rebuild at every point in between.
         */
-      deletes: Seq[(String, Int)] = Nil)
+      deletes: Seq[(String, Int)] = Nil,
+      /** per-file token ranges (path -> (minTok, maxTok), UTF-8 binary
+        * order — Spark's string comparator): [[compact]] rewrites each
+        * bucket RANGE-SPLIT BY TOKEN and records each file's range, so
+        * a query plans only the files whose range can contain one of
+        * its terms — exact block skipping (a file without any query
+        * term contributes nothing to any score). Delta-staged files
+        * are hash-split (churn-sized, ranges unknown) and carry no
+        * entry, so they are always read until the next compact folds
+        * them into ranged files. At 100 TB this is what bounds a
+        * query's read to its TERMS' slices of a bucket, not the whole
+        * bucket: bucket pruning cuts 1/B, token ranges cut the rest.
+        */
+      tokRanges: Map[String, (String, String)] = Map.empty)
 
   /** Staged-but-uncommitted delta: immutable postings files under a
     * fresh UUID dir. Visible only once a manifest referencing them is
@@ -187,7 +200,11 @@ object InvertedIndex {
         JObject(List("path" -> JString(p), "cover" -> JInt(c))): JValue
       }.toList),
       "postings" -> JArray(m.postings.map { case (b, p) =>
-        JObject(List("bucket" -> JInt(b), "path" -> JString(p)))
+        val base = List("bucket" -> (JInt(b): JValue), "path" -> (JString(p): JValue))
+        val range = m.tokRanges.get(p).toList.flatMap { case (lo, hi) =>
+          List("tmin" -> (JString(lo): JValue), "tmax" -> (JString(hi): JValue))
+        }
+        JObject(base ++ range)
       }.toList)))
     JsonMethods.pretty(JsonMethods.render(root))
   }
@@ -195,11 +212,18 @@ object InvertedIndex {
   private def fromJson(body: String): Manifest = {
     val j = JsonMethods.parse(body)
     implicit val fmts: Formats = DefaultFormats
+    val postingEntries = (j \ "postings").extract[List[JValue]]
     Manifest(
       version = (j \ "version").extract[Long],
       buckets = (j \ "buckets").extract[Int],
-      postings = (j \ "postings").extract[List[JValue]].map(e =>
+      postings = postingEntries.map(e =>
         ((e \ "bucket").extract[Int], (e \ "path").extract[String])),
+      tokRanges = postingEntries.flatMap { e =>
+        (e \ "tmin", e \ "tmax") match {
+          case (JString(lo), JString(hi)) => Some((e \ "path").extract[String] -> (lo, hi))
+          case _ => None
+        }
+      }.toMap,
       vocabDir = (j \ "vocab").extract[String],
       statsDir = (j \ "stats").extract[String],
       streams = IndexManifests.streamsFromJson(j \ "streams"),
@@ -423,7 +447,8 @@ object InvertedIndex {
       val next = Manifest(base.version + 1, base.buckets,
         base.postings ++ staged.files, vocabRel, statsRel,
         base.streams ++ stamp.toMap, base.positions,
-        base.metaCols, base.metaDirs ++ staged.meta, base.deletes)
+        base.metaCols, base.metaDirs ++ staged.meta, base.deletes,
+        base.tokRanges)
       if (tryCommit(spark, dir, next)) return next
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
@@ -581,7 +606,8 @@ object InvertedIndex {
       }
     val next = Manifest(base.version + 1, base.buckets, base.postings ++ staged,
       vocabRel, statsRel, base.streams ++ stamp.toMap, base.positions,
-      base.metaCols, base.metaDirs ++ stagedMeta, base.deletes ++ delEntry)
+      base.metaCols, base.metaDirs ++ stagedMeta, base.deletes ++ delEntry,
+      base.tokRanges)
     tryCommit(spark, dir, next)
   }
 
@@ -648,8 +674,9 @@ object InvertedIndex {
     * folding. Commits a new manifest; superseded files become
     * unreferenced (swept by [[vacuum]]). Returns files folded.
     */
-  def compact(spark: SparkSession, dir: String): Int =
-    compactWithHook(spark, dir, () => ())
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = TargetFileBytes): Int =
+    compactWithHook(spark, dir, () => (), targetFileBytes = targetFileBytes)
 
   /** Compaction body with a pre-commit seam (the race spec commits a
     * concurrent delta there). A lost claim RETRIES against the fresh
@@ -666,7 +693,8 @@ object InvertedIndex {
     * maintenance-cadence-rare; correctness beats rewrite reuse.
     */
   private[graft] def compactWithHook(spark: SparkSession, dir: String,
-      onBeforeCommit: () => Unit, maxAttempts: Int = 5): Int = {
+      onBeforeCommit: () => Unit, maxAttempts: Int = 5,
+      targetFileBytes: Long = TargetFileBytes): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -674,7 +702,16 @@ object InvertedIndex {
       val byBucket = base.postings.groupBy(_._1)
       val victims =
         if (base.deletes.nonEmpty) byBucket
-        else byBucket.filter(_._2.size > 1)
+        else byBucket.filter { case (_, files) =>
+          // multi-file buckets fold; single-file buckets re-split when
+          // the file exceeds the target (so a compact with a smaller
+          // targetFileBytes re-layouts into ranged files — the
+          // force-merge knob). Default target on a compacted index
+          // stays a no-op.
+          files.size > 1 ||
+            (IndexManifests.fileBytes(spark, dir, files.map(_._2))
+              / targetFileBytes).max(1) > files.size
+        }
       // the meta sidecar folds whenever CDC/deltas accumulated dirs or
       // tombstones left dead rows: without the fold a FILTERED query
       // pays an O(#batches × corpus-docs) union + latest-wins window
@@ -683,15 +720,25 @@ object InvertedIndex {
       val foldMeta = base.metaDirs.size > 1 ||
         (base.deletes.nonEmpty && base.metaDirs.nonEmpty)
       if (victims.isEmpty && !foldMeta) return 0
+      val ranges = scala.collection.mutable.Map.empty[String, (String, String)]
       val compacted = victims.toSeq.sortBy(_._1).map { case (bucket, files) =>
         val rel = IndexManifests.freshRel("postings")
-        // fold to as few TargetFileBytes-sized files as the bucket's
+        // fold to as few targetFileBytes-sized files as the bucket's
         // actual bytes need — coalesce(1) would push a huge bucket's
         // rewrite through one task (the same cliff staging avoids)
         val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-          / TargetFileBytes).max(1).min(MaxSplits).toInt
+          / targetFileBytes).max(1).min(MaxSplits).toInt
+        // RANGE-split by token (tok-sorted within files): each rewritten
+        // file covers a contiguous token range, recorded in the manifest
+        // so queries skip files whose range cannot contain their terms,
+        // and parquet row-group tok stats serve the pushed term filter
+        // inside the files that remain. Range sampling re-reads the
+        // just-written parquet (cheap at maintenance cadence), never
+        // recomputes an aggregation — which is why build/deltas stage
+        // hash-split and leave the ranged layout to compaction.
         liveRows(spark, dir, base, files)
-          .repartition(width, col("doc_id"))
+          .repartitionByRange(width, col("tok"), col("doc_id"))
+          .sortWithinPartitions("tok", "doc_id")
           .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
         val f = fs(spark, dir)
         val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
@@ -702,7 +749,18 @@ object InvertedIndex {
           if (p.getName.endsWith(".parquet"))
             out += bucket -> p.toUri.getPath.stripPrefix(root + "/")
         }
-        bucket -> out.result()
+        val written = out.result()
+        // one footer-cheap pass over the fresh files records each
+        // file's (min, max) token — Spark string aggregates compare in
+        // UTF-8 binary order, the same order the serve-side skip uses
+        spark.read.parquet(s"$dir/$rel")
+          .select(input_file_name().as("__f"), col("tok"))
+          .groupBy("__f").agg(min(col("tok")).as("lo"), max(col("tok")).as("hi"))
+          .collect().foreach { r =>
+            val relPath = new java.net.URI(r.getString(0)).getPath.stripPrefix(root + "/")
+            ranges += relPath -> (r.getString(1), r.getString(2))
+          }
+        bucket -> written
       }.toMap
       // fold the sidecar to ONE materialized latest-wins dir; docs whose
       // tombstone left no live postings drop out (dead weight otherwise
@@ -731,10 +789,13 @@ object InvertedIndex {
           Seq(rel)
         }
       if (attempt == 1) onBeforeCommit()
-      val next = Manifest(base.version + 1, base.buckets,
-        byBucket.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2),
+      val nextPostings =
+        byBucket.toSeq.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2)
+      val survivors = nextPostings.map(_._2).toSet
+      val next = Manifest(base.version + 1, base.buckets, nextPostings,
         base.vocabDir, base.statsDir, base.streams, base.positions,
-        base.metaCols, newMetaDirs, deletes = Nil)
+        base.metaCols, newMetaDirs, deletes = Nil,
+        tokRanges = base.tokRanges.filter { case (p, _) => survivors(p) } ++ ranges)
       if (tryCommit(spark, dir, next))
         return victims.valuesIterator.map(_.size).sum
       if (attempt >= maxAttempts)
@@ -839,6 +900,66 @@ object InvertedIndex {
 
   // ---- query ---------------------------------------------------------
 
+  /** Most query terms the file-skip/pushdown path handles: past this,
+    * term-range math and an In-filter stop paying for themselves and
+    * the query falls back to bucket pruning + the broadcast term join.
+    */
+  val MaxTermPrune = 512
+
+  /** UTF-8 binary string order — the comparator Spark's string min/max
+    * aggregates use, so the driver-side range test matches the order
+    * the manifest ranges were computed in (Java String compareTo
+    * differs for supplementary characters).
+    */
+  private def utf8Leq(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
+
+  /** Files a query over `terms` must read: the probe buckets' files,
+    * minus every token-RANGED file ([[compact]]'s layout) whose
+    * (min, max) cannot contain any query term — exact block skipping
+    * at file granularity (such a file provably holds none of the
+    * query's postings). Unranged files (delta-staged since the last
+    * compact) are always read; `terms = None` prunes by bucket only.
+    */
+  private def selectFiles(m: Manifest, buckets: Set[Int],
+      terms: Option[Seq[String]]): Seq[(Int, String)] = {
+    val inBucket = m.postings.filter(e => buckets(e._1))
+    terms match {
+      case None => inBucket
+      case Some(ts) => inBucket.filter { case (_, p) =>
+        m.tokRanges.get(p) match {
+          case None => true
+          case Some((lo, hi)) => ts.exists(t => utf8Leq(lo, t) && utf8Leq(t, hi))
+        }
+      }
+    }
+  }
+
+  /** Bounded driver-side term list for skip/pushdown, or None when the
+    * query's vocabulary exceeds [[MaxTermPrune]].
+    */
+  private def boundedTerms(ts: Seq[String]): Option[Seq[String]] = {
+    val d = ts.distinct
+    if (d.size <= MaxTermPrune) Some(d) else None
+  }
+
+  /** Push the term filter INTO the postings scan when the term set is
+    * bounded: semantically redundant with the broadcast term join, but
+    * parquet row-group tok stats (compact sorts rows by token) turn it
+    * into intra-file block skipping the join alone can never get.
+    */
+  private def pushTerms(postings: DataFrame, terms: Option[Seq[String]]): DataFrame =
+    terms.fold(postings)(ts => postings.filter(col("tok").isin(ts: _*)))
+
   /** Manifest of a POSITIONAL index, or a loud refusal: the manifest
     * knows whether positions were built (`positions` flag pinned at
     * build), so a phrase/proximity/span query against a BM25-only
@@ -926,12 +1047,26 @@ object InvertedIndex {
     // driver-side collect, independent of corpus or probe size.
     val probeBuckets = qterms.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
+    // bounded term collect for file-range skipping + scan pushdown: the
+    // limit caps the collect at MaxTermPrune+1 rows regardless of probe
+    // size; a wider vocabulary falls back to bucket pruning alone. Only
+    // paid when the index HAS ranged files — on a hash-only layout the
+    // extra job buys nothing (no file ranges to test, no tok-sorted row
+    // groups for the pushed filter to skip)
+    val termList =
+      if (m.tokRanges.isEmpty) None
+      else {
+        val collected = qterms.select(col("__tok")).distinct().limit(MaxTermPrune + 1)
+          .collect().map(_.getString(0)).toSeq
+        if (collected.size > MaxTermPrune) None else Some(collected)
+      }
     // tombstoned rows are excluded here (coverage-aware); their
     // df/n/sumdl contributions were subtracted when each tombstone
     // committed, so the scores below equal a rebuild without them
     // (churn-sized between compactions — the next compact drops the
     // rows and clears the set)
-    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
+    val postings = pushTerms(
+      liveRows(spark, dir, m, selectFiles(m, probeBuckets, termList)), termList)
 
     // scalar aggregate over the 1-row stats file: a structural row
     // bound the plan audit can SEE (a bare file scan is unbounded to
@@ -1019,7 +1154,9 @@ object InvertedIndex {
     // laid out with (a re-implemented hash would be a silent-miss risk)
     val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
+    val terms = boundedTerms(probeRows.map(_._2))
+    val postings = pushTerms(
+        liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
       .select(col("doc_id"), col("tok"), col("positions"))
     val hits = postings.join(broadcast(probe), Seq("tok"))
       .select(col("phrase"), col("__phrase_len"), col("doc_id"),
@@ -1064,7 +1201,9 @@ object InvertedIndex {
     }.toDF("q", "tok", "__role")
     val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
+    val terms = boundedTerms(pairs.flatMap { case (a, b) => Seq(a, b) })
+    val postings = pushTerms(
+        liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
       .select(col("doc_id"), col("tok"), col("positions"))
     val matched = postings.join(broadcast(probe), Seq("tok"))
       .groupBy(col("q"), col("doc_id"))
@@ -1126,7 +1265,9 @@ object InvertedIndex {
     }.toDF("q", "tok", "__term_idx", "__qlen")
     val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
       .distinct().collect().map(_.getInt(0)).toSet
-    val postings = liveRows(spark, dir, m, m.postings.filter(e => probeBuckets(e._1)))
+    val terms = boundedTerms(queries.flatten)
+    val postings = pushTerms(
+        liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
       .select(col("doc_id"), col("tok"), col("positions"))
     val matched = postings.join(broadcast(probe), Seq("tok"))
       .groupBy(col("q"), col("doc_id"))

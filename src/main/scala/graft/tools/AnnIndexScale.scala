@@ -68,9 +68,16 @@ object AnnIndexScale {
     // + one manifest claim; serve pays the coverage anti-join until
     // compact drops the dead rows and clears the set.
     val dir3 = java.nio.file.Files.createTempDirectory("annidx_scale_c").toString
-    AnnIndex.build(candidates.filter(shard >= 20), "vec_id", "embedding", dir3, nCells = 16)
+    // built WITH the label sidecar so the same CDC run also prices
+    // FILTERED serving as the sidecar dirs accumulate and then fold
+    AnnIndex.build(candidates.filter(shard >= 20), "vec_id", "embedding", dir3, nCells = 16,
+      metaCols = Seq("label"))
     val serveFresh3 = minOf3(noop(
       AnnIndex.topK(probes, "vec_id", "embedding", dir3, k = 10, nProbe = 4)))
+    def filteredServe() = minOf3(noop(
+      AnnIndex.topK(probes, "vec_id", "embedding", dir3, k = 10, nProbe = 4,
+        where = Some($"label".isin(0, 1, 2, 3)))))
+    val fservFresh = filteredServe()
     var cdcTotal = 0.0
     (0 until 10).foreach { i =>
       val ins = candidates.filter(shard === (10 + i))
@@ -83,10 +90,22 @@ object AnnIndexScale {
     val m10c = AnnIndex.currentManifest(spark, dir3)
     val serve10c = minOf3(noop(
       AnnIndex.topK(probes, "vec_id", "embedding", dir3, k = 10, nProbe = 4)))
+    val fserv10 = filteredServe()
+    val metaDirs10 = m10c.metaDirs.size
     val (foldedC, compactCS) = timed(AnnIndex.compact(spark, dir3))
     AnnIndex.vacuum(spark, dir3, keepVersions = 1, graceMs = 0L)
     val serveCc = minOf3(noop(
       AnnIndex.topK(probes, "vec_id", "embedding", dir3, k = 10, nProbe = 4)))
+    val fservC = filteredServe()
+    val metaDirsC = AnnIndex.currentManifest(spark, dir3).metaDirs.size
+
+    // persisted IVF+PQ serve: ADC shortlist over codes + exact re-rank
+    val dirPq = java.nio.file.Files.createTempDirectory("annidx_scale_pq").toString
+    val (_, buildPqS) = timed(AnnIndex.build(candidates, "vec_id", "embedding", dirPq,
+      nCells = 16, pq = Some(AnnIndex.PqSpec(m = 8, nCodes = 16))))
+    val servePqS = minOf3(noop(
+      AnnIndex.pqTopK(probes, "vec_id", "embedding", dirPq, k = 10, nProbe = 4,
+        shortlist = 100)))
 
     println(f"[annidx] sf=$sfDir vecs=$n build=$buildS%.2f serve=$serveS%.2f " +
       f"scratch=$scratchS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
@@ -98,6 +117,11 @@ object AnnIndexScale {
       f"tombstones_after_10=${m10c.deletes.size} files_after_10=${m10c.vectors.size} " +
       f"serve_after_10cdc=$serve10c%.2f compact=$compactCS%.2f folded=$foldedC " +
       f"serve_after_compact=$serveCc%.2f")
+    println(f"[annidx-filtered] fresh=$fservFresh%.2f after_10cdc=$fserv10%.2f " +
+      f"(meta_dirs=$metaDirs10) after_compact=$fservC%.2f (meta_dirs=$metaDirsC) " +
+      f"unfiltered_fresh=$serveFresh3%.2f")
+    println(f"[annidx-pq] build_pq=$buildPqS%.2f serve_adc=$servePqS%.2f " +
+      f"serve_ivf=$serveS%.2f")
     spark.stop()
   }
 }

@@ -119,14 +119,23 @@ object InvIndexScale {
     // most once); the probes are pinned out of the churn.
     val churnable = !col("doc_id").isin(probes: _*)
     val dir3 = java.nio.file.Files.createTempDirectory("invidx_scale_c").toString
-    InvertedIndex.build(docs.filter(shard >= 20), "doc_id", "text", dir3)
+    // built WITH the source sidecar so the same CDC run also prices
+    // FILTERED serving as sidecar dirs accumulate and then fold
+    InvertedIndex.build(docs.filter(shard >= 20), "doc_id", "text", dir3,
+      metaCols = Seq("source"))
     val serveFresh3 = minOf3(noop(
       InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5)))
+    def filteredServe() = minOf3(noop(
+      InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5,
+        where = Some(col("source").isin("src0", "src1", "src2", "src3", "src4")))))
+    val fservFresh = filteredServe()
     var cdcTotal = 0.0
     (0 until 10).foreach { i =>
-      val ins = docs.filter(shard === (10 + i)).select(col("doc_id"), col("text"))
+      val ins = docs.filter(shard === (10 + i))
+        .select(col("doc_id"), col("text"), col("source"))
       val upd = docs.filter(shard === (90 - i) && churnable)
-        .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"),
+          col("source"))
       val removalsOld = docs.filter((shard === (90 - i) || shard === (50 + i)) && churnable)
       cdcTotal += timed(InvertedIndex.applyCdc(
         upd.unionByName(ins), removalsOld, "doc_id", "text", dir3))._2
@@ -134,10 +143,32 @@ object InvIndexScale {
     val m10 = InvertedIndex.currentManifest(spark, dir3)
     val serve10c = minOf3(noop(
       InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5)))
+    val fserv10 = filteredServe()
+    val metaDirs10 = m10.metaDirs.size
     val (foldedC, compactCS) = timed(InvertedIndex.compact(spark, dir3))
     InvertedIndex.vacuum(spark, dir3, keepVersions = 1, graceMs = 0L)
     val serveCc = minOf3(noop(
       InvertedIndex.bm25TopK(docs, "doc_id", "text", dir3, probes, k = 5)))
+    val fservC = filteredServe()
+    val metaDirsC = InvertedIndex.currentManifest(spark, dir3).metaDirs.size
+
+    // token-range block-skip axis: recompact the lifecycle index with a
+    // file-size target small enough to force several range files per
+    // bucket (the shape a 100 TB bucket has at the default 64 MB
+    // target), then measure how many postings files a 2-term query
+    // PLANS vs the total in its buckets — the exact-skip win the
+    // manifest ranges buy on top of bucket pruning
+    InvertedIndex.compact(spark, dir2, targetFileBytes = 8L << 10)
+    val mR = InvertedIndex.currentManifest(spark, dir2)
+    val rq = InvertedIndex.bm25TopKText(spark, dir2, Seq("fast value"), k = 5)
+    val plannedFiles = rq.inputFiles.count(_.contains("/postings/"))
+    val qBuckets = spark.range(1).select(
+        explode(graft.functions.TextFunctions.tokens(lit("fast value"))).as("tok"))
+      .select(pmod(xxhash64(col("tok")), lit(mR.buckets.toLong)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val bucketFiles = mR.postings.count(e => qBuckets(e._1))
+    val skipServeS = minOf3(noop(
+      InvertedIndex.bm25TopKText(spark, dir2, Seq("fast value"), k = 5)))
 
     println(f"[invidx] sf=$sfDir docs=$nDocs build=$buildS%.2f serve=$serveS%.2f " +
       f"scratch=$scratchS%.2f serve_vs_scratch=${scratchS / serveS}%.1fx")
@@ -151,10 +182,17 @@ object InvIndexScale {
       f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
       f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +
       f"files_after_compact=$filesC serve_after_compact=$serveC%.2f")
+    println(f"[invidx-blockskip] ranged_files_total=${mR.postings.size} " +
+      f"query_bucket_files=$bucketFiles planned_files=$plannedFiles " +
+      f"skip_ratio=${bucketFiles.toDouble / math.max(plannedFiles, 1)}%.1fx " +
+      f"serve_ranged=$skipServeS%.2f")
     println(f"[invidx-cdc] serve_fresh=$serveFresh3%.2f cdc10=$cdcTotal%.2f " +
       f"tombstones_after_10=${m10.deletes.size} files_after_10=${m10.postings.size} " +
       f"serve_after_10cdc=$serve10c%.2f compact=$compactCS%.2f folded=$foldedC " +
       f"serve_after_compact=$serveCc%.2f")
+    println(f"[invidx-filtered] fresh=$fservFresh%.2f after_10cdc=$fserv10%.2f " +
+      f"(meta_dirs=$metaDirs10) after_compact=$fservC%.2f (meta_dirs=$metaDirsC) " +
+      f"unfiltered_fresh=$serveFresh3%.2f")
     spark.stop()
   }
 }

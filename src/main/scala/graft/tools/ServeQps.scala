@@ -1,0 +1,93 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AnnIndex, InvertedIndex}
+
+/** Concurrent-QPS serving axis: every serve-only board number times ONE
+  * query at a time, but a serving index faces concurrent probes — if
+  * anything shared (manifest reads, FS handles, driver-side bucket
+  * collects, the session's scheduler) serializes, aggregate throughput
+  * flatlines as clients multiply and the per-query numbers are a lie at
+  * deployment concurrency. This tool builds the two shared indexes
+  * once, then drives T ∈ {1, 8, 32} client threads of mixed serve
+  * queries (BM25 text, phrase, ANN) through ONE SparkSession — the
+  * deployment shape: Spark's scheduler multiplexes concurrent actions
+  * over the same executors — and reports aggregate QPS per tier plus
+  * the scaling ratio. Queries rotate probe terms/vectors so no plan or
+  * page-cache artifact repeats back-to-back.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> runMain graft.tools.ServeQps
+  */
+object ServeQps {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // FAIR scheduling: with FIFO, one client's multi-stage query can
+    // convoy everyone else's single-stage jobs
+    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") >= 5)
+    val lexDir = java.nio.file.Files.createTempDirectory("qps_lex").toString
+    InvertedIndex.build(docs, "doc_id", "text", lexDir)
+    val annDir = java.nio.file.Files.createTempDirectory("qps_ann").toString
+    AnnIndex.build(emb, "vec_id", "embedding", annDir, nCells = 16)
+
+    // query material: mid-frequency tokens (rotating pairs) + probe vectors
+    val toks = docs
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
+      .groupBy("tok").count().orderBy(desc("count"), col("tok"))
+      .limit(64).collect().map(_.getString(0)).drop(16) // skip the stopword head
+    val probeVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble)))
+
+    def oneQuery(i: Int): Unit = {
+      val s = spark.newSession() // isolated SQLConf/plan state per client
+      i % 3 match {
+        case 0 =>
+          val a = toks(i % toks.length); val b = toks((i * 7 + 3) % toks.length)
+          InvertedIndex.bm25TopKText(s, lexDir, Seq(s"$a $b"), k = 5)
+            .write.format("noop").mode("overwrite").save()
+        case 1 =>
+          val a = toks((i * 5 + 1) % toks.length); val b = toks((i * 11 + 2) % toks.length)
+          InvertedIndex.phraseTopK(s, lexDir, Seq(s"$a $b"), k = 5)
+            .write.format("noop").mode("overwrite").save()
+        case _ =>
+          import s.implicits._
+          val (pid, v) = probeVecs(i % probeVecs.length)
+          AnnIndex.topK(Seq((pid, v)).toDF("vec_id", "embedding"),
+              "vec_id", "embedding", annDir, k = 5, nProbe = 4)
+            .write.format("noop").mode("overwrite").save()
+      }
+    }
+
+    // warmup (JIT + noop writer + parquet footers)
+    (0 until 6).foreach(oneQuery)
+
+    def tier(threads: Int, perThread: Int): (Double, Int) = {
+      val total = threads * perThread
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+      val t0 = System.nanoTime()
+      val futs = (0 until total).map { i =>
+        pool.submit(new Runnable { def run(): Unit = oneQuery(i + 100) })
+      }
+      futs.foreach(_.get())
+      val sec = (System.nanoTime() - t0) / 1e9
+      pool.shutdown()
+      (total / sec, total)
+    }
+
+    val (q1, n1) = tier(1, 12)
+    val (q8, n8) = tier(8, 4)
+    val (q32, n32) = tier(32, 2)
+    println(f"[serve-qps] sf=$sfDir qps_1=$q1%.2f (n=$n1) qps_8=$q8%.2f (n=$n8) " +
+      f"qps_32=$q32%.2f (n=$n32) scale_8=${q8 / q1}%.1fx scale_32=${q32 / q1}%.1fx")
+    spark.stop()
+  }
+}

@@ -340,6 +340,52 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("metaCols"))
   }
 
+  test("compact range-splits postings by token: ranges in the manifest, files skipped exactly, answers identical") {
+    val s = spark
+    import s.implicits._
+    // many distinct tokens per bucket so range splitting yields files
+    // with genuinely different token ranges
+    val corpus = (0L until 200L).map(i => (i, s"tok$i alpha shared")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_range").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir, splits = Some(4))
+    val probeTerm = "tok17"
+    def serve(term: String) =
+      InvertedIndex.bm25TopKText(spark, dir, Seq(term), k = 5)
+        .orderBy("rank").collect().map(_.toSeq).toSeq
+    val before = serve(probeTerm)
+    // force several range files per bucket despite the tiny corpus
+    assert(InvertedIndex.compact(spark, dir, targetFileBytes = 300) > 0)
+    val m = InvertedIndex.currentManifest(spark, dir)
+    assert(m.tokRanges.nonEmpty, "compact must record per-file token ranges")
+    assert(m.postings.forall { case (_, p) => m.tokRanges.contains(p) },
+      "every compacted file must carry its token range")
+    assert(serve(probeTerm) == before, "range layout changed BM25 answers")
+    // pick a bucket that actually split, and one of its tokens: the
+    // query must plan a strict subset of that bucket's files
+    val tokBucket = spark.read.parquet(s"$dir/${m.vocabDir}")
+      .select(col("tok"), pmod(xxhash64(col("tok")), lit(m.buckets.toLong)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val byBucket = m.postings.groupBy(_._1)
+    val splitBuckets = byBucket.filter(_._2.size >= 2)
+    assert(splitBuckets.nonEmpty, "test corpus too small: no bucket range-split")
+    val (bkt, files) = splitBuckets.head
+    val term = tokBucket.collectFirst {
+      case (t, b) if b == bkt && t.startsWith("tok") => t
+    }.get
+    val planned = InvertedIndex.bm25TopKText(spark, dir, Seq(term), k = 5)
+      .inputFiles.filter(_.contains("/postings/")).toSeq
+    assert(planned.nonEmpty && planned.size < files.size,
+      s"expected a strict subset of bucket $bkt's ${files.size} files, planned ${planned.size}")
+    assert(serve(term).nonEmpty, "the ranged serve must still find the term's doc")
+    // a delta staged after compact has no range and is always read;
+    // answers stay correct across the mixed ranged/unranged layout
+    InvertedIndex.addDelta(
+      Seq((500L, s"$term freshdelta")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val withDelta = serve(term)
+    assert(withDelta.map(_(2)).contains(500L),
+      s"delta doc must surface for $term, got $withDelta")
+  }
+
   test("compact folds the meta sidecar: ten CDC batches -> one dir, answers identical, dead ids dropped") {
     val s = spark
     import s.implicits._
