@@ -235,6 +235,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           nProbe = intArg(args(3), "n_probe"), excludeSelf = false)
         .select("neighbor_id", "cosine", "rank")
     }
+    // persisted IVF+PQ ADC serve (codes scanned, raw vectors only for
+    // the shortlist re-rank) — same no-self-exclusion contract
+    tvf("graft_ann_pq", "(dir, vector, k, n_probe, shortlist)", 5, 5) { args =>
+      val spark = SparkSession.active
+      import spark.implicits._
+      val probe = Seq((0L, vecArg(args(1), "vector").toSeq))
+        .toDF("probe_id", "embedding")
+      graft.operators.AnnIndex.pqTopK(probe, "probe_id", "embedding",
+          strArg(args(0), "dir"), k = intArg(args(2), "k"),
+          nProbe = intArg(args(3), "n_probe"), shortlist = intArg(args(4), "shortlist"),
+          excludeSelf = false)
+        .select("neighbor_id", "cosine", "rank")
+    }
     // filtered variants: the predicate arrives as a SQL expression
     // STRING over the index's meta-sidecar columns (a Column can't ride
     // a SQL literal) — parsed with expr(), evaluated against the

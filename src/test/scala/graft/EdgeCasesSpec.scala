@@ -221,4 +221,30 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.head.getInt(0) == 7 && out.head.getLong(1) == 1L &&
       math.abs(out.head.getDouble(2) - 900.0) < 1e-9)
   }
+
+  test("stream-bench pass combination: rates take the best pass, -1 failure sentinels never shadow a real sample") {
+    val ok = StreamBenchSection.Result(
+      mergeRowsPerSec = 10000, appendRowsPerSec = 30000, batches = 8,
+      morGrowthRowsPerSec = 5000, morGrowthFlatness = 1.2,
+      ssGrowthRowsPerSec = 6000, ssGrowthFlatness = 1.0,
+      morWriteAmp = 5.2, ssWriteAmp = 90.0,
+      upsGrowthRowsPerSec = 11000, upsGrowthFlatness = 0.9, upsWriteAmp = 7.1,
+      pointFilesPruned = 16.8, pointFilesFull = 70.0,
+      pointSecPruned = 0.9, pointSecFull = 1.3)
+    val slower = ok.copy(mergeRowsPerSec = 7000, appendRowsPerSec = 20000,
+      morGrowthFlatness = 1.5, pointSecPruned = 1.4)
+    val combined = StreamBenchSection.best(ok, slower)
+    assert(combined.mergeRowsPerSec == 10000 && combined.appendRowsPerSec == 30000,
+      "rates must take the best pass")
+    assert(combined.morGrowthFlatness == 1.2 && combined.pointSecPruned == 0.9,
+      "flatness and per-batch seconds must take the min")
+    // a failed pass records -1 everywhere: it must lose to any real pass
+    // on every field, in either argument order
+    val failed = StreamBenchSection.Result(-1, -1, 0)
+    for (c <- Seq(StreamBenchSection.best(ok, failed), StreamBenchSection.best(failed, ok))) {
+      assert(c.mergeRowsPerSec == 10000 && c.morGrowthFlatness == 1.2 &&
+        c.morWriteAmp == 5.2 && c.pointFilesPruned == 16.8 && c.pointSecFull == 1.3,
+        s"-1 sentinel shadowed a real sample: $c")
+    }
+  }
 }

@@ -156,6 +156,22 @@ class ExtensionsSpec extends SparkSpec {
     // the query vector IS vector 0, so vector 0 must come back rank 1
     assert(got.nonEmpty && got.head.getLong(0) == 0L,
       s"graft_ann must return indexed vector 0 for its own embedding, got ${got.toSeq}")
+    // PQ TVF: ADC serve through SQL == the Scala pqTopK path
+    val annPq = java.nio.file.Files.createTempDirectory("tvf_annpq").toString
+    AnnIndex.build(emb.filter($"vec_id" < 200), "vec_id", "embedding", annPq, nCells = 4,
+      pq = Some(AnnIndex.PqSpec(m = 8, nCodes = 16)))
+    val viaPqSql = spark.sql(
+      s"SELECT * FROM graft_ann_pq('$annPq', $vecSql, 3, 4, 50) ORDER BY rank")
+      .collect().map(_.toSeq).toSeq
+    val viaPqApi = AnnIndex.pqTopK(
+        Seq((0L, qv.map(_.toDouble))).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", annPq, k = 3, nProbe = 4, shortlist = 50,
+        excludeSelf = false)
+      .select("neighbor_id", "cosine", "rank").orderBy("rank")
+      .collect().map(_.toSeq).toSeq
+    assert(viaPqSql == viaPqApi, "graft_ann_pq diverged from AnnIndex.pqTopK")
+    assert(viaPqSql.nonEmpty && viaPqSql.head.head == 0L,
+      "the query vector IS vector 0 — it must come back rank 1 through the PQ path")
     // wrong arity fails with the expected parameter list, not an
     // IndexOutOfBoundsException at argument access
     val e = intercept[Throwable] {
