@@ -157,7 +157,7 @@ object AnnIndex {
   private[graft] def currentManifest(spark: SparkSession, dir: String): Manifest = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed ANN index at $dir")
-    fromJson(IndexManifests.readBody(spark, dir, vs.last))
+    IndexManifests.cachedManifest(spark, dir, vs.last)(fromJson)
   }
 
   /** Target bytes per staged vector file. One file per cell does NOT
@@ -726,7 +726,7 @@ object AnnIndex {
       maxAttempts: Int = 5): Long = {
     require(versions(spark, dir).contains(toVersion),
       s"no manifest v$toVersion at $dir — expired by vacuum (keepVersions bounds rollback reach)")
-    val target = fromJson(IndexManifests.readBody(spark, dir, toVersion))
+    val target = IndexManifests.cachedManifest(spark, dir, toVersion)(fromJson)
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -751,7 +751,7 @@ object AnnIndex {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"no committed ANN index at $dir")
     val (expire, keep) = vs.splitAt(math.max(0, vs.size - keepVersions))
-    val kept = keep.map(v => fromJson(IndexManifests.readBody(spark, dir, v)))
+    val kept = keep.map(v => IndexManifests.cachedManifest(spark, dir, v)(fromJson))
     expire.foreach(v => f.delete(IndexManifests.manifestPath(dir, v), false))
     val now = System.currentTimeMillis()
     val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")

@@ -77,6 +77,31 @@ private[graft] object IndexManifests {
     }
   }
 
+  /** Per-process cache of PARSED manifests, keyed (dir, version).
+    * Manifests are immutable once committed (every mutation claims a
+    * NEW version; rollback re-commits old content as a new head), so
+    * the cache can never serve stale content — only spare the
+    * read+parse. That matters at serving QPS on a large index: the
+    * manifest JSON grows with the file count (tokRanges pins two
+    * strings per postings file), and without the cache every query
+    * re-reads and re-parses it. Bounded FIFO-ish eviction keeps test
+    * churn (thousands of temp indexes per JVM) from pinning memory.
+    */
+  private val ManifestCacheMax = 256
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
+
+  def cachedManifest[A <: AnyRef](spark: SparkSession, dir: String, v: Long)(
+      parse: String => A): A = {
+    val key = (dir, v)
+    val hit = manifestCache.get(key)
+    if (hit != null) return hit.asInstanceOf[A]
+    val parsed = parse(readBody(spark, dir, v))
+    if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+    manifestCache.put(key, parsed)
+    parsed
+  }
+
   def freshRel(kind: String): String =
     s"$kind/${java.util.UUID.randomUUID().toString.replace("-", "")}"
 

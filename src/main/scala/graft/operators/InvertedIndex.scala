@@ -252,7 +252,7 @@ object InvertedIndex {
     IndexManifests.versions(spark, dir)
 
   private[graft] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest =
-    fromJson(IndexManifests.readBody(spark, dir, v))
+    IndexManifests.cachedManifest(spark, dir, v)(fromJson)
 
   private[graft] def currentManifest(spark: SparkSession, dir: String): Manifest = {
     val vs = versions(spark, dir)
