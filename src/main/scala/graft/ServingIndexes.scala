@@ -70,8 +70,11 @@ object ServingIndexes {
     annPqDirs.computeIfAbsent(sfDir, { _ =>
       val dir = scratchDir("graft_served_annpq")
       val emb = Tables(spark, sfDir).embeddings.filter(col("vec_id") >= 5)
+      // label rides as the meta sidecar so the filtered-PQ entry can
+      // serve from the same shared index
       operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
-        pq = Some(operators.AnnIndex.PqSpec(m = 8, nCodes = 16)))
+        pq = Some(operators.AnnIndex.PqSpec(m = 8, nCodes = 16)),
+        metaCols = Seq("label"))
       dir
     })
 

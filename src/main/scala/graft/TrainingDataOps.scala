@@ -880,6 +880,25 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "ann_ivfpq_filtered",
+      // FILTERED ADC serving: the sidecar predicate restricts the
+      // candidate slice BEFORE the ADC shortlist (top-k of the allowed
+      // labels through the code-scan path). Approximate by design
+      // (shortlist-bounded), so rows-only: the label-subset + recall +
+      // determinism contracts are pinned in AnnIndexSpec
+      (spark, dir) => {
+        import spark.implicits._
+        val e = Tables(spark, dir).embeddings
+        operators.AnnIndex.pqTopK(
+          e.filter($"vec_id" < 5), "vec_id", "embedding",
+          ServingIndexes.annPqDir(spark, dir), k = 5, nProbe = 8, shortlist = 50,
+          where = Some(col("label").isin(0, 1, 2, 3, 4)))
+          .orderBy("probe_id", "rank")
+      },
+      None,
+      bench = true
+    ),
+    QueryDef(
       "ann_ivf_filtered",
       // FILTERED ANN from the serving index: the `where` predicate over
       // the index's vector-metadata sidecar (label, pinned at build;

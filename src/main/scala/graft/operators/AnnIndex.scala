@@ -645,8 +645,9 @@ object AnnIndex {
     * unreferenced ([[vacuum]]). Bounded at nCells jobs over the
     * victim cells' rows.
     */
-  def compact(spark: SparkSession, dir: String): Int =
-    compactWithHook(spark, dir, () => ())
+  def compact(spark: SparkSession, dir: String,
+      targetFileBytes: Long = TargetFileBytes): Int =
+    compactWithHook(spark, dir, () => (), targetFileBytes = targetFileBytes)
 
   /** Compaction body with a pre-commit seam for the race spec. A lost
     * claim retries against the fresh manifest (restaged — the prior
@@ -656,7 +657,8 @@ object AnnIndex {
     * a live stream must land eventually, never kill the caller.
     */
   private[graft] def compactWithHook(spark: SparkSession, dir: String,
-      onBeforeCommit: () => Unit, maxAttempts: Int = 5): Int = {
+      onBeforeCommit: () => Unit, maxAttempts: Int = 5,
+      targetFileBytes: Long = TargetFileBytes): Int = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -664,7 +666,14 @@ object AnnIndex {
       val byCell = base.vectors.groupBy(_._1)
       val victims =
         if (base.deletes.nonEmpty) byCell
-        else byCell.filter(_._2.size > 1)
+        else byCell.filter { case (_, files) =>
+          // multi-file cells fold; single-file cells re-split when the
+          // file exceeds the target (the lexical compact's force-merge
+          // knob). Default target on a compacted index stays a no-op.
+          files.size > 1 ||
+            (IndexManifests.fileBytes(spark, dir, files.map(_._2))
+              / targetFileBytes).max(1) > files.size
+        }
       // fold the vector-metadata sidecar alongside the cell files —
       // the lexical index's contract (see InvertedIndex.compact): one
       // latest-wins dir after maintenance, dead ids dropped, so
@@ -675,7 +684,7 @@ object AnnIndex {
       val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
         val rel = IndexManifests.freshRel("vectors")
         val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-          / TargetFileBytes).max(1).min(MaxSplits).toInt
+          / targetFileBytes).max(1).min(MaxSplits).toInt
         liveRows(spark, dir, base, files)
           .repartition(width, col("neighbor_id"))
           .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")

@@ -254,6 +254,34 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("codebooks"))
   }
 
+  test("filtered PQ serving: sidecar predicate gates the ADC slice, deterministic, loud without a sidecar") {
+    import org.apache.spark.sql.functions.col
+    val probes = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_pqf").toString
+    AnnIndex.build(corpus, "vec_id", "embedding", dir, nCells = 8,
+      pq = Some(AnnIndex.PqSpec(m = 8, nCodes = 16)), metaCols = Seq("label"))
+    def ids(where: Option[org.apache.spark.sql.Column]) =
+      AnnIndex.pqTopK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8,
+          shortlist = 100, where = where)
+        .select("neighbor_id").as[Long].collect().toSet
+    val lab01 = corpus.filter($"label".isin(0, 1)).select("vec_id").as[Long].collect().toSet
+    val got = ids(Some(col("label").isin(0, 1)))
+    assert(got.nonEmpty && got.subsetOf(lab01),
+      "filtered PQ must return only allowed-label neighbors")
+    assert(got != ids(None))
+    assert(got == ids(Some(col("label").isin(0, 1))), "filtered PQ must be deterministic")
+    // codes index without a sidecar refuses filtered queries loudly
+    val bare = java.nio.file.Files.createTempDirectory("annidx_pqf_bare").toString
+    AnnIndex.build(corpus, "vec_id", "embedding", bare, nCells = 8,
+      pq = Some(AnnIndex.PqSpec(m = 8, nCodes = 16)))
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.pqTopK(probes, "vec_id", "embedding", bare, k = 5,
+        where = Some(col("label") === 0)).collect()
+    }
+    assert(e.getMessage.contains("metaCols"))
+  }
+
   test("IVFPQ lifecycle parity: delta/CDC encode against persisted quantizers == one-shot build") {
     val probes = emb.filter($"vec_id" < 5)
     val all    = emb.filter($"vec_id" >= 5)
@@ -281,6 +309,39 @@ class AnnIndexSpec extends SparkSpec {
       "vec_id", "embedding", grown)
     assert(serve(grown) == before,
       "re-inserting the same vector via CDC must leave PQ answers unchanged")
+  }
+
+  test("multi-file compaction fold: every written file lands in the manifest, answers identical") {
+    // regression for the Map.flatMap-dedup manifest-assembly bug: a
+    // fold writing SEVERAL files per cell must list them all
+    val probes = emb.filter($"vec_id" < 5)
+    val corpus = emb.filter($"vec_id" >= 5)
+    val dir = java.nio.file.Files.createTempDirectory("annidx_multifold").toString
+    AnnIndex.build(corpus, "vec_id", "embedding", dir, nCells = 4)
+    def serve() = AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 4)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val before = serve()
+    assert(AnnIndex.compact(spark, dir, targetFileBytes = 4096) > 0)
+    val m = AnnIndex.currentManifest(spark, dir)
+    assert(m.vectors.groupBy(_._1).exists(_._2.size >= 2),
+      "forced-split compact must write several files for at least one cell")
+    // every parquet file on disk under a live staging dir is in the manifest
+    AnnIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$dir/vectors"), true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet"))
+          b += f.toUri.getPath.stripPrefix(root.toUri.getPath.stripSuffix("/") + "/")
+      }
+      b.result().toSet
+    }
+    assert(onDisk == m.vectors.map(_._2).toSet,
+      s"manifest and disk disagree after fold+vacuum: ${onDisk.size} on disk vs ${m.vectors.size} listed")
+    assert(serve() == before, "multi-file fold changed answers")
   }
 
   test("compact folds the vector-meta sidecar: CDC batches -> one dir, answers identical, dead ids dropped") {
