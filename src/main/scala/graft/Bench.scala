@@ -86,8 +86,15 @@ object StreamBenchSection {
       Runtime.getRuntime.availableProcessors().toString)
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt)
-    val r = (1 to passes).map(_ => run(spark, sfDir)).reduce(best)
+    val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt)
+    val done = (1 to nPasses).flatMap { i =>
+      try Some(run(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[stream-bench] pass $i failed: ${e.getMessage}"); None
+      }
+    }
+    require(done.nonEmpty, "every stream-bench pass failed")
+    val r = done.reduce(best)
     spark.stop()
     println(s"""{"stream_merge_rows_per_sec":${r.mergeRowsPerSec.round},"stream_append_rows_per_sec":${r.appendRowsPerSec.round},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${r.morGrowthRowsPerSec.round},"mor_growth_flatness":${math.round(r.morGrowthFlatness * 100) / 100.0},"mor_write_amp":${math.round(r.morWriteAmp * 100) / 100.0},"ss_growth_rows_per_sec":${r.ssGrowthRowsPerSec.round},"ss_growth_flatness":${math.round(r.ssGrowthFlatness * 100) / 100.0},"ss_write_amp":${math.round(r.ssWriteAmp * 100) / 100.0},"ups_growth_rows_per_sec":${r.upsGrowthRowsPerSec.round},"ups_growth_flatness":${math.round(r.upsGrowthFlatness * 100) / 100.0},"ups_write_amp":${math.round(r.upsWriteAmp * 100) / 100.0},"point_files_per_batch_pruned":${math.round(r.pointFilesPruned * 10) / 10.0},"point_files_per_batch_full":${math.round(r.pointFilesFull * 10) / 10.0},"point_sec_per_batch_pruned":${math.round(r.pointSecPruned * 1000) / 1000.0},"point_sec_per_batch_full":${math.round(r.pointSecFull * 1000) / 1000.0},"sf":"$sfDir"}""")
   }
@@ -495,13 +502,20 @@ object Bench {
     // r12's single-pass rates moved 34-46% on machine-day drift with no
     // code cause — a second pass caps what one noisy pass can print
     val streamRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt)
-    val stream = if (only.isDefined) None else
-      try Some((1 to streamRuns).map(_ => StreamBenchSection.run(spark, sfDir))
-        .reduce(StreamBenchSection.best))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] stream section failed: ${e.getMessage}")
-        Some(StreamBenchSection.Result(-1, -1, 0))
+    // each pass fails INDEPENDENTLY: one flaky pass must not discard a
+    // completed pass's minutes of work — combine the survivors, record
+    // the -1 sentinel only when every pass failed
+    val stream = if (only.isDefined) None else {
+      val passes = (1 to streamRuns).flatMap { i =>
+        try Some(StreamBenchSection.run(spark, sfDir))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] stream pass $i failed: ${e.getMessage}")
+          None
+        }
       }
+      Some(if (passes.isEmpty) StreamBenchSection.Result(-1, -1, 0)
+        else passes.reduce(StreamBenchSection.best))
+    }
     val streamJson = stream.fold("") { r =>
       s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)},"point_files_per_batch_pruned":${f2(r.pointFilesPruned)},"point_files_per_batch_full":${f2(r.pointFilesFull)},"point_sec_per_batch_pruned":${f2(r.pointSecPruned)},"point_sec_per_batch_full":${f2(r.pointSecFull)},"stream_passes":$streamRuns"""
     }

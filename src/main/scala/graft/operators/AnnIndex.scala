@@ -302,6 +302,9 @@ object AnnIndex {
       else withCodes(assigned0, centroids, codebooks)
     val files = stageVectors(spark, assigned, dir, centroids.length, splits)
     val metaDirs = stageMeta(emb, idCol, metaCols, dir).toSeq
+    // a rebuild at a previously-used path must not serve the old tree's
+    // cached manifests
+    IndexManifests.invalidate(dir)
     require(IndexManifests.tryCommit(spark, dir, 1L,
       toJson(Manifest(1L, centroids, files, metaCols = metaCols, metaDirs = metaDirs,
         codebooks = codebooks))),
@@ -664,15 +667,19 @@ object AnnIndex {
       attempt += 1
       val base = currentManifest(spark, dir)
       val byCell = base.vectors.groupBy(_._1)
+      // per-cell byte totals, computed ONCE (shared by the victims
+      // filter and the width derivation — see InvertedIndex.compact)
+      val cellBytes: Map[Int, Long] = byCell.map { case (c, files) =>
+        c -> IndexManifests.fileBytes(spark, dir, files.map(_._2))
+      }
       val victims =
         if (base.deletes.nonEmpty) byCell
-        else byCell.filter { case (_, files) =>
+        else byCell.filter { case (c, files) =>
           // multi-file cells fold; single-file cells re-split when the
           // file exceeds the target (the lexical compact's force-merge
           // knob). Default target on a compacted index stays a no-op.
           files.size > 1 ||
-            (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-              / targetFileBytes).max(1) > files.size
+            (cellBytes(c) / targetFileBytes).max(1) > files.size
         }
       // fold the vector-metadata sidecar alongside the cell files —
       // the lexical index's contract (see InvertedIndex.compact): one
@@ -683,8 +690,7 @@ object AnnIndex {
       if (victims.isEmpty && !foldMeta) return 0
       val compacted = victims.toSeq.sortBy(_._1).map { case (cell, files) =>
         val rel = IndexManifests.freshRel("vectors")
-        val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-          / targetFileBytes).max(1).min(MaxSplits).toInt
+        val width = (cellBytes(cell) / targetFileBytes).max(1).min(MaxSplits).toInt
         liveRows(spark, dir, base, files)
           .repartition(width, col("neighbor_id"))
           .write.mode("errorifexists").parquet(s"$dir/$rel/cell=$cell")
@@ -718,7 +724,10 @@ object AnnIndex {
         base.streams, base.metaCols, newMetaDirs, deletes = Nil,
         codebooks = base.codebooks)
       if (IndexManifests.tryCommit(spark, dir, next.version, toJson(next)))
-        return victims.valuesIterator.map(_.size).sum
+        // count the sidecar fold too: a meta-only pass still committed a
+        // new version (callers gate vacuum on "did compact do work")
+        return victims.valuesIterator.map(_.size).sum +
+          (if (foldMeta) base.metaDirs.size else 0)
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
           s"ANN compaction lost the version race $maxAttempts times at $dir")

@@ -91,6 +91,17 @@ private[graft] object IndexManifests {
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
 
+  /** Drop every cached manifest under `dir` — called by build(): an
+    * index dir deleted and rebuilt at the SAME path within one JVM
+    * would otherwise serve the old tree's parsed manifest for
+    * (dir, version). Mutations never need this (each claims a NEW
+    * version); only a from-scratch build reuses version numbers.
+    */
+  def invalidate(dir: String): Unit = {
+    val it = manifestCache.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 == dir) it.remove()
+  }
+
   def cachedManifest[A <: AnyRef](spark: SparkSession, dir: String, v: Long)(
       parse: String => A): A = {
     val key = (dir, v)

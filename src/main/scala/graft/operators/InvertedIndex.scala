@@ -360,6 +360,9 @@ object InvertedIndex {
     dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
       .write.mode("errorifexists").parquet(s"$dir/$statsRel")
     val metaDirs = stageMeta(docs, idCol, metaCols, dir).toSeq
+    // a rebuild at a previously-used path must not serve the old tree's
+    // cached manifests
+    IndexManifests.invalidate(dir)
     require(tryCommit(spark, dir,
       Manifest(1L, buckets, files, vocabRel, statsRel, positions = withPositions,
         metaCols = metaCols, metaDirs = metaDirs)),
@@ -700,17 +703,22 @@ object InvertedIndex {
       attempt += 1
       val base = currentManifest(spark, dir)
       val byBucket = base.postings.groupBy(_._1)
+      // per-bucket byte totals, computed ONCE (the victims filter and
+      // the width derivation both need them — duplicate getFileStatus
+      // round-trips double per-compact metadata RPCs on an object store)
+      val bucketBytes: Map[Int, Long] = byBucket.map { case (b, files) =>
+        b -> IndexManifests.fileBytes(spark, dir, files.map(_._2))
+      }
       val victims =
         if (base.deletes.nonEmpty) byBucket
-        else byBucket.filter { case (_, files) =>
+        else byBucket.filter { case (b, files) =>
           // multi-file buckets fold; single-file buckets re-split when
           // the file exceeds the target (so a compact with a smaller
           // targetFileBytes re-layouts into ranged files — the
           // force-merge knob). Default target on a compacted index
           // stays a no-op.
           files.size > 1 ||
-            (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-              / targetFileBytes).max(1) > files.size
+            (bucketBytes(b) / targetFileBytes).max(1) > files.size
         }
       // the meta sidecar folds whenever CDC/deltas accumulated dirs or
       // tombstones left dead rows: without the fold a FILTERED query
@@ -726,8 +734,7 @@ object InvertedIndex {
         // fold to as few targetFileBytes-sized files as the bucket's
         // actual bytes need — coalesce(1) would push a huge bucket's
         // rewrite through one task (the same cliff staging avoids)
-        val width = (IndexManifests.fileBytes(spark, dir, files.map(_._2))
-          / targetFileBytes).max(1).min(MaxSplits).toInt
+        val width = (bucketBytes(bucket) / targetFileBytes).max(1).min(MaxSplits).toInt
         // RANGE-split by token (tok-sorted within files): each rewritten
         // file covers a contiguous token range, recorded in the manifest
         // so queries skip files whose range cannot contain their terms,
@@ -739,7 +746,13 @@ object InvertedIndex {
         liveRows(spark, dir, base, files)
           .repartitionByRange(width, col("tok"), col("doc_id"))
           .sortWithinPartitions("tok", "doc_id")
-          .write.mode("errorifexists").parquet(s"$dir/$rel/bucket=$bucket")
+          .write.mode("errorifexists")
+          // 8 MB row groups (vs the 128 MB default): with tok-sorted
+          // rows, row-group min/max stats are the intra-file skip unit
+          // for the pushed term filter — a 64 MB file at default block
+          // size is ONE row group, i.e. unskippable
+          .option("parquet.block.size", (8L << 20).toString)
+          .parquet(s"$dir/$rel/bucket=$bucket")
         val f = fs(spark, dir)
         val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
         val it = f.listFiles(new org.apache.hadoop.fs.Path(s"$dir/$rel"), true)
@@ -750,18 +763,26 @@ object InvertedIndex {
             out += bucket -> p.toUri.getPath.stripPrefix(root + "/")
         }
         val written = out.result()
-        // one footer-cheap pass over the fresh files records each
-        // file's (min, max) token — Spark string aggregates compare in
-        // UTF-8 binary order, the same order the serve-side skip uses
-        spark.read.parquet(s"$dir/$rel")
+        bucket -> written
+      }.toMap
+      // ONE footer-cheap pass over ALL rewritten files records each
+      // file's (min, max) token — Spark string aggregates compare in
+      // UTF-8 binary order, the same order the serve-side skip uses.
+      // (One job, not one per bucket: per-bucket jobs serialize B
+      // scheduling round-trips on the driver for no reason. Explicit
+      // LEAF paths, not the staging dirs: multi-root partition
+      // discovery trips CONFLICTING_DIRECTORY_STRUCTURES.)
+      val rewrittenFiles = compacted.valuesIterator.flatMap(_.map(_._2)).toSeq
+      if (rewrittenFiles.nonEmpty) {
+        val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
+        spark.read.parquet(rewrittenFiles.map(p => s"$dir/$p"): _*)
           .select(input_file_name().as("__f"), col("tok"))
           .groupBy("__f").agg(min(col("tok")).as("lo"), max(col("tok")).as("hi"))
           .collect().foreach { r =>
             val relPath = new java.net.URI(r.getString(0)).getPath.stripPrefix(root + "/")
             ranges += relPath -> (r.getString(1), r.getString(2))
           }
-        bucket -> written
-      }.toMap
+      }
       // fold the sidecar to ONE materialized latest-wins dir; docs whose
       // tombstone left no live postings drop out (dead weight otherwise
       // — tombstoned docs never reach a scored set, but their sidecar
@@ -797,7 +818,10 @@ object InvertedIndex {
         base.metaCols, newMetaDirs, deletes = Nil,
         tokRanges = base.tokRanges.filter { case (p, _) => survivors(p) } ++ ranges)
       if (tryCommit(spark, dir, next))
-        return victims.valuesIterator.map(_.size).sum
+        // count the sidecar fold too: a meta-only pass still committed a
+        // new version (callers gate vacuum on "did compact do work")
+        return victims.valuesIterator.map(_.size).sum +
+          (if (foldMeta) base.metaDirs.size else 0)
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
           s"index compaction lost the version race $maxAttempts times at $dir")
@@ -900,11 +924,22 @@ object InvertedIndex {
 
   // ---- query ---------------------------------------------------------
 
-  /** Most query terms the file-skip/pushdown path handles: past this,
-    * term-range math and an In-filter stop paying for themselves and
-    * the query falls back to bucket pruning + the broadcast term join.
+  /** Most query terms the FILE-level range skip handles: past this,
+    * driver-side range math stops paying for itself and the query
+    * falls back to bucket pruning + the broadcast term join.
     */
   val MaxTermPrune = 512
+
+  /** Most query terms the pushed-down row filter handles. Separate —
+    * and much lower — than [[MaxTermPrune]]: file-level skipping is
+    * free at any term count (driver-side manifest math), but the
+    * In-filter costs per ROW on every surviving scan row, and its
+    * payoff (parquet row-group skipping over tok-sorted files) only
+    * exists for FEW-term queries — hundreds of terms hit nearly every
+    * row group of a sorted file anyway, so a probe-document's ~300
+    * terms paid ~1.5× serve for zero skip (measured at the 100× rung).
+    */
+  val MaxPushdownTerms = 32
 
   /** UTF-8 binary string order — the comparator Spark's string min/max
     * aggregates use, so the driver-side range test matches the order
@@ -958,7 +993,11 @@ object InvertedIndex {
     * into intra-file block skipping the join alone can never get.
     */
   private def pushTerms(postings: DataFrame, terms: Option[Seq[String]]): DataFrame =
-    terms.fold(postings)(ts => postings.filter(col("tok").isin(ts: _*)))
+    terms match {
+      case Some(ts) if ts.size <= MaxPushdownTerms =>
+        postings.filter(col("tok").isin(ts: _*))
+      case _ => postings
+    }
 
   /** Manifest of a POSITIONAL index, or a loud refusal: the manifest
     * knows whether positions were built (`positions` flag pinned at
@@ -1043,23 +1082,23 @@ object InvertedIndex {
           .select(col("tok").as("__tok"))
         qterms0.join(kept, Seq("__tok"), "left_semi")
     }
-    // ≤ `m.buckets` distinct values by construction — a constant-bounded
-    // driver-side collect, independent of corpus or probe size.
-    val probeBuckets = qterms.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
-    // bounded term collect for file-range skipping + scan pushdown: the
-    // limit caps the collect at MaxTermPrune+1 rows regardless of probe
-    // size; a wider vocabulary falls back to bucket pruning alone. Only
-    // paid when the index HAS ranged files — on a hash-only layout the
-    // extra job buys nothing (no file ranges to test, no tok-sorted row
-    // groups for the pushed filter to skip)
-    val termList =
-      if (m.tokRanges.isEmpty) None
-      else {
-        val collected = qterms.select(col("__tok")).distinct().limit(MaxTermPrune + 1)
-          .collect().map(_.getString(0)).toSeq
-        if (collected.size > MaxTermPrune) None else Some(collected)
-      }
+    // ONE bounded collect serves both bucket pruning and (when the term
+    // set is small and the index has ranged files) file-range skipping:
+    // the limit caps it at MaxTermPrune+1 rows regardless of probe
+    // size. Past the cap, fall back to the constant-bounded
+    // buckets-only distinct (≤ m.buckets values) — two jobs only on
+    // wide-vocabulary probes, never on the serving-text path.
+    val probed = qterms
+      .select(col("__tok"), bucketOf(col("__tok"), m.buckets).as("bucket"))
+      .distinct()
+    val head = probed.limit(MaxTermPrune + 1).collect()
+    val (probeBuckets, termList) =
+      if (head.length <= MaxTermPrune)
+        (head.map(_.getInt(1)).toSet,
+          if (m.tokRanges.isEmpty) None else Some(head.map(_.getString(0)).toSeq))
+      else
+        (probed.select("bucket").distinct().collect().map(_.getInt(0)).toSet,
+          None)
     // tombstoned rows are excluded here (coverage-aware); their
     // df/n/sumdl contributions were subtracted when each tombstone
     // committed, so the scores below equal a rebuild without them

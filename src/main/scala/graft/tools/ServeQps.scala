@@ -23,11 +23,15 @@ object ServeQps {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().toString)
-    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    // FAIR scheduling must be set at CONTEXT CREATION (SparkConf, not a
+    // local property — TaskSchedulerImpl reads it once at init): with
+    // FIFO, one client's multi-stage query convoys everyone else's jobs
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt)
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    require(spark.sparkContext.getConf.get("spark.scheduler.mode", "FIFO") == "FAIR",
+      "an existing session pinned FIFO — run this tool in its own JVM")
     spark.sparkContext.setLogLevel("ERROR")
-    // FAIR scheduling: with FIFO, one client's multi-stage query can
-    // convoy everyone else's single-stage jobs
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -42,6 +46,7 @@ object ServeQps {
       .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("tok"))
       .groupBy("tok").count().orderBy(desc("count"), col("tok"))
       .limit(64).collect().map(_.getString(0)).drop(16) // skip the stopword head
+    require(toks.nonEmpty, s"corpus at $sfDir has too few distinct tokens for the QPS mix")
     val probeVecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") < 16)
       .select(col("vec_id").cast("long"), col("embedding"))
@@ -74,13 +79,14 @@ object ServeQps {
       val total = threads * perThread
       val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
       val t0 = System.nanoTime()
-      val futs = (0 until total).map { i =>
-        pool.submit(new Runnable { def run(): Unit = oneQuery(i + 100) })
-      }
-      futs.foreach(_.get())
-      val sec = (System.nanoTime() - t0) / 1e9
-      pool.shutdown()
-      (total / sec, total)
+      try {
+        val futs = (0 until total).map { i =>
+          pool.submit(new Runnable { def run(): Unit = oneQuery(i + 100) })
+        }
+        futs.foreach(_.get())
+        val sec = (System.nanoTime() - t0) / 1e9
+        (total / sec, total)
+      } finally pool.shutdownNow()
     }
 
     val (q1, n1) = tier(1, 12)
