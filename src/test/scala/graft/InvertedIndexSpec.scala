@@ -340,6 +340,30 @@ class InvertedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("metaCols"))
   }
 
+  test("rebuild at the same path: the manifest cache must not serve the old tree") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("invidx_rebuild").toString
+    InvertedIndex.build(Seq((1L, "oldcorpus alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    def hits(term: String) =
+      InvertedIndex.bm25TopKText(spark, dir, Seq(term), k = 5)
+        .select("doc_id").as[Long].collect().toSet
+    assert(hits("oldcorpus") == Set(1L))
+    // wipe the index dir entirely and build a DIFFERENT corpus at the
+    // SAME path — version numbers restart at 1, so a (dir, version)
+    // cache without invalidation would serve the old tree's manifest
+    val root = java.nio.file.Paths.get(dir)
+    val walk = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+    try walk.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    InvertedIndex.build(Seq((2L, "newcorpus beta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(hits("newcorpus") == Set(2L),
+      "rebuilt index must serve the NEW corpus, not a cached manifest")
+    assert(hits("oldcorpus").isEmpty)
+  }
+
   test("compact range-splits postings by token: ranges in the manifest, files skipped exactly, answers identical") {
     val s = spark
     import s.implicits._
