@@ -87,12 +87,7 @@ object StreamBenchSection {
     val spark = GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val nPasses = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt)
-    val done = (1 to nPasses).flatMap { i =>
-      try Some(run(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[stream-bench] pass $i failed: ${e.getMessage}"); None
-      }
-    }
+    val done = runPasses(spark, sfDir, nPasses)
     require(done.nonEmpty, "every stream-bench pass failed")
     val r = done.reduce(best)
     spark.stop()
@@ -100,6 +95,21 @@ object StreamBenchSection {
   }
 
   private val passCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Run up to `n` full passes, isolating NON-FATAL per-pass failures
+    * (one flaky pass must not discard a completed pass's minutes of
+    * work; JVM-fatal errors still propagate — a heap-dead JVM must not
+    * keep benching). Returns the survivors; callers decide the
+    * all-failed fallback.
+    */
+  def runPasses(spark: SparkSession, sfDir: String, n: Int): Seq[Result] =
+    (1 to n).flatMap { i =>
+      try Some(run(spark, sfDir))
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[stream-bench] pass $i failed: ${e.getMessage}")
+        None
+      }
+    }
 
   def run(spark: SparkSession, sfDir: String, batches: Int = 8): Result = {
     val work = java.nio.file.Files.createTempDirectory("graft_stream_bench").toString
@@ -502,22 +512,17 @@ object Bench {
     // r12's single-pass rates moved 34-46% on machine-day drift with no
     // code cause — a second pass caps what one noisy pass can print
     val streamRuns = math.max(1, sys.env.getOrElse("SPARK_GRAFT_STREAM_RUNS", "2").toInt)
-    // each pass fails INDEPENDENTLY: one flaky pass must not discard a
-    // completed pass's minutes of work — combine the survivors, record
-    // the -1 sentinel only when every pass failed
-    val stream = if (only.isDefined) None else {
-      val passes = (1 to streamRuns).flatMap { i =>
-        try Some(StreamBenchSection.run(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] stream pass $i failed: ${e.getMessage}")
-          None
-        }
-      }
-      Some(if (passes.isEmpty) StreamBenchSection.Result(-1, -1, 0)
-        else passes.reduce(StreamBenchSection.best))
-    }
+    // passes fail independently (NonFatal only); the -1 sentinel is
+    // recorded only when every pass failed, and the JSON reports the
+    // ACTUAL surviving pass count — a reader must be able to see that
+    // a "min of 2" was really a single surviving sample
+    val streamPasses = if (only.isDefined) Seq.empty
+      else StreamBenchSection.runPasses(spark, sfDir, streamRuns)
+    val stream = if (only.isDefined) None
+      else Some(if (streamPasses.isEmpty) StreamBenchSection.Result(-1, -1, 0)
+        else streamPasses.reduce(StreamBenchSection.best))
     val streamJson = stream.fold("") { r =>
-      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)},"point_files_per_batch_pruned":${f2(r.pointFilesPruned)},"point_files_per_batch_full":${f2(r.pointFilesFull)},"point_sec_per_batch_pruned":${f2(r.pointSecPruned)},"point_sec_per_batch_full":${f2(r.pointSecFull)},"stream_passes":$streamRuns"""
+      s""","stream_merge_rows_per_sec":${f2(r.mergeRowsPerSec)},"stream_append_rows_per_sec":${f2(r.appendRowsPerSec)},"stream_batches":${r.batches},"mor_growth_rows_per_sec":${f2(r.morGrowthRowsPerSec)},"mor_growth_flatness":${f2(r.morGrowthFlatness)},"mor_write_amp":${f2(r.morWriteAmp)},"ss_growth_rows_per_sec":${f2(r.ssGrowthRowsPerSec)},"ss_growth_flatness":${f2(r.ssGrowthFlatness)},"ss_write_amp":${f2(r.ssWriteAmp)},"ups_growth_rows_per_sec":${f2(r.upsGrowthRowsPerSec)},"ups_growth_flatness":${f2(r.upsGrowthFlatness)},"ups_write_amp":${f2(r.upsWriteAmp)},"point_files_per_batch_pruned":${f2(r.pointFilesPruned)},"point_files_per_batch_full":${f2(r.pointFilesFull)},"point_sec_per_batch_pruned":${f2(r.pointSecPruned)},"point_sec_per_batch_full":${f2(r.pointSecFull)},"stream_passes":${streamPasses.size}"""
     }
     println(s"""bench-detail: {"runs":$runs,"cold_total":$coldTotal,"cold_queries":$cold,"steady_queries":${results.map { case (k, v, _, _) => "\"" + k + "\":" + v }.mkString("{", ",", "}")},"spread_queries":${results.map { case (k, v, _, mx) => "\"" + k + "\":[" + f2(v) + "," + f2(mx) + "]" }.mkString("{", ",", "}")}}""")
     spark.stop()

@@ -90,6 +90,11 @@ private[graft] object IndexManifests {
   private val ManifestCacheMax = 256
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Long), AnyRef]()
+  // per-dir generation: bumped by invalidate() so a reader that raced a
+  // wipe+rebuild (read the OLD body, stalled, resumed after the
+  // invalidation) cannot re-poison the cache with its stale parse
+  private val dirGen =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
 
   /** Drop every cached manifest under `dir` — called by build(): an
     * index dir deleted and rebuilt at the SAME path within one JVM
@@ -98,6 +103,7 @@ private[graft] object IndexManifests {
     * version); only a from-scratch build reuses version numbers.
     */
   def invalidate(dir: String): Unit = {
+    dirGen.merge(dir, java.lang.Long.valueOf(1L), (a, b) => java.lang.Long.valueOf(a + b))
     val it = manifestCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == dir) it.remove()
   }
@@ -107,9 +113,13 @@ private[graft] object IndexManifests {
     val key = (dir, v)
     val hit = manifestCache.get(key)
     if (hit != null) return hit.asInstanceOf[A]
+    val gen = dirGen.get(dir)
     val parsed = parse(readBody(spark, dir, v))
     if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
-    manifestCache.put(key, parsed)
+    // only cache if no invalidation raced the read — a stale parse may
+    // be RETURNED once (the caller read a then-live manifest) but must
+    // never be REMEMBERED past the dir's invalidation
+    if (java.util.Objects.equals(dirGen.get(dir), gen)) manifestCache.put(key, parsed)
     parsed
   }
 

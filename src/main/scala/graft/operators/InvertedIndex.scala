@@ -675,7 +675,10 @@ object InvertedIndex {
     * the fold, and the new manifest clears `deletes` — the same
     * rewrite-on-maintenance contract as the catalog's MOR delete
     * folding. Commits a new manifest; superseded files become
-    * unreferenced (swept by [[vacuum]]). Returns files folded.
+    * unreferenced (swept by [[vacuum]]). Returns the number of storage
+    * units folded — postings FILES plus metadata sidecar DIRS — so a
+    * committed meta-only pass is never reported as a no-op (callers
+    * gate vacuum on a nonzero return); 0 means nothing was committed.
     */
   def compact(spark: SparkSession, dir: String,
       targetFileBytes: Long = TargetFileBytes): Int =

@@ -54,6 +54,12 @@ object ServeQps {
 
     def oneQuery(i: Int): Unit = {
       val s = spark.newSession() // isolated SQLConf/plan state per client
+      // each client THREAD gets its own ad-hoc scheduler pool: under a
+      // FAIR root, sibling pools share fairly — without this, every job
+      // lands in the single 'default' pool whose INTERNAL mode is FIFO
+      // and inter-client convoying returns through the back door
+      s.sparkContext.setLocalProperty("spark.scheduler.pool",
+        s"client-${Thread.currentThread().getId}")
       i % 3 match {
         case 0 =>
           val a = toks(i % toks.length); val b = toks((i * 7 + 3) % toks.length)

@@ -245,6 +245,15 @@ class AnnIndexSpec extends SparkSpec {
     assert(read.nonEmpty && cellsRead.size <= nProbe,
       s"expected <= $nProbe cells' files in the ADC plan, got cells $cellsRead")
     assert(read.size < m.vectors.size, "nothing pruned from the PQ serve scan")
+    // plan shape: the ADC shortlist reaches candidates through the cell
+    // equi-join — degenerating to a cross/nested-loop product would
+    // silently lose the whole IVF pruning at scale
+    val plan = physicalPlan(q4)
+    val nested = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+    }
+    assert(nested.isEmpty, "pqTopK must equi-join on cell, not cross-product")
     // a PQ query against a codes-free index refuses loudly
     val bare = java.nio.file.Files.createTempDirectory("annidx_nopq").toString
     AnnIndex.build(corpus, "vec_id", "embedding", bare, nCells = 8)
@@ -309,6 +318,25 @@ class AnnIndexSpec extends SparkSpec {
       "vec_id", "embedding", grown)
     assert(serve(grown) == before,
       "re-inserting the same vector via CDC must leave PQ answers unchanged")
+  }
+
+  test("rebuild at the same path: the manifest cache must not serve the old tree (dense side)") {
+    val dir = java.nio.file.Files.createTempDirectory("annidx_rebuild").toString
+    val oldCorpus = emb.filter($"vec_id" >= 5 && $"vec_id" < 100)
+    val newCorpus = emb.filter($"vec_id" >= 100 && $"vec_id" < 200)
+    AnnIndex.build(oldCorpus, "vec_id", "embedding", dir, nCells = 4)
+    def served() = AnnIndex.topK(emb.filter($"vec_id" < 2), "vec_id", "embedding",
+        dir, k = 10, nProbe = 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(served().forall(_ < 100))
+    val root = java.nio.file.Paths.get(dir)
+    val walk = java.nio.file.Files.walk(root).sorted(java.util.Comparator.reverseOrder())
+    try walk.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    AnnIndex.build(newCorpus, "vec_id", "embedding", dir, nCells = 4)
+    val after = served()
+    assert(after.nonEmpty && after.forall(id => id >= 100 && id < 200),
+      s"rebuilt ANN index must serve the NEW corpus, got $after")
   }
 
   test("multi-file compaction fold: every written file lands in the manifest, answers identical") {
