@@ -87,9 +87,16 @@ object ServingIndexes {
   def annHybridDir(spark: SparkSession, sfDir: String): String =
     annHybridDirs.computeIfAbsent(sfDir, { _ =>
       val dir = scratchDir("graft_served_annh")
-      val emb = Tables(spark, sfDir).embeddings
+      // the document's `source` rides as the dense sidecar (attached by
+      // an id join at BUILD time — the standard way a dense index gains
+      // document metadata it doesn't natively carry), so hybrid
+      // retrieval can apply ONE document predicate to both branches
+      val t = Tables(spark, sfDir)
+      val emb = t.embeddings
         .filter(!col("vec_id").isin(0L, 7L, 42L))
-      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16)
+        .join(t.documents.select(col("doc_id").as("vec_id"), col("source")), "vec_id")
+      operators.AnnIndex.build(emb, "vec_id", "embedding", dir, nCells = 16,
+        metaCols = Seq("source"))
       dir
     })
 

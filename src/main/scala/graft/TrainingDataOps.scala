@@ -72,7 +72,20 @@ object TrainingDataOps {
     * scratch; `search_hybrid_served` answers from the two serving
     * indexes and must hash-match the same SQL.
     */
-  private lazy val hybridRrfSql: String = """
+  private lazy val hybridRrfSql: String = hybridRrfSqlWhere(None)
+
+  /** The hybrid-RRF oracle, optionally restricted to a document-source
+    * allowlist applied to BOTH branches' candidates (probes are query
+    * vectors and never filtered) — the filtered-retrieval semantics of
+    * `search_hybrid_filtered`.
+    */
+  private def hybridRrfSqlWhere(sources: Option[Seq[String]]): String = {
+    val lexFilter = sources.fold("")(ss =>
+      s"JOIN documents fd ON fd.doc_id = s.doc_id AND fd.source IN (${ss.map(s => s"'$s'").mkString(", ")})")
+    val denFilter = sources.fold("")(ss =>
+      s"JOIN documents fe ON fe.doc_id = e.vec_id AND fe.source IN (${ss.map(s => s"'$s'").mkString(", ")})")
+    // raw interpolator: the SQL's \s regex must survive literally
+    raw"""
         WITH toks AS (
           SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
         ), tf AS (
@@ -96,6 +109,7 @@ object TrainingDataOps {
           FROM tf q
           JOIN sat s ON q.tok = s.tok AND s.doc_id != q.doc_id
           JOIN idf i ON i.tok = q.tok
+          $lexFilter
           WHERE q.doc_id IN (0, 7, 42)
           GROUP BY 1, 2
         ), lex AS (
@@ -108,7 +122,8 @@ object TrainingDataOps {
                  row_number() OVER (PARTITION BY p.vec_id
                    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS den_rank
           FROM (SELECT * FROM e WHERE vec_id IN (0, 7, 42)) p,
-               (SELECT * FROM e WHERE vec_id NOT IN (0, 7, 42)) c
+               (SELECT e.vec_id, e.v FROM e $denFilter
+                WHERE e.vec_id NOT IN (0, 7, 42)) c
           QUALIFY den_rank <= 20
         ), fused AS (
           SELECT COALESCE(l.probe_id, d.probe_id) AS probe_id,
@@ -124,6 +139,7 @@ object TrainingDataOps {
           FROM fused
         ) WHERE rn <= 5 ORDER BY probe_id, rank
       """.trim
+  }
 
   /** Shared DuckDB span-cleaning CTE chain (dedup_spans family): the
     * batch semantics, parameterized by the final row filter — the
@@ -2315,6 +2331,101 @@ object TrainingDataOps {
           .orderBy("probe_id", "rank")
       },
       Some(hybridRrfSql),
+      bench = true
+    ),
+    QueryDef(
+      "search_hybrid_filtered",
+      // FILTERED hybrid retrieval: ONE document predicate (source
+      // allowlist) applied to BOTH serving branches before their
+      // depth-20 rankings — the lexical branch filters through the
+      // inverted index's doc-metadata sidecar, the dense branch through
+      // the hybrid ANN index's sidecar (the document's `source`
+      // attached by an id join at build time). Both branches exact
+      // (BM25 exact; nProbe = nCells), so the fused top-5 hash-matches
+      // the source-restricted RRF oracle. The contamination-audit /
+      // licensed-subset retrieval shape: "answer only from sources
+      // we're allowed to serve", paying posting- and cell-pruned reads
+      // plus a doc-count-sized sidecar scan — never the corpus
+      (spark, dir) => {
+        import spark.implicits._
+        val allowed = Seq("src0", "src1", "src2", "src3", "src4")
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        val emb = Tables(spark, dir).embeddings
+        val probes = Seq(0L, 7L, 42L)
+        val srcWhere = col("source").isin(allowed: _*)
+        val lex = operators.InvertedIndex.bm25TopK(docs, "doc_id", "text",
+            ServingIndexes.lexicalDir(spark, dir), probes, k = 20,
+            where = Some(srcWhere))
+          .select(col("probe_id"), col("doc_id").as("__id"), col("rank").as("__lex_rank"))
+        val den = operators.AnnIndex.topK(
+            emb.filter($"vec_id".isin(probes: _*)), "vec_id", "embedding",
+            ServingIndexes.annHybridDir(spark, dir), k = 20, nProbe = 16,
+            where = Some(srcWhere))
+          .select(col("probe_id"), col("neighbor_id").as("__id"), col("rank").as("__den_rank"))
+        TextAnalysis.rrfFuseRanked(lex, den, "doc_id", k = 5, rrfK = 60)
+          .orderBy("probe_id", "rank")
+      },
+      Some(hybridRrfSqlWhere(Some(Seq("src0", "src1", "src2", "src3", "src4")))),
+      bench = true
+    ),
+    QueryDef(
+      "search_mlt",
+      // more-like-this retrieval from the serving index: each probe
+      // DOCUMENT's top-5 terms by idf (rarest first, deterministic
+      // idf-desc/token-asc selection both engines replicate in exact
+      // integers) become its query, BM25-scored with self-exclusion —
+      // the "find documents like this one" shape, paying two
+      // probe-sized vocab/stats reads + the 5 selected terms' posting
+      // lists, never a corpus pass
+      (spark, dir) => {
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.moreLikeThisTopK(docs, "doc_id", "text",
+            ServingIndexes.lexicalDir(spark, dir),
+            probeIds = Seq(0L, 7L, 42L), m = 5, k = 5)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), sel AS (
+          SELECT probe_id, tok FROM (
+            SELECT q.doc_id AS probe_id, q.tok,
+                   row_number() OVER (PARTITION BY q.doc_id
+                     ORDER BY i.idf_fp DESC, q.tok ASC) AS trn
+            FROM (SELECT DISTINCT doc_id, tok FROM tf WHERE doc_id IN (0, 7, 42)) q
+            JOIN idf i ON i.tok = q.tok
+          ) WHERE trn <= 5
+        ), scores AS (
+          SELECT sel.probe_id, s.doc_id,
+                 CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM sel
+          JOIN sat s ON s.tok = sel.tok AND s.doc_id != sel.probe_id
+          JOIN idf i ON i.tok = sel.tok
+          GROUP BY 1, 2
+        )
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT probe_id, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
+        ) WHERE rn <= 5 ORDER BY probe_id, rank
+      """.trim),
       bench = true
     ),
     QueryDef(

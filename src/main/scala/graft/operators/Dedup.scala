@@ -300,9 +300,16 @@ object Dedup {
       .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
       .union(nodes.select(col("node").as("src"), col("node").as("dst")))
 
+    // convergence metric: labels only ever decrease, so sum(label)
+    // strictly decreases until stable. Summed as decimal(38,0), NOT
+    // long — a billion-node corpus with 2^60-range ids wraps a long
+    // sum, and a wrap collision between rounds would fake convergence
+    // (silently mislabeled survivors, past the require below)
+    def labelSum(df: DataFrame) =
+      df.agg(sum(col("label").cast("decimal(38,0)"))).head()
     var labels  = nodes.withColumn("label", col("node")).persist()
-    val sumRow  = labels.agg(sum(col("label"))).head()
-    var prevSum = if (sumRow.isNullAt(0)) 0L else sumRow.getLong(0)
+    val sumRow  = labelSum(labels)
+    var prevSum = if (sumRow.isNullAt(0)) BigDecimal(0) else BigDecimal(sumRow.getDecimal(0))
     var converged = sumRow.isNullAt(0) // empty edge set: nothing to resolve
     var i = 0
     while (!converged && i < maxIters) {
@@ -324,7 +331,7 @@ object Dedup {
       // planning cost COMPOUND with iteration count (deep components
       // would exhaust driver memory on the plan tree alone, data aside)
       val updated = if ((i + 1) % 4 == 0) jumped.localCheckpoint() else jumped.persist()
-      val s = updated.agg(sum(col("label"))).head().getLong(0)
+      val s = BigDecimal(labelSum(updated).getDecimal(0))
       labels.unpersist()
       labels = updated
       converged = s == prevSum

@@ -1055,6 +1055,95 @@ object InvertedIndex {
       .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** More-like-this retrieval: each probe DOCUMENT's top-`m` terms by
+    * idf (rarest first — the classic MLT query-building rule; Lucene's
+    * MoreLikeThis is the public reference shape) become its query,
+    * scored with the same fixed-point BM25 as [[bm25TopK]] and
+    * self-excluded. Selection is DETERMINISTIC (idf_fp desc, token asc
+    * — both engines replicate the integer idf exactly), and everything
+    * before scoring is driver-resolved on bounded data: the probe
+    * docs' term sets collect under the MaxTermPrune contract and the
+    * vocab/stats reads are pushed to those terms, so term selection
+    * costs two probe-sized index reads — never a corpus pass. The
+    * scoring read is the selected terms' posting lists only (bucket-
+    * pruned like every serve path), which is the point: "find documents
+    * like this one" touches m posting lists, not the corpus.
+    */
+  def moreLikeThisTopK(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, probeIds: Seq[Long], m: Int = 5, k: Int = 5,
+      where: Option[Column] = None): DataFrame = {
+    val spark = docs.sparkSession
+    require(m >= 1, s"moreLikeThisTopK needs m >= 1, got $m")
+    val man = currentManifest(spark, dir)
+    val probeRows = termFreqs(docs.filter(col(idCol).isin(probeIds: _*)),
+        idCol, textCol, withPositions = false)
+      .select(col(idCol).cast("long").as("probe_id"), col("__tok"))
+      .limit(MaxTermPrune + 1).collect()
+    require(probeRows.length <= MaxTermPrune,
+      s"moreLikeThisTopK probe docs exceed $MaxTermPrune distinct (doc, term) " +
+        "pairs — batch fewer/smaller probe documents")
+    val selected = selectTopIdfTerms(spark, dir, man,
+      probeRows.toSeq.map(r => (r.getLong(0), r.getString(1))), m)
+    import spark.implicits._
+    val qterms = selected.toDF("probe_id", "__tok")
+    serveBm25(spark, dir, qterms, k, excludeSelf = true, None, where)
+      .select(col("probe_id"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** [[moreLikeThisTopK]] for RAW EXEMPLAR TEXT (the SQL/TVF surface's
+    * shape): the text is tokenized with the build's expression, its
+    * top-`m` idf terms become the query, no self-exclusion — the
+    * exemplar is not a corpus document. Results carry the text as `q`.
+    */
+  def moreLikeThisTopKText(spark: SparkSession, dir: String, texts: Seq[String],
+      m: Int = 5, k: Int = 5, where: Option[Column] = None): DataFrame = {
+    require(texts.nonEmpty, "moreLikeThisTopKText needs at least one exemplar")
+    require(m >= 1, s"moreLikeThisTopKText needs m >= 1, got $m")
+    val man = currentManifest(spark, dir)
+    import spark.implicits._
+    val probeRows = texts.toDF("probe_id")
+      .select(col("probe_id"),
+        explode(graft.functions.TextFunctions.tokens(col("probe_id"))).as("__tok"))
+      .distinct()
+      .limit(MaxTermPrune + 1).collect()
+    require(probeRows.length <= MaxTermPrune,
+      s"moreLikeThisTopKText exemplars exceed $MaxTermPrune distinct (text, term) " +
+        "pairs — batch fewer/smaller exemplars")
+    val selected = selectTopIdfTerms(spark, dir, man,
+      probeRows.toSeq.map(r => (r.getString(0), r.getString(1))), m)
+    val qterms = selected.toDF("probe_id", "__tok")
+    serveBm25(spark, dir, qterms, k, excludeSelf = false, None, where)
+      .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** MLT term selection, shared by the id and raw-text shapes: keep
+    * each probe's top-`m` terms by exact integer idf (idf_fp desc,
+    * token asc — deterministic, oracle-replicable). Driver-side over
+    * the bounded collected pairs; the vocab/stats reads are pushed to
+    * the probe terms (probe-sized, like the df-cap path). Terms absent
+    * from the vocab (index doesn't cover the probe corpus, or fully
+    * deleted) have no postings to score and drop out of selection.
+    */
+  private def selectTopIdfTerms[K](spark: SparkSession, dir: String, man: Manifest,
+      pairs: Seq[(K, String)], m: Int): Seq[(K, String)] = {
+    val toks = pairs.map(_._2).distinct
+    val n = spark.read.parquet(s"$dir/${man.statsDir}")
+      .agg(sum(col("n"))).head().getLong(0)
+    val dfMap = spark.read.parquet(s"$dir/${man.vocabDir}")
+      .filter(col("tok").isin(toks: _*))
+      .select("tok", "df").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def idfFp(df: Long): Long = ((2L * n - 2L * df + 1L) * 1000L) / (2L * df + 1L)
+    pairs
+      .filter { case (_, t) => dfMap.contains(t) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (pid, ts) =>
+        ts.map(_._2).distinct
+          .sortBy(t => (-idfFp(dfMap(t)), t))
+          .take(m).map(t => (pid, t))
+      }
+  }
+
   /** Shared serve core: score `qterms` (probe_id of ANY type, __tok)
     * against the index. The postings scan is planned over ONLY the
     * probe terms' buckets' files — pruned from the manifest's metadata
@@ -1074,34 +1163,63 @@ object InvertedIndex {
     // threshold both engines can replicate, applied identically in the
     // oracle. High-df terms carry near-zero idf anyway, so the ranking
     // loss is the BM25-idf tail, traded explicitly for bounded reads.
-    val qterms = maxDfPercent match {
-      case None => qterms0
+    // ONE bounded collect serves the df-cap, bucket pruning, and (when
+    // the term set is small and the index has ranged files) file-range
+    // skipping: the limit caps it at MaxTermPrune+1 rows regardless of
+    // probe size. Past the cap, fall back to the constant-bounded
+    // buckets-only distinct (≤ m.buckets values) — extra jobs only on
+    // wide-vocabulary probes, never on the serving-text path.
+    val probed0 = qterms0
+      .select(col("__tok"), bucketOf(col("__tok"), m.buckets).as("bucket"))
+      .distinct()
+    val head0 = probed0.limit(MaxTermPrune + 1).collect()
+    val bounded = head0.length <= MaxTermPrune
+    // the bounded term list always rides along: tokRanges (when
+    // present) turn it into file-range skipping, and the pushed row
+    // filter + probe-sized vocab/idf scan want it either way
+    def fromRows(rows: Array[org.apache.spark.sql.Row]) =
+      (rows.map(_.getInt(1)).toSet, Some(rows.map(_.getString(0)).toSeq))
+    val (qterms, probeBuckets, termList) = maxDfPercent match {
+      case None =>
+        if (bounded) { val (b, t) = fromRows(head0); (qterms0, b, t) }
+        else (qterms0,
+          probed0.select("bucket").distinct().collect().map(_.getInt(0)).toSet,
+          None)
       case Some(pct) =>
         require(pct >= 1 && pct <= 100, s"maxDfPercent must be in [1, 100], got $pct")
         val n = spark.read.parquet(s"$dir/${m.statsDir}")
           .agg(sum(col("n"))).head().getLong(0)
-        val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
-          .filter(col("df") * 100 <= lit(n) * pct)
-          .select(col("tok").as("__tok"))
-        qterms0.join(kept, Seq("__tok"), "left_semi")
+        if (bounded) {
+          // the serving shape: resolve the cap DRIVER-SIDE against a
+          // vocab scan pushed down to `tok IN (probe terms)` — the
+          // per-query vocab read is probe-sized, and the dropped terms
+          // never reach bucket pruning (their posting files are never
+          // listed). The semi-join alternative wants the CORPUS
+          // vocabulary as a broadcast/shuffle side — fine at test
+          // scale, a per-query vocab shuffle at 100 TB.
+          val toks = head0.map(_.getString(0)).toSeq
+          val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
+            .filter(col("tok").isin(toks: _*) && col("df") * 100 <= lit(n) * pct)
+            .select("tok").collect().map(_.getString(0)).toSet
+          val keptRows = head0.filter(r => kept(r.getString(0)))
+          val (b, t) = fromRows(keptRows)
+          (qterms0.filter(col("__tok").isin(kept.toSeq: _*)), b, t)
+        } else {
+          // wide-vocabulary batch probes (> MaxTermPrune distinct
+          // terms): distributed cap — vocab scanned once, restricted to
+          // the probe terms by a semi whose plan AQE sizes at runtime.
+          // An analytical shape, never the serving-text path.
+          val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
+            .filter(col("df") * 100 <= lit(n) * pct)
+            .select(col("tok").as("__tok"))
+            .join(qterms0.select("__tok").distinct(), Seq("__tok"), "left_semi")
+          val q = qterms0.join(kept, Seq("__tok"), "left_semi")
+          (q,
+            q.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
+              .distinct().collect().map(_.getInt(0)).toSet,
+            None)
+        }
     }
-    // ONE bounded collect serves both bucket pruning and (when the term
-    // set is small and the index has ranged files) file-range skipping:
-    // the limit caps it at MaxTermPrune+1 rows regardless of probe
-    // size. Past the cap, fall back to the constant-bounded
-    // buckets-only distinct (≤ m.buckets values) — two jobs only on
-    // wide-vocabulary probes, never on the serving-text path.
-    val probed = qterms
-      .select(col("__tok"), bucketOf(col("__tok"), m.buckets).as("bucket"))
-      .distinct()
-    val head = probed.limit(MaxTermPrune + 1).collect()
-    val (probeBuckets, termList) =
-      if (head.length <= MaxTermPrune)
-        (head.map(_.getInt(1)).toSet,
-          if (m.tokRanges.isEmpty) None else Some(head.map(_.getString(0)).toSeq))
-      else
-        (probed.select("bucket").distinct().collect().map(_.getInt(0)).toSet,
-          None)
     // tombstoned rows are excluded here (coverage-aware); their
     // df/n/sumdl contributions were subtracted when each tombstone
     // committed, so the scores below equal a rebuild without them
@@ -1116,7 +1234,11 @@ object InvertedIndex {
     val stats = spark.read.parquet(s"$dir/${m.statsDir}")
       .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
       .select(col("n"), expr("100L * sumdl div n").as("__avgdl_fp"))
-    val idf = spark.read.parquet(s"$dir/${m.vocabDir}").crossJoin(broadcast(stats))
+    // the idf side only ever contributes probe terms (the join below
+    // restricts it) — push the term filter into the vocab scan when the
+    // set is bounded, so the per-query vocab read is probe-sized
+    val idf = pushTerms(spark.read.parquet(s"$dir/${m.vocabDir}"), termList)
+      .crossJoin(broadcast(stats))
       .select(col("tok"),
         expr("(2L * n - 2L * df + 1L) * 1000L div (2L * df + 1L)").as("__idf_fp"))
     val sat = postings.crossJoin(broadcast(stats))

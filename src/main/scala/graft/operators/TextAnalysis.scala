@@ -390,6 +390,36 @@ object TextAnalysis {
       .select(col("probe_id"), col("rank"), col("__id").as(idCol), col("rrf_fp"))
   }
 
+  /** Hybrid retrieval for RAW QUERY TEXT plus a raw query vector,
+    * ANSWERED FROM THE SERVING INDEXES (the SQL/TVF surface's shape):
+    * the lexical branch serves BM25 from the inverted index at
+    * `lexDir`, the dense branch serves IVF from the ANN index at
+    * `annDir`, fused by the same ranker-agnostic [[rrfFuseRanked]] as
+    * every other hybrid path. The query is NOT a corpus document, so
+    * neither branch self-excludes. An optional predicate filters BOTH
+    * branches through their metadata sidecars BEFORE the depth-`depth`
+    * rankings (filtered-search semantics; both indexes must have been
+    * built with the predicate's sidecar columns).
+    */
+  def hybridTopKText(spark: org.apache.spark.sql.SparkSession,
+      lexDir: String, annDir: String, query: String, vector: Array[Double],
+      k: Int = 5, depth: Int = 20, nProbe: Int = 4, rrfK: Int = 60,
+      where: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val lex = graft.operators.InvertedIndex
+      .bm25TopKText(spark, lexDir, Seq(query), k = depth, where = where)
+      .select(lit(0L).as("probe_id"), col("doc_id").as("__id"),
+        col("rank").as("__lex_rank"))
+    val probe = Seq((0L, vector.toSeq)).toDF("probe_id", "embedding")
+    val den = graft.operators.AnnIndex
+      .topK(probe, "probe_id", "embedding", annDir,
+        k = depth, nProbe = nProbe, excludeSelf = false, where = where)
+      .select(col("probe_id"), col("neighbor_id").as("__id"),
+        col("rank").as("__den_rank"))
+    rrfFuseRanked(lex, den, "doc_id", k, rrfK)
+      .select(col("rank"), col("doc_id"), col("rrf_fp"))
+  }
+
   /** `a div b` on Columns (Spark's integer division) without SQL-string
     * splicing of column names.
     */

@@ -276,6 +276,36 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(2), "slop"), boolArg(args(3), "in_order"), intArg(args(4), "k"),
         where = Some(org.apache.spark.sql.functions.expr(strArg(args(5), "predicate"))))
     }
+    // more-like-this in SQL: the exemplar text's top-m idf terms become
+    // the query (rarest-first, deterministic), BM25-served; optional
+    // trailing predicate filters through the meta sidecar
+    tvf("graft_mlt", "(dir, text, m, k[, predicate])", 4, 5) { args =>
+      graft.operators.InvertedIndex.moreLikeThisTopKText(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "text")),
+        m = intArg(args(2), "m"), k = intArg(args(3), "k"),
+        where = args.lift(4).map(e =>
+          org.apache.spark.sql.functions.expr(strArg(e, "predicate"))))
+    }
+    // hybrid retrieval in SQL: both serving indexes, one call — text
+    // scores through the inverted index, the vector through the ANN
+    // index, RRF-fused by the shared ranker-agnostic fusion. Optional
+    // trailing args: depth (per-branch list length, default 20) and
+    // n_probe (dense recall knob, default 4)
+    tvf("graft_hybrid", "(lex_dir, ann_dir, query, vector, k[, depth, n_probe])", 5, 7) { args =>
+      graft.operators.TextAnalysis.hybridTopKText(SparkSession.active,
+        strArg(args(0), "lex_dir"), strArg(args(1), "ann_dir"),
+        strArg(args(2), "query"), vecArg(args(3), "vector"), intArg(args(4), "k"),
+        depth = args.lift(5).map(e => intArg(e, "depth")).getOrElse(20),
+        nProbe = args.lift(6).map(e => intArg(e, "n_probe")).getOrElse(4))
+    }
+    tvf("graft_hybrid_filtered",
+        "(lex_dir, ann_dir, query, vector, k, depth, n_probe, predicate)", 8, 8) { args =>
+      graft.operators.TextAnalysis.hybridTopKText(SparkSession.active,
+        strArg(args(0), "lex_dir"), strArg(args(1), "ann_dir"),
+        strArg(args(2), "query"), vecArg(args(3), "vector"), intArg(args(4), "k"),
+        depth = intArg(args(5), "depth"), nProbe = intArg(args(6), "n_probe"),
+        where = Some(org.apache.spark.sql.functions.expr(strArg(args(7), "predicate"))))
+    }
     tvf("graft_ann_filtered", "(dir, vector, k, n_probe, predicate)", 5, 5) { args =>
       val spark = SparkSession.active
       import spark.implicits._

@@ -86,6 +86,19 @@ class ExtensionsSpec extends SparkSpec {
         Seq(Seq("alpha", "beta", "gamma")), 2, inOrder = false, 5).orderBy("doc_id")),
       "graft_spannear diverged from spanNearTopK")
 
+    // more-like-this through the SQL path == the Scala raw-text MLT;
+    // with m = 1 the rarest exemplar term (epsilon, df 1) is selected,
+    // so the single hit must be doc 2 — the idf-ranked selection rule
+    // is observable, not just plumbed
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_mlt('$lex', 'alpha delta epsilon', 2, 5) ORDER BY rank"))
+      == rows(InvertedIndex.moreLikeThisTopKText(spark, lex,
+        Seq("alpha delta epsilon"), m = 2, k = 5).orderBy("rank")),
+      "graft_mlt diverged from moreLikeThisTopKText")
+    val mlt1 = spark.sql(s"SELECT * FROM graft_mlt('$lex', 'alpha epsilon', 1, 5)").collect()
+    assert(mlt1.length == 1 && mlt1.head.getLong(2) == 2L,
+      s"m = 1 must select the rarest term (epsilon) and hit only doc 2, got ${mlt1.toSeq}")
+
     // filtered bm25 through the SQL path: predicate string over the
     // meta sidecar == the Scala Column path
     val lexM = java.nio.file.Files.createTempDirectory("tvf_lexm").toString
@@ -181,6 +194,55 @@ class ExtensionsSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
     assert(messages(e).exists(m => m.contains("graft_proximity expects") && m.contains("window")),
       s"arity error must name the signature, got: ${messages(e)}")
+  }
+
+  test("graft_hybrid fuses both serving indexes from SQL, identical to the Scala path") {
+    import graft.operators.{AnnIndex, InvertedIndex, TextAnalysis}
+    import org.apache.spark.sql.functions._
+    // one id space across both indexes (0-4 documents; their "embeddings"
+    // are the sf corpus vectors for the same ids), each with a `src`
+    // sidecar so ONE predicate filters both branches
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "beta beta delta"),
+      (2L, "alpha delta epsilon epsilon epsilon"),
+      (3L, "gamma gamma beta alpha delta"),
+      (4L, "alpha beta gamma")
+    ).toDF("doc_id", "text")
+      .withColumn("src", when(col("doc_id") < 2, lit("a")).otherwise(lit("b")))
+    val lex = java.nio.file.Files.createTempDirectory("tvf_hyb_lex").toString
+    InvertedIndex.build(docs, "doc_id", "text", lex, metaCols = Seq("src"))
+    val emb = Tables(spark, sfDir).embeddings
+    val ann = java.nio.file.Files.createTempDirectory("tvf_hyb_ann").toString
+    AnnIndex.build(
+      emb.filter($"vec_id" < 5).select(col("vec_id"), col("embedding"))
+        .withColumn("src", when(col("vec_id") < 2, lit("a")).otherwise(lit("b"))),
+      "vec_id", "embedding", ann, nCells = 2, metaCols = Seq("src"))
+    val qv = emb.filter($"vec_id" === 0).select("embedding").head()
+      .getSeq[Float](0).map(_.toDouble).toArray
+    val vecSql = qv.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+
+    val viaSql = rows(spark.sql(
+      s"SELECT * FROM graft_hybrid('$lex', '$ann', 'alpha delta', $vecSql, 5, 20, 2) ORDER BY rank"))
+    val viaApi = rows(TextAnalysis.hybridTopKText(spark, lex, ann,
+      "alpha delta", qv, k = 5, depth = 20, nProbe = 2).orderBy("rank"))
+    assert(viaSql == viaApi, "graft_hybrid diverged from hybridTopKText")
+    // both branches contribute: nProbe = nCells makes the dense branch
+    // exact, and every doc carries a query term — the fused list must
+    // sum two nonzero reciprocal ranks for its head (present in both)
+    assert(viaApi.nonEmpty && viaApi.size == 5,
+      s"hybrid over a 5-doc corpus with full term overlap must fill k = 5, got ${viaApi.size}")
+
+    val viaSqlF = rows(spark.sql(
+      s"SELECT * FROM graft_hybrid_filtered('$lex', '$ann', 'alpha delta', $vecSql, 5, 20, 2, 'src = ''b''') ORDER BY rank"))
+    val viaApiF = rows(TextAnalysis.hybridTopKText(spark, lex, ann,
+      "alpha delta", qv, k = 5, depth = 20, nProbe = 2,
+      where = Some(col("src") === "b")).orderBy("rank"))
+    assert(viaSqlF == viaApiF, "graft_hybrid_filtered diverged from the Scala where path")
+    val allowed = Set(2L, 3L, 4L)
+    assert(viaApiF.nonEmpty && viaApiF.forall(r => allowed(r(1).asInstanceOf[Long])),
+      s"filtered hybrid must only surface src = 'b' docs, got $viaApiF")
   }
 
   test("SQL shingle_hashes matches the column-API shingle set size") {

@@ -410,6 +410,38 @@ class InvertedIndexSpec extends SparkSpec {
       s"delta doc must surface for $term, got $withDelta")
   }
 
+  test("df-capped serving resolves the cap driver-side: no vocab semi-join, probe-sized pushed vocab read") {
+    val s = spark
+    import s.implicits._
+    // hotterm sits in every doc (df 100%); rare3 in a handful
+    val corpus = (0L until 60L).map(i => (i, s"hotterm tok$i rare${i % 7}"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("invidx_dfcap").toString
+    InvertedIndex.build(corpus, "doc_id", "text", dir)
+    val capped = InvertedIndex.bm25TopKText(spark, dir, Seq("hotterm rare3 rare4"),
+      k = 5, maxDfPercent = Some(90))
+    val plan = capped.queryExecution.executedPlan.toString
+    // the serving-text path resolves the cap ON THE DRIVER against a
+    // term-pruned vocab scan — the plan must carry no semi-join whose
+    // build side is the corpus vocabulary (AQE broadcasts it at test
+    // scale; past the broadcast ceiling at 100 TB it would degrade to
+    // a per-query vocab shuffle)
+    assert(!plan.contains("LeftSemi"),
+      s"capped bounded serve must not plan a vocab semi-join:\n$plan")
+    // the idf side's vocab read is pushed down to the (two surviving)
+    // probe terms
+    assert(plan.contains("In(tok"),
+      s"expected the vocab scan pushed to tok IN (probe terms):\n$plan")
+    // semantics unchanged: the hot term is dropped, the rare terms serve
+    val got = capped.orderBy("rank")
+      .select("rank", "doc_id", "score").collect().map(_.toSeq).toSeq
+    val rareOnly = InvertedIndex.bm25TopKText(spark, dir, Seq("rare3 rare4"), k = 5)
+      .orderBy("rank").select("rank", "doc_id", "score")
+      .collect().map(_.toSeq).toSeq
+    assert(got == rareOnly && got.nonEmpty,
+      "df-capped query must answer exactly as the query without its hot term")
+  }
+
   test("compact folds the meta sidecar: ten CDC batches -> one dir, answers identical, dead ids dropped") {
     val s = spark
     import s.implicits._
