@@ -2429,6 +2429,35 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_suggest",
+      // prefix autocomplete from the serving index's VOCABULARY: top-3
+      // completions per prefix by (df desc, token asc) — a
+      // vocabulary-sized read with the prefix disjunction pushed into
+      // the scan, never a posting or corpus read; df stays exact under
+      // maintenance (delta/delete/CDC commit df corrections)
+      (spark, dir) =>
+        operators.InvertedIndex.suggestTopK(spark,
+            ServingIndexes.lexicalDir(spark, dir),
+            prefixes = Seq("s", "c", "f"), k = 3)
+          .orderBy("prefix", "rank"),
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), dfreq AS (
+          SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM toks GROUP BY 1
+        ), p AS (
+          SELECT * FROM (VALUES ('s'), ('c'), ('f')) AS t(prefix)
+        )
+        SELECT prefix, CAST(rn AS INT) AS rank, tok, df FROM (
+          SELECT p.prefix, d.tok, d.df,
+                 row_number() OVER (PARTITION BY p.prefix
+                   ORDER BY d.df DESC, d.tok ASC) AS rn
+          FROM dfreq d JOIN p ON d.tok LIKE p.prefix || '%'
+        ) WHERE rn <= 3 ORDER BY prefix, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_bm25_capped",
       // the stopword-probe scale valve (WAND-lite): probe terms whose
       // df exceeds 78% of the corpus are dropped from the query BEFORE

@@ -1116,6 +1116,35 @@ object InvertedIndex {
       .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Prefix suggestions (autocomplete) from the index VOCABULARY:
+    * top-`k` completions per prefix ranked by document frequency
+    * (df desc, token asc — deterministic). The read is the vocab
+    * sidecar only — vocabulary-sized, never corpus- or posting-sized —
+    * with the prefix disjunction pushed into the scan
+    * (StringStartsWith reaches parquet row-group stats, so a
+    * tok-sorted vocab skips to the prefixes' groups); the df ranking
+    * is authoritative under maintenance because delta/delete/CDC all
+    * commit exact df corrections to the vocab version.
+    */
+  def suggestTopK(spark: SparkSession, dir: String, prefixes: Seq[String],
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(prefixes.nonEmpty, "suggestTopK needs at least one prefix")
+    require(prefixes.forall(_.nonEmpty), "suggestTopK prefixes must be non-empty")
+    val m = currentManifest(spark, dir)
+    import spark.implicits._
+    val p = prefixes.toDF("prefix")
+    val pred = prefixes.map(px => col("tok").startsWith(px)).reduce(_ || _)
+    val matched = spark.read.parquet(s"$dir/${m.vocabDir}")
+      .filter(pred)
+      .join(broadcast(p), col("tok").startsWith(col("prefix")))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("df").desc, col("tok").asc)
+    matched.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank"), col("tok"), col("df"))
+  }
+
   /** MLT term selection, shared by the id and raw-text shapes: keep
     * each probe's top-`m` terms by exact integer idf (idf_fp desc,
     * token asc — deterministic, oracle-replicable). Driver-side over

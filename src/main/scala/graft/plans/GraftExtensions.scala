@@ -276,6 +276,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(2), "slop"), boolArg(args(3), "in_order"), intArg(args(4), "k"),
         where = Some(org.apache.spark.sql.functions.expr(strArg(args(5), "predicate"))))
     }
+    // prefix autocomplete in SQL: top-k vocab completions by df
+    tvf("graft_suggest", "(dir, prefix, k)", 3, 3) { args =>
+      graft.operators.InvertedIndex.suggestTopK(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "prefix")), intArg(args(2), "k"))
+    }
     // more-like-this in SQL: the exemplar text's top-m idf terms become
     // the query (rarest-first, deterministic), BM25-served; optional
     // trailing predicate filters through the meta sidecar

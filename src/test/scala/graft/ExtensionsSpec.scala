@@ -99,6 +99,16 @@ class ExtensionsSpec extends SparkSpec {
     assert(mlt1.length == 1 && mlt1.head.getLong(2) == 2L,
       s"m = 1 must select the rarest term (epsilon) and hit only doc 2, got ${mlt1.toSeq}")
 
+    // prefix suggestions: SQL == Scala, and completions are df-ranked
+    // per prefix
+    assert(rows(spark.sql(s"SELECT * FROM graft_suggest('$lex', 'g', 3) ORDER BY rank"))
+      == rows(InvertedIndex.suggestTopK(spark, lex, Seq("g"), 3).orderBy("rank")),
+      "graft_suggest diverged from suggestTopK")
+    val sug = InvertedIndex.suggestTopK(spark, lex, Seq("b", "e"), 2)
+      .orderBy("prefix", "rank").collect().map(r => (r.getString(0), r.getString(2))).toSeq
+    assert(sug == Seq(("b", "beta"), ("e", "epsilon")),
+      s"df-ranked completions per prefix, got $sug")
+
     // filtered bm25 through the SQL path: predicate string over the
     // meta sidecar == the Scala Column path
     val lexM = java.nio.file.Files.createTempDirectory("tvf_lexm").toString
