@@ -2429,6 +2429,32 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_highlight",
+      // highlight/snippet primitive from the positional postings: the
+      // exact 0-based token positions of each query term in each
+      // requested doc — answered from posting lists (term + doc
+      // filters pushed into the bucket-pruned scan), never the corpus
+      // text; what a serving layer renders snippets around
+      (spark, dir) =>
+        operators.InvertedIndex.termPositions(spark,
+            ServingIndexes.lexicalDir(spark, dir),
+            terms = Seq("scan", "fast", "query"), docIds = Seq(0L, 7L, 42L))
+          .orderBy("doc_id", "tok", "pos"),
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          FROM documents WHERE doc_id IN (0, 7, 42)
+        ), occ AS (
+          SELECT doc_id, toks[i] AS tok, CAST(i - 1 AS INT) AS pos
+          FROM d, unnest(range(1, len(toks) + 1)) AS u(i)
+        )
+        SELECT doc_id, tok, pos FROM occ
+        WHERE tok IN ('scan', 'fast', 'query')
+        ORDER BY doc_id, tok, pos
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_suggest",
       // prefix autocomplete from the serving index's VOCABULARY: top-3
       // completions per prefix by (df desc, token asc) — a

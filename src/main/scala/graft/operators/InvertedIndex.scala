@@ -1116,6 +1116,36 @@ object InvertedIndex {
       .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
   }
 
+  /** Term-position highlights FROM the positional postings: for each
+    * (requested doc, query term) pair, the exact 0-based token
+    * positions of every occurrence — the snippet/highlight primitive a
+    * serving layer renders around, answered WITHOUT touching the
+    * corpus text. Reads only the query terms' buckets' files
+    * (manifest-pruned like every serve path) with the term and doc
+    * filters pushed into the scan, so the read is posting-sized and
+    * the result (doc × term × tf)-bounded. Tombstone-aware; optional
+    * sidecar predicate like the other serve shapes.
+    */
+  def termPositions(spark: SparkSession, dir: String, terms: Seq[String],
+      docIds: Seq[Long], where: Option[Column] = None): DataFrame = {
+    val m = requirePositional(spark, dir, "termPositions")
+    require(terms.nonEmpty, "termPositions needs at least one term")
+    require(docIds.nonEmpty && docIds.size <= MaxTermPrune,
+      s"termPositions serves bounded doc sets (1..$MaxTermPrune ids) — " +
+        "highlighting is per-result-page, not per-corpus")
+    import spark.implicits._
+    val distinctTerms = terms.distinct
+    val probe = distinctTerms.toDF("tok")
+    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    val termList = boundedTerms(distinctTerms)
+    val postings = pushTerms(
+        liveRows(spark, dir, m, selectFiles(m, probeBuckets, termList)), termList)
+      .filter(col("tok").isin(distinctTerms: _*) && col("doc_id").isin(docIds: _*))
+    applyMetaFilter(spark, dir, m, postings, where)
+      .select(col("doc_id"), col("tok"), explode(col("positions")).as("pos"))
+  }
+
   /** Prefix suggestions (autocomplete) from the index VOCABULARY:
     * top-`k` completions per prefix ranked by document frequency
     * (df desc, token asc — deterministic). The read is the vocab

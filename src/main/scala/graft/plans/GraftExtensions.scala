@@ -276,6 +276,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         intArg(args(2), "slop"), boolArg(args(3), "in_order"), intArg(args(4), "k"),
         where = Some(org.apache.spark.sql.functions.expr(strArg(args(5), "predicate"))))
     }
+    def idsArg(e: Expression, name: String): Seq[Long] = {
+      import org.apache.spark.sql.types._
+      val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      e.dataType match {
+        case ArrayType(LongType, _)    => ad.toLongArray().toSeq
+        case ArrayType(IntegerType, _) => ad.toIntArray().map(_.toLong).toSeq
+        case other => throw new IllegalArgumentException(
+          s"$name must be an integer array literal, got $other")
+      }
+    }
+    // highlight positions in SQL: terms as a whitespace-joined string
+    // (like graft_spannear), docs as an integer array literal
+    tvf("graft_highlight", "(dir, terms, doc_ids)", 3, 3) { args =>
+      graft.operators.InvertedIndex.termPositions(SparkSession.active,
+        strArg(args(0), "dir"),
+        strArg(args(1), "terms").trim.split("\\s+").toSeq,
+        idsArg(args(2), "doc_ids"))
+    }
     // prefix autocomplete in SQL: top-k vocab completions by df
     tvf("graft_suggest", "(dir, prefix, k)", 3, 3) { args =>
       graft.operators.InvertedIndex.suggestTopK(SparkSession.active,

@@ -109,6 +109,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(sug == Seq(("b", "beta"), ("e", "epsilon")),
       s"df-ranked completions per prefix, got $sug")
 
+    // highlight positions: SQL == Scala, and the positions are the
+    // exact 0-based token offsets (doc 0 = "alpha beta gamma alpha")
+    assert(rows(spark.sql(
+        s"SELECT * FROM graft_highlight('$lex', 'alpha beta', array(0L, 2L)) ORDER BY doc_id, tok, pos"))
+      == rows(InvertedIndex.termPositions(spark, lex, Seq("alpha", "beta"), Seq(0L, 2L))
+        .orderBy("doc_id", "tok", "pos")),
+      "graft_highlight diverged from termPositions")
+    val hl0 = InvertedIndex.termPositions(spark, lex, Seq("alpha"), Seq(0L))
+      .orderBy("pos").collect().map(_.getInt(2)).toSeq
+    assert(hl0 == Seq(0, 3), s"doc 0 'alpha' occurrences at 0 and 3, got $hl0")
+
     // filtered bm25 through the SQL path: predicate string over the
     // meta sidecar == the Scala Column path
     val lexM = java.nio.file.Files.createTempDirectory("tvf_lexm").toString
