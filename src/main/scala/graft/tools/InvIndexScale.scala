@@ -89,6 +89,19 @@ object InvIndexScale {
         Seq(Seq("table", "query", "scan"), Seq("fast", "value")),
         slop = 3, inOrder = false, k = 5)))
 
+    // round-13 serve-feature axes over the same positional index:
+    // more-like-this (driver-resolved term selection + m posting
+    // lists), vocabulary autocomplete (pushed-prefix vocab read), and
+    // highlight positions for a result page (term+doc-pushed posting
+    // read) — each is posting- or vocab-sized by construction, so the
+    // axis should track serve=, never scratch=
+    val mltS = minOf3(noop(
+      InvertedIndex.moreLikeThisTopK(docs, "doc_id", "text", dir, probes, m = 5, k = 5)))
+    val suggestS = minOf3(noop(
+      InvertedIndex.suggestTopK(spark, dir, Seq("s", "c", "f"), k = 3)))
+    val highlightS = minOf3(noop(
+      InvertedIndex.termPositions(spark, dir, Seq("scan", "fast", "query"), probes)))
+
     // maintenance lifecycle: build on 90%, fold TEN ~1% deltas in, then
     // compact + vacuum. serve is measured fresh / after accumulation /
     // after compaction — the last must be flat vs the first.
@@ -178,6 +191,8 @@ object InvIndexScale {
       f"prox_hot=$proxHotS%.2f")
     println(f"[invidx-span] phrase=$phraseS%.2f spannear_ord=$spanOrdS%.2f " +
       f"spannear_unord=$spanUnS%.2f")
+    println(f"[invidx-features] mlt=$mltS%.2f suggest=$suggestS%.2f " +
+      f"highlight=$highlightS%.2f serve_bm25=$serveS%.2f")
     println(f"[invidx-maint] serve_fresh=$serveFresh%.2f deltas10=$deltaTotal%.2f " +
       f"files_after_10d=$files10 serve_after_10d=$serve10d%.2f " +
       f"compact=$compactS%.2f folded=$folded vacuum=$vacuumS%.2f swept=$swept " +
