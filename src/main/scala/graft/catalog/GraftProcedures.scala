@@ -26,7 +26,7 @@ object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
-      "index_compact", "index_vacuum", "index_rollback")
+      "index_compact", "index_vacuum", "index_rollback", "index_export")
       .map(Identifier.of(Array(Namespace), _))
 
   /** The serving indexes (lexical postings / ANN cells) share one
@@ -131,6 +131,21 @@ object GraftProcedures {
               graft.operators.AnnIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
             else graft.operators.InvertedIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
           new GenericInternalRow(Array[Any](removed))
+        }))
+      case "index_export" => Some(proc("index_export",
+        "export/promote a serving index's current version to a virgin destination " +
+          "(build cluster -> serving cluster; content + stream stamps travel, history doesn't)",
+        Seq(
+          ProcedureParameter.in("src", StringType).build(),
+          ProcedureParameter.in("dest", StringType).build()),
+        StructType(Seq(StructField("committed_version", LongType))),
+        { (spark, in) =>
+          val s = in.getUTF8String(0).toString
+          val d = in.getUTF8String(1).toString
+          val v =
+            if (isAnnIndex(spark, s)) graft.operators.AnnIndex.exportIndex(spark, s, d)
+            else graft.operators.InvertedIndex.exportIndex(spark, s, d)
+          new GenericInternalRow(Array[Any](v))
         }))
       case "index_rollback" => Some(proc("index_rollback",
         "roll a serving index back to an earlier manifest version (a new commit; " +

@@ -757,6 +757,27 @@ object AnnIndex {
       s"ANN index rollback lost the version race $maxAttempts times at $dir")
   }
 
+  /** Export/promote the CURRENT version to a virgin destination — the
+    * dense twin of [[InvertedIndex.exportIndex]]: copy the head
+    * manifest's vector files, meta sidecars and tombstones preserving
+    * relative paths, then commit at the destination as version 1
+    * through the exclusive-create claim. Centroids and PQ codebooks
+    * travel INSIDE the manifest (bit-exact IEEE longs), so the
+    * promoted index assigns/encodes identically; stream stamps travel
+    * with the content; history does not (fresh version line).
+    */
+  def exportIndex(spark: SparkSession, srcDir: String, destDir: String): Long = {
+    val m = currentManifest(spark, srcDir)
+    require(IndexManifests.versions(spark, destDir).isEmpty,
+      s"export destination $destDir already holds a committed index")
+    val rels = m.vectors.map(_._2) ++ m.metaDirs ++ m.deletes.map(_._1)
+    IndexManifests.copyTree(spark, srcDir, destDir, rels)
+    val next = m.copy(version = 1L)
+    require(IndexManifests.tryCommit(spark, destDir, next.version, toJson(next)),
+      s"export lost the first-commit race at $destDir — another writer is active there")
+    next.version
+  }
+
   /** Expire all but the newest `keepVersions` manifests and sweep
     * unreferenced vector files (file-granular — compaction supersedes
     * individual files inside stagings whose other cells stay live).

@@ -126,6 +126,43 @@ private[graft] object IndexManifests {
   def freshRel(kind: String): String =
     s"$kind/${java.util.UUID.randomUUID().toString.replace("-", "")}"
 
+  /** Copy dir-relative trees (files or directories) from one index
+    * root to another, preserving relative paths — the promote/export
+    * primitive (build cluster → serving cluster). File-level parallel
+    * over a bounded pool; refuses to overwrite (the destination must
+    * be virgin — export is a first commit, not a sync). At real scale
+    * the same rel-list feeds distcp; the layout contract (immutable
+    * files, relative manifest paths) is what makes either transport
+    * correct.
+    */
+  def copyTree(spark: SparkSession, srcDir: String, destDir: String,
+      rels: Seq[String]): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val sfs = fs(spark, srcDir)
+    val dfs = fs(spark, destDir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val tasks = rels.distinct.map { rel =>
+        pool.submit(new Runnable {
+          override def run(): Unit = try {
+            val s = new org.apache.hadoop.fs.Path(s"$srcDir/$rel")
+            val d = new org.apache.hadoop.fs.Path(s"$destDir/$rel")
+            require(sfs.exists(s), s"export: source path missing: $s")
+            require(!dfs.exists(d), s"export: destination already has $d")
+            val parent = d.getParent
+            if (parent != null) dfs.mkdirs(parent)
+            if (!org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs, d,
+                false /* deleteSource */, conf))
+              throw new java.io.IOException(s"export: copy failed for $rel")
+          } catch { case t: Throwable => failures.add(t) }
+        })
+      }
+      tasks.foreach(_.get())
+      if (!failures.isEmpty) throw failures.peek()
+    } finally pool.shutdown()
+  }
+
   /** Sum of the on-disk lengths of `relPaths` (dir-relative files). */
   def fileBytes(spark: SparkSession, dir: String, relPaths: Seq[String]): Long = {
     val f = fs(spark, dir)

@@ -860,6 +860,32 @@ object InvertedIndex {
       s"index rollback lost the version race $maxAttempts times at $dir")
   }
 
+  /** Export/promote the CURRENT version to a virgin destination (build
+    * cluster → serving cluster): copy every file the head manifest
+    * references — postings, vocab/stats, meta sidecars, tombstones —
+    * preserving relative paths, then commit it at the destination as
+    * version 1 through the same exclusive-create claim every writer
+    * uses (a racing writer at the destination loses cleanly). Token
+    * ranges stay valid (keyed by the copied rel paths) and stream
+    * stamps travel with the content, so a stream repointed at the
+    * promoted copy keeps exactly-once. History does NOT transfer —
+    * the destination starts a fresh version line (rollback reach at
+    * the source is vacuum's concern, not the copy's). Returns the
+    * committed destination version (1).
+    */
+  def exportIndex(spark: SparkSession, srcDir: String, destDir: String): Long = {
+    val m = currentManifest(spark, srcDir)
+    require(IndexManifests.versions(spark, destDir).isEmpty,
+      s"export destination $destDir already holds a committed index")
+    val rels = m.postings.map(_._2) ++ Seq(m.vocabDir, m.statsDir) ++
+      m.metaDirs ++ m.deletes.map(_._1)
+    IndexManifests.copyTree(spark, srcDir, destDir, rels)
+    val next = m.copy(version = 1L)
+    require(tryCommit(spark, destDir, next),
+      s"export lost the first-commit race at $destDir — another writer is active there")
+    next.version
+  }
+
   /** Expire all but the newest `keepVersions` manifests, then sweep
     * everything no surviving manifest references — torn stagings from
     * crashed maintainers, files superseded by compaction, and stale

@@ -792,6 +792,72 @@ class GraftCatalogSpec extends SparkSpec {
     assert(annServe() == annGood, "ANN rollback must serve the pre-delete answers")
   }
 
+  test("CALL index_export promotes the current version to a virgin destination on both index kinds") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "text", "source")
+    val probes = Seq(0L, 7L, 42L)
+    def serve(dir: String) = graft.operators.InvertedIndex.bm25TopK(
+        docs, "doc_id", "text", dir, probes, k = 5)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    def fserve(dir: String) = graft.operators.InvertedIndex.bm25TopK(
+        docs, "doc_id", "text", dir, probes, k = 5,
+        where = Some(col("source").isin("src0", "src1", "src2")))
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+
+    // lifecycle-rich source: sidecar + delta + live tombstones at export time
+    val src = java.nio.file.Files.createTempDirectory("proc_exp_src").toString
+    graft.operators.InvertedIndex.build(docs.filter($"doc_id" < 300),
+      "doc_id", "text", src, metaCols = Seq("source"))
+    graft.operators.InvertedIndex.addDelta(
+      docs.filter($"doc_id" >= 300 && $"doc_id" < 350), "doc_id", "text", src)
+    graft.operators.InvertedIndex.deleteDocs(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 120).select("doc_id"), "doc_id", src)
+    val dest = java.nio.file.Files.createTempDirectory("proc_exp_dst").toString
+    val r = spark.sql(s"CALL $cat.system.index_export('$src', '$dest')").head
+    assert(r.getLong(0) == 1L, s"export must commit version 1 at the destination, got $r")
+    val srcServed = serve(src); val srcFiltered = fserve(src)
+    assert(serve(dest) == srcServed, "promoted index must serve identically (tombstones travel)")
+    assert(fserve(dest) == srcFiltered, "filtered serving must travel (meta sidecars copied)")
+    // independence: the promoted copy survives the SOURCE disappearing
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(src))
+      .sorted(java.util.Comparator.reverseOrder())
+    try walk.forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+    finally walk.close()
+    assert(serve(dest) == srcServed, "destination must not reference source paths")
+    // the destination maintains independently (fresh version line)
+    graft.operators.InvertedIndex.addDelta(
+      docs.filter($"doc_id" >= 350 && $"doc_id" < 360), "doc_id", "text", dest)
+    assert(graft.operators.InvertedIndex.versions(spark, dest) == Seq(1L, 2L))
+    // a second export onto a committed destination refuses loudly
+    val e = intercept[Exception] {
+      graft.operators.InvertedIndex.exportIndex(spark, dest, dest)
+    }
+    assert(e.getMessage.contains("already holds"))
+
+    // dense twin WITH PQ: codebooks/centroids travel inside the manifest
+    val emb = Tables(spark, sfDir).embeddings
+    val annSrc = java.nio.file.Files.createTempDirectory("proc_exp_asrc").toString
+    graft.operators.AnnIndex.build(emb.filter($"vec_id" >= 5), "vec_id", "embedding",
+      annSrc, nCells = 4, pq = Some(graft.operators.AnnIndex.PqSpec(m = 8, nCodes = 16)),
+      metaCols = Seq("label"))
+    graft.operators.AnnIndex.deleteVecs(
+      emb.filter($"vec_id" >= 5 && $"vec_id" < 60).select("vec_id"), "vec_id", annSrc)
+    def annServe(dir: String) = graft.operators.AnnIndex.pqTopK(
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", dir,
+        k = 5, nProbe = 4, shortlist = 50)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val annDest = java.nio.file.Files.createTempDirectory("proc_exp_adst").toString
+    val ar = spark.sql(s"CALL $cat.system.index_export('$annSrc', '$annDest')").head
+    assert(ar.getLong(0) == 1L)
+    assert(annServe(annDest) == annServe(annSrc),
+      "promoted PQ index must ADC-serve identically (codebooks travel in the manifest)")
+    assert(graft.operators.AnnIndex.topK(
+        emb.filter($"vec_id" < 5), "vec_id", "embedding", annDest, k = 5, nProbe = 4,
+        where = Some(col("label").isin(0, 1))).count() > 0,
+      "filtered dense serving must travel (vector meta sidecar copied)")
+  }
+
   test("CALL rollback restores an earlier snapshot as a new commit; history stays travelable") {
     spark.sql(s"CREATE TABLE $cat.db.rb (k INT, v STRING)")      // v1
     spark.sql(s"INSERT INTO $cat.db.rb VALUES (1, 'a')")          // v2
