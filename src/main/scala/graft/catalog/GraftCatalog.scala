@@ -67,14 +67,25 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
     new GraftTable(fullName(ident), tablePath(ident).toString)
   }
 
-  /** `VERSION AS OF <v>` time travel. */
+  /** `VERSION AS OF <v>` time travel — and, for a NON-numeric ref,
+    * the audit read of a staged (WAP) snapshot:
+    * `VERSION AS OF 'nightly-load-42'` sees base ∪ staged files
+    * without the main table ever serving them (publish/abort through
+    * `CALL graft.system.wap_publish/wap_abort`).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val io = new GraftManifestIO(tablePath(ident), conf)
-    val v = version.toLong
-    if (!io.versions().contains(v))
-      throw new NoSuchTableException(ident)
-    new GraftTable(fullName(ident), tablePath(ident).toString, pinned = Some(v))
+    version.toLongOption match {
+      case Some(v) =>
+        if (!io.versions().contains(v))
+          throw new NoSuchTableException(ident)
+        new GraftTable(fullName(ident), tablePath(ident).toString, pinned = Some(v))
+      case None =>
+        if (!io.wapExists(version))
+          throw new NoSuchTableException(ident)
+        new GraftTable(fullName(ident), tablePath(ident).toString, wapRef = Some(version))
+    }
   }
 
   /** `TIMESTAMP AS OF` time travel: latest snapshot committed at or

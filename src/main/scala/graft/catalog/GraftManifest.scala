@@ -255,6 +255,145 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     }
   }
 
+  // ---- WAP (write-audit-publish) staged commits ---------------------
+  //
+  // Iceberg's `spark.wap.id` audit pattern over the same manifests: a
+  // staged write lands in `manifests/wap-<id>.json` — OUTSIDE the
+  // version chain (versions() matches only v<N>.json), so the main
+  // table never sees it — holding the FULL would-be file list (base ∪
+  // added) for audit reads plus the added paths recorded in a
+  // property for the publish cherry-pick. Publish re-applies the adds
+  // onto the CURRENT head through the ordinary OCC commit (concurrent
+  // writers that landed between stage and publish are composed with,
+  // not clobbered); abort deletes the staged ref and its staged-only
+  // files. Audit reads address the ref as `VERSION AS OF 'wap-<id>'`.
+
+  private def wapFile(id: String) = new Path(tableDir, s"manifests/wap-$id.json")
+
+  /** Staged-write ids are path segments — keep them boring. */
+  private def requireWapId(id: String): Unit =
+    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"WAP id must be [A-Za-z0-9._-]+, got '$id'")
+
+  def wapExists(id: String): Boolean = { requireWapId(id); fs.exists(wapFile(id)) }
+
+  def readWap(id: String): GraftSnapshot = {
+    requireWapId(id)
+    val in = fs.open(wapFile(id))
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    GraftManifestIO.fromJson(body)
+  }
+
+  /** Stage `added` files under ref `id` against the CURRENT snapshot.
+    * One exclusive-create claim per ref — a second stage with the same
+    * id fails loudly (stage again under a new id). Staged entries get
+    * a provisional seq of base.version + 1 so older equality deletes
+    * do not shadow them during audit (publish re-stamps against the
+    * version it actually lands on).
+    */
+  def stageWap(id: String, operation: String, added: Seq[FileEntry]): GraftSnapshot = {
+    requireWapId(id)
+    val base = currentSnapshot().getOrElse(
+      throw new GraftCommitConflict(s"cannot stage WAP '$id': no committed snapshot at $tableDir"))
+    val provisional = added.map(f => f.copy(seq = base.version + 1))
+    val staged = GraftSnapshot(
+      version = base.version,
+      parent = Some(base.version),
+      operation = s"wap-stage:$operation",
+      schema = base.schema,
+      properties = base.properties +
+        (GraftManifestIO.WapId -> id) +
+        (GraftManifestIO.WapBase -> base.version.toString) +
+        (GraftManifestIO.WapAdded -> added.map(_.path).mkString(",")),
+      files = base.files ++ provisional,
+      deletes = base.deletes,
+      eqDeletes = base.eqDeletes)
+    val target = wapFile(id)
+    fs.mkdirs(target.getParent)
+    val bytes = GraftManifestIO.toJson(staged).getBytes("UTF-8")
+    val won =
+      try {
+        if (fs.getScheme == "file") {
+          val nio = java.nio.file.Paths.get(target.toUri.getPath)
+          val ch = java.nio.file.Files.newByteChannel(nio,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+          true
+        } else {
+          val out = fs.create(target, false)
+          try out.write(bytes) finally out.close()
+          true
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    if (!won) throw new GraftCommitConflict(
+      s"WAP ref '$id' already staged at $tableDir — publish/abort it, or stage under a new id")
+    staged
+  }
+
+  /** Publish a staged write: cherry-pick its added files onto the
+    * CURRENT head as an ordinary OCC commit (composes with writers
+    * that landed since the stage), then retire the staged ref. The
+    * staged schema must still match the head's — a drifted table
+    * refuses rather than publishing rows the audit never saw the
+    * shape of.
+    */
+  def publishWap(id: String): GraftSnapshot = {
+    val staged = readWap(id)
+    val addedPaths = staged.properties.getOrElse(GraftManifestIO.WapAdded, "")
+      .split(",").filter(_.nonEmpty).toSet
+    val added = staged.files.filter(f => addedPaths.contains(f.path))
+    val published = commit(s"wap-publish:$id") { baseOpt =>
+      val base = baseOpt.getOrElse(throw new GraftCommitConflict(
+        s"cannot publish WAP '$id': table at $tableDir has no committed snapshot"))
+      if (base.schema != staged.schema)
+        throw new GraftCommitConflict(
+          s"cannot publish WAP '$id': table schema changed since the stage")
+      val live = base.files.map(_.path).toSet
+      val dup = addedPaths.intersect(live)
+      if (dup.nonEmpty)
+        throw new GraftCommitConflict(
+          s"cannot publish WAP '$id': file(s) already live: ${dup.mkString(", ")}")
+      GraftManifestIO.Content(base.schema, base.properties,
+        base.files ++ added.map(_.copy(seq = GraftManifestIO.PendingSeq)),
+        base.deletes, base.eqDeletes)
+    }
+    fs.delete(wapFile(id), false)
+    published
+  }
+
+  /** Abort a staged write: delete the ref and its staged-only files
+    * (files no live snapshot references). Returns the removed
+    * table-relative data paths.
+    */
+  def abortWap(id: String): Seq[String] = {
+    val staged = readWap(id)
+    val addedPaths = staged.properties.getOrElse(GraftManifestIO.WapAdded, "")
+      .split(",").filter(_.nonEmpty).toSet
+    val live = versions().flatMap(v => readSnapshot(v).files.map(_.path)).toSet
+    val added = staged.files.filter(f =>
+      addedPaths.contains(f.path) && !live.contains(f.path))
+    val removed = added.flatMap(f => f.path +: f.bloom.toSeq)
+    removed.foreach(p => fs.delete(new Path(tableDir, p), false))
+    fs.delete(wapFile(id), false)
+    removed
+  }
+
+  /** Staged WAP refs currently present (for removeOrphans protection
+    * and operator introspection).
+    */
+  def wapRefs(): Seq[String] = {
+    val dir = new Path(tableDir, "manifests")
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.startsWith("wap-") && n.endsWith(".json") =>
+        n.stripPrefix("wap-").stripSuffix(".json") }
+      .sorted.toSeq
+  }
+
   def dataDir: Path = new Path(tableDir, "data")
 
   def drop(): Boolean = fs.delete(tableDir, true)
@@ -263,8 +402,9 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     * from aborted writes); returns deleted table-relative paths.
     */
   def removeOrphans(): Seq[String] = {
-    val live = versions().flatMap { v =>
-      val s = readSnapshot(v)
+    // staged (WAP) snapshots protect their files too: an audit in
+    // flight is not an orphan — abortWap is the explicit release
+    val live = (versions().map(readSnapshot) ++ wapRefs().map(readWap)).flatMap { s =>
       s.files.map(_.path) ++ s.files.flatMap(_.bloom) ++
         s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
     }.toSet
@@ -321,6 +461,11 @@ object GraftManifestIO {
 
   /** Snapshot property: commit wall-clock millis (set by [[GraftManifestIO.commit]]). */
   val CommittedAtMs = "graft.committed-at-ms"
+
+  /** Staged-snapshot (WAP) marker properties. */
+  val WapId    = "graft.wap.id"
+  val WapBase  = "graft.wap.base-version"
+  val WapAdded = "graft.wap.added-paths"
 
   def toJson(s: GraftSnapshot): String = {
     val files = JArray(s.files.map { f =>

@@ -26,7 +26,8 @@ object GraftProcedures {
 
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
-      "index_compact", "index_vacuum", "index_rollback", "index_export")
+      "index_compact", "index_vacuum", "index_rollback", "index_export",
+      "wap_publish", "wap_abort")
       .map(Identifier.of(Array(Namespace), _))
 
   /** The serving indexes (lexical postings / ANN cells) share one
@@ -131,6 +132,31 @@ object GraftProcedures {
               graft.operators.AnnIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
             else graft.operators.InvertedIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
           new GenericInternalRow(Array[Any](removed))
+        }))
+      case "wap_publish" => Some(proc("wap_publish",
+        "publish a staged (WAP) write: cherry-pick its files onto the current head " +
+          "as a normal OCC commit, then retire the staged ref",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("wap_id", StringType).build()),
+        StructType(Seq(StructField("published_version", LongType))),
+        { (_, in) =>
+          val io = new GraftManifestIO(
+            new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
+          new GenericInternalRow(Array[Any](
+            io.publishWap(in.getUTF8String(1).toString).version))
+        }))
+      case "wap_abort" => Some(proc("wap_abort",
+        "abort a staged (WAP) write: delete the ref and its staged-only files",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("wap_id", StringType).build()),
+        StructType(Seq(StructField("removed_files", IntegerType))),
+        { (_, in) =>
+          val io = new GraftManifestIO(
+            new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
+          new GenericInternalRow(Array[Any](
+            io.abortWap(in.getUTF8String(1).toString).size))
         }))
       case "index_export" => Some(proc("index_export",
         "export/promote a serving index's current version to a virgin destination " +

@@ -49,13 +49,16 @@ import scala.jdk.CollectionConverters._
 final class GraftTable(
     tableName: String,
     val tableDir: String,
-    pinned: Option[Long] = None)
+    pinned: Option[Long] = None,
+    wapRef: Option[String] = None)
   extends Table with SupportsRead with SupportsWrite
   with SupportsRowLevelOperations with SupportsMetadataColumns {
 
   @transient lazy val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
   @transient lazy val snapshot: Option[GraftSnapshot] =
-    pinned.map(io.readSnapshot).orElse(io.currentSnapshot())
+    wapRef.map(io.readWap)
+      .orElse(pinned.map(io.readSnapshot))
+      .orElse(io.currentSnapshot())
 
   override def name(): String = tableName
   override def schema(): StructType = snapshot.map(_.schema).getOrElse(new StructType())
@@ -134,6 +137,11 @@ final class GraftTable(
 object GraftTable {
   /** Snapshot property holding the identity partition column list. */
   val PartitionColsProp = "graft.partition-cols"
+
+  /** Session conf routing appends into a staged (WAP) snapshot —
+    * Iceberg's `spark.wap.id` pattern.
+    */
+  val WapIdConf = "spark.graft.wap.id"
 
   /** Snapshot property selecting copy-on-write vs merge-on-read. */
   val MergeModeProp = "graft.merge.mode"
@@ -531,13 +539,20 @@ final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
       case GraftCommitMode.Truncate => "overwrite"
       case _ => "append"
     }, partitionCols = table.partitionCols, maxRowsPerFile = GraftWrite.maxRows(table),
-      bloomCols = GraftWrite.bloomCols(table), bloomBits = GraftWrite.bloomBits(table))
+      bloomCols = GraftWrite.bloomCols(table), bloomBits = GraftWrite.bloomBits(table),
+      // WAP routing (Iceberg's spark.wap.id pattern): with the session
+      // conf set, this write STAGES under the ref instead of committing
+      // — captured here on the driver at plan time, like Iceberg does
+      wapId = Option(org.apache.spark.sql.SparkSession.active)
+        .flatMap(s => Option(s.conf.get(GraftTable.WapIdConf, null)))
+        .filter(_.nonEmpty))
 }
 
 final class GraftWrite(
     tableDir: String, writeSchema: StructType, mode: GraftCommitMode, operation: String,
     partitionCols: Seq[String] = Nil, maxRowsPerFile: Long = Long.MaxValue,
-    bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits)
+    bloomCols: Seq[String] = Nil, bloomBits: Int = GraftBloom.DefaultBits,
+    wapId: Option[String] = None)
   extends Write with BatchWrite with RequiresDistributionAndOrdering {
 
   override def toBatch: BatchWrite = this
@@ -567,6 +582,19 @@ final class GraftWrite(
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val entries = messages.collect { case GraftCommitMessage(es) => es }.flatten.toSeq
     val io = new GraftManifestIO(new Path(tableDir), GraftConf.hadoop)
+    wapId match {
+      case Some(id) =>
+        // write-audit-publish: stage the files under the ref instead of
+        // committing. Append-shaped only — the audit pattern gates NEW
+        // data; a truncate/replace under a WAP id is a misconfiguration
+        // that must fail loudly, never silently rewrite the main table
+        require(mode == GraftCommitMode.Append,
+          s"WAP (spark conf ${GraftTable.WapIdConf}) supports append writes only; " +
+            s"got $operation — unset the conf for table rewrites")
+        io.stageWap(id, operation, entries.map(_.copy(seq = GraftManifestIO.PendingSeq)))
+        return
+      case None => ()
+    }
     io.commit(operation) { base =>
       val schema = base.map(_.schema).getOrElse(writeSchema)
       val props = base.map(_.properties).getOrElse(Map.empty)

@@ -858,6 +858,81 @@ class GraftCatalogSpec extends SparkSpec {
       "filtered dense serving must travel (vector meta sidecar copied)")
   }
 
+  test("WAP: staged writes are invisible to main, auditable by ref, published via OCC cherry-pick or aborted cleanly") {
+    spark.sql(s"CREATE TABLE $cat.db.wap (k INT, v STRING)")             // v1
+    spark.sql(s"INSERT INTO $cat.db.wap VALUES (1, 'a'), (2, 'b')")      // v2
+    def mainRows() = spark.table(s"$cat.db.wap").orderBy("k")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+
+    // stage under a ref: the main table must not move
+    spark.conf.set(graft.catalog.GraftTable.WapIdConf, "nightly-1")
+    try spark.sql(s"INSERT INTO $cat.db.wap VALUES (3, 'c'), (4, 'd')")
+    finally spark.conf.unset(graft.catalog.GraftTable.WapIdConf)
+    assert(mainRows() == Seq((1, "a"), (2, "b")), "staged write leaked into main")
+    // the audit read addresses the ref and sees base + staged
+    val audit = spark.sql(s"SELECT * FROM $cat.db.wap VERSION AS OF 'nightly-1'")
+      .orderBy("k").collect().map(r => (r.getInt(0), r.getString(1))).toSeq
+    assert(audit == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d")))
+    // an audit in flight is not an orphan
+    assert(spark.sql(s"CALL $cat.system.remove_orphans('db.wap')").head.getInt(0) == 0,
+      "remove_orphans must protect staged files")
+
+    // a concurrent writer lands BETWEEN stage and publish — the
+    // cherry-pick composes with it instead of clobbering
+    spark.sql(s"INSERT INTO $cat.db.wap VALUES (9, 'z')")                // v3
+    val pub = spark.sql(s"CALL $cat.system.wap_publish('db.wap', 'nightly-1')").head.getLong(0)
+    assert(mainRows() == Seq((1, "a"), (2, "b"), (3, "c"), (4, "d"), (9, "z")),
+      "publish must carry the staged rows AND the concurrent writer's")
+    // publish is an ordinary commit: pre-publish history stays travelable
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.wap VERSION AS OF ${pub - 1}")
+      .head.getLong(0) == 3L)
+    // the ref retired at publish
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.wap VERSION AS OF 'nightly-1'").collect()
+    }
+
+    // abort path: stage, audit, reject — main never sees it, files go
+    spark.conf.set(graft.catalog.GraftTable.WapIdConf, "bad-load")
+    try spark.sql(s"INSERT INTO $cat.db.wap VALUES (7, 'garbage')")
+    finally spark.conf.unset(graft.catalog.GraftTable.WapIdConf)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.wap VERSION AS OF 'bad-load'")
+      .head.getLong(0) == 6L)
+    assert(spark.sql(s"CALL $cat.system.wap_abort('db.wap', 'bad-load')").head.getInt(0) >= 1,
+      "abort must delete the staged-only files")
+    assert(mainRows().size == 5, "aborted rows must never reach main")
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.wap VERSION AS OF 'bad-load'").collect()
+    }
+    assert(spark.sql(s"CALL $cat.system.remove_orphans('db.wap')").head.getInt(0) == 0,
+      "abort must leave no orphans behind")
+
+    // non-append writes under a WAP id are a loud misconfiguration
+    spark.conf.set(graft.catalog.GraftTable.WapIdConf, "t1")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $cat.db.wap VALUES (0, 'nope')")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("append writes only")),
+        s"expected the WAP append-only refusal, got: ${messages(e)}")
+    } finally spark.conf.unset(graft.catalog.GraftTable.WapIdConf)
+    assert(mainRows().size == 5, "the refused overwrite must not have touched main")
+
+    // double-stage under one ref refuses (stage again under a new id)
+    spark.conf.set(graft.catalog.GraftTable.WapIdConf, "dup")
+    try {
+      spark.sql(s"INSERT INTO $cat.db.wap VALUES (10, 'x')")
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.wap VALUES (11, 'y')")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("already staged")))
+    } finally spark.conf.unset(graft.catalog.GraftTable.WapIdConf)
+    spark.sql(s"CALL $cat.system.wap_abort('db.wap', 'dup')")
+  }
+
   test("CALL rollback restores an earlier snapshot as a new commit; history stays travelable") {
     spark.sql(s"CREATE TABLE $cat.db.rb (k INT, v STRING)")      // v1
     spark.sql(s"INSERT INTO $cat.db.rb VALUES (1, 'a')")          // v2
