@@ -82,9 +82,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces with Proce
           throw new NoSuchTableException(ident)
         new GraftTable(fullName(ident), tablePath(ident).toString, pinned = Some(v))
       case None =>
-        if (!io.wapExists(version))
-          throw new NoSuchTableException(ident)
-        new GraftTable(fullName(ident), tablePath(ident).toString, wapRef = Some(version))
+        // named refs: a staged (WAP) audit snapshot, else a tag
+        if (io.wapExists(version))
+          new GraftTable(fullName(ident), tablePath(ident).toString, wapRef = Some(version))
+        else if (io.tagExists(version))
+          new GraftTable(fullName(ident), tablePath(ident).toString,
+            pinned = Some(io.readTag(version)))
+        else throw new NoSuchTableException(ident)
     }
   }
 

@@ -394,6 +394,70 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
       .sorted.toSeq
   }
 
+  // ---- tags (named immutable snapshot refs) --------------------------
+  //
+  // The read-side complement of WAP and the reproducibility pin a
+  // training pipeline needs: `tag('prod-2026-08-16', v)` freezes a
+  // name onto a snapshot; readers address it as `VERSION AS OF
+  // '<name>'`; expire_snapshots never expires a tagged version, so
+  // "the table as training run X read it" stays reconstructable until
+  // the tag is dropped. Tags are immutable (exclusive-create claim) —
+  // re-pointing means drop + re-create, which is an auditable pair of
+  // operations rather than a silent move.
+
+  private def tagFile(name: String) = new Path(tableDir, s"refs/$name.json")
+
+  private def requireTagName(name: String): Unit =
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
+      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+
+  def tagExists(name: String): Boolean = { requireTagName(name); fs.exists(tagFile(name)) }
+
+  def readTag(name: String): Long = {
+    requireTagName(name)
+    val in = fs.open(tagFile(name))
+    try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+  }
+
+  def createTag(name: String, version: Long): Unit = {
+    requireTagName(name)
+    require(versions().contains(version),
+      s"cannot tag v$version at $tableDir: not a live snapshot")
+    val target = tagFile(name)
+    fs.mkdirs(target.getParent)
+    val won =
+      try {
+        if (fs.getScheme == "file") {
+          val nio = java.nio.file.Paths.get(target.toUri.getPath)
+          val ch = java.nio.file.Files.newByteChannel(nio,
+            java.nio.file.StandardOpenOption.CREATE_NEW,
+            java.nio.file.StandardOpenOption.WRITE)
+          try ch.write(java.nio.ByteBuffer.wrap(version.toString.getBytes("UTF-8")))
+          finally ch.close()
+          true
+        } else {
+          val out = fs.create(target, false)
+          try out.write(version.toString.getBytes("UTF-8")) finally out.close()
+          true
+        }
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException => false
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+      }
+    if (!won) throw new GraftCommitConflict(
+      s"tag '$name' already exists at $tableDir (tags are immutable — drop it first)")
+  }
+
+  def dropTag(name: String): Boolean = { requireTagName(name); fs.delete(tagFile(name), false) }
+
+  def tags(): Map[String, Long] = {
+    val dir = new Path(tableDir, "refs")
+    if (!fs.exists(dir)) Map.empty
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
+      .map(n => n -> readTag(n)).toMap
+  }
+
   def dataDir: Path = new Path(tableDir, "data")
 
   def drop(): Boolean = fs.delete(tableDir, true)
@@ -422,10 +486,14 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
   }
 
   /** Expire all snapshots but the most recent `keepLast`, then drop
-    * any data file only they referenced.
+    * any data file only they referenced. TAGGED versions never expire
+    * — a tag is precisely the promise that its snapshot stays
+    * reconstructable (drop the tag to release it).
     */
   def expireSnapshots(keepLast: Int): Seq[Long] = {
+    val pinned = tags().values.toSet
     val expired = versions().dropRight(math.max(keepLast, 1))
+      .filterNot(pinned.contains)
     expired.foreach(v => fs.delete(manifestFile(v), false))
     removeOrphans()
     expired

@@ -27,7 +27,7 @@ object GraftProcedures {
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
       "index_compact", "index_vacuum", "index_rollback", "index_export",
-      "wap_publish", "wap_abort")
+      "wap_publish", "wap_abort", "tag", "drop_tag")
       .map(Identifier.of(Array(Namespace), _))
 
   /** The serving indexes (lexical postings / ANN cells) share one
@@ -132,6 +132,37 @@ object GraftProcedures {
               graft.operators.AnnIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
             else graft.operators.InvertedIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
           new GenericInternalRow(Array[Any](removed))
+        }))
+      case "tag" => Some(proc("tag",
+        "pin an immutable named ref onto a snapshot (default: current) — readers use " +
+          "VERSION AS OF '<name>'; expire_snapshots never expires a tagged version",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build(),
+          ProcedureParameter.in("version", LongType).defaultValue("-1").build()),
+        StructType(Seq(StructField("tagged_version", LongType))),
+        { (_, in) =>
+          val io = new GraftManifestIO(
+            new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
+          val v = in.getLong(2) match {
+            case -1L => io.currentVersion().getOrElse(
+              throw new GraftCommitConflict("cannot tag: table has no committed snapshot"))
+            case x => x
+          }
+          io.createTag(in.getUTF8String(1).toString, v)
+          new GenericInternalRow(Array[Any](v))
+        }))
+      case "drop_tag" => Some(proc("drop_tag",
+        "drop a named ref (releases its snapshot to expire_snapshots)",
+        Seq(
+          ProcedureParameter.in("table", StringType).build(),
+          ProcedureParameter.in("name", StringType).build()),
+        StructType(Seq(StructField("dropped", BooleanType))),
+        { (_, in) =>
+          val io = new GraftManifestIO(
+            new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
+          new GenericInternalRow(Array[Any](
+            io.dropTag(in.getUTF8String(1).toString)))
         }))
       case "wap_publish" => Some(proc("wap_publish",
         "publish a staged (WAP) write: cherry-pick its files onto the current head " +

@@ -933,6 +933,42 @@ class GraftCatalogSpec extends SparkSpec {
     spark.sql(s"CALL $cat.system.wap_abort('db.wap', 'dup')")
   }
 
+  test("tags: immutable named refs pin snapshots through expiry; VERSION AS OF resolves them") {
+    spark.sql(s"CREATE TABLE $cat.db.tags (k INT)")                       // v1
+    spark.sql(s"INSERT INTO $cat.db.tags VALUES (1)")                     // v2
+    val tagged = spark.sql(s"CALL $cat.system.tag('db.tags', 'run-1')").head.getLong(0)
+    assert(tagged == 2L, s"default tag target is the current version, got $tagged")
+    spark.sql(s"INSERT INTO $cat.db.tags VALUES (2)")                     // v3
+    spark.sql(s"INSERT INTO $cat.db.tags VALUES (3)")                     // v4
+    // the tag resolves to its pinned content, not the head
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tags VERSION AS OF 'run-1'")
+      .head.getLong(0) == 1L)
+    // expiry keeps the tagged version alive (and its files)
+    spark.sql(s"CALL $cat.system.expire_snapshots('db.tags', 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.tags VERSION AS OF 'run-1'")
+      .head.getLong(0) == 1L, "a tagged snapshot must survive expire_snapshots")
+    // tags are immutable: re-pointing is drop + create
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.tag('db.tags', 'run-1', 4)").collect()
+    }
+    assert(e.getMessage.contains("immutable") || Option(e.getCause).exists(
+      _.getMessage.contains("immutable")))
+    assert(spark.sql(s"CALL $cat.system.drop_tag('db.tags', 'run-1')").head.getBoolean(0))
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.tags VERSION AS OF 'run-1'").collect()
+    }
+    // with the tag gone, expiry may finally release the old snapshot
+    spark.sql(s"CALL $cat.system.expire_snapshots('db.tags', 1)")
+    val io = manifestIO("tags")
+    assert(io.versions() == Seq(4L), s"untagged old snapshots must expire, got ${io.versions()}")
+    // tagging a non-live version refuses
+    val e2 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.tag('db.tags', 'ghost', 2)").collect()
+    }
+    assert(e2.getMessage.contains("not a live snapshot") || Option(e2.getCause).exists(
+      _.getMessage.contains("not a live snapshot")))
+  }
+
   test("CALL rollback restores an earlier snapshot as a new commit; history stays travelable") {
     spark.sql(s"CREATE TABLE $cat.db.rb (k INT, v STRING)")      // v1
     spark.sql(s"INSERT INTO $cat.db.rb VALUES (1, 'a')")          // v2
