@@ -27,7 +27,7 @@ object GraftProcedures {
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
       "index_compact", "index_vacuum", "index_rollback", "index_export",
-      "wap_publish", "wap_abort", "tag", "drop_tag")
+      "wap_publish", "wap_abort", "tag", "drop_tag", "index_describe")
       .map(Identifier.of(Array(Namespace), _))
 
   /** The serving indexes (lexical postings / ANN cells) share one
@@ -188,6 +188,36 @@ object GraftProcedures {
             new Path(tableDir(in.getUTF8String(0).toString)), GraftConf.hadoop)
           new GenericInternalRow(Array[Any](
             io.abortWap(in.getUTF8String(1).toString).size))
+        }))
+      case "index_describe" => Some(proc("index_describe",
+        "one-row operational summary of a serving index: kind, head version, file/" +
+          "tombstone/sidecar counts, and the kind-specific shape (buckets+positions / cells+pq)",
+        Seq(ProcedureParameter.in("dir", StringType).build()),
+        StructType(Seq(
+          StructField("kind", StringType),
+          StructField("version", LongType),
+          StructField("data_files", IntegerType),
+          StructField("tombstones", IntegerType),
+          StructField("meta_dirs", IntegerType),
+          StructField("shape", StringType))),
+        { (spark, in) =>
+          val d = in.getUTF8String(0).toString
+          import org.apache.spark.unsafe.types.UTF8String
+          if (isAnnIndex(spark, d)) {
+            val m = graft.operators.AnnIndex.currentManifest(spark, d)
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString("ann"), m.version, m.vectors.size,
+              m.deletes.size, m.metaDirs.size,
+              UTF8String.fromString(
+                s"cells=${m.centroids.length} pq=${if (m.codebooks.nonEmpty) s"m=${m.codebooks.length}" else "no"}")))
+          } else {
+            val m = graft.operators.InvertedIndex.currentManifest(spark, d)
+            new GenericInternalRow(Array[Any](
+              UTF8String.fromString("lexical"), m.version, m.postings.size,
+              m.deletes.size, m.metaDirs.size,
+              UTF8String.fromString(
+                s"buckets=${m.buckets} positions=${m.positions} ranged=${m.tokRanges.size}")))
+          }
         }))
       case "index_export" => Some(proc("index_export",
         "export/promote a serving index's current version to a virgin destination " +

@@ -856,6 +856,16 @@ class GraftCatalogSpec extends SparkSpec {
         emb.filter($"vec_id" < 5), "vec_id", "embedding", annDest, k = 5, nProbe = 4,
         where = Some(col("label").isin(0, 1))).count() > 0,
       "filtered dense serving must travel (vector meta sidecar copied)")
+
+    // index_describe: one-row operational summary, kind-sniffed
+    val ld = spark.sql(s"CALL $cat.system.index_describe('$dest')").head
+    assert(ld.getString(0) == "lexical" && ld.getLong(1) == 2L && ld.getInt(4) == 3,
+      s"lexical describe (kind, v2 after the dest delta, 3 meta dirs: build + src delta + dest delta), got $ld")
+    assert(ld.getString(5).contains("positions=true"))
+    val ad = spark.sql(s"CALL $cat.system.index_describe('$annDest')").head
+    assert(ad.getString(0) == "ann" && ad.getString(5).contains("pq=m=8"),
+      s"ann describe must report the PQ shape, got $ad")
+    assert(ad.getInt(3) == 1, s"the exported tombstone must be visible, got $ad")
   }
 
   test("WAP: staged writes are invisible to main, auditable by ref, published via OCC cherry-pick or aborted cleanly") {
