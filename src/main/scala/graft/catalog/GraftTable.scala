@@ -786,7 +786,13 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Com
         operation = cmd.toString.toLowerCase,
         partitionCols = table.partitionCols,
         maxRowsPerFile = GraftWrite.maxRows(table),
-        bloomCols = GraftWrite.bloomCols(table), bloomBits = GraftWrite.bloomBits(table))
+        bloomCols = GraftWrite.bloomCols(table), bloomBits = GraftWrite.bloomBits(table),
+        // carry the WAP conf so a row-level write under a staging id
+        // REFUSES loudly (append-only gate) instead of silently
+        // bypassing the audit and landing on main
+        wapId = Option(org.apache.spark.sql.SparkSession.active)
+          .flatMap(s => Option(s.conf.get(GraftTable.WapIdConf, null)))
+          .filter(_.nonEmpty))
     }
 
   /** Files the operation's scan actually planned: a runtime-filtered

@@ -929,6 +929,20 @@ class GraftCatalogSpec extends SparkSpec {
     } finally spark.conf.unset(graft.catalog.GraftTable.WapIdConf)
     assert(mainRows().size == 5, "the refused overwrite must not have touched main")
 
+    // row-level writes under a WAP id refuse too — a MERGE/UPDATE must
+    // never silently bypass the audit gate and land on main
+    spark.conf.set(graft.catalog.GraftTable.WapIdConf, "t2")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"UPDATE $cat.db.wap SET v = 'n' WHERE k = 1")
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      assert(messages(e).exists(_.contains("append writes only")),
+        s"expected the WAP append-only refusal on UPDATE, got: ${messages(e)}")
+    } finally spark.conf.unset(graft.catalog.GraftTable.WapIdConf)
+    assert(mainRows().contains((1, "a")), "the refused UPDATE must not have landed")
+
     // double-stage under one ref refuses (stage again under a new id)
     spark.conf.set(graft.catalog.GraftTable.WapIdConf, "dup")
     try {
