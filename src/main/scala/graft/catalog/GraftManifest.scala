@@ -279,9 +279,17 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
 
   def readWap(id: String): GraftSnapshot = {
     requireWapId(id)
-    val in = fs.open(wapFile(id))
-    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-    GraftManifestIO.fromJson(body)
+    // same visible-at-create / bytes-land-microseconds-later sliver as
+    // readSnapshot: a reader racing the stage retries briefly
+    var last: Throwable = null
+    for (_ <- 1 to 5) {
+      try {
+        val in = fs.open(wapFile(id))
+        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+        return GraftManifestIO.fromJson(body)
+      } catch { case t: Throwable => last = t; Thread.sleep(10) }
+    }
+    throw last
   }
 
   /** Stage `added` files under ref `id` against the CURRENT snapshot.
