@@ -46,6 +46,9 @@ class PlanAuditSpec extends SparkSpec {
     // serve-path plan shape is audited through search_bm25_served and
     // the InvertedIndexSpec plan pins instead)
     "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
+    "search_hybrid_filtered",          // lexical branch inherits the bm25 stats scalars
+    "search_mlt",                      // same serve plan fed by driver-selected terms (stats scalars)
+    "search_suggest",                  // literal prefix table (3 rows) in a non-equi startsWith join
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
 
@@ -131,6 +134,7 @@ class PlanAuditSpec extends SparkSpec {
     "search_bm25_capped"    -> "same probe-bounded sides behind the df-cap vocab semi-join",
     "search_bm25_filtered"  -> "probe-bounded sides + doc-count-sized meta sidecar semi-join",
     "search_hybrid_served"  -> "probe-bounded lexical sides + probe (id, vec, cell) rows on the dense branch",
+    "search_hybrid_filtered" -> "probe-bounded sides + BOTH branches' doc-count-sized meta sidecar semi-joins",
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
     "curation_pipeline"     -> "embeds the decontaminate benchmark-shingle side",
