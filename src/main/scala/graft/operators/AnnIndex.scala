@@ -772,6 +772,8 @@ object AnnIndex {
       s"export destination $destDir already holds a committed index")
     val rels = m.vectors.map(_._2) ++ m.metaDirs ++ m.deletes.map(_._1)
     IndexManifests.copyTree(spark, srcDir, destDir, rels)
+    // same-path hygiene as build(): no stale cache for (destDir, 1)
+    IndexManifests.invalidate(destDir)
     val next = m.copy(version = 1L)
     require(IndexManifests.tryCommit(spark, destDir, next.version, toJson(next)),
       s"export lost the first-commit race at $destDir — another writer is active there")

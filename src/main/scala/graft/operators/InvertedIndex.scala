@@ -880,6 +880,9 @@ object InvertedIndex {
     val rels = m.postings.map(_._2) ++ Seq(m.vocabDir, m.statsDir) ++
       m.metaDirs ++ m.deletes.map(_._1)
     IndexManifests.copyTree(spark, srcDir, destDir, rels)
+    // same-path hygiene as build(): a wiped tree re-exported into must
+    // not serve a stale cached manifest for (destDir, 1)
+    IndexManifests.invalidate(destDir)
     val next = m.copy(version = 1L)
     require(tryCommit(spark, destDir, next),
       s"export lost the first-commit race at $destDir — another writer is active there")
