@@ -130,19 +130,58 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     }
   }
 
-  def readSnapshot(v: Long): GraftSnapshot = {
-    // a manifest becomes visible at exclusive create, microseconds
-    // before its bytes land — retry the (local-FS) sliver
+  /** Read a file that becomes VISIBLE at exclusive create microseconds
+    * before its bytes land: every claimed artifact (snapshot manifest,
+    * staged WAP snapshot, tag ref) is read through this one retry so
+    * no reader forgets the sliver. An empty read retries too — the
+    * open itself can succeed on zero bytes.
+    */
+  private def retryRead(path: Path): String = {
     var last: Throwable = null
     for (_ <- 1 to 5) {
       try {
-        val in = fs.open(manifestFile(v))
+        val in = fs.open(path)
         val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        return GraftManifestIO.fromJson(body)
-      } catch { case t: Throwable => last = t; Thread.sleep(10) }
+        if (body.nonEmpty) return body
+        last = new java.io.IOException(s"empty read at $path (create/write sliver)")
+      } catch { case t: Throwable => last = t }
+      Thread.sleep(10)
     }
     throw last
   }
+
+  /** Atomically CLAIM `path` by exclusive create (O_EXCL locally via
+    * java.nio — Hadoop's RawLocalFileSystem create(overwrite=false) is
+    * check-then-create; create-no-overwrite on HDFS-likes, where some
+    * implementations signal the lost race as a generic IOException
+    * naming 'exist'). Returns whether THIS writer won. One shared
+    * implementation for commit / stageWap / createTag, so the claim
+    * semantics can never drift between them.
+    */
+  private def writeExclusive(target: Path, bytes: Array[Byte]): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        val nio = java.nio.file.Paths.get(target.toUri.getPath)
+        val ch = java.nio.file.Files.newByteChannel(nio,
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    } else {
+      try {
+        val out = fs.create(target, false)
+        try out.write(bytes) finally out.close()
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+        case e: java.io.IOException if e.getMessage != null &&
+          e.getMessage.toLowerCase.contains("exist") => false
+      }
+    }
+
+  def readSnapshot(v: Long): GraftSnapshot =
+    GraftManifestIO.fromJson(retryRead(manifestFile(v)))
 
   def currentSnapshot(): Option[GraftSnapshot] = currentVersion().map(readSnapshot)
 
@@ -202,30 +241,7 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
       fs.mkdirs(new Path(tableDir, "manifests"))
       val bytes = GraftManifestIO.toJson(next).getBytes("UTF-8")
       val target = manifestFile(next.version)
-      val won =
-        if (fs.getScheme == "file") {
-          // Hadoop's RawLocalFileSystem.create(overwrite=false) is
-          // check-then-create (TOCTOU); java.nio CREATE_NEW is O_EXCL —
-          // a true atomic claim on the local FS
-          try {
-            val nio = java.nio.file.Paths.get(target.toUri.getPath)
-            val ch = java.nio.file.Files.newByteChannel(nio,
-              java.nio.file.StandardOpenOption.CREATE_NEW,
-              java.nio.file.StandardOpenOption.WRITE)
-            try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
-            true
-          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-        } else {
-          try {
-            val out = fs.create(target, false) // atomic on HDFS-likes
-            try out.write(bytes) finally out.close()
-            true
-          } catch {
-            case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-            case e: java.io.IOException if e.getMessage != null &&
-              e.getMessage.toLowerCase.contains("exist") => false
-          }
-        }
+      val won = writeExclusive(target, bytes)
       if (won) {
         writeAtomic(versionFile, next.version.toString) // advisory cache
         return next
@@ -266,30 +282,27 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
   // onto the CURRENT head through the ordinary OCC commit (concurrent
   // writers that landed between stage and publish are composed with,
   // not clobbered); abort deletes the staged ref and its staged-only
-  // files. Audit reads address the ref as `VERSION AS OF 'wap-<id>'`.
+  // files. Audit reads address the BARE ref: `VERSION AS OF '<id>'`.
 
   private def wapFile(id: String) = new Path(tableDir, s"manifests/wap-$id.json")
 
-  /** Staged-write ids are path segments — keep them boring. */
-  private def requireWapId(id: String): Unit =
-    require(id.nonEmpty && id.forall(c => c.isLetterOrDigit || "._-".contains(c)),
-      s"WAP id must be [A-Za-z0-9._-]+, got '$id'")
+  /** Staged-write ids and tag names are path segments — keep them
+    * boring. Create/read paths REQUIRE validity; existence probes
+    * (which back `VERSION AS OF '<ref>'` resolution) treat an invalid
+    * name as simply absent, so a mistyped ref surfaces as
+    * NoSuchTableException — never a WAP-internals require failure.
+    */
+  private def validRef(id: String): Boolean =
+    id.nonEmpty && id.forall(c => c.isLetterOrDigit || "._-".contains(c))
 
-  def wapExists(id: String): Boolean = { requireWapId(id); fs.exists(wapFile(id)) }
+  private def requireWapId(id: String): Unit =
+    require(validRef(id), s"WAP id must be [A-Za-z0-9._-]+, got '$id'")
+
+  def wapExists(id: String): Boolean = validRef(id) && fs.exists(wapFile(id))
 
   def readWap(id: String): GraftSnapshot = {
     requireWapId(id)
-    // same visible-at-create / bytes-land-microseconds-later sliver as
-    // readSnapshot: a reader racing the stage retries briefly
-    var last: Throwable = null
-    for (_ <- 1 to 5) {
-      try {
-        val in = fs.open(wapFile(id))
-        val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
-        return GraftManifestIO.fromJson(body)
-      } catch { case t: Throwable => last = t; Thread.sleep(10) }
-    }
-    throw last
+    GraftManifestIO.fromJson(retryRead(wapFile(id)))
   }
 
   /** Stage `added` files under ref `id` against the CURRENT snapshot.
@@ -318,27 +331,9 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
       eqDeletes = base.eqDeletes)
     val target = wapFile(id)
     fs.mkdirs(target.getParent)
-    val bytes = GraftManifestIO.toJson(staged).getBytes("UTF-8")
-    val won =
-      try {
-        if (fs.getScheme == "file") {
-          val nio = java.nio.file.Paths.get(target.toUri.getPath)
-          val ch = java.nio.file.Files.newByteChannel(nio,
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-          try ch.write(java.nio.ByteBuffer.wrap(bytes)) finally ch.close()
-          true
-        } else {
-          val out = fs.create(target, false)
-          try out.write(bytes) finally out.close()
-          true
-        }
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      }
-    if (!won) throw new GraftCommitConflict(
-      s"WAP ref '$id' already staged at $tableDir — publish/abort it, or stage under a new id")
+    if (!writeExclusive(target, GraftManifestIO.toJson(staged).getBytes("UTF-8")))
+      throw new GraftCommitConflict(
+        s"WAP ref '$id' already staged at $tableDir — publish/abort it, or stage under a new id")
     staged
   }
 
@@ -415,16 +410,19 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
 
   private def tagFile(name: String) = new Path(tableDir, s"refs/$name.json")
 
-  private def requireTagName(name: String): Unit =
-    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || "._-".contains(c)),
-      s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+  private def requireTagName(name: String): Unit = {
+    require(validRef(name), s"tag name must be [A-Za-z0-9._-]+, got '$name'")
+    // a digit-only tag would be unreachable: VERSION AS OF resolves
+    // digits as a snapshot version before any ref lookup
+    require(!name.forall(_.isDigit),
+      s"tag name '$name' is all digits — it would collide with version numbers in VERSION AS OF")
+  }
 
-  def tagExists(name: String): Boolean = { requireTagName(name); fs.exists(tagFile(name)) }
+  def tagExists(name: String): Boolean = validRef(name) && fs.exists(tagFile(name))
 
   def readTag(name: String): Long = {
     requireTagName(name)
-    val in = fs.open(tagFile(name))
-    try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    retryRead(tagFile(name)).trim.toLong
   }
 
   def createTag(name: String, version: Long): Unit = {
@@ -433,37 +431,25 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
       s"cannot tag v$version at $tableDir: not a live snapshot")
     val target = tagFile(name)
     fs.mkdirs(target.getParent)
-    val won =
-      try {
-        if (fs.getScheme == "file") {
-          val nio = java.nio.file.Paths.get(target.toUri.getPath)
-          val ch = java.nio.file.Files.newByteChannel(nio,
-            java.nio.file.StandardOpenOption.CREATE_NEW,
-            java.nio.file.StandardOpenOption.WRITE)
-          try ch.write(java.nio.ByteBuffer.wrap(version.toString.getBytes("UTF-8")))
-          finally ch.close()
-          true
-        } else {
-          val out = fs.create(target, false)
-          try out.write(version.toString.getBytes("UTF-8")) finally out.close()
-          true
-        }
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException => false
-        case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-      }
-    if (!won) throw new GraftCommitConflict(
-      s"tag '$name' already exists at $tableDir (tags are immutable — drop it first)")
+    if (!writeExclusive(target, version.toString.getBytes("UTF-8")))
+      throw new GraftCommitConflict(
+        s"tag '$name' already exists at $tableDir (tags are immutable — drop it first)")
   }
 
   def dropTag(name: String): Boolean = { requireTagName(name); fs.delete(tagFile(name), false) }
 
+  /** Live tags. A ref deleted between the listing and the read (a
+    * racing drop_tag) is skipped — it is simply no longer a tag.
+    */
   def tags(): Map[String, Long] = {
     val dir = new Path(tableDir, "refs")
     if (!fs.exists(dir)) Map.empty
     else fs.listStatus(dir).map(_.getPath.getName)
       .collect { case n if n.endsWith(".json") => n.stripSuffix(".json") }
-      .map(n => n -> readTag(n)).toMap
+      .flatMap { n =>
+        try Some(n -> readTag(n))
+        catch { case _: java.io.FileNotFoundException => None }
+      }.toMap
   }
 
   def dataDir: Path = new Path(tableDir, "data")
@@ -475,8 +461,15 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     */
   def removeOrphans(): Seq[String] = {
     // staged (WAP) snapshots protect their files too: an audit in
-    // flight is not an orphan — abortWap is the explicit release
-    val live = (versions().map(readSnapshot) ++ wapRefs().map(readWap)).flatMap { s =>
+    // flight is not an orphan — abortWap is the explicit release. A
+    // ref that vanishes between the listing and the read was published
+    // or aborted concurrently: its files are either live via the new
+    // head or already deleted, so skipping it is exact.
+    val staged = wapRefs().flatMap { id =>
+      try Some(readWap(id))
+      catch { case _: java.io.FileNotFoundException => None }
+    }
+    val live = (versions().map(readSnapshot) ++ staged).flatMap { s =>
       s.files.map(_.path) ++ s.files.flatMap(_.bloom) ++
         s.deletes.map(_.path) ++ s.eqDeletes.map(_.path)
     }.toSet

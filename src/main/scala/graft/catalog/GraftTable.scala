@@ -143,6 +143,15 @@ object GraftTable {
     */
   val WapIdConf = "spark.graft.wap.id"
 
+  /** The active session's WAP id, if any — resolved on the driver at
+    * write-plan time (one definition so the builder call sites can't
+    * drift; `conf.get(key, null)` returns null when unset, hence the
+    * Option around the VALUE).
+    */
+  private[catalog] def sessionWapId(): Option[String] =
+    Option(org.apache.spark.sql.SparkSession.active.conf.get(WapIdConf, null))
+      .filter(_.nonEmpty)
+
   /** Snapshot property selecting copy-on-write vs merge-on-read. */
   val MergeModeProp = "graft.merge.mode"
 
@@ -543,9 +552,7 @@ final class GraftWriteBuilder(table: GraftTable, info: LogicalWriteInfo)
       // WAP routing (Iceberg's spark.wap.id pattern): with the session
       // conf set, this write STAGES under the ref instead of committing
       // — captured here on the driver at plan time, like Iceberg does
-      wapId = Option(org.apache.spark.sql.SparkSession.active)
-        .flatMap(s => Option(s.conf.get(GraftTable.WapIdConf, null)))
-        .filter(_.nonEmpty))
+      wapId = GraftTable.sessionWapId())
 }
 
 final class GraftWrite(
@@ -790,9 +797,7 @@ final class GraftRowLevelOperation(table: GraftTable, cmd: RowLevelOperation.Com
         // carry the WAP conf so a row-level write under a staging id
         // REFUSES loudly (append-only gate) instead of silently
         // bypassing the audit and landing on main
-        wapId = Option(org.apache.spark.sql.SparkSession.active)
-          .flatMap(s => Option(s.conf.get(GraftTable.WapIdConf, null)))
-          .filter(_.nonEmpty))
+        wapId = GraftTable.sessionWapId())
     }
 
   /** Files the operation's scan actually planned: a runtime-filtered

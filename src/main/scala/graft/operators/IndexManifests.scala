@@ -143,6 +143,7 @@ private[graft] object IndexManifests {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
     try {
       val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val copied = new java.util.concurrent.ConcurrentLinkedQueue[String]()
       val tasks = rels.distinct.map { rel =>
         pool.submit(new Runnable {
           override def run(): Unit = try {
@@ -155,11 +156,22 @@ private[graft] object IndexManifests {
             if (!org.apache.hadoop.fs.FileUtil.copy(sfs, s, dfs, d,
                 false /* deleteSource */, conf))
               throw new java.io.IOException(s"export: copy failed for $rel")
+            copied.add(rel)
           } catch { case t: Throwable => failures.add(t) }
         })
       }
       tasks.foreach(_.get())
-      if (!failures.isEmpty) throw failures.peek()
+      if (!failures.isEmpty) {
+        // leave the destination VIRGIN for a clean retry: sweep what
+        // this attempt copied (no manifest referenced it yet), then
+        // throw the first failure with the rest attached
+        copied.forEach(rel =>
+          try { dfs.delete(new org.apache.hadoop.fs.Path(s"$destDir/$rel"), true); () }
+          catch { case _: java.io.IOException => () })
+        val head = failures.poll()
+        failures.forEach(t => head.addSuppressed(t))
+        throw head
+      }
     } finally pool.shutdown()
   }
 

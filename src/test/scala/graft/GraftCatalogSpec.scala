@@ -991,6 +991,22 @@ class GraftCatalogSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("not a live snapshot") || Option(e2.getCause).exists(
       _.getMessage.contains("not a live snapshot")))
+    // an all-digit tag name would be unreachable (VERSION AS OF parses
+    // digits as a snapshot version first) — refused at create
+    val e3 = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.tag('db.tags', '20260816')").collect()
+    }
+    assert(e3.getMessage.contains("all digits") || Option(e3.getCause).exists(
+      _.getMessage.contains("all digits")))
+    // a ref with characters no ref can carry is simply an unknown
+    // version — the catalog contract, never a WAP-internals error
+    val e4 = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.tags VERSION AS OF 'release/2026'").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(!messages(e4).exists(_.contains("WAP id must")),
+      s"a mistyped ref must surface as an unknown table version, got: ${messages(e4)}")
   }
 
   test("CALL rollback restores an earlier snapshot as a new commit; history stays travelable") {
