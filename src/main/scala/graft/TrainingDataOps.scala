@@ -2455,6 +2455,66 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_mlt_filtered",
+      // filtered more-like-this: the source allowlist gates the scored
+      // CANDIDATES pre-rank through the index's doc-metadata sidecar
+      // (term selection is unfiltered — the probe doc's rarest terms
+      // are a property of the query, not of the allowed subset)
+      (spark, dir) => {
+        val docs = spread(Tables(spark, dir).documents, "doc_id")
+        operators.InvertedIndex.moreLikeThisTopK(docs, "doc_id", "text",
+            ServingIndexes.lexicalDir(spark, dir),
+            probeIds = Seq(0L, 7L, 42L), m = 5, k = 5,
+            where = Some(col("source").isin("src0", "src1", "src2", "src3", "src4")))
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), sel AS (
+          SELECT probe_id, tok FROM (
+            SELECT q.doc_id AS probe_id, q.tok,
+                   row_number() OVER (PARTITION BY q.doc_id
+                     ORDER BY i.idf_fp DESC, q.tok ASC) AS trn
+            FROM (SELECT DISTINCT doc_id, tok FROM tf WHERE doc_id IN (0, 7, 42)) q
+            JOIN idf i ON i.tok = q.tok
+          ) WHERE trn <= 5
+        ), scores AS (
+          SELECT sel.probe_id, s.doc_id,
+                 CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM sel
+          JOIN sat s ON s.tok = sel.tok AND s.doc_id != sel.probe_id
+          JOIN documents fd ON fd.doc_id = s.doc_id
+               AND fd.source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+          JOIN idf i ON i.tok = sel.tok
+          GROUP BY 1, 2
+        )
+        SELECT probe_id, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT probe_id, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY probe_id ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
+        ) WHERE rn <= 5 ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_suggest",
       // prefix autocomplete from the serving index's VOCABULARY: top-3
       // completions per prefix by (df desc, token asc) — a

@@ -48,6 +48,7 @@ class PlanAuditSpec extends SparkSpec {
     "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
     "search_hybrid_filtered",          // lexical branch inherits the bm25 stats scalars
     "search_mlt",                      // same serve plan fed by driver-selected terms (stats scalars)
+    "search_mlt_filtered",             // same MLT serve plan + the meta-sidecar semi-join
     "search_suggest",                  // literal prefix table (3 rows) in a non-equi startsWith join
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
