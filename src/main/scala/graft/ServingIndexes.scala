@@ -44,6 +44,9 @@ object ServingIndexes {
       // entry can serve from the same shared index
       operators.InvertedIndex.build(docs, "doc_id", "text", dir,
         metaCols = Seq("source"))
+      // champion sidecar (top-64 postings per term by impact) for the
+      // approximate-mode entry — the exact serves ignore it
+      operators.InvertedIndex.buildChampions(spark, dir, c = 64)
       dir
     })
 

@@ -2697,6 +2697,66 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_bm25_approx",
+      // IMPACT-ORDERED approximate serving (the recall-knob mode the
+      // round-12 block-max adjudication scoped): candidates restricted
+      // to each query term's top-64 postings by fixed-point impact
+      // (champion lists, built once on the shared index), scored with
+      // the exact arithmetic over those rows only — reads bounded by
+      // q·64 champion rows instead of the terms' full (stopword-hot)
+      // posting lists. The selection and the truncated-sum scoring are
+      // integer arithmetic DuckDB replicates exactly, so the
+      // approximate mode is hash-gated like the exact ones — the knob
+      // trades recall, never determinism.
+      (spark, dir) => {
+        val idx = ServingIndexes.lexicalDir(spark, dir)
+        operators.InvertedIndex.bm25TopKTextApprox(spark, idx,
+            Seq("fast key scan", "table value"), k = 5)
+          .orderBy("q", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), champ AS (
+          SELECT doc_id, tok, sat_fp FROM (
+            SELECT doc_id, tok, sat_fp,
+                   row_number() OVER (PARTITION BY tok ORDER BY sat_fp DESC, doc_id ASC) AS crn
+            FROM sat
+          ) WHERE crn <= 64
+        ), qd AS (
+          SELECT DISTINCT q, unnest(regexp_split_to_array(q, '\s+')) AS tok
+          FROM (VALUES ('fast key scan'), ('table value')) t(q)
+        ), scores AS (
+          SELECT qd.q, c.doc_id, CAST(sum(i.idf_fp * c.sat_fp) AS BIGINT) AS score_fp
+          FROM champ c JOIN qd ON c.tok = qd.tok JOIN idf i ON i.tok = c.tok
+          GROUP BY 1, 2
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT q, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY q ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_index_delta",
       // incremental index maintenance: build on half the corpus, fold the
       // other half in via addDelta — churn-sized postings append + a

@@ -106,6 +106,10 @@ private[graft] object IndexManifests {
     dirGen.merge(dir, java.lang.Long.valueOf(1L), (a, b) => java.lang.Long.valueOf(a + b))
     val it = manifestCache.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == dir) it.remove()
+    val st = statsCache.keySet.iterator()
+    while (st.hasNext) if (st.next()._1 == dir) st.remove()
+    val td = termDfCache.keySet.iterator()
+    while (td.hasNext) if (td.next()._1 == dir) td.remove()
   }
 
   def cachedManifest[A <: AnyRef](spark: SparkSession, dir: String, v: Long)(
@@ -121,6 +125,78 @@ private[graft] object IndexManifests {
     // never be REMEMBERED past the dir's invalidation
     if (java.util.Objects.equals(dirGen.get(dir), gen)) manifestCache.put(key, parsed)
     parsed
+  }
+
+  /** Per-process cache of the corpus stats SCALARS (n, sumdl), keyed
+    * (dir, stats rel path). Every mutation that changes them writes a
+    * FRESH UUID-named stats dir and commits a new manifest referencing
+    * it, so the pair under one key is immutable — the cache can never
+    * serve stale numbers, only spare the one-row aggregate job every
+    * BM25 serve/df-cap/MLT-selection otherwise launches per query.
+    * At interactive concurrency that job was the measured ceiling
+    * (BENCH_SF1 round-13 addendum 4): clients multiply executors, not
+    * driver job dispatch. Same generation guard as the manifest cache
+    * (export/rebuild into a wiped dir reuses rel paths; invalidate()
+    * covers it).
+    */
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
+
+  def cachedStats(spark: SparkSession, dir: String, statsRel: String): (Long, Long) = {
+    val key = (dir, statsRel)
+    val hit = statsCache.get(key)
+    if (hit != null) return hit
+    val gen = dirGen.get(dir)
+    import org.apache.spark.sql.functions.sum
+    val row = spark.read.parquet(s"$dir/$statsRel")
+      .agg(sum("n"), sum("sumdl")).head()
+    val v = (row.getLong(0), row.getLong(1))
+    if (statsCache.size >= ManifestCacheMax) statsCache.clear()
+    if (java.util.Objects.equals(dirGen.get(dir), gen)) statsCache.put(key, v)
+    v
+  }
+
+  /** Per-process cache of term DOCUMENT FREQUENCIES, keyed by
+    * (dir, vocab rel path) — immutable like the stats dirs. Serving
+    * queries look up a handful of probe terms each; concurrent clients
+    * repeat terms (and whole probes) constantly, so the cache turns the
+    * per-query probe-sized vocab job into a driver map hit, and a MISS
+    * reads ONLY the unseen terms (pushed `tok IN (...)` scan — still
+    * probe-sized, never the vocabulary). Absent-from-vocab terms are
+    * cached as ABSENT (the sentinel) so unknown-term probes don't
+    * re-scan forever. Bounded per rel (clear-on-overflow) so query
+    * diversity cannot pin vocabulary-sized driver memory.
+    */
+  private val TermDfCacheMax = 1 << 16
+  private val AbsentDf = java.lang.Long.valueOf(-1L)
+  private val termDfCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
+
+  /** dfs of `toks` present in the vocab sidecar (absent toks omitted). */
+  def cachedTermDfs(spark: SparkSession, dir: String, vocabRel: String,
+      toks: Seq[String]): Map[String, Long] = {
+    val gen = dirGen.get(dir)
+    val m = termDfCache.computeIfAbsent((dir, vocabRel),
+      _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
+    val distinct = toks.distinct
+    // one value snapshot up front — a concurrent clear-on-overflow
+    // between a containsKey and a get could otherwise drop a term that
+    // IS in the vocab from the result
+    val snapshot = distinct.flatMap(t => Option(m.get(t)).map(t -> _)).toMap
+    val misses = distinct.filterNot(snapshot.contains)
+    val read = if (misses.isEmpty) Map.empty[String, Long] else {
+      import org.apache.spark.sql.functions.col
+      val r = spark.read.parquet(s"$dir/$vocabRel")
+        .filter(col("tok").isin(misses: _*))
+        .select("tok", "df").collect()
+        .map(x => x.getString(0) -> x.getLong(1)).toMap
+      if (m.size + misses.size > TermDfCacheMax) m.clear()
+      if (java.util.Objects.equals(dirGen.get(dir), gen))
+        misses.foreach(t =>
+          m.put(t, r.get(t).map(java.lang.Long.valueOf).getOrElse(AbsentDf)))
+      r
+    }
+    snapshot.collect { case (t, v) if v != AbsentDf => t -> v.longValue() } ++ read
   }
 
   def freshRel(kind: String): String =

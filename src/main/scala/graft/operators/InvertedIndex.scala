@@ -142,7 +142,25 @@ object InvertedIndex {
         * query's read to its TERMS' slices of a bucket, not the whole
         * bucket: bucket pruning cuts 1/B, token ranges cut the rest.
         */
-      tokRanges: Map[String, (String, String)] = Map.empty)
+      tokRanges: Map[String, (String, String)] = Map.empty,
+      /** IMPACT-ORDERED champion sidecar ([[buildChampions]]) for the
+        * opt-in APPROXIMATE serving mode: per term, the top-`championC`
+        * postings by the build-time fixed-point saturation (within a
+        * term the idf factor is constant, so saturation order IS
+        * impact order). `champions` lists the sidecar files
+        * (bucket-partitioned like postings, so serves bucket-prune);
+        * `championCover` pins how many postings files the selection
+        * saw — the files appended since (deltas/CDC) are NOT
+        * champion-covered and an approximate serve reads them fully
+        * (churn-sized between compactions, the tombstone argument).
+        * [[compact]] CLEARS the sidecar: it rewrites/reorders the
+        * postings list, invalidating the cover index — rebuild
+        * champions after maintenance folds. Empty/0 = exact-only
+        * index; the approximate serve refuses loudly.
+        */
+      champions: Seq[(Int, String)] = Nil,
+      championCover: Int = 0,
+      championC: Int = 0)
 
   /** Staged-but-uncommitted delta: immutable postings files under a
     * fresh UUID dir. Visible only once a manifest referencing them is
@@ -199,6 +217,11 @@ object InvertedIndex {
       "deletes" -> JArray(m.deletes.map { case (p, c) =>
         JObject(List("path" -> JString(p), "cover" -> JInt(c))): JValue
       }.toList),
+      "champions" -> JArray(m.champions.map { case (b, p) =>
+        JObject(List("bucket" -> (JInt(b): JValue), "path" -> (JString(p): JValue))): JValue
+      }.toList),
+      "championCover" -> JInt(m.championCover),
+      "championC" -> JInt(m.championC),
       "postings" -> JArray(m.postings.map { case (b, p) =>
         val base = List("bucket" -> (JInt(b): JValue), "path" -> (JString(p): JValue))
         val range = m.tokRanges.get(p).toList.flatMap { case (lo, hi) =>
@@ -245,6 +268,20 @@ object InvertedIndex {
           case o: JObject => ((o \ "path").extract[String], (o \ "cover").extract[Int])
         }
         case _ => Nil
+      },
+      champions = j \ "champions" match {
+        case JArray(items) => items.collect {
+          case o: JObject => ((o \ "bucket").extract[Int], (o \ "path").extract[String])
+        }
+        case _ => Nil // legacy manifests predate the champion sidecar
+      },
+      championCover = j \ "championCover" match {
+        case JInt(n) => n.toInt
+        case _ => 0
+      },
+      championC = j \ "championC" match {
+        case JInt(n) => n.toInt
+        case _ => 0
       })
   }
 
@@ -451,7 +488,10 @@ object InvertedIndex {
         base.postings ++ staged.files, vocabRel, statsRel,
         base.streams ++ stamp.toMap, base.positions,
         base.metaCols, base.metaDirs ++ staged.meta, base.deletes,
-        base.tokRanges)
+        base.tokRanges,
+        // champions survive deltas: the new files land PAST
+        // championCover, so approximate serves read them fully
+        base.champions, base.championCover, base.championC)
       if (tryCommit(spark, dir, next)) return next
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
@@ -610,7 +650,11 @@ object InvertedIndex {
     val next = Manifest(base.version + 1, base.buckets, base.postings ++ staged,
       vocabRel, statsRel, base.streams ++ stamp.toMap, base.positions,
       base.metaCols, base.metaDirs ++ stagedMeta, base.deletes ++ delEntry,
-      base.tokRanges)
+      base.tokRanges,
+      // champions survive tombstones/CDC: the tombstone's cover is
+      // ≥ championCover (postings append-only between compactions), so
+      // an approximate serve applies it to the champion rows too
+      base.champions, base.championCover, base.championC)
     tryCommit(spark, dir, next)
   }
 
@@ -816,6 +860,11 @@ object InvertedIndex {
       val nextPostings =
         byBucket.toSeq.flatMap { case (b, files) => compacted.getOrElse(b, files) }.toSeq.sortBy(_._2)
       val survivors = nextPostings.map(_._2).toSet
+      // champions clear with the defaults here ON PURPOSE: compaction
+      // rewrites/reorders the postings list, so championCover's index
+      // into it is meaningless afterwards — rebuild via
+      // [[buildChampions]] once maintenance folds (vacuum sweeps the
+      // orphaned sidecar files like any superseded rel)
       val next = Manifest(base.version + 1, base.buckets, nextPostings,
         base.vocabDir, base.statsDir, base.streams, base.positions,
         base.metaCols, newMetaDirs, deletes = Nil,
@@ -830,6 +879,61 @@ object InvertedIndex {
           s"index compaction lost the version race $maxAttempts times at $dir")
     }
     sys.error("unreachable")
+  }
+
+  /** Build the IMPACT-ORDERED champion sidecar for the opt-in
+    * APPROXIMATE BM25 mode ([[bm25TopKTextApprox]]): per term, the
+    * top-`c` live postings by fixed-point saturation (desc, doc_id asc
+    * — within one term the idf factor is constant, so saturation order
+    * IS impact order; the integer arithmetic is the serve's own, so
+    * the selection is deterministic and oracle-replicable in ANSI
+    * SQL). One tok-keyed window over the live postings — Spark plans
+    * the rank<=c filter as a WindowGroupLimit, so each map task
+    * pre-truncates to c rows per term before the exchange and the
+    * shuffle carries O(vocab·c), not the corpus. The sidecar lays out
+    * like postings (bucket= dirs, tok-sorted rows, 8 MB row groups) so
+    * serves bucket-prune and push the term filter.
+    *
+    * Committed like every mutation: one OCC manifest claim; a lost
+    * race RESTAGES against the fresh head (its postings may include
+    * rows this selection never saw). Champions survive deltas/CDC —
+    * files past `championCover` serve unchampioned — and CLEAR at
+    * [[compact]] (which rewrites the postings list the cover indexes);
+    * rebuild on the same maintenance cadence.
+    */
+  def buildChampions(spark: SparkSession, dir: String, c: Int,
+      maxAttempts: Int = 5): Unit = {
+    require(c >= 1, s"buildChampions needs c >= 1, got $c")
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      val (nDocs, sumdl) = IndexManifests.cachedStats(spark, dir, base.statsDir)
+      val avgdlFp = if (nDocs == 0) 1L else 100L * sumdl / nDocs
+      val rel = IndexManifests.freshRel("champions")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tok")).orderBy(col("__sat_fp").desc, col("doc_id").asc)
+      liveRows(spark, dir, base, base.postings)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+        .withColumn("__sat_fp",
+          expr(s"22L * tf * ${avgdlFp}L * 10000L div " +
+            s"(10L * tf * ${avgdlFp}L + 3L * ${avgdlFp}L + 900L * dl)"))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= c)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"),
+          bucketOf(col("tok"), base.buckets).as("bucket"))
+        .repartition(col("bucket"))
+        .sortWithinPartitions("tok", "doc_id")
+        .write.partitionBy("bucket").mode("errorifexists")
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(s"$dir/$rel")
+      val files = IndexManifests.listStaged(spark, dir, rel, "bucket")
+      val next = base.copy(version = base.version + 1, champions = files,
+        championCover = base.postings.size, championC = c)
+      if (tryCommit(spark, dir, next)) return
+    }
+    throw new graft.catalog.GraftCommitConflict(
+      s"champion build lost the version race $maxAttempts times at $dir")
   }
 
   /** Roll the index back to `toVersion`'s content as a NEW head commit
@@ -878,7 +982,7 @@ object InvertedIndex {
     require(IndexManifests.versions(spark, destDir).isEmpty,
       s"export destination $destDir already holds a committed index")
     val rels = m.postings.map(_._2) ++ Seq(m.vocabDir, m.statsDir) ++
-      m.metaDirs ++ m.deletes.map(_._1)
+      m.metaDirs ++ m.deletes.map(_._1) ++ m.champions.map(_._2)
     IndexManifests.copyTree(spark, srcDir, destDir, rels)
     // same-path hygiene as build(): a wiped tree re-exported into must
     // not serve a stale cached manifest for (destDir, 1)
@@ -940,8 +1044,11 @@ object InvertedIndex {
     }
 
     val liveDirs: Set[String] =
-      kept.flatMap(m => Seq(m.vocabDir, m.statsDir) ++ m.metaDirs ++ m.deletes.map(_._1)).toSet
-    Seq("vocab", "stats", "deletes", "meta").foreach { kind =>
+      kept.flatMap(m => Seq(m.vocabDir, m.statsDir) ++ m.metaDirs ++ m.deletes.map(_._1) ++
+        // champion entries are FILE paths under champions/<uuid>/bucket=N;
+        // the sweep unit is the sidecar dir (first two components)
+        m.champions.map(_._2.split('/').take(2).mkString("/"))).toSet
+    Seq("vocab", "stats", "deletes", "meta", "champions").foreach { kind =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/$kind")
       if (f.exists(p)) f.listStatus(p).foreach { st =>
         if (!liveDirs.contains(s"$kind/${st.getPath.getName}") &&
@@ -1076,11 +1183,94 @@ object InvertedIndex {
       where: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty, "bm25TopKText needs at least one query")
     import spark.implicits._
-    val qterms = queries.toDF("probe_id")
-      .select(col("probe_id"),
-        explode(graft.functions.TextFunctions.tokens(col("probe_id"))).as("__tok"))
-      .distinct()
-    serveBm25(spark, dir, qterms, k, excludeSelf = false, maxDfPercent, where)
+    // tokenized DRIVER-SIDE with the engine-identical DriverEval (the
+    // expression route costs a Spark job per query — the interactive
+    // concurrency ceiling); the pair list is the local qterms relation
+    // AND the knownTerms that let serveBm25 skip probe-analysis jobs
+    val pairs = queries.flatMap(q =>
+      DriverEval.tokenize(q).distinct.map(t => (q, t))).distinct
+    val qterms = pairs.toDF("probe_id", "__tok")
+    serveBm25(spark, dir, qterms, k, excludeSelf = false, maxDfPercent, where,
+        knownTerms = Some(pairs.map(_._2)))
+      .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** APPROXIMATE BM25 for raw query text — the impact-ordered mode the
+    * round-12 block-max adjudication scoped as the honest step past
+    * the df-cap valve. Candidates are restricted to each query term's
+    * CHAMPION postings (top-`championC` by impact,
+    * [[buildChampions]]), plus everything staged since the champion
+    * build (files past `championCover` — churn-sized between
+    * compactions, same argument as tombstones), then scored with the
+    * EXACT fixed-point arithmetic of [[bm25TopKText]]. Reads are
+    * bounded by q·c champion rows + churn instead of the query terms'
+    * full document frequencies — a stopword term costs c rows, not a
+    * corpus scan. The approximation is the candidate restriction, on
+    * both axes of the classic impact-ordered trade: a doc outside
+    * every query term's champion list cannot be returned, and a
+    * returned doc's score sums only the terms whose champion list it
+    * made (the non-champion contributions are the truncated impact
+    * tail). Unlike `maxDfPercent` — which DROPS a stopword term
+    * entirely — the term still differentiates its own top-c documents.
+    * A recall knob like IVF's nProbe, but DETERMINISTIC and
+    * oracle-replicable: selection and scoring are integer arithmetic
+    * both engines compute identically. `c >= max df` degenerates to
+    * the exact serve; recall + degeneracy + the maintenance story are
+    * spec-pinned.
+    */
+  def bm25TopKTextApprox(spark: SparkSession, dir: String, queries: Seq[String],
+      k: Int = 5, where: Option[Column] = None): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKTextApprox needs at least one query")
+    val m = currentManifest(spark, dir)
+    require(m.championC > 0,
+      s"no champion sidecar at $dir — approximate serving is opt-in: call " +
+        "buildChampions(dir, c) first (compaction clears the sidecar; rebuild after)")
+    import spark.implicits._
+    val pairs = queries.flatMap(q =>
+      DriverEval.tokenize(q).distinct.map(t => (q, t))).distinct
+    val terms = pairs.map(_._2).distinct
+    require(terms.size <= MaxTermPrune,
+      s"bm25TopKTextApprox queries exceed $MaxTermPrune distinct terms — " +
+        "batch fewer queries (the approximate mode is the serving-text shape)")
+    val probeBuckets = terms.map(DriverEval.bucketOf(_, m.buckets)).toSet
+    val qterms = pairs.toDF("probe_id", "__tok")
+    val termList = Some(terms)
+    def emptyRows = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"))
+    // champion candidates: bucket-pruned sidecar files, the term
+    // filter pushed into the scan (tok-sorted rows, 8 MB row groups —
+    // the same intra-file skip unit as compacted postings)
+    val champFiles = m.champions.filter(e => probeBuckets(e._1)).map(_._2)
+    val championRows = if (champFiles.isEmpty) emptyRows else {
+      val rows = pushTerms(
+          spark.read.parquet(champFiles.map(p => s"$dir/$p"): _*), termList)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+      // tombstones committed AFTER the champion build (cover >=
+      // championCover) mask their docs' champion rows; earlier ones
+      // were already applied when the selection ran — and a doc
+      // re-inserted after an EARLY tombstone must keep its champions
+      val postTombs = m.deletes.filter(_._2 >= m.championCover)
+      if (postTombs.isEmpty) rows
+      else {
+        val tomb = postTombs.map { case (d, _) =>
+            spark.read.parquet(s"$dir/$d").select(col("doc_id")) }
+          .reduce(_ unionByName _).distinct()
+        rows.join(tomb, Seq("doc_id"), "left_anti")
+      }
+    }
+    // postings staged since the champion build serve UNCHAMPIONED —
+    // fresh docs are findable immediately; tombstone covers apply
+    // file-level through liveRows exactly like the exact serve
+    val uncovered = m.postings.zipWithIndex.collect {
+      case ((b, p), i) if i >= m.championCover && probeBuckets(b) => (b, p)
+    }
+    val deltaRows = if (uncovered.isEmpty) emptyRows
+      else pushTerms(liveRows(spark, dir, m, uncovered), termList)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    scoreAndRank(spark, dir, m, championRows.unionByName(deltaRows), qterms,
+        termList, k, excludeSelf = false, where)
       .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
   }
 
@@ -1115,7 +1305,8 @@ object InvertedIndex {
       probeRows.toSeq.map(r => (r.getLong(0), r.getString(1))), m)
     import spark.implicits._
     val qterms = selected.toDF("probe_id", "__tok")
-    serveBm25(spark, dir, qterms, k, excludeSelf = true, None, where)
+    serveBm25(spark, dir, qterms, k, excludeSelf = true, None, where,
+        knownTerms = Some(selected.map(_._2)))
       .select(col("probe_id"), col("rank"), col("doc_id"), col("score"))
   }
 
@@ -1130,18 +1321,20 @@ object InvertedIndex {
     require(m >= 1, s"moreLikeThisTopKText needs m >= 1, got $m")
     val man = currentManifest(spark, dir)
     import spark.implicits._
-    val probeRows = texts.toDF("probe_id")
-      .select(col("probe_id"),
-        explode(graft.functions.TextFunctions.tokens(col("probe_id"))).as("__tok"))
-      .distinct()
-      .limit(MaxTermPrune + 1).collect()
-    require(probeRows.length <= MaxTermPrune,
+    // exemplar tokenization is driver-side (engine-identical
+    // DriverEval) and selection resolves through the per-version
+    // stats/term-df caches — the three sequential driver jobs the
+    // round-13 QPS addendum measured as the interactive ceiling are
+    // gone; only the serve itself dispatches work
+    val probePairs = texts.flatMap(t =>
+      DriverEval.tokenize(t).distinct.map(tok => (t, tok))).distinct
+    require(probePairs.length <= MaxTermPrune,
       s"moreLikeThisTopKText exemplars exceed $MaxTermPrune distinct (text, term) " +
         "pairs — batch fewer/smaller exemplars")
-    val selected = selectTopIdfTerms(spark, dir, man,
-      probeRows.toSeq.map(r => (r.getString(0), r.getString(1))), m)
+    val selected = selectTopIdfTerms(spark, dir, man, probePairs, m)
     val qterms = selected.toDF("probe_id", "__tok")
-    serveBm25(spark, dir, qterms, k, excludeSelf = false, None, where)
+    serveBm25(spark, dir, qterms, k, excludeSelf = false, None, where,
+        knownTerms = Some(selected.map(_._2)))
       .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
   }
 
@@ -1164,9 +1357,7 @@ object InvertedIndex {
         "highlighting is per-result-page, not per-corpus")
     import spark.implicits._
     val distinctTerms = terms.distinct
-    val probe = distinctTerms.toDF("tok")
-    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val probeBuckets = distinctTerms.map(DriverEval.bucketOf(_, m.buckets)).toSet
     val termList = boundedTerms(distinctTerms)
     val postings = pushTerms(
         liveRows(spark, dir, m, selectFiles(m, probeBuckets, termList)), termList)
@@ -1215,12 +1406,13 @@ object InvertedIndex {
   private def selectTopIdfTerms[K](spark: SparkSession, dir: String, man: Manifest,
       pairs: Seq[(K, String)], m: Int): Seq[(K, String)] = {
     val toks = pairs.map(_._2).distinct
-    val n = spark.read.parquet(s"$dir/${man.statsDir}")
-      .agg(sum(col("n"))).head().getLong(0)
-    val dfMap = spark.read.parquet(s"$dir/${man.vocabDir}")
-      .filter(col("tok").isin(toks: _*))
-      .select("tok", "df").collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // both reads resolve through the per-version caches: stats is a
+    // driver scalar, and only UNSEEN terms hit the vocab (a pushed
+    // probe-sized scan) — concurrent MLT clients repeating terms pay
+    // zero jobs here, the measured interactive-mix ceiling (BENCH_SF1
+    // round-13 addendum 4)
+    val (n, _) = IndexManifests.cachedStats(spark, dir, man.statsDir)
+    val dfMap = IndexManifests.cachedTermDfs(spark, dir, man.vocabDir, toks)
     def idfFp(df: Long): Long = ((2L * n - 2L * df + 1L) * 1000L) / (2L * df + 1L)
     pairs
       .filter { case (_, t) => dfMap.contains(t) }
@@ -1239,7 +1431,7 @@ object InvertedIndex {
     */
   private def serveBm25(spark: SparkSession, dir: String, qterms0: DataFrame,
       k: Int, excludeSelf: Boolean, maxDfPercent: Option[Int] = None,
-      where: Option[Column] = None): DataFrame = {
+      where: Option[Column] = None, knownTerms: Option[Seq[String]] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val m = currentManifest(spark, dir)
     // df cap (stopword pruning, the WAND-lite scale valve): a probe
@@ -1251,61 +1443,87 @@ object InvertedIndex {
     // threshold both engines can replicate, applied identically in the
     // oracle. High-df terms carry near-zero idf anyway, so the ranking
     // loss is the BM25-idf tail, traded explicitly for bounded reads.
-    // ONE bounded collect serves the df-cap, bucket pruning, and (when
-    // the term set is small and the index has ranged files) file-range
-    // skipping: the limit caps it at MaxTermPrune+1 rows regardless of
-    // probe size. Past the cap, fall back to the constant-bounded
-    // buckets-only distinct (≤ m.buckets values) — extra jobs only on
-    // wide-vocabulary probes, never on the serving-text path.
-    val probed0 = qterms0
-      .select(col("__tok"), bucketOf(col("__tok"), m.buckets).as("bucket"))
-      .distinct()
-    val head0 = probed0.limit(MaxTermPrune + 1).collect()
-    val bounded = head0.length <= MaxTermPrune
-    // the bounded term list always rides along: tokRanges (when
-    // present) turn it into file-range skipping, and the pushed row
-    // filter + probe-sized vocab/idf scan want it either way
-    def fromRows(rows: Array[org.apache.spark.sql.Row]) =
-      (rows.map(_.getInt(1)).toSet, Some(rows.map(_.getString(0)).toSeq))
-    val (qterms, probeBuckets, termList) = maxDfPercent match {
-      case None =>
-        if (bounded) { val (b, t) = fromRows(head0); (qterms0, b, t) }
-        else (qterms0,
-          probed0.select("bucket").distinct().collect().map(_.getInt(0)).toSet,
-          None)
-      case Some(pct) =>
-        require(pct >= 1 && pct <= 100, s"maxDfPercent must be in [1, 100], got $pct")
-        val n = spark.read.parquet(s"$dir/${m.statsDir}")
-          .agg(sum(col("n"))).head().getLong(0)
-        if (bounded) {
-          // the serving shape: resolve the cap DRIVER-SIDE against a
-          // vocab scan pushed down to `tok IN (probe terms)` — the
-          // per-query vocab read is probe-sized, and the dropped terms
-          // never reach bucket pruning (their posting files are never
-          // listed). The semi-join alternative wants the CORPUS
-          // vocabulary as a broadcast/shuffle side — fine at test
-          // scale, a per-query vocab shuffle at 100 TB.
-          val toks = head0.map(_.getString(0)).toSeq
-          val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
-            .filter(col("tok").isin(toks: _*) && col("df") * 100 <= lit(n) * pct)
-            .select("tok").collect().map(_.getString(0)).toSet
-          val keptRows = head0.filter(r => kept(r.getString(0)))
-          val (b, t) = fromRows(keptRows)
-          (qterms0.filter(col("__tok").isin(kept.toSeq: _*)), b, t)
-        } else {
-          // wide-vocabulary batch probes (> MaxTermPrune distinct
-          // terms): distributed cap — vocab scanned once, restricted to
-          // the probe terms by a semi whose plan AQE sizes at runtime.
-          // An analytical shape, never the serving-text path.
-          val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
-            .filter(col("df") * 100 <= lit(n) * pct)
-            .select(col("tok").as("__tok"))
-            .join(qterms0.select("__tok").distinct(), Seq("__tok"), "left_semi")
-          val q = qterms0.join(kept, Seq("__tok"), "left_semi")
-          (q,
-            q.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
-              .distinct().collect().map(_.getInt(0)).toSet,
-            None)
+    //
+    // Probe analysis is TIERED by what the caller knows:
+    //  - `knownTerms` (the serving-text shapes — raw query/exemplar
+    //    text tokenized driver-side via DriverEval): bucket routing is
+    //    driver math on the engine hash and the df-cap resolves through
+    //    the per-version term-df cache — ZERO Spark jobs before the
+    //    serve itself. This is the interactive path; driver job
+    //    dispatch was its measured concurrency ceiling (BENCH_SF1
+    //    round-13 addendum 4).
+    //  - distributed probes (id-based, terms live in the corpus): ONE
+    //    bounded collect (limit MaxTermPrune+1) serves df-cap, bucket
+    //    pruning, and file-range skipping.
+    //  - past MaxTermPrune: constant-bounded buckets-only distinct
+    //    (≤ m.buckets values) — extra jobs only on wide-vocabulary
+    //    batch probes, never on the serving-text path.
+    val (qterms, probeBuckets, termList) = knownTerms.map(_.distinct) match {
+      case Some(ts) if ts.size <= MaxTermPrune =>
+        val kept = maxDfPercent match {
+          case None => ts
+          case Some(pct) =>
+            require(pct >= 1 && pct <= 100, s"maxDfPercent must be in [1, 100], got $pct")
+            val (n, _) = IndexManifests.cachedStats(spark, dir, m.statsDir)
+            val dfs = IndexManifests.cachedTermDfs(spark, dir, m.vocabDir, ts)
+            // absent-from-vocab terms drop too (no postings to score,
+            // and their buckets' files should never be listed) —
+            // matching the pushed-vocab-scan shape below
+            ts.filter(t => dfs.get(t).exists(df => df * 100 <= n * pct))
+        }
+        val q = if (kept.size == ts.size) qterms0
+          else qterms0.filter(col("__tok").isin(kept: _*))
+        (q, kept.map(DriverEval.bucketOf(_, m.buckets)).toSet, Some(kept))
+      case _ =>
+        val probed0 = qterms0
+          .select(col("__tok"), bucketOf(col("__tok"), m.buckets).as("bucket"))
+          .distinct()
+        val head0 = probed0.limit(MaxTermPrune + 1).collect()
+        val bounded = head0.length <= MaxTermPrune
+        // the bounded term list always rides along: tokRanges (when
+        // present) turn it into file-range skipping, and the pushed row
+        // filter + probe-sized vocab/idf scan want it either way
+        def fromRows(rows: Array[org.apache.spark.sql.Row]) =
+          (rows.map(_.getInt(1)).toSet, Some(rows.map(_.getString(0)).toSeq))
+        maxDfPercent match {
+          case None =>
+            if (bounded) { val (b, t) = fromRows(head0); (qterms0, b, t) }
+            else (qterms0,
+              probed0.select("bucket").distinct().collect().map(_.getInt(0)).toSet,
+              None)
+          case Some(pct) =>
+            require(pct >= 1 && pct <= 100, s"maxDfPercent must be in [1, 100], got $pct")
+            val (n, _) = IndexManifests.cachedStats(spark, dir, m.statsDir)
+            if (bounded) {
+              // resolve the cap DRIVER-SIDE through the term-df cache
+              // (a miss is a vocab scan pushed down to the unseen
+              // terms — probe-sized, never the vocabulary). The
+              // semi-join alternative wants the CORPUS vocabulary as a
+              // broadcast/shuffle side — fine at test scale, a
+              // per-query vocab shuffle at 100 TB.
+              val toks = head0.map(_.getString(0)).toSeq
+              val dfs = IndexManifests.cachedTermDfs(spark, dir, m.vocabDir, toks)
+              val kept = toks.filter(t =>
+                dfs.get(t).exists(df => df * 100 <= n * pct)).toSet
+              val keptRows = head0.filter(r => kept(r.getString(0)))
+              val (b, t) = fromRows(keptRows)
+              (qterms0.filter(col("__tok").isin(kept.toSeq: _*)), b, t)
+            } else {
+              // wide-vocabulary batch probes (> MaxTermPrune distinct
+              // terms): distributed cap — vocab scanned once, restricted
+              // to the probe terms by a semi whose plan AQE sizes at
+              // runtime. An analytical shape, never the serving-text
+              // path.
+              val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
+                .filter(col("df") * 100 <= lit(n) * pct)
+                .select(col("tok").as("__tok"))
+                .join(qterms0.select("__tok").distinct(), Seq("__tok"), "left_semi")
+              val q = qterms0.join(kept, Seq("__tok"), "left_semi")
+              (q,
+                q.select(bucketOf(col("__tok"), m.buckets).as("bucket"))
+                  .distinct().collect().map(_.getInt(0)).toSet,
+                None)
+            }
         }
     }
     // tombstoned rows are excluded here (coverage-aware); their
@@ -1315,24 +1533,42 @@ object InvertedIndex {
     // rows and clears the set)
     val postings = pushTerms(
       liveRows(spark, dir, m, selectFiles(m, probeBuckets, termList)), termList)
+    scoreAndRank(spark, dir, m, postings, qterms, termList, k, excludeSelf, where)
+  }
 
-    // scalar aggregate over the 1-row stats file: a structural row
-    // bound the plan audit can SEE (a bare file scan is unbounded to
-    // it), and robust if a stats version ever carries multiple rows
-    val stats = spark.read.parquet(s"$dir/${m.statsDir}")
-      .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
-      .select(col("n"), expr("100L * sumdl div n").as("__avgdl_fp"))
+  /** BM25 scoring + ranking over candidate posting rows
+    * (doc_id, tok, tf, dl) — the tail shared by the exact serve
+    * ([[serveBm25]]) and the approximate champion serve
+    * ([[bm25TopKTextApprox]]); the candidate RESTRICTION is the only
+    * thing that differs between the modes, the arithmetic never does.
+    *
+    * The (n, sumdl) scalars are immutable per stats version (mutations
+    * write a fresh stats dir) — cachedStats spares the one-row
+    * aggregate job every serve used to launch, and the literals fold
+    * straight into whole-stage codegen: the former stats scan +
+    * broadcast cross joins disappear from the plan. Integer arithmetic
+    * identical to the former SQL (`div` on non-negative longs ==
+    * Scala /); an empty index pins avgdl to 1 only to keep the driver
+    * division total — no postings exist, so the serve is empty either
+    * way.
+    */
+  private def scoreAndRank(spark: SparkSession, dir: String, m: Manifest,
+      postings: DataFrame, qterms: DataFrame, termList: Option[Seq[String]],
+      k: Int, excludeSelf: Boolean, where: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (nDocs, sumdl) = IndexManifests.cachedStats(spark, dir, m.statsDir)
+    val avgdlFp = if (nDocs == 0) 1L else 100L * sumdl / nDocs
     // the idf side only ever contributes probe terms (the join below
     // restricts it) — push the term filter into the vocab scan when the
     // set is bounded, so the per-query vocab read is probe-sized
     val idf = pushTerms(spark.read.parquet(s"$dir/${m.vocabDir}"), termList)
-      .crossJoin(broadcast(stats))
       .select(col("tok"),
-        expr("(2L * n - 2L * df + 1L) * 1000L div (2L * df + 1L)").as("__idf_fp"))
-    val sat = postings.crossJoin(broadcast(stats))
+        expr(s"(2L * ${nDocs}L - 2L * df + 1L) * 1000L div (2L * df + 1L)")
+          .as("__idf_fp"))
+    val sat = postings
       .select(col("doc_id"), col("tok"),
-        expr("22L * tf * __avgdl_fp * 10000L div " +
-          "(10L * tf * __avgdl_fp + 3L * __avgdl_fp + 900L * dl)").as("__sat_fp"))
+        expr(s"22L * tf * ${avgdlFp}L * 10000L div " +
+          s"(10L * tf * ${avgdlFp}L + 3L * ${avgdlFp}L + 900L * dl)").as("__sat_fp"))
     val joined = sat
       .join(broadcast(qterms.withColumnRenamed("__tok", "tok")), Seq("tok"))
     val scored0 = (if (excludeSelf) joined.filter(col("doc_id") =!= col("probe_id"))
@@ -1401,11 +1637,11 @@ object InvertedIndex {
     }
     import spark.implicits._
     val probe = probeRows.toDF("phrase", "tok", "__term_idx", "__phrase_len")
-    // ≤ m.buckets distinct values — constant-bounded driver-side
-    // collect, through the SAME engine expression the postings were
-    // laid out with (a re-implemented hash would be a silent-miss risk)
-    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // bucket routing is driver math through the SAME engine hash the
+    // postings were laid out with (DriverEval calls XxHash64Function,
+    // equality spec-pinned — a re-implemented hash would be a
+    // silent-miss risk); the former one-row Spark job is gone
+    val probeBuckets = probeRows.map(r => DriverEval.bucketOf(r._2, m.buckets)).toSet
     val terms = boundedTerms(probeRows.map(_._2))
     val postings = pushTerms(
         liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
@@ -1451,8 +1687,8 @@ object InvertedIndex {
     val probe = pairs.flatMap { case (a, b) =>
       Seq((s"$a $b", a, 0), (s"$a $b", b, 1))
     }.toDF("q", "tok", "__role")
-    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val probeBuckets = pairs.flatMap { case (a, b) => Seq(a, b) }
+      .map(DriverEval.bucketOf(_, m.buckets)).toSet
     val terms = boundedTerms(pairs.flatMap { case (a, b) => Seq(a, b) })
     val postings = pushTerms(
         liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
@@ -1515,8 +1751,8 @@ object InvertedIndex {
       val q = terms.mkString(" ")
       terms.zipWithIndex.map { case (t, i) => (q, t, i, terms.size) }
     }.toDF("q", "tok", "__term_idx", "__qlen")
-    val probeBuckets = probe.select(bucketOf(col("tok"), m.buckets).as("bucket"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    val probeBuckets = queries.flatten
+      .map(DriverEval.bucketOf(_, m.buckets)).toSet
     val terms = boundedTerms(queries.flatten)
     val postings = pushTerms(
         liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)

@@ -206,6 +206,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"),
         maxDfPercent = args.lift(3).map(e => intArg(e, "max_df_percent")))
     }
+    // impact-ordered APPROXIMATE serving (champion lists; opt-in —
+    // refuses against an index without a buildChampions sidecar)
+    tvf("graft_bm25_approx", "(dir, query, k)", 3, 3) { args =>
+      graft.operators.InvertedIndex.bm25TopKTextApprox(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"))
+    }
     tvf("graft_phrase", "(dir, phrase, k)", 3, 3) { args =>
       graft.operators.InvertedIndex.phraseTopK(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "phrase")), intArg(args(2), "k"))

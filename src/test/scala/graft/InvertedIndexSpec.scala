@@ -688,4 +688,95 @@ class InvertedIndexSpec extends SparkSpec {
     assert(rows(InvertedIndex.bm25TopK(docs, "doc_id", "text", dir, Seq(0L, 7L), k = 5))
       == expected, "vacuum changed answers")
   }
+
+  private def textRows(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("q", "rank").collect().map(_.toSeq).toSeq
+
+  test("champion sidecar: c >= max df degenerates to the exact serve; small c is deterministic and recall-sane") {
+    val dir = java.nio.file.Files.createTempDirectory("invidx_champ").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    val queries = Seq("alpha delta", "beta epsilon", "zeta")
+    val exact = textRows(InvertedIndex.bm25TopKText(spark, dir, queries, k = 3))
+    // c = 100 > any df (8 docs): candidate sets are complete AND no
+    // score tail truncates — the approximate serve IS the exact serve
+    InvertedIndex.buildChampions(spark, dir, c = 100)
+    assert(InvertedIndex.currentManifest(spark, dir).championC == 100)
+    assert(textRows(InvertedIndex.bm25TopKTextApprox(spark, dir, queries, k = 3)) == exact,
+      "c >= max df must serve bit-identically to the exact path")
+    // small c: a strict candidate subset, deterministic across runs,
+    // and every returned doc is in some query term's champion list
+    InvertedIndex.buildChampions(spark, dir, c = 2)
+    val a1 = textRows(InvertedIndex.bm25TopKTextApprox(spark, dir, queries, k = 3))
+    val a2 = textRows(InvertedIndex.bm25TopKTextApprox(spark, dir, queries, k = 3))
+    assert(a1 == a2, "approximate serve must be deterministic")
+    // the candidate contract, checked against the persisted sidecar
+    // itself: every returned doc is a champion of >= 1 of its query's
+    // terms (no delta files exist here, so champions are the whole
+    // candidate space)
+    val m = InvertedIndex.currentManifest(spark, dir)
+    val champ = spark.read.parquet(m.champions.map(p => s"$dir/${p._2}"): _*)
+      .select("tok", "doc_id").collect()
+      .groupBy(_.getString(0)).map { case (t, rs) => t -> rs.map(_.getLong(1)).toSet }
+    assert(champ.values.forall(_.size <= 2), "champion lists exceed c")
+    a1.foreach { r =>
+      val qTerms = r.head.asInstanceOf[String].split(" ").toSeq
+      val allowed = qTerms.flatMap(t => champ.getOrElse(t, Set.empty)).toSet
+      assert(allowed.contains(r(2).asInstanceOf[Long]),
+        s"returned doc ${r(2)} is not a champion of any term of '${r.head}'")
+    }
+    // and no query disappears: sub-c-df terms ("zeta", df 2) answer
+    // identically to the exact serve
+    assert(a1.filter(_.head == "zeta") == exact.filter(_.head == "zeta"),
+      "a sub-c-df query must be exact under the approximate mode")
+  }
+
+  test("champion sidecar under maintenance: deltas serve unchampioned, CDC masks stale champions, compact clears") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("invidx_champ_m").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir)
+    InvertedIndex.buildChampions(spark, dir, c = 3)
+    // a delta doc with a brand-new term must be findable IMMEDIATELY
+    // (its file lies past championCover and serves unchampioned)
+    InvertedIndex.addDelta(Seq((100L, "omicron omicron rho")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val fresh = textRows(InvertedIndex.bm25TopKTextApprox(spark, dir, Seq("omicron"), k = 3))
+    assert(fresh.map(_(2)) == Seq(100L), "delta doc invisible to the approximate serve")
+    // CDC: doc 4 ("zeta eta theta") loses zeta — its champion rows for
+    // zeta must be masked by the tombstone (cover >= championCover),
+    // while its NEW terms serve from the uncovered delta
+    InvertedIndex.applyCdc(
+      upserts = Seq((4L, "sigma tau")).toDF("doc_id", "text"),
+      removals = Seq((4L, "zeta eta theta")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val zeta = textRows(InvertedIndex.bm25TopKTextApprox(spark, dir, Seq("zeta"), k = 5))
+    assert(!zeta.exists(_(2) == 4L), "CDC'd doc's stale champion rows still serve")
+    assert(zeta.exists(_(2) == 6L), "unrelated champion rows must survive the CDC")
+    val sigma = textRows(InvertedIndex.bm25TopKTextApprox(spark, dir, Seq("sigma"), k = 3))
+    assert(sigma.map(_(2)) == Seq(4L), "CDC'd doc's new terms must serve")
+    // the approximate answers equal the EXACT serve here: candidate
+    // truncation can only drop docs, and these term dfs are < c + the
+    // churn files serve in full
+    assert(zeta == textRows(InvertedIndex.bm25TopKText(spark, dir, Seq("zeta"), k = 5)),
+      "approximate diverged from exact on sub-c dfs under maintenance")
+    // compact rewrites the postings list -> the sidecar clears and the
+    // approximate mode refuses loudly until rebuilt; vacuum sweeps the
+    // orphaned champion files
+    InvertedIndex.compact(spark, dir)
+    assert(InvertedIndex.currentManifest(spark, dir).championC == 0,
+      "compact must clear the champion sidecar")
+    val e = intercept[IllegalArgumentException] {
+      InvertedIndex.bm25TopKTextApprox(spark, dir, Seq("zeta"), k = 3)
+    }
+    assert(e.getMessage.contains("buildChampions"), s"unhelpful refusal: ${e.getMessage}")
+    InvertedIndex.vacuum(spark, dir, keepVersions = 1, graceMs = 0L)
+    val champRoot = new org.apache.hadoop.fs.Path(s"$dir/champions")
+    assert(!hfs.exists(champRoot) || hfs.listStatus(champRoot).isEmpty,
+      "vacuum left orphaned champion sidecar dirs")
+    // rebuild on the compacted layout: approximate serving returns
+    InvertedIndex.buildChampions(spark, dir, c = 100)
+    assert(textRows(InvertedIndex.bm25TopKTextApprox(spark, dir, Seq("sigma omicron"), k = 5))
+      == textRows(InvertedIndex.bm25TopKText(spark, dir, Seq("sigma omicron"), k = 5)),
+      "rebuilt champions at c >= max df must serve exactly")
+  }
 }

@@ -34,21 +34,16 @@ class PlanAuditSpec extends SparkSpec {
     "ann_asym_rerank",                 // broadcast fixed-point probe vectors vs corpus codes
     "ann_pq",                          // broadcast ADC tables vs encoded corpus
     "dedup_embedding_exact",           // all-pairs oracle baseline (correctness only, never benched at scale)
-    "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts
-    "search_bm25_served",              // same stats scalars, read from the shared index's 1-row sidecar
-    "search_bm25_sql",                 // the TVF path resolves to the same serve plan, same stats scalars
-    "search_bm25_capped",              // same serve plan behind the df-cap term filter
-    "search_bm25_filtered",            // same serve plan + the meta-sidecar semi-join
-    "search_hybrid_served",            // lexical branch inherits the bm25 stats scalars
-    // (the index-LIFECYCLE entries — search_bm25_indexed/delta/delete/cdc —
-    // eager-materialize via disposeAfter and return a LocalRelation, so
-    // their audited plan no longer carries the scalar nested loop; the
-    // serve-path plan shape is audited through search_bm25_served and
-    // the InvertedIndexSpec plan pins instead)
-    "search_hybrid_rrf",               // inherits bm25's stats scalars + the broadcast probe sweep
-    "search_hybrid_filtered",          // lexical branch inherits the bm25 stats scalars
-    "search_mlt",                      // same serve plan fed by driver-selected terms (stats scalars)
-    "search_mlt_filtered",             // same MLT serve plan + the meta-sidecar semi-join
+    "search_bm25",                     // 1-row corpus-stats (N, avgdl) scalar broadcasts (from-scratch query — no index, so no cached scalars)
+    // (the INDEX-SERVING entries — search_bm25_served/sql/capped/
+    // filtered, search_hybrid_served/filtered, search_mlt[_filtered] —
+    // came OFF this list in round 13: cachedStats folds the per-version
+    // (n, avgdl) scalars into codegen literals, so their plans no
+    // longer carry ANY nested loop. The lifecycle entries
+    // (search_bm25_indexed/delta/delete/cdc) eager-materialize via
+    // disposeAfter and return a LocalRelation; serve-path plan shape is
+    // audited through the InvertedIndexSpec plan pins.)
+    "search_hybrid_rrf",               // from-scratch hybrid: inherits bm25's stats scalars + the broadcast probe sweep
     "search_suggest",                  // literal prefix table (3 rows) in a non-equi startsWith join
     "join_cardinality"                 // two 1-row sketch scalars crossed
   )
