@@ -360,7 +360,15 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
       if (dup.nonEmpty)
         throw new GraftCommitConflict(
           s"cannot publish WAP '$id': file(s) already live: ${dup.mkString(", ")}")
-      GraftManifestIO.Content(base.schema, base.properties,
+      // stream exactly-once across the publish boundary: the staged
+      // ref's batch stamps ([[stageWapBatch]]) move into the head's
+      // properties — max-merged, so a stale staged stamp can never
+      // REGRESS a newer one the head already carries
+      val streamStamps = staged.properties.collect {
+        case (k, v) if k.startsWith("graft.stream.") =>
+          k -> base.properties.get(k).fold(v)(b => math.max(b.toLong, v.toLong).toString)
+      }
+      GraftManifestIO.Content(base.schema, base.properties ++ streamStamps,
         base.files ++ added.map(_.copy(seq = GraftManifestIO.PendingSeq)),
         base.deletes, base.eqDeletes)
     }
@@ -383,6 +391,83 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
     removed.foreach(p => fs.delete(new Path(tableDir, p), false))
     fs.delete(wapFile(id), false)
     removed
+  }
+
+  /** Stage a STREAM micro-batch's files under WAP ref `id`,
+    * ACCUMULATING across batches: the first batch creates the ref
+    * (exclusive create, like [[stageWap]]), later ones rewrite it via
+    * temp+rename, and `stampKey -> batchId` rides in the staged
+    * properties so a replayed batch (restart between the stage and the
+    * checkpoint advance) is refused by the ref itself — and, after
+    * publish moved the stamp into the head's properties, by the head.
+    * Audit reads (`VERSION AS OF '<id>'`) see base ∪ every staged
+    * batch; publish cherry-picks them all in one OCC commit.
+    *
+    * Single writer per ref — one stream stages one audit window; a
+    * second stream uses a distinct ref (same contract as checkpoint
+    * dirs). The rewrite is temp+rename (atomic on HDFS-likes), with a
+    * delete-before-rename sliver in which an audit read retries like
+    * any create/write visibility race.
+    *
+    * Returns false when the batch was already staged or published
+    * (replay) — the caller drops its redundantly written files.
+    */
+  def stageWapBatch(id: String, added: Seq[FileEntry], stampKey: String,
+      batchId: Long): Boolean = {
+    requireWapId(id)
+    if (wapExists(id)) {
+      val staged = readWap(id)
+      if (staged.properties.get(stampKey).exists(_.toLong >= batchId)) return false
+      val provisional = added.map(f => f.copy(seq = staged.version + 1))
+      val prior = staged.properties.getOrElse(GraftManifestIO.WapAdded, "")
+        .split(",").filter(_.nonEmpty)
+      val next = staged.copy(
+        properties = staged.properties +
+          (stampKey -> batchId.toString) +
+          (GraftManifestIO.WapAdded ->
+            (prior ++ added.map(_.path)).mkString(",")),
+        files = staged.files ++ provisional)
+      val target = wapFile(id)
+      val tmp = new Path(tableDir,
+        s"manifests/.wap-$id.${java.util.UUID.randomUUID().toString.replace("-", "")}.tmp")
+      val out = fs.create(tmp, false)
+      try out.write(GraftManifestIO.toJson(next).getBytes("UTF-8")) finally out.close()
+      fs.delete(target, false)
+      if (!fs.rename(tmp, target)) {
+        fs.delete(tmp, false)
+        throw new GraftCommitConflict(
+          s"WAP ref '$id' restage rename failed at $tableDir")
+      }
+      true
+    } else {
+      // not staged: the batch may have been PUBLISHED already (publish
+      // carries the stream stamps into the head's properties)
+      if (currentSnapshot().exists(_.properties.get(stampKey).exists(_.toLong >= batchId)))
+        return false
+      val base = currentSnapshot().getOrElse(throw new GraftCommitConflict(
+        s"cannot stage WAP '$id': no committed snapshot at $tableDir"))
+      val provisional = added.map(f => f.copy(seq = base.version + 1))
+      val staged = GraftSnapshot(
+        version = base.version,
+        parent = Some(base.version),
+        operation = s"wap-stage:stream-append",
+        schema = base.schema,
+        properties = base.properties +
+          (GraftManifestIO.WapId -> id) +
+          (GraftManifestIO.WapBase -> base.version.toString) +
+          (GraftManifestIO.WapAdded -> added.map(_.path).mkString(",")) +
+          (stampKey -> batchId.toString),
+        files = base.files ++ provisional,
+        deletes = base.deletes,
+        eqDeletes = base.eqDeletes)
+      val target = wapFile(id)
+      fs.mkdirs(target.getParent)
+      if (!writeExclusive(target, GraftManifestIO.toJson(staged).getBytes("UTF-8")))
+        throw new GraftCommitConflict(
+          s"WAP ref '$id' already staged at $tableDir — two streams on one ref? " +
+            "each stream needs its own audit ref")
+      true
+    }
   }
 
   /** Staged WAP refs currently present (for removeOrphans protection

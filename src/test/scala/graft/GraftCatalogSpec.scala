@@ -567,6 +567,69 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT sum(v) FROM $cat.db.sink").head.getLong(0) == 36L)
   }
 
+  test("streaming sink under a WAP ref: batches stage invisibly, audits read them, publish lands the window exactly-once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    spark.sql(s"CREATE TABLE $cat.db.wsink (v BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.wsink VALUES (100)") // pre-existing head content
+    val tableDir = s"$warehouse/db/wsink"
+
+    val input = MemoryStream[Long]
+    val q = input.toDS().toDF("v").writeStream
+      .foreachBatch(
+        graft.streaming.GraftStreamSink.idempotentAppendWap(tableDir, "audit-1") _)
+      .start()
+    try {
+      input.addData(1L, 2L, 3L); q.processAllAvailable()
+      input.addData(4L, 5L); q.processAllAvailable()
+    } finally q.stop()
+    // the main table never saw the stream; the audit ref sees base +
+    // BOTH staged batches (the ref accumulates, unlike one-shot stageWap)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wsink").head.getLong(0) == 100L,
+      "staged stream leaked into the version chain")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wsink VERSION AS OF 'audit-1'")
+      .head.getLong(0) == 115L, "audit read missed staged batches")
+
+    val io = manifestIO("wsink")
+    val stagedBatch = io.readWap("audit-1")
+      .properties(graft.streaming.GraftStreamSink.BatchIdProp).toLong
+    // a replayed batch WHILE STAGED: refused by the ref's own stamp
+    graft.streaming.GraftStreamSink.idempotentAppendWap(tableDir, "audit-1")(
+      spark.range(900, 910).toDF("v"), stagedBatch)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wsink VERSION AS OF 'audit-1'")
+      .head.getLong(0) == 115L, "replay while staged double-counted")
+    assert(io.removeOrphans().isEmpty, "replay while staged left orphans")
+
+    // an interleaved direct writer lands mid-audit; publish cherry-picks
+    // the audited window onto the CURRENT head (composes, not clobbers)
+    spark.sql(s"INSERT INTO $cat.db.wsink VALUES (200)")
+    spark.sql(s"CALL $cat.system.wap_publish('db.wsink', 'audit-1')")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wsink").head.getLong(0) == 315L,
+      "publish lost the direct write or a staged batch")
+    assert(!io.wapExists("audit-1"), "publish must retire the ref")
+
+    // the stamp traveled into the head: a POST-PUBLISH replay is refused
+    val versionAfter = io.currentVersion().get
+    graft.streaming.GraftStreamSink.idempotentAppendWap(tableDir, "audit-1")(
+      spark.range(900, 910).toDF("v"), stagedBatch)
+    assert(io.currentVersion().get == versionAfter, "post-publish replay restaged")
+    assert(!io.wapExists("audit-1") && io.removeOrphans().isEmpty,
+      "post-publish replay left a ref or orphans")
+
+    // the next batch under the same ref opens a FRESH audit window;
+    // abort discards it and its files
+    graft.streaming.GraftStreamSink.idempotentAppendWap(tableDir, "audit-1")(
+      spark.range(10, 12).toDF("v"), stagedBatch + 1)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wsink").head.getLong(0) == 315L,
+      "new audit window leaked to the head")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wsink VERSION AS OF 'audit-1'")
+      .head.getLong(0) == 336L, "new audit window not staged")
+    spark.sql(s"CALL $cat.system.wap_abort('db.wsink', 'audit-1')")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.db.wsink").head.getLong(0) == 315L)
+    assert(io.removeOrphans().isEmpty, "abort left the staged window's files")
+  }
+
   test("z-order rewrite tightens file stats so 2-D predicates prune") {
     spark.sql(s"CREATE TABLE $cat.db.zord (x BIGINT, y BIGINT, v STRING)")
     // random-ish scatter: every file spans the whole (x, y) domain
