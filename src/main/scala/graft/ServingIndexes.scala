@@ -103,6 +103,36 @@ object ServingIndexes {
       dir
     })
 
+  private val shardedLexDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val shardedAnnDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Shared 3-shard lexical federation over `documents`
+    * ([[operators.ShardedIndex]]) — the document-partitioned serving
+    * layout; `search_bm25_sharded` answers from it.
+    */
+  def shardedLexicalDir(spark: SparkSession, sfDir: String): String =
+    shardedLexDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = scratchDir("graft_served_shlex")
+      val docs = Tables(spark, sfDir).documents
+        .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+        .select("doc_id", "text")
+      operators.ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 3)
+      dir
+    })
+
+  /** Shared 3-shard ANN federation over the `ann_bruteforce` corpus
+    * split (vec_id >= 5; probes 0-4 stay out) — `ann_sharded` serves
+    * full-probe from it, exact by construction.
+    */
+  def shardedAnnDir(spark: SparkSession, sfDir: String): String =
+    shardedAnnDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = scratchDir("graft_served_shann")
+      val emb = Tables(spark, sfDir).embeddings.filter(col("vec_id") >= 5)
+      operators.ShardedIndex.buildShardedAnn(emb, "vec_id", "embedding", dir,
+        shards = 3, nCells = 8)
+      dir
+    })
+
   /** Fresh scratch dir registered for JVM-exit deletion (backstop for
     * dirs whose owner never disposes eagerly).
     */

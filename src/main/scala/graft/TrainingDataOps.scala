@@ -2757,6 +2757,90 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_bm25_sharded",
+      // DOCUMENT-PARTITIONED federation serve (ShardedIndex): the query
+      // fans out to 3 independent per-shard indexes and scores with
+      // federation-GLOBAL statistics (n/sumdl/df summed across the
+      // shards' sidecars driver-side — per-shard idf would make ranks
+      // incomparable across shards), so the answer is hash-identical
+      // to ONE index over the whole corpus and shares search_bm25_sql's
+      // oracle verbatim. Each shard's scan keeps its bucket pruning +
+      // pushed terms; shards build/maintain/export independently — the
+      // layout a 100 TB serving cluster actually runs.
+      (spark, dir) => {
+        val idx = ServingIndexes.shardedLexicalDir(spark, dir)
+        operators.ShardedIndex.bm25TopKTextSharded(spark, idx,
+            Seq("fast key scan", "table value"), k = 5)
+          .orderBy("q", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), qd AS (
+          SELECT DISTINCT q, unnest(regexp_split_to_array(q, '\s+')) AS tok
+          FROM (VALUES ('fast key scan'), ('table value')) t(q)
+        ), scores AS (
+          SELECT qd.q, s.doc_id, CAST(sum(i.idf_fp * s.sat_fp) AS BIGINT) AS score_fp
+          FROM sat s JOIN qd ON s.tok = qd.tok JOIN idf i ON i.tok = s.tok
+          GROUP BY 1, 2
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT q, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY q ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
+      "ann_sharded",
+      // the dense federation twin: probes fan out to 3 independent
+      // per-shard IVF indexes (each trained on its own slice) and the
+      // per-shard top-k lists merge by exact cosine. Full probe
+      // (nProbe = nCells) makes every shard exact over its slice, so
+      // the merged answer is the EXACT global top-k — ann_bruteforce's
+      // oracle verbatim; partial probes are the per-shard recall knob
+      // (spec-gated in ShardedIndexSpec)
+      (spark, dir) => {
+        import spark.implicits._
+        val idx = ServingIndexes.shardedAnnDir(spark, dir)
+        val probes = Tables(spark, dir).embeddings.filter($"vec_id" < 5)
+        operators.ShardedIndex.annTopKSharded(probes, "vec_id", "embedding",
+            idx, k = 5, nProbe = 8)
+          .orderBy("probe_id", "rank")
+      },
+      Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+             p AS (SELECT * FROM e WHERE vec_id < 5),
+             c AS (SELECT * FROM e WHERE vec_id >= 5)
+        SELECT p.vec_id AS probe_id, c.vec_id AS neighbor_id,
+               list_cosine_similarity(p.v, c.v) AS cosine,
+               CAST(row_number() OVER (PARTITION BY p.vec_id
+                    ORDER BY list_cosine_similarity(p.v, c.v) DESC, c.vec_id) AS INT) AS rank
+        FROM p, c
+        QUALIFY rank <= 5
+        ORDER BY probe_id, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_index_delta",
       // incremental index maintenance: build on half the corpus, fold the
       // other half in via addDelta — churn-sized postings append + a

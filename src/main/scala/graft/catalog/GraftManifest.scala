@@ -415,6 +415,15 @@ final class GraftManifestIO(val tableDir: Path, conf: Configuration) {
   def stageWapBatch(id: String, added: Seq[FileEntry], stampKey: String,
       batchId: Long): Boolean = {
     requireWapId(id)
+    // publish migrates exactly the `graft.stream.` property namespace
+    // into the head ([[publishWap]]); a stamp outside it would stage
+    // fine but lose its post-publish replay protection SILENTLY — the
+    // same loud-contract posture as the bucketing modulus checks
+    require(stampKey.startsWith("graft.stream."),
+      s"WAP stream stamp key '$stampKey' must live under the " +
+        "'graft.stream.' namespace — publish migrates only that prefix " +
+        "into the head's properties, so any other key would lose " +
+        "post-publish replay protection")
     if (wapExists(id)) {
       val staged = readWap(id)
       if (staged.properties.get(stampKey).exists(_.toLong >= batchId)) return false

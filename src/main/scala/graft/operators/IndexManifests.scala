@@ -147,9 +147,11 @@ private[graft] object IndexManifests {
     val hit = statsCache.get(key)
     if (hit != null) return hit
     val gen = dirGen.get(dir)
-    import org.apache.spark.sql.functions.sum
+    import org.apache.spark.sql.functions.{coalesce, lit, sum}
+    // coalesce: an EMPTY index (legal — e.g. a federation shard no doc
+    // routed to) writes n=0 with a NULL sumdl (sum over zero rows)
     val row = spark.read.parquet(s"$dir/$statsRel")
-      .agg(sum("n"), sum("sumdl")).head()
+      .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("sumdl"), lit(0L))).head()
     val v = (row.getLong(0), row.getLong(1))
     if (statsCache.size >= ManifestCacheMax) statsCache.clear()
     if (java.util.Objects.equals(dirGen.get(dir), gen)) statsCache.put(key, v)
@@ -164,10 +166,15 @@ private[graft] object IndexManifests {
     * reads ONLY the unseen terms (pushed `tok IN (...)` scan — still
     * probe-sized, never the vocabulary). Absent-from-vocab terms are
     * cached as ABSENT (the sentinel) so unknown-term probes don't
-    * re-scan forever. Bounded per rel (clear-on-overflow) so query
-    * diversity cannot pin vocabulary-sized driver memory.
+    * re-scan forever. Bounded on BOTH axes: per rel (clear-on-overflow)
+    * so query diversity cannot pin vocabulary-sized driver memory, and
+    * on the NUMBER of rels (clear-on-overflow like the manifest cache)
+    * — every index mutation writes a fresh vocab rel, so a long-running
+    * CDC stream would otherwise accumulate one dead inner map per
+    * superseded version forever.
     */
   private val TermDfCacheMax = 1 << 16
+  private val TermDfRelsMax = 64
   private val AbsentDf = java.lang.Long.valueOf(-1L)
   private val termDfCache = new java.util.concurrent.ConcurrentHashMap[
     (String, String), java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]]()
@@ -176,6 +183,9 @@ private[graft] object IndexManifests {
   def cachedTermDfs(spark: SparkSession, dir: String, vocabRel: String,
       toks: Seq[String]): Map[String, Long] = {
     val gen = dirGen.get(dir)
+    if (termDfCache.size >= TermDfRelsMax &&
+        !termDfCache.containsKey((dir, vocabRel)))
+      termDfCache.clear()
     val m = termDfCache.computeIfAbsent((dir, vocabRel),
       _ => new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
     val distinct = toks.distinct

@@ -1118,6 +1118,21 @@ object InvertedIndex {
     }
   }
 
+  /** Live candidate posting rows for a bounded term list — the
+    * federation's per-shard scan unit ([[ShardedIndex]]): bucket
+    * pruning, token-range file skipping, the pushed term filter, and
+    * tombstone coverage all apply exactly as in [[serveBm25]]; only
+    * the scoring (which needs federation-GLOBAL statistics) stays with
+    * the caller.
+    */
+  private[graft] def candidateRows(spark: SparkSession, dir: String,
+      m: Manifest, terms: Seq[String]): DataFrame = {
+    val termList = Some(terms.distinct)
+    val probeBuckets = terms.map(DriverEval.bucketOf(_, m.buckets)).toSet
+    pushTerms(liveRows(spark, dir, m, selectFiles(m, probeBuckets, termList)), termList)
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+  }
+
   /** Bounded driver-side term list for skip/pushdown, or None when the
     * query's vocabulary exceeds [[MaxTermPrune]].
     */

@@ -1,0 +1,343 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DOCUMENT-PARTITIONED index federation — the shape a 100 TB serving
+  * deployment actually takes (one index per shard built/maintained by
+  * its own cluster or job; queries fan out to every shard and merge),
+  * layered on the existing manifest-committed indexes with ZERO new
+  * commit machinery:
+  *
+  *  - layout: `dir/shard=i` is a complete, independent
+  *    [[InvertedIndex]] (or [[AnnIndex]]) root with its own manifest
+  *    chain, OCC claims, maintenance, stream stamps, export — every
+  *    per-index guarantee holds per shard unchanged. `dir/shards.json`
+  *    pins the shard count (written LAST at build, exclusive-create:
+  *    a crashed build leaves no readable federation, the same
+  *    invisible-orphans posture as every manifest claim).
+  *  - routing: a document belongs to shard `pmod(xxhash64(id), S)` —
+  *    the same engine hash the bucket layout uses. Maintenance
+  *    batches (delta/CDC/delete) split by the route and touch ONLY
+  *    the shards their ids map to; other shards' manifests never
+  *    advance (spec-pinned).
+  *  - serving: queries fan out to every shard. BM25 scoring needs
+  *    GLOBAL statistics to rank across shards — per-shard idf would
+  *    make scores incomparable (a term rare in one shard but common
+  *    overall would overweight that shard's docs). The serve
+  *    aggregates n/sumdl from each shard's cached stats scalars and
+  *    per-term df across shards' vocab sidecars (both driver-side,
+  *    probe-sized, through the per-version caches), then scores the
+  *    unioned candidate rows with the single-index arithmetic — so a
+  *    sharded serve is HASH-IDENTICAL to the unsharded index over the
+  *    same corpus (spec- and oracle-pinned). Every per-shard scan
+  *    keeps its bucket pruning + pushed term filter + token-range
+  *    skipping; the fan-out adds plan width, never read amplification
+  *    (each doc's postings live in exactly one shard).
+  *
+  * Why shard at all, when buckets already partition the postings?
+  * Buckets split by TERM (a query prunes to its terms' buckets);
+  * shards split by DOCUMENT — builds parallelize across clusters,
+  * maintenance isolates (one shard compacts while others serve), blast
+  * radius shrinks (a corrupt shard rebuilds from 1/S of the corpus),
+  * and [[InvertedIndex.exportIndex]] promotes shards independently.
+  * Term-pruning composes with it: the federation is S × (bucket-pruned
+  * scans), the classic document-partitioned search-cluster layout
+  * (cf. reference's sharded-backfill posture,
+  * /root/reference/src/main/scala/main.scala's parallelism knobs).
+  */
+object ShardedIndex {
+
+  /** Shard a document id — the SAME engine hash family as the bucket
+    * layout ([[DriverEval.bucketOf]] is its driver twin); ids are cast
+    * to long like the postings' doc_id column.
+    */
+  private def routeOf(id: Column, shards: Int): Column =
+    pmod(xxhash64(id.cast("long")), lit(shards.toLong)).cast("int")
+
+  private def shardsPath(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/shards.json")
+
+  def shardDir(dir: String, i: Int): String = s"$dir/shard=$i"
+
+  /** Shard count pinned at build; loud refusal when the federation
+    * marker is missing (an un-built or half-built tree must never
+    * serve).
+    */
+  def shardCount(spark: SparkSession, dir: String): Int = {
+    val p = shardsPath(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(f.exists(p),
+      s"no sharded index at $dir — shards.json is written by buildSharded " +
+        "as the federation's commit marker (a crashed build never writes it)")
+    val in = f.open(p)
+    val body = try new String(in.readAllBytes(), "UTF-8") finally in.close()
+    val m = """"shards"\s*:\s*(\d+)""".r.findFirstMatchIn(body)
+      .getOrElse(sys.error(s"malformed shards.json at $dir: $body"))
+    m.group(1).toInt
+  }
+
+  private def writeShardsFile(spark: SparkSession, dir: String, shards: Int): Unit = {
+    val p = shardsPath(dir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.mkdirs(p.getParent)
+    val out = f.create(p, false) // exclusive: a second build fails loudly
+    try out.write(s"""{"shards": $shards}""".getBytes("UTF-8")) finally out.close()
+  }
+
+  // ---- lexical federation ---------------------------------------------
+
+  /** Build an S-shard lexical federation. The corpus is routed ONCE
+    * into a staging tree partitioned by shard (one corpus pass — at
+    * real scale this is the step that runs as S independent builds on
+    * S clusters over pre-partitioned inputs; [[InvertedIndex.build]]
+    * re-scans its input several times, so each shard build must read a
+    * shard-sized slice, never re-filter the full corpus S times), then
+    * each shard builds independently and the staging tree is swept.
+    * shards.json lands LAST — the federation's commit marker.
+    */
+  def buildSharded(docs: DataFrame, idCol: String, textCol: String, dir: String,
+      shards: Int, buckets: Int = InvertedIndex.DefaultBuckets,
+      withPositions: Boolean = true, metaCols: Seq[String] = Nil): Unit = {
+    require(shards >= 1, s"buildSharded needs shards >= 1, got $shards")
+    val spark = docs.sparkSession
+    require(!shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(shardsPath(dir)),
+      s"sharded index already committed at $dir")
+    val staging = s"$dir/_route_staging"
+    docs.withColumn("__shard", routeOf(col(idCol), shards))
+      .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
+    try {
+      (0 until shards).foreach { i =>
+        val slice = shardSlice(spark, staging, i, docs.schema)
+        InvertedIndex.build(slice, idCol, textCol, shardDir(dir, i),
+          buckets, withPositions = withPositions, metaCols = metaCols)
+      }
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+    writeShardsFile(spark, dir, shards)
+  }
+
+  /** One shard's routed slice — or an empty, schema-correct relation
+    * when nothing routed there (partitionBy writes no dir for an empty
+    * partition; a sparse corpus must still build ALL declared shards so
+    * the federation serves uniformly).
+    */
+  private def shardSlice(spark: SparkSession, staging: String, i: Int,
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$staging/__shard=$i")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.schema(schema).parquet(p.toString)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** Split a maintenance batch by route and return only the NON-EMPTY
+    * (shard, slice) pairs — the other shards are never touched (their
+    * manifest versions don't advance; spec-pinned). The distinct-shard
+    * probe is one churn-sized job bounded by S values.
+    */
+  private def routedSlices(batch: DataFrame, idCol: String,
+      shards: Int): Seq[(Int, DataFrame)] = {
+    val routed = batch.withColumn("__shard", routeOf(col(idCol), shards))
+    val hit = routed.select("__shard").distinct()
+      .collect().map(_.getInt(0)).sorted
+    hit.toSeq.map(i => i -> routed.filter(col("__shard") === i).drop("__shard"))
+  }
+
+  /** Fold new documents in — each affected shard gets ONE churn-sized
+    * [[InvertedIndex.addDelta]]; untouched shards never advance.
+    */
+  def addDeltaSharded(delta: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val n = shardCount(delta.sparkSession, dir)
+    routedSlices(delta, idCol, n).foreach { case (i, slice) =>
+      InvertedIndex.addDelta(slice, idCol, textCol, shardDir(dir, i))
+    }
+  }
+
+  /** CDC upsert across the federation: a doc's upsert and removal route
+    * to the SAME shard by construction (one id, one route), so each
+    * shard's [[InvertedIndex.applyCdc]] claim keeps its atomicity —
+    * cross-shard, batches apply shard-at-a-time (each idempotent;
+    * documented federation semantics, same as S independent pipelines).
+    */
+  def applyCdcSharded(upserts: DataFrame, removals: DataFrame, idCol: String,
+      textCol: String, dir: String): Unit = {
+    val spark = upserts.sparkSession
+    val n = shardCount(spark, dir)
+    val up = routedSlices(upserts, idCol, n).toMap
+    val rm = routedSlices(removals, idCol, n).toMap
+    def emptyLike(a: DataFrame) = a.filter(lit(false))
+    (up.keySet ++ rm.keySet).toSeq.sorted.foreach { i =>
+      InvertedIndex.applyCdc(
+        up.getOrElse(i, emptyLike(upserts)),
+        rm.getOrElse(i, emptyLike(removals)),
+        idCol, textCol, shardDir(dir, i))
+    }
+  }
+
+  /** Tombstone documents across the federation — only the shards their
+    * ids route to scan and commit.
+    */
+  def deleteDocsSharded(ids: DataFrame, idCol: String, dir: String): Unit = {
+    val n = shardCount(ids.sparkSession, dir)
+    routedSlices(ids, idCol, n).foreach { case (i, slice) =>
+      InvertedIndex.deleteDocs(slice, idCol, shardDir(dir, i))
+    }
+  }
+
+  /** Compact every shard (independent claims — at real scale these run
+    * on each shard's own maintenance cadence; here a convenience).
+    */
+  def compactSharded(spark: SparkSession, dir: String): Unit =
+    (0 until shardCount(spark, dir)).foreach(i =>
+      InvertedIndex.compact(spark, shardDir(dir, i)))
+
+  /** BM25 over the federation, HASH-IDENTICAL to the unsharded index:
+    * global n/sumdl are the sums of the shards' cached stats scalars,
+    * global per-term df sums across the shards' vocab sidecars (all
+    * driver-side, probe-sized, via the per-version caches — a doc set
+    * PARTITIONS across shards, so the sums are exactly the unsharded
+    * corpus statistics), and the candidate rows are the union of each
+    * shard's bucket-pruned + term-pushed + range-skipped scan. One
+    * groupBy + one window over the union — the fan-out widens the plan
+    * by S scans but reads the same posting rows a single index would.
+    */
+  def bm25TopKTextSharded(spark: SparkSession, dir: String,
+      queries: Seq[String], k: Int = 5): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKTextSharded needs at least one query")
+    val n = shardCount(spark, dir)
+    val sdirs = (0 until n).map(shardDir(dir, _))
+    val manifests = sdirs.map(d => d -> InvertedIndex.currentManifest(spark, d))
+    val pairs = queries.flatMap(q =>
+      DriverEval.tokenize(q).distinct.map(t => (q, t))).distinct
+    val terms = pairs.map(_._2).distinct
+    require(terms.size <= InvertedIndex.MaxTermPrune,
+      s"bm25TopKTextSharded queries exceed ${InvertedIndex.MaxTermPrune} distinct " +
+        "terms — batch fewer queries (the sharded serve is the serving-text shape)")
+    // GLOBAL statistics: sums over the federation (driver scalars)
+    val stats = manifests.map { case (d, m) =>
+      IndexManifests.cachedStats(spark, d, m.statsDir) }
+    val nDocs = stats.map(_._1).sum
+    val sumdl = stats.map(_._2).sum
+    val dfGlobal: Map[String, Long] = manifests
+      .map { case (d, m) => IndexManifests.cachedTermDfs(spark, d, m.vocabDir, terms) }
+      .foldLeft(Map.empty[String, Long]) { (acc, one) =>
+        one.foldLeft(acc) { case (a, (t, df)) => a.updated(t, a.getOrElse(t, 0L) + df) }
+      }
+    val candidates = manifests
+      .map { case (d, m) => InvertedIndex.candidateRows(spark, d, m, terms) }
+      .reduce(_ unionByName _)
+    scoreGlobal(spark, candidates, pairs, dfGlobal, nDocs, sumdl, k)
+  }
+
+  /** The single-index scoring arithmetic ([[InvertedIndex]]'s
+    * scoreAndRank) over federation-global statistics. idf is a
+    * driver-built probe-sized local relation (global df has no single
+    * vocab sidecar to scan); everything else is the same integer
+    * fixed point, so sharded answers hash-match the unsharded oracle.
+    */
+  private def scoreGlobal(spark: SparkSession, candidates: DataFrame,
+      pairs: Seq[(String, String)], dfGlobal: Map[String, Long],
+      nDocs: Long, sumdl: Long, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val avgdlFp = if (nDocs == 0) 1L else 100L * sumdl / nDocs
+    val idf = dfGlobal.toSeq.map { case (t, df) =>
+      (t, (2L * nDocs - 2L * df + 1L) * 1000L / (2L * df + 1L))
+    }.toDF("tok", "__idf_fp")
+    val qterms = pairs.toDF("probe_id", "tok")
+    val sat = candidates
+      .select(col("doc_id"), col("tok"),
+        expr(s"22L * tf * ${avgdlFp}L * 10000L div " +
+          s"(10L * tf * ${avgdlFp}L + 3L * ${avgdlFp}L + 900L * dl)").as("__sat_fp"))
+    val scored = sat
+      .join(broadcast(qterms), Seq("tok"))
+      .join(broadcast(idf), Seq("tok"))
+      .groupBy(col("probe_id"), col("doc_id"))
+      .agg(sum(col("__idf_fp") * col("__sat_fp")).as("__score_fp"))
+    val rank = Window.partitionBy(col("probe_id"))
+      .orderBy(col("__score_fp").desc, col("doc_id").asc)
+    scored.withColumn("rank", row_number().over(rank))
+      .filter(col("rank") <= k)
+      .select(col("probe_id").as("q"), col("rank"), col("doc_id"),
+        (col("__score_fp").cast("double") / 1.0e7).as("score"))
+  }
+
+  // ---- dense federation -----------------------------------------------
+
+  /** Build an S-shard ANN federation: each shard trains its OWN
+    * centroids on its slice (shard-local quantizers — the federation
+    * never needs a global codebook; a probe fans out and each shard
+    * answers from its own geometry). Every shard must receive at least
+    * one vector (quantizer training needs data): fewer vectors than
+    * shards is a config error, loudly.
+    */
+  def buildShardedAnn(emb: DataFrame, idCol: String, vecCol: String, dir: String,
+      shards: Int, nCells: Int = AnnIndex.DefaultCells,
+      metaCols: Seq[String] = Nil): Unit = {
+    require(shards >= 1, s"buildShardedAnn needs shards >= 1, got $shards")
+    val spark = emb.sparkSession
+    require(!shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(shardsPath(dir)),
+      s"sharded index already committed at $dir")
+    val staging = s"$dir/_route_staging"
+    emb.withColumn("__shard", routeOf(col(idCol), shards))
+      .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
+    try {
+      (0 until shards).foreach { i =>
+        val slice = shardSlice(spark, staging, i, emb.schema)
+        require(!slice.isEmpty,
+          s"ANN shard $i of $dir received no vectors — quantizer training " +
+            "needs data in every shard; use fewer shards for this corpus")
+        AnnIndex.build(slice, idCol, vecCol, shardDir(dir, i), nCells,
+          metaCols = metaCols)
+      }
+    } finally {
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    }
+    writeShardsFile(spark, dir, shards)
+  }
+
+  /** Fold new vectors into the federation (per-shard
+    * [[AnnIndex.addDelta]] against each shard's persisted centroids).
+    */
+  def addDeltaShardedAnn(delta: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val n = shardCount(delta.sparkSession, dir)
+    routedSlices(delta, idCol, n).foreach { case (i, slice) =>
+      AnnIndex.addDelta(slice, idCol, vecCol, shardDir(dir, i))
+    }
+  }
+
+  /** ANN top-`k` over the federation: fan the probes out (each shard
+    * answers its own top-k from its nProbe nearest cells — per-shard
+    * cell pruning intact), then merge by exact score. Cosine
+    * is computed by the same expression in every shard, so scores are
+    * comparable and the merge is a window re-rank. With
+    * `nProbe >= nCells` every shard's answer is exact over its slice,
+    * and the merged answer is the EXACT global top-k (oracle-gated
+    * against brute force); partial probes trade recall per shard the
+    * same way a single IVF index does.
+    */
+  def annTopKSharded(probes: DataFrame, idCol: String, vecCol: String,
+      dir: String, k: Int, nProbe: Int = 4,
+      excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = probes.sparkSession
+    val n = shardCount(spark, dir)
+    val perShard = (0 until n).map(i =>
+      AnnIndex.topK(probes, idCol, vecCol, shardDir(dir, i), k, nProbe,
+        excludeSelf = excludeSelf))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    perShard.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+}

@@ -212,6 +212,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.operators.InvertedIndex.bm25TopKTextApprox(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"))
     }
+    // document-partitioned federation serve (ShardedIndex roots built
+    // by buildSharded; global-statistics scoring, unsharded-identical)
+    tvf("graft_bm25_sharded", "(dir, query, k)", 3, 3) { args =>
+      graft.operators.ShardedIndex.bm25TopKTextSharded(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"))
+    }
     tvf("graft_phrase", "(dir, phrase, k)", 3, 3) { args =>
       graft.operators.InvertedIndex.phraseTopK(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "phrase")), intArg(args(2), "k"))

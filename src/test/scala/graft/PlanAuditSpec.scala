@@ -118,6 +118,7 @@ class PlanAuditSpec extends SparkSpec {
     "ann_lsh"               -> "probe bucket set, require-capped",
     "ann_ivf"               -> "probed-cell set, maxProbes-capped",
     "ann_ivf_indexed"       -> "broadcast probe (id, vec, cell) rows: bounded by the probe contract",
+    "ann_sharded"           -> "same probe (id, vec, cell) broadcast, once per shard of the federation",
     "ann_ivf_filtered"      -> "probe contract + vector-count-sized meta sidecar semi-join",
     "ann_range"             -> "broadcast probe set, require-capped",
     "mine_hard_negatives"   -> "broadcast probe set, require-capped",

@@ -1,0 +1,179 @@
+package graft
+
+import graft.operators.{AnnIndex, InvertedIndex, ShardedIndex, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Document-partitioned index federation: per-shard builds/maintenance
+  * must be independent (untouched shards never advance), and the
+  * fan-out serve must be HASH-IDENTICAL to the unsharded index over
+  * the same corpus — global BM25 statistics are the load-bearing part
+  * (per-shard idf would make cross-shard ranks incomparable).
+  */
+class ShardedIndexSpec extends SparkSpec {
+
+  private def docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "beta beta delta"),
+      (2L, "alpha delta epsilon epsilon epsilon"),
+      (3L, "gamma gamma beta alpha delta"),
+      (4L, "zeta eta theta"),
+      (5L, "alpha beta"),
+      (6L, "delta epsilon zeta"),
+      (7L, "beta gamma delta epsilon"),
+      (8L, "epsilon zeta alpha"),
+      (9L, "theta alpha beta beta")
+    ).toDF("doc_id", "text")
+  }
+
+  private val queries = Seq("alpha delta", "beta epsilon", "zeta theta")
+
+  private def served(df: org.apache.spark.sql.DataFrame) =
+    df.orderBy("q", "rank").collect().map(_.toSeq).toSeq
+
+  private def shardVersions(dir: String, n: Int): Seq[Long] =
+    (0 until n).map(i =>
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(dir, i)).version)
+
+  private def routeOf(id: Long, shards: Int): Int = {
+    val s = spark
+    import s.implicits._
+    Seq(id).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(shards.toLong)).cast("int"))
+      .head().getInt(0)
+  }
+
+  test("sharded BM25 serve is hash-identical to the unsharded index (global statistics)") {
+    val flat = java.nio.file.Files.createTempDirectory("shidx_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_fed").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    val expect = served(InvertedIndex.bm25TopKText(spark, flat, queries, k = 5))
+    val got    = served(ShardedIndex.bm25TopKTextSharded(spark, shrd, queries, k = 5))
+    assert(got == expect,
+      "sharded serve diverged from the unsharded index over the same corpus")
+    // every doc landed in exactly one shard: per-shard doc counts sum
+    // to the corpus (the partition property global stats rely on)
+    val ns = (0 until 3).map { i =>
+      val d = ShardedIndex.shardDir(shrd, i)
+      val m = InvertedIndex.currentManifest(spark, d)
+      spark.read.parquet(s"$d/${m.statsDir}").agg(sum("n")).head().getLong(0)
+    }
+    assert(ns.sum == 10L, s"shard doc counts $ns do not partition the corpus")
+    assert(ns.count(_ > 0) > 1, "fixture degenerated: all docs in one shard")
+  }
+
+  test("maintenance touches only the shards its ids route to; serve tracks a rebuilt flat index") {
+    val s = spark
+    import s.implicits._
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_m").toString
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    val v0 = shardVersions(shrd, 3)
+
+    // delta: two new docs — only THEIR shards advance
+    val delta = Seq((100L, "omicron rho alpha"), (101L, "sigma tau")).toDF("doc_id", "text")
+    ShardedIndex.addDeltaSharded(delta, "doc_id", "text", shrd)
+    val hit = Set(routeOf(100L, 3), routeOf(101L, 3))
+    val v1 = shardVersions(shrd, 3)
+    (0 until 3).foreach { i =>
+      if (hit(i)) assert(v1(i) > v0(i), s"shard $i should have advanced")
+      else assert(v1(i) == v0(i), s"shard $i advanced without receiving docs")
+    }
+
+    // CDC: doc 4 re-texted (upsert+removal route to ONE shard); delete doc 6
+    ShardedIndex.applyCdcSharded(
+      upserts = Seq((4L, "iota kappa")).toDF("doc_id", "text"),
+      removals = Seq((4L, "zeta eta theta")).toDF("doc_id", "text"),
+      "doc_id", "text", shrd)
+    ShardedIndex.deleteDocsSharded(Seq(6L).toDF("doc_id"), "doc_id", shrd)
+
+    // the federation must now serve exactly what a FRESH unsharded
+    // index over the post-maintenance corpus serves
+    val finalCorpus = docs.filter(col("doc_id") =!= 4L && col("doc_id") =!= 6L)
+      .unionByName(delta)
+      .unionByName(Seq((4L, "iota kappa")).toDF("doc_id", "text"))
+    val flat = java.nio.file.Files.createTempDirectory("shidx_m_flat").toString
+    InvertedIndex.build(finalCorpus, "doc_id", "text", flat)
+    val qs = queries ++ Seq("omicron kappa", "iota")
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, shrd, qs, k = 5))
+      == served(InvertedIndex.bm25TopKText(spark, flat, qs, k = 5)),
+      "post-maintenance sharded serve diverged from a rebuilt flat index")
+
+    // compaction runs per shard and changes nothing
+    ShardedIndex.compactSharded(spark, shrd)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, shrd, qs, k = 5))
+      == served(InvertedIndex.bm25TopKText(spark, flat, qs, k = 5)),
+      "compaction changed sharded answers")
+  }
+
+  test("a sparse corpus still builds every declared shard; empty shards serve as empty, not errors") {
+    val s = spark
+    import s.implicits._
+    val tiny = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_sparse").toString
+    ShardedIndex.buildSharded(tiny, "doc_id", "text", shrd, shards = 4)
+    val flat = java.nio.file.Files.createTempDirectory("shidx_sparse_flat").toString
+    InvertedIndex.build(tiny, "doc_id", "text", flat)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, shrd, Seq("alpha", "gamma"), k = 3))
+      == served(InvertedIndex.bm25TopKText(spark, flat, Seq("alpha", "gamma"), k = 3)),
+      "sparse federation diverged from the flat index")
+  }
+
+  test("loud contracts: no shards.json = no serve; double build refused") {
+    val dir = java.nio.file.Files.createTempDirectory("shidx_loud").toString
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.bm25TopKTextSharded(spark, dir, Seq("alpha"), k = 3)
+    }
+    assert(e.getMessage.contains("shards.json"), s"unhelpful refusal: ${e.getMessage}")
+    ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 2)
+    val e2 = intercept[IllegalArgumentException] {
+      ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 2)
+    }
+    assert(e2.getMessage.contains("already committed"), s"double build not refused: ${e2.getMessage}")
+  }
+
+  test("sharded ANN at full probe is the exact global top-k (matches brute force); deltas route per shard") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables(spark, sfDir).embeddings
+    val probes     = emb.filter($"vec_id" < 10)
+    val candidates = emb.filter($"vec_id" >= 10 && $"vec_id" < 200)
+    val dir = java.nio.file.Files.createTempDirectory("shidx_ann").toString
+    ShardedIndex.buildShardedAnn(candidates, "vec_id", "embedding", dir,
+      shards = 3, nCells = 4)
+    // nProbe >= nCells: each shard answers exactly over its slice, so
+    // the merged federation answer is the exact global top-k
+    val got = ShardedIndex.annTopKSharded(probes, "vec_id", "embedding", dir,
+        k = 10, nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(probes, candidates, "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == exact, "full-probe sharded ANN diverged from brute force")
+
+    // a delta folds into ITS shards against each shard's own centroids
+    val extra = emb.filter($"vec_id" >= 200 && $"vec_id" < 220)
+    ShardedIndex.addDeltaShardedAnn(extra, "vec_id", "embedding", dir)
+    val got2 = ShardedIndex.annTopKSharded(probes, "vec_id", "embedding", dir,
+        k = 10, nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val exact2 = Similarity.bruteForceTopK(probes,
+        candidates.unionByName(extra), "vec_id", "embedding", k = 10)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got2 == exact2, "post-delta sharded ANN diverged from brute force")
+  }
+
+  test("ANN federation refuses a shard with no vectors (quantizers need data)") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables(spark, sfDir).embeddings
+    val three = emb.filter($"vec_id" >= 10).limit(3)
+    val dir = java.nio.file.Files.createTempDirectory("shidx_ann_sparse").toString
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.buildShardedAnn(three, "vec_id", "embedding", dir,
+        shards = 16, nCells = 2)
+    }
+    assert(e.getMessage.contains("no vectors"), s"unhelpful refusal: ${e.getMessage}")
+  }
+}
