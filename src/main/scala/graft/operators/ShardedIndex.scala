@@ -149,12 +149,20 @@ object ShardedIndex {
 
   /** Fold new documents in — each affected shard gets ONE churn-sized
     * [[InvertedIndex.addDelta]]; untouched shards never advance.
+    *
+    * `stamp` threads the exactly-once batch stamp through to EACH
+    * affected shard's claim (shard manifests are independent chains, so
+    * each shard tracks its own high-water mark under the namespace): a
+    * replayed batch re-routes identically (deterministic hash) and
+    * every already-stamped shard refuses its slice — including the
+    * partial-crash case where a previous attempt died mid-loop with
+    * some shards committed and some not.
     */
   def addDeltaSharded(delta: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, stamp: Option[(String, Long)] = None): Unit = {
     val n = shardCount(delta.sparkSession, dir)
     routedSlices(delta, idCol, n).foreach { case (i, slice) =>
-      InvertedIndex.addDelta(slice, idCol, textCol, shardDir(dir, i))
+      InvertedIndex.addDelta(slice, idCol, textCol, shardDir(dir, i), stamp = stamp)
     }
   }
 
@@ -165,7 +173,7 @@ object ShardedIndex {
     * documented federation semantics, same as S independent pipelines).
     */
   def applyCdcSharded(upserts: DataFrame, removals: DataFrame, idCol: String,
-      textCol: String, dir: String): Unit = {
+      textCol: String, dir: String, stamp: Option[(String, Long)] = None): Unit = {
     val spark = upserts.sparkSession
     val n = shardCount(spark, dir)
     val up = routedSlices(upserts, idCol, n).toMap
@@ -175,7 +183,7 @@ object ShardedIndex {
       InvertedIndex.applyCdc(
         up.getOrElse(i, emptyLike(upserts)),
         rm.getOrElse(i, emptyLike(removals)),
-        idCol, textCol, shardDir(dir, i))
+        idCol, textCol, shardDir(dir, i), stamp = stamp)
     }
   }
 

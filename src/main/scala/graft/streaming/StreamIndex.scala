@@ -176,6 +176,73 @@ object StreamIndex {
     !replay
   }
 
+  /** foreachBatch handler growing a DOCUMENT-PARTITIONED federation
+    * ([[graft.operators.ShardedIndex]]): the batch routes by id hash
+    * and each affected shard folds its slice as one stamped delta —
+    * untouched shards never advance. Exactly-once is PER SHARD (shard
+    * manifests are independent chains, each tracking its own
+    * high-water mark under `cfg.ns`): a crash mid-loop leaves some
+    * shards stamped and some not, and the replay re-routes identically
+    * (deterministic hash), so the stamped shards refuse their slices
+    * while the rest apply — no shard ever double-counts a document.
+    * Cross-shard, a batch lands shard-at-a-time (the federation's
+    * documented semantics: S independent pipelines); GLOBAL-stats
+    * serving reads each shard's current manifest, so a half-landed
+    * batch serves like a half-applied delta — monotone, never
+    * corrupt. Maintenance cadence compacts every shard.
+    *
+    * Returns true if ANY shard applied new content (false = full
+    * replay).
+    */
+  def shardedInvertedBatch(cfg: Config, textCol: String)(
+      batch: DataFrame, batchId: Long): Boolean = {
+    import graft.operators.ShardedIndex
+    val spark = batch.sparkSession
+    val n = ShardedIndex.shardCount(spark, cfg.indexDir)
+    def stamped: Seq[Boolean] = (0 until n).map(i =>
+      InvertedIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
+        .exists(_ >= batchId))
+    val before = stamped
+    ShardedIndex.addDeltaSharded(batch, cfg.idCol, textCol, cfg.indexDir,
+      stamp = Some(cfg.ns -> batchId))
+    val applied = stamped.zip(before).exists { case (now, was) => now && !was }
+    maintain(cfg, batchId,
+      () => { ShardedIndex.compactSharded(spark, cfg.indexDir); n },
+      () => (0 until n).map(i => InvertedIndex.vacuum(spark,
+        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum)
+    applied
+  }
+
+  /** CDC foreachBatch against the federation: upsert and removal rows
+    * route to the SAME shard (one id, one route), so each shard's
+    * atomic applyCdc claim covers its whole slice — new postings,
+    * coverage tombstone, stats corrections, and the per-shard stamp in
+    * one commit. Same resolver contract as [[invertedCdcBatch]].
+    */
+  def shardedCdcBatch(cfg: Config, textCol: String, opCol: String,
+      oldTexts: DataFrame => DataFrame)(batch: DataFrame, batchId: Long): Boolean = {
+    import graft.operators.ShardedIndex
+    val spark = batch.sparkSession
+    val n = ShardedIndex.shardCount(spark, cfg.indexDir)
+    def stamped: Seq[Boolean] = (0 until n).map(i =>
+      InvertedIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
+        .exists(_ >= batchId))
+    val before = stamped
+    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+      .drop(opCol)
+    val leaving = batch
+      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
+      .select(cfg.idCol)
+    ShardedIndex.applyCdcSharded(upserts, oldTexts(leaving), cfg.idCol, textCol,
+      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    val applied = stamped.zip(before).exists { case (now, was) => now && !was }
+    maintain(cfg, batchId,
+      () => { ShardedIndex.compactSharded(spark, cfg.indexDir); n },
+      () => (0 until n).map(i => InvertedIndex.vacuum(spark,
+        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum)
+    applied
+  }
+
   /** Standard `oldTexts` resolver for [[invertedCdcBatch]]: point-look
     * up the system of record (a catalog table) for the leaving ids'
     * INDEXED text. The distinct id set broadcasts, so the DSv2 scan
@@ -208,6 +275,10 @@ object StreamIndex {
   /** Same cycle shape for the ANN index. */
   def runAnnAvailableNow(source: DataFrame, vecCol: String, cfg: Config): Long =
     run(source, cfg)(annBatch(cfg, vecCol))
+
+  /** Same cycle shape for the sharded federation. */
+  def runShardedAvailableNow(source: DataFrame, textCol: String, cfg: Config): Long =
+    run(source, cfg)(shardedInvertedBatch(cfg, textCol))
 
   private def run(source: DataFrame, cfg: Config)(
       handler: (DataFrame, Long) => Boolean): Long = {

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{InvertedIndex, ShardedIndex}
+
+/** Scale measurement for the document-partitioned federation
+  * ([[ShardedIndex]]) against the single flat index — the three claims
+  * the §2 row makes, priced:
+  *
+  *  1. '''serve''': the federated fan-out answers from S unioned
+  *     bucket-pruned scans with driver-side global stats — the added
+  *     cost over one index should be plan width (S× scans of 1/S the
+  *     rows each), not read amplification.
+  *  2. '''maintenance isolation''': a churn-sized delta routes to only
+  *     the shards its ids hash to — the per-shard deltas are each
+  *     churn/S-sized, and S-1 shards' manifests never advance when the
+  *     batch is small enough to miss them (measured with a 3-doc
+  *     batch).
+  *  3. '''build''': the federation pays one extra corpus pass (the
+  *     routing stage) + S independent builds over 1/S slices — at real
+  *     scale those S builds run on S clusters; the single-process sum
+  *     printed here is the WORST case (zero build parallelism), and
+  *     even it is bounded by ~(1 route pass + the flat build's work).
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<dir> [SPARK_GRAFT_SHARDS=3]
+  *        runMain graft.tools.ShardScale
+  * Prints one labeled line per measurement; serves are min-of-3.
+  */
+object ShardScale {
+  private def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+  }
+  private def minOf3(f: => Unit): Double =
+    (1 to 3).map(_ => timed(f)._2).min
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val shards = sys.env.getOrElse("SPARK_GRAFT_SHARDS", "3").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val nDocs = docs.count()
+    val queries = Seq("fast key scan", "table value", "row group filter")
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // alternate which variant pays the cold first-build (addendum-1
+    // ordered-A/B lesson) via SPARK_GRAFT_FLAT_FIRST
+    val flatFirst = sys.env.get("SPARK_GRAFT_FLAT_FIRST").forall(_ == "1")
+    val flat = java.nio.file.Files.createTempDirectory("shsc_flat").toString
+    val fed  = java.nio.file.Files.createTempDirectory("shsc_fed").toString
+    val grow = docs.filter(pmod(col("doc_id"), lit(100)) =!= 0)
+    val delta = docs.filter(pmod(col("doc_id"), lit(100)) === 0)
+    def buildFlat() = timed(InvertedIndex.build(grow, "doc_id", "text", flat))._2
+    def buildFed() = timed(ShardedIndex.buildSharded(
+      grow, "doc_id", "text", fed, shards))._2
+    val (flatBuildS, fedBuildS) =
+      if (flatFirst) { val a = buildFlat(); val b = buildFed(); (a, b) }
+      else { val b = buildFed(); val a = buildFlat(); (a, b) }
+
+    val flatServeS = minOf3(noop(
+      InvertedIndex.bm25TopKText(spark, flat, queries, k = 5)))
+    val fedServeS = minOf3(noop(
+      ShardedIndex.bm25TopKTextSharded(spark, fed, queries, k = 5)))
+
+    // maintenance: the same ~1% delta into both layouts; then a 3-doc
+    // point batch to show isolation (how many shards advance)
+    val (_, flatDeltaS) = timed(
+      InvertedIndex.addDelta(delta, "doc_id", "text", flat))
+    val (_, fedDeltaS) = timed(
+      ShardedIndex.addDeltaSharded(delta, "doc_id", "text", fed))
+    val vBefore = (0 until shards).map(i =>
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(fed, i)).version)
+    val tiny = docs.limit(3).withColumn("doc_id", col("doc_id") + 10000000L)
+    ShardedIndex.addDeltaSharded(tiny, "doc_id", "text", fed)
+    val advanced = (0 until shards).count(i =>
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(fed, i)).version
+        > vBefore(i))
+
+    val flatServe2S = minOf3(noop(
+      InvertedIndex.bm25TopKText(spark, flat, queries, k = 5)))
+    val fedServe2S = minOf3(noop(
+      ShardedIndex.bm25TopKTextSharded(spark, fed, queries, k = 5)))
+
+    println(f"[shard-scale] sf=$sfDir docs=$nDocs shards=$shards flatFirst=$flatFirst")
+    println(f"[shard-build] flat=$flatBuildS%.2fs federation=$fedBuildS%.2fs (route pass + $shards sequential slice builds; at scale the slice builds run in parallel on $shards clusters)")
+    println(f"[shard-serve] flat=$flatServeS%.3fs federation=$fedServeS%.3fs (fan-out width vs one index)")
+    println(f"[shard-delta] 1%% churn: flat=$flatDeltaS%.2fs federation=$fedDeltaS%.2fs")
+    println(f"[shard-isolate] 3-doc batch advanced $advanced of $shards shards")
+    println(f"[shard-serve-post-delta] flat=$flatServe2S%.3fs federation=$fedServe2S%.3fs")
+    spark.stop()
+  }
+}

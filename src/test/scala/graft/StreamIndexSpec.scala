@@ -423,4 +423,61 @@ class StreamIndexSpec extends SparkSpec {
     assert(topKSet(AnnIndex.topK(probes, "vec_id", "embedding", dir, k = 10, nProbe = 8)) == a,
       "ANN replay changed answers")
   }
+
+  test("a stream grows the sharded federation exactly once per shard; partial-crash replays only fill the gap") {
+    import graft.operators.ShardedIndex
+    val seed  = docs.filter($"doc_id" < 300)
+    val delta = docs.filter($"doc_id" >= 300 && $"doc_id" < 420)
+    val queries = Seq("fast key scan", "table value")
+
+    val dir = Files.createTempDirectory("sidx_sh").toString
+    ShardedIndex.buildSharded(seed, "doc_id", "text", dir, shards = 3)
+    val src  = Files.createTempDirectory("sidx_sh_src").toString
+    val ckpt = Files.createTempDirectory("sidx_sh_ckpt").toString
+    blobs(delta, src, 2, "doc_id")
+
+    val cfg = StreamIndex.Config(indexDir = dir, checkpointDir = ckpt, idCol = "doc_id")
+    val batches = StreamIndex.runShardedAvailableNow(fileSource(src), "text", cfg)
+    assert(batches == 2, s"expected 2 micro-batches, got $batches")
+
+    // every shard that received docs carries the stamp high-water mark
+    val stamps = (0 until 3).map(i => InvertedIndex.committedBatchId(
+      spark, ShardedIndex.shardDir(dir, i), cfg.ns))
+    assert(stamps.forall(_.contains(1L)),
+      s"per-shard stamps did not advance uniformly: $stamps")
+
+    // the grown federation answers exactly like a one-shot flat build
+    val flat = Files.createTempDirectory("sidx_sh_flat").toString
+    InvertedIndex.build(docs.filter($"doc_id" < 420), "doc_id", "text", flat)
+    def fed = ShardedIndex.bm25TopKTextSharded(spark, dir, queries, k = 5)
+      .orderBy("q", "rank").collect().map(_.toSeq).toSeq
+    val expect = InvertedIndex.bm25TopKText(spark, flat, queries, k = 5)
+      .orderBy("q", "rank").collect().map(_.toSeq).toSeq
+    assert(fed == expect, "stream-grown federation diverged from a one-shot flat build")
+
+    // full replay of the last batch: every shard refuses, answers pinned
+    val lastBatch = delta.filter(pmod($"doc_id", lit(2)) === 1)
+    assert(!StreamIndex.shardedInvertedBatch(cfg, "text")(lastBatch, 1L),
+      "full replay claimed to apply content")
+    assert(fed == expect, "replay changed federated answers")
+
+    // PARTIAL-CRASH shape: a fresh batch lands on one shard (simulating
+    // a crash mid-loop), then the handler replays the whole batch — the
+    // pre-stamped shard refuses its slice, the others apply, and the
+    // federation equals the flat index over the full corpus
+    val b2 = docs.filter($"doc_id" >= 420 && $"doc_id" < 480)
+    val routed = b2.withColumn("__s", pmod(xxhash64($"doc_id"), lit(3L)).cast("int"))
+    val oneShardSlice = routed.filter($"__s" === 0).drop("__s")
+    assert(!oneShardSlice.isEmpty, "fixture degenerated: no batch-2 docs route to shard 0")
+    InvertedIndex.addDelta(oneShardSlice, "doc_id", "text",
+      ShardedIndex.shardDir(dir, 0), stamp = Some(cfg.ns -> 2L))
+    assert(StreamIndex.shardedInvertedBatch(cfg, "text")(b2, 2L),
+      "partial replay applied nothing — the unstamped shards' slices were lost")
+    val flat2 = Files.createTempDirectory("sidx_sh_flat2").toString
+    InvertedIndex.build(docs.filter($"doc_id" < 480), "doc_id", "text", flat2)
+    val expect2 = InvertedIndex.bm25TopKText(spark, flat2, queries, k = 5)
+      .orderBy("q", "rank").collect().map(_.toSeq).toSeq
+    assert(fed == expect2,
+      "partial-crash replay double-counted or dropped a shard slice")
+  }
 }
