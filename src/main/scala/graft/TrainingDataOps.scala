@@ -2841,6 +2841,40 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_phrase_sharded",
+      // phrase search over the federation: each shard answers from its
+      // positional postings, the merge re-ranks by the same
+      // (occurrences desc, doc_id asc) key — per-doc counts live wholly
+      // in one shard, so the federated answer equals the flat index's
+      // and shares search_phrase_indexed's oracle shape
+      (spark, dir) => {
+        val idx = ServingIndexes.shardedLexicalDir(spark, dir)
+        operators.ShardedIndex.phraseTopKSharded(spark, idx,
+            phrases = Seq("fast key scan", "table table", "value fast"), k = 5)
+          .orderBy("phrase", "rank")
+      },
+      Some("""
+        WITH d AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+        ), p AS (
+          SELECT * FROM (VALUES ('fast key scan', ['fast','key','scan']),
+                                ('table table', ['table','table']),
+                                ('value fast', ['value','fast'])) AS t(phrase, pts)
+        ), m AS (
+          SELECT p.phrase, d.doc_id,
+                 len(list_filter(range(1, len(toks) - len(pts) + 2),
+                     i -> toks[i:i+len(pts)-1] = pts)) AS n
+          FROM d CROSS JOIN p
+        )
+        SELECT phrase, CAST(rn AS INT) AS rank, doc_id, CAST(n AS BIGINT) AS n FROM (
+          SELECT phrase, doc_id, n,
+                 row_number() OVER (PARTITION BY phrase ORDER BY n DESC, doc_id) AS rn
+          FROM m WHERE n > 0
+        ) WHERE rn <= 5 ORDER BY phrase, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "search_index_delta",
       // incremental index maintenance: build on half the corpus, fold the
       // other half in via addDelta — churn-sized postings append + a

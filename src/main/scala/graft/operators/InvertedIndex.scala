@@ -1616,7 +1616,7 @@ object InvertedIndex {
     * top-k of the allowed subset. No-op without a predicate; loud
     * refusal against a sidecar-free index.
     */
-  private def applyMetaFilter(spark: SparkSession, dir: String, m: Manifest,
+  private[graft] def applyMetaFilter(spark: SparkSession, dir: String, m: Manifest,
       candidates: DataFrame, where: Option[Column]): DataFrame = where match {
     case None => candidates
     case Some(pred) =>

@@ -215,7 +215,7 @@ object ShardedIndex {
     * by S scans but reads the same posting rows a single index would.
     */
   def bm25TopKTextSharded(spark: SparkSession, dir: String,
-      queries: Seq[String], k: Int = 5): DataFrame = {
+      queries: Seq[String], k: Int = 5, where: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty, "bm25TopKTextSharded needs at least one query")
     val n = shardCount(spark, dir)
     val sdirs = (0 until n).map(shardDir(dir, _))
@@ -236,10 +236,41 @@ object ShardedIndex {
       .foldLeft(Map.empty[String, Long]) { (acc, one) =>
         one.foldLeft(acc) { case (a, (t, df)) => a.updated(t, a.getOrElse(t, 0L) + df) }
       }
+    // filtered retrieval composes per shard: the predicate is per-DOC
+    // (each shard's meta sidecar covers exactly its docs), so filtering
+    // each shard's candidate rows before the union equals filtering the
+    // scored set — top-k of the allowed subset under GLOBAL idf/avgdl,
+    // the single-index filtered-search semantics
     val candidates = manifests
-      .map { case (d, m) => InvertedIndex.candidateRows(spark, d, m, terms) }
+      .map { case (d, m) =>
+        InvertedIndex.applyMetaFilter(spark, d, m,
+          InvertedIndex.candidateRows(spark, d, m, terms), where)
+      }
       .reduce(_ unionByName _)
     scoreGlobal(spark, candidates, pairs, dfGlobal, nDocs, sumdl, k)
+  }
+
+  /** Exact phrase search over the federation: each shard answers its
+    * own top-k from its positional postings ([[InvertedIndex.
+    * phraseTopK]] — bucket-pruned, tombstone-aware, optional sidecar
+    * predicate), and the merge re-ranks by the same (occurrences desc,
+    * doc_id asc) key. Occurrence counts are per-doc and each doc lives
+    * wholly in one shard, so the merged answer is EXACTLY the flat
+    * index's (spec-pinned; the registered entry shares
+    * search_phrase_indexed's oracle shape).
+    */
+  def phraseTopKSharded(spark: SparkSession, dir: String, phrases: Seq[String],
+      k: Int = 5, where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = shardCount(spark, dir)
+    val perShard = (0 until n).map(i =>
+      InvertedIndex.phraseTopK(spark, shardDir(dir, i), phrases, k, where))
+    val w = Window.partitionBy(col("phrase"))
+      .orderBy(col("n").desc, col("doc_id").asc)
+    perShard.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
   }
 
   /** The single-index scoring arithmetic ([[InvertedIndex]]'s

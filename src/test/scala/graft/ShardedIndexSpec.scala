@@ -164,6 +164,46 @@ class ShardedIndexSpec extends SparkSpec {
     assert(got2 == exact2, "post-delta sharded ANN diverged from brute force")
   }
 
+  test("phrase federation equals the flat positional index (per-doc counts merge exactly)") {
+    val flat = java.nio.file.Files.createTempDirectory("shidx_ph_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_ph_fed").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    val phrases = Seq("alpha beta", "beta beta", "delta epsilon", "gamma gamma beta")
+    def byPhrase(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("phrase", "rank").collect().map(_.toSeq).toSeq
+    assert(byPhrase(ShardedIndex.phraseTopKSharded(spark, shrd, phrases, k = 5))
+      == byPhrase(InvertedIndex.phraseTopK(spark, flat, phrases, k = 5)),
+      "federated phrase search diverged from the flat positional index")
+  }
+
+  test("filtered federation: the sidecar predicate composes per shard (equals the flat filtered serve)") {
+    val s = spark
+    import s.implicits._
+    val tagged = Seq(
+      (0L, "alpha beta gamma alpha", "web"), (1L, "beta beta delta", "web"),
+      (2L, "alpha delta epsilon epsilon epsilon", "book"),
+      (3L, "gamma gamma beta alpha delta", "book"), (4L, "zeta eta theta", "web"),
+      (5L, "alpha beta", "book"), (6L, "delta epsilon zeta", "web"),
+      (7L, "beta gamma delta epsilon", "book"), (8L, "epsilon zeta alpha", "web"),
+      (9L, "theta alpha beta beta", "web")
+    ).toDF("doc_id", "text", "src")
+    val flat = java.nio.file.Files.createTempDirectory("shidx_f_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_f_fed").toString
+    InvertedIndex.build(tagged, "doc_id", "text", flat, metaCols = Seq("src"))
+    ShardedIndex.buildSharded(tagged, "doc_id", "text", shrd, shards = 3,
+      metaCols = Seq("src"))
+    val pred = Some(col("src") === "web")
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, shrd, queries, k = 5, where = pred))
+      == served(InvertedIndex.bm25TopKText(spark, flat, queries, k = 5, where = pred)),
+      "federated filtered serve diverged from the flat filtered serve")
+    // the unfiltered answers differ from the filtered ones (the
+    // predicate is load-bearing, not vacuous)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, shrd, queries, k = 5))
+      != served(ShardedIndex.bm25TopKTextSharded(spark, shrd, queries, k = 5, where = pred)),
+      "fixture degenerated: the source filter excluded nothing")
+  }
+
   test("ANN federation refuses a shard with no vectors (quantizers need data)") {
     val s = spark
     import s.implicits._
