@@ -40,4 +40,15 @@ private[graft] object DriverEval {
       org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
         UTF8String.fromString(tok), StringType, 42L),
       buckets.toLong).toInt
+
+  /** == `pmod(xxhash64(id), shards)` on a LONG id — the federation's
+    * document route ([[ShardedIndex]]). The driver twin lets id-keyed
+    * serves (highlighting a result page) touch ONLY the shards the
+    * requested ids route to, without a Spark job to find out.
+    */
+  def shardOf(id: Long, shards: Int): Int =
+    java.lang.Math.floorMod(
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        java.lang.Long.valueOf(id), org.apache.spark.sql.types.LongType, 42L),
+      shards.toLong).toInt
 }

@@ -306,6 +306,74 @@ object ShardedIndex {
         (col("__score_fp").cast("double") / 1.0e7).as("score"))
   }
 
+  /** Term-position highlights over the federation — the ID-ROUTED
+    * serve shape: the requested doc ids resolve to their shards
+    * DRIVER-SIDE ([[DriverEval.shardOf]], the engine route's twin), so
+    * a result page's highlights touch ONLY the shards its docs route
+    * to — at S shards a |page|-sized request reads ≤ |page| shards, not
+    * S (spec-pinned by serving correctly with an unrelated shard's tree
+    * REMOVED). Per shard, the read keeps [[InvertedIndex.
+    * termPositions]]'s bounds: the terms' buckets' files with term AND
+    * doc filters pushed.
+    */
+  def termPositionsSharded(spark: SparkSession, dir: String, terms: Seq[String],
+      docIds: Seq[Long], where: Option[Column] = None): DataFrame = {
+    require(docIds.nonEmpty, "termPositionsSharded needs at least one doc id")
+    val n = shardCount(spark, dir)
+    val byShard = docIds.distinct.groupBy(DriverEval.shardOf(_, n))
+    byShard.toSeq.sortBy(_._1).map { case (i, ids) =>
+      InvertedIndex.termPositions(spark, shardDir(dir, i), terms, ids, where)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Prefix suggestions over the federation: each shard contributes
+    * its pushed-prefix vocab slice, dfs SUM across shards (doc sets
+    * partition, so the sums are the corpus dfs) and the rank is the
+    * flat index's (df desc, tok asc) — exact equality spec-pinned.
+    * Reads stay vocabulary-sized per shard; no postings, no corpus.
+    */
+  def suggestTopKSharded(spark: SparkSession, dir: String, prefixes: Seq[String],
+      k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    require(prefixes.nonEmpty, "suggestTopKSharded needs at least one prefix")
+    require(prefixes.forall(_.nonEmpty), "suggestTopKSharded prefixes must be non-empty")
+    val n = shardCount(spark, dir)
+    val p = prefixes.toDF("prefix")
+    val pred = prefixes.map(px => col("tok").startsWith(px)).reduce(_ || _)
+    val slices = (0 until n).map { i =>
+      val d = shardDir(dir, i)
+      val m = InvertedIndex.currentManifest(spark, d)
+      spark.read.parquet(s"$d/${m.vocabDir}").filter(pred)
+    }
+    val matched = slices.reduce(_ unionByName _)
+      .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+      .join(broadcast(p), col("tok").startsWith(col("prefix")))
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(col("df").desc, col("tok").asc)
+    matched.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("prefix"), col("rank"), col("tok"), col("df"))
+  }
+
+  /** Promote a whole federation (build cluster → serving cluster):
+    * every shard exports through [[InvertedIndex.exportIndex]] (head
+    * version's referenced files, rel-path-preserving, one
+    * exclusive-create claim per shard at the destination) and the
+    * shards.json marker lands LAST — an interrupted export leaves a
+    * destination that refuses to serve, never a partial federation
+    * that answers wrong.
+    */
+  def exportSharded(spark: SparkSession, srcDir: String, destDir: String): Unit = {
+    val n = shardCount(spark, srcDir)
+    require(!shardsPath(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .exists(shardsPath(destDir)),
+      s"sharded export destination $destDir already holds a committed federation")
+    (0 until n).foreach(i =>
+      InvertedIndex.exportIndex(spark, shardDir(srcDir, i), shardDir(destDir, i)))
+    writeShardsFile(spark, destDir, n)
+  }
+
   // ---- dense federation -----------------------------------------------
 
   /** Build an S-shard ANN federation: each shard trains its OWN

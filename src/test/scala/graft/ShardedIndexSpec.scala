@@ -204,6 +204,82 @@ class ShardedIndexSpec extends SparkSpec {
       "fixture degenerated: the source filter excluded nothing")
   }
 
+  test("id-routed highlights: the driver route matches the engine, and un-routed shards are never touched") {
+    val s = spark
+    import s.implicits._
+    // the driver-side shard route IS the engine expression (same
+    // XxHash64, same seed) — the silent-miss risk a re-implemented
+    // hash would carry, pinned over a spread of ids
+    val ids = Seq(0L, 1L, 7L, 42L, 1000L, -3L, Long.MaxValue, Long.MinValue + 1)
+    for (n <- Seq(2, 3, 16)) {
+      val engine = ids.toDF("id")
+        .select(col("id"), pmod(xxhash64(col("id")), lit(n.toLong)).cast("int").as("s"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      ids.foreach(id => assert(graft.operators.DriverEval.shardOf(id, n) == engine(id),
+        s"shardOf diverged from the engine route on $id at $n shards"))
+    }
+
+    val flat = java.nio.file.Files.createTempDirectory("shidx_hl_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_hl_fed").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    val terms = Seq("alpha", "beta", "epsilon")
+    def hl(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id", "tok", "pos").collect().map(_.toSeq).toSeq
+    val all = (0L to 9L)
+    assert(hl(ShardedIndex.termPositionsSharded(spark, shrd, terms, all))
+      == hl(InvertedIndex.termPositions(spark, flat, terms, all)),
+      "federated highlights diverged from the flat index")
+
+    // the id-routing contract, pinned behaviorally: REMOVE a shard's
+    // whole tree and request only docs routed elsewhere — a fan-out
+    // implementation would crash on the missing manifest; the id-routed
+    // serve never lists it
+    val victim = 0
+    val survivors = all.filter(id =>
+      graft.operators.DriverEval.shardOf(id, 3) != victim)
+    assert(survivors.nonEmpty && survivors.size < all.size,
+      "fixture degenerated: shard 0 holds none/all of the docs")
+    val victimPath = new org.apache.hadoop.fs.Path(ShardedIndex.shardDir(shrd, victim))
+    victimPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(victimPath, true)
+    assert(hl(ShardedIndex.termPositionsSharded(spark, shrd, terms, survivors))
+      == hl(InvertedIndex.termPositions(spark, flat, terms, survivors)),
+      "id-routed highlights touched (and died on) an un-routed shard")
+  }
+
+  test("federated suggest sums dfs across shards; federation export promotes whole and refuses partial serves") {
+    val flat = java.nio.file.Files.createTempDirectory("shidx_sg_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_sg_fed").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    def sg(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("prefix", "rank").collect().map(_.toSeq).toSeq
+    val prefixes = Seq("al", "b", "e", "zzz")
+    assert(sg(ShardedIndex.suggestTopKSharded(spark, shrd, prefixes, k = 3))
+      == sg(InvertedIndex.suggestTopK(spark, flat, prefixes, k = 3)),
+      "federated suggest diverged from the flat vocabulary ranking")
+
+    // export the whole federation; the promoted copy serves identically
+    // and survives source deletion
+    val dest = java.nio.file.Files.createTempDirectory("shidx_sg_dest").toString
+    new java.io.File(dest).delete() // export wants a virgin path per shard
+    ShardedIndex.exportSharded(spark, shrd, dest)
+    val expect = served(ShardedIndex.bm25TopKTextSharded(spark, shrd, queries, k = 5))
+    val srcPath = new org.apache.hadoop.fs.Path(shrd)
+    srcPath.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(srcPath, true)
+    graft.operators.IndexManifests.invalidate(shrd)
+    (0 until 3).foreach(i =>
+      graft.operators.IndexManifests.invalidate(ShardedIndex.shardDir(shrd, i)))
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dest, queries, k = 5)) == expect,
+      "promoted federation diverged (or still depended on the source)")
+    // a second export into the same destination is refused
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.exportSharded(spark, dest, dest)
+    }
+    assert(e.getMessage.contains("already holds"), s"double export not refused: ${e.getMessage}")
+  }
+
   test("ANN federation refuses a shard with no vectors (quantizers need data)") {
     val s = spark
     import s.implicits._
