@@ -369,8 +369,18 @@ object ShardedIndex {
     require(!shardsPath(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(shardsPath(destDir)),
       s"sharded export destination $destDir already holds a committed federation")
-    (0 until n).foreach(i =>
-      InvertedIndex.exportIndex(spark, shardDir(srcDir, i), shardDir(destDir, i)))
+    (0 until n).foreach { i =>
+      val s = shardDir(srcDir, i)
+      // kind-sniff per shard (the index_export procedure's test): a
+      // federation is homogeneous by construction, but a hardcoded
+      // lexical export would silently mangle an ANN federation
+      val vs = IndexManifests.versions(spark, s)
+      require(vs.nonEmpty, s"no committed index at federation shard $s")
+      val isAnn = (org.json4s.jackson.JsonMethods.parse(
+        IndexManifests.readBody(spark, s, vs.last)) \ "centroids") != org.json4s.JNothing
+      if (isAnn) AnnIndex.exportIndex(spark, s, shardDir(destDir, i))
+      else InvertedIndex.exportIndex(spark, s, shardDir(destDir, i))
+    }
     writeShardsFile(spark, destDir, n)
   }
 

@@ -162,6 +162,16 @@ class ShardedIndexSpec extends SparkSpec {
         candidates.unionByName(extra), "vec_id", "embedding", k = 10)
       .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(got2 == exact2, "post-delta sharded ANN diverged from brute force")
+
+    // the export path kind-sniffs per shard: an ANN federation promotes
+    // through AnnIndex.exportIndex, and the copy answers identically
+    val dest = java.nio.file.Files.createTempDirectory("shidx_ann_dest").toString
+    new java.io.File(dest).delete()
+    ShardedIndex.exportSharded(spark, dir, dest)
+    val got3 = ShardedIndex.annTopKSharded(probes, "vec_id", "embedding", dest,
+        k = 10, nProbe = 4)
+      .select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got3 == got2, "promoted ANN federation diverged from the source")
   }
 
   test("phrase federation equals the flat positional index (per-doc counts merge exactly)") {
