@@ -42,6 +42,19 @@ object GraftProcedures {
     (org.json4s.jackson.JsonMethods.parse(body) \ "centroids") != org.json4s.JNothing
   }
 
+  /** A FEDERATION root ([[graft.operators.ShardedIndex]], shards.json
+    * marker) maintains as its shard list — the ops runbook stays ONE
+    * surface: compact/vacuum/describe/export on a federation dir fan
+    * out per shard (each shard's own kind-sniffed path). Rollback is
+    * the exception: per-shard versions advance independently, so a
+    * federation-level version number is meaningless — roll shards back
+    * individually, by their own histories.
+    */
+  private def shardDirs(spark: SparkSession, dir: String): Option[Seq[String]] =
+    if (!graft.operators.ShardedIndex.isFederation(spark, dir)) None
+    else Some((0 until graft.operators.ShardedIndex.shardCount(spark, dir))
+      .map(graft.operators.ShardedIndex.shardDir(dir, _)))
+
   def load(warehouse: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array(Namespace))) return None
     def tableDir(rel: String): String =
@@ -113,9 +126,10 @@ object GraftProcedures {
         StructType(Seq(StructField("files_folded", IntegerType))),
         { (spark, in) =>
           val d = in.getUTF8String(0).toString
-          val folded =
-            if (isAnnIndex(spark, d)) graft.operators.AnnIndex.compact(spark, d)
-            else graft.operators.InvertedIndex.compact(spark, d)
+          def one(s: String) =
+            if (isAnnIndex(spark, s)) graft.operators.AnnIndex.compact(spark, s)
+            else graft.operators.InvertedIndex.compact(spark, s)
+          val folded = shardDirs(spark, d).fold(one(d))(_.map(one).sum)
           new GenericInternalRow(Array[Any](folded))
         }))
       case "index_vacuum" => Some(proc("index_vacuum",
@@ -127,10 +141,11 @@ object GraftProcedures {
         StructType(Seq(StructField("removed", IntegerType))),
         { (spark, in) =>
           val d = in.getUTF8String(0).toString
-          val removed =
-            if (isAnnIndex(spark, d))
-              graft.operators.AnnIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
-            else graft.operators.InvertedIndex.vacuum(spark, d, in.getInt(1), in.getLong(2))
+          def one(s: String) =
+            if (isAnnIndex(spark, s))
+              graft.operators.AnnIndex.vacuum(spark, s, in.getInt(1), in.getLong(2))
+            else graft.operators.InvertedIndex.vacuum(spark, s, in.getInt(1), in.getLong(2))
+          val removed = shardDirs(spark, d).fold(one(d))(_.map(one).sum)
           new GenericInternalRow(Array[Any](removed))
         }))
       case "tag" => Some(proc("tag",
@@ -203,20 +218,40 @@ object GraftProcedures {
         { (spark, in) =>
           val d = in.getUTF8String(0).toString
           import org.apache.spark.unsafe.types.UTF8String
-          if (isAnnIndex(spark, d)) {
-            val m = graft.operators.AnnIndex.currentManifest(spark, d)
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString("ann"), m.version, m.vectors.size,
-              m.deletes.size, m.metaDirs.size,
-              UTF8String.fromString(
-                s"cells=${m.centroids.length} pq=${if (m.codebooks.nonEmpty) s"m=${m.codebooks.length}" else "no"}")))
-          } else {
-            val m = graft.operators.InvertedIndex.currentManifest(spark, d)
-            new GenericInternalRow(Array[Any](
-              UTF8String.fromString("lexical"), m.version, m.postings.size,
-              m.deletes.size, m.metaDirs.size,
-              UTF8String.fromString(
-                s"buckets=${m.buckets} positions=${m.positions} ranged=${m.tokRanges.size}")))
+          shardDirs(spark, d) match {
+            case Some(ss) =>
+              // federation summary: kind from shard 0 (homogeneous by
+              // construction), counts summed, version = max head
+              val ann = isAnnIndex(spark, ss.head)
+              val (vs, files, tombs, metas) = ss.map { s =>
+                if (ann) {
+                  val m = graft.operators.AnnIndex.currentManifest(spark, s)
+                  (m.version, m.vectors.size, m.deletes.size, m.metaDirs.size)
+                } else {
+                  val m = graft.operators.InvertedIndex.currentManifest(spark, s)
+                  (m.version, m.postings.size, m.deletes.size, m.metaDirs.size)
+                }
+              }.foldLeft((0L, 0, 0, 0)) { case ((v, f, t, md), (v2, f2, t2, md2)) =>
+                (math.max(v, v2), f + f2, t + t2, md + md2)
+              }
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString(if (ann) "sharded-ann" else "sharded-lexical"),
+                vs, files, tombs, metas,
+                UTF8String.fromString(s"shards=${ss.size}")))
+            case None if isAnnIndex(spark, d) =>
+              val m = graft.operators.AnnIndex.currentManifest(spark, d)
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString("ann"), m.version, m.vectors.size,
+                m.deletes.size, m.metaDirs.size,
+                UTF8String.fromString(
+                  s"cells=${m.centroids.length} pq=${if (m.codebooks.nonEmpty) s"m=${m.codebooks.length}" else "no"}")))
+            case None =>
+              val m = graft.operators.InvertedIndex.currentManifest(spark, d)
+              new GenericInternalRow(Array[Any](
+                UTF8String.fromString("lexical"), m.version, m.postings.size,
+                m.deletes.size, m.metaDirs.size,
+                UTF8String.fromString(
+                  s"buckets=${m.buckets} positions=${m.positions} ranged=${m.tokRanges.size}")))
           }
         }))
       case "index_export" => Some(proc("index_export",
@@ -230,7 +265,10 @@ object GraftProcedures {
           val s = in.getUTF8String(0).toString
           val d = in.getUTF8String(1).toString
           val v =
-            if (isAnnIndex(spark, s)) graft.operators.AnnIndex.exportIndex(spark, s, d)
+            if (graft.operators.ShardedIndex.isFederation(spark, s)) {
+              graft.operators.ShardedIndex.exportSharded(spark, s, d); 1L
+            }
+            else if (isAnnIndex(spark, s)) graft.operators.AnnIndex.exportIndex(spark, s, d)
             else graft.operators.InvertedIndex.exportIndex(spark, s, d)
           new GenericInternalRow(Array[Any](v))
         }))
@@ -244,6 +282,10 @@ object GraftProcedures {
         { (spark, in) =>
           val d = in.getUTF8String(0).toString
           val v = in.getLong(1)
+          require(!graft.operators.ShardedIndex.isFederation(spark, d),
+            s"$d is a sharded federation: per-shard versions advance independently, " +
+              "so a federation-level rollback target is meaningless — roll back each " +
+              "shard dir by its own history (CALL index_rollback('<dir>/shard=i', v))")
           val nv =
             if (isAnnIndex(spark, d)) graft.operators.AnnIndex.rollback(spark, d, v)
             else graft.operators.InvertedIndex.rollback(spark, d, v)

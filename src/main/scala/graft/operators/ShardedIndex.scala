@@ -60,6 +60,14 @@ object ShardedIndex {
 
   def shardDir(dir: String, i: Int): String = s"$dir/shard=$i"
 
+  /** Is `dir` a committed federation root? (The procedure surface
+    * dispatches on this, the same way it kind-sniffs single indexes.)
+    */
+  private[graft] def isFederation(spark: SparkSession, dir: String): Boolean = {
+    val p = shardsPath(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   /** Shard count pinned at build; loud refusal when the federation
     * marker is missing (an un-built or half-built tree must never
     * serve).

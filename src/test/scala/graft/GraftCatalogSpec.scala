@@ -802,6 +802,51 @@ class GraftCatalogSpec extends SparkSpec {
     assert(am.vectors.groupBy(_._1).forall(_._2.size == 1), "ANN cells not folded")
   }
 
+  test("the index procedures treat a federation root as one artifact (compact/vacuum/describe/export fan out; rollback refuses)") {
+    import spark.implicits._
+    import graft.operators.{InvertedIndex, ShardedIndex}
+    val docs = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val fed = java.nio.file.Files.createTempDirectory("proc_fed").toString
+    ShardedIndex.buildSharded(docs.filter($"doc_id" < 100), "doc_id", "text",
+      fed, shards = 2, buckets = 4)
+    ShardedIndex.addDeltaSharded(
+      docs.filter($"doc_id" >= 100 && $"doc_id" < 160), "doc_id", "text", fed)
+    val queries = Seq("fast key scan", "table value")
+    val before = ShardedIndex.bm25TopKTextSharded(spark, fed, queries, k = 5)
+      .orderBy("q", "rank").collect().toSeq
+
+    // compact + vacuum fan out per shard; answers pinned through both
+    assert(spark.sql(s"CALL $cat.system.index_compact('$fed')").head.getInt(0) > 0)
+    assert(spark.sql(s"CALL $cat.system.index_vacuum('$fed', 1, 0)").head.getInt(0) > 0)
+    (0 until 2).foreach { i =>
+      val m = InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(fed, i))
+      assert(m.postings.groupBy(_._1).forall(_._2.size == 1), s"shard $i not folded")
+    }
+    assert(ShardedIndex.bm25TopKTextSharded(spark, fed, queries, k = 5)
+      .orderBy("q", "rank").collect().toSeq == before,
+      "federation maintenance changed answers")
+
+    // describe aggregates the federation in one row
+    val desc = spark.sql(s"CALL $cat.system.index_describe('$fed')").head
+    assert(desc.getString(0) == "sharded-lexical", s"kind: ${desc.getString(0)}")
+    assert(desc.getString(5) == "shards=2", s"shape: ${desc.getString(5)}")
+    assert(desc.getInt(2) > 0, "summed file count missing")
+
+    // export promotes the whole federation through the same procedure
+    val dest = java.nio.file.Files.createTempDirectory("proc_fed_dest").toString
+    new java.io.File(dest).delete()
+    assert(spark.sql(s"CALL $cat.system.index_export('$fed', '$dest')").head.getLong(0) == 1L)
+    assert(ShardedIndex.bm25TopKTextSharded(spark, dest, queries, k = 5)
+      .orderBy("q", "rank").collect().toSeq == before,
+      "procedure-exported federation diverged")
+
+    // rollback refuses with the per-shard recipe
+    val e = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.index_rollback('$fed', 1)").collect()
+    }
+    assert(e.getMessage.contains("shard"), s"unhelpful refusal: ${e.getMessage}")
+  }
+
   test("CALL index_rollback undoes a bad CDC batch: content, stamps and vacuum all coherent") {
     import spark.implicits._
     val docs = Tables(spark, sfDir).documents.select("doc_id", "text")
