@@ -57,8 +57,18 @@ object ServeQps {
     // features (vocab autocomplete + more-like-this) — the mix a
     // search box actually generates. Separate knob so the 5-kind
     // numbers never masquerade as the 3-kind history.
+    // kinds=6 swaps the interactive blend's BM25 slot rotation to
+    // include the FEDERATED serve (ShardedIndex) — the axis that shows
+    // whether the fan-out's extra driver work (per-shard manifest/df
+    // cache hits) or its S-way scan width serializes under concurrency
     val kinds = sys.env.getOrElse("SPARK_GRAFT_QPS_KINDS", "3").toInt
-    require(kinds == 3 || kinds == 5, s"SPARK_GRAFT_QPS_KINDS must be 3 or 5, got $kinds")
+    require(kinds == 3 || kinds == 5 || kinds == 6,
+      s"SPARK_GRAFT_QPS_KINDS must be 3, 5 or 6, got $kinds")
+    val fedDir = if (kinds != 6) "" else {
+      val d = java.nio.file.Files.createTempDirectory("qps_fed").toString
+      graft.operators.ShardedIndex.buildSharded(docs, "doc_id", "text", d, shards = 3)
+      d
+    }
     def oneQuery(i: Int): Unit = {
       val s = spark.newSession() // isolated SQLConf/plan state per client
       // each client THREAD gets its own ad-hoc scheduler pool: under a
@@ -67,13 +77,19 @@ object ServeQps {
       // and inter-client convoying returns through the back door
       s.sparkContext.setLocalProperty("spark.scheduler.pool",
         s"client-${Thread.currentThread().getId}")
-      if (kinds == 5 && i % 5 == 3) {
+      if (kinds == 6 && i % 6 == 5) {
+        val a = toks((i * 17 + 7) % toks.length); val b = toks((i * 19 + 11) % toks.length)
+        graft.operators.ShardedIndex.bm25TopKTextSharded(s, fedDir, Seq(s"$a $b"), k = 5)
+          .write.format("noop").mode("overwrite").save()
+        return
+      }
+      if (kinds >= 5 && i % 5 == 3) {
         InvertedIndex.suggestTopK(s, lexDir,
             Seq(toks(i % toks.length).take(2)), k = 5)
           .write.format("noop").mode("overwrite").save()
         return
       }
-      if (kinds == 5 && i % 5 == 4) {
+      if (kinds >= 5 && i % 5 == 4) {
         val a = toks((i * 3 + 2) % toks.length); val b = toks((i * 13 + 5) % toks.length)
         InvertedIndex.moreLikeThisTopKText(s, lexDir, Seq(s"$a $b"), m = 2, k = 5)
           .write.format("noop").mode("overwrite").save()
