@@ -403,7 +403,7 @@ object ShardedIndex {
     */
   def buildShardedAnn(emb: DataFrame, idCol: String, vecCol: String, dir: String,
       shards: Int, nCells: Int = AnnIndex.DefaultCells,
-      metaCols: Seq[String] = Nil): Unit = {
+      metaCols: Seq[String] = Nil, pq: Option[AnnIndex.PqSpec] = None): Unit = {
     require(shards >= 1, s"buildShardedAnn needs shards >= 1, got $shards")
     val spark = emb.sparkSession
     require(!shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -419,7 +419,7 @@ object ShardedIndex {
           s"ANN shard $i of $dir received no vectors — quantizer training " +
             "needs data in every shard; use fewer shards for this corpus")
         AnnIndex.build(slice, idCol, vecCol, shardDir(dir, i), nCells,
-          metaCols = metaCols)
+          metaCols = metaCols, pq = pq)
       }
     } finally {
       val sp = new org.apache.hadoop.fs.Path(staging)
@@ -451,13 +451,37 @@ object ShardedIndex {
     */
   def annTopKSharded(probes: DataFrame, idCol: String, vecCol: String,
       dir: String, k: Int, nProbe: Int = 4,
-      excludeSelf: Boolean = true): DataFrame = {
+      where: Option[Column] = None, excludeSelf: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     val n = shardCount(spark, dir)
     val perShard = (0 until n).map(i =>
       AnnIndex.topK(probes, idCol, vecCol, shardDir(dir, i), k, nProbe,
-        excludeSelf = excludeSelf))
+        where = where, excludeSelf = excludeSelf))
+    val w = Window.partitionBy(col("probe_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    perShard.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("probe_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** ADC serving over a PQ federation ([[AnnIndex.pqTopK]] per shard —
+    * each shard's codebooks trained on ITS slice, shortlist + exact
+    * re-rank shard-local), merged by exact cosine like
+    * [[annTopKSharded]]: the re-rank scores are true cosines, so
+    * cross-shard ranks compare directly and the merge inherits each
+    * shard's recall bound.
+    */
+  def pqTopKSharded(probes: DataFrame, idCol: String, vecCol: String,
+      dir: String, k: Int, nProbe: Int = 4, shortlist: Int = 100,
+      where: Option[Column] = None, excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = probes.sparkSession
+    val n = shardCount(spark, dir)
+    val perShard = (0 until n).map(i =>
+      AnnIndex.pqTopK(probes, idCol, vecCol, shardDir(dir, i), k, nProbe,
+        shortlist, where = where, excludeSelf = excludeSelf))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     perShard.reduce(_ unionByName _)

@@ -290,6 +290,46 @@ class ShardedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("already holds"), s"double export not refused: ${e.getMessage}")
   }
 
+  test("PQ + filtered ANN federation: per-shard ADC recall holds through the merge; predicates compose") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables(spark, sfDir).embeddings
+      .withColumn("label", (col("vec_id") % 3).cast("int"))
+    val probes     = emb.filter($"vec_id" < 10)
+    val candidates = emb.filter($"vec_id" >= 10 && $"vec_id" < 300)
+    val dir = java.nio.file.Files.createTempDirectory("shidx_pq").toString
+    ShardedIndex.buildShardedAnn(candidates, "vec_id", "embedding", dir,
+      shards = 2, nCells = 4, metaCols = Seq("label"),
+      pq = Some(AnnIndex.PqSpec(m = 8, nCodes = 16)))
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // full probe + generous shortlist: each shard's ADC re-rank sees
+    // every candidate, so the federation is exact like annTopKSharded
+    val exact = ids(Similarity.bruteForceTopK(probes, candidates,
+      "vec_id", "embedding", k = 10))
+    val pqFull = ids(ShardedIndex.pqTopKSharded(probes, "vec_id", "embedding",
+      dir, k = 10, nProbe = 4, shortlist = 1000))
+    assert(pqFull == exact, "full-probe full-shortlist PQ federation not exact")
+    // tight shortlist: recall-bounded, pinned like the single-index spec
+    val pqTight = ids(ShardedIndex.pqTopKSharded(probes, "vec_id", "embedding",
+      dir, k = 10, nProbe = 4, shortlist = 40))
+    val recall = exact.intersect(pqTight).size.toDouble / exact.size
+    assert(recall >= 0.8, s"sharded ADC recall $recall too low")
+    // filtered: the sidecar predicate composes per shard — every
+    // result obeys it, and results equal the label-filtered brute force
+    val pred = Some(col("label") === 1)
+    val filtered = ShardedIndex.annTopKSharded(probes, "vec_id", "embedding",
+      dir, k = 10, nProbe = 4, where = pred)
+    val labelOf = candidates.select($"vec_id", $"label").as[(Long, Int)]
+      .collect().toMap
+    val fIds = ids(filtered)
+    assert(fIds.nonEmpty && fIds.forall { case (_, nb) => labelOf(nb) == 1 },
+      "filtered federation returned an off-label neighbor")
+    val exactF = ids(Similarity.bruteForceTopK(probes,
+      candidates.filter($"label" === 1), "vec_id", "embedding", k = 10))
+    assert(fIds == exactF, "filtered federation diverged from label-filtered brute force")
+  }
+
   test("ANN federation refuses a shard with no vectors (quantizers need data)") {
     val s = spark
     import s.implicits._
