@@ -466,6 +466,32 @@ object ShardedIndex {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Hybrid retrieval over a PAIR of federations (lexical + dense):
+    * raw query text fans out to the lexical shards with global
+    * statistics, the raw query vector to the ANN shards, and the two
+    * exact ranked lists fuse by the same ranker-agnostic RRF as every
+    * other hybrid path ([[TextAnalysis.rrfFuseRanked]]) — swapping
+    * both branches for their federations cannot change the fusion
+    * arithmetic, so at full probe the answer equals the flat-index
+    * hybrid serve (spec-pinned). The optional predicate filters BOTH
+    * branches through their shards' sidecars.
+    */
+  def hybridTopKTextSharded(spark: SparkSession, lexDir: String, annDir: String,
+      query: String, vector: Array[Double], k: Int = 5, depth: Int = 20,
+      nProbe: Int = 4, rrfK: Int = 60, where: Option[Column] = None): DataFrame = {
+    import spark.implicits._
+    val lex = bm25TopKTextSharded(spark, lexDir, Seq(query), k = depth, where = where)
+      .select(lit(0L).as("probe_id"), col("doc_id").as("__id"),
+        col("rank").as("__lex_rank"))
+    val probe = Seq((0L, vector.toSeq)).toDF("probe_id", "embedding")
+    val den = annTopKSharded(probe, "probe_id", "embedding", annDir,
+        k = depth, nProbe = nProbe, where = where, excludeSelf = false)
+      .select(col("probe_id"), col("neighbor_id").as("__id"),
+        col("rank").as("__den_rank"))
+    TextAnalysis.rrfFuseRanked(lex, den, "doc_id", k, rrfK)
+      .select(col("rank"), col("doc_id"), col("rrf_fp"))
+  }
+
   /** ADC serving over a PQ federation ([[AnnIndex.pqTopK]] per shard —
     * each shard's codebooks trained on ITS slice, shortlist + exact
     * re-rank shard-local), merged by exact cosine like

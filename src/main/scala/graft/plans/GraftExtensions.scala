@@ -333,6 +333,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         depth = args.lift(5).map(e => intArg(e, "depth")).getOrElse(20),
         nProbe = args.lift(6).map(e => intArg(e, "n_probe")).getOrElse(4))
     }
+    // hybrid over a PAIR of federations (ShardedIndex roots)
+    tvf("graft_hybrid_sharded", "(lex_dir, ann_dir, query, vector, k[, depth, n_probe])", 5, 7) { args =>
+      graft.operators.ShardedIndex.hybridTopKTextSharded(SparkSession.active,
+        strArg(args(0), "lex_dir"), strArg(args(1), "ann_dir"),
+        strArg(args(2), "query"), vecArg(args(3), "vector"), intArg(args(4), "k"),
+        depth = args.lift(5).map(e => intArg(e, "depth")).getOrElse(20),
+        nProbe = args.lift(6).map(e => intArg(e, "n_probe")).getOrElse(4))
+    }
     tvf("graft_hybrid_filtered",
         "(lex_dir, ann_dir, query, vector, k, depth, n_probe, predicate)", 8, 8) { args =>
       graft.operators.TextAnalysis.hybridTopKText(SparkSession.active,

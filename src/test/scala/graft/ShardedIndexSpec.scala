@@ -330,6 +330,38 @@ class ShardedIndexSpec extends SparkSpec {
     assert(fIds == exactF, "filtered federation diverged from label-filtered brute force")
   }
 
+  test("hybrid over a pair of federations equals the flat-index hybrid at full probe; TVF identity") {
+    val s = spark
+    import s.implicits._
+    val emb = Tables(spark, sfDir).embeddings
+    val corpus = Tables(spark, sfDir).documents.select("doc_id", "text")
+    val lexFlat = java.nio.file.Files.createTempDirectory("shidx_hy_lf").toString
+    val annFlat = java.nio.file.Files.createTempDirectory("shidx_hy_af").toString
+    val lexFed  = java.nio.file.Files.createTempDirectory("shidx_hy_lfed").toString
+    val annFed  = java.nio.file.Files.createTempDirectory("shidx_hy_afed").toString
+    InvertedIndex.build(corpus, "doc_id", "text", lexFlat)
+    AnnIndex.build(emb, "vec_id", "embedding", annFlat, nCells = 4)
+    ShardedIndex.buildSharded(corpus, "doc_id", "text", lexFed, shards = 3)
+    ShardedIndex.buildShardedAnn(emb, "vec_id", "embedding", annFed,
+      shards = 2, nCells = 4)
+    val vec = emb.filter($"vec_id" === 3).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("rank").collect().map(_.toSeq).toSeq
+    // both branches exact at full probe -> identical ranked lists ->
+    // identical fusion (rrfFuseRanked is shared, ranker-agnostic)
+    val flat = rows(graft.operators.TextAnalysis.hybridTopKText(spark,
+      lexFlat, annFlat, "fast key scan", vec, k = 5, depth = 10, nProbe = 4))
+    val fed = rows(ShardedIndex.hybridTopKTextSharded(spark,
+      lexFed, annFed, "fast key scan", vec, k = 5, depth = 10, nProbe = 4))
+    assert(fed == flat, "federated hybrid diverged from the flat-index hybrid")
+    // SQL surface resolves to the same plan
+    val vecSql = vec.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    val tvf = rows(spark.sql(
+      s"SELECT * FROM graft_hybrid_sharded('$lexFed', '$annFed', 'fast key scan', $vecSql, 5, 10, 4)"))
+    assert(tvf == fed, "graft_hybrid_sharded TVF diverged from the Scala serve")
+  }
+
   test("ANN federation refuses a shard with no vectors (quantizers need data)") {
     val s = spark
     import s.implicits._
