@@ -466,6 +466,58 @@ object ShardedIndex {
       .select("probe_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** More-like-this over the federation: the exemplar's top-`m` terms
+    * are selected by GLOBAL idf (n and per-term df summed across
+    * shards driver-side — the same integer selection as the flat
+    * index, so the chosen terms are identical and the serve equality
+    * is exact, spec-pinned), then served like
+    * [[bm25TopKTextSharded]].
+    */
+  def moreLikeThisTopKTextSharded(spark: SparkSession, dir: String,
+      texts: Seq[String], m: Int = 8, k: Int = 5): DataFrame = {
+    require(texts.nonEmpty, "moreLikeThisTopKTextSharded needs at least one exemplar")
+    require(m >= 1, s"moreLikeThisTopKTextSharded needs m >= 1, got $m")
+    val n = shardCount(spark, dir)
+    val sdirs = (0 until n).map(shardDir(dir, _))
+    val manifests = sdirs.map(d => d -> InvertedIndex.currentManifest(spark, d))
+    val probePairs = texts.flatMap(t =>
+      DriverEval.tokenize(t).distinct.map(tok => (t, tok))).distinct
+    require(probePairs.length <= InvertedIndex.MaxTermPrune,
+      s"moreLikeThisTopKTextSharded exemplars exceed ${InvertedIndex.MaxTermPrune} " +
+        "distinct (text, term) pairs — batch fewer/smaller exemplars")
+    val toks = probePairs.map(_._2).distinct
+    val stats = manifests.map { case (d, mf) =>
+      IndexManifests.cachedStats(spark, d, mf.statsDir) }
+    val nDocs = stats.map(_._1).sum
+    val sumdl = stats.map(_._2).sum
+    val dfGlobal: Map[String, Long] = manifests
+      .map { case (d, mf) => IndexManifests.cachedTermDfs(spark, d, mf.vocabDir, toks) }
+      .foldLeft(Map.empty[String, Long]) { (acc, one) =>
+        one.foldLeft(acc) { case (a, (t, df)) => a.updated(t, a.getOrElse(t, 0L) + df) }
+      }
+    // the flat index's exact integer selection over the GLOBAL dfs
+    def idfFp(df: Long): Long = ((2L * nDocs - 2L * df + 1L) * 1000L) / (2L * df + 1L)
+    val selected = probePairs
+      .filter { case (_, t) => dfGlobal.contains(t) }
+      .groupBy(_._1).toSeq
+      .flatMap { case (pid, ts) =>
+        ts.map(_._2).distinct
+          .sortBy(t => (-idfFp(dfGlobal(t)), t))
+          .take(m).map(t => (pid, t))
+      }
+    if (selected.isEmpty) {
+      import spark.implicits._
+      Seq.empty[(String, Int, Long, Double)].toDF("q", "rank", "doc_id", "score")
+    } else {
+      val terms = selected.map(_._2).distinct
+      val candidates = manifests
+        .map { case (d, mf) => InvertedIndex.candidateRows(spark, d, mf, terms) }
+        .reduce(_ unionByName _)
+      scoreGlobal(spark, candidates, selected,
+        dfGlobal.filter { case (t, _) => terms.contains(t) }, nDocs, sumdl, k)
+    }
+  }
+
   /** Hybrid retrieval over a PAIR of federations (lexical + dense):
     * raw query text fans out to the lexical shards with global
     * statistics, the raw query vector to the ANN shards, and the two

@@ -362,6 +362,23 @@ class ShardedIndexSpec extends SparkSpec {
     assert(tvf == fed, "graft_hybrid_sharded TVF diverged from the Scala serve")
   }
 
+  test("more-like-this over the federation selects by GLOBAL idf and equals the flat serve") {
+    val flat = java.nio.file.Files.createTempDirectory("shidx_mlt_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_mlt_fed").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    val exemplars = Seq("alpha beta gamma zeta", "delta epsilon theta")
+    for (m <- Seq(2, 3, 8)) {
+      assert(served(ShardedIndex.moreLikeThisTopKTextSharded(spark, shrd, exemplars, m = m, k = 5))
+        == served(InvertedIndex.moreLikeThisTopKText(spark, flat, exemplars, m = m, k = 5)),
+        s"federated MLT diverged from flat at m=$m")
+    }
+    // exemplar with no indexed terms: empty, never an error
+    assert(ShardedIndex.moreLikeThisTopKTextSharded(spark, shrd,
+      Seq("xyzzy unknownterm"), m = 3, k = 5).isEmpty,
+      "unknown-term exemplar should serve empty")
+  }
+
   test("ANN federation refuses a shard with no vectors (quantizers need data)") {
     val s = spark
     import s.implicits._
