@@ -321,6 +321,37 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         where = args.lift(4).map(e =>
           org.apache.spark.sql.functions.expr(strArg(e, "predicate"))))
     }
+    // the federated twins — same signatures over a ShardedIndex root
+    tvf("graft_phrase_sharded", "(dir, phrase, k)", 3, 3) { args =>
+      graft.operators.ShardedIndex.phraseTopKSharded(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "phrase")), intArg(args(2), "k"))
+    }
+    tvf("graft_highlight_sharded", "(dir, terms, doc_ids)", 3, 3) { args =>
+      graft.operators.ShardedIndex.termPositionsSharded(SparkSession.active,
+        strArg(args(0), "dir"),
+        strArg(args(1), "terms").trim.split("\\s+").toSeq,
+        idsArg(args(2), "doc_ids"))
+    }
+    tvf("graft_suggest_sharded", "(dir, prefix, k)", 3, 3) { args =>
+      graft.operators.ShardedIndex.suggestTopKSharded(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "prefix")), intArg(args(2), "k"))
+    }
+    tvf("graft_mlt_sharded", "(dir, text, m, k)", 4, 4) { args =>
+      graft.operators.ShardedIndex.moreLikeThisTopKTextSharded(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "text")),
+        m = intArg(args(2), "m"), k = intArg(args(3), "k"))
+    }
+    tvf("graft_ann_sharded", "(dir, vector, k[, n_probe])", 3, 4) { args =>
+      val spark = SparkSession.active
+      import spark.implicits._
+      val probe = Seq((-1L, vecArg(args(1), "vector").toSeq))
+        .toDF("probe_id", "embedding")
+      graft.operators.ShardedIndex.annTopKSharded(probe, "probe_id", "embedding",
+          strArg(args(0), "dir"), k = intArg(args(2), "k"),
+          nProbe = args.lift(3).map(e => intArg(e, "n_probe")).getOrElse(4),
+          excludeSelf = false)
+        .select("neighbor_id", "cosine", "rank")
+    }
     // hybrid retrieval in SQL: both serving indexes, one call — text
     // scores through the inverted index, the vector through the ANN
     // index, RRF-fused by the shared ranker-agnostic fusion. Optional

@@ -379,6 +379,39 @@ class ShardedIndexSpec extends SparkSpec {
       "unknown-term exemplar should serve empty")
   }
 
+  test("every federated serve shape is reachable from SQL (TVF identities)") {
+    val s = spark
+    import s.implicits._
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_tvf").toString
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect().map(_.toSeq).toSeq
+    assert(rows(spark.sql(s"SELECT * FROM graft_bm25_sharded('$shrd', 'alpha delta', 3) ORDER BY rank"))
+      == rows(ShardedIndex.bm25TopKTextSharded(spark, shrd, Seq("alpha delta"), k = 3).orderBy("rank")))
+    assert(rows(spark.sql(s"SELECT * FROM graft_phrase_sharded('$shrd', 'alpha beta', 3) ORDER BY rank"))
+      == rows(ShardedIndex.phraseTopKSharded(spark, shrd, Seq("alpha beta"), k = 3).orderBy("rank")))
+    assert(rows(spark.sql(s"SELECT * FROM graft_highlight_sharded('$shrd', 'alpha beta', array(0, 3, 5)) ORDER BY doc_id, tok, pos"))
+      == rows(ShardedIndex.termPositionsSharded(spark, shrd, Seq("alpha", "beta"), Seq(0L, 3L, 5L)).orderBy("doc_id", "tok", "pos")))
+    assert(rows(spark.sql(s"SELECT * FROM graft_suggest_sharded('$shrd', 'al', 3) ORDER BY rank"))
+      == rows(ShardedIndex.suggestTopKSharded(spark, shrd, Seq("al"), k = 3).orderBy("rank")))
+    assert(rows(spark.sql(s"SELECT * FROM graft_mlt_sharded('$shrd', 'alpha zeta', 2, 3) ORDER BY rank"))
+      == rows(ShardedIndex.moreLikeThisTopKTextSharded(spark, shrd, Seq("alpha zeta"), m = 2, k = 3).orderBy("rank")))
+
+    val ann = java.nio.file.Files.createTempDirectory("shidx_tvf_ann").toString
+    val emb = Tables(spark, sfDir).embeddings
+    ShardedIndex.buildShardedAnn(emb.filter($"vec_id" >= 10 && $"vec_id" < 200),
+      "vec_id", "embedding", ann, shards = 2, nCells = 4)
+    val vec = emb.filter($"vec_id" === 0).select("embedding")
+      .head().getSeq[Float](0).map(_.toDouble).toArray
+    val vecSql = vec.map(v => s"CAST($v AS DOUBLE)").mkString("array(", ", ", ")")
+    val viaSql = rows(spark.sql(
+      s"SELECT * FROM graft_ann_sharded('$ann', $vecSql, 5, 4) ORDER BY rank"))
+    val probe = Seq((-1L, vec.toSeq)).toDF("probe_id", "embedding")
+    val viaApi = rows(ShardedIndex.annTopKSharded(probe, "probe_id", "embedding",
+        ann, k = 5, nProbe = 4, excludeSelf = false)
+      .select("neighbor_id", "cosine", "rank").orderBy("rank"))
+    assert(viaSql == viaApi, "graft_ann_sharded TVF diverged from the Scala serve")
+  }
+
   test("ANN federation refuses a shard with no vectors (quantizers need data)") {
     val s = spark
     import s.implicits._
