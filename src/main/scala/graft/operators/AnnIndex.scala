@@ -498,13 +498,24 @@ object AnnIndex {
       k: Int, nProbe: Int = 4, maxProbes: Int = 16384,
       where: Option[org.apache.spark.sql.Column] = None,
       excludeSelf: Boolean = true): DataFrame = {
-    val spark = probes.sparkSession
-    val m = currentManifest(spark, dir)
     // the probe side broadcasts (the small-side contract every ANN
     // operator here shares) — enforce it instead of assuming it
     require(probes.limit(maxProbes + 1).count() <= maxProbes,
       s"AnnIndex.topK probe side exceeds the small-side contract (> $maxProbes rows); " +
         "batch large probe sets or swap probes/candidates")
+    topKChecked(probes, idCol, vecCol, dir, k, nProbe, where, excludeSelf)
+  }
+
+  /** [[topK]] body minus the probe-contract job — for the federation's
+    * fan-out ([[ShardedIndex]]), which enforces the contract ONCE
+    * instead of paying S identical count jobs per query.
+    */
+  private[graft] def topKChecked(probes: DataFrame, idCol: String, vecCol: String,
+      dir: String, k: Int, nProbe: Int,
+      where: Option[org.apache.spark.sql.Column],
+      excludeSelf: Boolean): DataFrame = {
+    val spark = probes.sparkSession
+    val m = currentManifest(spark, dir)
     val p = probes.select(col(idCol).cast("long").as("probe_id"),
         asDouble(col(vecCol)).as("__pv"))
       .withColumn("cell",

@@ -281,6 +281,44 @@ object ShardedIndex {
       .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
   }
 
+  /** Ordered proximity (span-near pair) over the federation — same
+    * per-doc-count merge as [[phraseTopKSharded]] (anchors are
+    * shard-local per doc).
+    */
+  def proximityTopKSharded(spark: SparkSession, dir: String,
+      pairs: Seq[(String, String)], window: Int, k: Int = 5,
+      where: Option[Column] = None): DataFrame = {
+    val n = shardCount(spark, dir)
+    mergeCounted((0 until n).map(i =>
+      InvertedIndex.proximityTopK(spark, shardDir(dir, i), pairs, window, k, where)), k)
+  }
+
+  /** k-term span-near (ordered/unordered) over the federation — same
+    * merge shape.
+    */
+  def spanNearTopKSharded(spark: SparkSession, dir: String,
+      queries: Seq[Seq[String]], slop: Int, inOrder: Boolean, k: Int = 5,
+      where: Option[Column] = None): DataFrame = {
+    val n = shardCount(spark, dir)
+    mergeCounted((0 until n).map(i =>
+      InvertedIndex.spanNearTopK(spark, shardDir(dir, i), queries, slop, inOrder, k, where)), k)
+  }
+
+  /** Merge per-shard (q, rank, doc_id, n) top-k lists by the single
+    * index's (n desc, doc_id asc) key — counts are per-doc and a doc
+    * lives wholly in one shard, so the merged answer equals the flat
+    * index's.
+    */
+  private def mergeCounted(perShard: Seq[DataFrame], k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("n").desc, col("doc_id").asc)
+    perShard.reduce(_ unionByName _)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("doc_id"), col("n"))
+  }
+
   /** The single-index scoring arithmetic ([[InvertedIndex]]'s
     * scoreAndRank) over federation-global statistics. idf is a
     * driver-built probe-sized local relation (global df has no single
@@ -451,12 +489,19 @@ object ShardedIndex {
     */
   def annTopKSharded(probes: DataFrame, idCol: String, vecCol: String,
       dir: String, k: Int, nProbe: Int = 4,
-      where: Option[Column] = None, excludeSelf: Boolean = true): DataFrame = {
+      where: Option[Column] = None, excludeSelf: Boolean = true,
+      maxProbes: Int = 16384): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     val n = shardCount(spark, dir)
+    // the probe contract is federation-wide — enforce it ONCE instead
+    // of paying S identical count jobs (per-query driver dispatch is
+    // the federated serve's concurrency cost, BENCH_SF1 addendum 7)
+    require(probes.limit(maxProbes + 1).count() <= maxProbes,
+      s"annTopKSharded probe side exceeds the small-side contract (> $maxProbes rows); " +
+        "batch large probe sets or swap probes/candidates")
     val perShard = (0 until n).map(i =>
-      AnnIndex.topK(probes, idCol, vecCol, shardDir(dir, i), k, nProbe,
+      AnnIndex.topKChecked(probes, idCol, vecCol, shardDir(dir, i), k, nProbe,
         where = where, excludeSelf = excludeSelf))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

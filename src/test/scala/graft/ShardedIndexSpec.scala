@@ -187,6 +187,27 @@ class ShardedIndexSpec extends SparkSpec {
       "federated phrase search diverged from the flat positional index")
   }
 
+  test("proximity and span-near federations equal the flat positional index") {
+    val flat = java.nio.file.Files.createTempDirectory("shidx_px_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_px_fed").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 3)
+    def byQ(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q", "rank").collect().map(_.toSeq).toSeq
+    val pairs = Seq(("alpha", "beta"), ("beta", "delta"), ("gamma", "beta"))
+    assert(byQ(ShardedIndex.proximityTopKSharded(spark, shrd, pairs, window = 3, k = 5))
+      == byQ(InvertedIndex.proximityTopK(spark, flat, pairs, window = 3, k = 5)),
+      "federated proximity diverged from the flat positional index")
+    val spans = Seq(Seq("alpha", "beta", "gamma"), Seq("delta", "zeta"))
+    for (inOrder <- Seq(true, false)) {
+      assert(byQ(ShardedIndex.spanNearTopKSharded(spark, shrd, spans, slop = 2,
+          inOrder = inOrder, k = 5))
+        == byQ(InvertedIndex.spanNearTopK(spark, flat, spans, slop = 2,
+          inOrder = inOrder, k = 5)),
+        s"federated span-near (inOrder=$inOrder) diverged from the flat index")
+    }
+  }
+
   test("filtered federation: the sidecar predicate composes per shard (equals the flat filtered serve)") {
     val s = spark
     import s.implicits._
