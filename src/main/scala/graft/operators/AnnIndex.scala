@@ -578,8 +578,30 @@ object AnnIndex {
   def pqTopK(probes: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, nProbe: Int = 4, shortlist: Int = 100, maxProbes: Int = 16384,
       where: Option[org.apache.spark.sql.Column] = None,
-      excludeSelf: Boolean = true): DataFrame = {
-    val spark = probes.sparkSession
+      excludeSelf: Boolean = true): DataFrame =
+    pqTopKRows(probes.sparkSession, collectProbes(probes, idCol, vecCol, maxProbes),
+      dir, k, nProbe, shortlist, where, excludeSelf)
+
+  /** One bounded collect of the probe side — shared by [[pqTopK]] and
+    * the federation ([[ShardedIndex.pqTopKSharded]] collects ONCE and
+    * feeds every shard, instead of S identical probe jobs).
+    */
+  private[graft] def collectProbes(probes: DataFrame, idCol: String, vecCol: String,
+      maxProbes: Int): Seq[(Long, Array[Double])] = {
+    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
+      .limit(maxProbes + 1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    require(probeRows.length <= maxProbes,
+      s"pqTopK probe side exceeds the small-side contract (> $maxProbes rows); " +
+        "batch large probe sets")
+    probeRows.toSeq
+  }
+
+  private[graft] def pqTopKRows(spark: SparkSession,
+      probeRows: Seq[(Long, Array[Double])], dir: String,
+      k: Int, nProbe: Int, shortlist: Int,
+      where: Option[org.apache.spark.sql.Column],
+      excludeSelf: Boolean): DataFrame = {
     val m = currentManifest(spark, dir)
     require(m.codebooks.nonEmpty,
       s"pqTopK against $dir, but the index carries no PQ codebooks " +
@@ -589,12 +611,6 @@ object AnnIndex {
     val nSub = codebooks.length
     val dim = centroids.head.length
     val sub = dim / nSub
-    val probeRows = probes.select(col(idCol).cast("long"), asDouble(col(vecCol)))
-      .limit(maxProbes + 1).collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-    require(probeRows.length <= maxProbes,
-      s"pqTopK probe side exceeds the small-side contract (> $maxProbes rows); " +
-        "batch large probe sets")
     // driver-side per probe: nProbe nearest cells by unit-probe·centroid
     // (the cdot constant of the ADC decomposition) + the m lookup tables
     val probeSide = probeRows.toSeq.flatMap { case (pid, pvRaw) =>

@@ -598,12 +598,16 @@ object ShardedIndex {
     */
   def pqTopKSharded(probes: DataFrame, idCol: String, vecCol: String,
       dir: String, k: Int, nProbe: Int = 4, shortlist: Int = 100,
-      where: Option[Column] = None, excludeSelf: Boolean = true): DataFrame = {
+      where: Option[Column] = None, excludeSelf: Boolean = true,
+      maxProbes: Int = 16384): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     val n = shardCount(spark, dir)
+    // one bounded probe collect feeds every shard (each shard's ADC
+    // tables still derive from ITS codebooks — driver math, no jobs)
+    val probeRows = AnnIndex.collectProbes(probes, idCol, vecCol, maxProbes)
     val perShard = (0 until n).map(i =>
-      AnnIndex.pqTopK(probes, idCol, vecCol, shardDir(dir, i), k, nProbe,
+      AnnIndex.pqTopKRows(spark, probeRows, shardDir(dir, i), k, nProbe,
         shortlist, where = where, excludeSelf = excludeSelf))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
