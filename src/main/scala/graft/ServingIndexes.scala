@@ -120,6 +120,21 @@ object ServingIndexes {
       dir
     })
 
+  private val shardedChampDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The shared lexical federation WITH champion sidecars (global
+    * top-64 selection, [[operators.ShardedIndex.buildChampionsSharded]])
+    * — `search_bm25_approx_sharded` serves from it. Same c as the flat
+    * index's champion build so the two approximate entries share one
+    * oracle; the exact federated serves ignore the sidecars.
+    */
+  def shardedLexicalChampionsDir(spark: SparkSession, sfDir: String): String =
+    shardedChampDirs.computeIfAbsent(sfDir, { _ =>
+      val dir = shardedLexicalDir(spark, sfDir)
+      operators.ShardedIndex.buildChampionsSharded(spark, dir, c = 64)
+      dir
+    })
+
   /** Shared 3-shard ANN federation over the `ann_bruteforce` corpus
     * split (vec_id >= 5; probes 0-4 stay out) — `ann_sharded` serves
     * full-probe from it, exact by construction.

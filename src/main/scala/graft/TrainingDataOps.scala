@@ -2810,6 +2810,68 @@ object TrainingDataOps {
       bench = true
     ),
     QueryDef(
+      "search_bm25_approx_sharded",
+      // IMPACT-ORDERED approximate serving over the FEDERATION: the
+      // champion sidecars are built with the GLOBAL top-64 selection
+      // (one federated impact-ranked pass under federation-global
+      // avgdl, routed into per-shard sidecars), so the candidate
+      // restriction is exactly the flat index's champion list and the
+      // serve — global stats over the unioned per-shard champion scans
+      // — is hash-identical to search_bm25_approx: one oracle covers
+      // both layouts. Reads stay q·64 champion rows per shard touched;
+      // a per-shard selection would be cheaper to build but silently
+      // recall-different per routing layout (ShardedIndexSpec pins the
+      // equality, the c >= max df degeneracy, and post-champion delta
+      // freshness).
+      (spark, dir) => {
+        val idx = ServingIndexes.shardedLexicalChampionsDir(spark, dir)
+        operators.ShardedIndex.bm25TopKTextApproxSharded(spark, idx,
+            Seq("fast key scan", "table value"), k = 5)
+          .orderBy("q", "rank")
+      },
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok FROM documents
+        ), tf AS (
+          SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2
+        ), dl AS (
+          SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        ), stats AS (
+          SELECT CAST(count(*) AS BIGINT) AS n, (100 * CAST(sum(dl) AS BIGINT)) // count(*) AS avgdl_fp FROM dl
+        ), dfreq AS (
+          SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ), idf AS (
+          SELECT tok, ((2 * s.n - 2 * df + 1) * 1000) // (2 * df + 1) AS idf_fp FROM dfreq, stats s
+        ), sat AS (
+          SELECT tf.doc_id, tf.tok,
+                 (22 * tf * s.avgdl_fp * 10000) //
+                 (10 * tf * s.avgdl_fp + 3 * s.avgdl_fp + 900 * dl.dl) AS sat_fp
+          FROM tf JOIN dl ON tf.doc_id = dl.doc_id, stats s
+        ), champ AS (
+          SELECT doc_id, tok, sat_fp FROM (
+            SELECT doc_id, tok, sat_fp,
+                   row_number() OVER (PARTITION BY tok ORDER BY sat_fp DESC, doc_id ASC) AS crn
+            FROM sat
+          ) WHERE crn <= 64
+        ), qd AS (
+          SELECT DISTINCT q, unnest(regexp_split_to_array(q, '\s+')) AS tok
+          FROM (VALUES ('fast key scan'), ('table value')) t(q)
+        ), scores AS (
+          SELECT qd.q, c.doc_id, CAST(sum(i.idf_fp * c.sat_fp) AS BIGINT) AS score_fp
+          FROM champ c JOIN qd ON c.tok = qd.tok JOIN idf i ON i.tok = c.tok
+          GROUP BY 1, 2
+        )
+        SELECT q, CAST(rn AS INT) AS rank, doc_id,
+               CAST(score_fp AS DOUBLE) / 10000000.0 AS score
+        FROM (
+          SELECT q, doc_id, score_fp,
+                 row_number() OVER (PARTITION BY q ORDER BY score_fp DESC, doc_id ASC) AS rn
+          FROM scores
+        ) WHERE rn <= 5 ORDER BY q, rank
+      """.trim),
+      bench = true
+    ),
+    QueryDef(
       "ann_sharded",
       // the dense federation twin: probes fan out to 3 independent
       // per-shard IVF indexes (each trained on its own slice) and the

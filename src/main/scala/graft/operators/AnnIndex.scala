@@ -497,34 +497,41 @@ object AnnIndex {
   def topK(probes: DataFrame, idCol: String, vecCol: String, dir: String,
       k: Int, nProbe: Int = 4, maxProbes: Int = 16384,
       where: Option[org.apache.spark.sql.Column] = None,
-      excludeSelf: Boolean = true): DataFrame = {
-    // the probe side broadcasts (the small-side contract every ANN
-    // operator here shares) — enforce it instead of assuming it
-    require(probes.limit(maxProbes + 1).count() <= maxProbes,
-      s"AnnIndex.topK probe side exceeds the small-side contract (> $maxProbes rows); " +
-        "batch large probe sets or swap probes/candidates")
-    topKChecked(probes, idCol, vecCol, dir, k, nProbe, where, excludeSelf)
-  }
+      excludeSelf: Boolean = true): DataFrame =
+    // one bounded probe collect enforces the small-side contract AND
+    // feeds the driver-side cell assignment — no separate count job
+    topKRows(probes.sparkSession,
+      collectProbes(probes, idCol, vecCol, maxProbes), dir, k, nProbe,
+      where, excludeSelf)
 
-  /** [[topK]] body minus the probe-contract job — for the federation's
-    * fan-out ([[ShardedIndex]]), which enforces the contract ONCE
-    * instead of paying S identical count jobs per query.
+  /** [[topK]] over DRIVER-collected probe rows — the serve kernel the
+    * federation fans out ([[ShardedIndex.annTopKSharded]] collects the
+    * probes ONCE and feeds every shard). Cell assignment runs on the
+    * driver through the same [[VectorQuantization.nearestCells]]
+    * arithmetic the rows were staged with (bit-identical centroids from
+    * the manifest), so preparing a query launches ZERO Spark jobs: the
+    * round-13 path paid one probe-cells collect job per shard per query
+    * — S driver dispatches per federated query, the measured concurrency
+    * ceiling at 32 clients (BENCH_SF1 addendum 7). The probe side
+    * becomes a local relation; everything downstream (manifest-pruned
+    * cell scan, broadcast join, window top-k) is one declarative plan.
     */
-  private[graft] def topKChecked(probes: DataFrame, idCol: String, vecCol: String,
-      dir: String, k: Int, nProbe: Int,
+  private[graft] def topKRows(spark: SparkSession,
+      probeRows: Seq[(Long, Array[Double])], dir: String,
+      k: Int, nProbe: Int,
       where: Option[org.apache.spark.sql.Column],
       excludeSelf: Boolean): DataFrame = {
-    val spark = probes.sparkSession
+    import spark.implicits._
     val m = currentManifest(spark, dir)
-    val p = probes.select(col(idCol).cast("long").as("probe_id"),
-        asDouble(col(vecCol)).as("__pv"))
-      .withColumn("cell",
-        explode(VectorQuantization.centroidCells(col("__pv"), m.centroids, nProbe)))
-    // ≤ nCells distinct values by construction — a constant-bounded
-    // driver-side collect, independent of corpus or probe count
-    val probeCells = p.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    val pLocal = probeRows.flatMap { case (pid, pv) =>
+      VectorQuantization.nearestCells(pv, m.centroids, nProbe)
+        .map(c => (pid, pv.toSeq, c))
+    }
+    val p = pLocal.toDF("probe_id", "__pv", "cell")
+    // ≤ nCells distinct values by construction — driver-side set, no job
+    val probeCells = pLocal.map(_._3).toSet
     // the cell was computed ONCE at stage time (same pure assignment
-    // expression, bit-identical centroids) and stored in the rows, so
+    // arithmetic, bit-identical centroids) and stored in the rows, so
     // each probe compares only within ITS probed cells — the exact
     // ivfTopK join semantics with no per-row re-assignment at serve
     val slice0 = liveRows(spark, dir, m, m.vectors.filter(e => probeCells(e._1)))
@@ -592,7 +599,7 @@ object AnnIndex {
       .limit(maxProbes + 1).collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     require(probeRows.length <= maxProbes,
-      s"pqTopK probe side exceeds the small-side contract (> $maxProbes rows); " +
+      s"ANN probe side exceeds the small-side contract (> $maxProbes rows); " +
         "batch large probe sets")
     probeRows.toSeq
   }

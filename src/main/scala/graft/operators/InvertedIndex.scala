@@ -197,7 +197,7 @@ object InvertedIndex {
         .groupBy(col(idCol), col("__tok"))
         .agg(count(lit(1)).as("__tf"))
 
-  private def bucketOf(tok: Column, buckets: Int): Column =
+  private[graft] def bucketOf(tok: Column, buckets: Int): Column =
     pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
 
   // ---- manifest IO (commit protocol shared via IndexManifests) -------
@@ -936,6 +936,20 @@ object InvertedIndex {
       s"champion build lost the version race $maxAttempts times at $dir")
   }
 
+  /** Commit an EXTERNALLY-staged champion sidecar (the federation's
+    * global selection, [[ShardedIndex.buildChampionsSharded]]) against
+    * the manifest version the selection ran over: a base that advanced
+    * since makes the selection stale — refuse (false) and let the
+    * caller re-select, exactly [[buildChampions]]'s lost-race posture.
+    */
+  private[graft] def commitChampions(spark: SparkSession, dir: String,
+      baseVersion: Long, files: Seq[(Int, String)], c: Int): Boolean = {
+    val base = currentManifest(spark, dir)
+    if (base.version != baseVersion) return false
+    tryCommit(spark, dir, base.copy(version = base.version + 1,
+      champions = files, championCover = base.postings.size, championC = c))
+  }
+
   /** Roll the index back to `toVersion`'s content as a NEW head commit
     * (the catalog's `rollback` posture: history stays travelable, the
     * rollback itself is one more OCC claim — so a bad CDC batch is one
@@ -1247,8 +1261,21 @@ object InvertedIndex {
     require(terms.size <= MaxTermPrune,
       s"bm25TopKTextApprox queries exceed $MaxTermPrune distinct terms — " +
         "batch fewer queries (the approximate mode is the serving-text shape)")
-    val probeBuckets = terms.map(DriverEval.bucketOf(_, m.buckets)).toSet
     val qterms = pairs.toDF("probe_id", "__tok")
+    scoreAndRank(spark, dir, m, approxCandidateRows(spark, dir, m, terms), qterms,
+        Some(terms), k, excludeSelf = false, where)
+      .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
+  }
+
+  /** The approximate mode's candidate restriction — champion rows plus
+    * everything staged since the champion build — as bare (doc_id, tok,
+    * tf, dl) rows: [[bm25TopKTextApprox]] scores them flat, the
+    * federation ([[ShardedIndex.bm25TopKTextApproxSharded]]) unions S
+    * shards' restrictions under global statistics.
+    */
+  private[graft] def approxCandidateRows(spark: SparkSession, dir: String,
+      m: Manifest, terms: Seq[String]): DataFrame = {
+    val probeBuckets = terms.map(DriverEval.bucketOf(_, m.buckets)).toSet
     val termList = Some(terms)
     def emptyRows = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -1284,9 +1311,7 @@ object InvertedIndex {
     val deltaRows = if (uncovered.isEmpty) emptyRows
       else pushTerms(liveRows(spark, dir, m, uncovered), termList)
         .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
-    scoreAndRank(spark, dir, m, championRows.unionByName(deltaRows), qterms,
-        termList, k, excludeSelf = false, where)
-      .select(col("probe_id").as("q"), col("rank"), col("doc_id"), col("score"))
+    championRows.unionByName(deltaRows)
   }
 
   /** More-like-this retrieval: each probe DOCUMENT's top-`m` terms by

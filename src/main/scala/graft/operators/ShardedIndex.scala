@@ -85,6 +85,24 @@ object ShardedIndex {
     m.group(1).toInt
   }
 
+  /** A build that found no shards.json owns the tree: nothing is
+    * serving (the marker lands LAST), so leftover debris from a crashed
+    * earlier build — the `_route_staging` tree and half-built
+    * `shard=i` roots — is swept instead of failing the retry with an
+    * errorifexists that never mentions the half-built federation.
+    */
+  private def sweepUncommitted(spark: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { st =>
+      val nm = st.getPath.getName
+      if (st.isDirectory && (nm == "_route_staging" || nm == MaintStagingDir ||
+          nm.startsWith("shard=")))
+        fs.delete(st.getPath, true)
+    }
+  }
+
   private def writeShardsFile(spark: SparkSession, dir: String, shards: Int): Unit = {
     val p = shardsPath(dir)
     val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -112,6 +130,7 @@ object ShardedIndex {
     require(!shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(shardsPath(dir)),
       s"sharded index already committed at $dir")
+    sweepUncommitted(spark, dir)
     val staging = s"$dir/_route_staging"
     docs.withColumn("__shard", routeOf(col(idCol), shards))
       .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
@@ -142,21 +161,68 @@ object ShardedIndex {
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
-  /** Split a maintenance batch by route and return only the NON-EMPTY
-    * (shard, slice) pairs — the other shards are never touched (their
-    * manifest versions don't advance; spec-pinned). The distinct-shard
-    * probe is one churn-sized job bounded by S values.
+  /** Route a maintenance batch ONCE into a staging tree partitioned by
+    * shard — the build's own pattern ([[buildSharded]]), applied to the
+    * delta/CDC/delete paths. Two properties the round-13 filter-per-
+    * shard version lacked:
+    *
+    *  - '''one batch scan''': each affected shard's fold re-scans its
+    *    input several times ([[InvertedIndex.addDelta]] stages postings
+    *    + meta; [[InvertedIndex.applyCdc]] more), and a filter over the
+    *    computed `__shard` column pushes nothing — so the old path
+    *    re-read the ENTIRE batch once per affected shard per internal
+    *    pass, S× read amplification per micro-batch (the exact hazard
+    *    the build comment calls out). Staging pays one scan + one
+    *    churn-sized write; every later pass reads only its shard's
+    *    staged files (spec-pinned by a files-opened counter).
+    *  - '''one materialization''': a nondeterministic input (limit /
+    *    sample without ordering) re-evaluated per shard could route a
+    *    row to a shard absent from a separately-collected hit set and
+    *    silently drop it. Here the hit set IS the staging tree's
+    *    partition directories — probe and apply read the same bytes.
+    *
+    * The staging tree is swept in `finally`; a JVM crash leaves only an
+    * orphan UUID dir that [[sweepStaging]] (on the stream's vacuum
+    * cadence) or the next [[buildSharded]] at the path removes.
     */
-  private def routedSlices(batch: DataFrame, idCol: String,
-      shards: Int): Seq[(Int, DataFrame)] = {
-    val routed = batch.withColumn("__shard", routeOf(col(idCol), shards))
-    val hit = routed.select("__shard").distinct()
-      .collect().map(_.getInt(0)).sorted
-    hit.toSeq.map(i => i -> routed.filter(col("__shard") === i).drop("__shard"))
+  private def withRoutedSlices[T](batch: DataFrame, idCol: String, shards: Int,
+      dir: String)(f: Seq[(Int, DataFrame)] => T): T = {
+    val spark = batch.sparkSession
+    val staging = s"$dir/$MaintStagingDir/" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    batch.withColumn("__shard", routeOf(col(idCol), shards))
+      .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
+    try {
+      val hit = fs.listStatus(sp).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("__shard="))
+        .map(_.getPath.getName.stripPrefix("__shard=").toInt).sorted
+      f(hit.map(i => i -> shardSlice(spark, staging, i, batch.schema)))
+    } finally { fs.delete(sp, true); () }
+  }
+
+  private[graft] val MaintStagingDir = "_maint_staging"
+
+  /** Sweep maintenance-staging orphans older than `graceMs` (a crashed
+    * fold's leftover UUID dir — invisible to serving, pure disk). The
+    * grace period protects a CONCURRENT maintainer's in-flight staging;
+    * [[graft.streaming.StreamIndex]] runs this on the vacuum cadence.
+    */
+  def sweepStaging(spark: SparkSession, dir: String, graceMs: Long): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/$MaintStagingDir")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(root).count { st =>
+      st.getModificationTime < cutoff && fs.delete(st.getPath, true)
+    }
   }
 
   /** Fold new documents in — each affected shard gets ONE churn-sized
-    * [[InvertedIndex.addDelta]]; untouched shards never advance.
+    * [[InvertedIndex.addDelta]] over its STAGED slice (the batch itself
+    * is scanned exactly once, [[withRoutedSlices]]); untouched shards
+    * never advance. Returns the affected shard ids.
     *
     * `stamp` threads the exactly-once batch stamp through to EACH
     * affected shard's claim (shard manifests are independent chains, so
@@ -167,10 +233,13 @@ object ShardedIndex {
     * some shards committed and some not.
     */
   def addDeltaSharded(delta: DataFrame, idCol: String, textCol: String,
-      dir: String, stamp: Option[(String, Long)] = None): Unit = {
+      dir: String, stamp: Option[(String, Long)] = None): Seq[Int] = {
     val n = shardCount(delta.sparkSession, dir)
-    routedSlices(delta, idCol, n).foreach { case (i, slice) =>
-      InvertedIndex.addDelta(slice, idCol, textCol, shardDir(dir, i), stamp = stamp)
+    withRoutedSlices(delta, idCol, n, dir) { slices =>
+      slices.foreach { case (i, slice) =>
+        InvertedIndex.addDelta(slice, idCol, textCol, shardDir(dir, i), stamp = stamp)
+      }
+      slices.map(_._1)
     }
   }
 
@@ -179,29 +248,42 @@ object ShardedIndex {
     * shard's [[InvertedIndex.applyCdc]] claim keeps its atomicity —
     * cross-shard, batches apply shard-at-a-time (each idempotent;
     * documented federation semantics, same as S independent pipelines).
+    * Each input frame is scanned exactly once ([[withRoutedSlices]]);
+    * returns the affected shard ids.
     */
   def applyCdcSharded(upserts: DataFrame, removals: DataFrame, idCol: String,
-      textCol: String, dir: String, stamp: Option[(String, Long)] = None): Unit = {
+      textCol: String, dir: String, stamp: Option[(String, Long)] = None): Seq[Int] = {
     val spark = upserts.sparkSession
     val n = shardCount(spark, dir)
-    val up = routedSlices(upserts, idCol, n).toMap
-    val rm = routedSlices(removals, idCol, n).toMap
-    def emptyLike(a: DataFrame) = a.filter(lit(false))
-    (up.keySet ++ rm.keySet).toSeq.sorted.foreach { i =>
-      InvertedIndex.applyCdc(
-        up.getOrElse(i, emptyLike(upserts)),
-        rm.getOrElse(i, emptyLike(removals)),
-        idCol, textCol, shardDir(dir, i), stamp = stamp)
+    def emptySlice(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    withRoutedSlices(upserts, idCol, n, dir) { upSlices =>
+      withRoutedSlices(removals, idCol, n, dir) { rmSlices =>
+        val up = upSlices.toMap
+        val rm = rmSlices.toMap
+        val hit = (up.keySet ++ rm.keySet).toSeq.sorted
+        hit.foreach { i =>
+          InvertedIndex.applyCdc(
+            up.getOrElse(i, emptySlice(upserts.schema)),
+            rm.getOrElse(i, emptySlice(removals.schema)),
+            idCol, textCol, shardDir(dir, i), stamp = stamp)
+        }
+        hit
+      }
     }
   }
 
   /** Tombstone documents across the federation — only the shards their
-    * ids route to scan and commit.
+    * ids route to scan and commit. Returns the affected shard ids.
     */
-  def deleteDocsSharded(ids: DataFrame, idCol: String, dir: String): Unit = {
+  def deleteDocsSharded(ids: DataFrame, idCol: String, dir: String): Seq[Int] = {
     val n = shardCount(ids.sparkSession, dir)
-    routedSlices(ids, idCol, n).foreach { case (i, slice) =>
-      InvertedIndex.deleteDocs(slice, idCol, shardDir(dir, i))
+    withRoutedSlices(ids, idCol, n, dir) { slices =>
+      slices.foreach { case (i, slice) =>
+        InvertedIndex.deleteDocs(slice, idCol, shardDir(dir, i))
+      }
+      slices.map(_._1)
     }
   }
 
@@ -253,6 +335,145 @@ object ShardedIndex {
       .map { case (d, m) =>
         InvertedIndex.applyMetaFilter(spark, d, m,
           InvertedIndex.candidateRows(spark, d, m, terms), where)
+      }
+      .reduce(_ unionByName _)
+    scoreGlobal(spark, candidates, pairs, dfGlobal, nDocs, sumdl, k)
+  }
+
+  /** Build the federation's champion sidecars with the GLOBAL top-`c`
+    * selection: per term, the top-c live postings by fixed-point impact
+    * under federation-global avgdl, across ALL shards — exactly the set
+    * a flat index over the same corpus selects, so the approximate
+    * federated serve ([[bm25TopKTextApproxSharded]]) is hash-identical
+    * to the flat [[InvertedIndex.bm25TopKTextApprox]] and shares its
+    * oracle. Per-shard selection (each shard's own top-c under its own
+    * avgdl) would be cheaper but non-replicable: shard-local avgdl
+    * skews the impact order, and the union of per-shard top-c is a
+    * superset of the global list — silently different recall per
+    * routing layout. This is a maintenance-cadence pass (champion
+    * builds already rescan live postings on the flat index); the
+    * selection is ONE federated window job routed into per-shard
+    * sidecars by a single partitioned write + S renames.
+    *
+    * Concurrency: the selection pins each shard's manifest version; a
+    * shard that advanced mid-build refuses its commit and the whole
+    * selection retries against fresh state ([[InvertedIndex.
+    * buildChampions]]'s lost-race posture, federation-wide).
+    */
+  def buildChampionsSharded(spark: SparkSession, dir: String, c: Int,
+      maxAttempts: Int = 5): Unit = {
+    require(c >= 1, s"buildChampionsSharded needs c >= 1, got $c")
+    val n = shardCount(spark, dir)
+    val sdirs = (0 until n).map(shardDir(dir, _))
+    var attempt = 0
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val manifests = sdirs.map(d => d -> InvertedIndex.currentManifest(spark, d))
+      val buckets = manifests.map(_._2.buckets).distinct
+      require(buckets.size == 1,
+        s"federation shards disagree on bucket modulus ($buckets) at $dir — " +
+          "a champion layout cannot span mixed bucketing")
+      val stats = manifests.map { case (d, m) =>
+        IndexManifests.cachedStats(spark, d, m.statsDir) }
+      val nDocs = stats.map(_._1).sum
+      val sumdl = stats.map(_._2).sum
+      val avgdlFp = if (nDocs == 0) 1L else 100L * sumdl / nDocs
+      // ONE federated pass: live postings of every shard, tagged with
+      // their shard, ranked per term by the serve's own integer impact
+      val live = manifests.zipWithIndex.map { case ((d, m), i) =>
+        InvertedIndex.liveRows(spark, d, m, m.postings)
+          .select(col("doc_id"), col("tok"), col("tf"), col("dl"),
+            lit(i).as("__shard"))
+      }.reduce(_ unionByName _)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("tok")).orderBy(col("__sat_fp").desc, col("doc_id").asc)
+      val staging = s"$dir/$MaintStagingDir/champ-" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val sp = new org.apache.hadoop.fs.Path(staging)
+      val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      live
+        .withColumn("__sat_fp",
+          expr(s"22L * tf * ${avgdlFp}L * 10000L div " +
+            s"(10L * tf * ${avgdlFp}L + 3L * ${avgdlFp}L + 900L * dl)"))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= c)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"), col("__shard"),
+          InvertedIndex.bucketOf(col("tok"), buckets.head).as("bucket"))
+        .repartition(col("__shard"), col("bucket"))
+        .sortWithinPartitions("tok", "doc_id")
+        .write.partitionBy("__shard", "bucket").mode("errorifexists")
+        .option("parquet.block.size", (8L << 20).toString)
+        .parquet(staging)
+      // per shard: rename its staged subtree into the shard root (a
+      // metadata move on HDFS/local; at object-store scale this is the
+      // same copy the export path pays) and claim the commit against
+      // the selection's pinned base version
+      val committed = try {
+        (0 until n).forall { i =>
+          val src = new org.apache.hadoop.fs.Path(s"$staging/__shard=$i")
+          val rel = IndexManifests.freshRel("champions")
+          val files = if (fs.exists(src)) {
+            val dst = new org.apache.hadoop.fs.Path(s"${sdirs(i)}/$rel")
+            fs.mkdirs(dst.getParent)
+            require(fs.rename(src, dst),
+              s"failed to move staged champions into ${sdirs(i)}")
+            IndexManifests.listStaged(spark, sdirs(i), rel, "bucket")
+          } else Seq.empty[(Int, String)] // an empty shard: champions
+          // enabled (championC = c) with no rows, serving empty exactly
+          // like the flat approx serve over an empty index
+          InvertedIndex.commitChampions(spark, sdirs(i),
+            manifests(i)._2.version, files, c)
+        }
+      } finally { fs.delete(sp, true); () }
+      if (committed) return
+      // some shard advanced mid-selection: its (and only its) commit
+      // refused; already-committed shards carry a FRESH champion build
+      // that their new head simply re-covers on the retry
+    }
+    throw new graft.catalog.GraftCommitConflict(
+      s"federated champion build lost a shard's version race $maxAttempts times at $dir")
+  }
+
+  /** APPROXIMATE BM25 over the federation: candidates restrict to each
+    * shard's champion sidecar (+ its post-champion staged files, the
+    * flat index's freshness rule) and score under federation-GLOBAL
+    * statistics — with [[buildChampionsSharded]]'s global selection the
+    * answer is hash-identical to the flat index's approximate serve
+    * over the same corpus, so the entry shares search_bm25_approx's
+    * oracle. Reads stay q·c champion rows + churn PER SHARD TOUCHED,
+    * never a posting list's full df.
+    */
+  def bm25TopKTextApproxSharded(spark: SparkSession, dir: String,
+      queries: Seq[String], k: Int = 5, where: Option[Column] = None): DataFrame = {
+    require(queries.nonEmpty, "bm25TopKTextApproxSharded needs at least one query")
+    val n = shardCount(spark, dir)
+    val sdirs = (0 until n).map(shardDir(dir, _))
+    val manifests = sdirs.map(d => d -> InvertedIndex.currentManifest(spark, d))
+    manifests.foreach { case (d, m) =>
+      require(m.championC > 0,
+        s"no champion sidecar at federation shard $d — approximate serving is " +
+          "opt-in: call buildChampionsSharded(dir, c) first (compaction clears " +
+          "the sidecars; rebuild after)")
+    }
+    val pairs = queries.flatMap(q =>
+      DriverEval.tokenize(q).distinct.map(t => (q, t))).distinct
+    val terms = pairs.map(_._2).distinct
+    require(terms.size <= InvertedIndex.MaxTermPrune,
+      s"bm25TopKTextApproxSharded queries exceed ${InvertedIndex.MaxTermPrune} " +
+        "distinct terms — batch fewer queries")
+    val stats = manifests.map { case (d, m) =>
+      IndexManifests.cachedStats(spark, d, m.statsDir) }
+    val nDocs = stats.map(_._1).sum
+    val sumdl = stats.map(_._2).sum
+    val dfGlobal: Map[String, Long] = manifests
+      .map { case (d, m) => IndexManifests.cachedTermDfs(spark, d, m.vocabDir, terms) }
+      .foldLeft(Map.empty[String, Long]) { (acc, one) =>
+        one.foldLeft(acc) { case (a, (t, df)) => a.updated(t, a.getOrElse(t, 0L) + df) }
+      }
+    val candidates = manifests
+      .map { case (d, m) =>
+        InvertedIndex.applyMetaFilter(spark, d, m,
+          InvertedIndex.approxCandidateRows(spark, d, m, terms), where)
       }
       .reduce(_ unionByName _)
     scoreGlobal(spark, candidates, pairs, dfGlobal, nDocs, sumdl, k)
@@ -447,6 +668,7 @@ object ShardedIndex {
     require(!shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(shardsPath(dir)),
       s"sharded index already committed at $dir")
+    sweepUncommitted(spark, dir)
     val staging = s"$dir/_route_staging"
     emb.withColumn("__shard", routeOf(col(idCol), shards))
       .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
@@ -468,12 +690,17 @@ object ShardedIndex {
 
   /** Fold new vectors into the federation (per-shard
     * [[AnnIndex.addDelta]] against each shard's persisted centroids).
+    * One batch scan ([[withRoutedSlices]]); returns the affected
+    * shard ids.
     */
   def addDeltaShardedAnn(delta: DataFrame, idCol: String, vecCol: String,
-      dir: String): Unit = {
+      dir: String): Seq[Int] = {
     val n = shardCount(delta.sparkSession, dir)
-    routedSlices(delta, idCol, n).foreach { case (i, slice) =>
-      AnnIndex.addDelta(slice, idCol, vecCol, shardDir(dir, i))
+    withRoutedSlices(delta, idCol, n, dir) { slices =>
+      slices.foreach { case (i, slice) =>
+        AnnIndex.addDelta(slice, idCol, vecCol, shardDir(dir, i))
+      }
+      slices.map(_._1)
     }
   }
 
@@ -494,14 +721,14 @@ object ShardedIndex {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
     val n = shardCount(spark, dir)
-    // the probe contract is federation-wide — enforce it ONCE instead
-    // of paying S identical count jobs (per-query driver dispatch is
-    // the federated serve's concurrency cost, BENCH_SF1 addendum 7)
-    require(probes.limit(maxProbes + 1).count() <= maxProbes,
-      s"annTopKSharded probe side exceeds the small-side contract (> $maxProbes rows); " +
-        "batch large probe sets or swap probes/candidates")
+    // ONE bounded probe collect (contract enforcement + vectors) feeds
+    // every shard; per-shard cell assignment is driver math against
+    // each shard's own centroids — zero per-shard Spark jobs, where the
+    // round-13 path paid one probe-cells collect job per shard per
+    // query (the measured 32-client ceiling, BENCH_SF1 addendum 7)
+    val probeRows = AnnIndex.collectProbes(probes, idCol, vecCol, maxProbes)
     val perShard = (0 until n).map(i =>
-      AnnIndex.topKChecked(probes, idCol, vecCol, shardDir(dir, i), k, nProbe,
+      AnnIndex.topKRows(spark, probeRows, shardDir(dir, i), k, nProbe,
         where = where, excludeSelf = excludeSelf))
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

@@ -33,8 +33,39 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
       s
     }
 
-  override def nullSafeEval(input: Any): Any = {
-    val vec  = input.asInstanceOf[ArrayData].toDoubleArray()
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(VectorQuantization.nearestCells(
+      input.asInstanceOf[ArrayData].toDoubleArray(),
+      centroids, m, l2, centroidNorms, centroidSqNorms))
+
+  override protected def withNewChildInternal(newChild: Expression): CentroidCells =
+    copy(child = newChild)
+}
+
+object VectorQuantization {
+
+  /** The `m` nearest centroid cell ids of one vector — the ONE
+    * assignment arithmetic, shared by the [[CentroidCells]] expression
+    * (per-row, executor-side) and the driver-side probe preparation
+    * ([[graft.operators.AnnIndex]] serves): a probe's cells computed on
+    * the driver are bit-identical to the cells the rows were staged
+    * with, because both run THIS code on the same manifest centroids.
+    */
+  def nearestCells(vec: Array[Double], centroids: Array[Array[Double]], m: Int,
+      l2: Boolean = false,
+      normsPre: Array[Double] = null, sqNormsPre: Array[Double] = null): Array[Int] = {
+    val norms = if (l2 || normsPre != null) normsPre
+      else centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        math.max(math.sqrt(s), 1e-12)
+      }
+    val sqNorms = if (!l2 || sqNormsPre != null) sqNormsPre
+      else centroids.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += c(i) * c(i); i += 1 }
+        s
+      }
     val sims = new Array[Double](centroids.length)
     var c = 0
     while (c < centroids.length) {
@@ -45,7 +76,7 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
       while (i < dim) { dot += cen(i) * vec(i); i += 1 }
       // cosine rank (vector norm constant per row: rank-invariant) or
       // L2 rank: argmin ||v-c||² = argmax 2·dot − ||c||² (drop ||v||²)
-      sims(c) = if (l2) 2 * dot - centroidSqNorms(c) else dot / centroidNorms(c)
+      sims(c) = if (l2) 2 * dot - sqNorms(c) else dot / norms(c)
       c += 1
     }
     val mm  = math.min(m, centroids.length)
@@ -64,14 +95,9 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
       out(j) = best
       j += 1
     }
-    new GenericArrayData(out)
+    out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): CentroidCells =
-    copy(child = newChild)
-}
-
-object VectorQuantization {
   def centroidCells(vec: Column, centroids: Array[Array[Double]], m: Int): Column =
     GraftShim.column(CentroidCells(GraftShim.expression(vec), centroids, m))
 

@@ -189,10 +189,17 @@ object StreamIndex {
     * documented semantics: S independent pipelines); GLOBAL-stats
     * serving reads each shard's current manifest, so a half-landed
     * batch serves like a half-applied delta — monotone, never
-    * corrupt. Maintenance cadence compacts every shard.
+    * corrupt. Maintenance cadence compacts every shard; the vacuum
+    * cadence also sweeps crashed folds' routing-staging orphans
+    * ([[graft.operators.ShardedIndex.sweepStaging]]).
     *
-    * Returns true if ANY shard applied new content (false = full
-    * replay).
+    * Returns true if ANY shard applied new content, and true for an
+    * EMPTY batch (nothing to apply — trivially processed, matching
+    * [[invertedBatch]]'s empty-delta semantics; no shard's high-water
+    * mark advances, because stamping all S shards for a no-op would be
+    * pure commit amplification — a later replay of an empty batch is
+    * itself a no-op, so the missing stamp cannot double-count).
+    * False = a non-empty full replay.
     */
   def shardedInvertedBatch(cfg: Config, textCol: String)(
       batch: DataFrame, batchId: Long): Boolean = {
@@ -203,13 +210,15 @@ object StreamIndex {
       InvertedIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
         .exists(_ >= batchId))
     val before = stamped
-    ShardedIndex.addDeltaSharded(batch, cfg.idCol, textCol, cfg.indexDir,
+    val hit = ShardedIndex.addDeltaSharded(batch, cfg.idCol, textCol, cfg.indexDir,
       stamp = Some(cfg.ns -> batchId))
-    val applied = stamped.zip(before).exists { case (now, was) => now && !was }
+    val applied = hit.isEmpty ||
+      stamped.zip(before).exists { case (now, was) => now && !was }
     maintain(cfg, batchId,
       () => { ShardedIndex.compactSharded(spark, cfg.indexDir); n },
       () => (0 until n).map(i => InvertedIndex.vacuum(spark,
-        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum)
+        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
+        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
     applied
   }
 
@@ -233,13 +242,15 @@ object StreamIndex {
     val leaving = batch
       .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
       .select(cfg.idCol)
-    ShardedIndex.applyCdcSharded(upserts, oldTexts(leaving), cfg.idCol, textCol,
-      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
-    val applied = stamped.zip(before).exists { case (now, was) => now && !was }
+    val hit = ShardedIndex.applyCdcSharded(upserts, oldTexts(leaving), cfg.idCol,
+      textCol, cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    val applied = hit.isEmpty ||
+      stamped.zip(before).exists { case (now, was) => now && !was }
     maintain(cfg, batchId,
       () => { ShardedIndex.compactSharded(spark, cfg.indexDir); n },
       () => (0 until n).map(i => InvertedIndex.vacuum(spark,
-        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum)
+        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
+        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
     applied
   }
 

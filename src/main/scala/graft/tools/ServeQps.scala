@@ -57,15 +57,20 @@ object ServeQps {
     // features (vocab autocomplete + more-like-this) — the mix a
     // search box actually generates. Separate knob so the 5-kind
     // numbers never masquerade as the 3-kind history.
-    // kinds=6 swaps the interactive blend's BM25 slot rotation to
-    // include the FEDERATED serve (ShardedIndex) — the axis that shows
-    // whether the fan-out's extra driver work (per-shard manifest/df
-    // cache hits) or its S-way scan width serializes under concurrency
+    // kinds=6 adds the FEDERATED serve (ShardedIndex) and rotates ALL
+    // SIX kinds on one modulus (uniform 1/6 each — round-13's i%6
+    // intercept stole slots unevenly from the i%5 rotation, so 6-kind
+    // fractions weren't comparable to 5-kind history; 6-kind numbers
+    // from round 14 on use this blend) — the axis that shows whether
+    // the fan-out's extra driver work or its S-way scan width
+    // serializes under concurrency
     val kinds = sys.env.getOrElse("SPARK_GRAFT_QPS_KINDS", "3").toInt
     require(kinds == 3 || kinds == 5 || kinds == 6,
       s"SPARK_GRAFT_QPS_KINDS must be 3, 5 or 6, got $kinds")
     val fedDir = if (kinds != 6) "" else {
-      val d = java.nio.file.Files.createTempDirectory("qps_fed").toString
+      // scratchDir registers JVM-exit deletion (the backstop every
+      // other serving dir in this harness already rides)
+      val d = graft.ServingIndexes.scratchDir("qps_fed")
       graft.operators.ShardedIndex.buildSharded(docs, "doc_id", "text", d, shards = 3)
       d
     }
@@ -77,39 +82,53 @@ object ServeQps {
       // and inter-client convoying returns through the back door
       s.sparkContext.setLocalProperty("spark.scheduler.pool",
         s"client-${Thread.currentThread().getId}")
-      if (kinds == 6 && i % 6 == 5) {
-        val a = toks((i * 17 + 7) % toks.length); val b = toks((i * 19 + 11) % toks.length)
-        graft.operators.ShardedIndex.bm25TopKTextSharded(s, fedDir, Seq(s"$a $b"), k = 5)
+      def bm25(): Unit = {
+        val a = toks(i % toks.length); val b = toks((i * 7 + 3) % toks.length)
+        InvertedIndex.bm25TopKText(s, lexDir, Seq(s"$a $b"), k = 5)
           .write.format("noop").mode("overwrite").save()
-        return
       }
-      if (kinds >= 5 && i % 5 == 3) {
+      def phrase(): Unit = {
+        val a = toks((i * 5 + 1) % toks.length); val b = toks((i * 11 + 2) % toks.length)
+        InvertedIndex.phraseTopK(s, lexDir, Seq(s"$a $b"), k = 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      def ann(): Unit = {
+        import s.implicits._
+        val (pid, v) = probeVecs(i % probeVecs.length)
+        AnnIndex.topK(Seq((pid, v)).toDF("vec_id", "embedding"),
+            "vec_id", "embedding", annDir, k = 5, nProbe = 4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      def suggest(): Unit =
         InvertedIndex.suggestTopK(s, lexDir,
             Seq(toks(i % toks.length).take(2)), k = 5)
           .write.format("noop").mode("overwrite").save()
-        return
-      }
-      if (kinds >= 5 && i % 5 == 4) {
+      def mlt(): Unit = {
         val a = toks((i * 3 + 2) % toks.length); val b = toks((i * 13 + 5) % toks.length)
         InvertedIndex.moreLikeThisTopKText(s, lexDir, Seq(s"$a $b"), m = 2, k = 5)
           .write.format("noop").mode("overwrite").save()
-        return
       }
-      i % 3 match {
-        case 0 =>
-          val a = toks(i % toks.length); val b = toks((i * 7 + 3) % toks.length)
-          InvertedIndex.bm25TopKText(s, lexDir, Seq(s"$a $b"), k = 5)
-            .write.format("noop").mode("overwrite").save()
-        case 1 =>
-          val a = toks((i * 5 + 1) % toks.length); val b = toks((i * 11 + 2) % toks.length)
-          InvertedIndex.phraseTopK(s, lexDir, Seq(s"$a $b"), k = 5)
-            .write.format("noop").mode("overwrite").save()
-        case _ =>
-          import s.implicits._
-          val (pid, v) = probeVecs(i % probeVecs.length)
-          AnnIndex.topK(Seq((pid, v)).toDF("vec_id", "embedding"),
-              "vec_id", "embedding", annDir, k = 5, nProbe = 4)
-            .write.format("noop").mode("overwrite").save()
+      def fed(): Unit = {
+        val a = toks((i * 17 + 7) % toks.length); val b = toks((i * 19 + 11) % toks.length)
+        graft.operators.ShardedIndex.bm25TopKTextSharded(s, fedDir, Seq(s"$a $b"), k = 5)
+          .write.format("noop").mode("overwrite").save()
+      }
+      kinds match {
+        case 3 => i % 3 match {
+          case 0 => bm25(); case 1 => phrase(); case _ => ann()
+        }
+        // kinds=5 keeps its recorded blend EXACTLY (suggest/mlt on i%5,
+        // the rest on i%3) so 5-kind history stays comparable
+        case 5 => i % 5 match {
+          case 3 => suggest(); case 4 => mlt()
+          case _ => i % 3 match {
+            case 0 => bm25(); case 1 => phrase(); case _ => ann()
+          }
+        }
+        case _ => i % 6 match {
+          case 0 => bm25(); case 1 => phrase(); case 2 => ann()
+          case 3 => suggest(); case 4 => mlt(); case _ => fed()
+        }
       }
     }
 

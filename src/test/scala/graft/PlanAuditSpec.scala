@@ -117,9 +117,10 @@ class PlanAuditSpec extends SparkSpec {
     "ann_asym_rerank"       -> "fixed-point probe vectors, require-capped",
     "ann_lsh"               -> "probe bucket set, require-capped",
     "ann_ivf"               -> "probed-cell set, maxProbes-capped",
-    "ann_ivf_indexed"       -> "broadcast probe (id, vec, cell) rows: bounded by the probe contract",
-    "ann_sharded"           -> "same probe (id, vec, cell) broadcast, once per shard of the federation",
-    "ann_ivf_filtered"      -> "probe contract + vector-count-sized meta sidecar semi-join",
+    // (ann_ivf_indexed / ann_ivf_filtered / ann_sharded left this list
+    // in round 14: topK collects the contract-bounded probes and
+    // assigns cells DRIVER-side, so the broadcast side is a
+    // LocalTableScan — structurally bounded, no contract needed)
     "ann_range"             -> "broadcast probe set, require-capped",
     "mine_hard_negatives"   -> "broadcast probe set, require-capped",
     "eval_retrieval_labels" -> "probe sweep + probe/candidate label lists, require-capped",

@@ -445,4 +445,162 @@ class ShardedIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no vectors"), s"unhelpful refusal: ${e.getMessage}")
   }
+
+  test("federated champion serving: GLOBAL top-c selection equals the flat approximate serve") {
+    val s = spark
+    import s.implicits._
+    // a corpus where per-shard selection would DIVERGE from global:
+    // many docs share hot terms so the top-c cut falls differently
+    // under shard-local vs global avgdl
+    val corpus = (0L until 60L).map { i =>
+      val pad = Seq.fill((i % 7).toInt)("filler").mkString(" ")
+      (i, s"alpha beta common-$i $pad" + (if (i % 3 == 0) " gamma" else ""))
+    }.toDF("doc_id", "text")
+    val flat = java.nio.file.Files.createTempDirectory("shidx_ch_flat").toString
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_ch_fed").toString
+    InvertedIndex.build(corpus, "doc_id", "text", flat)
+    ShardedIndex.buildSharded(corpus, "doc_id", "text", shrd, shards = 3)
+    InvertedIndex.buildChampions(spark, flat, c = 4)
+    ShardedIndex.buildChampionsSharded(spark, shrd, c = 4)
+    val qs = Seq("alpha gamma", "beta")
+    // c=4 < df(alpha)=60: a real approximation — the candidate
+    // restriction bites, and the federated answer must still be the
+    // flat one (global selection + global statistics)
+    val expect = served(InvertedIndex.bm25TopKTextApprox(spark, flat, qs, k = 5))
+    assert(served(ShardedIndex.bm25TopKTextApproxSharded(spark, shrd, qs, k = 5))
+      == expect, "federated approximate serve diverged from flat champion serve")
+    // degeneracy: c >= max df equals the EXACT serve on both layouts
+    val flat2 = java.nio.file.Files.createTempDirectory("shidx_ch_flat2").toString
+    val shrd2 = java.nio.file.Files.createTempDirectory("shidx_ch_fed2").toString
+    InvertedIndex.build(corpus, "doc_id", "text", flat2)
+    ShardedIndex.buildSharded(corpus, "doc_id", "text", shrd2, shards = 3)
+    InvertedIndex.buildChampions(spark, flat2, c = 200)
+    ShardedIndex.buildChampionsSharded(spark, shrd2, c = 200)
+    val exact = served(InvertedIndex.bm25TopKText(spark, flat2, qs, k = 5))
+    assert(served(ShardedIndex.bm25TopKTextApproxSharded(spark, shrd2, qs, k = 5))
+      == exact, "c >= max df must degenerate to the exact serve")
+    // freshness: a delta staged AFTER the champion build serves
+    // unchampioned on both layouts — answers stay flat-identical
+    val fresh = Seq((1000L, "alpha gamma zeta"), (1001L, "beta zeta")).toDF("doc_id", "text")
+    InvertedIndex.addDelta(fresh, "doc_id", "text", flat)
+    ShardedIndex.addDeltaSharded(fresh, "doc_id", "text", shrd)
+    assert(served(ShardedIndex.bm25TopKTextApproxSharded(spark, shrd, qs :+ "zeta", k = 5))
+      == served(InvertedIndex.bm25TopKTextApprox(spark, flat, qs :+ "zeta", k = 5)),
+      "post-champion delta diverged between federated and flat approximate serves")
+    // compaction clears champion sidecars — the approximate serve must
+    // refuse loudly per shard, exactly like the flat index
+    ShardedIndex.compactSharded(spark, shrd)
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.bm25TopKTextApproxSharded(spark, shrd, qs, k = 5)
+    }
+    assert(e.getMessage.contains("buildChampionsSharded"),
+      s"unhelpful refusal after compaction cleared champions: ${e.getMessage}")
+  }
+
+  test("federated maintenance scans the batch ONCE regardless of shards hit (files-opened pinned)") {
+    val s = spark
+    import s.implicits._
+    spark.sparkContext.hadoopConfiguration.set(
+      "fs.cnt.impl", classOf[CountingFileSystem].getName)
+    val shrd = java.nio.file.Files.createTempDirectory("shidx_scan").toString
+    ShardedIndex.buildSharded(docs, "doc_id", "text", shrd, shards = 4)
+
+    // one-file delta whose ids hit SEVERAL shards — the shape where the
+    // round-13 filter-per-shard path re-read the whole batch per shard
+    val batchDir = java.nio.file.Files.createTempDirectory("shidx_scan_b").toString
+    (100L until 124L).map(i => (i, s"alpha payload-$i beta")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(batchDir)
+    val sch = spark.read.parquet(batchDir).schema
+    val batch = spark.read.schema(sch).parquet(s"cnt:$batchDir")
+
+    CountingFileSystem.reset()
+    val hit = ShardedIndex.addDeltaSharded(batch, "doc_id", "text", shrd)
+    assert(hit.size >= 2, s"fixture degenerated: delta hit only shards $hit")
+    val opens = CountingFileSystem.parquetOpensUnder(batchDir)
+    // exactly one staging scan of the batch: parquet opens each file a
+    // small constant number of times per scan (footer + row groups) —
+    // the bound is INDEPENDENT of how many shards the batch touches.
+    // The old path paid (1 route probe + hit.size shard folds, each
+    // multi-scan) full-batch reads: ≥ 5 opens here, growing with S.
+    assert(opens >= 1 && opens <= 3,
+      s"federated fold read the batch $opens times — expected one staging scan")
+
+    // CDC path shares the staged routing — same one-scan bound per frame
+    val upDir = java.nio.file.Files.createTempDirectory("shidx_scan_u").toString
+    (100L until 112L).map(i => (i, s"gamma retext-$i")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("overwrite").parquet(upDir)
+    val ups = spark.read.schema(sch).parquet(s"cnt:$upDir")
+    val olds = (100L until 112L).map(i => (i, s"alpha payload-$i beta")).toDF("doc_id", "text")
+    CountingFileSystem.reset()
+    val hitCdc = ShardedIndex.applyCdcSharded(ups, olds, "doc_id", "text", shrd)
+    assert(hitCdc.size >= 2, s"fixture degenerated: CDC hit only shards $hitCdc")
+    val cdcOpens = CountingFileSystem.parquetOpensUnder(upDir)
+    assert(cdcOpens >= 1 && cdcOpens <= 3,
+      s"federated CDC read the upsert batch $cdcOpens times — expected one staging scan")
+
+    // and the staged routing changed nothing: the federation equals a
+    // fresh flat index over the post-maintenance corpus
+    val finalCorpus = docs
+      .unionByName((112L until 124L).map(i => (i, s"alpha payload-$i beta")).toDF("doc_id", "text"))
+      .unionByName((100L until 112L).map(i => (i, s"gamma retext-$i")).toDF("doc_id", "text"))
+    val flat = java.nio.file.Files.createTempDirectory("shidx_scan_f").toString
+    InvertedIndex.build(finalCorpus, "doc_id", "text", flat)
+    val qs = Seq("alpha beta", "gamma")
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, shrd, qs, k = 5))
+      == served(InvertedIndex.bm25TopKText(spark, flat, qs, k = 5)),
+      "staged routing changed federated answers")
+
+    // no staging debris left behind after successful folds
+    val leftovers = new java.io.File(s"$shrd/${ShardedIndex.MaintStagingDir}")
+    assert(!leftovers.exists() || leftovers.listFiles().isEmpty,
+      "maintenance staging tree not swept")
+  }
+
+  test("a crashed earlier build's debris is swept by the retry (no errorifexists dead end)") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shidx_crash").toString
+    // simulate a crash mid-build: staging tree + one half-built shard
+    // root on disk, NO shards.json
+    docs.withColumn("__shard", pmod(xxhash64(col("doc_id")), lit(2L)).cast("int"))
+      .write.partitionBy("__shard").parquet(s"$dir/_route_staging")
+    InvertedIndex.build(docs.limit(3), "doc_id", "text", ShardedIndex.shardDir(dir, 0))
+    // the retry must succeed AND serve from the fresh build only
+    ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 2)
+    val flat = java.nio.file.Files.createTempDirectory("shidx_crash_flat").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, queries, k = 5))
+      == served(InvertedIndex.bm25TopKText(spark, flat, queries, k = 5)),
+      "retry after crash debris served stale or duplicated content")
+    assert(!new java.io.File(s"$dir/_route_staging").exists(),
+      "retry left the crashed build's staging tree behind")
+  }
+}
+
+/** Local-disk FileSystem that counts data-file opens — the observability
+  * shim behind the one-batch-scan assertions (registered as `cnt://`).
+  */
+class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "cnt"
+  override def getUri: java.net.URI = java.net.URI.create("cnt:///")
+  override def open(f: org.apache.hadoop.fs.Path,
+      bufferSize: Int): org.apache.hadoop.fs.FSDataInputStream = {
+    CountingFileSystem.record(f.toUri.getPath)
+    super.open(f, bufferSize)
+  }
+}
+
+object CountingFileSystem {
+  private val opens = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  def record(path: String): Unit = { opens.add(path); () }
+  def reset(): Unit = opens.clear()
+  def parquetOpensUnder(prefix: String): Int = {
+    val it = opens.iterator()
+    var n = 0
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.startsWith(prefix) && p.endsWith(".parquet")) n += 1
+    }
+    n
+  }
 }

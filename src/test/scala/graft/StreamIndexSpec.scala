@@ -479,5 +479,17 @@ class StreamIndexSpec extends SparkSpec {
       .orderBy("q", "rank").collect().map(_.toSeq).toSeq
     assert(fed == expect2,
       "partial-crash replay double-counted or dropped a shard slice")
+
+    // EMPTY batch: trivially applied (true, matching invertedBatch's
+    // empty-delta reporting) WITHOUT advancing any shard — stamping all
+    // S shards for a no-op would be pure commit amplification
+    val vBefore = (0 until 3).map(i => InvertedIndex.currentManifest(
+      spark, ShardedIndex.shardDir(dir, i)).version)
+    assert(StreamIndex.shardedInvertedBatch(cfg, "text")(b2.filter(lit(false)), 3L),
+      "empty first-seen batch reported as a replay")
+    val vAfter = (0 until 3).map(i => InvertedIndex.currentManifest(
+      spark, ShardedIndex.shardDir(dir, i)).version)
+    assert(vBefore == vAfter, "an empty batch advanced shard manifests")
+    assert(fed == expect2, "an empty batch changed federated answers")
   }
 }
