@@ -27,7 +27,7 @@ object GraftProcedures {
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
       "index_compact", "index_vacuum", "index_rollback", "index_export",
-      "wap_publish", "wap_abort", "tag", "drop_tag", "index_describe")
+      "index_reshard", "wap_publish", "wap_abort", "tag", "drop_tag", "index_describe")
       .map(Identifier.of(Array(Namespace), _))
 
   /** The serving indexes (lexical postings / ANN cells) share one
@@ -265,12 +265,35 @@ object GraftProcedures {
           val s = in.getUTF8String(0).toString
           val d = in.getUTF8String(1).toString
           val v =
-            if (graft.operators.ShardedIndex.isFederation(spark, s)) {
-              graft.operators.ShardedIndex.exportSharded(spark, s, d); 1L
-            }
+            // federation: the max exported per-shard head version (the
+            // freshness watermark callers can compare against the
+            // source); retry-after-partial-export sweeps half-exported
+            // shard dirs before re-claiming (no marker = not serving)
+            if (graft.operators.ShardedIndex.isFederation(spark, s))
+              graft.operators.ShardedIndex.exportSharded(spark, s, d)
             else if (isAnnIndex(spark, s)) graft.operators.AnnIndex.exportIndex(spark, s, d)
             else graft.operators.InvertedIndex.exportIndex(spark, s, d)
           new GenericInternalRow(Array[Any](v))
+        }))
+      case "index_reshard" => Some(proc("index_reshard",
+        "re-route a sharded federation to a new shard count at a new root " +
+          "(postings/vectors re-route with no re-tokenization; marker lands last; " +
+          "source keeps serving; stamps/champions/tombstones do not carry)",
+        Seq(
+          ProcedureParameter.in("src", StringType).build(),
+          ProcedureParameter.in("dest", StringType).build(),
+          ProcedureParameter.in("shards", IntegerType).build()),
+        StructType(Seq(StructField("old_shards", IntegerType), StructField("new_shards", IntegerType))),
+        { (spark, in) =>
+          val s = in.getUTF8String(0).toString
+          val d = in.getUTF8String(1).toString
+          val ns = in.getInt(2)
+          require(graft.operators.ShardedIndex.isFederation(spark, s),
+            s"$s is not a sharded federation — reshard re-routes an existing " +
+              "federation's layout; build one with buildSharded first")
+          val old = graft.operators.ShardedIndex.shardCount(spark, s)
+          graft.operators.ShardedIndex.reshard(spark, s, d, ns)
+          new GenericInternalRow(Array[Any](old, ns))
         }))
       case "index_rollback" => Some(proc("index_rollback",
         "roll a serving index back to an earlier manifest version (a new commit; " +

@@ -406,6 +406,45 @@ object InvertedIndex {
       s"lost the build commit race at $dir — another maintainer built concurrently")
   }
 
+  /** Build an index directly from LIVE POSTINGS rows ((doc_id, tok,
+    * tf, dl [, positions]) — another index's content), skipping
+    * tokenization entirely: the reshard path ([[ShardedIndex.reshard]])
+    * re-routes a federation's postings to a new shard layout without
+    * ever touching document text, because a posting row carries
+    * everything its new home needs. Vocab and stats re-derive from the
+    * staged files (tombstones were already applied by the caller's
+    * liveRows read, so the new index is born clean — no tombstones, no
+    * champions, no stream stamps: a resharded federation is a NEW
+    * serving deployment; streams resume with fresh checkpoints).
+    */
+  private[graft] def buildFromPostings(spark: SparkSession, rows: DataFrame,
+      meta: Option[DataFrame], dir: String, buckets: Int,
+      withPositions: Boolean, metaCols: Seq[String]): Unit = {
+    require(buckets >= 1, s"buckets must be >= 1, got $buckets")
+    require(versions(spark, dir).isEmpty,
+      s"inverted index already committed at $dir (buildFromPostings starts fresh)")
+    val cols = Seq(col("doc_id"), col("tok"), col("tf"), col("dl")) ++
+      (if (withPositions) Seq(col("positions")) else Nil)
+    val files = stagePostings(spark,
+      rows.select(cols :+ bucketOf(col("tok"), buckets).as("bucket"): _*),
+      dir, buckets)
+    val staged = readPostings(spark, dir, files, withPositions)
+    val vocabRel = IndexManifests.freshRel("vocab")
+    staged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .select(col("tok"), col("df"))
+      .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
+    val statsRel = IndexManifests.freshRel("stats")
+    staged.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+      .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+    val metaDirs = meta.flatMap(m => stageMeta(m, "doc_id", metaCols, dir)).toSeq
+    IndexManifests.invalidate(dir)
+    require(tryCommit(spark, dir,
+      Manifest(1L, buckets, files, vocabRel, statsRel, positions = withPositions,
+        metaCols = metaCols, metaDirs = metaDirs)),
+      s"lost the build commit race at $dir — another maintainer built concurrently")
+  }
+
   /** Stage a (doc_id, metaCols…) sidecar batch; None when the index
     * carries no metadata. Doc-count-sized — never token-sized.
     */

@@ -629,14 +629,22 @@ object ShardedIndex {
     * exclusive-create claim per shard at the destination) and the
     * shards.json marker lands LAST — an interrupted export leaves a
     * destination that refuses to serve, never a partial federation
-    * that answers wrong.
+    * that answers wrong. A RETRY after such an interruption sweeps the
+    * half-exported shard dirs first (no marker = nothing serving, the
+    * [[buildSharded]] debris rule) instead of dead-ending on the
+    * per-shard exclusive-create claims. Returns the max SOURCE head
+    * version promoted (per-shard versions advance independently, so
+    * the max is the federation's freshness watermark — destination
+    * versions all reset to 1, a single-index export's rule, and would
+    * say nothing).
     */
-  def exportSharded(spark: SparkSession, srcDir: String, destDir: String): Unit = {
+  def exportSharded(spark: SparkSession, srcDir: String, destDir: String): Long = {
     val n = shardCount(spark, srcDir)
     require(!shardsPath(destDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
         .exists(shardsPath(destDir)),
       s"sharded export destination $destDir already holds a committed federation")
-    (0 until n).foreach { i =>
+    sweepUncommitted(spark, destDir)
+    val promoted = (0 until n).map { i =>
       val s = shardDir(srcDir, i)
       // kind-sniff per shard (the index_export procedure's test): a
       // federation is homogeneous by construction, but a hardcoded
@@ -647,8 +655,130 @@ object ShardedIndex {
         IndexManifests.readBody(spark, s, vs.last)) \ "centroids") != org.json4s.JNothing
       if (isAnn) AnnIndex.exportIndex(spark, s, shardDir(destDir, i))
       else InvertedIndex.exportIndex(spark, s, shardDir(destDir, i))
+      vs.last
     }
     writeShardsFile(spark, destDir, n)
+    promoted.max
+  }
+
+  /** Re-shard a federation to a NEW shard count at a NEW root —
+    * `shards.json` pins S forever (the route hash bakes it into every
+    * maintenance and serve decision), so a growing federation changes S
+    * by rebuilding the LAYOUT, never the content: postings re-route
+    * from the source shards' live rows with no re-tokenization and no
+    * document text ([[InvertedIndex.buildFromPostings]]); an ANN
+    * federation re-routes its live vectors (per-shard quantizers
+    * retrain on the new slices — the federation's documented
+    * shard-local-geometry semantics). Whole-or-nothing visibility: the
+    * destination marker lands LAST, the source keeps serving untouched
+    * throughout, and a crash mid-reshard leaves an unreadable
+    * destination (the same posture as [[buildSharded]] — the retry
+    * sweeps the debris). Serve identity old-vs-new S is spec-pinned.
+    *
+    * Not carried, by design: tombstones (already folded by the live
+    * read), champion sidecars (layout-dependent — rebuild with
+    * [[buildChampionsSharded]]), and stream stamps (a batch's shard
+    * route changes with S, so per-shard high-water marks are
+    * meaningless in the new layout — resume streams with fresh
+    * checkpoints against the new root).
+    */
+  def reshard(spark: SparkSession, srcDir: String, destDir: String,
+      newShards: Int): Unit = {
+    require(newShards >= 1, s"reshard needs newShards >= 1, got $newShards")
+    val n = shardCount(spark, srcDir)
+    require(!isFederation(spark, destDir),
+      s"reshard destination $destDir already holds a committed federation")
+    sweepUncommitted(spark, destDir)
+    // kind-sniff shard 0 (federations are homogeneous by construction —
+    // exportSharded's rule)
+    val vs0 = IndexManifests.versions(spark, shardDir(srcDir, 0))
+    require(vs0.nonEmpty, s"no committed index at federation shard ${shardDir(srcDir, 0)}")
+    val isAnn = (org.json4s.jackson.JsonMethods.parse(
+      IndexManifests.readBody(spark, shardDir(srcDir, 0), vs0.last)) \ "centroids") !=
+      org.json4s.JNothing
+    if (isAnn) reshardAnn(spark, srcDir, destDir, n, newShards)
+    else reshardLexical(spark, srcDir, destDir, n, newShards)
+  }
+
+  private def reshardLexical(spark: SparkSession, srcDir: String, destDir: String,
+      n: Int, newShards: Int): Unit = {
+    val manifests = (0 until n).map { i =>
+      val d = shardDir(srcDir, i); d -> InvertedIndex.currentManifest(spark, d)
+    }
+    def uniform[A](what: String, vals: Seq[A]): A = {
+      val d = vals.distinct
+      require(d.size == 1, s"federation shards disagree on $what ($d) at $srcDir")
+      d.head
+    }
+    val buckets   = uniform("bucket modulus", manifests.map(_._2.buckets))
+    val positions = uniform("positions flag", manifests.map(_._2.positions))
+    val metaCols  = uniform("metaCols", manifests.map(_._2.metaCols))
+    // ONE federated pass over live postings, routed once by the new
+    // modulus into a staging tree (the build's own pattern)
+    val live = manifests.map { case (d, m) =>
+      InvertedIndex.liveRows(spark, d, m, m.postings)
+    }.reduce(_ unionByName _)
+    val staging = s"$destDir/_route_staging"
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    val fs = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    live.withColumn("__shard", routeOf(col("doc_id"), newShards))
+      .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
+    val metaStaging = s"$destDir/_route_staging_meta"
+    val liveMeta = if (metaCols.isEmpty) None else Some {
+      manifests.map { case (d, m) =>
+        IndexManifests.latestMeta(spark, d, m.metaDirs, "doc_id")
+      }.reduce(_ unionByName _)
+    }
+    liveMeta.foreach(_.withColumn("__shard", routeOf(col("doc_id"), newShards))
+      .write.partitionBy("__shard").mode("errorifexists").parquet(metaStaging))
+    try {
+      val rowSchema = org.apache.spark.sql.types.StructType.fromDDL(
+        if (positions)
+          "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, positions ARRAY<INT>"
+        else "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT")
+      (0 until newShards).foreach { i =>
+        val slice = shardSlice(spark, staging, i, rowSchema)
+        val metaSlice = liveMeta.map(lm => shardSlice(spark, metaStaging, i, lm.schema))
+        InvertedIndex.buildFromPostings(spark, slice, metaSlice,
+          shardDir(destDir, i), buckets, positions, metaCols)
+      }
+    } finally {
+      fs.delete(sp, true)
+      fs.delete(new org.apache.hadoop.fs.Path(metaStaging), true)
+      ()
+    }
+    writeShardsFile(spark, destDir, newShards)
+  }
+
+  private def reshardAnn(spark: SparkSession, srcDir: String, destDir: String,
+      n: Int, newShards: Int): Unit = {
+    val manifests = (0 until n).map { i =>
+      val d = shardDir(srcDir, i); d -> AnnIndex.currentManifest(spark, d)
+    }
+    val metaColsAll = manifests.map(_._2.metaCols).distinct
+    require(metaColsAll.size == 1,
+      s"federation shards disagree on metaCols ($metaColsAll) at $srcDir")
+    val metaCols = metaColsAll.head
+    // PQ spec re-derives from shard 0's codebook shape (uniform by
+    // construction); codebooks retrain per new shard on its slice
+    val pq = manifests.head._2.codebooks match {
+      case cb if cb.nonEmpty => Some(AnnIndex.PqSpec(cb.length, cb.head.length))
+      case _ => None
+    }
+    val nCells = manifests.map(_._2.centroids.length).max
+    val live = manifests.map { case (d, m) =>
+      AnnIndex.liveRows(spark, d, m, m.vectors).select("neighbor_id", "__cv")
+    }.reduce(_ unionByName _)
+    val emb = if (metaCols.isEmpty) live else {
+      val meta = manifests.map { case (d, m) =>
+        IndexManifests.latestMeta(spark, d, m.metaDirs, "neighbor_id")
+      }.reduce(_ unionByName _)
+      live.join(meta, Seq("neighbor_id"), "left")
+    }
+    // buildShardedAnn routes once through its own staging tree and
+    // writes the destination marker LAST
+    buildShardedAnn(emb, "neighbor_id", "__cv", destDir, newShards, nCells,
+      metaCols = metaCols, pq = pq)
   }
 
   // ---- dense federation -----------------------------------------------

@@ -832,13 +832,37 @@ class GraftCatalogSpec extends SparkSpec {
     assert(desc.getString(5) == "shards=2", s"shape: ${desc.getString(5)}")
     assert(desc.getInt(2) > 0, "summed file count missing")
 
-    // export promotes the whole federation through the same procedure
+    // export promotes the whole federation through the same procedure;
+    // the returned value is the max exported per-shard head version
+    // (the freshness watermark — round 13 returned a meaningless 1L)
     val dest = java.nio.file.Files.createTempDirectory("proc_fed_dest").toString
     new java.io.File(dest).delete()
-    assert(spark.sql(s"CALL $cat.system.index_export('$fed', '$dest')").head.getLong(0) == 1L)
+    // a half-exported earlier attempt (one committed shard dir, no
+    // marker) must not dead-end the retry on exclusive-create claims
+    InvertedIndex.exportIndex(spark, ShardedIndex.shardDir(fed, 0),
+      ShardedIndex.shardDir(dest, 0))
+    val maxHead = (0 until 2).map(i =>
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(fed, i)).version).max
+    assert(spark.sql(s"CALL $cat.system.index_export('$fed', '$dest')").head.getLong(0)
+      == maxHead, "export must return the federation's max exported head version")
     assert(ShardedIndex.bm25TopKTextSharded(spark, dest, queries, k = 5)
       .orderBy("q", "rank").collect().toSeq == before,
       "procedure-exported federation diverged")
+
+    // reshard through the procedure surface: new layout, same answers
+    val rs = java.nio.file.Files.createTempDirectory("proc_fed_rs").toString
+    new java.io.File(rs).delete()
+    val rr = spark.sql(s"CALL $cat.system.index_reshard('$fed', '$rs', 3)").head
+    assert(rr.getInt(0) == 2 && rr.getInt(1) == 3, s"expected (2, 3), got $rr")
+    assert(ShardedIndex.bm25TopKTextSharded(spark, rs, queries, k = 5)
+      .orderBy("q", "rank").collect().toSeq == before,
+      "procedure-resharded federation diverged")
+    val eNotFed = intercept[Exception] {
+      spark.sql(s"CALL $cat.system.index_reshard('${ShardedIndex.shardDir(fed, 0)}', '$rs', 3)")
+        .collect()
+    }
+    assert(eNotFed.getMessage.contains("not a sharded federation"),
+      s"unhelpful refusal: ${eNotFed.getMessage}")
 
     // rollback refuses with the per-shard recipe
     val e = intercept[Exception] {

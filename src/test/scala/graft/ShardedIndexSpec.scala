@@ -446,6 +446,70 @@ class ShardedIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("no vectors"), s"unhelpful refusal: ${e.getMessage}")
   }
 
+  test("reshard: a new shard count serves identically, with no re-tokenization inputs") {
+    val s = spark
+    import s.implicits._
+    // corpus WITH metadata + maintenance history (delta, CDC re-text,
+    // tombstone) so the reshard must carry live postings, positions,
+    // and latest-wins metadata — not just a fresh build's happy path
+    val corpus = (0L until 40L).map(i =>
+      (i, s"alpha beta word-$i gamma delta", if (i % 2 == 0) "web" else "book"))
+      .toDF("doc_id", "text", "source")
+    val src = java.nio.file.Files.createTempDirectory("shidx_rs_src").toString
+    ShardedIndex.buildSharded(corpus, "doc_id", "text", src, shards = 2,
+      metaCols = Seq("source"))
+    ShardedIndex.addDeltaSharded(
+      Seq((100L, "alpha epsilon zeta", "web")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", src)
+    ShardedIndex.applyCdcSharded(
+      upserts = Seq((3L, "beta retexted doc", "book")).toDF("doc_id", "text", "source"),
+      removals = Seq((3L, "alpha beta word-3 gamma delta", "book")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", src)
+    ShardedIndex.deleteDocsSharded(Seq(7L).toDF("doc_id"), "doc_id", src)
+
+    val dest = java.nio.file.Files.createTempDirectory("shidx_rs_dst").toString
+    // debris from an "interrupted" earlier reshard must not dead-end
+    InvertedIndex.build(corpus.limit(2), "doc_id", "text",
+      ShardedIndex.shardDir(dest, 0))
+    ShardedIndex.reshard(spark, src, dest, newShards = 5)
+    assert(ShardedIndex.shardCount(spark, dest) == 5)
+
+    val qs = Seq("alpha gamma", "beta", "epsilon retexted")
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dest, qs, k = 5))
+      == served(ShardedIndex.bm25TopKTextSharded(spark, src, qs, k = 5)),
+      "resharded federation diverged from the source on BM25")
+    // positions carried: phrase serve identical across layouts
+    def phr(d: String) = ShardedIndex.phraseTopKSharded(spark, d,
+      Seq("alpha beta", "retexted doc"), k = 5).orderBy("phrase", "rank")
+      .collect().map(_.toSeq).toSeq
+    assert(phr(dest) == phr(src), "positions lost in reshard")
+    // latest-wins metadata carried: filtered serve identical
+    def filt(d: String) = served(ShardedIndex.bm25TopKTextSharded(spark, d,
+      Seq("alpha"), k = 5, where = Some(col("source") === "web")))
+    assert(filt(dest) == filt(src), "metadata sidecar lost in reshard")
+    // the source kept serving untouched; the destination refuses a
+    // second reshard (committed marker)
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.reshard(spark, src, dest, newShards = 3)
+    }
+    assert(e.getMessage.contains("already holds"), s"unhelpful refusal: ${e.getMessage}")
+
+    // ANN federation: reshard re-routes live vectors; full probe stays
+    // exact over the new layout
+    val emb = Tables(spark, sfDir).embeddings.filter($"vec_id" >= 5)
+    val annSrc = java.nio.file.Files.createTempDirectory("shidx_rs_asrc").toString
+    val annDst = java.nio.file.Files.createTempDirectory("shidx_rs_adst").toString
+    ShardedIndex.buildShardedAnn(emb, "vec_id", "embedding", annSrc,
+      shards = 3, nCells = 4)
+    ShardedIndex.reshard(spark, annSrc, annDst, newShards = 2)
+    val probes = Tables(spark, sfDir).embeddings.filter($"vec_id" < 3)
+    def ann(d: String) = ShardedIndex.annTopKSharded(probes, "vec_id", "embedding",
+        d, k = 5, nProbe = 4, excludeSelf = false)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    assert(ann(annDst) == ann(annSrc),
+      "resharded ANN federation diverged from the source at full probe")
+  }
+
   test("federated champion serving: GLOBAL top-c selection equals the flat approximate serve") {
     val s = spark
     import s.implicits._
