@@ -87,12 +87,65 @@ object ShardScale {
     val fedServe2S = minOf3(noop(
       ShardedIndex.bm25TopKTextSharded(spark, fed, queries, k = 5)))
 
+    // END-TO-END sharded CDC: a Graft catalog table is the system of
+    // record; ten churn-sized I/U/D batches flow through
+    // StreamIndex.shardedCdcBatch with the catalogResolver (leaving
+    // texts point-looked-up from the catalog) and then MERGE into the
+    // catalog — the full deployment loop, timed like the single-index
+    // cdc10 rung (InvIndexScale [invidx-cdc]). This is also the axis
+    // that prices the round-14 one-batch-scan staging fix at churn
+    // size: each batch is staged once, not re-read per affected shard.
+    val warehouse = java.nio.file.Files.createTempDirectory("shsc_wh").toString
+    spark.conf.set("spark.sql.catalog.shsccat", "graft.catalog.GraftCatalog")
+    spark.conf.set("spark.sql.catalog.shsccat.warehouse", warehouse)
+    spark.sql("CREATE TABLE shsccat.db.docs (doc_id BIGINT, text STRING)")
+    docs.createOrReplaceTempView("shsc_seed")
+    spark.sql("INSERT INTO shsccat.db.docs SELECT doc_id, text FROM shsc_seed")
+    val fedCdc = java.nio.file.Files.createTempDirectory("shsc_fed_cdc").toString
+    ShardedIndex.buildSharded(spark.table("shsccat.db.docs"), "doc_id", "text",
+      fedCdc, shards)
+    val cfg = graft.streaming.StreamIndex.Config(indexDir = fedCdc,
+      checkpointDir = java.nio.file.Files.createTempDirectory("shsc_ckpt").toString,
+      idCol = "doc_id", compactEveryBatches = None)
+    val resolver = graft.streaming.StreamIndex.catalogResolver(
+      spark, "shsccat.db.docs", "doc_id", "text")
+    val mod = pmod(col("doc_id"), lit(100L))
+    var cdcTotal = 0.0
+    (0 until 10).foreach { i =>
+      val ins = docs.filter(mod === i)
+        .select(col("doc_id") + 20000000L as "doc_id", col("text"), lit("I").as("op"))
+      val upd = docs.filter(mod === (50 + i))
+        .select(col("doc_id"), concat_ws(" ", col("text"), col("text")).as("text"),
+          lit("U").as("op"))
+      val del = docs.filter(mod === (70 + i))
+        .select(col("doc_id"), lit(null).cast("string").as("text"), lit("D").as("op"))
+      val batch = ins.unionByName(upd).unionByName(del)
+      cdcTotal += timed {
+        // crash-safe order: index half (stamped) first, catalog second
+        graft.streaming.StreamIndex.shardedCdcBatch(cfg, "text", "op", resolver)(
+          batch, i.toLong)
+        batch.createOrReplaceTempView("shsc_cdc")
+        spark.sql("""MERGE INTO shsccat.db.docs t USING shsc_cdc s ON t.doc_id = s.doc_id
+          WHEN MATCHED AND s.op = 'D' THEN DELETE
+          WHEN MATCHED THEN UPDATE SET t.text = s.text
+          WHEN NOT MATCHED AND s.op != 'D' THEN INSERT (doc_id, text) VALUES (s.doc_id, s.text)""")
+      }._2
+    }
+    val fedCdcServe = minOf3(noop(
+      ShardedIndex.bm25TopKTextSharded(spark, fedCdc, queries, k = 5)))
+    val (_, fedCompactS) = timed(ShardedIndex.compactSharded(spark, fedCdc))
+    val fedCdcServeC = minOf3(noop(
+      ShardedIndex.bm25TopKTextSharded(spark, fedCdc, queries, k = 5)))
+
     println(f"[shard-scale] sf=$sfDir docs=$nDocs shards=$shards flatFirst=$flatFirst")
     println(f"[shard-build] flat=$flatBuildS%.2fs federation=$fedBuildS%.2fs (route pass + $shards sequential slice builds; at scale the slice builds run in parallel on $shards clusters)")
     println(f"[shard-serve] flat=$flatServeS%.3fs federation=$fedServeS%.3fs (fan-out width vs one index)")
     println(f"[shard-delta] 1%% churn: flat=$flatDeltaS%.2fs federation=$fedDeltaS%.2fs")
     println(f"[shard-isolate] 3-doc batch advanced $advanced of $shards shards")
     println(f"[shard-serve-post-delta] flat=$flatServe2S%.3fs federation=$fedServe2S%.3fs")
+    println(f"[shard-cdc] cdc10=$cdcTotal%.2fs (catalog resolve + federated fold + MERGE, " +
+      f"x10 batches) serve_after_10cdc=$fedCdcServe%.3fs compact=$fedCompactS%.2fs " +
+      f"serve_after_compact=$fedCdcServeC%.3fs")
     spark.stop()
   }
 }
