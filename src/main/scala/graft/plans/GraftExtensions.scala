@@ -218,6 +218,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.operators.ShardedIndex.bm25TopKTextSharded(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"))
     }
+    // approximate serving over the federation (global champion
+    // selection via buildChampionsSharded — flat-approx-identical)
+    tvf("graft_bm25_approx_sharded", "(dir, query, k)", 3, 3) { args =>
+      graft.operators.ShardedIndex.bm25TopKTextApproxSharded(SparkSession.active,
+        strArg(args(0), "dir"), Seq(strArg(args(1), "query")), intArg(args(2), "k"))
+    }
     tvf("graft_phrase", "(dir, phrase, k)", 3, 3) { args =>
       graft.operators.InvertedIndex.phraseTopK(SparkSession.active,
         strArg(args(0), "dir"), Seq(strArg(args(1), "phrase")), intArg(args(2), "k"))

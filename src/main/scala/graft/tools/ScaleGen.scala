@@ -58,10 +58,15 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val (srcDir, destDir, factor) = (args(0), args(1), args(2).toInt)
     require(factor >= 1 && factor * ReplicaOffset > 0, s"bad factor $factor")
+    // optional 4th arg: comma-separated table subset (a rung that only
+    // needs documents shouldn't pay for 60M scaled lineitem rows)
+    val tables = args.lift(3).map(_.split(',').toSeq)
+      .getOrElse(keyColumns.keys.toSeq.sorted)
+    tables.foreach(t => require(keyColumns.contains(t), s"unknown table: $t"))
     val cpus  = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = graft.GraftSession.builder(s"local[$cpus]", cpus.toInt).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    for (name <- keyColumns.keys.toSeq.sorted) {
+    for (name <- tables) {
       val n = scaleTable(spark, srcDir, destDir, name, factor)
       println(s"[scalegen] $name: $n rows")
     }

@@ -98,7 +98,12 @@ object ShardScale {
     val warehouse = java.nio.file.Files.createTempDirectory("shsc_wh").toString
     spark.conf.set("spark.sql.catalog.shsccat", "graft.catalog.GraftCatalog")
     spark.conf.set("spark.sql.catalog.shsccat.warehouse", warehouse)
-    spark.sql("CREATE TABLE shsccat.db.docs (doc_id BIGINT, text STRING)")
+    // merge-on-read: the system-of-record's MERGE stays O(churn) writes
+    // (position deletes + batch rows per commit) — the deployment
+    // posture; a COW table would rewrite affected files per batch and
+    // dominate this axis with target-rewrite cost
+    spark.sql("""CREATE TABLE shsccat.db.docs (doc_id BIGINT, text STRING)
+      TBLPROPERTIES ('graft.merge.mode' = 'merge-on-read')""")
     docs.createOrReplaceTempView("shsc_seed")
     spark.sql("INSERT INTO shsccat.db.docs SELECT doc_id, text FROM shsc_seed")
     val fedCdc = java.nio.file.Files.createTempDirectory("shsc_fed_cdc").toString

@@ -416,6 +416,9 @@ class ShardedIndexSpec extends SparkSpec {
       == rows(ShardedIndex.suggestTopKSharded(spark, shrd, Seq("al"), k = 3).orderBy("rank")))
     assert(rows(spark.sql(s"SELECT * FROM graft_mlt_sharded('$shrd', 'alpha zeta', 2, 3) ORDER BY rank"))
       == rows(ShardedIndex.moreLikeThisTopKTextSharded(spark, shrd, Seq("alpha zeta"), m = 2, k = 3).orderBy("rank")))
+    ShardedIndex.buildChampionsSharded(spark, shrd, c = 3)
+    assert(rows(spark.sql(s"SELECT * FROM graft_bm25_approx_sharded('$shrd', 'alpha delta', 3) ORDER BY rank"))
+      == rows(ShardedIndex.bm25TopKTextApproxSharded(spark, shrd, Seq("alpha delta"), k = 3).orderBy("rank")))
 
     val ann = java.nio.file.Files.createTempDirectory("shidx_tvf_ann").toString
     val emb = Tables(spark, sfDir).embeddings
@@ -644,7 +647,7 @@ class ShardedIndexSpec extends SparkSpec {
 /** Local-disk FileSystem that counts data-file opens — the observability
   * shim behind the one-batch-scan assertions (registered as `cnt://`).
   */
-class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+final class CountingFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
   override def getScheme: String = "cnt"
   override def getUri: java.net.URI = java.net.URI.create("cnt:///")
   override def open(f: org.apache.hadoop.fs.Path,
