@@ -63,7 +63,17 @@ object StreamIndex {
       /** expire stale manifests + sweep orphans every N batches. */
       vacuumEveryBatches: Option[Int] = None,
       keepVersions: Int = 2,
-      vacuumGraceMs: Long = 60L * 60 * 1000)
+      vacuumGraceMs: Long = 60L * 60 * 1000,
+      /** rebuild the champion sidecar (top-`c` impact lists for the
+        * APPROXIMATE serving mode) after every cadenced compaction.
+        * Compaction CLEARS champions (it rewrites the postings list the
+        * champion cover indexes), so a stream maintaining an
+        * approximate-served index without this silently downgrades its
+        * serves to a loud refusal at the first compact cadence — set
+        * the same `c` the index was built with. Lexical handlers only
+        * (flat and federated); the ANN handlers refuse it loudly.
+        */
+      championC: Option[Int] = None)
 
   /** foreachBatch handler growing an inverted index: skip-replay →
     * stamped addDelta → cadenced maintenance. Returns true if the batch
@@ -78,9 +88,21 @@ object StreamIndex {
       InvertedIndex.addDelta(batch, cfg.idCol, textCol, cfg.indexDir,
         stamp = Some(cfg.ns -> batchId))
     maintain(cfg, batchId,
-      () => InvertedIndex.compact(spark, cfg.indexDir),
+      () => compactLexical(spark, cfg),
       () => InvertedIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
     !replay
+  }
+
+  // compact + (optional) champion-sidecar rebuild: compaction clears the
+  // impact lists (the cover indexes die with the postings rewrite), so a
+  // stream serving the approximate mode re-selects on the same cadence —
+  // inside the same best-effort wrapper (an OCC race defers to the next
+  // cadence, never fails the batch)
+  private def compactLexical(spark: org.apache.spark.sql.SparkSession,
+      cfg: Config): Int = {
+    val folded = InvertedIndex.compact(spark, cfg.indexDir)
+    cfg.championC.foreach(c => InvertedIndex.buildChampions(spark, cfg.indexDir, c))
+    folded
   }
 
   /** foreachBatch handler growing an ANN index (vectors assign against
@@ -89,6 +111,8 @@ object StreamIndex {
     */
   def annBatch(cfg: Config, vecCol: String)(
       batch: DataFrame, batchId: Long): Boolean = {
+    require(cfg.championC.isEmpty,
+      "championC is the LEXICAL approximate-serving knob — an ANN index has no champion sidecar")
     val spark = batch.sparkSession
     val replay = AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns)
       .exists(_ >= batchId)
@@ -147,7 +171,7 @@ object StreamIndex {
         cfg.indexDir, stamp = Some(cfg.ns -> batchId))
     }
     maintain(cfg, batchId,
-      () => InvertedIndex.compact(spark, cfg.indexDir),
+      () => compactLexical(spark, cfg),
       () => InvertedIndex.vacuum(spark, cfg.indexDir, cfg.keepVersions, cfg.vacuumGraceMs))
     !replay
   }
@@ -158,6 +182,8 @@ object StreamIndex {
     */
   def annCdcBatch(cfg: Config, vecCol: String, opCol: String)(
       batch: DataFrame, batchId: Long): Boolean = {
+    require(cfg.championC.isEmpty,
+      "championC is the LEXICAL approximate-serving knob — an ANN index has no champion sidecar")
     val spark = batch.sparkSession
     val replay = AnnIndex.committedBatchId(spark, cfg.indexDir, cfg.ns)
       .exists(_ >= batchId)
@@ -215,7 +241,10 @@ object StreamIndex {
     val applied = hit.isEmpty ||
       stamped.zip(before).exists { case (now, was) => now && !was }
     maintain(cfg, batchId,
-      () => { ShardedIndex.compactSharded(spark, cfg.indexDir); n },
+      () => { ShardedIndex.compactSharded(spark, cfg.indexDir)
+        cfg.championC.foreach(c =>
+          ShardedIndex.buildChampionsSharded(spark, cfg.indexDir, c))
+        n },
       () => (0 until n).map(i => InvertedIndex.vacuum(spark,
         ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
         ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
@@ -247,7 +276,10 @@ object StreamIndex {
     val applied = hit.isEmpty ||
       stamped.zip(before).exists { case (now, was) => now && !was }
     maintain(cfg, batchId,
-      () => { ShardedIndex.compactSharded(spark, cfg.indexDir); n },
+      () => { ShardedIndex.compactSharded(spark, cfg.indexDir)
+        cfg.championC.foreach(c =>
+          ShardedIndex.buildChampionsSharded(spark, cfg.indexDir, c))
+        n },
       () => (0 until n).map(i => InvertedIndex.vacuum(spark,
         ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
         ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))

@@ -424,6 +424,60 @@ class StreamIndexSpec extends SparkSpec {
       "ANN replay changed answers")
   }
 
+  test("championC: cadenced compaction re-selects champions instead of orphaning approximate serves") {
+    import graft.operators.ShardedIndex
+    val seed  = docs.filter($"doc_id" < 200)
+    val delta = docs.filter($"doc_id" >= 200 && $"doc_id" < 260)
+    val full  = docs.filter($"doc_id" < 260)
+    val queries = Seq("fast key scan", "table value")
+    def approxFlat(d: String) = InvertedIndex.bm25TopKTextApprox(spark, d, queries, k = 5)
+      .orderBy("q", "rank").collect().map(_.toSeq).toSeq
+
+    // flat: compaction fires EVERY batch; championC re-selects each time
+    val dir = Files.createTempDirectory("sidx_champ").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir)
+    InvertedIndex.buildChampions(spark, dir, c = 4)
+    val src  = Files.createTempDirectory("sidx_champ_src").toString
+    blobs(delta, src, 2, "doc_id")
+    val cfg = StreamIndex.Config(indexDir = dir, idCol = "doc_id",
+      checkpointDir = Files.createTempDirectory("sidx_champ_ckpt").toString,
+      compactEveryBatches = Some(1), championC = Some(4))
+    assert(StreamIndex.runInvertedAvailableNow(fileSource(src), "text", cfg) == 2)
+    val ref = Files.createTempDirectory("sidx_champ_ref").toString
+    InvertedIndex.build(full, "doc_id", "text", ref)
+    InvertedIndex.buildChampions(spark, ref, c = 4)
+    assert(approxFlat(dir) == approxFlat(ref),
+      "cadence-rebuilt champions diverged from a fresh build + selection")
+
+    // control: the SAME stream without championC leaves the compacted
+    // index refusing approximate serves — the silent downgrade the knob exists for
+    val dir2 = Files.createTempDirectory("sidx_champ2").toString
+    InvertedIndex.build(seed, "doc_id", "text", dir2)
+    InvertedIndex.buildChampions(spark, dir2, c = 4)
+    assert(StreamIndex.runInvertedAvailableNow(fileSource(src), "text",
+      cfg.copy(indexDir = dir2, championC = None,
+        checkpointDir = Files.createTempDirectory("sidx_champ2_ckpt").toString)) == 2)
+    val e = intercept[IllegalArgumentException] { approxFlat(dir2) }
+    assert(e.getMessage.contains("buildChampions"), s"unhelpful refusal: ${e.getMessage}")
+
+    // federated: same knob re-selects GLOBALLY through compactSharded's cadence
+    val fed = Files.createTempDirectory("sidx_champ_fed").toString
+    ShardedIndex.buildSharded(seed, "doc_id", "text", fed, shards = 3)
+    ShardedIndex.buildChampionsSharded(spark, fed, c = 4)
+    assert(StreamIndex.runShardedAvailableNow(fileSource(src), "text",
+      cfg.copy(indexDir = fed,
+        checkpointDir = Files.createTempDirectory("sidx_champ_fed_ckpt").toString)) == 2)
+    assert(ShardedIndex.bm25TopKTextApproxSharded(spark, fed, queries, k = 5)
+      .orderBy("q", "rank").collect().map(_.toSeq).toSeq == approxFlat(ref),
+      "federated cadence-rebuilt champions diverged from the flat approximate serve")
+
+    // ANN handlers refuse the lexical knob loudly
+    val annE = intercept[IllegalArgumentException] {
+      StreamIndex.annBatch(cfg, "embedding")(emb.limit(1), 0L)
+    }
+    assert(annE.getMessage.contains("championC"), s"unhelpful refusal: ${annE.getMessage}")
+  }
+
   test("a stream grows the sharded federation exactly once per shard; partial-crash replays only fill the gap") {
     import graft.operators.ShardedIndex
     val seed  = docs.filter($"doc_id" < 300)
