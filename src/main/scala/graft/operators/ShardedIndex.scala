@@ -821,16 +821,46 @@ object ShardedIndex {
   /** Fold new vectors into the federation (per-shard
     * [[AnnIndex.addDelta]] against each shard's persisted centroids).
     * One batch scan ([[withRoutedSlices]]); returns the affected
-    * shard ids.
+    * shard ids. `stamp` gives per-shard exactly-once, the
+    * [[addDeltaSharded]] contract on the dense side.
     */
   def addDeltaShardedAnn(delta: DataFrame, idCol: String, vecCol: String,
-      dir: String): Seq[Int] = {
+      dir: String, stamp: Option[(String, Long)] = None): Seq[Int] = {
     val n = shardCount(delta.sparkSession, dir)
     withRoutedSlices(delta, idCol, n, dir) { slices =>
       slices.foreach { case (i, slice) =>
-        AnnIndex.addDelta(slice, idCol, vecCol, shardDir(dir, i))
+        AnnIndex.addDelta(slice, idCol, vecCol, shardDir(dir, i), stamp = stamp)
       }
       slices.map(_._1)
+    }
+  }
+
+  /** CDC upsert across the ANN federation — the dense twin of
+    * [[applyCdcSharded]]: an id's upsert and removal route to the same
+    * shard, each shard's [[AnnIndex.applyCdc]] claim is atomic, and the
+    * dense side needs only the LEAVING IDS (no corpus stats to
+    * correct). One scan per input frame; returns affected shard ids.
+    */
+  def applyCdcShardedAnn(upserts: DataFrame, removals: DataFrame, idCol: String,
+      vecCol: String, dir: String, stamp: Option[(String, Long)] = None): Seq[Int] = {
+    val spark = upserts.sparkSession
+    val n = shardCount(spark, dir)
+    def emptySlice(schema: org.apache.spark.sql.types.StructType) =
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    withRoutedSlices(upserts, idCol, n, dir) { upSlices =>
+      withRoutedSlices(removals, idCol, n, dir) { rmSlices =>
+        val up = upSlices.toMap
+        val rm = rmSlices.toMap
+        val hit = (up.keySet ++ rm.keySet).toSeq.sorted
+        hit.foreach { i =>
+          AnnIndex.applyCdc(
+            up.getOrElse(i, emptySlice(upserts.schema)),
+            rm.getOrElse(i, emptySlice(removals.schema)),
+            idCol, vecCol, shardDir(dir, i), stamp = stamp)
+        }
+        hit
+      }
     }
   }
 

@@ -286,6 +286,68 @@ object StreamIndex {
     applied
   }
 
+  /** foreachBatch handler growing a DENSE (ANN) federation — the
+    * [[shardedInvertedBatch]] contract on vector shards: route once,
+    * per-shard stamped deltas against each shard's persisted centroids,
+    * empty batch = applied without advancing any shard.
+    */
+  def shardedAnnBatch(cfg: Config, vecCol: String)(
+      batch: DataFrame, batchId: Long): Boolean = {
+    import graft.operators.ShardedIndex
+    require(cfg.championC.isEmpty,
+      "championC is the LEXICAL approximate-serving knob — an ANN index has no champion sidecar")
+    val spark = batch.sparkSession
+    val n = ShardedIndex.shardCount(spark, cfg.indexDir)
+    def stamped: Seq[Boolean] = (0 until n).map(i =>
+      AnnIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
+        .exists(_ >= batchId))
+    val before = stamped
+    val hit = ShardedIndex.addDeltaShardedAnn(batch, cfg.idCol, vecCol, cfg.indexDir,
+      stamp = Some(cfg.ns -> batchId))
+    val applied = hit.isEmpty ||
+      stamped.zip(before).exists { case (now, was) => now && !was }
+    maintain(cfg, batchId,
+      () => { (0 until n).foreach(i =>
+        AnnIndex.compact(spark, ShardedIndex.shardDir(cfg.indexDir, i))); n },
+      () => (0 until n).map(i => AnnIndex.vacuum(spark,
+        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
+        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
+    applied
+  }
+
+  /** CDC foreachBatch against the ANN federation — upsert/removal rows
+    * route to the same shard; the dense side needs only the leaving ids
+    * (the [[annCdcBatch]] rule, federated).
+    */
+  def shardedAnnCdcBatch(cfg: Config, vecCol: String, opCol: String)(
+      batch: DataFrame, batchId: Long): Boolean = {
+    import graft.operators.ShardedIndex
+    require(cfg.championC.isEmpty,
+      "championC is the LEXICAL approximate-serving knob — an ANN index has no champion sidecar")
+    val spark = batch.sparkSession
+    val n = ShardedIndex.shardCount(spark, cfg.indexDir)
+    def stamped: Seq[Boolean] = (0 until n).map(i =>
+      AnnIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
+        .exists(_ >= batchId))
+    val before = stamped
+    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
+      .drop(opCol)
+    val leaving = batch
+      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
+      .select(cfg.idCol)
+    val hit = ShardedIndex.applyCdcShardedAnn(upserts, leaving, cfg.idCol, vecCol,
+      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    val applied = hit.isEmpty ||
+      stamped.zip(before).exists { case (now, was) => now && !was }
+    maintain(cfg, batchId,
+      () => { (0 until n).foreach(i =>
+        AnnIndex.compact(spark, ShardedIndex.shardDir(cfg.indexDir, i))); n },
+      () => (0 until n).map(i => AnnIndex.vacuum(spark,
+        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
+        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
+    applied
+  }
+
   /** Standard `oldTexts` resolver for [[invertedCdcBatch]]: point-look
     * up the system of record (a catalog table) for the leaving ids'
     * INDEXED text. The distinct id set broadcasts, so the DSv2 scan
@@ -322,6 +384,10 @@ object StreamIndex {
   /** Same cycle shape for the sharded federation. */
   def runShardedAvailableNow(source: DataFrame, textCol: String, cfg: Config): Long =
     run(source, cfg)(shardedInvertedBatch(cfg, textCol))
+
+  /** Same cycle shape for the sharded ANN federation. */
+  def runShardedAnnAvailableNow(source: DataFrame, vecCol: String, cfg: Config): Long =
+    run(source, cfg)(shardedAnnBatch(cfg, vecCol))
 
   private def run(source: DataFrame, cfg: Config)(
       handler: (DataFrame, Long) => Boolean): Long = {

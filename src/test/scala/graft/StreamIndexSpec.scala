@@ -424,6 +424,58 @@ class StreamIndexSpec extends SparkSpec {
       "ANN replay changed answers")
   }
 
+  test("a stream grows the ANN federation exactly once per shard; CDC routes to the right shards") {
+    import graft.operators.{AnnIndex => AIdx, ShardedIndex}
+    val corpus = emb.filter($"vec_id" >= 5 && $"vec_id" < 300)
+    val delta  = emb.filter($"vec_id" >= 300 && $"vec_id" < 420)
+    val probes = emb.filter($"vec_id" < 5)
+    val fed = Files.createTempDirectory("sidx_annfed").toString
+    ShardedIndex.buildShardedAnn(corpus, "vec_id", "embedding", fed,
+      shards = 3, nCells = 4)
+    val src  = Files.createTempDirectory("sidx_annfed_src").toString
+    blobs(delta.select("vec_id", "embedding"), src, 2, "vec_id")
+    val cfg = StreamIndex.Config(indexDir = fed, idCol = "vec_id",
+      checkpointDir = Files.createTempDirectory("sidx_annfed_ckpt").toString,
+      compactEveryBatches = Some(1))
+    assert(StreamIndex.runShardedAnnAvailableNow(fileSource(src), "embedding", cfg) == 2)
+    // full probe is exact per shard, so the stream-grown federation
+    // answers exactly like a flat one-shot index over the same corpus
+    val flat = Files.createTempDirectory("sidx_annfed_flat").toString
+    AIdx.build(emb.filter($"vec_id" >= 5 && $"vec_id" < 420),
+      "vec_id", "embedding", flat, nCells = 4)
+    def fedServe() = rows(ShardedIndex.annTopKSharded(probes, "vec_id", "embedding",
+      fed, k = 5, nProbe = 4))
+    assert(fedServe() == rows(AIdx.topK(probes, "vec_id", "embedding", flat,
+      k = 5, nProbe = 4)), "stream-grown ANN federation diverged from a flat build")
+    // full replay: every shard refuses by its stamp
+    val lastBatch = delta.filter(pmod($"vec_id", lit(2)) === 1)
+      .select("vec_id", "embedding")
+    assert(!StreamIndex.shardedAnnBatch(cfg, "embedding")(lastBatch, 1L),
+      "full ANN replay claimed to apply content")
+    // CDC: re-vector one id, delete another — only their shards advance
+    val newVec = emb.filter($"vec_id" === 450).select("embedding")
+      .head().getSeq[Float](0)
+    val cdc = Seq((10L, newVec, "U"), (20L, null.asInstanceOf[Seq[Float]], "D"))
+      .toDF("vec_id", "embedding", "op")
+    val vBefore = (0 until 3).map(i => AIdx.currentManifest(
+      spark, ShardedIndex.shardDir(fed, i)).version)
+    assert(StreamIndex.shardedAnnCdcBatch(cfg, "embedding", "op")(cdc, 2L))
+    val hitShards = Seq(10L, 20L).map(id => graft.operators.DriverEval.shardOf(id, 3)).toSet
+    val vAfter = (0 until 3).map(i => AIdx.currentManifest(
+      spark, ShardedIndex.shardDir(fed, i)).version)
+    (0 until 3).foreach { i =>
+      if (hitShards(i)) assert(vAfter(i) > vBefore(i), s"shard $i should have advanced")
+      else assert(vAfter(i) == vBefore(i), s"shard $i advanced without receiving CDC rows")
+    }
+    val flat2 = Files.createTempDirectory("sidx_annfed_flat2").toString
+    AIdx.build(emb.filter($"vec_id" >= 5 && $"vec_id" < 420 && $"vec_id" =!= 20L)
+        .select($"vec_id",
+          when($"vec_id" === 10L, typedLit(newVec)).otherwise($"embedding").as("embedding")),
+      "vec_id", "embedding", flat2, nCells = 4)
+    assert(fedServe() == rows(AIdx.topK(probes, "vec_id", "embedding", flat2,
+      k = 5, nProbe = 4)), "ANN federation CDC diverged from a flat rebuild")
+  }
+
   test("championC: cadenced compaction re-selects champions instead of orphaning approximate serves") {
     import graft.operators.ShardedIndex
     val seed  = docs.filter($"doc_id" < 200)
