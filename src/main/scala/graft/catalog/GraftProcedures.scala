@@ -35,12 +35,8 @@ object GraftProcedures {
     * committed manifest itself so one procedure surface maintains both
     * (`centroids` is the ANN manifest's defining field).
     */
-  private def isAnnIndex(spark: SparkSession, dir: String): Boolean = {
-    val vs = graft.operators.IndexManifests.versions(spark, dir)
-    require(vs.nonEmpty, s"no committed serving index at $dir")
-    val body = graft.operators.IndexManifests.readBody(spark, dir, vs.last)
-    (org.json4s.jackson.JsonMethods.parse(body) \ "centroids") != org.json4s.JNothing
-  }
+  private def isAnnIndex(spark: SparkSession, dir: String): Boolean =
+    graft.operators.IndexManifests.isAnnManifest(spark, dir)
 
   /** A FEDERATION root ([[graft.operators.ShardedIndex]], shards.json
     * marker) maintains as its shard list — the ops runbook stays ONE

@@ -523,8 +523,15 @@ object AnnIndex {
       excludeSelf: Boolean): DataFrame = {
     import spark.implicits._
     val m = currentManifest(spark, dir)
+    // centroid norms once per query, not per probe — a contract-max
+    // probe set would otherwise rebuild them 16k times on the driver
+    val norms = m.centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.max(math.sqrt(s), 1e-12)
+    }
     val pLocal = probeRows.flatMap { case (pid, pv) =>
-      VectorQuantization.nearestCells(pv, m.centroids, nProbe)
+      VectorQuantization.nearestCells(pv, m.centroids, nProbe, normsPre = norms)
         .map(c => (pid, pv.toSeq, c))
     }
     val p = pLocal.toDF("probe_id", "__pv", "cell")

@@ -35,6 +35,18 @@ private[graft] object IndexManifests {
     * create, microseconds before its bytes land — retry the (local-FS)
     * sliver.
     */
+  /** Kind-sniff a committed index root: ANN manifests carry the
+    * `centroids` field, lexical ones don't. The ONE dispatch every
+    * kind-agnostic surface (procedures, federation export, reshard)
+    * shares — a manifest-shape change lands here once.
+    */
+  def isAnnManifest(spark: SparkSession, dir: String): Boolean = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"no committed serving index at $dir")
+    (org.json4s.jackson.JsonMethods.parse(readBody(spark, dir, vs.last))
+      \ "centroids") != org.json4s.JNothing
+  }
+
   def readBody(spark: SparkSession, dir: String, v: Long): String = {
     var last: Throwable = null
     for (_ <- 1 to 5) {

@@ -160,7 +160,17 @@ object InvertedIndex {
         */
       champions: Seq[(Int, String)] = Nil,
       championCover: Int = 0,
-      championC: Int = 0)
+      championC: Int = 0,
+      /** One id per champion SELECTION — a federated approximate serve
+        * requires every shard to carry the SAME epoch
+        * ([[ShardedIndex.buildChampionsSharded]] stamps one UUID across
+        * its per-shard commits), so a partially-landed federated
+        * selection (one shard's OCC refusal mid-build) can never serve
+        * a silent mix of two selections: the serve refuses loudly until
+        * a re-run lands whole. Flat selections stamp one too (unused by
+        * the flat serve, travels with export/rollback).
+        */
+      championEpoch: String = "")
 
   /** Staged-but-uncommitted delta: immutable postings files under a
     * fresh UUID dir. Visible only once a manifest referencing them is
@@ -222,6 +232,7 @@ object InvertedIndex {
       }.toList),
       "championCover" -> JInt(m.championCover),
       "championC" -> JInt(m.championC),
+      "championEpoch" -> JString(m.championEpoch),
       "postings" -> JArray(m.postings.map { case (b, p) =>
         val base = List("bucket" -> (JInt(b): JValue), "path" -> (JString(p): JValue))
         val range = m.tokRanges.get(p).toList.flatMap { case (lo, hi) =>
@@ -282,6 +293,10 @@ object InvertedIndex {
       championC = j \ "championC" match {
         case JInt(n) => n.toInt
         case _ => 0
+      },
+      championEpoch = j \ "championEpoch" match {
+        case JString(e) => e
+        case _ => ""
       })
   }
 
@@ -530,7 +545,7 @@ object InvertedIndex {
         base.tokRanges,
         // champions survive deltas: the new files land PAST
         // championCover, so approximate serves read them fully
-        base.champions, base.championCover, base.championC)
+        base.champions, base.championCover, base.championC, base.championEpoch)
       if (tryCommit(spark, dir, next)) return next
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
@@ -577,7 +592,10 @@ object InvertedIndex {
     */
   private[graft] def liveRows(spark: SparkSession, dir: String, m: Manifest,
       selected: Seq[(Int, String)]): DataFrame = {
-    val base = readPostings(spark, dir, selected)
+    // empty file lists synthesize their schema — it must match the
+    // MANIFEST's positions flag, or a positions-free federation with an
+    // empty shard breaks every union over per-shard liveRows
+    val base = readPostings(spark, dir, selected, m.positions)
     if (m.deletes.isEmpty) return base
     // key = the last THREE path components (staging-uuid/bucket=N/part
     // file): the leaf NAME alone collides — one partitionBy job writes
@@ -693,7 +711,7 @@ object InvertedIndex {
       // champions survive tombstones/CDC: the tombstone's cover is
       // ≥ championCover (postings append-only between compactions), so
       // an approximate serve applies it to the champion rows too
-      base.champions, base.championCover, base.championC)
+      base.champions, base.championCover, base.championC, base.championEpoch)
     tryCommit(spark, dir, next)
   }
 
@@ -968,7 +986,8 @@ object InvertedIndex {
         .parquet(s"$dir/$rel")
       val files = IndexManifests.listStaged(spark, dir, rel, "bucket")
       val next = base.copy(version = base.version + 1, champions = files,
-        championCover = base.postings.size, championC = c)
+        championCover = base.postings.size, championC = c,
+        championEpoch = java.util.UUID.randomUUID().toString)
       if (tryCommit(spark, dir, next)) return
     }
     throw new graft.catalog.GraftCommitConflict(
@@ -982,11 +1001,13 @@ object InvertedIndex {
     * caller re-select, exactly [[buildChampions]]'s lost-race posture.
     */
   private[graft] def commitChampions(spark: SparkSession, dir: String,
-      baseVersion: Long, files: Seq[(Int, String)], c: Int): Boolean = {
+      baseVersion: Long, files: Seq[(Int, String)], c: Int,
+      epoch: String): Boolean = {
     val base = currentManifest(spark, dir)
     if (base.version != baseVersion) return false
     tryCommit(spark, dir, base.copy(version = base.version + 1,
-      champions = files, championCover = base.postings.size, championC = c))
+      champions = files, championCover = base.postings.size, championC = c,
+      championEpoch = epoch))
   }
 
   /** Roll the index back to `toVersion`'s content as a NEW head commit

@@ -97,8 +97,11 @@ object ShardedIndex {
     if (!fs.exists(root)) return
     fs.listStatus(root).foreach { st =>
       val nm = st.getPath.getName
-      if (st.isDirectory && (nm == "_route_staging" || nm == MaintStagingDir ||
-          nm.startsWith("shard=")))
+      // prefix match: reshard stages BOTH _route_staging and
+      // _route_staging_meta — an exact-name sweep would leave the meta
+      // tree behind and dead-end the retry on errorifexists
+      if (st.isDirectory && (nm.startsWith("_route_staging") ||
+          nm == MaintStagingDir || nm.startsWith("shard=")))
         fs.delete(st.getPath, true)
     }
   }
@@ -157,9 +160,17 @@ object ShardedIndex {
     val p = new org.apache.hadoop.fs.Path(s"$staging/__shard=$i")
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
       spark.read.schema(schema).parquet(p.toString)
-    else spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else emptyDf(spark, schema)
   }
+
+  /** Empty, schema-correct local relation — the shared "no rows routed
+    * here" shape (sparse build slices, CDC sides with no rows for a
+    * shard).
+    */
+  private def emptyDf(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
 
   /** Route a maintenance batch ONCE into a staging tree partitioned by
     * shard — the build's own pattern ([[buildSharded]]), applied to the
@@ -255,9 +266,6 @@ object ShardedIndex {
       textCol: String, dir: String, stamp: Option[(String, Long)] = None): Seq[Int] = {
     val spark = upserts.sparkSession
     val n = shardCount(spark, dir)
-    def emptySlice(schema: org.apache.spark.sql.types.StructType) =
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     withRoutedSlices(upserts, idCol, n, dir) { upSlices =>
       withRoutedSlices(removals, idCol, n, dir) { rmSlices =>
         val up = upSlices.toMap
@@ -265,8 +273,8 @@ object ShardedIndex {
         val hit = (up.keySet ++ rm.keySet).toSeq.sorted
         hit.foreach { i =>
           InvertedIndex.applyCdc(
-            up.getOrElse(i, emptySlice(upserts.schema)),
-            rm.getOrElse(i, emptySlice(removals.schema)),
+            up.getOrElse(i, emptyDf(spark, upserts.schema)),
+            rm.getOrElse(i, emptyDf(spark, removals.schema)),
             idCol, textCol, shardDir(dir, i), stamp = stamp)
         }
         hit
@@ -387,6 +395,11 @@ object ShardedIndex {
       }.reduce(_ unionByName _)
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("tok")).orderBy(col("__sat_fp").desc, col("doc_id").asc)
+      // ONE epoch for the whole selection: each shard's commit carries
+      // it, and the serve requires all shards to agree — a partially
+      // landed selection (one shard's OCC refusal mid-loop) refuses
+      // loudly instead of silently mixing two selections
+      val epoch = java.util.UUID.randomUUID().toString
       val staging = s"$dir/$MaintStagingDir/champ-" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val sp = new org.apache.hadoop.fs.Path(staging)
@@ -422,7 +435,7 @@ object ShardedIndex {
           // enabled (championC = c) with no rows, serving empty exactly
           // like the flat approx serve over an empty index
           InvertedIndex.commitChampions(spark, sdirs(i),
-            manifests(i)._2.version, files, c)
+            manifests(i)._2.version, files, c, epoch)
         }
       } finally { fs.delete(sp, true); () }
       if (committed) return
@@ -455,6 +468,14 @@ object ShardedIndex {
           "opt-in: call buildChampionsSharded(dir, c) first (compaction clears " +
           "the sidecars; rebuild after)")
     }
+    // all shards must carry the SAME selection epoch: a partially
+    // landed federated build (or a stray per-shard buildChampions)
+    // would otherwise silently mix two selections into one answer
+    val epochs = manifests.map(_._2.championEpoch).distinct
+    require(epochs.size == 1,
+      s"federation shards carry champion sidecars from DIFFERENT selections " +
+        s"(${epochs.size} epochs) at $dir — re-run buildChampionsSharded so one " +
+        "global selection covers every shard")
     val pairs = queries.flatMap(q =>
       DriverEval.tokenize(q).distinct.map(t => (q, t))).distinct
     val terms = pairs.map(_._2).distinct
@@ -649,13 +670,10 @@ object ShardedIndex {
       // kind-sniff per shard (the index_export procedure's test): a
       // federation is homogeneous by construction, but a hardcoded
       // lexical export would silently mangle an ANN federation
-      val vs = IndexManifests.versions(spark, s)
-      require(vs.nonEmpty, s"no committed index at federation shard $s")
-      val isAnn = (org.json4s.jackson.JsonMethods.parse(
-        IndexManifests.readBody(spark, s, vs.last)) \ "centroids") != org.json4s.JNothing
-      if (isAnn) AnnIndex.exportIndex(spark, s, shardDir(destDir, i))
+      if (IndexManifests.isAnnManifest(spark, s))
+        AnnIndex.exportIndex(spark, s, shardDir(destDir, i))
       else InvertedIndex.exportIndex(spark, s, shardDir(destDir, i))
-      vs.last
+      IndexManifests.versions(spark, s).last
     }
     writeShardsFile(spark, destDir, n)
     promoted.max
@@ -691,12 +709,8 @@ object ShardedIndex {
     sweepUncommitted(spark, destDir)
     // kind-sniff shard 0 (federations are homogeneous by construction —
     // exportSharded's rule)
-    val vs0 = IndexManifests.versions(spark, shardDir(srcDir, 0))
-    require(vs0.nonEmpty, s"no committed index at federation shard ${shardDir(srcDir, 0)}")
-    val isAnn = (org.json4s.jackson.JsonMethods.parse(
-      IndexManifests.readBody(spark, shardDir(srcDir, 0), vs0.last)) \ "centroids") !=
-      org.json4s.JNothing
-    if (isAnn) reshardAnn(spark, srcDir, destDir, n, newShards)
+    if (IndexManifests.isAnnManifest(spark, shardDir(srcDir, 0)))
+      reshardAnn(spark, srcDir, destDir, n, newShards)
     else reshardLexical(spark, srcDir, destDir, n, newShards)
   }
 
@@ -845,9 +859,6 @@ object ShardedIndex {
       vecCol: String, dir: String, stamp: Option[(String, Long)] = None): Seq[Int] = {
     val spark = upserts.sparkSession
     val n = shardCount(spark, dir)
-    def emptySlice(schema: org.apache.spark.sql.types.StructType) =
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     withRoutedSlices(upserts, idCol, n, dir) { upSlices =>
       withRoutedSlices(removals, idCol, n, dir) { rmSlices =>
         val up = upSlices.toMap
@@ -855,8 +866,8 @@ object ShardedIndex {
         val hit = (up.keySet ++ rm.keySet).toSeq.sorted
         hit.foreach { i =>
           AnnIndex.applyCdc(
-            up.getOrElse(i, emptySlice(upserts.schema)),
-            rm.getOrElse(i, emptySlice(removals.schema)),
+            up.getOrElse(i, emptyDf(spark, upserts.schema)),
+            rm.getOrElse(i, emptyDf(spark, removals.schema)),
             idCol, vecCol, shardDir(dir, i), stamp = stamp)
         }
         hit

@@ -228,28 +228,10 @@ object StreamIndex {
     * False = a non-empty full replay.
     */
   def shardedInvertedBatch(cfg: Config, textCol: String)(
-      batch: DataFrame, batchId: Long): Boolean = {
-    import graft.operators.ShardedIndex
-    val spark = batch.sparkSession
-    val n = ShardedIndex.shardCount(spark, cfg.indexDir)
-    def stamped: Seq[Boolean] = (0 until n).map(i =>
-      InvertedIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
-        .exists(_ >= batchId))
-    val before = stamped
-    val hit = ShardedIndex.addDeltaSharded(batch, cfg.idCol, textCol, cfg.indexDir,
-      stamp = Some(cfg.ns -> batchId))
-    val applied = hit.isEmpty ||
-      stamped.zip(before).exists { case (now, was) => now && !was }
-    maintain(cfg, batchId,
-      () => { ShardedIndex.compactSharded(spark, cfg.indexDir)
-        cfg.championC.foreach(c =>
-          ShardedIndex.buildChampionsSharded(spark, cfg.indexDir, c))
-        n },
-      () => (0 until n).map(i => InvertedIndex.vacuum(spark,
-        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
-        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
-    applied
-  }
+      batch: DataFrame, batchId: Long): Boolean =
+    shardedFold(cfg, batchId, batch.sparkSession, lexical = true,
+      () => graft.operators.ShardedIndex.addDeltaSharded(
+        batch, cfg.idCol, textCol, cfg.indexDir, stamp = Some(cfg.ns -> batchId)))
 
   /** CDC foreachBatch against the federation: upsert and removal rows
     * route to the SAME shard (one id, one route), so each shard's
@@ -259,31 +241,10 @@ object StreamIndex {
     */
   def shardedCdcBatch(cfg: Config, textCol: String, opCol: String,
       oldTexts: DataFrame => DataFrame)(batch: DataFrame, batchId: Long): Boolean = {
-    import graft.operators.ShardedIndex
-    val spark = batch.sparkSession
-    val n = ShardedIndex.shardCount(spark, cfg.indexDir)
-    def stamped: Seq[Boolean] = (0 until n).map(i =>
-      InvertedIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
-        .exists(_ >= batchId))
-    val before = stamped
-    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
-      .drop(opCol)
-    val leaving = batch
-      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
-      .select(cfg.idCol)
-    val hit = ShardedIndex.applyCdcSharded(upserts, oldTexts(leaving), cfg.idCol,
-      textCol, cfg.indexDir, stamp = Some(cfg.ns -> batchId))
-    val applied = hit.isEmpty ||
-      stamped.zip(before).exists { case (now, was) => now && !was }
-    maintain(cfg, batchId,
-      () => { ShardedIndex.compactSharded(spark, cfg.indexDir)
-        cfg.championC.foreach(c =>
-          ShardedIndex.buildChampionsSharded(spark, cfg.indexDir, c))
-        n },
-      () => (0 until n).map(i => InvertedIndex.vacuum(spark,
-        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
-        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
-    applied
+    val (upserts, leaving) = splitCdc(batch, cfg, opCol)
+    shardedFold(cfg, batchId, batch.sparkSession, lexical = true,
+      () => graft.operators.ShardedIndex.applyCdcSharded(upserts, oldTexts(leaving),
+        cfg.idCol, textCol, cfg.indexDir, stamp = Some(cfg.ns -> batchId)))
   }
 
   /** foreachBatch handler growing a DENSE (ANN) federation — the
@@ -292,28 +253,10 @@ object StreamIndex {
     * empty batch = applied without advancing any shard.
     */
   def shardedAnnBatch(cfg: Config, vecCol: String)(
-      batch: DataFrame, batchId: Long): Boolean = {
-    import graft.operators.ShardedIndex
-    require(cfg.championC.isEmpty,
-      "championC is the LEXICAL approximate-serving knob — an ANN index has no champion sidecar")
-    val spark = batch.sparkSession
-    val n = ShardedIndex.shardCount(spark, cfg.indexDir)
-    def stamped: Seq[Boolean] = (0 until n).map(i =>
-      AnnIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
-        .exists(_ >= batchId))
-    val before = stamped
-    val hit = ShardedIndex.addDeltaShardedAnn(batch, cfg.idCol, vecCol, cfg.indexDir,
-      stamp = Some(cfg.ns -> batchId))
-    val applied = hit.isEmpty ||
-      stamped.zip(before).exists { case (now, was) => now && !was }
-    maintain(cfg, batchId,
-      () => { (0 until n).foreach(i =>
-        AnnIndex.compact(spark, ShardedIndex.shardDir(cfg.indexDir, i))); n },
-      () => (0 until n).map(i => AnnIndex.vacuum(spark,
-        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
-        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
-    applied
-  }
+      batch: DataFrame, batchId: Long): Boolean =
+    shardedFold(cfg, batchId, batch.sparkSession, lexical = false,
+      () => graft.operators.ShardedIndex.addDeltaShardedAnn(
+        batch, cfg.idCol, vecCol, cfg.indexDir, stamp = Some(cfg.ns -> batchId)))
 
   /** CDC foreachBatch against the ANN federation — upsert/removal rows
     * route to the same shard; the dense side needs only the leaving ids
@@ -321,30 +264,61 @@ object StreamIndex {
     */
   def shardedAnnCdcBatch(cfg: Config, vecCol: String, opCol: String)(
       batch: DataFrame, batchId: Long): Boolean = {
+    val (upserts, leaving) = splitCdc(batch, cfg, opCol)
+    shardedFold(cfg, batchId, batch.sparkSession, lexical = false,
+      () => graft.operators.ShardedIndex.applyCdcShardedAnn(upserts, leaving,
+        cfg.idCol, vecCol, cfg.indexDir, stamp = Some(cfg.ns -> batchId)))
+  }
+
+  /** An I/U/D batch split into the (upserts, leaving-ids) pair every
+    * CDC fold consumes. */
+  private def splitCdc(batch: DataFrame, cfg: Config,
+      opCol: String): (DataFrame, DataFrame) = (
+    batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D").drop(opCol),
+    batch.filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
+      .select(cfg.idCol))
+
+  /** The ONE scaffolding behind the four federated handlers: per-shard
+    * stamp snapshot before/after the routed fold, the
+    * empty-batch-applied rule, and cadenced maintenance (per-shard
+    * compact — with the lexical champion re-selection when
+    * `cfg.championC` is set — per-shard vacuum, and the routing-staging
+    * orphan sweep). Handlers differ ONLY in the fold they run; keeping
+    * the semantics here means the next contract change lands once, not
+    * four times.
+    */
+  private def shardedFold(cfg: Config,
+      batchId: Long, spark: org.apache.spark.sql.SparkSession,
+      lexical: Boolean, fold: () => Seq[Int]): Boolean = {
     import graft.operators.ShardedIndex
-    require(cfg.championC.isEmpty,
+    require(lexical || cfg.championC.isEmpty,
       "championC is the LEXICAL approximate-serving knob — an ANN index has no champion sidecar")
-    val spark = batch.sparkSession
     val n = ShardedIndex.shardCount(spark, cfg.indexDir)
-    def stamped: Seq[Boolean] = (0 until n).map(i =>
-      AnnIndex.committedBatchId(spark, ShardedIndex.shardDir(cfg.indexDir, i), cfg.ns)
-        .exists(_ >= batchId))
+    def committed(i: Int): Option[Long] = {
+      val d = ShardedIndex.shardDir(cfg.indexDir, i)
+      if (lexical) InvertedIndex.committedBatchId(spark, d, cfg.ns)
+      else AnnIndex.committedBatchId(spark, d, cfg.ns)
+    }
+    def stamped: Seq[Boolean] = (0 until n).map(committed(_).exists(_ >= batchId))
     val before = stamped
-    val upserts = batch.filter(org.apache.spark.sql.functions.col(opCol) =!= "D")
-      .drop(opCol)
-    val leaving = batch
-      .filter(org.apache.spark.sql.functions.col(opCol).isin("U", "D"))
-      .select(cfg.idCol)
-    val hit = ShardedIndex.applyCdcShardedAnn(upserts, leaving, cfg.idCol, vecCol,
-      cfg.indexDir, stamp = Some(cfg.ns -> batchId))
+    val hit = fold()
     val applied = hit.isEmpty ||
       stamped.zip(before).exists { case (now, was) => now && !was }
     maintain(cfg, batchId,
-      () => { (0 until n).foreach(i =>
-        AnnIndex.compact(spark, ShardedIndex.shardDir(cfg.indexDir, i))); n },
-      () => (0 until n).map(i => AnnIndex.vacuum(spark,
-        ShardedIndex.shardDir(cfg.indexDir, i), cfg.keepVersions, cfg.vacuumGraceMs)).sum +
-        ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
+      () => {
+        (0 until n).foreach { i =>
+          val d = ShardedIndex.shardDir(cfg.indexDir, i)
+          if (lexical) InvertedIndex.compact(spark, d) else AnnIndex.compact(spark, d)
+        }
+        if (lexical) cfg.championC.foreach(c =>
+          ShardedIndex.buildChampionsSharded(spark, cfg.indexDir, c))
+        n
+      },
+      () => (0 until n).map { i =>
+        val d = ShardedIndex.shardDir(cfg.indexDir, i)
+        if (lexical) InvertedIndex.vacuum(spark, d, cfg.keepVersions, cfg.vacuumGraceMs)
+        else AnnIndex.vacuum(spark, d, cfg.keepVersions, cfg.vacuumGraceMs)
+      }.sum + ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
     applied
   }
 

@@ -497,6 +497,22 @@ class ShardedIndexSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("already holds"), s"unhelpful refusal: ${e.getMessage}")
 
+    // a positions-free SPARSE federation reshards too: the empty
+    // shard's synthesized postings schema must match the manifest's
+    // positions flag or the live-rows union breaks (r14 review find)
+    val tiny = Seq((0L, "alpha beta"), (1L, "beta gamma")).toDF("doc_id", "text")
+    val npSrc = java.nio.file.Files.createTempDirectory("shidx_rs_np").toString
+    val npDst = java.nio.file.Files.createTempDirectory("shidx_rs_npd").toString
+    ShardedIndex.buildSharded(tiny, "doc_id", "text", npSrc, shards = 4,
+      withPositions = false)
+    // interrupted-reshard debris including the META staging tree must
+    // sweep on retry (exact-name sweeps left _route_staging_meta behind)
+    tiny.withColumn("__shard", lit(0)).write.parquet(s"$npDst/_route_staging_meta")
+    ShardedIndex.reshard(spark, npSrc, npDst, newShards = 2)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, npDst, Seq("alpha", "gamma"), k = 3))
+      == served(ShardedIndex.bm25TopKTextSharded(spark, npSrc, Seq("alpha", "gamma"), k = 3)),
+      "positions-free sparse reshard diverged from its source")
+
     // ANN federation: reshard re-routes live vectors; full probe stays
     // exact over the new layout
     val emb = Tables(spark, sfDir).embeddings.filter($"vec_id" >= 5)
@@ -554,6 +570,25 @@ class ShardedIndexSpec extends SparkSpec {
     assert(served(ShardedIndex.bm25TopKTextApproxSharded(spark, shrd, qs :+ "zeta", k = 5))
       == served(InvertedIndex.bm25TopKTextApprox(spark, flat, qs :+ "zeta", k = 5)),
       "post-champion delta diverged between federated and flat approximate serves")
+    // MIXED selections must refuse: a stray per-shard buildChampions
+    // (or a partially-landed federated selection) leaves shards with
+    // championC > 0 but DIFFERENT epochs — serving a silent mix of two
+    // selections is the one wrong answer this surface can produce
+    InvertedIndex.buildChampions(spark, ShardedIndex.shardDir(shrd, 0), c = 4)
+    val eMix = intercept[IllegalArgumentException] {
+      ShardedIndex.bm25TopKTextApproxSharded(spark, shrd, qs, k = 5)
+    }
+    assert(eMix.getMessage.contains("DIFFERENT selections"),
+      s"mixed champion epochs served silently: ${eMix.getMessage}")
+    // a re-run lands one selection across every shard and serves again
+    // (re-select the FLAT index too: both selections must see the same
+    // corpus state — the earlier flat selection predates the delta)
+    ShardedIndex.buildChampionsSharded(spark, shrd, c = 4)
+    InvertedIndex.buildChampions(spark, flat, c = 4)
+    assert(served(ShardedIndex.bm25TopKTextApproxSharded(spark, shrd, qs :+ "zeta", k = 5))
+      == served(InvertedIndex.bm25TopKTextApprox(spark, flat, qs :+ "zeta", k = 5)),
+      "re-run federated selection diverged from flat")
+
     // compaction clears champion sidecars — the approximate serve must
     // refuse loudly per shard, exactly like the flat index
     ShardedIndex.compactSharded(spark, shrd)
