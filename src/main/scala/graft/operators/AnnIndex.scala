@@ -525,11 +525,7 @@ object AnnIndex {
     val m = currentManifest(spark, dir)
     // centroid norms once per query, not per probe — a contract-max
     // probe set would otherwise rebuild them 16k times on the driver
-    val norms = m.centroids.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      math.max(math.sqrt(s), 1e-12)
-    }
+    val norms = VectorQuantization.centroidNorms(m.centroids)
     val pLocal = probeRows.flatMap { case (pid, pv) =>
       VectorQuantization.nearestCells(pv, m.centroids, nProbe, normsPre = norms)
         .map(c => (pid, pv.toSeq, c))

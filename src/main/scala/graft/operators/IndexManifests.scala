@@ -31,10 +31,6 @@ private[graft] object IndexManifests {
       .sorted.toSeq
   }
 
-  /** Read manifest `v`'s body. A manifest becomes visible at exclusive
-    * create, microseconds before its bytes land — retry the (local-FS)
-    * sliver.
-    */
   /** Kind-sniff a committed index root: ANN manifests carry the
     * `centroids` field, lexical ones don't. The ONE dispatch every
     * kind-agnostic surface (procedures, federation export, reshard)
@@ -47,6 +43,10 @@ private[graft] object IndexManifests {
       \ "centroids") != org.json4s.JNothing
   }
 
+  /** Read manifest `v`'s body. A manifest becomes visible at exclusive
+    * create, microseconds before its bytes land — retry the (local-FS)
+    * sliver.
+    */
   def readBody(spark: SparkSession, dir: String, v: Long): String = {
     var last: Throwable = null
     for (_ <- 1 to 5) {

@@ -302,6 +302,11 @@ object ShardedIndex {
     (0 until shardCount(spark, dir)).foreach(i =>
       InvertedIndex.compact(spark, shardDir(dir, i)))
 
+  /** The dense twin of [[compactSharded]]. */
+  def compactShardedAnn(spark: SparkSession, dir: String): Unit =
+    (0 until shardCount(spark, dir)).foreach(i =>
+      AnnIndex.compact(spark, shardDir(dir, i)))
+
   /** BM25 over the federation, HASH-IDENTICAL to the unsharded index:
     * global n/sumdl are the sums of the shards' cached stats scalars,
     * global per-term df sums across the shards' vocab sidecars (all
@@ -468,14 +473,17 @@ object ShardedIndex {
           "opt-in: call buildChampionsSharded(dir, c) first (compaction clears " +
           "the sidecars; rebuild after)")
     }
-    // all shards must carry the SAME selection epoch: a partially
-    // landed federated build (or a stray per-shard buildChampions)
-    // would otherwise silently mix two selections into one answer
+    // all shards must carry the SAME NON-EMPTY selection epoch: a
+    // partially landed federated build (or a stray per-shard
+    // buildChampions) would otherwise silently mix two selections into
+    // one answer — and pre-epoch legacy sidecars all parse as "" (S
+    // independent legacy selections would look uniform), so an empty
+    // epoch refuses too: one buildChampionsSharded re-run migrates
     val epochs = manifests.map(_._2.championEpoch).distinct
-    require(epochs.size == 1,
+    require(epochs.size == 1 && epochs.head.nonEmpty,
       s"federation shards carry champion sidecars from DIFFERENT selections " +
-        s"(${epochs.size} epochs) at $dir — re-run buildChampionsSharded so one " +
-        "global selection covers every shard")
+        s"(or pre-epoch legacy ones) at $dir — re-run buildChampionsSharded so " +
+        "one global selection covers every shard")
     val pairs = queries.flatMap(q =>
       DriverEval.tokenize(q).distinct.map(t => (q, t))).distinct
     val terms = pairs.map(_._2).distinct
@@ -667,13 +675,17 @@ object ShardedIndex {
     sweepUncommitted(spark, destDir)
     val promoted = (0 until n).map { i =>
       val s = shardDir(srcDir, i)
+      // the watermark is the head BEFORE the export: a maintainer
+      // committing mid-copy must make the report UNDERSTATE (safe —
+      // callers re-promote), never name a version that wasn't copied
+      val head = IndexManifests.versions(spark, s).last
       // kind-sniff per shard (the index_export procedure's test): a
       // federation is homogeneous by construction, but a hardcoded
       // lexical export would silently mangle an ANN federation
       if (IndexManifests.isAnnManifest(spark, s))
         AnnIndex.exportIndex(spark, s, shardDir(destDir, i))
       else InvertedIndex.exportIndex(spark, s, shardDir(destDir, i))
-      IndexManifests.versions(spark, s).last
+      head
     }
     writeShardsFile(spark, destDir, n)
     promoted.max

@@ -20,11 +20,7 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   @transient private lazy val centroidNorms: Array[Double] =
-    centroids.map { c =>
-      var s = 0.0; var i = 0
-      while (i < c.length) { s += c(i) * c(i); i += 1 }
-      math.max(math.sqrt(s), 1e-12)
-    }
+    VectorQuantization.centroidNorms(centroids)
 
   @transient private lazy val centroidSqNorms: Array[Double] =
     centroids.map { c =>
@@ -44,6 +40,19 @@ case class CentroidCells(child: Expression, centroids: Array[Array[Double]], m: 
 
 object VectorQuantization {
 
+  /** Clamped cosine norms of a centroid table — ONE formula for the
+    * expression's lazy val, the driver-side fallback, and serve-time
+    * precomputes: cell borders are bit-identity-load-bearing between
+    * staging and serving, so the clamp and accumulation order must
+    * never fork.
+    */
+  def centroidNorms(centroids: Array[Array[Double]]): Array[Double] =
+    centroids.map { c =>
+      var s = 0.0; var i = 0
+      while (i < c.length) { s += c(i) * c(i); i += 1 }
+      math.max(math.sqrt(s), 1e-12)
+    }
+
   /** The `m` nearest centroid cell ids of one vector — the ONE
     * assignment arithmetic, shared by the [[CentroidCells]] expression
     * (per-row, executor-side) and the driver-side probe preparation
@@ -55,11 +64,7 @@ object VectorQuantization {
       l2: Boolean = false,
       normsPre: Array[Double] = null, sqNormsPre: Array[Double] = null): Array[Int] = {
     val norms = if (l2 || normsPre != null) normsPre
-      else centroids.map { c =>
-        var s = 0.0; var i = 0
-        while (i < c.length) { s += c(i) * c(i); i += 1 }
-        math.max(math.sqrt(s), 1e-12)
-      }
+      else centroidNorms(centroids)
     val sqNorms = if (!l2 || sqNormsPre != null) sqNormsPre
       else centroids.map { c =>
         var s = 0.0; var i = 0

@@ -306,12 +306,11 @@ object StreamIndex {
       stamped.zip(before).exists { case (now, was) => now && !was }
     maintain(cfg, batchId,
       () => {
-        (0 until n).foreach { i =>
-          val d = ShardedIndex.shardDir(cfg.indexDir, i)
-          if (lexical) InvertedIndex.compact(spark, d) else AnnIndex.compact(spark, d)
-        }
-        if (lexical) cfg.championC.foreach(c =>
-          ShardedIndex.buildChampionsSharded(spark, cfg.indexDir, c))
+        if (lexical) {
+          ShardedIndex.compactSharded(spark, cfg.indexDir)
+          cfg.championC.foreach(c =>
+            ShardedIndex.buildChampionsSharded(spark, cfg.indexDir, c))
+        } else ShardedIndex.compactShardedAnn(spark, cfg.indexDir)
         n
       },
       () => (0 until n).map { i =>
