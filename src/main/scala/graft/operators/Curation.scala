@@ -702,11 +702,14 @@ object Curation {
         (col("__base") + expr("(__r - __lo) div __k")).cast("long").as("pack_id"),
         lit(false).as("oversize"))
 
-    // oversize docs: one pack each, ids after all strategy packs
+    // oversize docs: one pack each, ids after all strategy packs.
+    // Numbered with the two-phase scheme (Staging.withGlobalRank) — an
+    // unpartitioned window funnels every oversize doc through ONE
+    // partition, fine while they're rare, a single-executor sort the
+    // day a corpus's docs routinely exceed tokenBudget (VERDICT r14)
     val totalPacks = packBase.last
-    val ow = Window.orderBy(col(idCol))
-    val oversize = lengths.filter(col("__len") > tokenBudget)
-      .withColumn("__r", row_number().over(ow).cast("long") - 1L)
+    val oversize = Staging.withGlobalRank(
+        lengths.filter(col("__len") > tokenBudget), idCol, "__r")
       .select(col(idCol), col("__len").as("n_tokens"),
         (lit(totalPacks) + col("__r")).as("pack_id"), lit(true).as("oversize"))
     packed.unionByName(oversize)

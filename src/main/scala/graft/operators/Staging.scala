@@ -44,6 +44,38 @@ object Staging {
     * rank, so the batch assignment is identical to a global row_number
     * while every stage stays parallel.
     */
+  /** Global 0-based rank in `orderCol` order WITHOUT an unpartitioned
+    * window — the [[batchAccounting]] two-phase numbering, generalized:
+    * range partition on the key, number locally per partition, add the
+    * broadcast per-partition cumulative offsets. Every input column is
+    * preserved; the rank lands in `rankCol` as a long. Identical to
+    * `row_number().over(Window.orderBy(orderCol)) - 1` (given distinct
+    * keys) while every stage stays parallel — the plan carries no
+    * single-partition exchange.
+    */
+  def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String): DataFrame = {
+    val spark = df.sparkSession
+    // materialized ONCE: the counts job and the consumer's job would
+    // otherwise each replay the input lineage and the range exchange
+    val local = df
+      .repartitionByRange(col(orderCol))
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__rn",
+        row_number().over(Window.partitionBy("__pid").orderBy(orderCol)))
+      .localCheckpoint()
+    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    var acc = 0L
+    val offsets = counts.map { case (pid, cnt) =>
+      val off = acc; acc += cnt; (pid, off)
+    }.toSeq
+    if (offsets.isEmpty) return df.withColumn(rankCol, lit(0L)).limit(0)
+    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
+    local.join(broadcast(offDf), Seq("__pid"))
+      .withColumn(rankCol, col("__off") + col("__rn").cast("long") - 1L)
+      .drop("__pid", "__rn", "__off")
+  }
+
   def batchAccounting(df: DataFrame, orderCol: String, maxRows: Int): DataFrame = {
     val spark = df.sparkSession
     // range partition + local numbering, materialized ONCE (the counts

@@ -36,9 +36,11 @@ object ServeQps {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .filter(col("vec_id") >= 5)
-    val lexDir = java.nio.file.Files.createTempDirectory("qps_lex").toString
+    // scratchDir registers JVM-exit deletion — the same backstop the
+    // fed dir below (and every bench serving dir) rides
+    val lexDir = graft.ServingIndexes.scratchDir("qps_lex")
     InvertedIndex.build(docs, "doc_id", "text", lexDir)
-    val annDir = java.nio.file.Files.createTempDirectory("qps_ann").toString
+    val annDir = graft.ServingIndexes.scratchDir("qps_ann")
     AnnIndex.build(emb, "vec_id", "embedding", annDir, nCells = 16)
 
     // query material: mid-frequency tokens (rotating pairs) + probe vectors

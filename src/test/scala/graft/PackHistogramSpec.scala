@@ -49,4 +49,27 @@ class PackHistogramSpec extends SparkSpec {
         .select("doc_id", "pack_id").as[(Long, Long)].collect().toMap
     assert(run(1) == run(7), "pack assignment must not depend on partitioning")
   }
+
+  test("oversize numbering carries no unpartitioned window (two-phase, oversize-heavy corpus)") {
+    // a corpus where MOST docs exceed the budget — the regime the old
+    // Window.orderBy(id) funneled through one partition (VERDICT r14)
+    val docs = mkDocs(Seq.tabulate(40)(i => 50 + i * 10)) // budgets 50..440, budget 60
+    val out = Curation.packHistogram(docs, "doc_id", "text", tokenBudget = 60).cache()
+    // oversize pack ids: dense, disjoint from strategy packs, one per doc,
+    // in doc_id order — exactly what the global window produced
+    val over = out.filter(col("oversize"))
+      .select("doc_id", "pack_id").as[(Long, Long)].collect().sortBy(_._1)
+    val base = over.map(_._2).min
+    assert(over.map(_._2).toSeq == over.indices.map(base + _).toSeq,
+      s"oversize ids not dense/ordered: ${over.toSeq}")
+    val inIds = out.filter(!col("oversize")).select("pack_id").as[Long].collect().toSet
+    assert(inIds.forall(_ < base), "oversize ids must come after all strategy packs")
+    // and the plan never moves the oversize set to a single partition
+    val exec = physicalPlan(
+      Curation.packHistogram(mkDocs(Seq.tabulate(8)(i => 70 + i)), "doc_id", "text", 60L))
+    val globalWindows = exec.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(globalWindows.isEmpty, "oversize numbering must stay partition-parallel")
+  }
 }
