@@ -27,7 +27,8 @@ object GraftProcedures {
   def list(): Array[Identifier] =
     Array("compact", "zorder", "expire_snapshots", "remove_orphans", "rollback",
       "index_compact", "index_vacuum", "index_rollback", "index_export",
-      "index_reshard", "wap_publish", "wap_abort", "tag", "drop_tag", "index_describe")
+      "index_reshard", "index_reshard_inplace", "wap_publish", "wap_abort",
+      "tag", "drop_tag", "index_describe")
       .map(Identifier.of(Array(Namespace), _))
 
   /** The serving indexes (lexical postings / ANN cells) share one
@@ -289,6 +290,27 @@ object GraftProcedures {
               "federation's layout; build one with buildSharded first")
           val old = graft.operators.ShardedIndex.shardCount(spark, s)
           graft.operators.ShardedIndex.reshard(spark, s, d, ns)
+          new GenericInternalRow(Array[Any](old, ns))
+        }))
+      case "index_reshard_inplace" => Some(proc("index_reshard_inplace",
+        "grow a lexical federation's shard count IN PLACE along the " +
+          "route-stable axis (a strict multiple), moving only the route-diff: " +
+          "stayers are never rebuilt or copied, leavers build the new shards " +
+          "and tombstone out of the old ones, serving stays pinned to the " +
+          "pre-reshard snapshot until the atomic layout flip; champions " +
+          "rebuild automatically when the source served approximate",
+        Seq(
+          ProcedureParameter.in("dir", StringType).build(),
+          ProcedureParameter.in("shards", IntegerType).build()),
+        StructType(Seq(StructField("old_shards", IntegerType), StructField("new_shards", IntegerType))),
+        { (spark, in) =>
+          val d = in.getUTF8String(0).toString
+          val ns = in.getInt(1)
+          require(graft.operators.ShardedIndex.isFederation(spark, d),
+            s"$d is not a sharded federation — reshard grows an existing " +
+              "federation's layout; build one with buildSharded first")
+          val old = graft.operators.ShardedIndex.shardCount(spark, d)
+          graft.operators.ShardedIndex.reshardInPlace(spark, d, ns)
           new GenericInternalRow(Array[Any](old, ns))
         }))
       case "index_rollback" => Some(proc("index_rollback",

@@ -657,6 +657,32 @@ object InvertedIndex {
     }
   }
 
+  /** Tombstone PRE-COMPUTED outgoing rows (the in-place reshard's
+    * seam): exactly [[deleteDocs]]' removal commit, but the (doc_id,
+    * tok, tf, dl) rows are supplied by the caller — the reshard
+    * materializes them from the PINNED live set anyway, so re-deriving
+    * them from a scan inside the CAS loop would read the shard twice.
+    * The caller owns the rows-are-live-at-head contract
+    * ([[ShardedIndex.reshardInPlace]] skips shards whose head advanced
+    * past the layout pin — the only writer mid-transition is the
+    * reshard itself, so head == pin iff this removal hasn't landed).
+    */
+  private[graft] def removeRows(spark: SparkSession, dir: String,
+      removed: DataFrame, maxAttempts: Int = 5): Unit = {
+    if (removed.isEmpty) return
+    val tombstoneIds = removed.select(col("doc_id")).distinct()
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val base = currentManifest(spark, dir)
+      if (commitRemoval(spark, dir, base, removed, tombstoneIds,
+        staged = Nil, stamp = None)) return
+      if (attempt >= maxAttempts)
+        throw new graft.catalog.GraftCommitConflict(
+          s"reshard removal lost the version race $maxAttempts times at $dir")
+    }
+  }
+
   /** Stage corrected vocab/stats from `removed` (outgoing (tok, tf,
     * dl) rows) plus `staged` (incoming postings files), write the
     * tombstone, and try ONE manifest claim against `base`. Returns

@@ -142,8 +142,20 @@ object ShardScale {
     val fedCdcServeC = minOf3(noop(
       ShardedIndex.bm25TopKTextSharded(spark, fedCdc, queries, k = 5)))
 
+    // reshard: the full re-route (new root, corpus-sized) vs the
+    // in-place route-diff grow (stayers untouched, leavers move) — the
+    // growth-path axis. Serve checked after the in-place flip.
+    val rsDest = java.nio.file.Files.createTempDirectory("shsc_rs").toString
+    new java.io.File(rsDest).delete()
+    val (_, fullReshardS) = timed(
+      ShardedIndex.reshard(spark, fed, rsDest, shards * 2))
+    val (_, inplaceReshardS) = timed(
+      ShardedIndex.reshardInPlace(spark, fed, shards * 2))
+    val rsServeS = minOf3(noop(
+      ShardedIndex.bm25TopKTextSharded(spark, fed, queries, k = 5)))
+
     println(f"[shard-scale] sf=$sfDir docs=$nDocs shards=$shards flatFirst=$flatFirst")
-    println(f"[shard-build] flat=$flatBuildS%.2fs federation=$fedBuildS%.2fs (route pass + $shards sequential slice builds; at scale the slice builds run in parallel on $shards clusters)")
+    println(f"[shard-build] flat=$flatBuildS%.2fs federation=$fedBuildS%.2fs (route pass + $shards concurrent in-process slice builds; at scale they run on $shards clusters)")
     println(f"[shard-serve] flat=$flatServeS%.3fs federation=$fedServeS%.3fs (fan-out width vs one index)")
     println(f"[shard-delta] 1%% churn: flat=$flatDeltaS%.2fs federation=$fedDeltaS%.2fs")
     println(f"[shard-isolate] 3-doc batch advanced $advanced of $shards shards")
@@ -151,6 +163,8 @@ object ShardScale {
     println(f"[shard-cdc] cdc10=$cdcTotal%.2fs (catalog resolve + federated fold + MERGE, " +
       f"x10 batches) serve_after_10cdc=$fedCdcServe%.3fs compact=$fedCompactS%.2fs " +
       f"serve_after_compact=$fedCdcServeC%.3fs")
+    println(f"[shard-reshard] ${shards}->${shards * 2}: full_newroot=$fullReshardS%.2fs " +
+      f"inplace_routediff=$inplaceReshardS%.2fs serve_after_inplace=$rsServeS%.3fs")
     spark.stop()
   }
 }

@@ -864,6 +864,15 @@ class GraftCatalogSpec extends SparkSpec {
     assert(eNotFed.getMessage.contains("not a sharded federation"),
       s"unhelpful refusal: ${eNotFed.getMessage}")
 
+    // in-place reshard through the procedure surface: the SAME root
+    // grows 2 -> 4 along the route-stable axis, same answers
+    val ri = spark.sql(s"CALL $cat.system.index_reshard_inplace('$fed', 4)").head
+    assert(ri.getInt(0) == 2 && ri.getInt(1) == 4, s"expected (2, 4), got $ri")
+    assert(ShardedIndex.shardCount(spark, fed) == 4)
+    assert(ShardedIndex.bm25TopKTextSharded(spark, fed, queries, k = 5)
+      .orderBy("q", "rank").collect().toSeq == before,
+      "procedure in-place reshard diverged")
+
     // rollback refuses with the per-shard recipe
     val e = intercept[Exception] {
       spark.sql(s"CALL $cat.system.index_rollback('$fed', 1)").collect()

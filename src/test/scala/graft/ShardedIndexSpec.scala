@@ -131,7 +131,8 @@ class ShardedIndexSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException] {
       ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 2)
     }
-    assert(e2.getMessage.contains("already committed"), s"double build not refused: ${e2.getMessage}")
+    assert(e2.getMessage.contains("already holds a committed federation"),
+      s"double build not refused: ${e2.getMessage}")
   }
 
   test("sharded ANN at full probe is the exact global top-k (matches brute force); deltas route per shard") {
@@ -676,6 +677,266 @@ class ShardedIndexSpec extends SparkSpec {
       "retry after crash debris served stale or duplicated content")
     assert(!new java.io.File(s"$dir/_route_staging").exists(),
       "retry left the crashed build's staging tree behind")
+  }
+
+  test("in-place reshard moves only the route-diff: stayers never rewritten, serve identity holds, champions auto-rebuild") {
+    val s = spark
+    import s.implicits._
+    // metadata + positions + maintenance history + CHAMPIONS — the full
+    // serving state an online reshard must preserve
+    val corpus = (0L until 60L).map(i =>
+      (i, s"alpha beta word-$i gamma delta", if (i % 2 == 0) "web" else "book"))
+      .toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files.createTempDirectory("shidx_rip").toString
+    ShardedIndex.buildSharded(corpus, "doc_id", "text", dir, shards = 2,
+      metaCols = Seq("source"))
+    ShardedIndex.addDeltaSharded(
+      Seq((100L, "alpha epsilon zeta", "web")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", dir)
+    ShardedIndex.deleteDocsSharded(Seq(7L).toDF("doc_id"), "doc_id", dir)
+    ShardedIndex.buildChampionsSharded(spark, dir, c = 3)
+
+    val qs = Seq("alpha gamma", "beta", "epsilon zeta")
+    val preBm25   = served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5))
+    val preApprox = served(ShardedIndex.bm25TopKTextApproxSharded(spark, dir, qs, k = 5))
+    def phr(d: String) = ShardedIndex.phraseTopKSharded(spark, d,
+      Seq("alpha beta"), k = 5).orderBy("phrase", "rank").collect().map(_.toSeq).toSeq
+    val prePhrase = phr(dir)
+    def filt(d: String) = served(ShardedIndex.bm25TopKTextSharded(spark, d,
+      Seq("alpha"), k = 5, where = Some(col("source") === "web")))
+    val preFilt = filt(dir)
+    val preSuggest = ShardedIndex.suggestTopKSharded(spark, dir, Seq("al", "ep"), k = 3)
+      .orderBy("prefix", "rank").collect().map(_.toSeq).toSeq
+    // movement pin baseline: the old shards' postings FILE SETS
+    def postingsOf(i: Int) =
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(dir, i)).postings
+
+    val prePostings = (0 until 2).map(postingsOf)
+
+    // a non-multiple target refuses (any other ratio moves ~everything)
+    val nm = intercept[IllegalArgumentException] {
+      ShardedIndex.reshardInPlace(spark, dir, 3)
+    }
+    assert(nm.getMessage.contains("route-stable"), s"unhelpful: ${nm.getMessage}")
+
+    ShardedIndex.reshardInPlace(spark, dir, 4)
+    assert(ShardedIndex.shardCount(spark, dir) == 4)
+
+    // serve identity across the layout change — exact + approximate
+    // (champions rebuilt with NO manual step) + positional + filtered +
+    // vocabulary, all on the grown layout
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5)) == preBm25,
+      "in-place reshard changed the exact BM25 serve")
+    assert(served(ShardedIndex.bm25TopKTextApproxSharded(spark, dir, qs, k = 5)) == preApprox,
+      "in-place reshard changed (or orphaned) the approximate serve")
+    assert(phr(dir) == prePhrase, "in-place reshard lost positions")
+    assert(filt(dir) == preFilt, "in-place reshard lost metadata")
+    assert(ShardedIndex.suggestTopKSharded(spark, dir, Seq("al", "ep"), k = 3)
+      .orderBy("prefix", "rank").collect().map(_.toSeq).toSeq == preSuggest,
+      "in-place reshard changed the vocabulary serve")
+    // ... and equals a flat rebuild over the live corpus
+    val liveCorpus = corpus.filter($"doc_id" =!= 7L)
+      .unionByName(Seq((100L, "alpha epsilon zeta", "web")).toDF("doc_id", "text", "source"))
+    val flat = java.nio.file.Files.createTempDirectory("shidx_rip_flat").toString
+    InvertedIndex.build(liveCorpus, "doc_id", "text", flat, metaCols = Seq("source"))
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5))
+      == served(InvertedIndex.bm25TopKText(spark, flat, qs, k = 5)),
+      "in-place resharded federation diverged from a flat rebuild")
+
+    // MOVEMENT: the stay set was never rewritten — the old shards'
+    // postings files are EXACTLY the pre-reshard ones (the tombstone
+    // commit adds deletes + corrected vocab/stats, no data rewrite)
+    (0 until 2).foreach { i =>
+      assert(postingsOf(i) == prePostings(i),
+        s"old shard $i rewrote postings — movement must be the route-diff only")
+      assert(InvertedIndex.currentManifest(spark,
+        ShardedIndex.shardDir(dir, i)).deletes.nonEmpty,
+        s"old shard $i carries no leaver tombstone")
+    }
+    // every doc lives in exactly one shard of the NEW layout
+    val counts = (0 until 4).map { i =>
+      val m = InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(dir, i))
+      graft.operators.IndexManifests.cachedStats(spark,
+        ShardedIndex.shardDir(dir, i), m.statsDir)._1
+    }
+    assert(counts.sum == 60, s"per-shard doc counts ${counts} must sum to the live corpus")
+
+    // an ANN federation refuses the in-place path (quantizer geometry)
+    val emb = Tables(spark, sfDir).embeddings.filter($"vec_id" >= 5)
+    val annDir = java.nio.file.Files.createTempDirectory("shidx_rip_ann").toString
+    ShardedIndex.buildShardedAnn(emb, "vec_id", "embedding", annDir, shards = 2, nCells = 4)
+    val ae = intercept[IllegalArgumentException] {
+      ShardedIndex.reshardInPlace(spark, annDir, 4)
+    }
+    assert(ae.getMessage.contains("lexical"), s"unhelpful ANN refusal: ${ae.getMessage}")
+  }
+
+  test("mid-transition: serving stays pinned to the pre-reshard snapshot; maintenance refuses; resume completes") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 40L).map(i => (i, s"alpha beta word-$i gamma")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shidx_mid").toString
+    ShardedIndex.buildSharded(corpus, "doc_id", "text", dir, shards = 2)
+    val qs = Seq("alpha gamma", "beta")
+    val pre = served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5))
+
+    // hand-commit the transition overlay at the current heads — the
+    // exact state a reshard crash leaves (phase A done, nothing else)
+    val pins = (0 until 2).map(i =>
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(dir, i)).version)
+    val ov = new org.apache.hadoop.fs.Path(s"$dir/reshard/v1.json")
+    val fs = ov.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ov.getParent)
+    val out = fs.create(ov, false)
+    out.write(s"""{"shards": 2, "pins": [${pins.mkString(", ")}], "target": 4}""".getBytes("UTF-8"))
+    out.close()
+
+    // land ONE shard's leaver tombstone directly (the reshard's own
+    // mid-flight write): HEAD advances past the pin, but serving must
+    // keep answering the PINNED pre-reshard snapshot
+    val d0 = ShardedIndex.shardDir(dir, 0)
+    val m0 = InvertedIndex.currentManifest(spark, d0)
+    val leavers0 = InvertedIndex.liveRows(spark, d0, m0, m0.postings)
+      .filter(pmod(xxhash64(col("doc_id")), lit(4L)).cast("int") =!= lit(0))
+    InvertedIndex.removeRows(spark, d0, leavers0)
+    assert(InvertedIndex.currentManifest(spark, d0).version > pins(0),
+      "test setup: the tombstone must advance shard 0's head")
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5)) == pre,
+      "mid-transition serve saw the invisible tombstone — pins not honored")
+
+    // maintenance + positional serves refuse while the transition is live
+    val me = intercept[IllegalArgumentException] {
+      ShardedIndex.addDeltaSharded(Seq((900L, "alpha")).toDF("doc_id", "text"),
+        "doc_id", "text", dir)
+    }
+    assert(me.getMessage.contains("in flight"), s"unhelpful: ${me.getMessage}")
+    val pe = intercept[IllegalArgumentException] {
+      ShardedIndex.phraseTopKSharded(spark, dir, Seq("alpha beta"), k = 3)
+    }
+    assert(pe.getMessage.contains("in flight"), s"unhelpful: ${pe.getMessage}")
+    // ... and a DIFFERENT target refuses (one transition at a time)
+    val te = intercept[IllegalArgumentException] {
+      ShardedIndex.reshardInPlace(spark, dir, 8)
+    }
+    assert(te.getMessage.contains("already in flight"), s"unhelpful: ${te.getMessage}")
+
+    // resume with the declared target: skips the landed tombstone,
+    // builds the new shards, flips — and the final serve matches both
+    // the pre-reshard answer and a flat rebuild
+    ShardedIndex.reshardInPlace(spark, dir, 4)
+    assert(ShardedIndex.shardCount(spark, dir) == 4)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5)) == pre,
+      "resumed reshard changed the serve")
+    val flat = java.nio.file.Files.createTempDirectory("shidx_mid_flat").toString
+    InvertedIndex.build(corpus, "doc_id", "text", flat)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5))
+      == served(InvertedIndex.bm25TopKText(spark, flat, qs, k = 5)),
+      "resumed reshard diverged from a flat rebuild")
+    // post-flip the federation is steady again: maintenance works
+    ShardedIndex.addDeltaSharded(Seq((900L, "alpha omega")).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, Seq("omega"), k = 3)).nonEmpty)
+  }
+
+  test("a committed FLAT index refuses to become a federation root (build/export/reshard)") {
+    val s = spark
+    import s.implicits._
+    // a flat index at the destination would be silently SHADOWED the
+    // moment shards.json lands (procedures dispatch federation-first) —
+    // and the builder's debris sweep would eat its staging siblings, so
+    // every federation-committing entry point must refuse it loudly
+    val flat = java.nio.file.Files.createTempDirectory("shidx_flatroot").toString
+    InvertedIndex.build(docs, "doc_id", "text", flat)
+    val src = java.nio.file.Files.createTempDirectory("shidx_flatroot_src").toString
+    ShardedIndex.buildSharded(docs, "doc_id", "text", src, shards = 2)
+    val b = intercept[IllegalArgumentException] {
+      ShardedIndex.buildSharded(docs, "doc_id", "text", flat, shards = 2)
+    }
+    assert(b.getMessage.contains("FLAT index"), s"build refusal unhelpful: ${b.getMessage}")
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.exportSharded(spark, src, flat)
+    }
+    assert(e.getMessage.contains("FLAT index"), s"export refusal unhelpful: ${e.getMessage}")
+    val r = intercept[IllegalArgumentException] {
+      ShardedIndex.reshard(spark, src, flat, newShards = 3)
+    }
+    assert(r.getMessage.contains("FLAT index"), s"reshard refusal unhelpful: ${r.getMessage}")
+    // the dense build path shares the guard
+    val emb = Tables(spark, sfDir).embeddings.filter($"vec_id" < 50)
+    val a = intercept[IllegalArgumentException] {
+      ShardedIndex.buildShardedAnn(emb, "vec_id", "embedding", flat, shards = 2)
+    }
+    assert(a.getMessage.contains("FLAT index"), s"ANN build refusal unhelpful: ${a.getMessage}")
+    // ... and the flat index still serves, untouched
+    assert(InvertedIndex.bm25TopKText(spark, flat, Seq("alpha"), k = 3).count() > 0)
+  }
+
+  test("staging sweep keys on the NEWEST mtime: stale orphans go, heartbeated in-flight folds stay") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shidx_sweep").toString
+    ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 2)
+    val root = new org.apache.hadoop.fs.Path(s"$dir/${ShardedIndex.MaintStagingDir}")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // (a) a crashed fold's orphan, last written LONG ago: swept
+    val orphan = new org.apache.hadoop.fs.Path(root, "deadbeef")
+    fs.mkdirs(orphan)
+    val old = System.currentTimeMillis() - 24L * 3600 * 1000
+    fs.setTimes(orphan, old, old)
+    // (b) a fold that started long ago but HEARTBEATS (runs longer than
+    // the grace): its staging must survive a concurrent maintainer's
+    // sweep — keying on the dir's own (= fold-start) mtime deleted it
+    // mid-apply (ADVICE r14)
+    val inflight = new org.apache.hadoop.fs.Path(root, "cafebabe")
+    fs.mkdirs(inflight)
+    fs.setTimes(inflight, old, old)
+    val hb = fs.create(new org.apache.hadoop.fs.Path(inflight, "_heartbeat"), true)
+    hb.close() // fresh mtime — what withHeartbeat maintains on its cadence
+    val swept = ShardedIndex.sweepStaging(spark, dir, graceMs = 60000L)
+    assert(swept == 1, s"expected exactly the stale orphan swept, got $swept")
+    assert(!fs.exists(orphan), "stale orphan survived the sweep")
+    assert(fs.exists(inflight), "heartbeated in-flight staging was swept mid-fold")
+    // a real fold leaves no staging behind at all (heartbeat file included)
+    ShardedIndex.addDeltaSharded(
+      Seq((200L, "alpha omega")).toDF("doc_id", "text"), "doc_id", "text", dir)
+    val left = fs.listStatus(root).map(_.getPath.getName).filterNot(_ == "cafebabe")
+    assert(left.isEmpty, s"fold left staging debris: ${left.toSeq}")
+  }
+
+  test("concurrent per-shard folds propagate the fold's ORIGINAL failure type") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shidx_concfail").toString
+    ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 3)
+    // corrupt ONE shard (manifest chain gone): its fold throws the
+    // loud no-committed-index require — the caller must see that real
+    // exception, not an ExecutionException wrapper (retry loops and
+    // specs dispatch on the type)
+    val s1 = new org.apache.hadoop.fs.Path(ShardedIndex.shardDir(dir, 1))
+    s1.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(s1, true)
+    graft.operators.IndexManifests.invalidate(ShardedIndex.shardDir(dir, 1))
+    val bad = (0L until 24L).map(i => (300L + i, s"kappa word-$i")).toDF("doc_id", "text")
+    val thrown = intercept[IllegalArgumentException] {
+      ShardedIndex.addDeltaSharded(bad, "doc_id", "text", dir)
+    }
+    assert(thrown.getMessage.toLowerCase.contains("no committed"),
+      s"fold failure lost its original message: ${thrown.getMessage}")
+    // restore shard 1 so the healthy-path half runs against a whole federation
+    val fs1 = s1.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs1.delete(new org.apache.hadoop.fs.Path(dir), true)
+    graft.operators.IndexManifests.invalidate(dir)
+    (0 until 3).foreach(i =>
+      graft.operators.IndexManifests.invalidate(ShardedIndex.shardDir(dir, i)))
+    ShardedIndex.buildSharded(docs, "doc_id", "text", dir, shards = 3)
+    // healthy concurrent folds: a multi-shard delta lands everywhere it
+    // routes and the federation matches a flat rebuild
+    val good = (0L until 12L).map(i => (400L + i, s"lambda word-$i")).toDF("doc_id", "text")
+    ShardedIndex.addDeltaSharded(good, "doc_id", "text", dir)
+    val flat = java.nio.file.Files.createTempDirectory("shidx_concfail_flat").toString
+    InvertedIndex.build(docs.unionByName(good), "doc_id", "text", flat)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, Seq("lambda alpha"), k = 5))
+      == served(InvertedIndex.bm25TopKText(spark, flat, Seq("lambda alpha"), k = 5)),
+      "concurrent folds diverged from a flat rebuild")
   }
 }
 
