@@ -1233,6 +1233,34 @@ object InvertedIndex {
       .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
   }
 
+  /** Fused multi-shard candidate scan — the federation's steady-serving
+    * fast path: when NO shard carries tombstones, the per-shard
+    * bucket-pruned + token-range-skipped file lists concatenate into
+    * ONE parquet scan with the pushed term filter, so the serve plan
+    * carries width 1 instead of S (per-query dispatch of an S-wide
+    * union was the measured 32-client federated serving ceiling,
+    * BENCH_SF1 addendum r14-2). The rows read are EXACTLY the union of
+    * the per-shard [[candidateRows]] — same files, same pushed filter —
+    * so scores and ranks are unchanged. None when any shard has
+    * deletes: tombstone coverage is per-shard file-indexed, and the
+    * union path applies it per shard.
+    */
+  private[graft] def candidateRowsFused(spark: SparkSession,
+      shards: Seq[(String, Manifest)], terms: Seq[String]): Option[DataFrame] = {
+    if (shards.exists(_._2.deletes.nonEmpty)) return None
+    val termList = terms.distinct
+    val paths = shards.flatMap { case (d, m) =>
+      selectFiles(m, termList.map(DriverEval.bucketOf(_, m.buckets)).toSet,
+          Some(termList))
+        .map { case (_, p) => s"$d/$p" }
+    }
+    val base =
+      if (paths.isEmpty) readPostings(spark, "", Nil, withPositions = false)
+      else spark.read.parquet(paths: _*)
+    Some(pushTerms(base, Some(termList))
+      .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
+  }
+
   /** Bounded driver-side term list for skip/pushdown, or None when the
     * query's vocabulary exceeds [[MaxTermPrune]].
     */

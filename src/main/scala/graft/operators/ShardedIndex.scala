@@ -558,13 +558,19 @@ object ShardedIndex {
     // (each shard's meta sidecar covers exactly its docs), so filtering
     // each shard's candidate rows before the union equals filtering the
     // scored set — top-k of the allowed subset under GLOBAL idf/avgdl,
-    // the single-index filtered-search semantics
-    val candidates = manifests
-      .map { case (d, m) =>
-        InvertedIndex.applyMetaFilter(spark, d, m,
-          InvertedIndex.candidateRows(spark, d, m, terms), where)
-      }
-      .reduce(_ unionByName _)
+    // the single-index filtered-search semantics. Unfiltered serves over
+    // tombstone-free shards take the FUSED single-scan path (width 1,
+    // same rows — the 32-client dispatch fix)
+    val candidates = (if (where.isEmpty)
+        InvertedIndex.candidateRowsFused(spark, manifests, terms)
+      else None).getOrElse {
+      manifests
+        .map { case (d, m) =>
+          InvertedIndex.applyMetaFilter(spark, d, m,
+            InvertedIndex.candidateRows(spark, d, m, terms), where)
+        }
+        .reduce(_ unionByName _)
+    }
     scoreGlobal(spark, candidates, pairs, dfGlobal, nDocs, sumdl, k)
   }
 
@@ -1335,9 +1341,10 @@ object ShardedIndex {
       Seq.empty[(String, Int, Long, Double)].toDF("q", "rank", "doc_id", "score")
     } else {
       val terms = selected.map(_._2).distinct
-      val candidates = manifests
-        .map { case (d, mf) => InvertedIndex.candidateRows(spark, d, mf, terms) }
-        .reduce(_ unionByName _)
+      val candidates = InvertedIndex.candidateRowsFused(spark, manifests, terms)
+        .getOrElse(manifests
+          .map { case (d, mf) => InvertedIndex.candidateRows(spark, d, mf, terms) }
+          .reduce(_ unionByName _))
       scoreGlobal(spark, candidates, selected,
         dfGlobal.filter { case (t, _) => terms.contains(t) }, nDocs, sumdl, k)
     }

@@ -54,6 +54,15 @@ class ShardedIndexSpec extends SparkSpec {
     val got    = served(ShardedIndex.bm25TopKTextSharded(spark, shrd, queries, k = 5))
     assert(got == expect,
       "sharded serve diverged from the unsharded index over the same corpus")
+    // tombstone-free federations serve through the FUSED single scan:
+    // one parquet scan over the concatenated pruned file lists, not an
+    // S-wide union (the 32-client dispatch ceiling, VERDICT r14 #3)
+    val exec = physicalPlan(ShardedIndex.bm25TopKTextSharded(spark, shrd, queries, k = 5))
+    val scans = exec.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"steady federated serve must plan ONE fused postings scan, found ${scans.size}")
     // every doc landed in exactly one shard: per-shard doc counts sum
     // to the corpus (the partition property global stats rely on)
     val ns = (0 until 3).map { i =>
