@@ -1261,6 +1261,59 @@ object InvertedIndex {
       .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
   }
 
+  /** The approximate serve's fused twin of [[candidateRowsFused]]:
+    * when NO shard carries tombstones, the federation's champion files
+    * concatenate into one scan and its post-champion staged files into
+    * a second — width 2 instead of 2S, rows identical to the per-shard
+    * [[approxCandidateRows]] union (no tombstones means no champion
+    * anti-join and liveRows degenerates to the plain read). None when
+    * any shard has deletes.
+    */
+  private[graft] def approxCandidateRowsFused(spark: SparkSession,
+      shards: Seq[(String, Manifest)], terms: Seq[String]): Option[DataFrame] = {
+    if (shards.exists(_._2.deletes.nonEmpty)) return None
+    val termList = Some(terms.distinct)
+    def bucketsOf(m: Manifest) =
+      terms.map(DriverEval.bucketOf(_, m.buckets)).toSet
+    val champPaths = shards.flatMap { case (d, m) =>
+      val pb = bucketsOf(m)
+      m.champions.filter(e => pb(e._1)).map(e => s"$d/${e._2}")
+    }
+    val stagedPaths = shards.flatMap { case (d, m) =>
+      val pb = bucketsOf(m)
+      m.postings.zipWithIndex.collect {
+        case ((b, p), i) if i >= m.championCover && pb(b) => s"$d/$p"
+      }
+    }
+    def scan(paths: Seq[String]) =
+      if (paths.isEmpty) readPostings(spark, "", Nil, withPositions = false)
+      else pushTerms(spark.read.parquet(paths: _*), termList)
+        .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
+    Some(scan(champPaths).unionByName(scan(stagedPaths)))
+  }
+
+  /** Positional twin of [[candidateRowsFused]]: one scan over the
+    * federation's pruned POSITIONAL file lists, for the fused
+    * phrase/proximity/span-near serves. None when any shard carries
+    * tombstones or was built without positions (the per-shard path
+    * then applies coverage — or refuses — per shard).
+    */
+  private[graft] def candidateRowsFusedPositional(spark: SparkSession,
+      shards: Seq[(String, Manifest)], terms: Seq[String]): Option[DataFrame] = {
+    if (shards.exists(sh => sh._2.deletes.nonEmpty || !sh._2.positions)) return None
+    val termList = terms.distinct
+    val paths = shards.flatMap { case (d, m) =>
+      selectFiles(m, termList.map(DriverEval.bucketOf(_, m.buckets)).toSet,
+          Some(termList))
+        .map { case (_, p) => s"$d/$p" }
+    }
+    val base =
+      if (paths.isEmpty) readPostings(spark, "", Nil, withPositions = true)
+      else spark.read.parquet(paths: _*)
+    Some(pushTerms(base, Some(termList))
+      .select(col("doc_id"), col("tok"), col("positions")))
+  }
+
   /** Bounded driver-side term list for skip/pushdown, or None when the
     * query's vocabulary exceeds [[MaxTermPrune]].
     */
@@ -1780,30 +1833,25 @@ object InvertedIndex {
     * overlapping ("a a a" contains "a a" twice), matching the naive
     * token-slice scan of the corpus.
     */
-  def phraseTopK(spark: SparkSession, dir: String, phrases: Seq[String],
-      k: Int = 5, where: Option[Column] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    require(phrases.nonEmpty, "phraseTopK needs at least one phrase")
-    val m = requirePositional(spark, dir, "phraseTopK")
+  /** Phrase match stage over bare (doc_id, tok, positions) rows —
+    * (phrase, doc_id, n) per matching doc. Shared verbatim by the flat
+    * serve and the federation's FUSED single-scan path (a doc lives
+    * wholly in one shard, so matching over the fused rows equals the
+    * per-shard union).
+    */
+  private[graft] def phraseMatches(postings: DataFrame,
+      phrases: Seq[String]): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
     val probeRows = phrases.flatMap { p =>
       val terms = p.trim.split("\\s+").toSeq
       terms.zipWithIndex.map { case (t, i) => (p, t, i, terms.size) }
     }
-    import spark.implicits._
     val probe = probeRows.toDF("phrase", "tok", "__term_idx", "__phrase_len")
-    // bucket routing is driver math through the SAME engine hash the
-    // postings were laid out with (DriverEval calls XxHash64Function,
-    // equality spec-pinned — a re-implemented hash would be a
-    // silent-miss risk); the former one-row Spark job is gone
-    val probeBuckets = probeRows.map(r => DriverEval.bucketOf(r._2, m.buckets)).toSet
-    val terms = boundedTerms(probeRows.map(_._2))
-    val postings = pushTerms(
-        liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
-      .select(col("doc_id"), col("tok"), col("positions"))
     val hits = postings.join(broadcast(probe), Seq("tok"))
       .select(col("phrase"), col("__phrase_len"), col("doc_id"),
         transform(col("positions"), p => p - col("__term_idx")).as("__starts"))
-    val matched = hits.groupBy(col("phrase"), col("doc_id"))
+    hits.groupBy(col("phrase"), col("doc_id"))
       .agg(first(col("__phrase_len")).as("__len"), count(lit(1)).as("__nterms"),
         collect_list(col("__starts")).as("__all"))
       // every phrase offset must have matched (one postings row per
@@ -1815,6 +1863,79 @@ object InvertedIndex {
         size(aggregate(col("__all"), element_at(col("__all"), 1),
           (acc, x) => array_intersect(acc, x))).cast("long").as("n"))
       .filter(col("n") > 0)
+  }
+
+  /** Proximity match stage over bare positional rows — (q, doc_id, n);
+    * shared by the flat serve and the fused federation path.
+    */
+  private[graft] def proximityMatches(postings: DataFrame,
+      pairs: Seq[(String, String)], window: Int): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val probe = pairs.flatMap { case (a, b) =>
+      Seq((s"$a $b", a, 0), (s"$a $b", b, 1))
+    }.toDF("q", "tok", "__role")
+    postings.join(broadcast(probe), Seq("tok"))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(
+        first(when(col("__role") === 0, col("positions")), ignoreNulls = true).as("__pa"),
+        first(when(col("__role") === 1, col("positions")), ignoreNulls = true).as("__pb"))
+      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
+      // linear two-pointer merge over the sorted position arrays (the
+      // HOF filter/exists pair this replaces was O(|pa|·|pb|) per doc —
+      // quadratic on a hot stopword pair; see plans/PositionExpressions)
+      .select(col("q"), col("doc_id"),
+        graft.plans.SpanNearCount.proximityAnchors(
+          col("__pa"), col("__pb"), window).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  /** Span-near match stage over bare positional rows — (q, doc_id, n);
+    * shared by the flat serve and the fused federation path.
+    */
+  private[graft] def spanNearMatches(postings: DataFrame,
+      queries: Seq[Seq[String]], slop: Int, inOrder: Boolean): DataFrame = {
+    val spark = postings.sparkSession
+    import spark.implicits._
+    val probe = queries.flatMap { terms =>
+      val q = terms.mkString(" ")
+      terms.zipWithIndex.map { case (t, i) => (q, t, i, terms.size) }
+    }.toDF("q", "tok", "__term_idx", "__qlen")
+    postings.join(broadcast(probe), Seq("tok"))
+      .groupBy(col("q"), col("doc_id"))
+      .agg(first(col("__qlen")).as("__len"), count(lit(1)).as("__nterms"),
+        // per-term position arrays IN TERM ORDER: sort the collected
+        // (term_idx, positions) structs by index, then project the
+        // arrays — the kernel's input contract
+        transform(
+          sort_array(collect_list(struct(col("__term_idx"), col("positions")))),
+          s => s.getField("positions")).as("__pos"))
+      .filter(col("__nterms") === col("__len"))
+      .select(col("q"), col("doc_id"),
+        graft.plans.SpanNearCount.spanNear(col("__pos"), slop, inOrder).as("n"))
+      .filter(col("n") > 0)
+  }
+
+  def phraseTopK(spark: SparkSession, dir: String, phrases: Seq[String],
+      k: Int = 5, where: Option[Column] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrases.nonEmpty, "phraseTopK needs at least one phrase")
+    val m = requirePositional(spark, dir, "phraseTopK")
+    val probeRows = phrases.flatMap { p =>
+      val terms = p.trim.split("\\s+").toSeq
+      terms.zipWithIndex.map { case (t, i) => (p, t, i, terms.size) }
+    }
+    import spark.implicits._
+    // bucket routing is driver math through the SAME engine hash the
+    // postings were laid out with (DriverEval calls XxHash64Function,
+    // equality spec-pinned — a re-implemented hash would be a
+    // silent-miss risk); the former one-row Spark job is gone
+    val probeBuckets = probeRows.map(r => DriverEval.bucketOf(r._2, m.buckets)).toSet
+    val terms = boundedTerms(probeRows.map(_._2))
+    val postings = pushTerms(
+        liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
+      .select(col("doc_id"), col("tok"), col("positions"))
+    val matched = phraseMatches(postings, phrases)
     val allowed = applyMetaFilter(spark, dir, m, matched, where)
     val rank = Window.partitionBy(col("phrase"))
       .orderBy(col("n").desc, col("doc_id").asc)
@@ -1838,28 +1959,13 @@ object InvertedIndex {
     require(window >= 1, s"window must be >= 1, got $window")
     val m = requirePositional(spark, dir, "proximityTopK")
     import spark.implicits._
-    val probe = pairs.flatMap { case (a, b) =>
-      Seq((s"$a $b", a, 0), (s"$a $b", b, 1))
-    }.toDF("q", "tok", "__role")
     val probeBuckets = pairs.flatMap { case (a, b) => Seq(a, b) }
       .map(DriverEval.bucketOf(_, m.buckets)).toSet
     val terms = boundedTerms(pairs.flatMap { case (a, b) => Seq(a, b) })
     val postings = pushTerms(
         liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
       .select(col("doc_id"), col("tok"), col("positions"))
-    val matched = postings.join(broadcast(probe), Seq("tok"))
-      .groupBy(col("q"), col("doc_id"))
-      .agg(
-        first(when(col("__role") === 0, col("positions")), ignoreNulls = true).as("__pa"),
-        first(when(col("__role") === 1, col("positions")), ignoreNulls = true).as("__pb"))
-      .filter(col("__pa").isNotNull && col("__pb").isNotNull)
-      // linear two-pointer merge over the sorted position arrays (the
-      // HOF filter/exists pair this replaces was O(|pa|·|pb|) per doc —
-      // quadratic on a hot stopword pair; see plans/PositionExpressions)
-      .select(col("q"), col("doc_id"),
-        graft.plans.SpanNearCount.proximityAnchors(
-          col("__pa"), col("__pb"), window).as("n"))
-      .filter(col("n") > 0)
+    val matched = proximityMatches(postings, pairs, window)
     val allowed = applyMetaFilter(spark, dir, m, matched, where)
     val rank = Window.partitionBy(col("q")).orderBy(col("n").desc, col("doc_id").asc)
     allowed.withColumn("rank", row_number().over(rank))
@@ -1901,29 +2007,13 @@ object InvertedIndex {
     }
     val m = requirePositional(spark, dir, "spanNearTopK")
     import spark.implicits._
-    val probe = queries.flatMap { terms =>
-      val q = terms.mkString(" ")
-      terms.zipWithIndex.map { case (t, i) => (q, t, i, terms.size) }
-    }.toDF("q", "tok", "__term_idx", "__qlen")
     val probeBuckets = queries.flatten
       .map(DriverEval.bucketOf(_, m.buckets)).toSet
     val terms = boundedTerms(queries.flatten)
     val postings = pushTerms(
         liveRows(spark, dir, m, selectFiles(m, probeBuckets, terms)), terms)
       .select(col("doc_id"), col("tok"), col("positions"))
-    val matched = postings.join(broadcast(probe), Seq("tok"))
-      .groupBy(col("q"), col("doc_id"))
-      .agg(first(col("__qlen")).as("__len"), count(lit(1)).as("__nterms"),
-        // per-term position arrays IN TERM ORDER: sort the collected
-        // (term_idx, positions) structs by index, then project the
-        // arrays — the kernel's input contract
-        transform(
-          sort_array(collect_list(struct(col("__term_idx"), col("positions")))),
-          s => s.getField("positions")).as("__pos"))
-      .filter(col("__nterms") === col("__len"))
-      .select(col("q"), col("doc_id"),
-        graft.plans.SpanNearCount.spanNear(col("__pos"), slop, inOrder).as("n"))
-      .filter(col("n") > 0)
+    val matched = spanNearMatches(postings, queries, slop, inOrder)
     val allowed = applyMetaFilter(spark, dir, m, matched, where)
     val rank = Window.partitionBy(col("q")).orderBy(col("n").desc, col("doc_id").asc)
     allowed.withColumn("rank", row_number().over(rank))

@@ -722,12 +722,18 @@ object ShardedIndex {
       .foldLeft(Map.empty[String, Long]) { (acc, one) =>
         one.foldLeft(acc) { case (a, (t, df)) => a.updated(t, a.getOrElse(t, 0L) + df) }
       }
-    val candidates = manifests
-      .map { case (d, m) =>
-        InvertedIndex.applyMetaFilter(spark, d, m,
-          InvertedIndex.approxCandidateRows(spark, d, m, terms), where)
-      }
-      .reduce(_ unionByName _)
+    // unfiltered approx serves over tombstone-free shards take the
+    // fused two-scan path (champions + staged), the exact serve's rule
+    val candidates = (if (where.isEmpty)
+        InvertedIndex.approxCandidateRowsFused(spark, manifests, terms)
+      else None).getOrElse {
+      manifests
+        .map { case (d, m) =>
+          InvertedIndex.applyMetaFilter(spark, d, m,
+            InvertedIndex.approxCandidateRows(spark, d, m, terms), where)
+        }
+        .reduce(_ unionByName _)
+    }
     scoreGlobal(spark, candidates, pairs, dfGlobal, nDocs, sumdl, k)
   }
 
@@ -743,17 +749,36 @@ object ShardedIndex {
   def phraseTopKSharded(spark: SparkSession, dir: String, phrases: Seq[String],
       k: Int = 5, where: Option[Column] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    require(phrases.nonEmpty, "phraseTopKSharded needs at least one phrase")
     // positional serves read HEAD manifests inside the flat index —
     // they refuse mid-transition instead of seeing invisible tombstones
     val n = requireSteady(spark, dir, "phraseTopKSharded")
-    val perShard = (0 until n).map(i =>
-      InvertedIndex.phraseTopK(spark, shardDir(dir, i), phrases, k, where))
+    val manifests = (0 until n).map { i =>
+      val d = shardDir(dir, i); d -> InvertedIndex.currentManifest(spark, d)
+    }
+    val terms = phrases.flatMap(_.trim.split("\\s+").toSeq).distinct
+    // a doc lives wholly in one shard, so matching over the FUSED
+    // single scan equals the per-shard union and ranks globally in one
+    // window — the per-shard + merge path remains for tombstoned or
+    // filtered serves
     val w = Window.partitionBy(col("phrase"))
       .orderBy(col("n").desc, col("doc_id").asc)
-    perShard.reduce(_ unionByName _)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
+    (if (where.isEmpty)
+       InvertedIndex.candidateRowsFusedPositional(spark, manifests, terms)
+     else None) match {
+      case Some(fused) =>
+        InvertedIndex.phraseMatches(fused, phrases)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
+      case None =>
+        val perShard = (0 until n).map(i =>
+          InvertedIndex.phraseTopK(spark, shardDir(dir, i), phrases, k, where))
+        perShard.reduce(_ unionByName _)
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= k)
+          .select(col("phrase"), col("rank"), col("doc_id"), col("n"))
+    }
   }
 
   /** Ordered proximity (span-near pair) over the federation — same
@@ -763,9 +788,21 @@ object ShardedIndex {
   def proximityTopKSharded(spark: SparkSession, dir: String,
       pairs: Seq[(String, String)], window: Int, k: Int = 5,
       where: Option[Column] = None): DataFrame = {
+    require(pairs.nonEmpty, "proximityTopKSharded needs at least one pair")
     val n = requireSteady(spark, dir, "proximityTopKSharded")
-    mergeCounted((0 until n).map(i =>
-      InvertedIndex.proximityTopK(spark, shardDir(dir, i), pairs, window, k, where)), k)
+    val manifests = (0 until n).map { i =>
+      val d = shardDir(dir, i); d -> InvertedIndex.currentManifest(spark, d)
+    }
+    (if (where.isEmpty)
+       InvertedIndex.candidateRowsFusedPositional(spark, manifests,
+         pairs.flatMap { case (a, b) => Seq(a, b) }.distinct)
+     else None) match {
+      case Some(fused) =>
+        rankCounted(InvertedIndex.proximityMatches(fused, pairs, window), k)
+      case None =>
+        mergeCounted((0 until n).map(i =>
+          InvertedIndex.proximityTopK(spark, shardDir(dir, i), pairs, window, k, where)), k)
+    }
   }
 
   /** k-term span-near (ordered/unordered) over the federation — same
@@ -774,9 +811,27 @@ object ShardedIndex {
   def spanNearTopKSharded(spark: SparkSession, dir: String,
       queries: Seq[Seq[String]], slop: Int, inOrder: Boolean, k: Int = 5,
       where: Option[Column] = None): DataFrame = {
+    require(queries.nonEmpty, "spanNearTopKSharded needs at least one query")
     val n = requireSteady(spark, dir, "spanNearTopKSharded")
-    mergeCounted((0 until n).map(i =>
-      InvertedIndex.spanNearTopK(spark, shardDir(dir, i), queries, slop, inOrder, k, where)), k)
+    val manifests = (0 until n).map { i =>
+      val d = shardDir(dir, i); d -> InvertedIndex.currentManifest(spark, d)
+    }
+    // the per-shard path re-validates the span contract loudly; the
+    // fused path must refuse the same inputs the same way
+    if (!inOrder) queries.foreach { terms =>
+      require(terms.distinct.size == terms.size,
+        s"unordered span-near requires distinct terms, got " + terms.mkString(" "))
+    }
+    (if (where.isEmpty && queries.forall(_.nonEmpty) && slop >= 0)
+       InvertedIndex.candidateRowsFusedPositional(spark, manifests,
+         queries.flatten.distinct)
+     else None) match {
+      case Some(fused) =>
+        rankCounted(InvertedIndex.spanNearMatches(fused, queries, slop, inOrder), k)
+      case None =>
+        mergeCounted((0 until n).map(i =>
+          InvertedIndex.spanNearTopK(spark, shardDir(dir, i), queries, slop, inOrder, k, where)), k)
+    }
   }
 
   /** Merge per-shard (q, rank, doc_id, n) top-k lists by the single
@@ -784,6 +839,18 @@ object ShardedIndex {
     * lives wholly in one shard, so the merged answer equals the flat
     * index's.
     */
+  /** Rank fused (q, doc_id, n) matches globally — the fused paths'
+    * single-window twin of [[mergeCounted]].
+    */
+  private def rankCounted(matches: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("q"))
+      .orderBy(col("n").desc, col("doc_id").asc)
+    matches.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q"), col("rank"), col("doc_id"), col("n"))
+  }
+
   private def mergeCounted(perShard: Seq[DataFrame], k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("q"))
