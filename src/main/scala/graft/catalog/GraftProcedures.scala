@@ -293,7 +293,7 @@ object GraftProcedures {
           new GenericInternalRow(Array[Any](old, ns))
         }))
       case "index_reshard_inplace" => Some(proc("index_reshard_inplace",
-        "grow a lexical federation's shard count IN PLACE along the " +
+        "grow a federation's shard count IN PLACE along the " +
           "route-stable axis (a strict multiple), moving only the route-diff: " +
           "stayers are never rebuilt or copied, leavers build the new shards " +
           "and tombstone out of the old ones, serving stays pinned to the " +

@@ -160,6 +160,13 @@ object AnnIndex {
     IndexManifests.cachedManifest(spark, dir, vs.last)(fromJson)
   }
 
+  /** Manifest at a PINNED version — the federation's transition-MVCC
+    * read ([[ShardedIndex]] layout pins; the version must not have been
+    * vacuumed: keepVersions >= 2 during a transition).
+    */
+  private[graft] def readManifest(spark: SparkSession, dir: String, v: Long): Manifest =
+    IndexManifests.cachedManifest(spark, dir, v)(fromJson)
+
   /** Target bytes per staged vector file. One file per cell does NOT
     * scale — `repartition(nCells, cell)` makes a single task write a
     * cell's ENTIRE data (at 100 TB, terabytes through one writer), and
@@ -520,9 +527,12 @@ object AnnIndex {
       probeRows: Seq[(Long, Array[Double])], dir: String,
       k: Int, nProbe: Int,
       where: Option[org.apache.spark.sql.Column],
-      excludeSelf: Boolean): DataFrame = {
+      excludeSelf: Boolean,
+      manifest: Option[Manifest] = None): DataFrame = {
     import spark.implicits._
-    val m = currentManifest(spark, dir)
+    // an explicit manifest is the federation's transition pin — head
+    // resolution stays the default for every steady-state caller
+    val m = manifest.getOrElse(currentManifest(spark, dir))
     // centroid norms once per query, not per probe — a contract-max
     // probe set would otherwise rebuild them 16k times on the driver
     val norms = VectorQuantization.centroidNorms(m.centroids)
@@ -611,8 +621,9 @@ object AnnIndex {
       probeRows: Seq[(Long, Array[Double])], dir: String,
       k: Int, nProbe: Int, shortlist: Int,
       where: Option[org.apache.spark.sql.Column],
-      excludeSelf: Boolean): DataFrame = {
-    val m = currentManifest(spark, dir)
+      excludeSelf: Boolean,
+      manifest: Option[Manifest] = None): DataFrame = {
+    val m = manifest.getOrElse(currentManifest(spark, dir))
     require(m.codebooks.nonEmpty,
       s"pqTopK against $dir, but the index carries no PQ codebooks " +
         "(build(pq = Some(PqSpec(...))) pins them)")

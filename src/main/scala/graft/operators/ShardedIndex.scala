@@ -225,6 +225,21 @@ object ShardedIndex {
 
   // ---- lexical federation ---------------------------------------------
 
+  /** Dense twin of [[lexManifests]]: per-shard ANN manifests under the
+    * current layout, pinned while an in-place reshard is in flight.
+    */
+  private def annManifests(spark: SparkSession,
+      dir: String): Seq[(String, AnnIndex.Manifest)] = {
+    val l = layout(spark, dir)
+    (0 until l.shards).map { i =>
+      val d = shardDir(dir, i)
+      d -> (l.pins match {
+        case Some(ps) => AnnIndex.readManifest(spark, d, ps(i))
+        case None => AnnIndex.currentManifest(spark, d)
+      })
+    }
+  }
+
   /** Build an S-shard lexical federation. The corpus is routed ONCE
     * into a staging tree partitioned by shard (one corpus pass — at
     * real scale this is the step that runs as S independent builds on
@@ -1059,16 +1074,14 @@ object ShardedIndex {
     * layout before returning — reshard to approximate serve with no
     * manual step.
     *
-    * Lexical federations only: ANN shards train shard-local quantizer
-    * geometry, so an ANN layout change is a rebuild by design
-    * ([[reshard]]).
+    * ANN federations take the same route-diff path
+    * ([[reshardInPlaceAnn]]): stayer shards keep their trained
+    * geometry, leavers train the new shards' quantizers, removals are
+    * id-only tombstones.
     */
   def reshardInPlace(spark: SparkSession, dir: String, newShards: Int): Unit = {
     val l = layout(spark, dir)
-    require(!IndexManifests.isAnnManifest(spark, shardDir(dir, 0)),
-      s"reshardInPlace serves lexical federations only — ANN shards train " +
-        "shard-local quantizer geometry, so an ANN layout change is a " +
-        "rebuild: use reshard(srcDir, destDir, newShards)")
+    val ann = IndexManifests.isAnnManifest(spark, shardDir(dir, 0))
     val n = l.shards
     l.pins match {
       case Some(_) =>
@@ -1082,12 +1095,94 @@ object ShardedIndex {
             "pmod(h, S), so each old shard splits into its own family with no " +
             "cross-family movement; any other ratio moves nearly every " +
             "document — use reshard(srcDir, destDir, newShards)")
-        val heads = (0 until n).map(i =>
-          InvertedIndex.currentManifest(spark, shardDir(dir, i)).version)
+        val heads = (0 until n).map { i =>
+          val d = shardDir(dir, i)
+          if (ann) AnnIndex.currentManifest(spark, d).version
+          else InvertedIndex.currentManifest(spark, d).version
+        }
         commitOverlay(spark, dir,
           s"""{"shards": $n, "pins": [${heads.mkString(", ")}], "target": $newShards}""")
     }
     val pins = layout(spark, dir).pins.get
+    if (ann) reshardInPlaceAnn(spark, dir, n, newShards, pins)
+    else reshardInPlaceLex(spark, dir, n, newShards, pins)
+  }
+
+  /** ANN branch of [[reshardInPlace]]: stayer shards KEEP their trained
+    * geometry (a vector's cell assignment depends only on its shard's
+    * centroids — other docs leaving changes nothing), leaver vectors
+    * train the new shards' quantizers (the federation's shard-local-
+    * geometry semantics), and dense removals are id-only tombstones
+    * (no corpus stats to correct — cheaper than the lexical side's
+    * vocab corrections). Serving pins through [[annManifests]]; at
+    * full probe the merged answer is exact over the unchanged corpus,
+    * so old-vs-new serve identity holds exactly ([[annTopKSharded]]).
+    */
+  private def reshardInPlaceAnn(spark: SparkSession, dir: String, n: Int,
+      newShards: Int, pins: Seq[Long]): Unit = {
+    val manifests = (0 until n).map { i =>
+      val d = shardDir(dir, i); d -> AnnIndex.readManifest(spark, d, pins(i))
+    }
+    val metaColsAll = manifests.map(_._2.metaCols).distinct
+    require(metaColsAll.size == 1,
+      s"federation shards disagree on metaCols ($metaColsAll) at $dir")
+    val metaCols = metaColsAll.head
+    val pq = manifests.head._2.codebooks match {
+      case cb if cb.nonEmpty => Some(AnnIndex.PqSpec(cb.length, cb.head.length))
+      case _ => None
+    }
+    val nCells = manifests.map(_._2.centroids.length).max
+    val fs = shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leavers = manifests.zipWithIndex.map { case ((d, m), i) =>
+      AnnIndex.liveRows(spark, d, m, m.vectors).select("neighbor_id", "__cv")
+        .filter(routeOf(col("neighbor_id"), newShards) =!= lit(i))
+    }.reduce(_ unionByName _)
+    val emb = if (metaCols.isEmpty) leavers else {
+      val meta = manifests.zipWithIndex.map { case ((d, m), i) =>
+        IndexManifests.latestMeta(spark, d, m.metaDirs, "neighbor_id")
+          .filter(routeOf(col("neighbor_id"), newShards) =!= lit(i))
+      }.reduce(_ unionByName _)
+      leavers.join(meta, Seq("neighbor_id"), "left")
+    }
+    val staging = s"$dir/$MaintStagingDir/reshard-" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val sp = new org.apache.hadoop.fs.Path(staging)
+    emb.withColumn("__shard", routeOf(col("neighbor_id"), newShards))
+      .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
+    try {
+      withHeartbeat(fs, sp) {
+        val schema = org.apache.spark.sql.types.StructType(
+          emb.schema.fields.filterNot(_.name == "__shard"))
+        concurrently(n until newShards) { j =>
+          val jd = shardDir(dir, j)
+          if (IndexManifests.versions(spark, jd).isEmpty) {
+            val jp = new org.apache.hadoop.fs.Path(jd)
+            if (fs.exists(jp)) fs.delete(jp, true)
+            val slice = shardSlice(spark, staging, j, schema)
+            require(!slice.isEmpty,
+              s"ANN reshard shard $j of $dir would receive no vectors — " +
+                "quantizer training needs data in every shard; grow by a " +
+                "smaller multiple (or use reshard to a new root)")
+            AnnIndex.build(slice, "neighbor_id", "__cv", jd, nCells,
+              metaCols = metaCols, pq = pq)
+          }
+        }
+        concurrently(0 until n) { i =>
+          val d = shardDir(dir, i)
+          if (AnnIndex.currentManifest(spark, d).version == pins(i)) {
+            val fam = ((i + n) until newShards by n)
+              .map(j => shardSlice(spark, staging, j, schema))
+            AnnIndex.deleteVecs(
+              fam.reduce(_ unionByName _).select("neighbor_id"), "neighbor_id", d)
+          }
+        }
+      }
+    } finally { fs.delete(sp, true); () }
+    commitOverlay(spark, dir, s"""{"shards": $newShards}""")
+  }
+
+  private def reshardInPlaceLex(spark: SparkSession, dir: String, n: Int,
+      newShards: Int, pins: Seq[Long]): Unit = {
     val manifests = (0 until n).map { i =>
       val d = shardDir(dir, i); d -> InvertedIndex.readManifest(spark, d, pins(i))
     }
@@ -1355,9 +1450,13 @@ object ShardedIndex {
     // round-13 path paid one probe-cells collect job per shard per
     // query (the measured 32-client ceiling, BENCH_SF1 addendum 7)
     val probeRows = AnnIndex.collectProbes(probes, idCol, vecCol, maxProbes)
-    val perShard = (0 until n).map(i =>
-      AnnIndex.topKRows(spark, probeRows, shardDir(dir, i), k, nProbe,
-        where = where, excludeSelf = excludeSelf))
+    // layout-resolved (and transition-PINNED) manifests: mid-reshard
+    // the serve answers the pre-reshard snapshot, like the lexical side
+    val manifests = annManifests(spark, dir)
+    val perShard = manifests.map { case (d, m) =>
+      AnnIndex.topKRows(spark, probeRows, d, k, nProbe,
+        where = where, excludeSelf = excludeSelf, manifest = Some(m))
+    }
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     perShard.reduce(_ unionByName _)
@@ -1460,9 +1559,11 @@ object ShardedIndex {
     // one bounded probe collect feeds every shard (each shard's ADC
     // tables still derive from ITS codebooks — driver math, no jobs)
     val probeRows = AnnIndex.collectProbes(probes, idCol, vecCol, maxProbes)
-    val perShard = (0 until n).map(i =>
-      AnnIndex.pqTopKRows(spark, probeRows, shardDir(dir, i), k, nProbe,
-        shortlist, where = where, excludeSelf = excludeSelf))
+    val manifests = annManifests(spark, dir)
+    val perShard = manifests.map { case (d, m) =>
+      AnnIndex.pqTopKRows(spark, probeRows, d, k, nProbe,
+        shortlist, where = where, excludeSelf = excludeSelf, manifest = Some(m))
+    }
     val w = Window.partitionBy(col("probe_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     perShard.reduce(_ unionByName _)

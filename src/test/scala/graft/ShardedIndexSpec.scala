@@ -770,14 +770,29 @@ class ShardedIndexSpec extends SparkSpec {
     }
     assert(counts.sum == 60, s"per-shard doc counts ${counts} must sum to the live corpus")
 
-    // an ANN federation refuses the in-place path (quantizer geometry)
+    // the ANN federation reshards in place too: stayer shards KEEP
+    // their trained geometry (vector file lists untouched), leavers
+    // train the new shards, and the full-probe serve is unchanged
     val emb = Tables(spark, sfDir).embeddings.filter($"vec_id" >= 5)
     val annDir = java.nio.file.Files.createTempDirectory("shidx_rip_ann").toString
     ShardedIndex.buildShardedAnn(emb, "vec_id", "embedding", annDir, shards = 2, nCells = 4)
-    val ae = intercept[IllegalArgumentException] {
-      ShardedIndex.reshardInPlace(spark, annDir, 4)
+    val probes = Tables(spark, sfDir).embeddings.filter($"vec_id" < 3)
+    def annServe() = ShardedIndex.annTopKSharded(probes, "vec_id", "embedding",
+        annDir, k = 5, nProbe = 8, excludeSelf = false)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val preAnn = annServe()
+    val preVectors = (0 until 2).map(i =>
+      graft.operators.AnnIndex.currentManifest(spark,
+        ShardedIndex.shardDir(annDir, i)).vectors)
+    ShardedIndex.reshardInPlace(spark, annDir, 4)
+    assert(ShardedIndex.shardCount(spark, annDir) == 4)
+    assert(annServe() == preAnn,
+      "ANN in-place reshard changed the full-probe serve")
+    (0 until 2).foreach { i =>
+      assert(graft.operators.AnnIndex.currentManifest(spark,
+          ShardedIndex.shardDir(annDir, i)).vectors == preVectors(i),
+        s"ANN stayer shard $i rewrote vector files — movement must be the route-diff")
     }
-    assert(ae.getMessage.contains("lexical"), s"unhelpful ANN refusal: ${ae.getMessage}")
   }
 
   test("mid-transition: serving stays pinned to the pre-reshard snapshot; maintenance refuses; resume completes") {
