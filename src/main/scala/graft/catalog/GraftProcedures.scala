@@ -49,8 +49,15 @@ object GraftProcedures {
     */
   private def shardDirs(spark: SparkSession, dir: String): Option[Seq[String]] =
     if (!graft.operators.ShardedIndex.isFederation(spark, dir)) None
-    else Some((0 until graft.operators.ShardedIndex.shardCount(spark, dir))
-      .map(graft.operators.ShardedIndex.shardDir(dir, _)))
+    else {
+      // per-shard fan-out must not interleave with an in-flight
+      // in-place reshard: compact/vacuum would advance or expire the
+      // pinned manifest versions mid-transition (review r15)
+      graft.operators.ShardedIndex.requireSteady(spark, dir,
+        "federation index procedures")
+      Some((0 until graft.operators.ShardedIndex.shardCount(spark, dir))
+        .map(graft.operators.ShardedIndex.shardDir(dir, _)))
+    }
 
   def load(warehouse: Path, ident: Identifier): Option[UnboundProcedure] = {
     if (!ident.namespace().sameElements(Array(Namespace))) return None

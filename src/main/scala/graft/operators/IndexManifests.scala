@@ -65,7 +65,17 @@ private[graft] object IndexManifests {
   def tryCommit(spark: SparkSession, dir: String, v: Long, body: String): Boolean = {
     val f = fs(spark, dir)
     f.mkdirs(new org.apache.hadoop.fs.Path(s"$dir/manifest"))
-    val target = manifestPath(dir, v)
+    exclusiveCreate(f, manifestPath(dir, v), body)
+  }
+
+  /** TRUE atomic exclusive-create of a small marker/manifest file —
+    * Hadoop's local fs.create(p, false) is check-then-create (two
+    * racers can both succeed, the second silently truncating the
+    * first), so the local scheme goes through java.nio CREATE_NEW.
+    * Shared by manifest claims and the federation's layout overlays.
+    */
+  def exclusiveCreate(f: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, body: String): Boolean = {
     val bytes = body.getBytes("UTF-8")
     if (f.getScheme == "file") {
       try {

@@ -120,6 +120,10 @@ object ShardedIndex {
 
   final case class Layout(shards: Int, pins: Option[Seq[Long]], target: Int)
 
+  /** Is an in-place reshard in flight at this federation root? */
+  private[graft] def inTransition(spark: SparkSession, dir: String): Boolean =
+    layout(spark, dir).pins.nonEmpty
+
   private def overlayPath(dir: String, v: Long) =
     new org.apache.hadoop.fs.Path(s"$dir/reshard/v$v.json")
 
@@ -150,16 +154,20 @@ object ShardedIndex {
     Layout(n, pins, target)
   }
 
-  /** Commit the next layout overlay (exclusive-create: a racing second
-    * resharder fails loudly instead of interleaving).
+  /** Commit the next layout overlay through the TRUE atomic
+    * exclusive-create ([[IndexManifests.exclusiveCreate]] — local
+    * fs.create(p, false) is check-then-create and two racers could
+    * both "succeed"): a racing second resharder fails loudly instead
+    * of interleaving two transitions with different pin sets.
     */
   private def commitOverlay(spark: SparkSession, dir: String, json: String): Unit = {
     val fs = shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val next = overlayVersions(fs, dir).lastOption.getOrElse(0L) + 1
     val p = overlayPath(dir, next)
     fs.mkdirs(p.getParent)
-    val out = fs.create(p, false)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    require(IndexManifests.exclusiveCreate(fs, p, json),
+      s"lost the layout-overlay race at $dir (v$next) — a concurrent reshard " +
+        "is in flight; re-run after it finishes (or resume it)")
   }
 
   /** Maintenance and positional serving refuse while an in-place
@@ -167,7 +175,7 @@ object ShardedIndex {
     * change, and head-manifest readers would see the transition's
     * invisible tombstones. Returns the steady shard count.
     */
-  private def requireSteady(spark: SparkSession, dir: String, op: String): Int = {
+  private[graft] def requireSteady(spark: SparkSession, dir: String, op: String): Int = {
     val l = layout(spark, dir)
     require(l.pins.isEmpty,
       s"$op refused at $dir: an in-place reshard ${l.shards} -> ${l.target} " +
@@ -613,7 +621,16 @@ object ShardedIndex {
       maxAttempts: Int = 5): Unit = {
     require(c >= 1, s"buildChampionsSharded needs c >= 1, got $c")
     val n = requireSteady(spark, dir, "buildChampionsSharded")
-    val sdirs = (0 until n).map(shardDir(dir, _))
+    buildChampionsOver(spark, dir, (0 until n).map(shardDir(dir, _)), c, maxAttempts)
+  }
+
+  /** The selection body over an EXPLICIT shard-dir set — the in-place
+    * reshard runs it pre-flip over the post-reshard layout (old shards
+    * at post-tombstone heads + the new shards), invisibly to the
+    * pinned serve.
+    */
+  private def buildChampionsOver(spark: SparkSession, dir: String,
+      sdirs: Seq[String], c: Int, maxAttempts: Int = 5): Unit = {
     var attempt = 0
     while (attempt < maxAttempts) {
       attempt += 1
@@ -666,7 +683,7 @@ object ShardedIndex {
       // (the staging dir's mtime is selection-start) — see sweepStaging
       val committed = try {
         withHeartbeat(fs, sp) {
-          (0 until n).forall { i =>
+          sdirs.indices.forall { i =>
             val src = new org.apache.hadoop.fs.Path(s"$staging/__shard=$i")
             val rel = IndexManifests.freshRel("champions")
             val files = if (fs.exists(src)) {
@@ -804,6 +821,7 @@ object ShardedIndex {
       pairs: Seq[(String, String)], window: Int, k: Int = 5,
       where: Option[Column] = None): DataFrame = {
     require(pairs.nonEmpty, "proximityTopKSharded needs at least one pair")
+    require(window >= 1, s"window must be >= 1, got $window")
     val n = requireSteady(spark, dir, "proximityTopKSharded")
     val manifests = (0 until n).map { i =>
       val d = shardDir(dir, i); d -> InvertedIndex.currentManifest(spark, d)
@@ -827,6 +845,8 @@ object ShardedIndex {
       queries: Seq[Seq[String]], slop: Int, inOrder: Boolean, k: Int = 5,
       where: Option[Column] = None): DataFrame = {
     require(queries.nonEmpty, "spanNearTopKSharded needs at least one query")
+    require(queries.forall(_.nonEmpty), "span-near queries need at least one term")
+    require(slop >= 0, s"slop must be >= 0, got $slop")
     val n = requireSteady(spark, dir, "spanNearTopKSharded")
     val manifests = (0 until n).map { i =>
       val d = shardDir(dir, i); d -> InvertedIndex.currentManifest(spark, d)
@@ -837,7 +857,7 @@ object ShardedIndex {
       require(terms.distinct.size == terms.size,
         s"unordered span-near requires distinct terms, got " + terms.mkString(" "))
     }
-    (if (where.isEmpty && queries.forall(_.nonEmpty) && slop >= 0)
+    (if (where.isEmpty)
        InvertedIndex.candidateRowsFusedPositional(spark, manifests,
          queries.flatten.distinct)
      else None) match {
@@ -1153,32 +1173,89 @@ object ShardedIndex {
       withHeartbeat(fs, sp) {
         val schema = org.apache.spark.sql.types.StructType(
           emb.schema.fields.filterNot(_.name == "__shard"))
+        // DETERMINISTIC pre-check before any build: an uncommitted new
+        // shard with no routed vectors can never train a quantizer, and
+        // the overlay is already committed — without an abort here the
+        // federation would wedge in-transition forever (review r15).
+        // Builds haven't started and removals run after them, so no old
+        // head has advanced: the transition rolls back cleanly.
+        val unbuildable = (n until newShards).filter { j =>
+          IndexManifests.versions(spark, shardDir(dir, j)).isEmpty &&
+            !fs.exists(new org.apache.hadoop.fs.Path(s"$staging/__shard=$j"))
+        }
+        if (unbuildable.nonEmpty) {
+          abortReshardInPlace(spark, dir)
+          throw new IllegalArgumentException(
+            s"ANN reshard shards ${unbuildable.mkString(", ")} of $dir would " +
+              "receive no vectors — quantizer training needs data in every " +
+              "shard; the transition was ABORTED (layout restored to " +
+              s"$n shards). Grow by a smaller multiple or reshard to a new root.")
+        }
         concurrently(n until newShards) { j =>
           val jd = shardDir(dir, j)
           if (IndexManifests.versions(spark, jd).isEmpty) {
             val jp = new org.apache.hadoop.fs.Path(jd)
             if (fs.exists(jp)) fs.delete(jp, true)
-            val slice = shardSlice(spark, staging, j, schema)
-            require(!slice.isEmpty,
-              s"ANN reshard shard $j of $dir would receive no vectors — " +
-                "quantizer training needs data in every shard; grow by a " +
-                "smaller multiple (or use reshard to a new root)")
-            AnnIndex.build(slice, "neighbor_id", "__cv", jd, nCells,
-              metaCols = metaCols, pq = pq)
+            AnnIndex.build(shardSlice(spark, staging, j, schema),
+              "neighbor_id", "__cv", jd, nCells, metaCols = metaCols, pq = pq)
           }
         }
+        // removal-shape resume check — the lexical branch's rule on the
+        // dense manifest (vectors untouched, exactly one tombstone)
         concurrently(0 until n) { i =>
           val d = shardDir(dir, i)
+          val pinM = manifests(i)._2
           if (AnnIndex.currentManifest(spark, d).version == pins(i)) {
             val fam = ((i + n) until newShards by n)
               .map(j => shardSlice(spark, staging, j, schema))
             AnnIndex.deleteVecs(
               fam.reduce(_ unionByName _).select("neighbor_id"), "neighbor_id", d)
+          } else {
+            val next = AnnIndex.readManifest(spark, d, pins(i) + 1)
+            require(next.vectors == pinM.vectors &&
+                next.deletes.size == pinM.deletes.size + 1,
+              s"a foreign commit interleaved with the in-place reshard at $d " +
+                s"(v${pins(i) + 1} is not the transition's removal) — the " +
+                "federation's content is no longer the pinned snapshot; abort " +
+                "is not safe, investigate manually")
           }
         }
       }
     } finally { fs.delete(sp, true); () }
     commitOverlay(spark, dir, s"""{"shards": $newShards}""")
+  }
+
+  /** Abort an in-flight in-place reshard — the escape hatch for a
+    * transition that cannot complete (e.g. an ANN family shard with no
+    * vectors). Only legal while NO old shard has advanced past its pin
+    * (leaver removals are the point of no return — after them the only
+    * way out is forward: re-run [[reshardInPlace]] with the declared
+    * target). Sweeps the invisible new-shard roots and commits a
+    * steady overlay restoring the pre-reshard layout; the pinned serve
+    * never noticed anything.
+    */
+  def abortReshardInPlace(spark: SparkSession, dir: String): Unit = {
+    val l = layout(spark, dir)
+    require(l.pins.nonEmpty, s"no in-place reshard in flight at $dir")
+    val pins = l.pins.get
+    val ann = IndexManifests.isAnnManifest(spark, shardDir(dir, 0))
+    val heads = (0 until l.shards).map { i =>
+      val d = shardDir(dir, i)
+      if (ann) AnnIndex.currentManifest(spark, d).version
+      else InvertedIndex.currentManifest(spark, d).version
+    }
+    require(heads.zip(pins).forall { case (h, p) => h == p },
+      s"cannot abort the in-place reshard at $dir: leaver removals already " +
+        s"landed on ${heads.zip(pins).count { case (h, p) => h != p }} shard(s) " +
+        s"— the only way out is forward: reshardInPlace(dir, ${l.target})")
+    val fs = shardsPath(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (l.shards until l.target).foreach { j =>
+      val jd = shardDir(dir, j)
+      val jp = new org.apache.hadoop.fs.Path(jd)
+      if (fs.exists(jp)) fs.delete(jp, true)
+      IndexManifests.invalidate(jd)
+    }
+    commitOverlay(spark, dir, s"""{"shards": ${l.shards}}""")
   }
 
   private def reshardInPlaceLex(spark: SparkSession, dir: String, n: Int,
@@ -1208,7 +1285,11 @@ object ShardedIndex {
     val sp = new org.apache.hadoop.fs.Path(staging)
     leavers.withColumn("__shard", routeOf(col("doc_id"), newShards))
       .write.partitionBy("__shard").mode("errorifexists").parquet(staging)
-    val metaStaging = s"$staging-meta"
+    // the meta slices live INSIDE the heartbeated staging tree: a
+    // sibling dir would sit under _maint_staging with only write-time
+    // mtimes, and a concurrent maintainer's sweep could silently empty
+    // every new shard's sidecar mid-build (review r15)
+    val metaStaging = s"$staging/meta"
     val liveMeta = if (metaCols.isEmpty) None else Some {
       manifests.zipWithIndex.map { case ((d, m), i) =>
         IndexManifests.latestMeta(spark, d, m.metaDirs, "doc_id")
@@ -1238,27 +1319,44 @@ object ShardedIndex {
           }
         }
         // old shards: one atomic removal claim each over the SAME staged
-        // rows; a head past the pin means a previous attempt already
-        // landed it (the reshard is the only mid-transition writer)
+        // rows. A head past the pin is accepted ONLY when version pin+1
+        // is recognizably OURS (stayer postings untouched, exactly one
+        // tombstone added — or a champion-only commit on a no-leaver
+        // shard): a foreign maintenance commit interleaving with the
+        // transition must refuse loudly, not masquerade as a landed
+        // removal (review r15)
         concurrently(0 until n) { i =>
           val d = shardDir(dir, i)
+          val pinM = manifests(i)._2
           if (InvertedIndex.currentManifest(spark, d).version == pins(i)) {
             val fam = ((i + n) until newShards by n)
               .map(j => shardSlice(spark, staging, j, rowSchema))
             InvertedIndex.removeRows(spark, d, fam.reduce(_ unionByName _))
+          } else {
+            val next = InvertedIndex.readManifest(spark, d, pins(i) + 1)
+            val ourRemoval = next.postings == pinM.postings &&
+              next.deletes.size == pinM.deletes.size + 1
+            val ourChampions = next.postings == pinM.postings &&
+              next.deletes == pinM.deletes
+            require(ourRemoval || ourChampions,
+              s"a foreign commit interleaved with the in-place reshard at $d " +
+                s"(v${pins(i) + 1} is neither the transition's removal nor its " +
+                "champion selection) — the federation's content is no longer " +
+                "the pinned snapshot; abort is not safe, investigate manually")
           }
         }
+        // champion lifecycle BEFORE the flip: a crash between flip and
+        // rebuild would strand approximate serving with no resume path
+        // (review r15) — pre-flip, the selection runs over the explicit
+        // post-reshard shard set (old shards at post-tombstone heads,
+        // new shards fresh = the post-flip corpus), invisibly to the
+        // pinned serve; the flip lands last
+        val c = manifests.map(_._2.championC).max
+        if (c > 0)
+          buildChampionsOver(spark, dir, (0 until newShards).map(shardDir(dir, _)), c)
       }
-    } finally {
-      fs.delete(sp, true)
-      fs.delete(new org.apache.hadoop.fs.Path(metaStaging), true)
-      ()
-    }
+    } finally { fs.delete(sp, true); () }
     commitOverlay(spark, dir, s"""{"shards": $newShards}""")
-    // champion lifecycle: a federation that served approximate before
-    // the reshard serves approximate after it, no manual step
-    val c = manifests.map(_._2.championC).max
-    if (c > 0) buildChampionsSharded(spark, dir, c)
   }
 
   private def reshardLexical(spark: SparkSession, srcDir: String, destDir: String,
@@ -1308,13 +1406,15 @@ object ShardedIndex {
       fs.delete(new org.apache.hadoop.fs.Path(metaStaging), true)
       ()
     }
-    writeShardsFile(spark, destDir, newShards)
-    // champion lifecycle: a source that served approximate produces a
-    // destination that serves approximate with no manual step — the
-    // sidecars themselves are layout-dependent (bucket routing), so the
-    // GLOBAL selection re-runs on the new layout rather than copying
+    // champion lifecycle BEFORE the marker: a source that served
+    // approximate produces a destination that serves approximate with
+    // no manual step — and the marker-last rule keeps it whole-or-
+    // nothing (a crash mid-selection leaves an unreadable destination;
+    // the retry rebuilds everything)
     val c = manifests.map(_._2.championC).max
-    if (c > 0) buildChampionsSharded(spark, destDir, c)
+    if (c > 0)
+      buildChampionsOver(spark, destDir, (0 until newShards).map(shardDir(destDir, _)), c)
+    writeShardsFile(spark, destDir, newShards)
   }
 
   private def reshardAnn(spark: SparkSession, srcDir: String, destDir: String,
@@ -1443,7 +1543,6 @@ object ShardedIndex {
       maxProbes: Int = 16384): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
-    val n = shardCount(spark, dir)
     // ONE bounded probe collect (contract enforcement + vectors) feeds
     // every shard; per-shard cell assignment is driver math against
     // each shard's own centroids — zero per-shard Spark jobs, where the
@@ -1451,7 +1550,8 @@ object ShardedIndex {
     // query (the measured 32-client ceiling, BENCH_SF1 addendum 7)
     val probeRows = AnnIndex.collectProbes(probes, idCol, vecCol, maxProbes)
     // layout-resolved (and transition-PINNED) manifests: mid-reshard
-    // the serve answers the pre-reshard snapshot, like the lexical side
+    // the serve answers the pre-reshard snapshot, like the lexical
+    // side. ONE layout read per query (the serving hot path).
     val manifests = annManifests(spark, dir)
     val perShard = manifests.map { case (d, m) =>
       AnnIndex.topKRows(spark, probeRows, d, k, nProbe,
@@ -1555,9 +1655,9 @@ object ShardedIndex {
       maxProbes: Int = 16384): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = probes.sparkSession
-    val n = shardCount(spark, dir)
     // one bounded probe collect feeds every shard (each shard's ADC
-    // tables still derive from ITS codebooks — driver math, no jobs)
+    // tables still derive from ITS codebooks — driver math, no jobs);
+    // one layout read per query (annManifests)
     val probeRows = AnnIndex.collectProbes(probes, idCol, vecCol, maxProbes)
     val manifests = annManifests(spark, dir)
     val perShard = manifests.map { case (d, m) =>

@@ -13,8 +13,8 @@ import org.apache.spark.sql.functions._
   * rows per output file natively with zero extra shuffle — that is what
   * `writeStaged` uses and what the streaming sink uses. The
   * `batchAccounting` query exists for the correctness gate: it assigns
-  * deterministic batch ids via a global row_number, which is a
-  * verification artifact (single-partition window), not the scale path.
+  * deterministic batch ids equal to a global row_number's, through the
+  * partition-parallel two-phase numbering ([[withGlobalRank]]).
   */
 object Staging {
   def writeStaged(df: DataFrame, dir: String, maxRowsPerFile: Int): Unit =
@@ -33,25 +33,17 @@ object Staging {
     fs.delete(p, true)
   }
 
-  /** Deterministic batch accounting: batch id per `maxRows` rows in
-    * `orderCol` order, with per-batch stats.
-    *
-    * Two-phase global numbering (the `RDD.zipWithIndex` scheme) instead
-    * of an unpartitioned window: rows are range-partitioned on the key,
-    * numbered locally per partition in parallel, and the per-partition
-    * counts — O(numPartitions) driver-side metadata, not data — become
-    * cumulative offsets broadcast back. Global rank = offset + local
-    * rank, so the batch assignment is identical to a global row_number
-    * while every stage stays parallel.
-    */
   /** Global 0-based rank in `orderCol` order WITHOUT an unpartitioned
-    * window — the [[batchAccounting]] two-phase numbering, generalized:
-    * range partition on the key, number locally per partition, add the
-    * broadcast per-partition cumulative offsets. Every input column is
-    * preserved; the rank lands in `rankCol` as a long. Identical to
+    * window — two-phase numbering (the `RDD.zipWithIndex` scheme):
+    * rows range-partition on the key, number locally per partition in
+    * parallel, and the per-partition counts — O(numPartitions)
+    * driver-side metadata, not data — become cumulative offsets
+    * broadcast back. Every input column is preserved; the rank lands
+    * in `rankCol` as a long. Identical to
     * `row_number().over(Window.orderBy(orderCol)) - 1` (given distinct
     * keys) while every stage stays parallel — the plan carries no
-    * single-partition exchange.
+    * single-partition exchange. [[batchAccounting]] and the packers'
+    * oversize numbering both ride this.
     */
   def withGlobalRank(df: DataFrame, orderCol: String, rankCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -76,26 +68,14 @@ object Staging {
       .drop("__pid", "__rn", "__off")
   }
 
-  def batchAccounting(df: DataFrame, orderCol: String, maxRows: Int): DataFrame = {
-    val spark = df.sparkSession
-    // range partition + local numbering, materialized ONCE (the counts
-    // job and the final job would otherwise each replay the input
-    // lineage and the range exchange)
-    val local = df
-      .select(col(orderCol).as("__k"))
-      .repartitionByRange(col("__k"))
-      .withColumn("__pid", spark_partition_id())
-      .withColumn("__rn", row_number().over(Window.partitionBy("__pid").orderBy("__k")))
-      .localCheckpoint()
-    // per-partition counts -> cumulative offsets (one row per partition)
-    val counts = local.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    var acc = 0L
-    val offsets = counts.map { case (pid, cnt) => val off = acc; acc += cnt; (pid, off) }.toSeq
-    val offDf = spark.createDataFrame(offsets).toDF("__pid", "__off")
-    local
-      .join(broadcast(offDf), Seq("__pid"))
-      .withColumn("batch_id", expr(s"CAST((__off + __rn - 1) DIV $maxRows AS BIGINT)"))
+  /** Deterministic batch accounting: batch id per `maxRows` rows in
+    * `orderCol` order, with per-batch stats — [[withGlobalRank]]'s
+    * numbering grouped into batches (one shared implementation; a fix
+    * to the numbering reaches both callers).
+    */
+  def batchAccounting(df: DataFrame, orderCol: String, maxRows: Int): DataFrame =
+    withGlobalRank(df.select(col(orderCol).as("__k")), "__k", "__r")
+      .withColumn("batch_id", expr(s"CAST(__r DIV $maxRows AS BIGINT)"))
       .groupBy("batch_id")
       .agg(
         count(lit(1)).as("n_rows"),
@@ -103,5 +83,4 @@ object Staging {
         max(col("__k")).as("max_key")
       )
       .orderBy("batch_id")
-  }
 }

@@ -313,11 +313,18 @@ object StreamIndex {
         } else ShardedIndex.compactShardedAnn(spark, cfg.indexDir)
         n
       },
-      () => (0 until n).map { i =>
-        val d = ShardedIndex.shardDir(cfg.indexDir, i)
-        if (lexical) InvertedIndex.vacuum(spark, d, cfg.keepVersions, cfg.vacuumGraceMs)
-        else AnnIndex.vacuum(spark, d, cfg.keepVersions, cfg.vacuumGraceMs)
-      }.sum + ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
+      () =>
+        // an in-flight in-place reshard pins serving to pre-transition
+        // manifest versions — vacuuming them out from under the pins
+        // would crash every mid-transition serve, so the cadence SKIPS
+        // vacuum until the flip (the fold itself already refused, so
+        // this only matters for the vacuum-only cadence window)
+        if (ShardedIndex.inTransition(spark, cfg.indexDir)) 0
+        else (0 until n).map { i =>
+          val d = ShardedIndex.shardDir(cfg.indexDir, i)
+          if (lexical) InvertedIndex.vacuum(spark, d, cfg.keepVersions, cfg.vacuumGraceMs)
+          else AnnIndex.vacuum(spark, d, cfg.keepVersions, cfg.vacuumGraceMs)
+        }.sum + ShardedIndex.sweepStaging(spark, cfg.indexDir, cfg.vacuumGraceMs))
     applied
   }
 

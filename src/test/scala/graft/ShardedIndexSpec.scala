@@ -862,6 +862,90 @@ class ShardedIndexSpec extends SparkSpec {
     assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, Seq("omega"), k = 3)).nonEmpty)
   }
 
+  test("abort rolls an un-landed transition back; foreign commits and landed removals refuse the easy paths") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0L until 30L).map(i => (i, s"alpha beta word-$i")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("shidx_abort").toString
+    ShardedIndex.buildSharded(corpus, "doc_id", "text", dir, shards = 2)
+    val qs = Seq("alpha", "beta")
+    val pre = served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5))
+
+    // no transition -> abort refuses
+    val na = intercept[IllegalArgumentException] {
+      ShardedIndex.abortReshardInPlace(spark, dir)
+    }
+    assert(na.getMessage.contains("no in-place reshard"), s"unhelpful: ${na.getMessage}")
+
+    // hand-commit a transition (phase A only) + one half-built new shard
+    val pins = (0 until 2).map(i =>
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(dir, i)).version)
+    val ov = new org.apache.hadoop.fs.Path(s"$dir/reshard/v1.json")
+    val fs = ov.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ov.getParent)
+    val o = fs.create(ov, false)
+    o.write(s"""{"shards": 2, "pins": [${pins.mkString(", ")}], "target": 4}""".getBytes("UTF-8"))
+    o.close()
+    InvertedIndex.build(corpus.limit(2), "doc_id", "text", ShardedIndex.shardDir(dir, 2))
+    // abort: new-shard debris swept, layout restored, everything works
+    ShardedIndex.abortReshardInPlace(spark, dir)
+    assert(ShardedIndex.shardCount(spark, dir) == 2)
+    assert(served(ShardedIndex.bm25TopKTextSharded(spark, dir, qs, k = 5)) == pre)
+    ShardedIndex.addDeltaSharded(Seq((500L, "omega")).toDF("doc_id", "text"),
+      "doc_id", "text", dir) // steady again — maintenance accepted
+
+    // a FOREIGN commit during a transition (a delta landed directly on a
+    // shard, bypassing the refusals) must refuse the resume loudly, not
+    // masquerade as the transition's own removal
+    val pins2 = (0 until 2).map(i =>
+      InvertedIndex.currentManifest(spark, ShardedIndex.shardDir(dir, i)).version)
+    val ov3 = new org.apache.hadoop.fs.Path(s"$dir/reshard/v3.json")
+    val o3 = fs.create(ov3, false)
+    o3.write(s"""{"shards": 2, "pins": [${pins2.mkString(", ")}], "target": 4}""".getBytes("UTF-8"))
+    o3.close()
+    InvertedIndex.addDelta(Seq((600L, "foreign doc")).toDF("doc_id", "text"),
+      "doc_id", "text", ShardedIndex.shardDir(dir, 0))
+    val fe = intercept[IllegalArgumentException] {
+      ShardedIndex.reshardInPlace(spark, dir, 4)
+    }
+    assert(fe.getMessage.contains("foreign commit"), s"unhelpful: ${fe.getMessage}")
+    // ... and abort refuses too (the head moved past the pin)
+    val ae = intercept[IllegalArgumentException] {
+      ShardedIndex.abortReshardInPlace(spark, dir)
+    }
+    assert(ae.getMessage.contains("cannot abort"), s"unhelpful: ${ae.getMessage}")
+  }
+
+  test("ANN reshard with an unfillable family shard auto-aborts instead of wedging the federation") {
+    val s = spark
+    import s.implicits._
+    // choose vector ids whose 4-way route NEVER hits shard 2, while the
+    // 2-way build still fills both shards — the deterministic
+    // empty-family case the pre-check must catch BEFORE any build
+    val all = Tables(spark, sfDir).embeddings.filter($"vec_id" >= 5)
+    val routed = all.withColumn("__r4",
+      pmod(xxhash64(col("vec_id").cast("long")), lit(4L)).cast("int"))
+    val emb = routed.filter($"__r4" =!= 2).drop("__r4")
+    val dir = java.nio.file.Files.createTempDirectory("shidx_annabort").toString
+    ShardedIndex.buildShardedAnn(emb, "vec_id", "embedding", dir, shards = 2, nCells = 4)
+    val probes = Tables(spark, sfDir).embeddings.filter($"vec_id" < 3)
+    def annServe() = ShardedIndex.annTopKSharded(probes, "vec_id", "embedding",
+        dir, k = 5, nProbe = 8, excludeSelf = false)
+      .orderBy("probe_id", "rank").collect().map(_.toSeq).toSeq
+    val pre = annServe()
+    val e = intercept[IllegalArgumentException] {
+      ShardedIndex.reshardInPlace(spark, dir, 4)
+    }
+    assert(e.getMessage.contains("ABORTED"), s"must auto-abort: ${e.getMessage}")
+    // the federation is steady at 2 shards and serves exactly as before
+    assert(ShardedIndex.shardCount(spark, dir) == 2)
+    assert(annServe() == pre, "auto-aborted reshard changed the serve")
+    ShardedIndex.addDeltaShardedAnn(
+      Tables(spark, sfDir).embeddings.filter($"vec_id" < 2)
+        .select(col("vec_id") + 900000L as "vec_id", col("embedding")),
+      "vec_id", "embedding", dir) // maintenance accepted — not wedged
+  }
+
   test("a committed FLAT index refuses to become a federation root (build/export/reshard)") {
     val s = spark
     import s.implicits._
