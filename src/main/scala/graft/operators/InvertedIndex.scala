@@ -193,19 +193,28 @@ object InvertedIndex {
     * `build(withPositions = false)`, pinned in the manifest.
     */
   private def termFreqs(docs: DataFrame, idCol: String, textCol: String,
-      withPositions: Boolean = true): DataFrame =
+      withPositions: Boolean = true): DataFrame = {
+    // __dl (the doc length) is size(tokens) computed BEFORE the explode:
+    // split() always yields >= 1 element (an empty doc tokenizes to [""],
+    // the same single token the oracle's regexp_split counts), so
+    // size(tokens) == sum of per-token tf exactly — and carrying it
+    // through the explode as a constant costs 8 bytes per token row,
+    // where deriving it after the aggregate (the round-14 shape: a
+    // window over the tf rows) cost a second full exchange on the doc
+    // key plus its sort. One token-level shuffle builds the postings.
+    val toks = graft.functions.TextFunctions.tokens(col(textCol))
     if (withPositions)
-      docs.select(col(idCol),
-          posexplode(graft.functions.TextFunctions.tokens(col(textCol)))
-            .as(Seq("__pos", "__tok")))
+      docs.select(col(idCol), size(toks).cast("long").as("__dl"),
+          posexplode(toks).as(Seq("__pos", "__tok")))
         .groupBy(col(idCol), col("__tok"))
-        .agg(count(lit(1)).as("__tf"),
+        .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"),
           sort_array(collect_list(col("__pos"))).as("__positions"))
     else
-      docs.select(col(idCol),
-          explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
+      docs.select(col(idCol), size(toks).cast("long").as("__dl"),
+          explode(toks).as("__tok"))
         .groupBy(col(idCol), col("__tok"))
-        .agg(count(lit(1)).as("__tf"))
+        .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
+  }
 
   private[graft] def bucketOf(tok: Column, buckets: Int): Column =
     pmod(xxhash64(tok), lit(buckets.toLong)).cast("int")
@@ -353,23 +362,52 @@ object InvertedIndex {
     IndexManifests.listStaged(spark, dir, rel, "bucket")
   }
 
-  /** (doc_id, tok, tf, dl, bucket) rows from term frequencies. dl (the
-    * doc length) is a window sum over the doc's tf rows, NOT a
-    * tf ⨝ groupBy(doc) self-join: the window reuses the tf aggregate's
-    * doc-clustered partitioning in place (zero extra shuffles, no
-    * join), where the join shape re-sorted both sides and — fed by a
-    * union-assembled CDC batch — tripped Spark 4.1's unsound union
-    * partitioning claim (see GraftSession).
+  /** (doc_id, tok, tf, dl, bucket) rows from term frequencies. dl rides
+    * in from [[termFreqs]] (computed pre-explode as size(tokens)) — the
+    * round-14 window-sum over the doc's tf rows cost a second full
+    * exchange on the doc key plus a sort, and the join shape before it
+    * re-sorted both sides and tripped Spark 4.1's unsound union
+    * partitioning claim (see GraftSession). Now this is a pure
+    * projection: the tf aggregate's exchange is the only shuffle.
     */
   private def postingsOf(tf: DataFrame, idCol: String, buckets: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = Seq(col(idCol).as("doc_id"), col("__tok").as("tok"),
-      col("__tf").as("tf"),
-      sum(col("__tf")).over(Window.partitionBy(col(idCol))).as("dl"))
+      col("__tf").as("tf"), col("__dl").as("dl"))
     val pos = if (tf.columns.contains("__positions"))
       Seq(col("__positions").as("positions")) else Nil
     tf.select(base ++ pos :+ bucketOf(col("__tok"), buckets).as("bucket"): _*)
   }
+
+  /** Run independent sidecar writes as CONCURRENT Spark jobs. Actions
+    * are only sequential because the driver calls them sequentially —
+    * vocab/stats/tombstone writes touch disjoint output dirs and share
+    * no ordering, so overlapping them lets one job's task tail backfill
+    * the cores the other's tasks free (and folds their fixed job floors
+    * together — at sf0.1 the lifecycle entries are floor-bound). Every
+    * thunk SETTLES before the first failure propagates, so a failed
+    * write never races a sibling still holding the staged inputs.
+    */
+  private def inParallel(thunks: Seq[() => Unit]): Unit =
+    if (thunks.sizeIs <= 1) thunks.foreach(_.apply())
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(thunks.size,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-index-sidecar"); t.setDaemon(true); t
+        })
+      try {
+        val futs = thunks.map(t => pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = t()
+        }))
+        val settled = futs.map { fu =>
+          try Right(fu.get())
+          catch {
+            case e: java.util.concurrent.ExecutionException => Left(e.getCause)
+            case e: Throwable => Left(e)
+          }
+        }
+        settled.collectFirst { case Left(t) => t }.foreach(throw _)
+      } finally { pool.shutdown(); () }
+    }
 
   /** Read a committed (or staged) file list; empty lists yield an empty
     * postings frame with the right schema.
@@ -387,12 +425,21 @@ object InvertedIndex {
   // ---- build ---------------------------------------------------------
 
   /** Build the index from scratch. One corpus pass: the (doc, token)
-    * shuffle computes tf, a doc-keyed aggregate computes dl, and the
-    * postings land one file-set per bucket (at larger SF, raise the
-    * shuffle width per bucket; the layout contract is only "each file
-    * belongs to one bucket"). The bucket count is pinned in the
-    * manifest — queries and deltas always use the modulus the postings
-    * were laid out with.
+    * shuffle computes tf, a window over the same partitioning computes
+    * dl, and the postings land one file-set per bucket (at larger SF,
+    * raise the shuffle width per bucket; the layout contract is only
+    * "each file belongs to one bucket"). The bucket count is pinned in
+    * the manifest — queries and deltas always use the modulus the
+    * postings were laid out with.
+    *
+    * Vocab and stats derive from the STAGED postings files, not from
+    * `tf` — reusing the `tf` frame re-tokenizes and re-shuffles the
+    * corpus once per sidecar (3 corpus passes per build; at 100 TB, two
+    * extra corpus scans — at sf0.1 the entries are job-floor-bound and
+    * wall stays flat, the event-log evidence is the two corpus-shaped
+    * executions disappearing). The staged read is column-pruned: vocab
+    * touches only `tok`, stats only (doc_id, dl) — exactly
+    * [[buildFromPostings]]'s shape, which pinned the equivalence first.
     */
   def build(docs: DataFrame, idCol: String, textCol: String, dir: String,
       buckets: Int = DefaultBuckets, splits: Option[Int] = None,
@@ -402,15 +449,17 @@ object InvertedIndex {
     require(versions(spark, dir).isEmpty,
       s"inverted index already committed at $dir (addDelta grows it; build starts fresh)")
     val tf = termFreqs(docs, idCol, textCol, withPositions)
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
     val files = stagePostings(spark, postingsOf(tf, idCol, buckets), dir, buckets, splits)
+    val staged = readPostings(spark, dir, files, withPositions)
     val vocabRel = IndexManifests.freshRel("vocab")
-    tf.groupBy(col("__tok")).agg(count(lit(1)).as("df"))
-      .select(col("__tok").as("tok"), col("df"))
-      .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
     val statsRel = IndexManifests.freshRel("stats")
-    dl.agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
-      .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+    inParallel(Seq(
+      () => staged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select(col("tok"), col("df"))
+        .write.mode("errorifexists").parquet(s"$dir/$vocabRel"),
+      () => staged.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+        .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+        .write.mode("errorifexists").parquet(s"$dir/$statsRel")))
     val metaDirs = stageMeta(docs, idCol, metaCols, dir).toSeq
     // a rebuild at a previously-used path must not serve the old tree's
     // cached manifests
@@ -445,13 +494,14 @@ object InvertedIndex {
       dir, buckets)
     val staged = readPostings(spark, dir, files, withPositions)
     val vocabRel = IndexManifests.freshRel("vocab")
-    staged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-      .select(col("tok"), col("df"))
-      .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
     val statsRel = IndexManifests.freshRel("stats")
-    staged.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
-      .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+    inParallel(Seq(
+      () => staged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        .select(col("tok"), col("df"))
+        .write.mode("errorifexists").parquet(s"$dir/$vocabRel"),
+      () => staged.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+        .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+        .write.mode("errorifexists").parquet(s"$dir/$statsRel")))
     val metaDirs = meta.flatMap(m => stageMeta(m, "doc_id", metaCols, dir)).toSeq
     IndexManifests.invalidate(dir)
     require(tryCommit(spark, dir,
@@ -531,13 +581,14 @@ object InvertedIndex {
         if (base.streams.get(ns).exists(_ >= batchId)) return base
       }
       val vocabRel = IndexManifests.freshRel("vocab")
-      spark.read.parquet(s"$dir/${base.vocabDir}").unionByName(deltaVocab)
-        .groupBy(col("tok")).agg(sum(col("df")).as("df"))
-        .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
       val statsRel = IndexManifests.freshRel("stats")
-      spark.read.parquet(s"$dir/${base.statsDir}").unionByName(deltaStats)
-        .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
-        .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+      inParallel(Seq(
+        () => spark.read.parquet(s"$dir/${base.vocabDir}").unionByName(deltaVocab)
+          .groupBy(col("tok")).agg(sum(col("df")).as("df"))
+          .write.mode("errorifexists").parquet(s"$dir/$vocabRel"),
+        () => spark.read.parquet(s"$dir/${base.statsDir}").unionByName(deltaStats)
+          .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
+          .write.mode("errorifexists").parquet(s"$dir/$statsRel")))
       val next = Manifest(base.version + 1, base.buckets,
         base.postings ++ staged.files, vocabRel, statsRel,
         base.streams ++ stamp.toMap, base.positions,
@@ -644,13 +695,19 @@ object InvertedIndex {
       val base = currentManifest(spark, dir)
       // corrections must be computed against the SAME postings the
       // claim commits over — the (live-row) scan re-derives inside the
-      // CAS loop (retries are rare)
+      // CAS loop (retries are rare). WITHIN an attempt the scan runs
+      // once: the emptiness probe and commitRemoval's two correction
+      // aggregates all consume the persisted hit rows (lineage kept —
+      // a lost block recomputes), not three separate postings scans.
       val hit = liveRows(spark, dir, base, base.postings)
         .join(broadcast(del), Seq("doc_id"))
-      if (hit.isEmpty) return
-      val committed = commitRemoval(spark, dir, base,
-        removed = hit, tombstoneIds = del, staged = Nil, stamp = None)
-      if (committed) return
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        if (hit.isEmpty) return
+        val committed = commitRemoval(spark, dir, base,
+          removed = hit, tombstoneIds = del, staged = Nil, stamp = None)
+        if (committed) return
+      } finally hit.unpersist(blocking = false)
       if (attempt >= maxAttempts)
         throw new graft.catalog.GraftCommitConflict(
           s"index delete lost the version race $maxAttempts times at $dir")
@@ -669,18 +726,25 @@ object InvertedIndex {
     */
   private[graft] def removeRows(spark: SparkSession, dir: String,
       removed: DataFrame, maxAttempts: Int = 5): Unit = {
-    if (removed.isEmpty) return
-    val tombstoneIds = removed.select(col("doc_id")).distinct()
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val base = currentManifest(spark, dir)
-      if (commitRemoval(spark, dir, base, removed, tombstoneIds,
-        staged = Nil, stamp = None)) return
-      if (attempt >= maxAttempts)
-        throw new graft.catalog.GraftCommitConflict(
-          s"reshard removal lost the version race $maxAttempts times at $dir")
-    }
+    // one materialization feeds the emptiness probe, the tombstone ids
+    // and commitRemoval's two correction aggregates — the caller's
+    // `removed` may be a staged-tree read (cheap) or a computed frame
+    // (the reshard's pinned live set): either way it runs once
+    val rm = removed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (rm.isEmpty) return
+      val tombstoneIds = rm.select(col("doc_id")).distinct()
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val base = currentManifest(spark, dir)
+        if (commitRemoval(spark, dir, base, rm, tombstoneIds,
+          staged = Nil, stamp = None)) return
+        if (attempt >= maxAttempts)
+          throw new graft.catalog.GraftCommitConflict(
+            s"reshard removal lost the version race $maxAttempts times at $dir")
+      }
+    } finally rm.unpersist(blocking = false)
   }
 
   /** Stage corrected vocab/stats from `removed` (outgoing (tok, tf,
@@ -704,32 +768,37 @@ object InvertedIndex {
             .agg(count(lit(1)).as("__np"), sum(col("__dl")).as("__sdp"))))
       }
     val vocabRel = IndexManifests.freshRel("vocab")
-    val v0 = spark.read.parquet(s"$dir/${base.vocabDir}")
-      .join(vocabMinus, Seq("tok"), "left")
-    val v1 = vocabPlus.fold(v0.withColumn("__dfp", lit(null).cast("long")))(p =>
-      v0.join(p, Seq("tok"), "full"))
-    v1.select(col("tok"),
-        (coalesce(col("df"), lit(0L)) - coalesce(col("__dfm"), lit(0L)) +
-          coalesce(col("__dfp"), lit(0L))).as("df"))
-      .filter(col("df") > 0)
-      .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
     val statsRel = IndexManifests.freshRel("stats")
-    val s0 = spark.read.parquet(s"$dir/${base.statsDir}").crossJoin(broadcast(statsMinus))
-    val s1 = statsPlus.fold(
-      s0.withColumn("__np", lit(0L)).withColumn("__sdp", lit(0L)))(p =>
-      s0.crossJoin(broadcast(p)))
-    s1.select(
-        (col("n") - coalesce(col("__nm"), lit(0L)) + coalesce(col("__np"), lit(0L))).as("n"),
-        (col("sumdl") - coalesce(col("__sdm"), lit(0L)) +
-          coalesce(col("__sdp"), lit(0L))).as("sumdl"))
-      .write.mode("errorifexists").parquet(s"$dir/$statsRel")
     val delEntry =
       if (!appendTombstone) None
-      else {
-        val delRel = IndexManifests.freshRel("deletes")
-        tombstoneIds.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
-        Some(delRel -> base.postings.size)
-      }
+      else Some(IndexManifests.freshRel("deletes") -> base.postings.size)
+    // the three sidecar writes are independent (disjoint output dirs,
+    // inputs all staged/persisted) — overlap their jobs
+    inParallel(Seq(
+      () => {
+        val v0 = spark.read.parquet(s"$dir/${base.vocabDir}")
+          .join(vocabMinus, Seq("tok"), "left")
+        val v1 = vocabPlus.fold(v0.withColumn("__dfp", lit(null).cast("long")))(p =>
+          v0.join(p, Seq("tok"), "full"))
+        v1.select(col("tok"),
+            (coalesce(col("df"), lit(0L)) - coalesce(col("__dfm"), lit(0L)) +
+              coalesce(col("__dfp"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+          .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
+      },
+      () => {
+        val s0 = spark.read.parquet(s"$dir/${base.statsDir}").crossJoin(broadcast(statsMinus))
+        val s1 = statsPlus.fold(
+          s0.withColumn("__np", lit(0L)).withColumn("__sdp", lit(0L)))(p =>
+          s0.crossJoin(broadcast(p)))
+        s1.select(
+            (col("n") - coalesce(col("__nm"), lit(0L)) + coalesce(col("__np"), lit(0L))).as("n"),
+            (col("sumdl") - coalesce(col("__sdm"), lit(0L)) +
+              coalesce(col("__sdp"), lit(0L))).as("sumdl"))
+          .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+      }) ++ delEntry.map { case (delRel, _) =>
+        () => tombstoneIds.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
+      })
     val next = Manifest(base.version + 1, base.buckets, base.postings ++ staged,
       vocabRel, statsRel, base.streams ++ stamp.toMap, base.positions,
       base.metaCols, base.metaDirs ++ stagedMeta, base.deletes ++ delEntry,
@@ -769,24 +838,37 @@ object InvertedIndex {
     // the outgoing rows re-tokenize the OLD text with the build's exact
     // expression — bit-identical (tok, tf, dl) to what was indexed.
     // Positions are never part of the corrections, so skip their build
-    // regardless of the index's shape
+    // regardless of the index's shape. BOTH outgoing frames persist for
+    // the batch: `removals` may be an expensive lookup (the bench shape
+    // is a corpus semi-join) and was previously re-evaluated four times
+    // per batch (emptiness probe, tombstone ids, and the two correction
+    // aggregates) — now the tokenize pass runs once and the tombstone
+    // ids once, shared across CAS attempts (the corrections are a pure
+    // function of the batch, not of the base manifest).
     val removed = postingsOf(termFreqs(removals, idCol, textCol, withPositions = false),
-      idCol, 1).drop("bucket")
+        idCol, 1).drop("bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tombstoneIds = removals.select(col(idCol).cast("long").as("doc_id")).distinct()
-    val hasRemovals = !removals.isEmpty
-    var attempt = 0
-    while (true) {
-      attempt += 1
-      val base = currentManifest(spark, dir)
-      stamp.foreach { case (ns, batchId) =>
-        if (base.streams.get(ns).exists(_ >= batchId)) return
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val hasRemovals = !tombstoneIds.isEmpty
+      var attempt = 0
+      while (true) {
+        attempt += 1
+        val base = currentManifest(spark, dir)
+        stamp.foreach { case (ns, batchId) =>
+          if (base.streams.get(ns).exists(_ >= batchId)) return
+        }
+        if (commitRemoval(spark, dir, base, removed, tombstoneIds,
+          staged.files, stamp, appendTombstone = hasRemovals,
+          stagedMeta = staged.meta)) return
+        if (attempt >= maxAttempts)
+          throw new graft.catalog.GraftCommitConflict(
+            s"index CDC batch lost the version race $maxAttempts times at $dir")
       }
-      if (commitRemoval(spark, dir, base, removed, tombstoneIds,
-        staged.files, stamp, appendTombstone = hasRemovals,
-        stagedMeta = staged.meta)) return
-      if (attempt >= maxAttempts)
-        throw new graft.catalog.GraftCommitConflict(
-          s"index CDC batch lost the version race $maxAttempts times at $dir")
+    } finally {
+      removed.unpersist(blocking = false)
+      tombstoneIds.unpersist(blocking = false)
     }
   }
 

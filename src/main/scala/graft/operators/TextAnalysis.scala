@@ -304,17 +304,28 @@ object TextAnalysis {
   def bm25TopK(df: DataFrame, idCol: String, textCol: String,
       probeIds: Seq[Long], k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = df.select(col(idCol),
-      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("__tok"))
-    val tf = toks.groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__tf"))
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("__tf")).as("__dl"))
+    // __dl (doc length) is size(tokens) computed BEFORE the explode and
+    // carried through the tf aggregate as first(): split() yields >= 1
+    // element for non-null text (an empty doc tokenizes to [""], the
+    // same single token the oracle counts) and null-text docs emit no
+    // exploded rows on either engine — so sum-of-tf == size(tokens)
+    // exactly wherever a tf row exists. This removes the round-14
+    // shape's tf ⨝ groupBy(doc) self-join for the saturation term (two
+    // doc-keyed exchanges + a join, gone — `sat` is now a projection
+    // over tf).
+    val t = graft.functions.TextFunctions.tokens(col(textCol))
+    val toks = df.select(col(idCol), size(t).cast("long").as("__dl0"),
+      explode(t).as("__tok"))
+    val tf = toks.groupBy(col(idCol), col("__tok"))
+      .agg(count(lit(1)).as("__tf"), first(col("__dl0")).as("__dl"))
+    val dl = tf.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
     val stats = dl.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__t"))
       .select(col("__n"), expr("100L * __t div __n").as("__avgdl_fp"))
     val dfreq = tf.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
     val idf = dfreq.crossJoin(broadcast(stats))
       .select(col("__tok"),
         expr("(2L * __n - 2L * __df + 1L) * 1000L div (2L * __df + 1L)").as("__idf_fp"))
-    val sat = tf.join(dl, idCol).crossJoin(broadcast(stats))
+    val sat = tf.crossJoin(broadcast(stats))
       .select(col(idCol), col("__tok"),
         expr("22L * __tf * __avgdl_fp * 10000L div " +
           "(10L * __tf * __avgdl_fp + 3L * __avgdl_fp + 900L * __dl)").as("__sat_fp"))
