@@ -22,6 +22,18 @@ object GraftSession {
       // 64 MiB is far under the 8 GB broadcast hard limit and cheap
       // for any executor that can run this engine
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64m")
+      // InferFiltersFromGenerate clones every generator expression into
+      // a Filter (size(e) > 0 AND isnotnull(e)) that predicate pushdown
+      // then inlines down to the scan — so every explode(tokens(...)) /
+      // explode(wordShingles(...)) pays its regex-split / shingle
+      // assembly TWICE per row (once in the scan filter, once in the
+      // generator). The filter never prunes storage here (it is not a
+      // source filter) and Generate itself already skips empty/null
+      // arrays with identical semantics, so excluding the rule is
+      // result-neutral and removes a full tokenize pass from every
+      // explode-shaped text operator.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -202,16 +202,22 @@ object InvertedIndex {
     // where deriving it after the aggregate (the round-14 shape: a
     // window over the tf rows) cost a second full exchange on the doc
     // key plus its sort. One token-level shuffle builds the postings.
-    val toks = graft.functions.TextFunctions.tokens(col(textCol))
+    // two-step select: the token ARRAY lands as an attribute first, so
+    // size() and the explode both reference it — a single projection
+    // would evaluate the regex split twice per row (CollapseProject
+    // declines to inline a non-cheap expression used twice, but a
+    // generator over an inline expression is not protected)
+    val base = docs.select(col(idCol),
+      graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
     if (withPositions)
-      docs.select(col(idCol), size(toks).cast("long").as("__dl"),
-          posexplode(toks).as(Seq("__pos", "__tok")))
+      base.select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
+          posexplode(col("__toks")).as(Seq("__pos", "__tok")))
         .groupBy(col(idCol), col("__tok"))
         .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"),
           sort_array(collect_list(col("__pos"))).as("__positions"))
     else
-      docs.select(col(idCol), size(toks).cast("long").as("__dl"),
-          explode(toks).as("__tok"))
+      base.select(col(idCol), size(col("__toks")).cast("long").as("__dl"),
+          explode(col("__toks")).as("__tok"))
         .groupBy(col(idCol), col("__tok"))
         .agg(count(lit(1)).as("__tf"), first(col("__dl")).as("__dl"))
   }

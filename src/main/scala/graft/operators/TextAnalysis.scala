@@ -313,9 +313,13 @@ object TextAnalysis {
     // shape's tf ⨝ groupBy(doc) self-join for the saturation term (two
     // doc-keyed exchanges + a join, gone — `sat` is now a projection
     // over tf).
-    val t = graft.functions.TextFunctions.tokens(col(textCol))
-    val toks = df.select(col(idCol), size(t).cast("long").as("__dl0"),
-      explode(t).as("__tok"))
+    // two-step select so size() and the explode share ONE split
+    // evaluation (see InvertedIndex.termFreqs — a single projection
+    // would run the regex split twice per row)
+    val toks = df
+      .select(col(idCol), graft.functions.TextFunctions.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).cast("long").as("__dl0"),
+        explode(col("__toks")).as("__tok"))
     val tf = toks.groupBy(col(idCol), col("__tok"))
       .agg(count(lit(1)).as("__tf"), first(col("__dl0")).as("__dl"))
     val dl = tf.groupBy(col(idCol)).agg(first(col("__dl")).as("__dl"))
