@@ -9,8 +9,7 @@ import org.apache.spark.sql.functions._
   * below do not assume single-file inputs.
   */
 final class Tables(spark: SparkSession, sfDir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  private def t(name: String): DataFrame = Tables.cachedRead(spark, s"$sfDir/$name.parquet")
 
   def region: DataFrame     = t("region")
   def nation: DataFrame     = t("nation")
@@ -41,6 +40,29 @@ final class Tables(spark: SparkSession, sfDir: String) {
 
 object Tables {
   def apply(spark: SparkSession, sfDir: String): Tables = new Tables(spark, sfDir)
+
+  // Lazy-DataFrame reuse per (session, path): every registered query
+  // calls spark.read.parquet on its tables, and each call re-infers the
+  // schema from a footer read plus a fresh relation resolution — pure
+  // metadata overhead multiplied by the 229-entry bench board. The
+  // cached object is a LAZY plan (no data, no results — each query
+  // still computes from the parquet bytes); keying by session through a
+  // WeakHashMap lets a stopped session (test suites build dozens) be
+  // collected instead of pinning its relations.
+  private val readCache =
+    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  private def cachedRead(spark: SparkSession, path: String): DataFrame = {
+    val perSession = readCache.synchronized {
+      var m = readCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        readCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(path, p => spark.read.parquet(p))
+  }
 
   /** Normalize the `ts` column of an events frame (batch or streaming) to
     * TimestampType regardless of which parquet encoding the data shipped
