@@ -466,6 +466,12 @@ object Bench {
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
       samples(qi) += (System.nanoTime() - t0) / 1e9
+      // OUTSIDE the timed window: release per-query persisted aggregates
+      // (q15-style reused relations persist inside query bodies with no
+      // post-action hook) so the block manager stays flat across the
+      // board × passes instead of accumulating dead cached blocks (§5).
+      // Timing is unaffected — each invocation re-persists what it uses.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
     }
     // (name, steady min, cold, steady max) — steady = passes after the first
     // when more than one pass ran
@@ -484,8 +490,37 @@ object Bench {
     // as nothing), so the compact line carries only the SLOWEST queries
     // — the ones a perf review reads — plus n_queries for context; the
     // full per-query map stays on the bench-detail line and in
-    // BENCH_LOCAL.json
-    val slowest = results.sortBy(-_._2).take(40)
+    // BENCH_LOCAL.json.
+    //
+    // The top-40 window alone MANUFACTURES phantom drops in a
+    // round-over-round diff: a query that fell from the prior round's
+    // top-40 (because it got FASTER, or the day drifted) read as
+    // "dropped_from_bench" (r15: three such phantoms). Fix: union in the
+    // prior round's reported names (parsed from the newest committed
+    // BENCH_r*.json, if any — the bench runs from the repo root), capped
+    // so the line stays under the collector's tail. Entries are only
+    // ever ADDED relative to the plain top-40.
+    val priorNames: Set[String] = try {
+      val cand = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      if (cand.isEmpty) Set.empty
+      else {
+        val latest = cand.maxBy(_.getName.stripPrefix("BENCH_r").stripSuffix(".json").toInt)
+        val body = new String(java.nio.file.Files.readAllBytes(latest.toPath), "UTF-8")
+        org.json4s.jackson.JsonMethods.parse(body) \ "parsed" \ "queries" match {
+          case org.json4s.JObject(fields) => fields.map(_._1).toSet
+          case _ => Set.empty
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => Set.empty }
+    val slowest = {
+      val top = results.sortBy(-_._2).take(40)
+      val topNames = top.map(_._1).toSet
+      val carried = results
+        .filter(r => priorNames.contains(r._1) && !topNames.contains(r._1))
+        .sortBy(-_._2).take(8)
+      top ++ carried
+    }
     val qs    = slowest.map { case (k, v, _, _) => "\"" + k + "\":" + f2(v) }.mkString("{", ",", "}")
     val cold  = results.map { case (k, _, c, _) => "\"" + k + "\":" + c }.mkString("{", ",", "}")
     val total = results.map(_._2).sum

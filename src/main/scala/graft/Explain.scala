@@ -11,9 +11,11 @@ object Explain {
       .config("spark.sql.unionOutputPartitioning", "false")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.01"
-    val out = new java.io.PrintWriter("/tmp/plans.txt")
-    for (q <- Queries.benchQueries) {
+    // optional args: [substring filter] [output file] [sf dir]
+    val only = args.lift(0)
+    val dir = args.lift(2).getOrElse("/root/testdata/sf0.01")
+    val out = new java.io.PrintWriter(args.lift(1).getOrElse("/tmp/plans.txt"))
+    for (q <- Queries.benchQueries if only.forall(q.name.contains)) {
       out.println(s"===== ${q.name} =====")
       try out.println(q.run(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -31,9 +31,18 @@ object GraftSession {
       // source filter) and Generate itself already skips empty/null
       // arrays with identical semantics, so excluding the rule is
       // result-neutral and removes a full tokenize pass from every
-      // explode-shaped text operator.
+      // explode-shaped text operator. NOTE the exclusion is
+      // SESSION-GLOBAL: generators over raw parquet array columns
+      // (e.g. posexplode over a stored features array) also lose the
+      // inferred isnotnull/size filter — benign here because Generate
+      // drops those rows in the same stage and the test corpora carry
+      // no null/empty arrays; a deployment with sparse array columns
+      // should scope the mitigation to the text operators instead.
+      // SPARK_GRAFT_EXCLUDED_RULES is a dev-only A/B override (unset in
+      // every driver/production path).
       .config("spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+        sys.env.getOrElse("SPARK_GRAFT_EXCLUDED_RULES",
+          "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"))
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -46,22 +46,35 @@ object Tables {
   // schema from a footer read plus a fresh relation resolution — pure
   // metadata overhead multiplied by the 229-entry bench board. The
   // cached object is a LAZY plan (no data, no results — each query
-  // still computes from the parquet bytes); keying by session through a
-  // WeakHashMap lets a stopped session (test suites build dozens) be
-  // collected instead of pinning its relations.
+  // still computes from the parquet bytes). INPUTS MUST BE IMMUTABLE:
+  // the cached relation pins the file listing at first read, so a path
+  // regenerated in-process would serve stale/missing files — testdata
+  // dirs are immutable by contract and no graft operator writes under
+  // them (mutable tables go through the catalog, never Tables).
+  //
+  // Eviction: a DataFrame strongly references its session (the
+  // HadoopFsRelation inside the plan holds it), so a session-weak-keyed
+  // map could never evict — entries kept their own keys reachable (the
+  // round-15 advisor's finding). Instead sessions get an identity uuid
+  // through a (value-only, collectable) weak map and the plan cache is
+  // BOUNDED with clear-on-overflow, capping retained sessions/relations
+  // at the bound.
+  private val ReadCacheMax = 512
+  private val sessionIds = new java.util.WeakHashMap[SparkSession, String]()
   private val readCache =
-    new java.util.WeakHashMap[SparkSession, java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+    new java.util.concurrent.ConcurrentHashMap[(String, String), DataFrame]()
 
   private def cachedRead(spark: SparkSession, path: String): DataFrame = {
-    val perSession = readCache.synchronized {
-      var m = readCache.get(spark)
-      if (m == null) {
-        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-        readCache.put(spark, m)
+    val sid = sessionIds.synchronized {
+      var id = sessionIds.get(spark)
+      if (id == null) {
+        id = java.util.UUID.randomUUID().toString
+        sessionIds.put(spark, id)
       }
-      m
+      id
     }
-    perSession.computeIfAbsent(path, p => spark.read.parquet(p))
+    if (readCache.size >= ReadCacheMax) readCache.clear()
+    readCache.computeIfAbsent((sid, path), _ => spark.read.parquet(path))
   }
 
   /** Normalize the `ts` column of an events frame (batch or streaming) to

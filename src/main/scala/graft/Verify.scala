@@ -23,6 +23,12 @@ object Verify {
         Files.writeString(errDir.resolve("_ERROR.txt"), s"$name\n${e.toString}\n")
       } catch { case _: Throwable => () }
     }
+    finally
+      // release per-query persisted aggregates (q15-style reused
+      // relations persist inside query bodies with no post-action hook)
+      // — without this a 250+-entry dump accumulates dead cached blocks
+      // in the block manager (§5)
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
   }
 
   def main(args: Array[String]): Unit = {

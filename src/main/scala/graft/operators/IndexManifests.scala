@@ -164,6 +164,28 @@ private[graft] object IndexManifests {
   private val statsCache =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]()
 
+  /** Write the one-row stats sidecar FROM DRIVER SCALARS and prime the
+    * stats cache for it. Every mutation knows (n, sumdl) exactly at
+    * commit time (base scalars from [[cachedStats]] plus the batch's
+    * collected delta), so the former distributed merge job — a read of
+    * the base stats parquet unioned/cross-joined with aggregate
+    * broadcasts — collapses to one local-relation write (a 1-task job),
+    * and the NEXT serve's stats lookup is a cache hit instead of a
+    * read. The gen guard mirrors [[cachedManifest]]: a prime racing an
+    * invalidate() must not be remembered past it.
+    */
+  def writeStats(spark: SparkSession, dir: String, statsRel: String,
+      n: Long, sumdl: Long): Unit = {
+    val gen = dirGen.get(dir)
+    spark.createDataFrame(
+      java.util.Collections.singletonList(org.apache.spark.sql.Row(n, sumdl)),
+      org.apache.spark.sql.types.StructType.fromDDL("n BIGINT, sumdl BIGINT"))
+      .coalesce(1).write.mode("errorifexists").parquet(s"$dir/$statsRel")
+    if (statsCache.size >= ManifestCacheMax) statsCache.clear()
+    if (java.util.Objects.equals(dirGen.get(dir), gen))
+      statsCache.put((dir, statsRel), (n, sumdl))
+  }
+
   def cachedStats(spark: SparkSession, dir: String, statsRel: String): (Long, Long) = {
     val key = (dir, statsRel)
     val hit = statsCache.get(key)

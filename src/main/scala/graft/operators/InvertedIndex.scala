@@ -411,9 +411,34 @@ object InvertedIndex {
             case e: Throwable => Left(e)
           }
         }
-        settled.collectFirst { case Left(t) => t }.foreach(throw _)
+        val failures = settled.collect { case Left(t) => t }
+        failures.headOption.foreach { first =>
+          // sibling failures ride as suppressed — a multi-write failure
+          // must not silently discard the other writes' diagnostics
+          failures.drop(1).foreach(first.addSuppressed)
+          throw first
+        }
       } finally { pool.shutdown(); () }
     }
+
+  /** Collect the corpus-stats SCALARS (n docs, sum of dl) of a postings
+    * frame to the driver — one column-pruned aggregate job, the same
+    * arithmetic the former distributed stats writes ran (per-doc dl via
+    * first(dl), then count + sum). Shared by build/delta/removal paths:
+    * every stats sidecar is now pure driver arithmetic over these
+    * scalars plus [[IndexManifests.cachedStats]] of the base, written
+    * through [[IndexManifests.writeStats]] (a 1-task local write that
+    * also primes the serve-side cache), instead of a distributed job
+    * that re-read the base stats parquet per commit attempt. The
+    * collect doubles as the EMPTINESS PROBE the removal paths used to
+    * run separately (n == 0 ⟺ no rows).
+    */
+  private def collectDocStats(postings: DataFrame): (Long, Long) = {
+    val r = postings.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
+      .agg(count(lit(1)).as("n"), coalesce(sum(col("__dl")), lit(0L)).as("sumdl"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
 
   /** Read a committed (or staged) file list; empty lists yield an empty
     * postings frame with the right schema.
@@ -454,6 +479,11 @@ object InvertedIndex {
     val spark = docs.sparkSession
     require(versions(spark, dir).isEmpty,
       s"inverted index already committed at $dir (addDelta grows it; build starts fresh)")
+    // a rebuild at a previously-used path must not serve the old tree's
+    // cached manifests — invalidate BEFORE this build's sidecars land,
+    // so the stats prime below survives (nothing can re-cache the old
+    // tree in between: its manifests are gone from disk)
+    IndexManifests.invalidate(dir)
     val tf = termFreqs(docs, idCol, textCol, withPositions)
     val files = stagePostings(spark, postingsOf(tf, idCol, buckets), dir, buckets, splits)
     val staged = readPostings(spark, dir, files, withPositions)
@@ -463,13 +493,11 @@ object InvertedIndex {
       () => staged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .select(col("tok"), col("df"))
         .write.mode("errorifexists").parquet(s"$dir/$vocabRel"),
-      () => staged.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-        .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
-        .write.mode("errorifexists").parquet(s"$dir/$statsRel")))
+      () => {
+        val (n, sumdl) = collectDocStats(staged)
+        IndexManifests.writeStats(spark, dir, statsRel, n, sumdl)
+      }))
     val metaDirs = stageMeta(docs, idCol, metaCols, dir).toSeq
-    // a rebuild at a previously-used path must not serve the old tree's
-    // cached manifests
-    IndexManifests.invalidate(dir)
     require(tryCommit(spark, dir,
       Manifest(1L, buckets, files, vocabRel, statsRel, positions = withPositions,
         metaCols = metaCols, metaDirs = metaDirs)),
@@ -493,6 +521,8 @@ object InvertedIndex {
     require(buckets >= 1, s"buckets must be >= 1, got $buckets")
     require(versions(spark, dir).isEmpty,
       s"inverted index already committed at $dir (buildFromPostings starts fresh)")
+    // invalidate-first for the same reason as [[build]]
+    IndexManifests.invalidate(dir)
     val cols = Seq(col("doc_id"), col("tok"), col("tf"), col("dl")) ++
       (if (withPositions) Seq(col("positions")) else Nil)
     val files = stagePostings(spark,
@@ -505,11 +535,11 @@ object InvertedIndex {
       () => staged.groupBy(col("tok")).agg(count(lit(1)).as("df"))
         .select(col("tok"), col("df"))
         .write.mode("errorifexists").parquet(s"$dir/$vocabRel"),
-      () => staged.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-        .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
-        .write.mode("errorifexists").parquet(s"$dir/$statsRel")))
+      () => {
+        val (n, sumdl) = collectDocStats(staged)
+        IndexManifests.writeStats(spark, dir, statsRel, n, sumdl)
+      }))
     val metaDirs = meta.flatMap(m => stageMeta(m, "doc_id", metaCols, dir)).toSeq
-    IndexManifests.invalidate(dir)
     require(tryCommit(spark, dir,
       Manifest(1L, buckets, files, vocabRel, statsRel, positions = withPositions,
         metaCols = metaCols, metaDirs = metaDirs)),
@@ -576,9 +606,12 @@ object InvertedIndex {
       stamp: Option[(String, Long)] = None): Manifest = {
     val deltaPostings = readPostings(spark, dir, staged.files)
     val deltaVocab = deltaPostings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val deltaStats = deltaPostings.groupBy(col("doc_id"))
-      .agg(first(col("dl")).as("__dl"))
-      .agg(count(lit(1)).as("n"), sum(col("__dl")).as("sumdl"))
+    // the delta's stats collect ONCE, outside the CAS loop (a pure
+    // function of the staged files); each attempt's stats sidecar is
+    // then driver arithmetic against the fresh base's cached scalars —
+    // the former distributed merge re-read the base stats parquet and
+    // re-aggregated the staged files on every attempt
+    val (deltaN, deltaSumdl) = collectDocStats(deltaPostings)
     var attempt = 0
     while (true) {
       attempt += 1
@@ -592,9 +625,11 @@ object InvertedIndex {
         () => spark.read.parquet(s"$dir/${base.vocabDir}").unionByName(deltaVocab)
           .groupBy(col("tok")).agg(sum(col("df")).as("df"))
           .write.mode("errorifexists").parquet(s"$dir/$vocabRel"),
-        () => spark.read.parquet(s"$dir/${base.statsDir}").unionByName(deltaStats)
-          .agg(sum(col("n")).as("n"), sum(col("sumdl")).as("sumdl"))
-          .write.mode("errorifexists").parquet(s"$dir/$statsRel")))
+        () => {
+          val (baseN, baseSumdl) = IndexManifests.cachedStats(spark, dir, base.statsDir)
+          IndexManifests.writeStats(spark, dir, statsRel,
+            baseN + deltaN, baseSumdl + deltaSumdl)
+        }))
       val next = Manifest(base.version + 1, base.buckets,
         base.postings ++ staged.files, vocabRel, statsRel,
         base.streams ++ stamp.toMap, base.positions,
@@ -702,16 +737,19 @@ object InvertedIndex {
       // corrections must be computed against the SAME postings the
       // claim commits over — the (live-row) scan re-derives inside the
       // CAS loop (retries are rare). WITHIN an attempt the scan runs
-      // once: the emptiness probe and commitRemoval's two correction
-      // aggregates all consume the persisted hit rows (lineage kept —
-      // a lost block recomputes), not three separate postings scans.
+      // once: the stats collect (which doubles as the emptiness probe —
+      // n == 0 ⟺ nothing to delete) and commitRemoval's vocab
+      // correction both consume the persisted hit rows (lineage kept —
+      // a lost block recomputes), not separate postings scans.
       val hit = liveRows(spark, dir, base, base.postings)
         .join(broadcast(del), Seq("doc_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (hit.isEmpty) return
+        val hitStats = collectDocStats(hit)
+        if (hitStats._1 == 0L) return
         val committed = commitRemoval(spark, dir, base,
-          removed = hit, tombstoneIds = del, staged = Nil, stamp = None)
+          removed = hit, removedStats = hitStats, tombstoneIds = del,
+          staged = Nil, stagedStats = (0L, 0L), stamp = None)
         if (committed) return
       } finally hit.unpersist(blocking = false)
       if (attempt >= maxAttempts)
@@ -732,20 +770,22 @@ object InvertedIndex {
     */
   private[graft] def removeRows(spark: SparkSession, dir: String,
       removed: DataFrame, maxAttempts: Int = 5): Unit = {
-    // one materialization feeds the emptiness probe, the tombstone ids
-    // and commitRemoval's two correction aggregates — the caller's
-    // `removed` may be a staged-tree read (cheap) or a computed frame
-    // (the reshard's pinned live set): either way it runs once
+    // one materialization feeds the stats collect (which doubles as the
+    // emptiness probe), the tombstone ids and commitRemoval's vocab
+    // correction — the caller's `removed` may be a staged-tree read
+    // (cheap) or a computed frame (the reshard's pinned live set):
+    // either way it runs once
     val rm = removed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      if (rm.isEmpty) return
+      val rmStats = collectDocStats(rm)
+      if (rmStats._1 == 0L) return
       val tombstoneIds = rm.select(col("doc_id")).distinct()
       var attempt = 0
       while (true) {
         attempt += 1
         val base = currentManifest(spark, dir)
-        if (commitRemoval(spark, dir, base, rm, tombstoneIds,
-          staged = Nil, stamp = None)) return
+        if (commitRemoval(spark, dir, base, rm, rmStats, tombstoneIds,
+          staged = Nil, stagedStats = (0L, 0L), stamp = None)) return
         if (attempt >= maxAttempts)
           throw new graft.catalog.GraftCommitConflict(
             s"reshard removal lost the version race $maxAttempts times at $dir")
@@ -757,29 +797,31 @@ object InvertedIndex {
     * dl) rows) plus `staged` (incoming postings files), write the
     * tombstone, and try ONE manifest claim against `base`. Returns
     * false on a lost race (caller re-reads and retries).
+    *
+    * The stats corrections arrive as DRIVER SCALARS (`removedStats` /
+    * `stagedStats`, collected once per batch by the callers — pure
+    * functions of the batch, not of the base), so the stats sidecar is
+    * arithmetic over the base's cached scalars + a 1-task local write —
+    * the former distributed job re-read the base stats parquet and
+    * cross-joined two aggregate broadcasts on every commit attempt.
     */
   private def commitRemoval(spark: SparkSession, dir: String, base: Manifest,
-      removed: DataFrame, tombstoneIds: DataFrame, staged: Seq[(Int, String)],
+      removed: DataFrame, removedStats: (Long, Long), tombstoneIds: DataFrame,
+      staged: Seq[(Int, String)], stagedStats: (Long, Long),
       stamp: Option[(String, Long)], appendTombstone: Boolean = true,
       stagedMeta: Option[String] = None): Boolean = {
     val vocabMinus = removed.groupBy(col("tok")).agg(count(lit(1)).as("__dfm"))
-    val statsMinus = removed.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-      .agg(count(lit(1)).as("__nm"), sum(col("__dl")).as("__sdm"))
-    val (vocabPlus, statsPlus) =
-      if (staged.isEmpty) (None, None)
-      else {
-        val p = readPostings(spark, dir, staged)
-        (Some(p.groupBy(col("tok")).agg(count(lit(1)).as("__dfp"))),
-          Some(p.groupBy(col("doc_id")).agg(first(col("dl")).as("__dl"))
-            .agg(count(lit(1)).as("__np"), sum(col("__dl")).as("__sdp"))))
-      }
+    val vocabPlus =
+      if (staged.isEmpty) None
+      else Some(readPostings(spark, dir, staged)
+        .groupBy(col("tok")).agg(count(lit(1)).as("__dfp")))
     val vocabRel = IndexManifests.freshRel("vocab")
     val statsRel = IndexManifests.freshRel("stats")
     val delEntry =
       if (!appendTombstone) None
       else Some(IndexManifests.freshRel("deletes") -> base.postings.size)
     // the three sidecar writes are independent (disjoint output dirs,
-    // inputs all staged/persisted) — overlap their jobs
+    // inputs all staged/persisted/driver-resident) — overlap their jobs
     inParallel(Seq(
       () => {
         val v0 = spark.read.parquet(s"$dir/${base.vocabDir}")
@@ -793,15 +835,10 @@ object InvertedIndex {
           .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
       },
       () => {
-        val s0 = spark.read.parquet(s"$dir/${base.statsDir}").crossJoin(broadcast(statsMinus))
-        val s1 = statsPlus.fold(
-          s0.withColumn("__np", lit(0L)).withColumn("__sdp", lit(0L)))(p =>
-          s0.crossJoin(broadcast(p)))
-        s1.select(
-            (col("n") - coalesce(col("__nm"), lit(0L)) + coalesce(col("__np"), lit(0L))).as("n"),
-            (col("sumdl") - coalesce(col("__sdm"), lit(0L)) +
-              coalesce(col("__sdp"), lit(0L))).as("sumdl"))
-          .write.mode("errorifexists").parquet(s"$dir/$statsRel")
+        val (baseN, baseSumdl) = IndexManifests.cachedStats(spark, dir, base.statsDir)
+        IndexManifests.writeStats(spark, dir, statsRel,
+          baseN - removedStats._1 + stagedStats._1,
+          baseSumdl - removedStats._2 + stagedStats._2)
       }) ++ delEntry.map { case (delRel, _) =>
         () => tombstoneIds.coalesce(1).write.mode("errorifexists").parquet(s"$dir/$delRel")
       })
@@ -839,25 +876,38 @@ object InvertedIndex {
     stamp.foreach { case (ns, batchId) =>
       if (committedBatchId(spark, dir, ns).exists(_ >= batchId)) return
     }
-    val staged = if (upserts.isEmpty) StagedDelta(Nil)
-      else stageDelta(upserts, idCol, textCol, dir)
+    // stage WITHOUT a pre-probe: evaluating `upserts.isEmpty` costs a
+    // separate (corpus-filter-shaped) job, and an empty delta stages to
+    // zero files anyway (every doc tokenizes to >= 1 posting row, so
+    // files.isEmpty ⟺ upserts is empty); the empty-case meta rel is
+    // dropped (an invisible orphan for vacuum, like any crashed staging)
+    val staged0 = stageDelta(upserts, idCol, textCol, dir)
+    val staged = if (staged0.files.isEmpty) StagedDelta(Nil) else staged0
     // the outgoing rows re-tokenize the OLD text with the build's exact
     // expression — bit-identical (tok, tf, dl) to what was indexed.
     // Positions are never part of the corrections, so skip their build
     // regardless of the index's shape. BOTH outgoing frames persist for
     // the batch: `removals` may be an expensive lookup (the bench shape
     // is a corpus semi-join) and was previously re-evaluated four times
-    // per batch (emptiness probe, tombstone ids, and the two correction
-    // aggregates) — now the tokenize pass runs once and the tombstone
-    // ids once, shared across CAS attempts (the corrections are a pure
-    // function of the batch, not of the base manifest).
+    // per batch — now the tokenize pass runs once (materialized by the
+    // stats collect, which doubles as the has-removals probe) and the
+    // tombstone ids once, shared across CAS attempts (the corrections
+    // are a pure function of the batch, not of the base manifest).
     val removed = postingsOf(termFreqs(removals, idCol, textCol, withPositions = false),
         idCol, 1).drop("bucket")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tombstoneIds = removals.select(col(idCol).cast("long").as("doc_id")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // tombstone ids derive from the PERSISTED removed rows, not from
+    // `removals` — the latter re-evaluates the caller's (corpus-shaped)
+    // lookup per use. Identical sets under the loud contract: every doc
+    // tokenizes to >= 1 posting row (split yields [""] for empty text),
+    // so each removal id appears in `removed`.
+    val tombstoneIds = removed.select(col("doc_id").cast("long").as("doc_id")).distinct()
     try {
-      val hasRemovals = !tombstoneIds.isEmpty
+      val removedStats = collectDocStats(removed)
+      val hasRemovals = removedStats._1 > 0L
+      val stagedStats =
+        if (staged.files.isEmpty) (0L, 0L)
+        else collectDocStats(readPostings(spark, dir, staged.files))
       var attempt = 0
       while (true) {
         attempt += 1
@@ -865,17 +915,14 @@ object InvertedIndex {
         stamp.foreach { case (ns, batchId) =>
           if (base.streams.get(ns).exists(_ >= batchId)) return
         }
-        if (commitRemoval(spark, dir, base, removed, tombstoneIds,
-          staged.files, stamp, appendTombstone = hasRemovals,
+        if (commitRemoval(spark, dir, base, removed, removedStats, tombstoneIds,
+          staged.files, stagedStats, stamp, appendTombstone = hasRemovals,
           stagedMeta = staged.meta)) return
         if (attempt >= maxAttempts)
           throw new graft.catalog.GraftCommitConflict(
             s"index CDC batch lost the version race $maxAttempts times at $dir")
       }
-    } finally {
-      removed.unpersist(blocking = false)
-      tombstoneIds.unpersist(blocking = false)
-    }
+    } finally removed.unpersist(blocking = false)
   }
 
   // ---- maintenance ---------------------------------------------------
@@ -1257,6 +1304,14 @@ object InvertedIndex {
     */
   val MaxTermPrune = 512
 
+  /** Most DISTINCT (probe, term) pairs the id-probe serve collects to
+    * localize the probe relation (see [[serveBm25]]'s distributed tier)
+    * — looser than [[MaxTermPrune]] because pairs multiply terms by the
+    * probes sharing them; past this the serve falls back to the fully
+    * distributed probe analysis.
+    */
+  val PairCollectBound = 4096
+
   /** Most query terms the pushed-down row filter handles. Separate —
     * and much lower — than [[MaxTermPrune]]: file-level skipping is
     * free at any term count (driver-side manifest math), but the
@@ -1448,12 +1503,25 @@ object InvertedIndex {
       probeIds: Seq[Long], k: Int = 5, maxDfPercent: Option[Int] = None,
       where: Option[Column] = None): DataFrame = {
     val spark = docs.sparkSession
-    // probe terms need no positions regardless of the index's shape
+    // probe terms need no positions regardless of the index's shape.
+    // termFreqs groups by (doc, tok), so the pairs are ALREADY distinct:
+    // one bounded collect localizes the probe relation and routes the
+    // serve through the zero-job knownTerms tier (bucket routing +
+    // df-cap resolve driver-side; the probe frame never re-evaluates
+    // under the serve plan's broadcasts). Oversized probe sets keep the
+    // distributed path.
     val qterms = termFreqs(docs.filter(col(idCol).isin(probeIds: _*)), idCol, textCol,
         withPositions = false)
       .select(col(idCol).as("probe_id"), col("__tok"))
-    serveBm25(spark, dir, qterms, k, excludeSelf = true, maxDfPercent, where)
-      .select(col("probe_id"), col("rank"), col("doc_id").as(idCol), col("score"))
+    val head = qterms.limit(PairCollectBound + 1).collect()
+    val serve =
+      if (head.length <= PairCollectBound) {
+        val local = spark.createDataFrame(
+          java.util.Arrays.asList(head.toIndexedSeq: _*), qterms.schema)
+        serveBm25(spark, dir, local, k, excludeSelf = true, maxDfPercent, where,
+          knownTerms = Some(head.map(_.getString(1)).toSeq))
+      } else serveBm25(spark, dir, qterms, k, excludeSelf = true, maxDfPercent, where)
+    serve.select(col("probe_id"), col("rank"), col("doc_id").as(idCol), col("score"))
   }
 
   /** BM25 top-`k` for RAW QUERY TEXT (the SQL/TVF surface's shape): the
@@ -1770,6 +1838,40 @@ object InvertedIndex {
           else qterms0.filter(col("__tok").isin(kept: _*))
         (q, kept.map(DriverEval.bucketOf(_, m.buckets)).toSet, Some(kept))
       case _ =>
+        // distributed probes (id-based, terms live in the corpus): ONE
+        // bounded collect of the DISTINCT (probe_id, term) pairs serves
+        // df-cap, bucket pruning, file-range skipping — and LOCALIZES
+        // the probe relation itself. qterms is referenced repeatedly
+        // downstream (the score join's broadcast side, the idf
+        // semi-join's broadcast side), and as a corpus-derived frame
+        // every reference re-ran the probe scan + tokenize as its own
+        // Spark job; rebuilt as a LocalRelation from the collected
+        // pairs, those broadcasts are driver-local rows and the serve
+        // plan's only distributed input is the pruned postings scan.
+        val pairs0 = qterms0.select(col("probe_id"), col("__tok")).distinct()
+        val pairRows = pairs0.limit(PairCollectBound + 1).collect()
+        val pairsBounded = pairRows.length <= PairCollectBound
+        if (pairsBounded) {
+          val localQ = spark.createDataFrame(
+            java.util.Arrays.asList(pairRows.toIndexedSeq: _*), pairs0.schema)
+          val ts = pairRows.map(_.getString(1)).distinct.toSeq
+          // term pruning keeps its own (tighter) bound: file-range math
+          // and the pushed row filter want few terms; past MaxTermPrune
+          // the serve still bucket-prunes (buckets derive from the
+          // collected terms driver-side — never a separate job)
+          val kept = maxDfPercent match {
+            case None => ts
+            case Some(pct) =>
+              require(pct >= 1 && pct <= 100, s"maxDfPercent must be in [1, 100], got $pct")
+              val (n, _) = IndexManifests.cachedStats(spark, dir, m.statsDir)
+              val dfs = IndexManifests.cachedTermDfs(spark, dir, m.vocabDir, ts)
+              ts.filter(t => dfs.get(t).exists(df => df * 100 <= n * pct))
+          }
+          val q = if (kept.size == ts.size) localQ
+            else localQ.filter(col("__tok").isin(kept: _*))
+          (q, kept.map(DriverEval.bucketOf(_, m.buckets)).toSet,
+            if (kept.size <= MaxTermPrune) Some(kept) else None)
+        } else {
         val probed0 = qterms0
           .select(col("__tok"), bucketOf(col("__tok"), m.buckets).as("bucket"))
           .distinct()
@@ -1819,6 +1921,7 @@ object InvertedIndex {
                   .distinct().collect().map(_.getInt(0)).toSet,
                 None)
             }
+        }
         }
     }
     // tombstoned rows are excluded here (coverage-aware); their
