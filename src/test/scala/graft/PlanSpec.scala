@@ -23,12 +23,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
-  test("upsert_latest partial-aggregates before a single shuffle, no window") {
+  test("upsert_latest pre-truncates per task before a single shuffle") {
     val plan = planOf("upsert_latest")
-    assert(plan.contains("partial_max_by"), "expected map-side partial aggregation")
+    // the rank-1 filter must plan as a WindowGroupLimit PAIR: the partial
+    // one runs before the exchange and truncates to one candidate row per
+    // key per task — the same map-side reduction the former partial
+    // max_by aggregation had, without its SortAggregate struct buffers
+    val groupLimits = "WindowGroupLimit".r.findAllIn(plan).size
+    assert(groupLimits == 2, s"expected partial+final WindowGroupLimit, got $groupLimits")
     val hashExchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
     assert(hashExchanges == 1, s"expected exactly 1 hash shuffle, got $hashExchanges")
-    assert(!plan.contains("Window"), "latest-per-key must not use a window function")
+    assert(!plan.contains("SortAggregate"), "latest-per-key must not sort-aggregate structs")
   }
 
   test("semi/anti joins plan as LeftSemi/LeftAnti, never inner + distinct") {
