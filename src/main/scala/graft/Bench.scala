@@ -242,8 +242,12 @@ object StreamBenchSection {
       .option("checkpointLocation", s"$work/ckpt_mor")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
         val b0 = System.nanoTime()
+        // tableDir hint = the production path (manifest-read replay
+        // pre-check instead of a per-batch SHOW TBLPROPERTIES), exactly
+        // what StreamMerge.runAvailableNow passes
         graft.streaming.StreamMerge.idempotentMerge(
-          s"$cat.db.mor", Seq(graft.operators.MergeKey.ColumnName), Seq("version"))(batch, batchId)
+          s"$cat.db.mor", Seq(graft.operators.MergeKey.ColumnName), Seq("version"),
+          tableDir = Some(morTableDir))(batch, batchId)
         perBatch += (System.nanoTime() - b0) / 1e9
         ()
       }

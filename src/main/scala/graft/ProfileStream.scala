@@ -65,6 +65,25 @@ object ProfileStream {
           FROM $tbl ORDER BY o_orderkey""")
           .write.format("noop").mode("overwrite").save()
       }
+      // split the streaming machinery from the MERGE itself: same batch,
+      // same (fresh) seeded table, but idempotentMerge called directly
+      val tbl2 = s"profcat.db.d$pass"
+      graft.streaming.StreamMerge.seedTarget(spark, tbl2, seed, Seq("o_orderkey"))
+      val resolved = phase("resolveBuckets") {
+        graft.streaming.StreamMerge.resolveBuckets(spark, tbl2, graft.streaming.StreamMerge.Auto)
+      }
+      val batch = {
+        val keyed = graft.operators.MergeKey.withMergeKey(
+          spark.read.schema(schema).parquet(s"$work/src"), Seq("o_orderkey"))
+        resolved.n.fold(keyed)(n =>
+          keyed.withColumn(graft.streaming.StreamMerge.BucketColumnName,
+            graft.streaming.StreamMerge.bucketExpr(n)))
+      }
+      phase("direct idempotentMerge") {
+        graft.streaming.StreamMerge.idempotentMerge(tbl2,
+          Seq(graft.operators.MergeKey.ColumnName), Seq("version"),
+          resolved.n.filter(_ => resolved.prune))(batch, 0L)
+      }
     }
     spark.stop()
   }

@@ -196,16 +196,31 @@ object TextAnalysis {
     */
   def ngramLmScore(df: DataFrame, idCol: String, textCol: String,
       n: Int = 2, minCount: Long = 2L): DataFrame = {
+    // per-(doc, gram) pre-aggregation FIRST: the scored side's join and
+    // the final per-doc aggregate then see one row per distinct
+    // (doc, gram) instead of one per gram INSTANCE (1.55x at sf0.1 on
+    // the minCount=2 shape; flat at the floor-bound bench entry), and
+    // because any partitioning on idCol alone satisfies the
+    // (idCol, gram) clustering, the pre-aggregation adds NO exchange on
+    // a doc-partitioned input. The model still derives from its own
+    // corpus pass (plan inlining keeps the tokenize per join side; only
+    // the scan+exchange stage is AQE-reused) — forcing a shared
+    // exchange under the tokenize would trade a gram-stream shuffle for
+    // the pass, the wrong trade at scale (§2.3). Weighting by the
+    // per-doc gram count k keeps the arithmetic exact: n_ngrams = Σk,
+    // n_covered = Σk·[covered], sum_model_count = Σk·c — bit-identical
+    // to the instance-level sums (oracle-pinned).
     val grams = df.select(col(idCol),
       explode(graft.functions.TextFunctions.wordShingles(col(textCol), n)).as("__g"))
-    val model = grams.groupBy(col("__g")).agg(count(lit(1)).as("__c"))
+    val perDoc = grams.groupBy(col(idCol), col("__g")).agg(count(lit(1)).as("__k"))
+    val model = perDoc.groupBy(col("__g")).agg(sum(col("__k")).as("__c"))
       .filter(col("__c") >= minCount)
-    grams.join(model, Seq("__g"), "left")
+    perDoc.join(model, Seq("__g"), "left")
       .groupBy(col(idCol))
       .agg(
-        count(lit(1)).as("n_ngrams"),
-        sum(when(col("__c").isNotNull, 1L).otherwise(0L)).as("n_covered"),
-        sum(coalesce(col("__c"), lit(0L))).as("sum_model_count")
+        sum(col("__k")).as("n_ngrams"),
+        sum(when(col("__c").isNotNull, col("__k")).otherwise(0L)).as("n_covered"),
+        sum(col("__k") * coalesce(col("__c"), lit(0L))).as("sum_model_count")
       )
       .select(
         col(idCol), col("n_ngrams"), col("n_covered"),

@@ -118,6 +118,19 @@ object StreamMerge {
       .where(col("key") === BucketsProp)
       .collect().headOption.map(_.getString(1).toInt)
 
+  /** Current snapshot read straight from the table's manifest — the
+    * metadata fast path for PER-BATCH/PER-CYCLE checks. Table properties
+    * and schema live in the snapshot (createTable commits them), so this
+    * is equivalent to `SHOW TBLPROPERTIES` / `spark.table(...)` minus a
+    * full catalog-table resolution per call (~0.1 s of driver work at
+    * local scale, paid once per micro-batch on the replay pre-check —
+    * §5: the driver should do almost no work per batch).
+    */
+  private def manifestSnapshot(tableDir: String): Option[graft.catalog.GraftSnapshot] =
+    new graft.catalog.GraftManifestIO(
+      new org.apache.hadoop.fs.Path(tableDir), graft.catalog.GraftConf.hadoop)
+      .currentSnapshot()
+
   /** Create + seed a bucketed MOR target in one step: merge key and
     * bucket column derived, bucket count declared as a table property
     * (the modulus contract future streams validate against), and the
@@ -149,9 +162,20 @@ object StreamMerge {
     */
   final case class ResolvedBuckets(n: Option[Int], prune: Boolean)
 
-  def resolveBuckets(spark: SparkSession, table: String, posture: Bucketing): ResolvedBuckets = {
-    val declared = declaredBuckets(spark, table)
-    val hasColumn = spark.table(table).columns.contains(BucketColumnName)
+  def resolveBuckets(spark: SparkSession, table: String, posture: Bucketing,
+      tableDir: Option[String] = None): ResolvedBuckets = {
+    // with the table's directory in hand (the streaming Config carries
+    // it), the declaration reads from the manifest directly; the SQL
+    // path stays for callers that only know the catalog name
+    val (declared, hasColumn) = tableDir match {
+      case Some(d) =>
+        val snap = manifestSnapshot(d)
+        (snap.flatMap(_.properties.get(BucketsProp)).map(_.toInt),
+          snap.exists(_.schema.fieldNames.contains(BucketColumnName)))
+      case None =>
+        (declaredBuckets(spark, table),
+          spark.table(table).columns.contains(BucketColumnName))
+    }
     (declared, hasColumn) match {
       case (Some(_), false) => sys.error(
         s"$table declares $BucketsProp but lacks the $BucketColumnName column")
@@ -259,12 +283,22 @@ object StreamMerge {
     * Returns true if the batch was applied, false for a replay skip.
     */
   def idempotentMerge(table: String, keys: Seq[String], versionCols: Seq[String],
-      pruneBuckets: Option[Int] = None, batchIdProp: String = BatchIdProp)(
+      pruneBuckets: Option[Int] = None, batchIdProp: String = BatchIdProp,
+      tableDir: Option[String] = None)(
       batch: DataFrame, batchId: Long): Boolean = {
     require(keys.nonEmpty, "merge requires at least one key column")
     require(versionCols.nonEmpty, "upsert versioning requires at least one version column")
     val spark = batch.sparkSession
-    if (committedBatchId(spark, table, batchIdProp).exists(_ >= batchId)) return false
+    // replay pre-check: from the manifest when the caller knows the
+    // table dir (per-batch SHOW TBLPROPERTIES was ~0.1 s of driver
+    // resolution); the commit-window guard inside GraftCommitStamp stays
+    // the authoritative exactly-once gate either way
+    val replayed = tableDir match {
+      case Some(d) => manifestSnapshot(d)
+        .exists(s => GraftCommitStamp.committed(s.properties, batchIdProp, batchId))
+      case None => committedBatchId(spark, table, batchIdProp).exists(_ >= batchId)
+    }
+    if (replayed) return false
     val staged = Upsert.latestByKey(batch, keys, versionCols)
     val cols = staged.columns.toSeq
     // the batch's distinct buckets: a bounded collect (≤ nBuckets ≤
@@ -303,7 +337,7 @@ object StreamMerge {
     var batches = 0L
     // resolved ONCE per cycle against the target's own declaration —
     // the modulus can never drift from the table's bucket column
-    val resolved = resolveBuckets(spark, cfg.table, cfg.bucketing)
+    val resolved = resolveBuckets(spark, cfg.table, cfg.bucketing, Some(cfg.tableDir))
     val reader = spark.readStream.schema(schema)
     val src = cfg.maxFilesPerTrigger.fold(reader)(n => reader.option("maxFilesPerTrigger", n))
       .parquet(cfg.sourceDir)
@@ -317,7 +351,7 @@ object StreamMerge {
       .option("checkpointLocation", cfg.checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         idempotentMerge(cfg.table, Seq(MergeKey.ColumnName), cfg.versionCols,
-          pruneWith, cfg.batchIdProp)(batch, batchId)
+          pruneWith, cfg.batchIdProp, Some(cfg.tableDir))(batch, batchId)
         batches += 1
         // OUTSIDE the stamp scope: maintenance is content-neutral and
         // must not be refused as a "replay" of the batch it follows.
