@@ -127,12 +127,11 @@ class PlanAuditSpec extends SparkSpec {
     "search_hybrid_rrf"     -> "probe sweep (dense branch), require-capped",
     // (search_bm25_indexed/delta/delete/cdc left this list in r12: they
     // eager-materialize via disposeAfter, so the audited plan is a
-    // LocalRelation; their serve shape is audited via search_bm25_served)
-    "search_bm25_served"    -> "probe-doc term set + probe-restricted idf: bounded by the probe contract",
-    "search_bm25_capped"    -> "same probe-bounded sides behind the df-cap vocab semi-join",
-    "search_bm25_filtered"  -> "probe-bounded sides + doc-count-sized meta sidecar semi-join",
-    "search_hybrid_served"  -> "probe-bounded lexical sides + probe (id, vec, cell) rows on the dense branch",
-    "search_hybrid_filtered" -> "probe-bounded sides + BOTH branches' doc-count-sized meta sidecar semi-joins",
+    // LocalRelation; their serve shape is audited via search_bm25_served.
+    // search_bm25_served/capped/filtered and search_hybrid_served/
+    // filtered left in r16: bm25TopK now collects its contract-bounded
+    // probe pairs and serves them as a LocalRelation — the broadcast
+    // sides are STRUCTURALLY bounded, like the ANN serves before them)
     // benchmark-suite sides (eval sets are small by their nature):
     "decontaminate"         -> "benchmark shingle set: |benchmark| ≪ corpus by contract",
     "curation_pipeline"     -> "embeds the decontaminate benchmark-shingle side",
