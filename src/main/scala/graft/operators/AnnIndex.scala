@@ -201,15 +201,24 @@ object AnnIndex {
     IndexManifests.listStaged(spark, dir, rel, "cell")
   }
 
+  // written schemas, declared explicitly on read: footer inference is
+  // a Spark job per read.parquet call (see InvertedIndex.readPostings)
+  private val VectorSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, __cell INT")
+  private val VectorSchemaCoded = org.apache.spark.sql.types.StructType.fromDDL(
+    "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, codes ARRAY<INT>, __cell INT")
+  private val AnnTombstoneSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("neighbor_id BIGINT")
+
   private def readVectors(spark: SparkSession, dir: String,
-      files: Seq[(Int, String)], withCodes: Boolean = false): DataFrame =
+      files: Seq[(Int, String)], withCodes: Boolean = false): DataFrame = {
+    val schema = if (withCodes) VectorSchemaCoded else VectorSchema
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          if (withCodes)
-            "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, codes ARRAY<INT>, __cell INT"
-          else "neighbor_id BIGINT, __cv ARRAY<DOUBLE>, __cell INT"))
-    else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
+  }
 
   private def assign(emb: DataFrame, idCol: String, vecCol: String,
       centroids: Array[Array[Double]]): DataFrame =
@@ -393,11 +402,14 @@ object AnnIndex {
     val posRows = m.vectors.map(_._2).zipWithIndex.map { case (p, i) =>
       org.apache.spark.sql.Row(p.split('/').takeRight(3).mkString("/"), i)
     }
+    // LocalRelation (List overload), NOT parallelize — the broadcast of
+    // an RDD-backed frame costs a job per serve (see InvertedIndex)
     val posDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(posRows, 1),
+      java.util.Arrays.asList(posRows: _*),
       org.apache.spark.sql.types.StructType.fromDDL("__fn STRING, __fidx INT"))
     val tomb = m.deletes.map { case (d, c) =>
-      spark.read.parquet(s"$dir/$d").select(col("neighbor_id"), lit(c).as("__cover"))
+      spark.read.schema(AnnTombstoneSchema).parquet(s"$dir/$d")
+        .select(col("neighbor_id"), lit(c).as("__cover"))
     }.reduce(_ unionByName _)
     val tagged = base
       .withColumn("__fn",
@@ -430,7 +442,8 @@ object AnnIndex {
       val fresh =
         if (full.isEmpty) del
         else del.join(
-          spark.read.parquet(full.map(d => s"$dir/$d"): _*).select(col("neighbor_id")),
+          spark.read.schema(AnnTombstoneSchema)
+            .parquet(full.map(d => s"$dir/$d"): _*),
           Seq("neighbor_id"), "left_anti")
       if (fresh.isEmpty) return
       val delRel = IndexManifests.freshRel("deletes")
@@ -752,7 +765,7 @@ object AnnIndex {
             if (base.deletes.isEmpty) latest
             else {
               val tombIds = base.deletes.map { case (d, _) =>
-                spark.read.parquet(s"$dir/$d").select(col("neighbor_id"))
+                spark.read.schema(AnnTombstoneSchema).parquet(s"$dir/$d")
               }.reduce(_ unionByName _).distinct()
               // a vector re-inserted AFTER its tombstone has a live row
               // in later files — its latest metadata must survive

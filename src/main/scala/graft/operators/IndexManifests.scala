@@ -194,7 +194,8 @@ private[graft] object IndexManifests {
     import org.apache.spark.sql.functions.{coalesce, lit, sum}
     // coalesce: an EMPTY index (legal — e.g. a federation shard no doc
     // routed to) writes n=0 with a NULL sumdl (sum over zero rows)
-    val row = spark.read.parquet(s"$dir/$statsRel")
+    // explicit schema: footer inference is a Spark job per read
+    val row = spark.read.schema("n BIGINT, sumdl BIGINT").parquet(s"$dir/$statsRel")
       .agg(coalesce(sum("n"), lit(0L)), coalesce(sum("sumdl"), lit(0L))).head()
     val v = (row.getLong(0), row.getLong(1))
     if (statsCache.size >= ManifestCacheMax) statsCache.clear()
@@ -240,7 +241,7 @@ private[graft] object IndexManifests {
     val misses = distinct.filterNot(snapshot.contains)
     val read = if (misses.isEmpty) Map.empty[String, Long] else {
       import org.apache.spark.sql.functions.col
-      val r = spark.read.parquet(s"$dir/$vocabRel")
+      val r = spark.read.schema("tok STRING, df BIGINT").parquet(s"$dir/$vocabRel")
         .filter(col("tok").isin(misses: _*))
         .select("tok", "df").collect()
         .map(x => x.getString(0) -> x.getLong(1)).toMap

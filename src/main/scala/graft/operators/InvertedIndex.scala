@@ -440,18 +440,40 @@ object InvertedIndex {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** The sidecar schemas are pinned by the write paths (and by the
+    * empty-frame unions every federation takes through them), so reads
+    * declare them EXPLICITLY: read.parquet without a schema launches a
+    * footer-inference Spark job per call — one dead job on every
+    * postings/vocab/tombstone read, fleet-wide. A schema narrower than
+    * the file (4-col postings over a positional file) is plain column
+    * pruning; declaring a column the file lacks would read nulls, so
+    * `withPositions` must be accurate wherever positions are consumed
+    * (liveRows keys it on the manifest; the correction paths read the
+    * 4-col shape regardless of the index's positional flag).
+    */
+  private[graft] val PostingsSchema =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT")
+  private[graft] val PostingsSchemaPositional =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, positions ARRAY<INT>")
+  private[graft] val VocabSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("tok STRING, df BIGINT")
+  private[graft] val TombstoneSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
+
   /** Read a committed (or staged) file list; empty lists yield an empty
     * postings frame with the right schema.
     */
   private def readPostings(spark: SparkSession, dir: String,
-      files: Seq[(Int, String)], withPositions: Boolean = true): DataFrame =
+      files: Seq[(Int, String)], withPositions: Boolean = true): DataFrame = {
+    val schema = if (withPositions) PostingsSchemaPositional else PostingsSchema
     if (files.isEmpty)
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(
-          if (withPositions)
-            "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT, positions ARRAY<INT>"
-          else "doc_id BIGINT, tok STRING, tf BIGINT, dl BIGINT"))
-    else spark.read.parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(files.map { case (_, p) => s"$dir/$p" }: _*)
+  }
 
   // ---- build ---------------------------------------------------------
 
@@ -604,7 +626,14 @@ object InvertedIndex {
   private[graft] def commitDelta(spark: SparkSession, dir: String,
       staged: StagedDelta, maxAttempts: Int = 5,
       stamp: Option[(String, Long)] = None): Manifest = {
-    val deltaPostings = readPostings(spark, dir, staged.files)
+    // ONE batch-scoped scan of the staged files (column-pruned past
+    // positions) shared by the stats collect — which materializes it —
+    // and every attempt's vocab merge; before, the vocab job re-listed
+    // and re-read the staged files as its own scan
+    val deltaPostings = readPostings(spark, dir, staged.files, withPositions = false)
+      .select(col("doc_id"), col("tok"), col("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
     val deltaVocab = deltaPostings.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     // the delta's stats collect ONCE, outside the CAS loop (a pure
     // function of the staged files); each attempt's stats sidecar is
@@ -622,7 +651,8 @@ object InvertedIndex {
       val vocabRel = IndexManifests.freshRel("vocab")
       val statsRel = IndexManifests.freshRel("stats")
       inParallel(Seq(
-        () => spark.read.parquet(s"$dir/${base.vocabDir}").unionByName(deltaVocab)
+        () => spark.read.schema(VocabSchema).parquet(s"$dir/${base.vocabDir}")
+          .unionByName(deltaVocab)
           .groupBy(col("tok")).agg(sum(col("df")).as("df"))
           .write.mode("errorifexists").parquet(s"$dir/$vocabRel"),
         () => {
@@ -644,6 +674,7 @@ object InvertedIndex {
           s"index delta lost the version race $maxAttempts times at $dir")
     }
     sys.error("unreachable")
+    } finally deltaPostings.unpersist(blocking = false)
   }
 
   /** Fold a batch of NEW documents (ids disjoint from the indexed set)
@@ -695,11 +726,15 @@ object InvertedIndex {
     val posRows = m.postings.map(_._2).zipWithIndex.map { case (p, i) =>
       org.apache.spark.sql.Row(p.split('/').takeRight(3).mkString("/"), i)
     }
+    // LocalRelation (List overload), NOT parallelize: a broadcast of an
+    // RDD-backed frame materializes via a Spark job, a LocalTableScan
+    // collects driver-side — one job less per tombstoned serve
     val posDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(posRows, 1),
+      java.util.Arrays.asList(posRows: _*),
       org.apache.spark.sql.types.StructType.fromDDL("__fn STRING, __fidx INT"))
     val tomb = m.deletes.map { case (d, c) =>
-      spark.read.parquet(s"$dir/$d").select(col("doc_id"), lit(c).as("__cover"))
+      spark.read.schema(TombstoneSchema).parquet(s"$dir/$d")
+        .select(col("doc_id"), lit(c).as("__cover"))
     }.reduce(_ unionByName _)
     val tagged = base
       .withColumn("__fn",
@@ -809,12 +844,27 @@ object InvertedIndex {
       removed: DataFrame, removedStats: (Long, Long), tombstoneIds: DataFrame,
       staged: Seq[(Int, String)], stagedStats: (Long, Long),
       stamp: Option[(String, Long)], appendTombstone: Boolean = true,
-      stagedMeta: Option[String] = None): Boolean = {
-    val vocabMinus = removed.groupBy(col("tok")).agg(count(lit(1)).as("__dfm"))
-    val vocabPlus =
+      stagedMeta: Option[String] = None,
+      stagedRows: Option[DataFrame] = None): Boolean = {
+    // ONE merged df-delta per token (minus from the persisted outgoing
+    // rows, plus from the staged postings — [[applyCdc]] hands the
+    // latter in PERSISTED so the batch's one scan is shared with its
+    // stats collect instead of re-listing/re-reading the staged files
+    // here), then ONE full join against the base vocab — the former
+    // shape joined base LEFT minus then FULL plus (two joins, three
+    // inputs). Identical output under the loud contract (`removals`
+    // carries the OLD INDEXED text): every minus tok is in the base
+    // vocab with df ≥ its minus count, so delta-only toks have a
+    // strictly positive net (pure inserts) exactly as before, and
+    // in-base toks read df + (plus − minus).
+    val minus = removed.select(col("tok"), lit(-1L).as("__ddf"))
+    val plus =
       if (staged.isEmpty) None
-      else Some(readPostings(spark, dir, staged)
-        .groupBy(col("tok")).agg(count(lit(1)).as("__dfp")))
+      else Some(stagedRows.getOrElse(
+          readPostings(spark, dir, staged, withPositions = false))
+        .select(col("tok"), lit(1L).as("__ddf")))
+    val vocabDelta = plus.fold(minus)(minus.unionByName(_))
+      .groupBy(col("tok")).agg(sum(col("__ddf")).as("__ddf"))
     val vocabRel = IndexManifests.freshRel("vocab")
     val statsRel = IndexManifests.freshRel("stats")
     val delEntry =
@@ -824,13 +874,10 @@ object InvertedIndex {
     // inputs all staged/persisted/driver-resident) — overlap their jobs
     inParallel(Seq(
       () => {
-        val v0 = spark.read.parquet(s"$dir/${base.vocabDir}")
-          .join(vocabMinus, Seq("tok"), "left")
-        val v1 = vocabPlus.fold(v0.withColumn("__dfp", lit(null).cast("long")))(p =>
-          v0.join(p, Seq("tok"), "full"))
-        v1.select(col("tok"),
-            (coalesce(col("df"), lit(0L)) - coalesce(col("__dfm"), lit(0L)) +
-              coalesce(col("__dfp"), lit(0L))).as("df"))
+        spark.read.schema(VocabSchema).parquet(s"$dir/${base.vocabDir}")
+          .join(vocabDelta, Seq("tok"), "full")
+          .select(col("tok"),
+            (coalesce(col("df"), lit(0L)) + coalesce(col("__ddf"), lit(0L))).as("df"))
           .filter(col("df") > 0)
           .write.mode("errorifexists").parquet(s"$dir/$vocabRel")
       },
@@ -902,12 +949,21 @@ object InvertedIndex {
     // tokenizes to >= 1 posting row (split yields [""] for empty text),
     // so each removal id appears in `removed`.
     val tombstoneIds = removed.select(col("doc_id").cast("long").as("doc_id")).distinct()
+    // the staged postings persist for the batch too: ONE scan feeds the
+    // stats collect (materializing the cache) AND the vocab correction's
+    // plus side — the correction previously re-listed and re-read the
+    // staged files as its own job
+    val stagedRows =
+      if (staged.files.isEmpty) None
+      else Some(readPostings(spark, dir, staged.files, withPositions = false)
+        // only the columns stats (doc_id, dl) and vocab (tok) touch —
+        // a positional index's staged positions never enter the cache
+        .select(col("doc_id"), col("tok"), col("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     try {
       val removedStats = collectDocStats(removed)
       val hasRemovals = removedStats._1 > 0L
-      val stagedStats =
-        if (staged.files.isEmpty) (0L, 0L)
-        else collectDocStats(readPostings(spark, dir, staged.files))
+      val stagedStats = stagedRows.map(collectDocStats).getOrElse((0L, 0L))
       var attempt = 0
       while (true) {
         attempt += 1
@@ -917,12 +973,15 @@ object InvertedIndex {
         }
         if (commitRemoval(spark, dir, base, removed, removedStats, tombstoneIds,
           staged.files, stagedStats, stamp, appendTombstone = hasRemovals,
-          stagedMeta = staged.meta)) return
+          stagedMeta = staged.meta, stagedRows = stagedRows)) return
         if (attempt >= maxAttempts)
           throw new graft.catalog.GraftCommitConflict(
             s"index CDC batch lost the version race $maxAttempts times at $dir")
       }
-    } finally removed.unpersist(blocking = false)
+    } finally {
+      removed.unpersist(blocking = false)
+      stagedRows.foreach(_.unpersist(blocking = false))
+    }
   }
 
   // ---- maintenance ---------------------------------------------------
@@ -1040,7 +1099,8 @@ object InvertedIndex {
       val rewrittenFiles = compacted.valuesIterator.flatMap(_.map(_._2)).toSeq
       if (rewrittenFiles.nonEmpty) {
         val root = new org.apache.hadoop.fs.Path(dir).toUri.getPath.stripSuffix("/")
-        spark.read.parquet(rewrittenFiles.map(p => s"$dir/$p"): _*)
+        spark.read.schema(PostingsSchema)
+          .parquet(rewrittenFiles.map(p => s"$dir/$p"): _*)
           .select(input_file_name().as("__f"), col("tok"))
           .groupBy("__f").agg(min(col("tok")).as("lo"), max(col("tok")).as("hi"))
           .collect().foreach { r =>
@@ -1062,7 +1122,7 @@ object InvertedIndex {
             if (base.deletes.isEmpty) latest
             else {
               val tombIds = base.deletes.map { case (d, _) =>
-                spark.read.parquet(s"$dir/$d").select(col("doc_id"))
+                spark.read.schema(TombstoneSchema).parquet(s"$dir/$d")
               }.reduce(_ unionByName _).distinct()
               val liveTomb = liveRows(spark, dir, base, base.postings)
                 .join(broadcast(tombIds), Seq("doc_id"))
@@ -1399,7 +1459,7 @@ object InvertedIndex {
     }
     val base =
       if (paths.isEmpty) readPostings(spark, "", Nil, withPositions = false)
-      else spark.read.parquet(paths: _*)
+      else spark.read.schema(PostingsSchema).parquet(paths: _*)
     Some(pushTerms(base, Some(termList))
       .select(col("doc_id"), col("tok"), col("tf"), col("dl")))
   }
@@ -1430,7 +1490,7 @@ object InvertedIndex {
     }
     def scan(paths: Seq[String]) =
       if (paths.isEmpty) readPostings(spark, "", Nil, withPositions = false)
-      else pushTerms(spark.read.parquet(paths: _*), termList)
+      else pushTerms(spark.read.schema(PostingsSchema).parquet(paths: _*), termList)
         .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
     Some(scan(champPaths).unionByName(scan(stagedPaths)))
   }
@@ -1452,7 +1512,7 @@ object InvertedIndex {
     }
     val base =
       if (paths.isEmpty) readPostings(spark, "", Nil, withPositions = true)
-      else spark.read.parquet(paths: _*)
+      else spark.read.schema(PostingsSchemaPositional).parquet(paths: _*)
     Some(pushTerms(base, Some(termList))
       .select(col("doc_id"), col("tok"), col("positions")))
   }
@@ -1610,7 +1670,8 @@ object InvertedIndex {
     val champFiles = m.champions.filter(e => probeBuckets(e._1)).map(_._2)
     val championRows = if (champFiles.isEmpty) emptyRows else {
       val rows = pushTerms(
-          spark.read.parquet(champFiles.map(p => s"$dir/$p"): _*), termList)
+          spark.read.schema(PostingsSchema)
+            .parquet(champFiles.map(p => s"$dir/$p"): _*), termList)
         .select(col("doc_id"), col("tok"), col("tf"), col("dl"))
       // tombstones committed AFTER the champion build (cover >=
       // championCover) mask their docs' champion rows; earlier ones
@@ -1620,7 +1681,7 @@ object InvertedIndex {
       if (postTombs.isEmpty) rows
       else {
         val tomb = postTombs.map { case (d, _) =>
-            spark.read.parquet(s"$dir/$d").select(col("doc_id")) }
+            spark.read.schema(TombstoneSchema).parquet(s"$dir/$d") }
           .reduce(_ unionByName _).distinct()
         rows.join(tomb, Seq("doc_id"), "left_anti")
       }
@@ -1748,7 +1809,7 @@ object InvertedIndex {
     import spark.implicits._
     val p = prefixes.toDF("prefix")
     val pred = prefixes.map(px => col("tok").startsWith(px)).reduce(_ || _)
-    val matched = spark.read.parquet(s"$dir/${m.vocabDir}")
+    val matched = spark.read.schema(VocabSchema).parquet(s"$dir/${m.vocabDir}")
       .filter(pred)
       .join(broadcast(p), col("tok").startsWith(col("prefix")))
     val w = Window.partitionBy(col("prefix"))
@@ -1911,7 +1972,7 @@ object InvertedIndex {
               // to the probe terms by a semi whose plan AQE sizes at
               // runtime. An analytical shape, never the serving-text
               // path.
-              val kept = spark.read.parquet(s"$dir/${m.vocabDir}")
+              val kept = spark.read.schema(VocabSchema).parquet(s"$dir/${m.vocabDir}")
                 .filter(col("df") * 100 <= lit(n) * pct)
                 .select(col("tok").as("__tok"))
                 .join(qterms0.select("__tok").distinct(), Seq("__tok"), "left_semi")
@@ -1957,12 +2018,29 @@ object InvertedIndex {
     val (nDocs, sumdl) = IndexManifests.cachedStats(spark, dir, m.statsDir)
     val avgdlFp = if (nDocs == 0) 1L else 100L * sumdl / nDocs
     // the idf side only ever contributes probe terms (the join below
-    // restricts it) — push the term filter into the vocab scan when the
-    // set is bounded, so the per-query vocab read is probe-sized
-    val idf = pushTerms(spark.read.parquet(s"$dir/${m.vocabDir}"), termList)
-      .select(col("tok"),
-        expr(s"(2L * ${nDocs}L - 2L * df + 1L) * 1000L div (2L * df + 1L)")
-          .as("__idf_fp"))
+    // restricts it). Bounded term list: resolve the dfs through the
+    // per-version term-df cache (a miss reads only the UNSEEN terms —
+    // probe-sized, never the vocabulary) and fold the idf arithmetic
+    // driver-side into a LocalRelation — the per-serve probe-pushed
+    // vocab scan and its file-listing job disappear from the plan. Rows
+    // identical to the pushed scan: kept ∩ vocab, and the driver `/` on
+    // these non-negative longs equals the SQL `div` (2n−2df+1 ≥ 1).
+    // Unbounded term sets keep the distributed vocab scan.
+    val idf = termList match {
+      case Some(ts) =>
+        val dfs = IndexManifests.cachedTermDfs(spark, dir, m.vocabDir, ts)
+        val rows = ts.distinct.flatMap(t => dfs.get(t).map(df =>
+          org.apache.spark.sql.Row(
+            t, (2L * nDocs - 2L * df + 1L) * 1000L / (2L * df + 1L))))
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+          org.apache.spark.sql.types.StructType.fromDDL("tok STRING, __idf_fp BIGINT"))
+      case None =>
+        pushTerms(spark.read.schema(VocabSchema).parquet(s"$dir/${m.vocabDir}"),
+            termList)
+          .select(col("tok"),
+            expr(s"(2L * ${nDocs}L - 2L * df + 1L) * 1000L div (2L * df + 1L)")
+              .as("__idf_fp"))
+    }
     val sat = postings
       .select(col("doc_id"), col("tok"),
         expr(s"22L * tf * ${avgdlFp}L * 10000L div " +
