@@ -964,7 +964,8 @@ object ShardedIndex {
     val p = prefixes.toDF("prefix")
     val pred = prefixes.map(px => col("tok").startsWith(px)).reduce(_ || _)
     val slices = lexManifests(spark, dir).map { case (d, m) =>
-      spark.read.parquet(s"$d/${m.vocabDir}").filter(pred)
+      spark.read.schema(InvertedIndex.VocabSchema)
+        .parquet(s"$d/${m.vocabDir}").filter(pred)
     }
     val matched = slices.reduce(_ unionByName _)
       .groupBy(col("tok")).agg(sum(col("df")).as("df"))

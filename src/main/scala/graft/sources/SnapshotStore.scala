@@ -114,10 +114,27 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
   /** Read the current snapshot (None if the table has no commits). */
   def read(): Option[DataFrame] = currentVersion().map(readVersion)
 
-  /** Time travel: read snapshot `v` as of its commit. */
+  /** Time travel: read snapshot `v` as of its commit. A snapshot's data
+    * dir is immutable once VERSION advances past it, so its parquet
+    * schema is cached per (tableDir, v) — read.parquet without a schema
+    * launches a footer-inference Spark job, one dead job per micro-batch
+    * for the streaming readers that re-open the base snapshot each cycle.
+    */
   def readVersion(v: Long): DataFrame = {
     val paths = manifestPaths(v)
-    spark.read.parquet(paths: _*)
+    // the manifest's mtime keys out a wiped-and-recreated table that
+    // reuses version numbers at the same path (one driver getFileStatus,
+    // never a job)
+    val key = (tableDir, v, fs.getFileStatus(manifestFile(v)).getModificationTime)
+    val cached = SnapshotStore.schemaCache.get(key)
+    val schema = if (cached != null) cached else {
+      val s = spark.read.parquet(paths: _*).schema
+      if (SnapshotStore.schemaCache.size >= SnapshotStore.SchemaCacheMax)
+        SnapshotStore.schemaCache.clear()
+      SnapshotStore.schemaCache.put(key, s)
+      s
+    }
+    spark.read.schema(schema).parquet(paths: _*)
   }
 
   def versions(): Seq[Long] =
@@ -180,6 +197,13 @@ final class SnapshotStore(spark: SparkSession, tableDir: String) {
 }
 
 object SnapshotStore {
+  /** Per-process schema cache for immutable snapshot versions, keyed
+    * (tableDir, version, manifest mtime); clear-on-overflow bounded.
+    */
+  private val SchemaCacheMax = 256
+  private val schemaCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), org.apache.spark.sql.types.StructType]()
+
   /** The table advanced since the caller's base version — re-read,
     * re-derive, retry (the optimistic-concurrency contract).
     */

@@ -107,6 +107,37 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got() == Seq((1, 1L, 1L), (2, 3L, 1L)), "compaction changed phrase answers")
   }
 
+  test("applyCdc's merged vocab correction equals a rebuild's vocab sidecar") {
+    // pins the single full-join df-delta formulation (minus ∪ plus,
+    // then base ⟗ delta): update removes tokens from a doc, delete
+    // drives two dfs to zero (the df > 0 filter), inserts introduce a
+    // token ABSENT from the base vocab contributed by TWO docs
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("invidx_vocab_cdc").toString
+    InvertedIndex.build(docs, "doc_id", "text", dir, withPositions = false)
+    InvertedIndex.applyCdc(
+      upserts = Seq((0L, "alpha nu"), (8L, "nu xi")).toDF("doc_id", "text"),
+      removals = Seq((0L, "alpha beta gamma alpha"), (4L, "zeta eta theta"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    def vocabOf(d: String) = {
+      val m = InvertedIndex.currentManifest(spark, d)
+      spark.read.parquet(s"$d/${m.vocabDir}").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val scratch = java.nio.file.Files.createTempDirectory("invidx_vocab_rb").toString
+    InvertedIndex.build(
+      docs.filter(col("doc_id") =!= 0L && col("doc_id") =!= 4L)
+        .unionByName(Seq((0L, "alpha nu"), (8L, "nu xi")).toDF("doc_id", "text")),
+      "doc_id", "text", scratch, withPositions = false)
+    val got = vocabOf(dir)
+    assert(got == vocabOf(scratch), "CDC-corrected vocab diverged from rebuild")
+    assert(!got.contains("eta") && !got.contains("theta"),
+      "df-zero tokens must leave the vocab")
+    assert(got("nu") == 2L, "new token's df must sum across the batch's docs")
+  }
+
   test("phrase search still answers after a delta grows the index") {
     val s = spark
     import s.implicits._
